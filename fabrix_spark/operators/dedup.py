@@ -1,0 +1,353 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB): every fuzzy-dedup path is
+``signature (narrow) → band explode → equi-join on band key (shuffle
+on band hash) → verify candidates only``. The quadratic all-pairs
+comparison never happens on the full corpus — only on LSH candidate
+buckets, which is the standard MinHash-LSH contract. All hashes are
+md5-derived and engine-independent, so results are deterministic and
+reproducible across engines and partitionings (no JVM hashCode, no
+seed-dependent ml.feature randomness).
+
+No Python UDFs anywhere — pure codegen'd expressions + joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "shingles",
+    "shingle_hash32",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_dedup_pairs",
+]
+
+# prime just above 2^32 for the (a*h + b) % P permutation family
+_P = 4294967311
+
+
+def _hash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — no RNG, reproducible everywhere."""
+    return [(2 * i + 1, 7919 * i + 104729) for i in range(n_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact deduplication — hash-aggregate keyed on ``cols`` (all
+    columns if None). Map-side partial aggregation makes this one
+    shuffle of distinct keys, not rows."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group summary: md5 content hash → group size +
+    representative (min id). One shuffle on the 128-bit hash."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("representative"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + deterministic 32-bit shingle hash
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column. Documents shorter than
+    ``n`` tokens contribute their whole text as a single shingle."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(t, i + F.lit(1), F.lit(n))),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def shingle_hash32(sh: Column) -> Column:
+    """First 8 hex chars of md5 → uint32-range long. Engine-independent
+    (unlike murmur3 ``F.hash``), so signatures are reproducible."""
+    return F.conv(F.substring(F.md5(sh.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the narrow explode every
+    fuzzy path starts from."""
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__sh"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) — verification kernel + small-corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Without ``candidates`` this self-joins on shingle (inverted-index
+    join: only docs *sharing* a shingle ever meet — still superlinear
+    on hot shingles; at corpus scale pass LSH candidates instead).
+    Jaccard is exact integer arithmetic (|∩| / (|A|+|B|-|∩|)).
+    """
+    ds = _doc_shingles(df, text_col, id_col, shingle_size)
+    sizes = ds.groupBy("__id").agg(F.count("*").alias("__sz"))
+
+    if candidates is None:
+        a = ds.alias("a")
+        b = ds.alias("b")
+        common = (
+            a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count("*").alias("__common"))
+        )
+    else:
+        # verify only candidate pairs: join each side's shingles,
+        # intersect via array ops per pair
+        pair_sh = candidates.select(F.col("id_a"), F.col("id_b"))
+        sh_sets = ds.groupBy("__id").agg(F.collect_set("__sh").alias("__set"))
+        common = (
+            pair_sh.join(sh_sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
+            .join(sh_sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
+            .select("id_a", "id_b", F.size(F.array_intersect("__sa", "__sb")).alias("__common"))
+        )
+
+    out = (
+        common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__common") / (F.col("__sza") + F.col("__szb") - F.col("__common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of
+    ``(a_i * h32(shingle) + b_i) % P`` for each of ``n_hashes``
+    deterministic permutations. One explode + one hash-aggregate —
+    a single shuffle keyed on the doc id."""
+    ds = _doc_shingles(df, text_col, id_col, shingle_size)
+    h = shingle_hash32(F.col("__sh"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    ]
+    return ds.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature (``bands`` bands of ``n_hashes/bands`` rows),
+    bucket-join docs sharing a band. This is THE scale move: the
+    shuffle is on (band_idx, band_key) and only same-bucket docs pair
+    up. Returns distinct (id_a < id_b)."""
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col).alias("__id"), F.explode(band_structs).alias("bk")).select(
+        "__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
+    return jaccard_pairs(df, threshold, shingle_size, text_col, id_col, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash signature: per token-occurrence 32-bit hash; bit j of the
+    signature is the sign of Σ(±1) over tokens. Exact integer math;
+    one explode + one aggregate."""
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    h = shingle_hash32(F.col("__t"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"bs_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(F.col("__id").alias(id_col)).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"bs_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the signature into ``bands`` chunks; any
+    pair within distance < bands shares ≥1 exact chunk, so the join is
+    an equi-join on (chunk_idx, chunk_value) — never all-pairs."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    sigs = simhash(df, bits, text_col, id_col)
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), bi * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(chunks).alias("bk")).select(
+        "__id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold.
+
+    Components quantize to int64 (round(v * 1e6)) so dot products and
+    norms are exact integers — bit-reproducible across engines — and
+    only the final cosine division is floating point. The pair join is
+    the brute-force O(n²) kernel; for corpus scale, pre-bucket with
+    ``similarity.hyperplane_lsh_buckets`` and join on bucket first.
+    """
+    q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * quantize).cast("long"))
+    vecs = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+    norms = vecs.select(
+        "__id",
+        "__q",
+        F.aggregate(F.zip_with("__q", "__q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("__n2"),
+    )
+    a = norms.alias("a")
+    b = norms.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__q"), F.col("b.__q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(
+                dot / F.sqrt(F.col("a.__n2").cast("double") * F.col("b.__n2").cast("double")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

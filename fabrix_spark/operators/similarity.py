@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (ArrayType(FloatType)).
+
+Baseline: brute-force cosine top-k (broadcast the query side — the
+corpus side never shuffles). Scale path: deterministic random-
+hyperplane LSH bucketing so candidate generation is an equi-join on
+bucket signature instead of a cross join.
+
+No UDFs: dot products are ``zip_with`` + ``aggregate`` expressions
+(JVM codegen). Quantized int64 scoring available for bit-exact
+reproducibility across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cosine_topk",
+    "hyperplane_lsh_buckets",
+    "lsh_cosine_topk",
+]
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _quantized(vec: Column, scale: int) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot(a: Column, b: Column, integer: bool) -> Column:
+    zero = F.lit(0).cast("long") if integer else F.lit(0.0)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    quantize: int | None = 1_000_000,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (excluding itself when ids collide).
+
+    The query side is broadcast — the big corpus never moves. Per-query
+    ranking is a window partitioned by query id with a deterministic
+    (score desc, id asc) order. With ``quantize`` set, dots/norms are
+    exact int64 so results reproduce bitwise on any engine.
+    """
+    query_id_col = query_id_col or id_col
+    if quantize:
+        cvec = _quantized(F.col(vec_col), quantize)
+        integer = True
+    else:
+        cvec = _as_double(F.col(vec_col))
+        integer = False
+
+    c = corpus.select(F.col(id_col).alias("c_id"), cvec.alias("c_vec")).withColumn(
+        "c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer)
+    )
+    q = queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec")).withColumn(
+        "q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer)
+    )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"), integer)
+                / F.sqrt(F.col("c_n2").cast("double") * F.col("q_n2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH: bit i of the bucket id is
+    the sign of ⟨v, r_i⟩ where r_i has ±1 components derived from
+    md5(plane, dim) — no RNG, reproducible everywhere. Returns
+    (id, bucket) — similar vectors land in the same bucket with
+    probability 1 - θ/π per plane."""
+    q = _quantized(F.col(vec_col), quantize)
+    vecs = df.select(F.col(id_col), q.alias("__q"))
+
+    def sign_component(plane: int) -> Column:
+        # ±1 per (plane, dim): parity of the first md5 hex nibble
+        signed = F.zip_with(
+            F.col("__q"),
+            F.sequence(F.lit(0), F.size(F.col("__q")) - 1),
+            lambda x, d: F.when(
+                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(plane), d).cast("binary")), 1, 1), 16, 10)
+                .cast("int")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                x,
+            ).otherwise(-x),
+        )
+        dot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.when(dot > 0, F.lit(1 << plane).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    bucket = None
+    for p in range(n_planes):
+        t = sign_component(p)
+        bucket = t if bucket is None else (bucket + t)
+    return vecs.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket (equi-join on
+    bucket — the 100 TB path), then exact cosine rank within
+    candidates. Recall is tunable via n_planes (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col).withColumnRenamed(id_col, "c_id")
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col).withColumnRenamed(id_col, "q_id")
+    cand = cb.join(qb, "bucket").filter(F.col("c_id") != F.col("q_id")).select("q_id", "c_id")
+
+    cvec = corpus.select(F.col(id_col).alias("c_id"), _quantized(F.col(vec_col), 1_000_000).alias("c_vec"))
+    qvec = queries.select(F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), 1_000_000).alias("q_vec"))
+    scored = (
+        cand.join(cvec, "c_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"), True)
+                / F.sqrt(
+                    _dot(F.col("c_vec"), F.col("c_vec"), True).cast("double")
+                    * _dot(F.col("q_vec"), F.col("q_vec"), True).cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in ``pyspark.sql.functions`` only — no Python UDFs
+in the hot path), so the whole stage stays inside whole-stage codegen
+and scales linearly with partitions: each operator is a narrow
+projection over the documents table (no shuffle at all).
+
+The reference has no text operators (its `apply` is unimplemented,
+fabrix-core/src/fabrix.rs:617-623); these extend the engine per the
+north-star scope (SURVEY.md §7.1 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS_EN",
+    "LANG_STOPWORDS",
+]
+
+# token split on runs of whitespace, after trim (empty-string tokens
+# would skew counts)
+_WS = r"\s+"
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+# tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic; deterministic tiebreak order = list order below.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "que"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token & character counts per document — narrow, shuffle-free."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_total"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features: length, punctuation density,
+    stopword ratio, mean token length — the standard pre-training
+    corpus filters, all as codegen'd expressions.
+
+    Ratios are rounded to 6 dp so results are reproducible bit-for-bit
+    across engines and partitionings.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    mean_tok_len = (n_chars - (n_tok - F.lit(1))) / n_tok  # chars minus separators
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_total"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID: score each language by marker-token
+    hits; argmax with a fixed tiebreak order (dict order of
+    LANG_STOPWORDS). Pure expressions — no UDF, no shuffle."""
+    t = tokens(F.lower(F.col(text_col)))
+
+    def _score(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _score(words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    # CASE chain: first language (in declared order) with the max score
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if cond is None:
+            expr = expr.otherwise(branch) if expr is not None else branch
+        else:
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    out = df.select(
+        F.col(id_col),
+        expr.alias("pred_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Collation fingerprint (sorted distinct lowercase tokens → md5) —
+    the classic key-collision document fingerprint; two documents with
+    the same token multiset modulo order/duplicates collide."""
+    t = F.array_sort(F.array_distinct(tokens(F.lower(F.trim(F.col(text_col))))))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", t).cast("binary")).alias("fingerprint"),
+    )

@@ -1,0 +1,341 @@
+"""Serializable query algebra (the fabrix ``Select`` ADT on Spark).
+
+Reference: ``fabrix-sql/src/builder/sql_adt.rs`` — Select (744-754),
+Column/Function (220-292), Expressions token grammar (447-547), Join
+(679-736), Order (148-162). The ADT is JSON-(de)serializable like the
+reference's serde wire format (sql_adt.rs:1085-1139) and has two
+backends: ``plans.compiler.to_df`` (Spark DataFrame DSL — Catalyst
+optimizes & executes) and ``plans.sqlgen.to_sql`` (dialect SQL string
+for whole-query JDBC pushdown, mirroring the reference's sea-query
+compilation at query_dml.rs:31-86).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+__all__ = [
+    "Col",
+    "FnCol",
+    "Cond",
+    "AND",
+    "OR",
+    "NOT",
+    "Nest",
+    "Order",
+    "Join",
+    "Select",
+    "Delete",
+    "AGGREGATE_FNS",
+    "SCALAR_FNS",
+    "expressions_from_json",
+    "expression_to_json",
+]
+
+# Function names (sql_adt.rs:220-246). Aggregates fold under group_by;
+# scalars compile to row expressions.
+AGGREGATE_FNS = {"max", "min", "sum", "avg", "count"}
+SCALAR_FNS = {"abs", "ifnull", "cast", "coalesce", "char_length", "lower", "upper", "round"}
+
+
+@dataclass(frozen=True)
+class Col:
+    """Plain or table-qualified column (Column::Col / Column::Tbl,
+    sql_adt.rs:273-292)."""
+
+    name: str
+    tbl: str | None = None
+    alias: str | None = None
+
+    def display_name(self) -> str:
+        return self.alias or self.name
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {"col": self.name}
+        if self.tbl:
+            d["tbl"] = self.tbl
+        if self.alias:
+            d["alias"] = self.alias
+        return d
+
+
+@dataclass(frozen=True)
+class FnCol:
+    """Function over a column (Column::FnCol / FnTbl, sql_adt.rs:283-292).
+
+    ``fn`` is one of AGGREGATE_FNS | SCALAR_FNS; ``args`` carries extra
+    operands (cast target type; ifnull/coalesce fallbacks)."""
+
+    fn: str
+    col: "Col | FnCol"
+    args: tuple = ()
+    alias: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.fn not in AGGREGATE_FNS | SCALAR_FNS:
+            raise ValueError(f"unknown function {self.fn!r}")
+
+    def display_name(self) -> str:
+        """Default display name like the reference's columns_name
+        (sql_adt.rs:332-371): ``max(col)`` unless aliased."""
+        return self.alias or f"{self.fn}({self.col.display_name()})"
+
+    def is_aggregate(self) -> bool:
+        if self.fn in AGGREGATE_FNS:
+            return True
+        return isinstance(self.col, FnCol) and self.col.is_aggregate()
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {"fn": self.fn, "col": self.col.to_json()}
+        if self.args:
+            d["args"] = list(self.args)
+        if self.alias:
+            d["alias"] = self.alias
+        return d
+
+
+ColumnLike = Col | FnCol
+
+
+def column_from_json(d: dict | str) -> ColumnLike:
+    if isinstance(d, str):
+        return Col(d)
+    if "fn" in d:
+        return FnCol(
+            d["fn"], column_from_json(d["col"]), tuple(d.get("args", ())), d.get("alias")
+        )
+    return Col(d["col"], d.get("tbl"), d.get("alias"))
+
+
+# ---------------------------------------------------------------------------
+# Filter expressions — flat token grammar (sql_adt.rs:447-547).
+# Legal sequences validated by a tiny FSM mirroring sql_adt.rs:553-673.
+# ---------------------------------------------------------------------------
+
+_EQUATIONS = {"eq", "ne", "gt", "ge", "lt", "le", "in", "between", "like", "is_null", "is_not_null"}
+
+
+@dataclass(frozen=True)
+class Cond:
+    """A simple predicate: column <equation> value(s)
+    (Condition, sql_adt.rs:465-483)."""
+
+    col: str
+    op: str
+    value: Any = None
+    tbl: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.op not in _EQUATIONS:
+            raise ValueError(f"unknown equation {self.op!r}")
+        if self.op == "between" and (not isinstance(self.value, (tuple, list)) or len(self.value) != 2):
+            raise ValueError("between takes a (low, high) pair")
+        if self.op == "in" and not isinstance(self.value, (tuple, list)):
+            raise ValueError("in takes a list")
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {"cond": {"col": self.col, "op": self.op}}
+        if self.value is not None:
+            d["cond"]["value"] = list(self.value) if isinstance(self.value, tuple) else self.value
+        if self.tbl:
+            d["cond"]["tbl"] = self.tbl
+        return d
+
+
+class _Token:
+    def __init__(self, kind: str):
+        self.kind = kind
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return self.kind
+
+    def to_json(self) -> str:
+        return self.kind
+
+
+AND = _Token("AND")
+OR = _Token("OR")
+NOT = _Token("NOT")
+
+
+@dataclass(frozen=True)
+class Nest:
+    """Parenthesized sub-expression (Expression::Nest, sql_adt.rs:517)."""
+
+    tokens: tuple
+
+    def __init__(self, tokens: Sequence):
+        object.__setattr__(self, "tokens", tuple(tokens))
+
+    def to_json(self) -> dict:
+        return {"nest": [expression_to_json(t) for t in self.tokens]}
+
+
+Expression = Cond | Nest | _Token
+
+
+def expression_to_json(t: Expression) -> Any:
+    return t.to_json()
+
+
+def expressions_from_json(items: Sequence) -> list[Expression]:
+    out: list[Expression] = []
+    for it in items:
+        if isinstance(it, str):
+            tok = {"AND": AND, "OR": OR, "NOT": NOT}.get(it.upper())
+            if tok is None:
+                raise ValueError(f"unknown token {it!r}")
+            out.append(tok)
+        elif "nest" in it:
+            out.append(Nest(expressions_from_json(it["nest"])))
+        else:
+            c = it["cond"]
+            val = c.get("value")
+            if c["op"] in ("between", "in") and isinstance(val, list):
+                val = tuple(val) if c["op"] == "between" else list(val)
+            out.append(Cond(c["col"], c["op"], val, c.get("tbl")))
+    return out
+
+
+def validate_expressions(tokens: Sequence[Expression]) -> None:
+    """Runtime re-statement of the reference's compile-time filter FSM
+    (sql_adt.rs:553-673): Init -> {Cond, Nest, NOT}; Cond/Nest ->
+    {AND, OR}; AND/OR -> {Cond, Nest, NOT}; NOT -> {Cond, Nest}.
+    Duplicate conjunctions / trailing conjunctions are illegal (the
+    reference silently skips illegal tokens at bd.rs:247-252 — we
+    prefer loud errors)."""
+    state = "init"
+    for t in tokens:
+        if state in ("init", "conj"):
+            if isinstance(t, (Cond, Nest)):
+                state = "operand"
+            elif t is NOT:
+                state = "not"
+            else:
+                raise ValueError(f"conjunction {t!r} not allowed at position (state={state})")
+        elif state == "not":
+            if isinstance(t, (Cond, Nest)):
+                state = "operand"
+            else:
+                raise ValueError("NOT must be followed by a condition or nest")
+        elif state == "operand":
+            if t in (AND, OR):
+                state = "conj"
+            else:
+                raise ValueError("conditions must be joined by AND/OR")
+    if state in ("conj", "not"):
+        raise ValueError("filter ends with a dangling token")
+    for t in tokens:
+        if isinstance(t, Nest):
+            validate_expressions(t.tokens)
+
+
+# ---------------------------------------------------------------------------
+# Order / Join / Select / Delete (sql_adt.rs:148-162, 679-736, 744-754, 861-880)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Order:
+    col: str
+    desc: bool = False
+
+    def to_json(self) -> dict:
+        return {"col": self.col, "order": "desc" if self.desc else "asc"}
+
+
+# join types: reference supports join/inner/left/right (sql_adt.rs:681-686);
+# Spark adds the rest for free (SURVEY.md §2.3).
+_JOIN_TYPES = {"join", "inner", "left", "right", "full", "semi", "anti", "cross"}
+
+
+@dataclass(frozen=True)
+class Join:
+    right: str
+    on: tuple  # ((left_col, right_col), ...) equi-join, multi-key AND
+    how: str = "inner"
+
+    def __init__(self, right: str, on: Sequence, how: str = "inner"):
+        if how not in _JOIN_TYPES:
+            raise ValueError(f"unknown join type {how!r}")
+        object.__setattr__(self, "right", right)
+        object.__setattr__(self, "on", tuple((l, r) for l, r in on))
+        object.__setattr__(self, "how", how)
+
+    def to_json(self) -> dict:
+        return {"right": self.right, "on": [list(p) for p in self.on], "how": self.how}
+
+
+@dataclass
+class Select:
+    """The root query node (sql_adt.rs:744-754)."""
+
+    table: str
+    columns: list[ColumnLike] = field(default_factory=list)
+    filter: list[Expression] | None = None
+    joins: list[Join] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order: list[Order] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+    include_primary_key: bool = False
+
+    def __post_init__(self) -> None:
+        self.columns = [Col(c) if isinstance(c, str) else c for c in self.columns]
+        if self.filter:
+            validate_expressions(self.filter)
+
+    def columns_name(self) -> list[str]:
+        """Display names incl. ``max(col)`` forms (sql_adt.rs:332-371)."""
+        return [c.display_name() for c in self.columns]
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {"table": self.table, "columns": [c.to_json() for c in self.columns]}
+        if self.filter:
+            d["filter"] = [expression_to_json(t) for t in self.filter]
+        if self.joins:
+            d["join"] = [j.to_json() for j in self.joins]
+        if self.group_by:
+            d["group_by"] = list(self.group_by)
+        if self.order:
+            d["order"] = [o.to_json() for o in self.order]
+        if self.limit is not None:
+            d["limit"] = self.limit
+        if self.offset is not None:
+            d["offset"] = self.offset
+        if self.include_primary_key:
+            d["include_primary_key"] = True
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Select":
+        return cls(
+            table=d["table"],
+            columns=[column_from_json(c) for c in d.get("columns", [])],
+            filter=expressions_from_json(d["filter"]) if d.get("filter") else None,
+            joins=[Join(j["right"], j["on"], j.get("how", "inner")) for j in d.get("join", [])],
+            group_by=list(d.get("group_by", [])),
+            order=[Order(o["col"], o.get("order") == "desc") for o in d.get("order", [])],
+            limit=d.get("limit"),
+            offset=d.get("offset"),
+            include_primary_key=bool(d.get("include_primary_key", False)),
+        )
+
+
+@dataclass
+class Delete:
+    """Filtered delete (sql_adt.rs:861-880)."""
+
+    table: str
+    filter: list[Expression]
+
+    def __post_init__(self) -> None:
+        validate_expressions(self.filter)
+
+    def to_json(self) -> dict:
+        return {"table": self.table, "filter": [expression_to_json(t) for t in self.filter]}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Delete":
+        return cls(d["table"], expressions_from_json(d["filter"]))

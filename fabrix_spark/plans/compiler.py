@@ -1,0 +1,212 @@
+"""Select-ADT -> Spark DataFrame compiler.
+
+This replaces the reference's compile-to-SQL-string + remote-DB
+execution (fabrix-sql/src/builder/query_dml.rs:31-86) with a lazy
+DataFrame plan: Catalyst then does predicate pushdown, column pruning,
+join planning and limit pushdown on our behalf (SURVEY.md §4).
+
+The expression folding mirrors ``cond_builder``
+(fabrix-sql/src/builder/bd.rs:243-323): a flat token list with
+AND/OR/NOT and Nest groups folds into one boolean Column.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .adt import (
+    AND,
+    Col,
+    Cond,
+    Expression,
+    FnCol,
+    Join,
+    Nest,
+    NOT,
+    OR,
+    Select,
+    validate_expressions,
+)
+
+__all__ = ["TableProvider", "ParquetDirProvider", "compile_select", "compile_filter"]
+
+# name -> DataFrame resolver; the Spark analogue of a live DB connection.
+TableProvider = Callable[[str], DataFrame]
+
+
+class ParquetDirProvider:
+    """Resolve table names to ``{dir}/{name}.parquet`` — the layout of
+    the driver's testdata (TESTDATA.md)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+
+    def __call__(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+
+
+def _cond_to_column(c: Cond, resolve: Callable[[Cond], Column]) -> Column:
+    col = resolve(c)
+    op = c.op
+    v = c.value
+    if op == "eq":
+        return col == F.lit(v)
+    if op == "ne":
+        return col != F.lit(v)
+    if op == "gt":
+        return col > F.lit(v)
+    if op == "ge":
+        return col >= F.lit(v)
+    if op == "lt":
+        return col < F.lit(v)
+    if op == "le":
+        return col <= F.lit(v)
+    if op == "in":
+        return col.isin(list(v))
+    if op == "between":
+        return col.between(F.lit(v[0]), F.lit(v[1]))
+    if op == "like":
+        return col.like(v)
+    if op == "is_null":
+        return col.isNull()
+    if op == "is_not_null":
+        return col.isNotNull()
+    raise ValueError(f"unhandled equation {op!r}")  # pragma: no cover
+
+
+def compile_filter(tokens: Sequence[Expression], resolve: Callable[[Cond], Column] | None = None) -> Column:
+    """Fold the flat token list into one boolean Column, left to right
+    (matching SQL's left-assoc AND/OR with standard precedence applied
+    by nesting — the reference emits the same shape, bd.rs:243-323).
+
+    Like SQL, AND binds tighter than OR: we fold in two passes —
+    collect AND-runs, then OR them together.
+    """
+    validate_expressions(tokens)
+    resolve = resolve or (lambda c: F.col(c.col))
+
+    def leaf(t: Expression) -> Column:
+        if isinstance(t, Cond):
+            return _cond_to_column(t, resolve)
+        if isinstance(t, Nest):
+            return compile_filter(t.tokens, resolve)
+        raise ValueError(f"unexpected token {t!r}")  # pragma: no cover
+
+    # linear scan: apply NOT to the following operand, split on OR,
+    # AND within runs.
+    or_groups: list[Column] = []
+    current: Column | None = None
+    negate = False
+    for t in tokens:
+        if t is NOT:
+            negate = True
+        elif t is AND:
+            continue
+        elif t is OR:
+            or_groups.append(current)
+            current = None
+        else:
+            c = leaf(t)
+            if negate:
+                c = ~c
+                negate = False
+            current = c if current is None else (current & c)
+    or_groups.append(current)
+    out = or_groups[0]
+    for g in or_groups[1:]:
+        out = out | g
+    return out
+
+
+def _column_expr(c: Col | FnCol, alias: bool = True) -> Column:
+    """Column / FnCol -> Spark Column (column_builder, bd.rs:330-435)."""
+    if isinstance(c, Col):
+        expr = F.col(f"{c.tbl}.{c.name}" if c.tbl else c.name)
+        return expr.alias(c.alias) if (alias and c.alias) else expr
+
+    inner = _column_expr(c.col, alias=False)
+    fn = c.fn
+    if fn == "max":
+        expr = F.max(inner)
+    elif fn == "min":
+        expr = F.min(inner)
+    elif fn == "sum":
+        expr = F.sum(inner)
+    elif fn == "avg":
+        expr = F.avg(inner)
+    elif fn == "count":
+        expr = F.count(inner)
+    elif fn == "abs":
+        expr = F.abs(inner)
+    elif fn == "ifnull":
+        expr = F.coalesce(inner, F.lit(c.args[0]))
+    elif fn == "coalesce":
+        expr = F.coalesce(inner, *[F.lit(a) for a in c.args])
+    elif fn == "cast":
+        expr = inner.cast(c.args[0])
+    elif fn == "char_length":
+        expr = F.length(inner)
+    elif fn == "lower":
+        expr = F.lower(inner)
+    elif fn == "upper":
+        expr = F.upper(inner)
+    elif fn == "round":
+        expr = F.round(inner, int(c.args[0]) if c.args else 0)
+    else:  # pragma: no cover
+        raise ValueError(f"unhandled function {fn!r}")
+    return expr.alias(c.display_name()) if alias else expr
+
+
+def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
+    """Build the lazy DataFrame plan for a Select ADT.
+
+    Order of application mirrors SQL semantics: FROM + JOIN -> WHERE ->
+    GROUP BY/agg -> ORDER BY -> OFFSET/LIMIT. Catalyst reorders
+    physically (filter pushdown through joins, etc.) — we only declare.
+    """
+    df = provider(sel.table).alias(sel.table)
+
+    for j in sel.joins:
+        right = provider(j.right).alias(j.right)
+        on = None
+        for lc, rc in j.on:
+            clause = F.col(f"{sel.table}.{lc}") == F.col(f"{j.right}.{rc}")
+            on = clause if on is None else (on & clause)
+        how = "inner" if j.how == "join" else j.how
+        df = df.join(right, on=on, how=how)
+
+    if sel.filter:
+        df = df.filter(compile_filter(sel.filter))
+
+    agg_cols = [c for c in sel.columns if isinstance(c, FnCol) and c.is_aggregate()]
+    if sel.group_by or agg_cols:
+        keys = list(sel.group_by)
+        aggs = [_column_expr(c) for c in agg_cols]
+        plain = [
+            _column_expr(c)
+            for c in sel.columns
+            if not (isinstance(c, FnCol) and c.is_aggregate())
+        ]
+        # non-aggregate projected columns must be group keys (SQL rule)
+        df = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs) if aggs else df.select(*keys).distinct()
+        ordered = []
+        for c in sel.columns:
+            ordered.append(F.col(c.display_name()))
+        if sel.columns:
+            df = df.select(*ordered)
+        del plain
+    elif sel.columns:
+        df = df.select(*[_column_expr(c) for c in sel.columns])
+
+    if sel.order:
+        df = df.orderBy(*[F.col(o.col).desc() if o.desc else F.col(o.col).asc() for o in sel.order])
+
+    if sel.offset is not None:
+        df = df.offset(sel.offset)
+    if sel.limit is not None:
+        df = df.limit(sel.limit)
+    return df

@@ -1,0 +1,958 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+an equivalent DuckDB-oracle SQL string (None → the driver records a
+weaker rows-only check). Column names are aliased identically on both
+sides; double-typed aggregates are rounded (or computed in exact int64
+after quantization) so values are bit-reproducible regardless of
+partitioning / accumulation order.
+
+ADT-driven entries get their oracle from ``plans.sqlgen.render_select``
+— the same Select object produces both the DataFrame plan and the SQL,
+pinning the two backends to each other (the reference's golden-SQL
+strategy, fabrix-sql/src/builder/query_dml.rs:89-270, upgraded to
+executable parity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, multimodal, similarity, text
+from .plans import (
+    AND,
+    Col,
+    Cond,
+    FnCol,
+    Join,
+    Nest,
+    NOT,
+    OR,
+    Order,
+    ParquetDirProvider,
+    Select,
+    compile_select,
+    render_select,
+)
+from .session import tune_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None
+    headline: bool = False
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(wrapped, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with nanosecond timestamps, which
+    Spark's parquet reader rejects by default; read ns-as-long and
+    convert to NTZ micros (what DuckDB also does on read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return e
+
+
+def _adt(name: str, sel: Select, headline: bool = False) -> None:
+    """Register an ADT query: DataFrame plan + rendered-SQL oracle from
+    the same object."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        return compile_select(sel, ParquetDirProvider(spark, sf_dir))
+
+    REGISTRY[name] = QueryDef(fn, render_select(sel), headline)
+
+
+# ===========================================================================
+# ADT-driven relational queries (SURVEY.md §2.3)
+# ===========================================================================
+
+_adt(
+    "adt_filter_nested",
+    Select(
+        table="lineitem",
+        columns=[Col("l_orderkey"), Col("l_linenumber"), Col("l_quantity"), Col("l_returnflag")],
+        filter=[
+            Cond("l_quantity", "lt", 24.0),
+            AND,
+            Nest([Cond("l_returnflag", "eq", "A"), OR, Cond("l_returnflag", "eq", "R")]),
+            AND,
+            NOT,
+            Cond("l_linestatus", "eq", "F"),
+        ],
+        order=[Order("l_orderkey"), Order("l_linenumber")],
+        limit=500,
+        offset=25,
+    ),
+)
+
+_adt(
+    "adt_groupby_agg",
+    Select(
+        table="lineitem",
+        columns=[
+            Col("l_returnflag"),
+            Col("l_linestatus"),
+            FnCol("count", Col("l_orderkey"), alias="n_items"),
+            FnCol("max", Col("l_quantity"), alias="max_qty"),
+            FnCol("min", Col("l_quantity"), alias="min_qty"),
+            FnCol("round", FnCol("sum", Col("l_quantity")), (2,), alias="sum_qty"),
+            FnCol("round", FnCol("avg", Col("l_extendedprice")), (2,), alias="avg_price"),
+        ],
+        group_by=["l_returnflag", "l_linestatus"],
+    ),
+    headline=True,
+)
+
+_adt(
+    "adt_join_filter",
+    Select(
+        table="orders",
+        columns=[
+            Col("o_orderkey", tbl="orders"),
+            Col("o_totalprice", tbl="orders"),
+            Col("c_name", tbl="customer"),
+            Col("c_mktsegment", tbl="customer"),
+        ],
+        joins=[Join("customer", [("o_custkey", "c_custkey")], "inner")],
+        filter=[
+            Cond("o_totalprice", "gt", 300000.0, tbl="orders"),
+            AND,
+            Cond("c_mktsegment", "in", ["BUILDING", "MACHINERY"], tbl="customer"),
+        ],
+    ),
+)
+
+_adt(
+    "adt_scalar_fns",
+    Select(
+        table="customer",
+        columns=[
+            Col("c_custkey"),
+            FnCol("upper", Col("c_mktsegment"), alias="seg_upper"),
+            FnCol("lower", Col("c_name"), alias="name_lower"),
+            FnCol("char_length", Col("c_name"), alias="name_len"),
+            FnCol("round", FnCol("abs", Col("c_acctbal")), (2,), alias="bal_abs"),
+            FnCol("cast", Col("c_nationkey"), ("BIGINT",), alias="nation_big"),
+            FnCol("ifnull", Col("c_mktsegment"), ("NONE",), alias="seg_filled"),
+        ],
+    ),
+)
+
+_adt(
+    "adt_in_between_like",
+    Select(
+        table="orders",
+        columns=[Col("o_orderkey"), Col("o_orderpriority"), Col("o_totalprice")],
+        filter=[
+            Cond("o_orderpriority", "in", ["1-URGENT", "2-HIGH"]),
+            AND,
+            Cond("o_totalprice", "between", (50000.0, 150000.0)),
+            AND,
+            Cond("o_orderstatus", "like", "%F%"),
+        ],
+    ),
+)
+
+_adt(
+    "adt_sort_limit_offset",
+    Select(
+        table="orders",
+        columns=[Col("o_orderkey"), Col("o_totalprice")],
+        order=[Order("o_totalprice", desc=True), Order("o_orderkey")],
+        limit=100,
+        offset=10,
+    ),
+)
+
+_adt(
+    "adt_existing_ids_probe",
+    # the reference's select_existing_ids (query_dml.rs:14-28):
+    # WHERE index IN (...) against a key list
+    Select(
+        table="orders",
+        columns=[Col("o_orderkey")],
+        filter=[Cond("o_orderkey", "in", list(range(1, 41)))],
+    ),
+)
+
+
+# ===========================================================================
+# TPC-H-style analytics (DataFrame DSL; Spark-free extras per §2.11)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    headline=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    headline=True,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    # dims are tiny → broadcast; the only big shuffle is lineitem⋈orders
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    headline=True,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ===========================================================================
+# window / analytic functions (absent in the reference — §2.11)
+# ===========================================================================
+
+
+@register(
+    "w_topk_orders_per_customer",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    headline=True,
+)
+def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+""",
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "w_lag_delta_events",
+    oracle="""
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+FROM events
+""",
+)
+def w_lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "w_rank_dense_ntile",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS seg_dense,
+       ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+""",
+)
+def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w_bal = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_seg = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w_bal).alias("bal_rank"),
+        F.dense_rank().over(w_seg).alias("seg_dense"),
+        F.ntile(4).over(w_bal).alias("quartile"),
+    )
+
+
+# ===========================================================================
+# set ops / distinct / semi / anti / union (§2.11)
+# ===========================================================================
+
+
+@register(
+    "s_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def s_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "s_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def s_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "s_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def s_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set semantics); exceptAll = bag variant
+
+
+@register(
+    "s_semi_join",
+    oracle="SELECT o_orderkey FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)",
+)
+def s_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+@register(
+    "s_anti_join",
+    oracle="SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def s_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "s_union_all",
+    oracle="""
+SELECT c_custkey AS key, c_name AS name, c_nationkey AS nationkey, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_suppkey AS key, s_name AS name, s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+""",
+)
+def s_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("side"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionByName(s)
+
+
+# ===========================================================================
+# grouping sets / rollup / cube / pivot / having / case (§2.11)
+# ===========================================================================
+
+
+@register(
+    "g_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def g_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "g_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def g_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "g_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def g_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_o"), F.col("F").alias("qty_f")
+    )
+
+
+@register(
+    "g_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders GROUP BY o_custkey HAVING count(*) > 12
+""",
+)
+def g_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "g_case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band,
+       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1
+""",
+)
+def g_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price")
+    )
+
+
+# ===========================================================================
+# event-time analytics (events table)
+# ===========================================================================
+
+
+@register(
+    "e_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    headline=True,
+)
+def e_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "e_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+)
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ===========================================================================
+# dedup operators (documents)
+# ===========================================================================
+
+_SHINGLE_SQL = """
+SELECT doc_id, unnest(CASE WHEN len(toks) >= {n}
+         THEN list_distinct(list_transform(range(0, len(toks) - {n} + 1),
+              i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')))
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+"""
+
+
+@register(
+    "d_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS representative
+FROM documents GROUP BY md5(text)
+""",
+    headline=True,
+)
+def d_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d_jaccard_pairs",
+    oracle=f"""
+WITH ds AS ({_SHINGLE_SQL.format(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(c / (sa.sz + sb.sz - c), 6) >= 0.2
+""",
+    headline=True,
+)
+def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    from .operators.dedup import _hash_params  # same deterministic family
+
+    rows = n_hashes // bands
+    mins = ",\n    ".join(
+        f"min(({a} * h32 + {b}) % 4294967311) AS mh_{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+    band_sel = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS key FROM sigs".format(
+            bi=bi, cols=", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH ds AS ({_SHINGLE_SQL.format(n=3)}),
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32 FROM ds),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS cc
+  FROM cand c JOIN ds a ON a.doc_id = c.id_a JOIN ds b ON b.doc_id = c.id_b AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cc / (sa.sz + sb.sz - cc), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(cc / (sa.sz + sb.sz - cc), 6) >= {threshold}
+"""
+
+
+@register("d_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bs_{j}" for j in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN bs_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+),
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h32 FROM toks),
+sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM sums
+"""
+
+
+@register("d_simhash", oracle=_simhash_oracle())
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d_embedding_neardup",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) >= 0.6
+""",
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.6)
+
+
+# ===========================================================================
+# similarity search (embeddings)
+# ===========================================================================
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+scored AS (
+  SELECT qs.vec_id AS q_id, cs.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, len(cs.v) + 1), i -> cs.v[i] * qs.v[i]))
+               / sqrt(CAST(cs.n2 AS DOUBLE) * CAST(qs.n2 AS DOUBLE)), 6) AS cosine
+  FROM n cs, n qs
+  WHERE qs.vec_id < 8 AND cs.vec_id <> qs.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+    headline=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register("sim_lsh_topk", oracle=None)  # approximate — rows-only check
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_cosine_topk(emb, queries, k=5, n_planes=6)
+
+
+# ===========================================================================
+# text analysis (documents)
+# ===========================================================================
+
+
+@register(
+    "t_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_unique_tokens,
+       length(text) AS n_chars_total
+FROM documents
+""",
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks, length(text) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       nc AS n_chars_total,
+       round((nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / nc, 6) AS punct_ratio,
+       round(len(list_filter(toks, t -> list_contains([{stop_list}], t))) / len(toks), 6) AS stopword_ratio,
+       round((nc - (len(toks) - 1)) / len(toks), 6) AS mean_token_len
+FROM base
+"""
+
+
+@register("t_quality", oracle=_quality_oracle(), headline=True)
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS score_{lang}"
+        )
+    langs = list(text.LANG_STOPWORDS)
+    case = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        if conds:
+            case.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        else:
+            case.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(case) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+),
+scored AS (SELECT doc_id, {', '.join(score_cols)} FROM base)
+SELECT doc_id, {case_sql} AS pred_lang, {', '.join('score_' + l for l in langs)} FROM scored
+"""
+
+
+@register("t_lang_id", oracle=_langid_oracle())
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# multimodal plumbing (binary columns)
+# ===========================================================================
+
+
+@register(
+    "m_binary_metadata",
+    oracle="""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+FROM documents
+""",
+)
+def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.binary_metadata(multimodal.attach_binary(docs, "text"))
+
+
+@register(
+    "m_image_features",
+    oracle="""
+SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+       1 + (octet_length(encode(text)) % 64) AS width,
+       1 + ((octet_length(encode(text)) // 64) % 64) AS height
+FROM documents
+""",
+)
+def m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.decode_image_features(
+        multimodal.attach_binary(docs, "text"), fake_decode=True
+    )
+    return feats.select("id", "n_bytes", "width", "height")
+
+
+# ===========================================================================
+# registry accessors (driver contract)
+# ===========================================================================
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}
+
+
+def headline_queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in REGISTRY.items() if qd.headline}

@@ -1,0 +1,105 @@
+"""FxFrame construction + op surface (fabrix.rs / row.rs / series.rs tests)."""
+
+import pytest
+
+from fabrix_spark.frame import FxFrame
+from fabrix_spark.types import ValueType
+
+
+@pytest.fixture()
+def fx(spark):
+    return FxFrame.from_series(
+        spark,
+        {
+            "id": [1, 2, 3, 4, 5],
+            "name": ["a", "b", "c", "d", "e"],
+            "val": [1.5, None, 3.5, 4.5, 5.5],
+        },
+        index="id",
+    )
+
+
+def test_from_series_inference(fx):
+    assert [f.dtype for f in fx.fields] == [ValueType.I64, ValueType.STRING, ValueType.F64]
+    assert fx.shape == (5, 3)
+    assert fx.index_tag.name == "id"
+    assert fx.index_tag.loc == 0
+
+
+def test_from_rows(spark):
+    fx = FxFrame.from_rows(spark, [[1, "x"], [2, "y"]], names=["k", "v"], index="k")
+    assert fx.shape == (2, 2)
+    assert fx.get_row(2)["v"] == "y"
+
+
+def test_from_column_values_header(spark):
+    fx = FxFrame.from_column_values(spark, [["k", 1, 2], ["v", "x", "y"]], has_header=True)
+    assert fx.columns == ["k", "v"]
+    assert fx.height == 2
+
+
+def test_mixed_types_nullified(spark):
+    # first-non-null inference; mismatches -> null when nullable
+    # (series.rs:588-591)
+    fx = FxFrame.from_series(spark, {"a": [1, "oops", 3]})
+    vals = [r["a"] for r in fx.collect()]
+    assert vals == [1, None, 3]
+
+
+def test_strict_mode_raises(spark):
+    from fabrix_spark.types import normalize_value
+
+    with pytest.raises(ValueError):
+        normalize_value("oops", ValueType.I64, nullable=False)
+
+
+def test_take_cols_rename(fx):
+    assert fx.take_cols(["id", "val"]).columns == ["id", "val"]
+    assert fx.rename("val", "value").columns == ["id", "name", "value"]
+    # index tag follows a rename of the index column
+    assert fx.rename("id", "pk").index_tag.name == "pk"
+
+
+def test_has_null(fx):
+    assert fx.has_null()
+    assert not fx.index_has_null()
+    assert not fx.take_cols(["id", "name"]).has_null()
+
+
+def test_take_remove_popup_rows(fx):
+    assert fx.take_rows([2, 4]).height == 2
+    assert fx.remove_rows([2, 4]).height == 3
+    popped, kept = fx.popup_rows([1])
+    assert popped.height == 1 and kept.height == 4
+
+
+def test_positional_ops(fx):
+    assert fx.slice(1, 2).height == 2
+    assert fx.take_rows_by_idx([0, 4]).height == 2
+    a, b = fx.split(2)
+    assert a.height == 2 and b.height == 3
+
+
+def test_concat(spark, fx):
+    other = FxFrame.from_series(
+        spark, {"id": [6], "name": ["f"], "val": [6.5]}, index="id"
+    )
+    assert fx.vconcat(other).height == 6
+    wide = FxFrame.from_series(spark, {"id": [1, 2, 3, 4, 5], "extra": [9, 9, 9, 9, 9]}, index="id")
+    h = fx.hconcat(wide)
+    assert h.width == 4 and h.height == 5
+
+
+def test_generate_index(spark):
+    fx = FxFrame.from_series(spark, {"x": [10, 20, 30]})
+    out = fx.generate_index("idx", dense=True)
+    assert out.index_tag.name == "idx"
+    assert sorted(r["idx"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_apply(fx):
+    from pyspark.sql import functions as F
+
+    out = fx.apply("val2", F.col("val") * 2)
+    row = out.get_row(1)
+    assert row["val2"] == 3.0

@@ -1,0 +1,180 @@
+"""North-star operators: dedup / similarity / text / multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabrix_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_token_count(docs):
+    out = text.token_count(docs).collect()
+    assert len(out) == docs.count()
+    assert all(r["n_tokens"] >= 1 for r in out)
+    assert all(r["n_unique_tokens"] <= r["n_tokens"] for r in out)
+
+
+def test_quality_score(docs):
+    row = text.quality_score(docs).first()
+    assert 0.0 <= row["stopword_ratio"] <= 1.0
+    assert 0.0 <= row["punct_ratio"] <= 1.0
+
+
+def test_lang_id(docs):
+    out = text.lang_id(docs)
+    langs = {r["pred_lang"] for r in out.select("pred_lang").distinct().collect()}
+    assert langs <= set(text.LANG_STOPWORDS)
+
+
+def test_fingerprint_collates(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c c"), (3, "x y")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string")
+    assert dedup.exact_dedup(df, ["text"]).count() == 2
+    groups = {r["representative"]: r["n_dups"] for r in dedup.exact_dup_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    row = df.select(dedup.shingles(F.col("text"), 3).alias("s")).first()
+    assert row["s"] == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(dedup.shingles(F.col("text"), 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "spark shuffles partitions across the cluster during wide transformations"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert len(sigs) == 3
+    h12 = bin(sigs[1] ^ sigs[2]).count("1")
+    h13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert h12 < h13
+
+
+def test_embedding_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dedup_pairs(df, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def test_cosine_topk(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ranked = sorted(rs, key=lambda r: r["rank"])
+        sims = [r["cosine"] for r in ranked]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_overlaps_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    brute = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.lsh_cosine_topk(emb, queries, k=10, n_planes=4)
+    b = {(r["q_id"], r["c_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    # approximate: require some recall, not exact equality
+    assert len(a & b) >= 2
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_binary_metadata(docs):
+    df = multimodal.attach_binary(docs, "text")
+    out = multimodal.binary_metadata(df)
+    row = out.first()
+    assert row["n_bytes"] > 0 and len(row["content_md5"]) == 32
+
+
+def test_image_features_fake_decode(docs):
+    df = multimodal.attach_binary(docs.limit(20), "text")
+    out = multimodal.decode_image_features(df, fake_decode=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] >= 1 and r["n_bytes"] > 0 for r in rows)
+
+
+def test_image_decode_stub_raises(docs):
+    df = multimodal.attach_binary(docs.limit(1), "text")
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(df, fake_decode=False).collect()
+
+
+def test_sample_frames(docs):
+    df = multimodal.attach_binary(docs.limit(5), "text")
+    out = multimodal.sample_frames(df, every_n=2, fake_decode=True)
+    assert out.count() > 5

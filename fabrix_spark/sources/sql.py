@@ -1,0 +1,342 @@
+"""SQL database source/sink with fabrix's save-strategy surface.
+
+Reference: fabrix-sql executor (ec.rs) — select (550-581), save
+strategies FailIfExists/Replace/Append/Upsert (484-538), txn
+create+insert (602-651), DDL helpers (query_ddl.rs), existing-ids
+probe (query_dml.rs:14-28).
+
+Two backends:
+
+- **DB-API** (sqlite3 built-in; any PEP-249 driver): driver-side
+  connection like the reference's sqlx pool. Reads land in Spark via
+  Arrow `createDataFrame`; writes stream `toLocalIterator()` in
+  bounded batches with multi-row INSERTs (mutation_dml.rs:25-35).
+  This is the edge path — fine for control-plane tables.
+- **JDBC** (`read_jdbc`/`write_jdbc`): the scale path — executors read
+  partitioned ranges (`partitionColumn/numPartitions`) and write in
+  parallel; requires the JDBC driver jar on the classpath.
+
+Upsert follows the reference exactly: probe existing index values,
+split the frame (popup_rows, fabrix.rs:574-613), INSERT the new rows,
+per-key UPDATE the matched ones — wrapped in one transaction.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..frame import FxFrame
+from ..plans.adt import Delete, Select
+from ..plans.sqlgen import render_delete, render_select, render_value
+from ..types import ValueType, from_spark_type
+
+__all__ = ["SaveStrategy", "SqlExecutor", "read_jdbc", "write_jdbc"]
+
+
+class SaveStrategy:
+    """sql_adt.rs:893-900."""
+
+    FAIL_IF_EXISTS = "fail_if_exists"
+    REPLACE = "replace"
+    APPEND = "append"
+    UPSERT = "upsert"
+
+
+# ValueType -> SQLite/ANSI column type (generic enough for the DB-API path)
+_SQL_TYPES: dict[ValueType, str] = {
+    ValueType.BOOL: "BOOLEAN",
+    ValueType.I8: "SMALLINT",
+    ValueType.I16: "SMALLINT",
+    ValueType.I32: "INTEGER",
+    ValueType.I64: "BIGINT",
+    ValueType.U8: "SMALLINT",
+    ValueType.U16: "INTEGER",
+    ValueType.U32: "BIGINT",
+    ValueType.U64: "DECIMAL(20,0)",
+    ValueType.F32: "REAL",
+    ValueType.F64: "DOUBLE PRECISION",
+    ValueType.DATE: "DATE",
+    ValueType.TIME: "BIGINT",
+    ValueType.DATETIME: "TIMESTAMP",
+    ValueType.STRING: "VARCHAR",
+    ValueType.DECIMAL: "DECIMAL(38,18)",
+    ValueType.UUID: "VARCHAR(36)",
+    ValueType.BYTES: "BLOB",
+    ValueType.NULL: "VARCHAR",
+}
+
+
+def _adapt(v: Any) -> Any:
+    """Python value -> DB-API parameter (sqlite has no native ts/date)."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    return v
+
+
+class SqlExecutor:
+    """Frame-level CRUD over a PEP-249 connection.
+
+    ``conn_factory`` is a zero-arg callable returning a live
+    connection (e.g. ``lambda: sqlite3.connect(path)``), mirroring the
+    reference's connection-string constructor (ec.rs:388-403).
+    """
+
+    def __init__(self, spark: SparkSession, conn_factory, dialect: str = "sqlite"):
+        self.spark = spark
+        self.dialect = dialect
+        self._conn = conn_factory()
+
+    # ------------------------------------------------------------------
+    # catalog / DDL (§2.5)
+    # ------------------------------------------------------------------
+
+    def table_exists(self, table: str) -> bool:
+        cur = self._conn.cursor()
+        if self.dialect == "sqlite":
+            cur.execute("SELECT name FROM sqlite_master WHERE type='table' AND name=?", (table,))
+        else:
+            cur.execute(
+                "SELECT table_name FROM information_schema.tables WHERE table_name = ?", (table,)
+            )
+        return cur.fetchone() is not None
+
+    def list_tables(self) -> list[str]:
+        cur = self._conn.cursor()
+        if self.dialect == "sqlite":
+            cur.execute("SELECT name FROM sqlite_master WHERE type='table' ORDER BY name")
+        else:
+            cur.execute("SELECT table_name FROM information_schema.tables ORDER BY table_name")
+        return [r[0] for r in cur.fetchall()]
+
+    def table_schema(self, table: str) -> list[tuple[str, str]]:
+        """(column, declared type) pairs (query_ddl.rs:36-74)."""
+        cur = self._conn.cursor()
+        if self.dialect == "sqlite":
+            cur.execute(f'PRAGMA table_info("{table}")')
+            return [(r[1], r[2]) for r in cur.fetchall()]
+        cur.execute(
+            "SELECT column_name, data_type FROM information_schema.columns WHERE table_name = ? ORDER BY ordinal_position",
+            (table,),
+        )
+        return [(r[0], r[1]) for r in cur.fetchall()]
+
+    def get_primary_key(self, table: str) -> str | None:
+        """query_ddl.rs:201-244."""
+        cur = self._conn.cursor()
+        if self.dialect == "sqlite":
+            cur.execute(f'PRAGMA table_info("{table}")')
+            for r in cur.fetchall():
+                if r[5]:  # pk flag
+                    return r[1]
+            return None
+        raise NotImplementedError("PK introspection for non-sqlite DB-API dialects")
+
+    def create_table(self, table: str, fx: FxFrame, if_not_exists: bool = False) -> None:
+        """Typed CREATE TABLE with PRIMARY KEY from the index tag
+        (mutation_ddl.rs:11-34; PK typing sql_adt.rs:906-982)."""
+        cols = []
+        pk = fx.index_tag.name if fx.index_tag else None
+        for f in fx.fields:
+            sql_t = _SQL_TYPES[f.dtype]
+            col = f'"{f.name}" {sql_t}'
+            if f.name == pk:
+                col += " PRIMARY KEY"
+            cols.append(col)
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        self._conn.execute(f'CREATE TABLE {ine}"{table}" ({", ".join(cols)})')
+
+    def drop_table(self, table: str, if_exists: bool = True) -> None:
+        ie = "IF EXISTS " if if_exists else ""
+        self._conn.execute(f'DROP TABLE {ie}"{table}"')
+
+    def truncate_table(self, table: str) -> None:
+        # sqlite has no TRUNCATE; DELETE without WHERE is its idiom
+        if self.dialect == "sqlite":
+            self._conn.execute(f'DELETE FROM "{table}"')
+        else:
+            self._conn.execute(f'TRUNCATE TABLE "{table}"')
+
+    def rename_table(self, table: str, new: str) -> None:
+        self._conn.execute(f'ALTER TABLE "{table}" RENAME TO "{new}"')
+
+    def add_column(self, table: str, name: str, vt: ValueType) -> None:
+        self._conn.execute(f'ALTER TABLE "{table}" ADD COLUMN "{name}" {_SQL_TYPES[vt]}')
+
+    def drop_column(self, table: str, name: str) -> None:
+        self._conn.execute(f'ALTER TABLE "{table}" DROP COLUMN "{name}"')
+
+    def create_index(self, table: str, column: str, unique: bool = False) -> None:
+        u = "UNIQUE " if unique else ""
+        self._conn.execute(f'CREATE {u}INDEX "idx_{table}_{column}" ON "{table}" ("{column}")')
+
+    # ------------------------------------------------------------------
+    # read (§2.3 Select ADT → SQL → frame; lifecycle SURVEY.md §3.1)
+    # ------------------------------------------------------------------
+
+    def select(self, sel: Select, index: str | None = None) -> FxFrame:
+        sql = render_select(sel)
+        if sel.include_primary_key and index is None:
+            index = self.get_primary_key(sel.table)
+        return self.raw_select(sql, index)
+
+    def raw_select(self, sql: str, index: str | None = None) -> FxFrame:
+        import pandas as pd
+
+        cur = self._conn.cursor()
+        cur.execute(sql)
+        cols = [d[0] for d in cur.description]
+        pdf = pd.DataFrame(cur.fetchall(), columns=cols)
+        df = self.spark.createDataFrame(pdf) if len(pdf) else self.spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
+        if index is not None and index not in df.columns:
+            index = None
+        return FxFrame(df, index)
+
+    def select_existing_ids(self, table: str, index_col: str, values: list[Any]) -> list[Any]:
+        """query_dml.rs:14-28 — the upsert probe."""
+        if not values:
+            return []
+        rendered = ", ".join(render_value(_adapt(v)) for v in values)
+        cur = self._conn.cursor()
+        cur.execute(f'SELECT "{index_col}" FROM "{table}" WHERE "{index_col}" IN ({rendered})')
+        return [r[0] for r in cur.fetchall()]
+
+    # ------------------------------------------------------------------
+    # write (§2.4)
+    # ------------------------------------------------------------------
+
+    def _insert_rows(self, table: str, columns: list[str], rows: Iterable[tuple]) -> int:
+        collist = ", ".join(f'"{c}"' for c in columns)
+        ph = ", ".join("?" for _ in columns)
+        cur = self._conn.cursor()
+        n = 0
+        batch: list[tuple] = []
+        for row in rows:
+            batch.append(tuple(_adapt(v) for v in row))
+            if len(batch) >= 1000:
+                cur.executemany(f'INSERT INTO "{table}" ({collist}) VALUES ({ph})', batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            cur.executemany(f'INSERT INTO "{table}" ({collist}) VALUES ({ph})', batch)
+            n += len(batch)
+        return n
+
+    def insert(self, table: str, fx: FxFrame | DataFrame) -> int:
+        df = fx.df if isinstance(fx, FxFrame) else fx
+        return self._insert_rows(table, df.columns, (tuple(r) for r in df.toLocalIterator()))
+
+    def update(self, table: str, fx: FxFrame) -> int:
+        """Per-row UPDATE ... WHERE index = v (mutation_dml.rs:44-84).
+        Batched statements; degenerate at scale — prefer upsert/MERGE."""
+        if fx.index_tag is None:
+            raise ValueError("update requires an index tag")
+        idx = fx.index_tag.name
+        cols = [c for c in fx.columns if c != idx]
+        setlist = ", ".join(f'"{c}" = ?' for c in cols)
+        cur = self._conn.cursor()
+        n = 0
+        for r in fx.df.toLocalIterator():
+            d = r.asDict()
+            cur.execute(
+                f'UPDATE "{table}" SET {setlist} WHERE "{idx}" = ?',
+                tuple(_adapt(d[c]) for c in cols) + (_adapt(d[idx]),),
+            )
+            n += 1
+        return n
+
+    def delete(self, d: Delete) -> int:
+        cur = self._conn.cursor()
+        cur.execute(render_delete(d))
+        self._conn.commit()
+        return cur.rowcount
+
+    def save(self, table: str, fx: FxFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> int:
+        """The four-strategy writer (ec.rs:484-538), transactional like
+        txn_create_and_insert (ec.rs:602-651)."""
+        try:
+            n = self._save_inner(table, fx, strategy)
+            self._conn.commit()
+            return n
+        except Exception:
+            self._conn.rollback()
+            raise
+
+    def _save_inner(self, table: str, fx: FxFrame, strategy: str) -> int:
+        exists = self.table_exists(table)
+        if strategy == SaveStrategy.FAIL_IF_EXISTS:
+            if exists:
+                raise ValueError(f"table {table!r} already exists (FailIfExists)")
+            self.create_table(table, fx)
+            return self.insert(table, fx)
+        if strategy == SaveStrategy.REPLACE:
+            if exists:
+                self.drop_table(table)
+            self.create_table(table, fx)
+            return self.insert(table, fx)
+        if strategy == SaveStrategy.APPEND:
+            if not exists:
+                self.create_table(table, fx)
+            return self.insert(table, fx)
+        if strategy == SaveStrategy.UPSERT:
+            if not exists:
+                self.create_table(table, fx)
+                return self.insert(table, fx)
+            if fx.index_tag is None:
+                raise ValueError("upsert requires an index tag")
+            idx = fx.index_tag.name
+            ids = [r[0] for r in fx.df.select(idx).collect()]
+            existing = set(self.select_existing_ids(table, idx, ids))
+            to_update, to_insert = fx.popup_rows(list(existing))
+            n = self.insert(table, to_insert)
+            n += self.update(table, to_update)
+            return n
+        raise ValueError(f"unknown save strategy {strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# JDBC — the executor-parallel scale path (needs driver jar on classpath)
+# ---------------------------------------------------------------------------
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: Any = None,
+    upper_bound: Any = None,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC read. With ``query`` set this is whole-query
+    pushdown — the remote DB executes our rendered Select SQL, exactly
+    the reference's execution model (SURVEY.md §3.1)."""
+    reader = spark.read.format("jdbc").option("url", url)
+    if query:
+        reader = reader.option("query", query)
+    elif table:
+        reader = reader.option("dbtable", table)
+    else:
+        raise ValueError("need table or query")
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

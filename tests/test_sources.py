@@ -1,0 +1,205 @@
+"""Sources: CSV/Parquet/JSON options, chunked Excel engine, and the
+SQLite save-strategy matrix (the reference's sql_executor_test.rs:29-345
+and read_xl_to_db_test.rs re-expressed)."""
+
+import sqlite3
+
+import pytest
+
+from fabrix_spark.frame import FxFrame
+from fabrix_spark.plans.adt import Cond, Delete, Select, Col
+from fabrix_spark.sources.excel import XlReadOptions, consume_excel, iter_batches
+from fabrix_spark.sources.files import (
+    CsvReadOptions,
+    JsonReadOptions,
+    ParquetReadOptions,
+    read_csv,
+    read_json,
+    read_parquet,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from fabrix_spark.sources.sql import SaveStrategy, SqlExecutor
+
+
+@pytest.fixture()
+def fx(spark):
+    return FxFrame.from_series(
+        spark,
+        {
+            "id": [1, 2, 3, 4],
+            "name": ["a", "b", "c", "d"],
+            "val": [1.5, 2.5, 3.5, 4.5],
+        },
+        index="id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# file sources
+# ---------------------------------------------------------------------------
+
+
+def test_csv_roundtrip(spark, fx, tmp_path):
+    p = str(tmp_path / "csv")
+    write_csv(fx, p)
+    back = read_csv(
+        spark, p, CsvReadOptions(dtypes={"id": "i64", "name": "string", "val": "f64"}, index="id")
+    )
+    assert sorted(back.data()) == sorted(fx.data())
+    assert back.index_tag.name == "id"
+
+
+def test_csv_projection_nrows(spark, fx, tmp_path):
+    p = str(tmp_path / "csv2")
+    write_csv(fx, p)
+    back = read_csv(spark, p, CsvReadOptions(projection=["id", "val"], n_rows=2))
+    assert back.columns == ["id", "val"]
+    assert back.height == 2
+
+
+def test_parquet_roundtrip(spark, fx, tmp_path):
+    p = str(tmp_path / "pq")
+    write_parquet(fx, p)
+    back = read_parquet(spark, p, ParquetReadOptions(columns=["id", "name"], index="id"))
+    assert back.columns == ["id", "name"]
+    assert back.height == 4
+
+
+def test_json_ndjson_roundtrip(spark, fx, tmp_path):
+    p = str(tmp_path / "nd")
+    write_json(fx, p)
+    back = read_json(spark, p, JsonReadOptions(projection=["id", "name", "val"]))
+    assert sorted(back.data()) == sorted(fx.data())
+
+
+def test_json_array_write(spark, fx, tmp_path):
+    import json
+
+    p = str(tmp_path / "doc.json")
+    write_json(fx, p, is_json=True)
+    with open(p) as f:
+        rows = json.load(f)
+    assert len(rows) == 4 and rows[0].keys() == {"id", "name", "val"}
+    back = read_json(spark, p, JsonReadOptions(is_json=True))
+    assert back.height == 4
+
+
+# ---------------------------------------------------------------------------
+# chunked Excel engine (fabrix-xl micro-batching, no openpyxl needed)
+# ---------------------------------------------------------------------------
+
+ROWS = [["id", "name"], [1, "a"], [2, "b"], [3, "c"], [4, "d"], [5, "e"]]
+
+
+def test_iter_batches_chunks():
+    batches = list(iter_batches(iter(ROWS), XlReadOptions(batch_size=2)))
+    assert [len(c) for _, c in batches] == [2, 2, 1]
+    assert all(n == ["id", "name"] for n, _ in batches)
+
+
+def test_iter_batches_no_header():
+    batches = list(iter_batches(iter(ROWS[1:]), XlReadOptions(has_header=False)))
+    assert batches[0][0] == ["col_0", "col_1"]
+    assert len(batches[0][1]) == 5
+
+
+def test_iter_batches_column_wise():
+    cols = [["id", 1, 2, 3], ["name", "a", "b", "c"]]
+    [(names, chunk)] = list(iter_batches(iter(cols), XlReadOptions(is_column_wise=True)))
+    assert names == ["id", "name"]
+    assert chunk == [[1, "a"], [2, "b"], [3, "c"]]
+
+
+def test_consume_excel_state_machine(spark, tmp_path):
+    """First batch Replace, later batches Append (xl_db.rs:219-230)."""
+    db = sqlite3.connect(str(tmp_path / "xl.db"))
+    ex = SqlExecutor(spark, lambda: db)
+
+    def consumer(batch_fx, i):
+        strategy = SaveStrategy.REPLACE if i == 0 else SaveStrategy.APPEND
+        ex.save("people", batch_fx.set_index_tag("id"), strategy)
+
+    n = consume_excel(spark, iter(ROWS), consumer, XlReadOptions(batch_size=2, index="id"))
+    assert n == 3
+    cur = db.execute("SELECT count(*), sum(id) FROM people")
+    assert cur.fetchone() == (5, 15)
+
+
+# ---------------------------------------------------------------------------
+# SQL executor: DDL + save-strategy matrix on sqlite
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ex(spark, tmp_path):
+    db = sqlite3.connect(str(tmp_path / "t.db"))
+    return SqlExecutor(spark, lambda: db)
+
+
+def test_ddl_surface(ex, fx):
+    ex.create_table("t1", fx)
+    assert ex.table_exists("t1") and "t1" in ex.list_tables()
+    assert ex.get_primary_key("t1") == "id"
+    schema = dict(ex.table_schema("t1"))
+    assert schema["id"] == "BIGINT" and schema["val"] == "DOUBLE PRECISION"
+    ex.add_column("t1", "extra", __import__("fabrix_spark.types", fromlist=["ValueType"]).ValueType.STRING)
+    assert "extra" in dict(ex.table_schema("t1"))
+    ex.rename_table("t1", "t2")
+    assert ex.table_exists("t2") and not ex.table_exists("t1")
+    ex.drop_table("t2")
+    assert not ex.table_exists("t2")
+
+
+def test_save_fail_if_exists(ex, fx):
+    assert ex.save("t", fx, SaveStrategy.FAIL_IF_EXISTS) == 4
+    with pytest.raises(ValueError, match="FailIfExists"):
+        ex.save("t", fx, SaveStrategy.FAIL_IF_EXISTS)
+
+
+def test_save_replace_append(spark, ex, fx):
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    assert ex.raw_select("SELECT count(*) AS n FROM t").data()[0][0] == 4
+    # Append forwards a plain INSERT (ec.rs:510-517) — the DB enforces
+    # the PK, so appended rows carry fresh keys.
+    more = FxFrame.from_series(
+        spark,
+        {"id": [5, 6, 7, 8], "name": ["e", "f", "g", "h"], "val": [5.5, 6.5, 7.5, 8.5]},
+        index="id",
+    )
+    ex.save("t", more, SaveStrategy.APPEND)
+    assert ex.raw_select("SELECT count(*) AS n FROM t").data()[0][0] == 8
+
+
+def test_save_upsert(spark, ex, fx):
+    ex.save("t", fx, SaveStrategy.UPSERT)  # creates
+    upd = FxFrame.from_series(
+        spark,
+        {"id": [3, 4, 5], "name": ["C", "D", "E"], "val": [30.0, 40.0, 50.0]},
+        index="id",
+    )
+    ex.save("t", upd, SaveStrategy.UPSERT)  # 3,4 update; 5 insert
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in ex.raw_select("SELECT id, name, val FROM t ORDER BY id").data()
+    )
+    assert len(rows) == 5
+    assert rows[3] == ("C", 30.0) and rows[5] == ("E", 50.0)
+    assert rows[1] == ("a", 1.5)
+
+
+def test_select_adt_and_delete(ex, fx):
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    sel = Select(table="t", columns=[Col("id"), Col("val")], filter=[Cond("val", "gt", 2.0)])
+    got = ex.select(sel)
+    assert sorted(r[0] for r in got.data()) == [2, 3, 4]
+    n = ex.delete(Delete(table="t", filter=[Cond("id", "in", [1, 2])]))
+    assert n == 2
+    assert ex.raw_select("SELECT count(*) AS n FROM t").data()[0][0] == 2
+
+
+def test_existing_ids_probe(ex, fx):
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    assert sorted(ex.select_existing_ids("t", "id", [2, 3, 99])) == [2, 3]

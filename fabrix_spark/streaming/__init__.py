@@ -1,0 +1,21 @@
+from .ingest import (
+    EVENTS_SCHEMA,
+    foreach_batch_save,
+    read_stream_json,
+    read_stream_parquet,
+    run_available_now,
+    session_window,
+    sliding_window,
+    tumbling_window,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "foreach_batch_save",
+    "read_stream_json",
+    "read_stream_parquet",
+    "run_available_now",
+    "session_window",
+    "sliding_window",
+    "tumbling_window",
+]

@@ -1,0 +1,172 @@
+"""Structured Streaming ingestion — the reference's micro-batch model,
+made event-time aware.
+
+The only streaming engine in the reference is the Excel SAX iterator:
+accumulate ``batch_size`` rows, hand each chunk to a consumer whose
+save strategy switches from Replace (first batch) to Append/Upsert
+(fabrix-xl/src/ec.rs:188-236; fabrix/src/dispatcher/xl_db.rs:219-289).
+That maps exactly onto ``readStream → foreachBatch`` with an
+``availableNow`` trigger: bounded-memory micro-batches, first-batch
+mode switching, and — because it is Spark — watermarks and windowed
+aggregations come free (absent in the reference, SURVEY.md §2.7).
+
+Scale note: ``foreach_batch_save`` executes the sink callback per
+micro-batch with a *distributed* DataFrame — sinks that write via
+``df.write`` (parquet/Delta/JDBC) stay executor-parallel. The
+SqlExecutor sink is driver-side by design (control-plane DBs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_stream_json",
+    "read_stream_parquet",
+    "foreach_batch_save",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "run_available_now",
+]
+
+# the driver's events table shape (TESTDATA.md), ts as NTZ micros
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_stream_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (one micro-batch per file group) — the
+    chunked-reader analogue; schema is mandatory on streams."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def foreach_batch_save(
+    stream: DataFrame,
+    save: Callable[[DataFrame, int, str], Any],
+    checkpoint: str,
+    first_strategy: str = "replace",
+    rest_strategy: str = "append",
+) -> StreamingQuery:
+    """First-batch-replace-then-append state machine
+    (xl_db.rs:219-230, 263-280) over ``foreachBatch``.
+
+    ``save(batch_df, batch_id, strategy)`` is the consumer; strategy is
+    ``first_strategy`` for batch 0, ``rest_strategy`` after. Runs with
+    the availableNow trigger: process everything currently in the
+    source, then stop (the reference's finite-file semantics).
+    """
+    state = {"first_done": False}
+
+    def _consume(batch_df: DataFrame, batch_id: int) -> None:
+        strategy = rest_strategy if state["first_done"] else first_strategy
+        save(batch_df, batch_id, strategy)
+        state["first_done"] = True
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_window(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation; late rows beyond the
+    watermark are dropped and window state is bounded (what lets this
+    run forever on an unbounded stream)."""
+    aggs = aggs or [F.count("*").alias("n"), F.sum("value").alias("total_value")]
+    gcols = [F.window(ts_col, window_len).alias("win")] + [F.col(k) for k in (keys or [])]
+    return stream.withWatermark(ts_col, watermark).groupBy(*gcols).agg(*aggs)
+
+
+def sliding_window(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    aggs = aggs or [F.count("*").alias("n")]
+    gcols = [F.window(ts_col, window_len, slide).alias("win")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return stream.withWatermark(ts_col, watermark).groupBy(*gcols).agg(*aggs)
+
+
+def session_window(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Gap-based session windows (the batch e_sessionize query's
+    streaming twin)."""
+    aggs = aggs or [F.count("*").alias("n_events")]
+    gcols = [F.session_window(ts_col, gap).alias("session")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return stream.withWatermark(ts_col, watermark).groupBy(*gcols).agg(*aggs)
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint: str,
+    sink_path: str | None = None,
+    memory_table: str | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain the stream with availableNow into parquet or an in-memory
+    table (tests), then stop."""
+    w = result.writeStream.option("checkpointLocation", checkpoint).outputMode(output_mode)
+    if memory_table:
+        q = w.format("memory").queryName(memory_table).trigger(availableNow=True).start()
+    elif sink_path:
+        q = w.format("parquet").option("path", sink_path).trigger(availableNow=True).start()
+    else:
+        raise ValueError("need sink_path or memory_table")
+    return q

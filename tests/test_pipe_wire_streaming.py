@@ -1,0 +1,283 @@
+"""Wire formats (ft.rs parity), Mongo codec, dispatcher pump, and the
+Structured Streaming ingestion path."""
+
+import datetime as dt
+import decimal
+import json
+import sqlite3
+
+import pytest
+
+from fabrix_spark.frame import FxFrame
+from fabrix_spark.io.wire import from_json, from_wire, to_json, to_wire
+from fabrix_spark.pipe import Dispatcher, DynConn, dispatch
+from fabrix_spark.sources.files import CsvReadOptions, read_csv, write_csv
+from fabrix_spark.sources.mongo import (
+    MongoExecutor,
+    SavingCategory,
+    doc_to_frame,
+    frame_to_doc,
+)
+from fabrix_spark.sources.sql import SaveStrategy, SqlExecutor
+from fabrix_spark.streaming import (
+    EVENTS_SCHEMA,
+    foreach_batch_save,
+    read_stream_json,
+    run_available_now,
+    session_window,
+    tumbling_window,
+)
+
+
+@pytest.fixture()
+def fx(spark):
+    return FxFrame.from_series(
+        spark,
+        {
+            "id": [1, 2, 3],
+            "name": ["a", None, "c"],
+            "val": [1.5, 2.5, None],
+            "born": [dt.date(2020, 1, 2), dt.date(2021, 3, 4), None],
+            "seen": [dt.datetime(2022, 5, 6, 7, 8, 9), None, dt.datetime(2023, 1, 1)],
+            "money": [decimal.Decimal("1.25"), decimal.Decimal("2.50"), None],
+        },
+        index="id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# wire formats
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["column", "row", "dataset"])
+def test_wire_roundtrip(spark, fx, fmt):
+    payload = to_wire(fx, fmt)
+    back = from_wire(spark, payload, fmt)
+    assert back.index_tag is not None and back.index_tag.name == "id"
+    assert sorted(map(repr, back.data())) == sorted(map(repr, fx.data()))
+    # JSON-serializable end to end
+    assert from_json(spark, to_json(fx, fmt), fmt).height == 3
+
+
+def test_wire_shapes_match_reference(fx):
+    col = to_wire(fx, "column")
+    assert {s["name"] for s in col["data"]} == {"id", "name", "val", "born", "seen", "money"}
+    by_name = {s["name"]: s for s in col["data"]}
+    assert by_name["id"]["datatype"] == "I64"
+    assert by_name["born"]["datatype"] == "Date"
+    # Date = days since epoch (value.rs:140-145)
+    assert by_name["born"]["values"][0] == (dt.date(2020, 1, 2) - dt.date(1970, 1, 1)).days
+    # DateTime = ns since epoch
+    assert by_name["seen"]["values"][2] == int(dt.datetime(2023, 1, 1).timestamp()) * 10**9
+    assert col["index_tag"] == {"loc": 0, "name": "id", "data_type": "I64"}
+
+    ds = to_wire(fx, "dataset")
+    assert ds["data"]["names"][0] == "id" and ds["data"]["types"][0] == "I64"
+    assert len(ds["data"]["values"]) == 3
+
+    row = to_wire(fx, "row")
+    assert row["data"]["values"][0].keys() == {"id", "name", "val", "born", "seen", "money"}
+    json.dumps(col), json.dumps(ds), json.dumps(row)  # all JSON-safe
+
+
+# ---------------------------------------------------------------------------
+# Mongo frame-as-document (codec + fake client, no server)
+# ---------------------------------------------------------------------------
+
+
+class _FakeColl(dict):
+    class _Res:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def __init__(self):
+        self._docs = {}
+        self._next = 1
+
+    def insert_one(self, doc):
+        oid = doc.get("_id", self._next)
+        self._next += 1
+        self._docs[oid] = {**doc, "_id": oid}
+        return self._Res(inserted_id=oid)
+
+    def find_one(self, q):
+        return self._docs.get(q.get("_id"))
+
+    def find(self, q):
+        ids = q.get("_id", {}).get("$in", list(self._docs))
+        return [self._docs[i] for i in ids if i in self._docs]
+
+    def replace_one(self, q, doc):
+        oid = q["_id"]
+        hit = oid in self._docs
+        if hit:
+            self._docs[oid] = {**doc, "_id": oid}
+        return self._Res(modified_count=int(hit))
+
+    def delete_one(self, q):
+        return self._Res(deleted_count=int(self._docs.pop(q.get("_id"), None) is not None))
+
+    def delete_many(self, q):
+        n = 0
+        for i in q.get("_id", {}).get("$in", []):
+            n += self._docs.pop(i, None) is not None
+        return self._Res(deleted_count=n)
+
+
+class _FakeClient:
+    def __init__(self):
+        self._coll = _FakeColl()
+
+    def __getitem__(self, _):
+        # database level: return a {collection-name: collection} view
+        return {"frames": self._coll}
+
+    def list_database_names(self):
+        return ["dev"]
+
+
+@pytest.mark.parametrize("cat", [SavingCategory.COLUMN, SavingCategory.ROW, SavingCategory.DATASET])
+def test_mongo_codec_roundtrip(spark, fx, cat):
+    doc = frame_to_doc(fx, cat)
+    assert doc["category"] == cat
+    back = doc_to_frame(spark, doc)
+    assert sorted(map(repr, back.data())) == sorted(map(repr, fx.data()))
+
+
+def test_mongo_executor_crud(spark, fx):
+    ex = MongoExecutor(spark, _FakeClient(), "dev", "frames")
+    oid = ex.insert_fx(fx)
+    got = ex.find_fx(oid)
+    assert got.height == 3 and got.index_tag.name == "id"
+    fx2 = FxFrame.from_series(spark, {"id": [9], "v": [1.0]}, index="id")
+    assert ex.update_fx(oid, fx2) == 1
+    assert ex.find_fx(oid).columns == ["id", "v"]
+    assert ex.delete_fx(oid) == 1
+    with pytest.raises(KeyError):
+        ex.find_fx(oid)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher / dynconn (dispatcher_tests.rs shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_dispatch_csv_to_db(spark, fx, tmp_path):
+    p = str(tmp_path / "csv")
+    write_csv(fx.take_cols(["id", "name", "val"]), p)
+    db = sqlite3.connect(str(tmp_path / "d.db"))
+    ex = SqlExecutor(spark, lambda: db)
+    dispatch(
+        spark,
+        reader=lambda s: read_csv(
+            s, p, CsvReadOptions(dtypes={"id": "i64", "name": "string", "val": "f64"}, index="id")
+        ),
+        writer=lambda f: ex.save("people", f, SaveStrategy.REPLACE),
+    )
+    assert ex.raw_select("SELECT count(*) AS n FROM people").data()[0][0] == 3
+
+
+def test_dispatcher_db_transform_csv(spark, fx, tmp_path):
+    db = sqlite3.connect(str(tmp_path / "d.db"))
+    ex = SqlExecutor(spark, lambda: db)
+    ex.save("t", fx.take_cols(["id", "val"]).set_index_tag("id"), SaveStrategy.REPLACE)
+    out = str(tmp_path / "out")
+
+    d = Dispatcher(
+        spark,
+        reader=lambda s: ex.raw_select("SELECT id, val FROM t", index="id"),
+        writer=lambda f: write_csv(f, out),
+    )
+    d.read()
+    assert d.has_data
+    d.transform(lambda f: f.take_rows([1, 3]))
+    d.write()
+    back = read_csv(spark, out, CsvReadOptions(dtypes={"id": "i64", "val": "f64"}))
+    assert sorted(r[0] for r in back.data()) == [1, 3]
+    d.clean_data()
+    assert not d.has_data
+
+
+def test_dynconn_registry(spark, tmp_path):
+    reg = DynConn()
+    reg.insert("db1", SqlExecutor(spark, lambda: sqlite3.connect(str(tmp_path / "a.db"))))
+    reg.insert("db2", SqlExecutor(spark, lambda: sqlite3.connect(str(tmp_path / "b.db"))))
+    assert len(reg) == 2 and "db1" in reg
+    assert isinstance(reg.get("db1"), SqlExecutor)
+    reg.remove("db1")
+    with pytest.raises(KeyError):
+        reg.get("db1")
+
+
+# ---------------------------------------------------------------------------
+# structured streaming ingestion
+# ---------------------------------------------------------------------------
+
+
+def _write_event_files(tmp_path, n_files=3, rows_per_file=4):
+    src = tmp_path / "src"
+    src.mkdir()
+    eid = 0
+    for i in range(n_files):
+        lines = []
+        for j in range(rows_per_file):
+            lines.append(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "user_id": eid % 2,
+                        "event_type": "click",
+                        "ts": f"2024-01-01T{i:02d}:{j * 10:02d}:00.000Z",
+                        "value": float(eid),
+                    }
+                )
+            )
+            eid += 1
+        (src / f"part-{i}.json").write_text("\n".join(lines))
+    return str(src), eid
+
+
+def test_stream_foreach_batch_save(spark, tmp_path):
+    """availableNow + foreachBatch with replace-then-append — the
+    xl_db state machine on a real stream."""
+    src, total = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src, max_files_per_trigger=1)
+    seen: list[tuple[int, str, int]] = []
+
+    def save(batch_df, batch_id, strategy):
+        seen.append((batch_id, strategy, batch_df.count()))
+
+    q = foreach_batch_save(
+        stream, save, checkpoint=str(tmp_path / "ckpt"), first_strategy="replace"
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, _, n in seen) == total
+    strategies = [s for _, s, _ in sorted(seen)]
+    assert strategies[0] == "replace" and all(s == "append" for s in strategies[1:])
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 → multiple micro-batches
+
+
+def test_stream_tumbling_window(spark, tmp_path):
+    src, total = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src)
+    agg = tumbling_window(stream, "1 hour", "30 minutes", keys=["event_type"])
+    q = run_available_now(
+        agg, str(tmp_path / "ckpt2"), memory_table="tumbled", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tumbled").collect()
+    assert sum(r["n"] for r in rows) == total
+    assert len(rows) == 3  # one window per hour-file
+
+
+def test_stream_session_window(spark, tmp_path):
+    src, total = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src)
+    agg = session_window(stream, gap="15 minutes", keys=["user_id"])
+    q = run_available_now(
+        agg, str(tmp_path / "ckpt3"), memory_table="sessions", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert sum(r["n_events"] for r in rows) == total

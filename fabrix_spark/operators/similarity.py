@@ -20,6 +20,8 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
+    "ivf_assign",
+    "ivf_cosine_topk",
 ]
 
 
@@ -78,6 +80,100 @@ def cosine_topk(
                 _dot(F.col("c_vec"), F.col("q_vec"), integer)
                 / F.sqrt(F.col("c_n2").cast("double") * F.col("q_n2").cast("double")),
                 6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _cosine(a: Column, b: Column, a_n2: Column, b_n2: Column, integer: bool) -> Column:
+    return F.round(
+        _dot(a, b, integer) / F.sqrt(a_n2.cast("double") * b_n2.cast("double")), 6
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by
+    cosine (IVF coarse quantizer). Centroids are broadcast — the corpus
+    never shuffles for assignment. Deterministic tie-break:
+    (cosine desc, centroid id asc)."""
+    cvec = _quantized(F.col(vec_col), quantize)
+    vecs = corpus.select(F.col(id_col), cvec.alias("__v")).withColumn(
+        "__v_n2", _dot(F.col("__v"), F.col("__v"), True)
+    )
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), cvec.alias("__c")
+    ).withColumn("__c_n2", _dot(F.col("__c"), F.col("__c"), True))
+
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "centroid_id",
+        _cosine(F.col("__v"), F.col("__c"), F.col("__v_n2"), F.col("__c_n2"), True).alias(
+            "__cos"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer
+    (centroids = the ``n_centroids`` lowest-id corpus vectors; swap in
+    sampled/trained centroids at scale) partitions the corpus into
+    inverted lists; each query probes its ``n_probe`` nearest lists and
+    ranks exactly within them.
+
+    Candidate generation is an equi-join on ``centroid_id`` — the
+    100 TB path: cost scales with corpus/n_centroids × n_probe, not
+    corpus × queries. Fully deterministic, so it oracle-checks."""
+    centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    c_assign = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).withColumnRenamed(
+        id_col, "c_id"
+    )
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).withColumnRenamed(
+        id_col, "q_id"
+    )
+    cand = (
+        c_assign.join(F.broadcast(q_assign), "centroid_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+    cvec = corpus.select(
+        F.col(id_col).alias("c_id"), _quantized(F.col(vec_col), 1_000_000).alias("c_vec")
+    ).withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), True))
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), 1_000_000).alias("q_vec")
+    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), True))
+    scored = (
+        cand.join(cvec, "c_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            _cosine(
+                F.col("c_vec"), F.col("q_vec"), F.col("c_n2"), F.col("q_n2"), True
             ).alias("cosine"),
         )
     )

@@ -341,6 +341,291 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 250
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, big.qty
+FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+ORDER BY big.qty DESC, o.o_orderkey
+LIMIT 50
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "qty")
+        .orderBy(F.col("qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ===========================================================================
+# scalar-function families (§2.11: regex / date math / array / json)
+# ===========================================================================
+
+
+@register(
+    "f_string_fns",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       substring(p_type, 1, 3) AS type3,
+       concat_ws(':', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       reverse(p_type) AS type_rev,
+       upper(p_name) AS name_upper
+FROM part
+""",
+)
+def f_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.upper("p_name").alias("name_upper"),
+    )
+
+
+@register(
+    "f_date_fns",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS plus30
+FROM orders
+""",
+)
+def f_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("plus30"),
+    )
+
+
+@register(
+    "f_array_fns",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       toks[1] AS first_tok,
+       toks[-1] AS last_tok,
+       CAST(list_contains(toks, 'the') AS INT) AS has_the,
+       len(list_distinct(toks)) AS n_unique,
+       list_sort(toks)[1] AS alpha_first
+FROM base
+""",
+)
+def f_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(F.sort_array(toks), 1).alias("alpha_first"),
+    )
+
+
+@register(
+    "f_json_fns",
+    oracle="""
+WITH j AS (
+  SELECT doc_id, printf('{"doc_id":%d,"lang":"%s","n":%d}', doc_id, lang, n_chars) AS js
+  FROM documents
+)
+SELECT doc_id, js,
+       json_extract_string(js, '$.lang') AS lang_out,
+       CAST(json_extract_string(js, '$.n') AS BIGINT) AS n_out
+FROM j
+""",
+)
+def f_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    js = F.format_string('{"doc_id":%d,"lang":"%s","n":%d}', "doc_id", "lang", "n_chars")
+    return d.select(
+        "doc_id",
+        js.alias("js"),
+        F.get_json_object(js, "$.lang").alias("lang_out"),
+        F.get_json_object(js, "$.n").cast("bigint").alias("n_out"),
+    )
+
+
+@register(
+    "a_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+    )
+
+
+@register("a_approx", oracle=None)  # sketch-based — rows-only check
+def a_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
 # ===========================================================================
 # window / analytic functions (absent in the reference — §2.11)
 # ===========================================================================
@@ -834,6 +1119,58 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.lsh_cosine_topk(emb, queries, k=5, n_planes=6)
+
+
+_IVF_ORACLE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n ORDER BY vec_id LIMIT 16),
+c_scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM n a CROSS JOIN cent c
+),
+c_assign AS (
+  SELECT vec_id AS c_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM c_scored) WHERE r <= 1
+),
+q_assign AS (
+  SELECT vec_id AS q_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM c_scored WHERE vec_id < 8) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT qa.q_id, ca.c_id
+  FROM q_assign qa JOIN c_assign ca USING (centroid_id)
+  WHERE ca.c_id <> qa.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cosine
+  FROM cand JOIN n a ON a.vec_id = cand.c_id JOIN n b ON b.vec_id = cand.q_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_ORACLE)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — deterministic coarse quantizer, so the
+    whole pipeline (assignment → probe → exact rank) oracle-checks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_cosine_topk(emb, queries, k=5, n_centroids=16, n_probe=2)
 
 
 # ===========================================================================

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .util import spread
 
 __all__ = [
     "exact_dedup",
@@ -92,7 +93,7 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     """(id, shingle) pairs, distinct per doc — the narrow explode every
     fuzzy path starts from."""
     return (
-        df.select(F.col(id_col).alias("__id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__sh"))
+        spread(df).select(F.col(id_col).alias("__id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__sh"))
     )
 
 
@@ -117,9 +118,9 @@ def jaccard_pairs(
     Jaccard is exact integer arithmetic (|∩| / (|A|+|B|-|∩|)).
     """
     ds = _doc_shingles(df, text_col, id_col, shingle_size)
-    sizes = ds.groupBy("__id").agg(F.count("*").alias("__sz"))
 
     if candidates is None:
+        sizes = ds.groupBy("__id").agg(F.count("*").alias("__sz"))
         a = ds.alias("a")
         b = ds.alias("b")
         common = (
@@ -127,28 +128,35 @@ def jaccard_pairs(
             .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
             .agg(F.count("*").alias("__common"))
         )
+        scored = (
+            common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+            .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        )
     else:
-        # verify only candidate pairs: join each side's shingles,
-        # intersect via array ops per pair
+        # verify only candidate pairs: one shingle-set aggregate serves
+        # both the intersection and the set sizes (no recompute)
         pair_sh = candidates.select(F.col("id_a"), F.col("id_b"))
         sh_sets = ds.groupBy("__id").agg(F.collect_set("__sh").alias("__set"))
-        common = (
+        scored = (
             pair_sh.join(sh_sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
             .join(sh_sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
-            .select("id_a", "id_b", F.size(F.array_intersect("__sa", "__sb")).alias("__common"))
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sa", "__sb")).alias("__common"),
+                F.size("__sa").alias("__sza"),
+                F.size("__sb").alias("__szb"),
+            )
         )
 
-    out = (
-        common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
-        .withColumn(
+    return (
+        scored.withColumn(
             "jaccard",
             F.round(F.col("__common") / (F.col("__sza") + F.col("__szb") - F.col("__common")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +251,7 @@ def simhash(
     """SimHash signature: per token-occurrence 32-bit hash; bit j of the
     signature is the sign of Σ(±1) over tokens. Exact integer math;
     one explode + one aggregate."""
-    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    toks = spread(df).select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
     h = shingle_hash32(F.col("__t"))
     bit_sums = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"bs_{j}")
@@ -327,7 +335,7 @@ def embedding_dedup_pairs(
     ``similarity.hyperplane_lsh_buckets`` and join on bucket first.
     """
     q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * quantize).cast("long"))
-    vecs = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+    vecs = spread(df).select(F.col(id_col).alias("__id"), q.alias("__q"))
     norms = vecs.select(
         "__id",
         "__q",

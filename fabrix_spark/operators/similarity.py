@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import spread
+
 __all__ = [
     "cosine_topk",
     "hyperplane_lsh_buckets",
@@ -63,7 +65,7 @@ def cosine_topk(
         cvec = _as_double(F.col(vec_col))
         integer = False
 
-    c = corpus.select(F.col(id_col).alias("c_id"), cvec.alias("c_vec")).withColumn(
+    c = spread(corpus).select(F.col(id_col).alias("c_id"), cvec.alias("c_vec")).withColumn(
         "c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer)
     )
     q = queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec")).withColumn(
@@ -106,7 +108,7 @@ def ivf_assign(
     never shuffles for assignment. Deterministic tie-break:
     (cosine desc, centroid id asc)."""
     cvec = _quantized(F.col(vec_col), quantize)
-    vecs = corpus.select(F.col(id_col), cvec.alias("__v")).withColumn(
+    vecs = spread(corpus).select(F.col(id_col), cvec.alias("__v")).withColumn(
         "__v_n2", _dot(F.col("__v"), F.col("__v"), True)
     )
     cents = centroids.select(
@@ -194,7 +196,7 @@ def hyperplane_lsh_buckets(
     (id, bucket) — similar vectors land in the same bucket with
     probability 1 - θ/π per plane."""
     q = _quantized(F.col(vec_col), quantize)
-    vecs = df.select(F.col(id_col), q.alias("__q"))
+    vecs = spread(df).select(F.col(id_col), q.alias("__q"))
 
     def sign_component(plane: int) -> Column:
         # ±1 per (plane, dim): parity of the first md5 hex nibble

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 __all__ = [
     "tokens",
     "token_count",
@@ -49,7 +51,7 @@ def tokens(text: Column) -> Column:
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token & character counts per document — narrow, shuffle-free."""
     t = tokens(F.col(text_col))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique_tokens"),
@@ -72,7 +74,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     mean_tok_len = (n_chars - (n_tok - F.lit(1))) / n_tok  # chars minus separators
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_total"),
@@ -106,7 +108,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             expr = expr.otherwise(branch) if expr is not None else branch
         else:
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
-    out = df.select(
+    out = spread(df).select(
         F.col(id_col),
         expr.alias("pred_lang"),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
@@ -119,7 +121,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     the classic key-collision document fingerprint; two documents with
     the same token multiset modulo order/duplicates collide."""
     t = F.array_sort(F.array_distinct(tokens(F.lower(F.trim(F.col(text_col))))))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", t).cast("binary")).alias("fingerprint"),
     )

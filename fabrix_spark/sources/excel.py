@@ -41,17 +41,12 @@ class XlReadOptions:
 
 
 def _open_workbook_rows(path: str, sheet_name: str | None) -> Iterator[Sequence[Any]]:
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without openpyxl
-        raise ImportError(
-            "openpyxl is required to read .xlsx files; the chunked engine "
-            "itself is importable and testable without it"
-        ) from e
-    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
-    ws = wb[sheet_name] if sheet_name else wb.active
-    for row in ws.iter_rows(values_only=True):
-        yield row
+    """Stream rows via the stdlib SAX parser (``xlsx.py``) — the same
+    bounded-memory design as the reference's own XML reader
+    (fabrix-xl/src/ws.rs:244-469); no external Excel library."""
+    from .xlsx import stream_xlsx_rows
+
+    return stream_xlsx_rows(path, sheet_name)
 
 
 def iter_batches(
@@ -89,7 +84,10 @@ def iter_batches(
     for row in it:
         if names is None:
             names = [f"col_{i}" for i in range(len(row))]
-        chunk.append(list(row))
+        # standardize width: sparse sheets yield short rows (the
+        # reference pads to num_cols, ws.rs empty-cell simulation)
+        padded = list(row)[: len(names)] + [None] * max(0, len(names) - len(row))
+        chunk.append(padded)
         if options.batch_size and len(chunk) >= options.batch_size:
             yield names, chunk
             chunk = []

@@ -8,7 +8,12 @@ import pytest
 
 from fabrix_spark.frame import FxFrame
 from fabrix_spark.plans.adt import Cond, Delete, Select, Col
-from fabrix_spark.sources.excel import XlReadOptions, consume_excel, iter_batches
+from fabrix_spark.sources.excel import (
+    XlReadOptions,
+    consume_excel,
+    iter_batches,
+    read_excel_batches,
+)
 from fabrix_spark.sources.files import (
     CsvReadOptions,
     JsonReadOptions,
@@ -125,6 +130,77 @@ def test_consume_excel_state_machine(spark, tmp_path):
     assert n == 3
     cur = db.execute("SELECT count(*), sum(id) FROM people")
     assert cur.fetchone() == (5, 15)
+
+
+# ---------------------------------------------------------------------------
+# stdlib .xlsx SAX parser (fabrix-xl parity, no openpyxl)
+# ---------------------------------------------------------------------------
+
+
+def test_xlsx_stream_rows(tmp_path):
+    import datetime as dt
+
+    from fabrix_spark.sources.xlsx import sheet_names, stream_xlsx_rows
+    from tests.xlsx_fixture import make_test_xlsx
+
+    p = make_test_xlsx(str(tmp_path / "t.xlsx"))
+    assert sheet_names(p) == ["data", "data_t"]
+    rows = list(stream_xlsx_rows(p))
+    assert rows[0] == ["id", "name", "when", "flag"]
+    # shared string, builtin date style → date, bool
+    assert rows[1] == [1, "alice", dt.date(2023, 3, 15), True]
+    # rich-text shared string, custom date format → datetime
+    assert rows[2] == [2, "bob", dt.datetime(2023, 3, 15, 6, 0), False]
+    # skipped row simulated empty; sparse row gets None gaps
+    assert rows[3] == []
+    assert rows[4] == [3, None, None, "inline"]
+
+
+def test_xlsx_number_edge_cases(tmp_path):
+    import datetime as dt
+
+    from fabrix_spark.sources.xlsx import _excel_number
+
+    # 1900 leap-year bug: serial 61 is 1900-03-01
+    assert _excel_number("61", True, False) == dt.date(1900, 3, 1)
+    assert _excel_number("59", True, False) == dt.date(1900, 2, 28)
+    # day 0 → time of day
+    assert _excel_number("0.5", True, False) == dt.time(12, 0)
+    # 1904 system base
+    assert _excel_number("1", True, True) == dt.date(1904, 1, 2)
+    # non-date style stays numeric
+    assert _excel_number("45000", False, False) == 45000
+
+
+def test_xlsx_end_to_end_batches(spark, tmp_path):
+    from tests.xlsx_fixture import make_test_xlsx
+
+    p = make_test_xlsx(str(tmp_path / "t.xlsx"))
+    batches = list(
+        read_excel_batches(spark, p, XlReadOptions(sheet_name="data", batch_size=10))
+    )
+    # empty simulated row 4 becomes a row of nulls in the frame; the
+    # reference keeps it too (user-visible positions)
+    [fx] = batches
+    assert fx.columns == ["id", "name", "when", "flag"]
+    vals = sorted((r for r in fx.data() if r[0] is not None), key=lambda r: r[0])
+    assert [r[0] for r in vals] == [1, 2, 3]
+    # first-non-null inference types "flag" as bool; the stray string
+    # "inline" in row 5 nulls out (lenient mode, series.rs:588-591)
+    assert [r[3] for r in vals] == [True, False, None]
+
+
+def test_xlsx_column_wise_sheet(spark, tmp_path):
+    from tests.xlsx_fixture import make_test_xlsx
+
+    p = make_test_xlsx(str(tmp_path / "t.xlsx"))
+    [fx] = list(
+        read_excel_batches(
+            spark, p, XlReadOptions(sheet_name="data_t", is_column_wise=True)
+        )
+    )
+    assert fx.columns == ["id", "val"]
+    assert sorted(fx.data()) == [(1, 1.5), (2, 2.5), (3, 3.5)]
 
 
 # ---------------------------------------------------------------------------

@@ -300,6 +300,47 @@ class FxFrame:
     def head(self, n: int = 5) -> "FxFrame":
         return self._with(self._df.limit(n))
 
+    def tail(self, n: int = 5) -> "FxFrame":
+        """Last n rows by position (series.rs:376-384) — row_number
+        window, driver-frame sized only."""
+        d = self._with_rownum().withColumn(
+            "__fx_total__", F.max(_ROWNUM).over(Window.partitionBy())
+        )
+        return self._with(
+            d.filter(F.col(_ROWNUM) > F.col("__fx_total__") - n).drop(_ROWNUM, "__fx_total__")
+        )
+
+    def remove_slice(self, offset: int, length: int) -> "FxFrame":
+        """Drop a positional row range (fabrix.rs:536-556 semantics)."""
+        d = self._with_rownum()
+        keep = (F.col(_ROWNUM) <= offset) | (F.col(_ROWNUM) > offset + length)
+        return self._with(d.filter(keep).drop(_ROWNUM))
+
+    def get(self, idx: int) -> Row | None:
+        """Row at position idx (series.rs:386-395) — driver-side."""
+        d = self._with_rownum()
+        return d.filter(F.col(_ROWNUM) == idx + 1).drop(_ROWNUM).first()
+
+    # ------------------------------------------------------------------
+    # column-level helpers (series.rs:408-462)
+    # ------------------------------------------------------------------
+
+    def contains(self, column: str, value: Any) -> bool:
+        """Any row with column == value (series.rs:408-411) — a
+        pushdown-friendly filter + limit 1, not a full scan."""
+        return self._df.filter(F.col(column) == F.lit(value)).limit(1).count() > 0
+
+    def find_indices(self, column: str, value: Any) -> list[int]:
+        """0-based positions where column == value
+        (series.rs:413-428). Positional — driver-frame sized only."""
+        d = self._with_rownum()
+        rows = d.filter(F.col(column) == F.lit(value)).select(_ROWNUM).collect()
+        return sorted(r[0] - 1 for r in rows)
+
+    def drop_nulls(self, subset: Sequence[str] | None = None) -> "FxFrame":
+        """Rows with no nulls (series.rs:458-462)."""
+        return self._with(self._df.na.drop(subset=list(subset) if subset else None))
+
     # ------------------------------------------------------------------
     # combination (fabrix.rs:447-494, row.rs:287-345)
     # ------------------------------------------------------------------

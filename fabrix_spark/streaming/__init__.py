@@ -8,6 +8,7 @@ from .ingest import (
     sliding_window,
     tumbling_window,
 )
+from .stateful import running_totals, stateful_sessionize
 
 __all__ = [
     "EVENTS_SCHEMA",
@@ -15,7 +16,9 @@ __all__ = [
     "read_stream_json",
     "read_stream_parquet",
     "run_available_now",
+    "running_totals",
     "session_window",
     "sliding_window",
+    "stateful_sessionize",
     "tumbling_window",
 ]

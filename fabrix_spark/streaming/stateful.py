@@ -1,0 +1,127 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no stateful streaming at all (SURVEY.md §2.7); these
+are the idiomatic Spark extension: per-key state stored in the state
+store, Arrow-batched pandas on the executors, watermark-driven
+timeouts. State is partitioned by key — the shuffle is one
+hash-exchange on the grouping key and state never concentrates on the
+driver, so the operator scales with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_totals", "stateful_sessionize"]
+
+
+def running_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cumulative per-key count/sum maintained across micro-batches —
+    the minimal custom stateful aggregate. Emits the updated totals for
+    every key seen in each batch (output mode: update)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_value": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with explicit state: a session closes
+    when the event-time watermark passes last_seen + gap, then the
+    finished session (start, end, n_events) is emitted exactly once.
+
+    This is the hand-rolled equivalent of ``session_window`` — kept as
+    the template for stateful logic session_window cannot express
+    (e.g. carrying custom per-session aggregates)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("last_ms", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            for t in ts_ms:
+                if last_ms is not None and t - last_ms > gap_seconds * 1000:
+                    # gap inside the batch: close the old session inline
+                    yield pd.DataFrame(
+                        {
+                            key_col: [key[0]],
+                            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                            "n_events": [n],
+                        }
+                    )
+                    start_ms, n = t, 0
+                if start_ms is None:
+                    start_ms = t
+                last_ms = max(t, last_ms or t)
+                n += 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

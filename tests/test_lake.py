@@ -1,0 +1,87 @@
+"""Lake-table save strategies + the positional/column frame ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabrix_spark.frame import FxFrame
+from fabrix_spark.sources.lake import LakeTable, save_lake
+from fabrix_spark.sources.sql import SaveStrategy
+
+
+@pytest.fixture()
+def fx(spark):
+    return FxFrame.from_series(
+        spark,
+        {"id": [1, 2, 3, 4], "name": ["a", "b", "c", "d"], "val": [1.5, 2.5, 3.5, 4.5]},
+        index="id",
+    )
+
+
+def test_lake_fail_if_exists(spark, fx, tmp_path):
+    p = str(tmp_path / "t")
+    t = save_lake(spark, p, fx, SaveStrategy.FAIL_IF_EXISTS, index="id")
+    assert t.read().height == 4
+    with pytest.raises(ValueError, match="FailIfExists"):
+        t.save(fx, SaveStrategy.FAIL_IF_EXISTS)
+
+
+def test_lake_replace_append(spark, fx, tmp_path):
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id")
+    t.save(fx, SaveStrategy.REPLACE)
+    t.save(fx, SaveStrategy.REPLACE)
+    assert t.read().height == 4
+    t.save(fx, SaveStrategy.APPEND)
+    assert t.read().height == 8
+
+
+def test_lake_upsert(spark, fx, tmp_path):
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id")
+    t.save(fx, SaveStrategy.UPSERT)  # creates
+    upd = FxFrame.from_series(
+        spark,
+        {"id": [3, 4, 5], "name": ["C", "D", "E"], "val": [30.0, 40.0, 50.0]},
+        index="id",
+    )
+    t.save(upd, SaveStrategy.UPSERT)
+    rows = {r[0]: (r[1], r[2]) for r in t.read().data()}
+    assert len(rows) == 5
+    assert rows[3] == ("C", 30.0) and rows[5] == ("E", 50.0) and rows[1] == ("a", 1.5)
+
+
+def test_lake_partitioned_upsert(spark, tmp_path):
+    fx = FxFrame.from_series(
+        spark,
+        {"id": [1, 2, 3, 4], "part": ["x", "x", "y", "y"], "v": [1.0, 2.0, 3.0, 4.0]},
+        index="id",
+    )
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", partition_by=["part"])
+    t.save(fx, SaveStrategy.REPLACE)
+    upd = FxFrame.from_series(spark, {"id": [4, 5], "part": ["y", "z"], "v": [40.0, 50.0]}, index="id")
+    t.upsert(upd)
+    rows = {r["id"]: (r["part"], r["v"]) for r in t.read().collect()}
+    assert rows == {1: ("x", 1.0), 2: ("x", 2.0), 3: ("y", 3.0), 4: ("y", 40.0), 5: ("z", 50.0)}
+
+
+def test_lake_delete_where(spark, fx, tmp_path):
+    p = str(tmp_path / "t")
+    t = save_lake(spark, p, fx, SaveStrategy.REPLACE, index="id")
+    n = t.delete_where(F.col("val") > 2.0)
+    assert n == 3
+    assert sorted(r[0] for r in t.read().data()) == [1]
+
+
+def test_frame_positional_ops(spark, fx):
+    assert fx.tail(2).height == 2
+    assert sorted(r[0] for r in fx.remove_slice(1, 2).data()) == [1, 4]
+    assert fx.get(0) is not None
+    assert fx.contains("name", "c") and not fx.contains("name", "zz")
+    assert fx.find_indices("name", "c") == [2]
+
+
+def test_frame_drop_nulls(spark):
+    fx = FxFrame.from_series(spark, {"a": [1, None, 3], "b": ["x", "y", None]})
+    assert fx.drop_nulls().height == 1
+    assert fx.drop_nulls(subset=["a"]).height == 2

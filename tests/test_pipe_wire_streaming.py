@@ -271,6 +271,44 @@ def test_stream_tumbling_window(spark, tmp_path):
     assert len(rows) == 3  # one window per hour-file
 
 
+def test_stream_stateful_running_totals(spark, tmp_path):
+    from fabrix_spark.streaming import running_totals
+
+    src, total = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src, max_files_per_trigger=1)
+    agg = running_totals(stream, key_col="user_id", value_col="value")
+    q = run_available_now(
+        agg, str(tmp_path / "ckpt_rt"), memory_table="totals", output_mode="update"
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per batch; the final row per
+    # key carries the cumulative totals across ALL batches
+    rows = spark.sql("SELECT * FROM totals").collect()
+    final = {}
+    for r in rows:  # memory sink appends in batch order
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert sum(n for n, _ in final.values()) == total
+    expect_sum = sum(range(total))  # value == event_id
+    assert sum(v for _, v in final.values()) == float(expect_sum)
+
+
+def test_stream_stateful_sessionize_runs(spark, tmp_path):
+    from fabrix_spark.streaming import stateful_sessionize
+
+    src, _ = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src, max_files_per_trigger=1)
+    sess = stateful_sessionize(stream, gap_seconds=900, watermark="0 seconds")
+    q = run_available_now(
+        sess, str(tmp_path / "ckpt_ss"), memory_table="state_sessions", output_mode="append"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM state_sessions").collect()
+    # in-batch gap closure emits at least the sessions fully contained
+    # in early files once later files advance the watermark
+    assert all(r["n_events"] > 0 for r in rows)
+    assert set(rows[0].asDict()) == {"user_id", "session_start", "session_end", "n_events"} if rows else True
+
+
 def test_stream_session_window(spark, tmp_path):
     src, total = _write_event_files(tmp_path)
     stream = read_stream_json(spark, src)

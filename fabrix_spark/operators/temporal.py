@@ -1,0 +1,138 @@
+"""Temporal joins Spark lacks as primitives: as-of join and bounded
+interval (range) join.
+
+Absent in the reference too (SURVEY.md §2.11 — its algebra is
+equi-join only, sql_adt.rs:679-736); both are standard time-series /
+feature-store operations, built here from shuffle-aware compositions:
+
+- **as-of**: union both sides, one window pass per key ordered by
+  time carrying the last right-side row forward. One shuffle on the
+  key — never a range-condition join, which Spark would execute as a
+  broadcast-nested-loop at scale.
+- **interval**: time-bucket equi-join — explode each left row to the
+  buckets its window can touch, equi-join on (key, bucket), then
+  filter exactly. Shuffle is on (key, bucket); the quadratic blowup is
+  bounded per bucket instead of per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right[on] <= left[on]`` (matching ``by`` keys when given).
+
+    Implementation: tag + union + ``last_value(..., ignorenulls)`` over
+    a (by, time) window, then keep left rows. One shuffle on the by
+    keys; both inputs stream through a single sort — the classic
+    scalable as-of (no range join, no per-row lookups).
+    """
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+
+    lt = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        *by,
+        F.col(on),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+    rt = rt.withColumn("__rt_time", F.col(on))
+    lt = lt.withColumn("__rt_time", F.lit(None).cast(dict(right.dtypes)[on]))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = lt.columns
+    u = lt.select(*cols).unionByName(rt.select(*cols))
+
+    # right rows sort before left rows at the same timestamp so a
+    # same-instant right row is visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in cols if c not in right_cols and c not in ("__side", "__rt_time")],
+        F.col("__side"),
+        F.last("__rt_time", ignorenulls=True).over(w).alias("__asof_time"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        within = (
+            F.col("__asof_time").isNotNull()
+            & (F.unix_timestamp(on) - F.unix_timestamp("__asof_time") <= tolerance_seconds)
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in right_cols and c != "__asof_time"],
+            *[F.when(within, F.col(c)).alias(c) for c in right_cols],
+        )
+        return out
+    return out.drop("__asof_time")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    low: Column,
+    high: Column,
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    right_on: str | None = None,
+) -> DataFrame:
+    """Pairs (left, right) where ``low <= right[right_on] <= high``
+    (bounds are Columns over the left row) and ``by`` keys match.
+
+    The naive formulation is a range-condition join Spark plans as a
+    nested loop; instead each left row explodes to every time bucket
+    its interval [low, high] overlaps, the join is an equi-join on
+    (by..., bucket), and the exact range predicate filters after —
+    bucketing uses truncated epoch seconds (consistently on both
+    sides, so coverage is exact) while the final comparison keeps full
+    timestamp precision. Right columns are prefixed ``r_`` on clash."""
+    by = by or []
+    right_on = right_on or on
+    bucket = F.lit(bucket_seconds)
+
+    l = left.withColumn("__lo", low).withColumn("__hi", high)
+    l = l.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("__lo") / bucket),
+                F.floor(F.unix_timestamp("__hi") / bucket),
+            )
+        ),
+    )
+    r = right.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(right_on)) / bucket))
+
+    clash = [c for c in right.columns if c in left.columns]
+    for c in clash:
+        r = r.withColumnRenamed(c, f"r_{c}")
+    rby = [f"r_{k}" if k in clash else k for k in by]
+    r_on_col = f"r_{right_on}" if right_on in clash else right_on
+
+    cond = l["__bucket"] == r["__bucket"]
+    for lk, rk in zip(by, rby):
+        cond = cond & (l[lk] == r[rk])
+    joined = l.join(r, cond).filter(
+        (F.col(r_on_col) >= F.col("__lo")) & (F.col(r_on_col) <= F.col("__hi"))
+    )
+    return joined.drop("__lo", "__hi").drop(l["__bucket"]).drop(r["__bucket"]).drop(*rby)

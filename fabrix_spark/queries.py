@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, similarity, temporal, text
 from .plans import (
     AND,
     Col,
@@ -959,6 +959,79 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("new_session", new_session)
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ===========================================================================
+# temporal joins (as-of / interval — §2.11 non-equi joins)
+# ===========================================================================
+
+
+@register(
+    "tj_asof_rates",
+    oracle="""
+WITH rates AS (
+  -- exact integer cents: sum order and float round boundaries can't
+  -- drift (avg = half-up integer division of the cent sum)
+  SELECT event_type, date_trunc('hour', ts) AS rts,
+         CAST(floor((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+                    / (2.0 * count(*))) AS BIGINT) AS hr_avg_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, r.hr_avg_cents
+FROM events e ASOF JOIN rates r
+  ON e.event_type = r.event_type AND e.ts >= r.rts
+""",
+)
+def tj_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest hourly average rate
+    for its type (union + last_value carry-forward — one shuffle).
+    The rate is kept in integer cents for cross-engine exactness."""
+    e = _events(spark, sf_dir)
+    qs = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count("*")
+    rates = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.floor((2 * qs + n) / (2.0 * n)).cast("long").alias("hr_avg_cents")
+    )
+    joined = temporal.asof_join(
+        e.select("event_id", "event_type", "ts"),
+        rates,
+        on="ts",
+        by=["event_type"],
+        right_cols=["hr_avg_cents"],
+    )
+    return joined.select("event_id", "event_type", "hr_avg_cents")
+
+
+@register(
+    "tj_interval_pairs",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.event_id <> a.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+""",
+)
+def tj_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval self-join: per user, events within the 5
+    minutes after each event (time-bucket equi-join, not a nested
+    loop)."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    joined = temporal.interval_join(
+        e,
+        e,
+        on="ts",
+        low=F.col("ts"),
+        high=F.col("ts") + F.expr("INTERVAL 300 SECONDS"),
+        by=["user_id"],
+        bucket_seconds=300,
+    )
+    # no distinct needed: each right row lives in exactly one bucket,
+    # so every qualifying pair joins exactly once
+    return joined.filter(F.col("r_event_id") != F.col("event_id")).select(
+        F.col("event_id").alias("id_a"), F.col("r_event_id").alias("id_b")
     )
 
 

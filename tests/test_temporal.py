@@ -1,0 +1,67 @@
+"""as-of / interval join unit tests (oracle parity via verify_local)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fabrix_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10, 5)), (2, _ts(10, 35)), (3, _ts(9, 0))],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(_ts(10, 0), 100.0), (_ts(10, 30), 200.0)], "ts timestamp, px double"
+    )
+    out = {r["id"]: r["px"] for r in asof_join(left, right, on="ts").collect()}
+    # 10:05 → 10:00 rate; 10:35 → 10:30; 09:00 → nothing (null)
+    assert out == {1: 100.0, 2: 200.0, 3: None}
+
+
+def test_asof_same_instant_and_keys(spark):
+    left = spark.createDataFrame(
+        [("a", 1, _ts(10, 0)), ("b", 2, _ts(10, 0))], "k string, id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10, 0), 1.0), ("b", _ts(9, 0), 2.0)], "k string, ts timestamp, v double"
+    )
+    out = {r["id"]: r["v"] for r in asof_join(left, right, on="ts", by=["k"]).collect()}
+    # same-instant right row is visible (<=); keys don't bleed
+    assert out == {1: 1.0, 2: 2.0}
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(12, 0))], "id long, ts timestamp")
+    right = spark.createDataFrame([(_ts(10, 0), 5.0)], "ts timestamp, v double")
+    with_tol = asof_join(left, right, on="ts", tolerance_seconds=1800).collect()
+    assert with_tol[0]["v"] is None  # 2h old > 30min tolerance
+    no_tol = asof_join(left, right, on="ts").collect()
+    assert no_tol[0]["v"] == 5.0
+
+
+def test_interval_join_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10, 0))], "id long, user long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 7, _ts(10, 4)), (11, 7, _ts(10, 6)), (12, 8, _ts(10, 2)), (13, 7, _ts(9, 59))],
+        "id long, user long, ts timestamp",
+    )
+    out = interval_join(
+        left,
+        right,
+        on="ts",
+        low=F.col("ts"),
+        high=F.col("ts") + F.expr("INTERVAL 5 MINUTES"),
+        by=["user"],
+        bucket_seconds=120,  # several buckets inside the window
+    )
+    got = sorted(r["r_id"] for r in out.collect())
+    # 10:04 in range; 10:06 outside; user 8 excluded; 9:59 before
+    assert got == [10]

@@ -78,8 +78,11 @@ def _enc(v: Any, vt: ValueType) -> Any:
         return (v - _EPOCH).days if isinstance(v, _dt.date) else int(v)
     if vt is ValueType.DATETIME:
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            return int((v - epoch).total_seconds() * 1_000_000) * 1000
+            # exact integer µs — float total_seconds() loses precision
+            # beyond ~2^53 µs (dates centuries from epoch)
+            delta = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return micros * 1000
         return int(v)
     if vt is ValueType.DECIMAL:
         return str(v)

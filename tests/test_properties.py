@@ -1,0 +1,171 @@
+"""Property-based tests (Hypothesis) for the pure layers — the
+reference only tests these by example (SURVEY.md §5: serde round-trips
+at value.rs:985-1099, sql_adt.rs:1031-1139); properties cover the
+space. All driver-side pure functions — no SparkSession."""
+
+import datetime as dt
+import decimal
+import json
+import uuid
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fabrix_spark.io.wire import _dec, _enc
+from fabrix_spark.plans.adt import (
+    AND,
+    Col,
+    Cond,
+    FnCol,
+    Join,
+    Nest,
+    NOT,
+    OR,
+    Order,
+    Select,
+    validate_expressions,
+)
+from fabrix_spark.types import ValueType, infer_series_type, infer_value_type, normalize_value
+
+# ---------------------------------------------------------------------------
+# wire scalar encode/decode round-trip per ValueType
+# ---------------------------------------------------------------------------
+
+_scalar_strategies = {
+    ValueType.BOOL: st.booleans(),
+    ValueType.I64: st.integers(min_value=-(2**62), max_value=2**62),
+    ValueType.F64: st.floats(allow_nan=False, allow_infinity=False, width=64),
+    ValueType.STRING: st.text(max_size=80),
+    ValueType.DATE: st.dates(min_value=dt.date(1, 1, 10), max_value=dt.date(9999, 12, 20)),
+    ValueType.DATETIME: st.datetimes(
+        min_value=dt.datetime(1677, 9, 22), max_value=dt.datetime(2262, 4, 11)
+    ),
+    ValueType.BYTES: st.binary(max_size=64),
+    ValueType.DECIMAL: st.decimals(
+        allow_nan=False, allow_infinity=False, places=6, min_value=-(10**18), max_value=10**18
+    ),
+}
+
+
+@given(st.sampled_from(sorted(_scalar_strategies, key=lambda v: v.value)), st.data())
+@settings(max_examples=200, deadline=None)
+def test_wire_scalar_roundtrip(vt, data):
+    v = data.draw(_scalar_strategies[vt])
+    encoded = _enc(v, vt)
+    json.dumps(encoded)  # wire value must be JSON-safe
+    back = _dec(encoded, vt)
+    if vt is ValueType.DATETIME:
+        # wire precision is ns; python datetime is µs — exact round-trip
+        assert back == v
+    elif vt is ValueType.DECIMAL:
+        assert decimal.Decimal(back) == v
+    else:
+        assert back == v
+
+
+@given(st.sampled_from(sorted(_scalar_strategies, key=lambda v: v.value)))
+def test_wire_null_passthrough(vt):
+    assert _enc(None, vt) is None and _dec(None, vt) is None
+
+
+# ---------------------------------------------------------------------------
+# inference / normalization invariants (series.rs:588-647 semantics)
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(-(2**31), 2**31)), max_size=20))
+def test_first_non_null_inference(vals):
+    vt = infer_series_type(vals)
+    non_null = [v for v in vals if v is not None]
+    if non_null:
+        assert vt is infer_value_type(non_null[0])
+    else:
+        assert vt is ValueType.I64  # all-null default (series.rs:643-646)
+
+
+@given(
+    st.one_of(
+        st.integers(-(2**31), 2**31),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=20),
+        st.booleans(),
+    ),
+    st.sampled_from([ValueType.I64, ValueType.F64, ValueType.STRING, ValueType.BOOL]),
+)
+def test_normalize_lenient_never_raises(v, vt):
+    out = normalize_value(v, vt, nullable=True)
+    # lenient mode: value of the right (or widenable) type survives,
+    # anything else becomes null — never an error (series.rs:588-591)
+    if infer_value_type(v) is vt:
+        assert out == v
+    else:
+        assert out is None or infer_value_type(v) is ValueType.I64  # int widening
+
+
+# ---------------------------------------------------------------------------
+# Select ADT JSON serde round-trip (sql_adt.rs:1085-1139)
+# ---------------------------------------------------------------------------
+
+_col = st.one_of(
+    st.builds(Col, name=st.sampled_from(["a", "b", "c"]), alias=st.none() | st.just("x")),
+    st.builds(
+        FnCol,
+        fn=st.sampled_from(["max", "min", "sum", "avg", "count", "abs", "lower", "upper"]),
+        col=st.builds(Col, name=st.sampled_from(["a", "b"])),
+        alias=st.none() | st.just("agg_x"),
+    ),
+)
+
+_cond = st.one_of(
+    st.builds(Cond, col=st.sampled_from(["a", "b"]), op=st.sampled_from(["eq", "gt", "le"]), value=st.integers(-100, 100)),
+    st.builds(Cond, col=st.just("c"), op=st.just("in"), value=st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+    st.builds(Cond, col=st.just("a"), op=st.just("between"), value=st.tuples(st.integers(0, 5), st.integers(6, 10))),
+    st.builds(Cond, col=st.just("b"), op=st.just("like"), value=st.just("%x%")),
+)
+
+
+@st.composite
+def _filter_tokens(draw, depth=0):
+    """Generate token lists the FSM accepts: operand (CONJ operand)*
+    with optional NOT prefixes and nesting."""
+    def operand():
+        if depth < 2 and draw(st.booleans()) and draw(st.booleans()):
+            return Nest(draw(_filter_tokens(depth + 1)))
+        return draw(_cond)
+
+    out = []
+    if draw(st.booleans()):
+        out.append(NOT)
+    out.append(operand())
+    for _ in range(draw(st.integers(0, 2))):
+        out.append(draw(st.sampled_from([AND, OR])))
+        if draw(st.booleans()):
+            out.append(NOT)
+        out.append(operand())
+    return out
+
+
+@given(
+    st.builds(
+        Select,
+        table=st.just("t"),
+        columns=st.lists(_col, max_size=4),
+        filter=st.none() | _filter_tokens(),
+        joins=st.lists(
+            st.builds(Join, right=st.just("u"), on=st.just([("a", "a2")]), how=st.sampled_from(["inner", "left", "right"])),
+            max_size=2,
+        ),
+        group_by=st.just([]),
+        order=st.lists(st.builds(Order, col=st.sampled_from(["a", "b"]), desc=st.booleans()), max_size=2),
+        limit=st.none() | st.integers(1, 1000),
+        offset=st.none() | st.integers(0, 100),
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_select_adt_json_roundtrip(sel):
+    payload = sel.to_json()
+    json.dumps(payload)  # JSON-serializable wire shape
+    back = Select.from_json(json.loads(json.dumps(payload)))
+    assert back.to_json() == payload
+    if back.filter:
+        validate_expressions(back.filter)  # round-trip stays grammatical

@@ -396,6 +396,21 @@ class FxFrame:
     def apply(self, name: str, col: Column) -> "FxFrame":
         return self.with_column(name, col)
 
+    def apply_in_pandas(self, fn, schema: str | T.StructType, by: Sequence[str] | None = None) -> "FxFrame":
+        """Grouped-map apply (§2.10): ``fn(pdf) -> pdf`` per group via
+        Arrow-batched ``applyInPandas``. Without ``by``, groups by the
+        index tag. The group key is the shuffle key — state never
+        leaves the executors."""
+        keys = list(by) if by else ([self._index.name] if self._index else None)
+        if not keys:
+            raise ValueError("apply_in_pandas needs group keys or an index tag")
+        return self._with(self._df.groupBy(*keys).applyInPandas(fn, schema))
+
+    def map_in_pandas(self, fn, schema: str | T.StructType) -> "FxFrame":
+        """Partition-wise apply: ``fn(iter[pdf]) -> iter[pdf]`` —
+        narrow, no shuffle (mapInPandas)."""
+        return self._with(self._df.mapInPandas(fn, schema))
+
     # ------------------------------------------------------------------
     # iteration / materialization (row.rs:347-350; warned slow there too)
     # ------------------------------------------------------------------

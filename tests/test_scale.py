@@ -1,0 +1,98 @@
+"""Scale machinery: salted joins, pandas apply, and plan-shape
+regression tests (broadcasts + pushdown must not silently vanish)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fabrix_spark.frame import FxFrame
+from fabrix_spark.operators.skew import salted_join, top_keys
+from fabrix_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain(spark):
+    # skewed left: key 1 dominates
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(5)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, name string")
+    plain = set(map(tuple, left.join(right, "k").collect()))
+    salted = set(map(tuple, salted_join(left, right, "k", salt=4).collect()))
+    assert salted == plain
+
+    l_plain = set(map(tuple, left.join(right, "k", "left").collect()))
+    l_salted = set(map(tuple, salted_join(left, right, "k", "left", salt=4).collect()))
+    assert l_salted == l_plain
+
+
+def test_top_keys(spark):
+    df = spark.createDataFrame([(1,)] * 9 + [(2,)] * 3 + [(3,)], "k long")
+    top = top_keys(df, "k", 2).collect()
+    assert [(r["k"], r["count"]) for r in top] == [(1, 9), (2, 3)]
+
+
+def test_apply_in_pandas(spark):
+    fx = FxFrame.from_series(
+        spark, {"g": [1, 1, 2, 2], "v": [1.0, 3.0, 10.0, 30.0]}, index="g"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+
+    out = fx.apply_in_pandas(center, "g long, v double")
+    got = sorted(map(tuple, out.data()))
+    assert got == [(1, -1.0), (1, 1.0), (2, -10.0), (2, 10.0)]
+    assert out.index_tag.name == "g"  # tag survives
+
+
+def test_map_in_pandas(spark):
+    fx = FxFrame.from_series(spark, {"v": [1.0, 2.0, 3.0]})
+
+    def double(it):
+        for pdf in it:
+            pdf["v"] = pdf["v"] * 2
+            yield pdf
+
+    assert sorted(r[0] for r in fx.map_in_pandas(double, "v double").data()) == [2.0, 4.0, 6.0]
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regressions: these properties are the 100 TB story — fail
+# loudly if a refactor breaks them
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan  # dims must never sort-merge
+
+
+def test_q1_partial_aggregation(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    optimized = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in optimized  # map-side combine before the shuffle
+
+
+def test_q6_filter_pushdown(spark):
+    df = REGISTRY["q6_revenue_forecast"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # the selective predicates reach the parquet scan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_scan_prunes_columns(spark):
+    df = REGISTRY["q6_revenue_forecast"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema carries only the 4 needed columns, not all 11
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 5

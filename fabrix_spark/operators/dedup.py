@@ -33,6 +33,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_dedup_pairs",
+    "dup_clusters",
+    "keep_canonical",
 ]
 
 # prime just above 2^32 for the (a*h + b) % P permutation family
@@ -312,6 +314,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution: pairs -> connected components -> canonical docs
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: every document gets the
+    minimum doc id of its connected component as ``cluster_id``
+    (singletons cluster with themselves).
+
+    Iterative min-label propagation: each round, every node takes the
+    smallest label among itself and its neighbors; converges in at
+    most the graph diameter (near-dup components are shallow — chains
+    longer than a few hops are rare). Each round is one join + one
+    aggregate, both shuffling on the node id; nothing collects to the
+    driver except the 1-row convergence check. For web-scale graphs
+    swap in large-star/small-star contraction — same output contract.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        # materialize once — the candidate-pair pipeline above must not
+        # re-execute every iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+        # cut the growing lineage so iteration stays O(1) per round
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative per cluster — the minimum-id member
+    (== the cluster id itself under min-label clustering)."""
+    reps = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(reps, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -1266,6 +1266,38 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle()})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS node, min(dst) AS m FROM reach GROUP BY src)
+SELECT d.doc_id, CAST(least(d.doc_id, coalesce(c.m, d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@register("d_dup_clusters", oracle=_clusters_oracle())
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision pipeline: MinHash-LSH pairs → connected
+    components → per-doc cluster id (iterative min-label propagation;
+    the DuckDB oracle computes the same components via a recursive
+    CTE, so the iterative Spark algorithm is verified end to end)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2)
+    return dedup.dup_clusters(docs, pairs)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bs_{j}" for j in range(bits)

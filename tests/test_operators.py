@@ -178,3 +178,17 @@ def test_sample_frames(docs):
     df = multimodal.attach_binary(docs.limit(5), "text")
     out = multimodal.sample_frames(df, every_n=2, fake_decode=True)
     assert out.count() > 5
+
+
+def test_dup_clusters_and_canonical(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    clusters = dedup.dup_clusters(nodes, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    kept = dedup.keep_canonical(nodes, clusters)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 4, 5, 7]

@@ -91,11 +91,21 @@ def shingle_hash32(sh: Column) -> Column:
     return F.conv(F.substring(F.md5(sh.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle-set array) per doc — NARROW: ``shingles`` already
+    yields the per-doc array, so no explode/regroup shuffle is ever
+    needed to obtain sets, sizes, or signatures."""
+    return spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("__set"),
+    )
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc — the narrow explode every
-    fuzzy path starts from."""
-    return (
-        spread(df).select(F.col(id_col).alias("__id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__sh"))
+    """(id, shingle) pairs, distinct per doc — the explode feeding the
+    inverted-index join (only the all-pairs path needs it)."""
+    return _shingle_sets(df, text_col, id_col, n).select(
+        "__id", F.explode("__set").alias("__sh")
     )
 
 
@@ -119,10 +129,11 @@ def jaccard_pairs(
     on hot shingles; at corpus scale pass LSH candidates instead).
     Jaccard is exact integer arithmetic (|∩| / (|A|+|B|-|∩|)).
     """
-    ds = _doc_shingles(df, text_col, id_col, shingle_size)
-
     if candidates is None:
-        sizes = ds.groupBy("__id").agg(F.count("*").alias("__sz"))
+        ds = _doc_shingles(df, text_col, id_col, shingle_size)
+        sizes = _shingle_sets(df, text_col, id_col, shingle_size).select(
+            "__id", F.size("__set").alias("__sz")
+        )
         a = ds.alias("a")
         b = ds.alias("b")
         common = (
@@ -130,15 +141,22 @@ def jaccard_pairs(
             .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
             .agg(F.count("*").alias("__common"))
         )
+        # sizes is one int per doc — broadcast both probes (the static
+        # planner can't see that from the scan-derived projection)
         scored = (
-            common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
-            .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+            common.join(
+                F.broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza")),
+                "id_a",
+            ).join(
+                F.broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb")),
+                "id_b",
+            )
         )
     else:
-        # verify only candidate pairs: one shingle-set aggregate serves
-        # both the intersection and the set sizes (no recompute)
+        # verify only candidate pairs: the narrow per-doc sets serve
+        # both the intersection and the set sizes (no shuffle to build)
         pair_sh = candidates.select(F.col("id_a"), F.col("id_b"))
-        sh_sets = ds.groupBy("__id").agg(F.collect_set("__sh").alias("__set"))
+        sh_sets = _shingle_sets(df, text_col, id_col, shingle_size)
         scored = (
             pair_sh.join(sh_sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
             .join(sh_sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
@@ -175,15 +193,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: min over shingles of
     ``(a_i * h32(shingle) + b_i) % P`` for each of ``n_hashes``
-    deterministic permutations. One explode + one hash-aggregate —
-    a single shuffle keyed on the doc id."""
-    ds = _doc_shingles(df, text_col, id_col, shingle_size)
-    h = shingle_hash32(F.col("__sh"))
-    aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+    deterministic permutations.
+
+    NARROW — pure array expressions over the per-doc shingle set (md5
+    computed once per shingle, then ``array_min`` per permutation); no
+    shuffle at all until someone aggregates downstream. At 100 TB the
+    signature stage is therefore a map-only scan."""
+    sets = _shingle_sets(df, text_col, id_col, shingle_size)
+    hashed = sets.select(
+        F.col("__id").alias(id_col),
+        F.transform("__set", lambda s: shingle_hash32(s)).alias("__hs"),
+    )
+    mins = [
+        F.array_min(
+            F.transform("__hs", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_P))
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_hash_params(n_hashes))
     ]
-    return ds.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    return hashed.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(
@@ -251,20 +278,26 @@ def simhash(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash signature: per token-occurrence 32-bit hash; bit j of the
-    signature is the sign of Σ(±1) over tokens. Exact integer math;
-    one explode + one aggregate."""
-    toks = spread(df).select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
-    h = shingle_hash32(F.col("__t"))
-    bit_sums = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"bs_{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy(F.col("__id").alias(id_col)).agg(*bit_sums)
+    signature is the sign of Σ(±1) over tokens.
+
+    NARROW — the per-token hashes live in an array column and each bit
+    sum is ``2·popcount_j − n`` computed with ``size(filter(...))``; no
+    explode, no shuffle, exact integer math."""
+    hashed = spread(df).select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: shingle_hash32(t)).alias("__hs"),
+    )
+    n_tok = F.size("__hs")
     sig = None
     for j in range(bits):
-        term = F.when(F.col(f"bs_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(
+            F.filter("__hs", lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        term = F.when(2 * ones - n_tok > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else (sig + term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(

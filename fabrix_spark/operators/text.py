@@ -19,10 +19,13 @@ from .util import spread
 
 __all__ = [
     "tokens",
+    "bpe_like_tokens",
     "token_count",
     "quality_score",
     "lang_id",
     "fingerprint",
+    "mask_pii",
+    "normalize_text",
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
 ]
@@ -46,6 +49,50 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 def tokens(text: Column) -> Column:
     """Whitespace tokenization as an array column."""
     return F.split(F.trim(text), _WS)
+
+
+def bpe_like_tokens(text: Column) -> Column:
+    """Subword-ish tokenization: word pieces and individual
+    punctuation marks as separate tokens (the GPT-style pre-tokenizer
+    split ``\\w+|[^\\w\\s]``), as an array column."""
+    return F.regexp_extract_all(text, F.lit(r"(\w+|[^\w\s])"), 1)
+
+
+# PII patterns: emails, international-ish phone numbers, 16-digit
+# card-like numbers. Heuristic by design — the standard pre-training
+# scrub, not a compliance tool.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b",
+}
+
+
+def mask_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "masked",
+) -> DataFrame:
+    """Replace PII spans with ``<TYPE>`` placeholders and count the
+    hits per kind — one narrow regexp pass per pattern."""
+    masked = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(masked, F.lit(f"({pat})"), 1)).alias(f"n_{kind}")
+        )
+        masked = F.regexp_replace(masked, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col), masked.alias(out_col), *counts)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "normalized"
+) -> DataFrame:
+    """Canonical text form for dedup/fingerprinting: lowercase,
+    whitespace runs collapsed, outer whitespace trimmed."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), norm.alias(out_col))
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

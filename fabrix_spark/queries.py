@@ -1503,6 +1503,50 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "t_bpe_count",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '(\w+|[^\w\s])', 1)) AS n_pieces,
+       len(list_distinct(regexp_extract_all(text, '(\w+|[^\w\s])', 1))) AS n_unique_pieces
+FROM documents
+""",
+)
+def t_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pieces = text.bpe_like_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
+    )
+
+
+def _pii_oracle() -> str:
+    masked = "text"
+    counts = []
+    for kind, pat in text.PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all({masked}, '({pat})', 1)) AS n_{kind}")
+        masked = f"regexp_replace({masked}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"SELECT doc_id, {masked} AS masked, {', '.join(counts)} FROM documents"
+
+
+@register("t_pii_mask", oracle=_pii_oracle())
+def t_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mask_pii(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_normalize",
+    oracle=r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS normalized
+FROM documents
+""",
+)
+def t_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.normalize_text(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # multimodal plumbing (binary columns)
 # ===========================================================================
@@ -1535,6 +1579,14 @@ def m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_binary(docs, "text"), fake_decode=True
     )
     return feats.select("id", "n_bytes", "width", "height")
+
+
+@register("m_frame_sample", oracle=None)  # mapInPandas plumbing — rows-only
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_binary(docs, "text"), every_n=4, fake_decode=True
+    )
 
 
 # ===========================================================================

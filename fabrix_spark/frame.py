@@ -138,6 +138,15 @@ class FxFrame:
             names = [str(i) for i in range(len(cols))]
         return cls.from_series(spark, dict(zip(names, cols)), index)
 
+    @classmethod
+    def from_range(
+        cls, spark: SparkSession, n: int, name: str = "id", start: int = 0, index: Any = None
+    ) -> "FxFrame":
+        """0..n sequence column (series.rs:557-586) — ``spark.range``,
+        distributed from the start."""
+        df = spark.range(start, start + n).withColumnRenamed("id", name)
+        return cls(df, index)
+
     # ------------------------------------------------------------------
     # escape hatch + basics
     # ------------------------------------------------------------------

@@ -124,51 +124,60 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
-    Without ``candidates`` this self-joins on shingle (inverted-index
-    join: only docs *sharing* a shingle ever meet — still superlinear
-    on hot shingles; at corpus scale pass LSH candidates instead).
+    Without ``candidates``, candidate pairs come from an inverted-index
+    self-join on the 64-bit shingle hash (long shuffle keys, not
+    strings). Hash equality is a superset of string equality, so the
+    hash-counted Jaccard is an UPPER bound — pairs passing the bound
+    are then re-verified with exact string-set intersection, making the
+    result exact regardless of collisions. Still superlinear on hot
+    shingles; at corpus scale pass LSH candidates instead.
     Jaccard is exact integer arithmetic (|∩| / (|A|+|B|-|∩|)).
     """
+    sh_sets = _shingle_sets(df, text_col, id_col, shingle_size)
+
     if candidates is None:
-        ds = _doc_shingles(df, text_col, id_col, shingle_size)
-        sizes = _shingle_sets(df, text_col, id_col, shingle_size).select(
-            "__id", F.size("__set").alias("__sz")
+        sizes = sh_sets.select("__id", F.size("__set").alias("__sz"))
+        ds_h = sh_sets.select(
+            "__id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h")
         )
-        a = ds.alias("a")
-        b = ds.alias("b")
-        common = (
-            a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        a = ds_h.alias("a")
+        b = ds_h.alias("b")
+        common_h = (
+            a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
             .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .agg(F.count("*").alias("__common"))
+            .agg(F.count("*").alias("__ch"))
         )
-        # sizes is one int per doc — broadcast both probes (the static
-        # planner can't see that from the scan-derived projection)
-        scored = (
-            common.join(
+        # upper-bound filter (sizes is one int per doc → broadcast)
+        bound = (
+            common_h.join(
                 F.broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza")),
                 "id_a",
-            ).join(
+            )
+            .join(
                 F.broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb")),
                 "id_b",
             )
-        )
-    else:
-        # verify only candidate pairs: the narrow per-doc sets serve
-        # both the intersection and the set sizes (no shuffle to build)
-        pair_sh = candidates.select(F.col("id_a"), F.col("id_b"))
-        sh_sets = _shingle_sets(df, text_col, id_col, shingle_size)
-        scored = (
-            pair_sh.join(sh_sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
-            .join(sh_sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.size(F.array_intersect("__sa", "__sb")).alias("__common"),
-                F.size("__sa").alias("__sza"),
-                F.size("__sb").alias("__szb"),
+            .filter(
+                F.round(F.col("__ch") / (F.col("__sza") + F.col("__szb") - F.col("__ch")), 6)
+                >= threshold
             )
         )
+        candidates = bound.select("id_a", "id_b")
 
+    # exact verification of candidate pairs: the narrow per-doc string
+    # sets give the true intersection and sizes (no shuffle to build)
+    pair_sh = candidates.select(F.col("id_a"), F.col("id_b"))
+    scored = (
+        pair_sh.join(sh_sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
+        .join(sh_sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__common"),
+            F.size("__sa").alias("__sza"),
+            F.size("__sb").alias("__szb"),
+        )
+    )
     return (
         scored.withColumn(
             "jaccard",

@@ -96,3 +96,25 @@ def test_scan_prunes_columns(spark):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_comment" not in read_schema
     assert read_schema.count(":") <= 5
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Partitioned lake writes must prune at the scan — the core
+    100 TB read pattern."""
+    from fabrix_spark.queries import _events
+
+    e = _events(spark, SF).withColumn("day", F.to_date("ts"))
+    p = str(tmp_path / "events_by_day")
+    e.write.partitionBy("day").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("day") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns only that day's rows
+    days = {r["day"] for r in back.select("day").distinct().collect()}
+    assert len(days) <= 1
+
+
+def test_from_range(spark):
+    fx = FxFrame.from_range(spark, 5, name="n", index="n")
+    assert sorted(r[0] for r in fx.data()) == [0, 1, 2, 3, 4]
+    assert fx.index_tag.name == "n"

@@ -1,0 +1,67 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+``df.sample()`` draws from a per-partition RNG — results change when
+partitioning changes, which is unacceptable for reproducible corpus
+construction. These operators hash a stable key instead (md5-derived,
+like the dedup hash families): the same row lands on the same side of
+every split on any engine, any partitioning, any day. All narrow
+expressions — no shuffle, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_sample", "hash_split", "stratified_sample"]
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = _BUCKETS, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets): first 8 md5 hex chars of the
+    (salted) key, mod buckets. Engine-independent (reproducible in any
+    system with md5 — the oracle computes the identical bucket)."""
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt)).cast("binary")), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable across
+    runs, engines, and partitionings."""
+    cut = int(round(fraction * _BUCKETS))
+    return df.filter(hash_bucket(F.col(key), _BUCKETS, salt) < cut)
+
+
+def hash_split(df: DataFrame, key: str, weights: dict[str, float], salt: str = "") -> DataFrame:
+    """Assign each row to a named split (e.g. train/val/test) by key
+    hash; weights must sum to ~1. Adds a ``split`` column."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key), _BUCKETS, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum_col: str, fractions: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 10% of 'en', 100% of low-resource languages). Strata missing
+    from ``fractions`` are dropped."""
+    bucket = hash_bucket(F.col(key), _BUCKETS, salt)
+    cond = None
+    for stratum, frac in fractions.items():
+        c = (F.col(stratum_col) == stratum) & (bucket < int(round(frac * _BUCKETS)))
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond if cond is not None else F.lit(False))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import dedup, multimodal, similarity, temporal, text
+from .operators import dedup, multimodal, sampling, similarity, temporal, text
 from .plans import (
     AND,
     Col,
@@ -1579,6 +1579,138 @@ def m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_binary(docs, "text"), fake_decode=True
     )
     return feats.select("id", "n_bytes", "width", "height")
+
+
+# ===========================================================================
+# deterministic sampling / splits (rerun-stable corpus construction)
+# ===========================================================================
+
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+
+@register(
+    "smp_deterministic",
+    oracle=f"SELECT doc_id, lang FROM documents WHERE {_BUCKET_SQL} < 2500",
+)
+def smp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.deterministic_sample(d, "doc_id", 0.25)
+
+
+@register(
+    "smp_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+            WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def smp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "smp_stratified",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND {_BUCKET_SQL} < 2000)
+   OR (lang = 'fr' AND {_BUCKET_SQL} < 10000)
+   OR (lang = 'zh' AND {_BUCKET_SQL} < 1000)
+""",
+)
+def smp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.2, "fr": 1.0, "zh": 0.1}
+    )
+
+
+# ===========================================================================
+# flagship composition: the whole LLM data-prep chain as ONE lazy plan
+# ===========================================================================
+
+
+def _pipeline_oracle() -> str:
+    langs = list(text.LANG_STOPWORDS)
+    scores = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS score_{lang}")
+    case = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        case.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(case) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+),
+feat AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base),
+scored AS (SELECT doc_id, norm, len(toks) AS n_tokens, {', '.join(scores)} FROM feat),
+langed AS (SELECT *, {case_sql} AS pred_lang FROM scored),
+filtered AS (SELECT * FROM langed WHERE n_tokens BETWEEN 5 AND 1000 AND pred_lang = 'en'),
+reps AS (SELECT md5(norm) AS h, min(doc_id) AS keep_id FROM filtered GROUP BY 1),
+kept AS (SELECT f.* FROM filtered f JOIN reps r ON md5(f.norm) = r.h AND f.doc_id = r.keep_id),
+sampled AS (SELECT * FROM kept WHERE {_BUCKET_SQL} < 5000)
+SELECT doc_id, n_tokens, pred_lang FROM sampled
+"""
+
+
+@register("pipeline_llm_prep", oracle=_pipeline_oracle(), headline=True)
+def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep in one lazy plan: normalize → token/
+    quality gate → language ID → exact-dedup (keep min id per
+    normalized content) → deterministic 50% sample. One narrow scan,
+    one dedup aggregate, one semi join — Catalyst fuses the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+
+    def score(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    langs = list(text.LANG_STOPWORDS)
+    scores = {lang: score(w) for lang, w in text.LANG_STOPWORDS.items()}
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            pred = pred.otherwise(F.lit(lang))
+        else:
+            pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+
+    featured = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.size(toks).alias("n_tokens"),
+        pred.alias("pred_lang"),
+    )
+    filtered = featured.filter(
+        F.col("n_tokens").between(5, 1000) & (F.col("pred_lang") == "en")
+    )
+    h = F.md5(F.col("norm").cast("binary"))
+    reps = (
+        filtered.select(h.alias("rep_h"), "doc_id")
+        .groupBy("rep_h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    hashed = filtered.withColumn("own_h", h)
+    kept = hashed.join(
+        reps,
+        (hashed.own_h == reps.rep_h) & (hashed.doc_id == reps.keep_id),
+        "left_semi",
+    )
+    sampled = sampling.deterministic_sample(kept, "doc_id", 0.5)
+    return sampled.select("doc_id", "n_tokens", "pred_lang")
 
 
 @register("m_frame_sample", oracle=None)  # mapInPandas plumbing — rows-only

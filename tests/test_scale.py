@@ -118,3 +118,23 @@ def test_from_range(spark):
     fx = FxFrame.from_range(spark, 5, name="n", index="n")
     assert sorted(r[0] for r in fx.data()) == [0, 1, 2, 3, 4]
     assert fx.index_tag.name == "n"
+
+
+def test_hash_split_stability_and_coverage(spark):
+    from fabrix_spark.operators.sampling import deterministic_sample, hash_split
+
+    d = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    s2 = hash_split(d.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # identical assignment regardless of partitioning (the whole point)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    counts = {r["split"]: r["count"] for r in s1.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    samp = deterministic_sample(d, "doc_id", 0.3)
+    n = samp.count()
+    assert 400 < n < 800  # ~600 expected
+    # subset property: sampling at higher fraction includes the lower one
+    bigger = set(r[0] for r in deterministic_sample(d, "doc_id", 0.6).collect())
+    assert set(r[0] for r in samp.collect()) <= bigger

@@ -13,16 +13,26 @@ Layout:
 """
 
 from .frame import FxFrame, IndexTag
+from .pipe import Dispatcher, DynConn, dispatch
+from .plans import Select, compile_select, render_select
+from .plans.adt import Delete
 from .session import get_spark, tune_session
 from .types import FieldInfo, ValueType
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "Delete",
+    "Dispatcher",
+    "DynConn",
+    "FieldInfo",
     "FxFrame",
     "IndexTag",
-    "FieldInfo",
+    "Select",
     "ValueType",
+    "compile_select",
+    "dispatch",
     "get_spark",
+    "render_select",
     "tune_session",
 ]

@@ -114,6 +114,14 @@ class LakeTable:
             raise
         shutil.rmtree(backup)
 
+    def delete(self, d) -> int:
+        """Execute a Delete ADT against the lake table — the same
+        serialized mutation the DB-API executor runs remotely
+        (sql_adt.rs:861-880), compiled to a Column predicate here."""
+        from ..plans.compiler import compile_filter
+
+        return self.delete_where(compile_filter(d.filter))
+
     def delete_where(self, condition) -> int:
         """Filtered delete (the Delete ADT's lake analogue): rewrite
         keeping only non-matching rows; returns rows removed."""

@@ -85,3 +85,13 @@ def test_frame_drop_nulls(spark):
     fx = FxFrame.from_series(spark, {"a": [1, None, 3], "b": ["x", "y", None]})
     assert fx.drop_nulls().height == 1
     assert fx.drop_nulls(subset=["a"]).height == 2
+
+
+def test_lake_delete_adt(spark, fx, tmp_path):
+    from fabrix_spark.plans.adt import Cond, Delete
+
+    p = str(tmp_path / "t")
+    t = save_lake(spark, p, fx, SaveStrategy.REPLACE, index="id")
+    n = t.delete(Delete(table="t", filter=[Cond("id", "in", [2, 3])]))
+    assert n == 2
+    assert sorted(r[0] for r in t.read().data()) == [1, 4]

@@ -189,16 +189,20 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int = 1_000_000,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Deterministic random-hyperplane LSH: bit i of the bucket id is
-    the sign of ⟨v, r_i⟩ where r_i has ±1 components derived from
-    md5(plane, dim) — no RNG, reproducible everywhere. Returns
-    (id, bucket) — similar vectors land in the same bucket with
-    probability 1 - θ/π per plane."""
+    """Deterministic random-hyperplane LSH: bit i of a table's bucket
+    id is the sign of ⟨v, r_i⟩ where r_i has ±1 components derived
+    from md5(plane, dim) — no RNG, reproducible everywhere.
+
+    With ``n_tables`` > 1 each vector gets one bucket per independent
+    table (planes salted by table index) — standard multi-table recall
+    amplification: neighbors are candidates if they collide in ANY
+    table (P = 1-(1-p^planes)^tables). Returns (id, table, bucket)."""
     q = _quantized(F.col(vec_col), quantize)
     vecs = spread(df).select(F.col(id_col), q.alias("__q"))
 
-    def sign_component(plane: int) -> Column:
+    def sign_component(plane: int, bit: int) -> Column:
         # ±1 per (plane, dim): parity of the first md5 hex nibble
         signed = F.zip_with(
             F.col("__q"),
@@ -212,13 +216,18 @@ def hyperplane_lsh_buckets(
             ).otherwise(-x),
         )
         dot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        return F.when(dot > 0, F.lit(1 << plane).cast("long")).otherwise(F.lit(0).cast("long"))
+        return F.when(dot > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
 
-    bucket = None
-    for p in range(n_planes):
-        t = sign_component(p)
-        bucket = t if bucket is None else (bucket + t)
-    return vecs.select(F.col(id_col), bucket.alias("bucket"))
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            c = sign_component(t * n_planes + p, p)
+            bucket = c if bucket is None else (bucket + c)
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return vecs.select(F.col(id_col), F.explode(F.array(*tables)).alias("tb")).select(
+        id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def lsh_cosine_topk(
@@ -228,14 +237,20 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket (equi-join on
-    bucket — the 100 TB path), then exact cosine rank within
-    candidates. Recall is tunable via n_planes (fewer planes → bigger
-    buckets → higher recall, more compute)."""
-    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col).withColumnRenamed(id_col, "c_id")
-    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col).withColumnRenamed(id_col, "q_id")
-    cand = cb.join(qb, "bucket").filter(F.col("c_id") != F.col("q_id")).select("q_id", "c_id")
+    """Approximate top-k: candidates = same LSH bucket in ANY table
+    (equi-join on (table, bucket) — the 100 TB path), then exact
+    cosine rank within candidates. Recall tunes up with more tables /
+    fewer planes; candidate cost with the opposite."""
+    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col, n_tables=n_tables).withColumnRenamed(id_col, "c_id")
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col, n_tables=n_tables).withColumnRenamed(id_col, "q_id")
+    cand = (
+        cb.join(qb, ["table", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
 
     cvec = corpus.select(F.col(id_col).alias("c_id"), _quantized(F.col(vec_col), 1_000_000).alias("c_vec"))
     qvec = queries.select(F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), 1_000_000).alias("q_vec"))

@@ -829,6 +829,29 @@ def w_lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar_spend
+FROM orders
+""",
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window bounds) — orders within ±10k of
+    each order's price for the same customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.count("*").over(w).alias("n_similar_spend")
+    )
+
+
+@register(
     "w_rank_dense_ntile",
     oracle="""
 SELECT c_custkey, c_nationkey,

@@ -49,3 +49,22 @@ def test_ivf_topk_shape_and_determinism(spark):
     # deterministic across runs
     again = similarity.ivf_cosine_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Approximate LSH top-k must recover a reasonable share of the
+    exact neighbors at small n_planes (big buckets → high recall)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in similarity.lsh_cosine_topk(emb, q, k=5, n_planes=3, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall collapsed: {recall}"

@@ -319,3 +319,31 @@ def test_stream_session_window(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert sum(r["n_events"] for r in rows) == total
+
+
+def test_stream_into_lake_upsert(spark, tmp_path):
+    """The full ingestion story: file stream → foreachBatch → lake
+    table with replace-then-upsert strategy switching (the xl→db
+    pipeline re-homed onto the lake writer)."""
+    from fabrix_spark.frame import FxFrame
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.sources.sql import SaveStrategy
+
+    src, total = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src, max_files_per_trigger=1)
+    table = LakeTable(spark, str(tmp_path / "lake_events"), index="event_id")
+
+    def save(batch_df, batch_id, strategy):
+        table.save(FxFrame(batch_df, "event_id"), strategy)
+
+    q = foreach_batch_save(
+        stream,
+        save,
+        checkpoint=str(tmp_path / "ckpt_lake"),
+        first_strategy=SaveStrategy.REPLACE,
+        rest_strategy=SaveStrategy.UPSERT,
+    )
+    q.awaitTermination(120)
+    got = table.read()
+    assert got.height == total
+    assert got.index_tag.name == "event_id"

@@ -616,6 +616,69 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.rev_cents
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: correlated max over an aggregated view
+    (revenue kept in exact cents so the argmax can't drift)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("rev_cents")
+    )
+    top = rev.withColumn("__mx", F.max("rev_cents").over(Window.partitionBy())).filter(
+        F.col("rev_cents") == F.col("__mx")
+    )
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "rev_cents"
+    )
+
+
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("prof_orders", oracle=_profile_oracle())
+def prof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic column profiling (nulls / exact distinct /
+    min-max) — unlike df.summary(), every number oracle-checks."""
+    from .operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    )
+
+
 # ===========================================================================
 # scalar-function families (§2.11: regex / date math / array / json)
 # ===========================================================================

@@ -104,6 +104,18 @@ def foreach_batch_save(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within
+    the watermark horizon (state is bounded by the watermark — the
+    requirement for an always-on dedup stage at ingest)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def tumbling_window(
     stream: DataFrame,
     window_len: str = "1 hour",

@@ -347,3 +347,24 @@ def test_stream_into_lake_upsert(spark, tmp_path):
     got = table.read()
     assert got.height == total
     assert got.index_tag.name == "event_id"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from fabrix_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    row = {"event_id": 1, "user_id": 1, "event_type": "click", "ts": "2024-01-01T00:00:00.000Z", "value": 1.0}
+    # same event replayed in two files + one unique
+    (src / "a.json").write_text(json.dumps(row))
+    (src / "b.json").write_text(
+        json.dumps(row) + "\n" + json.dumps({**row, "event_id": 2, "ts": "2024-01-01T00:01:00.000Z"})
+    )
+    stream = read_stream_json(spark, str(src))
+    deduped = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    q = run_available_now(
+        deduped, str(tmp_path / "ckpt_dd"), memory_table="dedup_out", output_mode="append"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]

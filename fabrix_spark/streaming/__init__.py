@@ -6,6 +6,7 @@ from .ingest import (
     run_available_now,
     session_window,
     sliding_window,
+    stream_dedup,
     tumbling_window,
 )
 from .stateful import running_totals, stateful_sessionize
@@ -20,5 +21,6 @@ __all__ = [
     "session_window",
     "sliding_window",
     "stateful_sessionize",
+    "stream_dedup",
     "tumbling_window",
 ]

@@ -138,3 +138,35 @@ def test_hash_split_stability_and_coverage(spark):
     # subset property: sampling at higher fraction includes the lower one
     bigger = set(r[0] for r in deterministic_sample(d, "doc_id", 0.6).collect())
     assert set(r[0] for r in samp.collect()) <= bigger
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Bucketed tables joined on the bucket key must plan with ZERO
+    exchanges — the pay-the-shuffle-once storage layout."""
+    from fabrix_spark.sources.bucketed import read_table, write_bucketed
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    try:
+        write_bucketed(o, "fx_b_orders", "o_orderkey", n_buckets=8, sort_cols="o_orderkey")
+        write_bucketed(li, "fx_b_lineitem", "l_orderkey", n_buckets=8, sort_cols="l_orderkey")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle-side path
+        try:
+            j = read_table(spark, "fx_b_lineitem").df.join(
+                read_table(spark, "fx_b_orders").df,
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0
+            assert j.count() == li.count()
+            # aggregation on the bucket key also shuffles nothing
+            agg = read_table(spark, "fx_b_lineitem").df.groupBy("l_orderkey").count()
+            agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert agg_plan.count("Exchange") == 0
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fx_b_orders")
+        spark.sql("DROP TABLE IF EXISTS fx_b_lineitem")

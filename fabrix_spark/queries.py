@@ -617,6 +617,71 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle="""
+WITH vol AS (
+  SELECT year(o.o_orderdate) AS yr,
+         n.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT yr,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+             * 100.0 / sum(cents), 6) AS share_pct
+FROM vol GROUP BY yr
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue (exact
+    cent sums → the ratio is a single deterministic division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.year("o_orderdate").alias("yr"), F.col("n_name").alias("supp_nation"), cents.alias("cents"))
+    )
+    return vol.groupBy("yr").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0))
+            * 100.0
+            / F.sum("cents"),
+            6,
+        ).alias("share_pct")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY n_orders
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: per-customer order counts (left join keeps
+    zero-order customers) histogrammed into a distribution."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
     "q15_top_supplier",
     oracle="""
 WITH rev AS (

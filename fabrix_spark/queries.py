@@ -1864,6 +1864,74 @@ def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "n_tokens", "pred_lang")
 
 
+_EMB_PIPE_ORACLE = """
+WITH RECURSIVE q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) >= 0.45
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS node, min(dst) AS m FROM reach GROUP BY src),
+clustered AS (
+  SELECT e.vec_id, CAST(least(e.vec_id, coalesce(c.m, e.vec_id)) AS BIGINT) AS cluster_id
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+),
+canon AS (SELECT vec_id FROM clustered WHERE vec_id = cluster_id),
+members AS (SELECT cluster_id, count(*) AS n_members FROM clustered GROUP BY 1),
+cn AS (SELECT n.* FROM n JOIN canon USING (vec_id)),
+cent AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM cn ORDER BY vec_id LIMIT 16),
+scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM cn a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM scored) WHERE r <= 1
+)
+SELECT ca.vec_id, a.centroid_id, m.n_members
+FROM canon ca
+JOIN assigned a ON a.vec_id = ca.vec_id
+JOIN members m ON m.cluster_id = ca.vec_id
+"""
+
+
+@register("pipeline_embedding_prep", oracle=_EMB_PIPE_ORACLE)
+def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side prep pipeline: near-dup pairs (cosine ≥ 0.45;
+    brute force at test scale, swap LSH buckets in for corpus scale) →
+    connected-component clusters → canonical representative per
+    cluster → IVF list assignment for the surviving index. Verified
+    end to end against one recursive-CTE DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dedup_pairs(emb, threshold=0.45).select("id_a", "id_b")
+    clusters = dedup.dup_clusters(emb, pairs, id_col="vec_id")
+    canon_ids = clusters.filter(F.col("vec_id") == F.col("cluster_id")).select("vec_id")
+    members = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    canon = emb.join(canon_ids, "vec_id", "left_semi")
+    centroids = canon.orderBy(F.col("vec_id").asc()).limit(16)
+    assigned = similarity.ivf_assign(canon, centroids, id_col="vec_id", n_probe=1)
+    return (
+        canon_ids.join(assigned, "vec_id")
+        .join(members, canon_ids.vec_id == members.cluster_id)
+        .select("vec_id", "centroid_id", "n_members")
+    )
+
+
 @register("m_frame_sample", oracle=None)  # mapInPandas plumbing — rows-only
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

@@ -1,3 +1,21 @@
-from . import dedup, multimodal, similarity, text
+from . import (
+    dedup,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "profile",
+    "sampling",
+    "similarity",
+    "skew",
+    "temporal",
+    "text",
+]

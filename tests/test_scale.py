@@ -170,3 +170,14 @@ def test_bucketed_join_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fx_b_orders")
         spark.sql("DROP TABLE IF EXISTS fx_b_lineitem")
+
+
+def test_join_strategy_hints(spark):
+    """Broadcast and merge hints must reach the physical planner —
+    the explicit controls when AQE's choice needs overriding."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()

@@ -859,6 +859,86 @@ def f_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_math_fns",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice) AS price_floor,
+       ceil(l_extendedprice) AS price_ceil,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(pow(l_discount, 2), 6) AS disc_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       sign(l_quantity - 25) AS qty_sign,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+""",
+)
+def f_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "f_conditional_fns",
+    oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'masked') AS seg_masked,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS standing,
+       if(c_nationkey < 12, 'west', 'east') AS hemi
+FROM customer
+""",
+)
+def f_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("masked")).alias("seg_masked"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn").otherwise("ok").alias("standing"),
+        F.when(F.col("c_nationkey") < 12, "west").otherwise("east").alias("hemi"),
+    )
+
+
+@register(
+    "w_first_last_nth",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
     "a_stats",
     oracle="""
 SELECT l_returnflag,

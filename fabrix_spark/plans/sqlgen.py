@@ -30,7 +30,30 @@ from .adt import (
     Select,
 )
 
-__all__ = ["render_select", "render_delete", "render_value", "render_filter"]
+__all__ = [
+    "render_select",
+    "render_delete",
+    "render_insert",
+    "render_update_by_key",
+    "render_value",
+    "render_filter",
+]
+
+# dialect -> identifier quote char (the reference's statement! macro
+# switches sea-query backends per dialect the same way; MySQL quotes
+# with backticks, Postgres/SQLite with double quotes)
+_QUOTE = {"ansi": '"', "postgres": '"', "sqlite": '"', "mysql": "`", "duckdb": '"'}
+
+
+def _quoter(dialect: str):
+    q = _QUOTE[dialect]
+
+    def _quote_ident(name: str) -> str:
+        if dialect == "ansi" and name.replace("_", "").isalnum() and not name[0].isdigit():
+            return name
+        return q + name.replace(q, q + q) + q
+
+    return _quote_ident
 
 
 def _quote_ident(name: str) -> str:
@@ -134,7 +157,9 @@ def render_filter(tokens: Sequence[Expression]) -> str:
     return " ".join(parts)
 
 
-def render_select(sel: Select) -> str:
+def render_select(sel: Select, dialect: str = "ansi") -> str:
+    global _quote_ident
+    _quote_ident = _quoter(dialect)
     cols = ", ".join(_render_column(c) for c in sel.columns) if sel.columns else "*"
     sql = f"SELECT {cols} FROM {_quote_ident(sel.table)}"
     for j in sel.joins:
@@ -160,6 +185,38 @@ def render_select(sel: Select) -> str:
     return sql
 
 
-def render_delete(d: Delete) -> str:
+def render_delete(d: Delete, dialect: str = "ansi") -> str:
     """DELETE with filter (mutation_dml.rs:87-94)."""
+    global _quote_ident
+    _quote_ident = _quoter(dialect)
     return f"DELETE FROM {_quote_ident(d.table)} WHERE {render_filter(d.filter)}"
+
+
+def render_insert(table: str, columns: Sequence[str], rows: Sequence[Sequence[Any]], dialect: str = "ansi") -> str:
+    """Multi-row ``INSERT INTO t (..) VALUES (..), (..)`` — one
+    statement per frame like the reference (mutation_dml.rs:11-38)."""
+    quote = _quoter(dialect)
+    collist = ", ".join(quote(c) for c in columns)
+    vals = ", ".join("(" + ", ".join(render_value(v) for v in row) + ")" for row in rows)
+    return f"INSERT INTO {quote(table)} ({collist}) VALUES {vals}"
+
+
+def render_update_by_key(
+    table: str,
+    columns: Sequence[str],
+    rows: Sequence[Sequence[Any]],
+    key: str,
+    dialect: str = "ansi",
+) -> list[str]:
+    """Per-row ``UPDATE .. SET .. WHERE key = v`` batch
+    (mutation_dml.rs:44-84) — kept for wire parity; at scale prefer
+    the lake upsert merge (SURVEY.md §7.4)."""
+    quote = _quoter(dialect)
+    ki = list(columns).index(key)
+    out = []
+    for row in rows:
+        sets = ", ".join(
+            f"{quote(c)} = {render_value(v)}" for c, v in zip(columns, row) if c != key
+        )
+        out.append(f"UPDATE {quote(table)} SET {sets} WHERE {quote(key)} = {render_value(row[ki])}")
+    return out

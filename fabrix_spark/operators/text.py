@@ -24,6 +24,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "tfidf_top_terms",
     "mask_pii",
     "normalize_text",
     "STOPWORDS_EN",
@@ -161,6 +162,47 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
     )
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    Two shuffles total — one for (doc, term) counts, one for document
+    frequencies (broadcast back) — then a per-doc window for the
+    top-k. Deterministic tie-break (score desc, term asc); scores
+    rounded to 6dp for cross-engine reproducibility."""
+    from pyspark.sql.window import Window
+
+    from .util import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tfidf", "rank")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1762,6 +1762,31 @@ def _pii_oracle() -> str:
     return f"SELECT doc_id, {masked} AS masked, {', '.join(counts)} FROM documents"
 
 
+@register(
+    "t_tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 @register("t_pii_mask", oracle=_pii_oracle())
 def t_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mask_pii(_t(spark, sf_dir, "documents"))

@@ -1124,6 +1124,34 @@ def s_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def s_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "s_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def s_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
     "s_semi_join",
     oracle="SELECT o_orderkey FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)",
 )
@@ -1170,6 +1198,27 @@ def s_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # grouping sets / rollup / cube / pivot / having / case (§2.11)
 # ===========================================================================
+
+
+@register(
+    "g_count_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def g_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one pass (Catalyst plans the
+    Expand rewrite automatically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
 
 
 @register(

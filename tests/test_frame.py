@@ -103,3 +103,41 @@ def test_apply(fx):
     out = fx.apply("val2", F.col("val") * 2)
     row = out.get_row(1)
     assert row["val2"] == 3.0
+
+
+def test_typed_parquet_roundtrip(spark, tmp_path):
+    """Decimal/uuid/bytes — the types the reference smuggles into
+    Polars as opaque objects (value.rs:369-371) — are native here and
+    must survive a parquet round trip with the mapped Spark types."""
+    import datetime as dt
+    import decimal
+    import uuid
+
+    from fabrix_spark.types import ValueType
+
+    u = uuid.uuid5(uuid.NAMESPACE_DNS, "fabrix")
+    fx = FxFrame.from_series(
+        spark,
+        {
+            "id": [1, 2],
+            "money": [decimal.Decimal("12.340000000000000001"), None],
+            "uid": [u, None],
+            "blob": [b"\x00\x01\xff", b""],
+            "seen": [dt.datetime(2024, 2, 29, 23, 59, 59, 123456), None],
+        },
+        index="id",
+    )
+    # uuid is stored as canonical StringType (SURVEY.md §1.2), so the
+    # reflected dtype is STRING — the documented deviation
+    assert [f.dtype for f in fx.fields] == [
+        ValueType.I64, ValueType.DECIMAL, ValueType.STRING, ValueType.BYTES, ValueType.DATETIME,
+    ]
+    p = str(tmp_path / "typed")
+    fx.df.write.parquet(p)
+    back = FxFrame(spark.read.parquet(p), "id")
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["money"] == decimal.Decimal("12.340000000000000001")
+    assert rows[1]["uid"] == str(u)
+    assert bytes(rows[1]["blob"]) == b"\x00\x01\xff"
+    assert rows[1]["seen"] == dt.datetime(2024, 2, 29, 23, 59, 59, 123456)
+    assert rows[2]["money"] is None and rows[2]["uid"] is None

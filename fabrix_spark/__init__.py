@@ -9,7 +9,8 @@ Layout:
 - ``sources`` — readers/writers with fabrix option structs (§2.6) + save strategies (§2.4)
 - ``operators`` — dedup / similarity / text analysis / multimodal (north-star ops)
 - ``streaming`` — micro-batch ingestion & event-time analytics (§2.7)
-- ``io``      — Dispatcher/pipe cross-source ETL (§2.9)
+- ``io``      — JSON wire formats for frames (§1.7)
+- ``pipe``    — Dispatcher/DynConn cross-source ETL (§2.9)
 """
 
 from .frame import FxFrame, IndexTag

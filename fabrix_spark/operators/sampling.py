@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "hash_split", "stratified_sample"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "hash_split",
+    "stratified_sample",
+    "cap_per_group",
+]
 
 _BUCKETS = 10_000
 
@@ -65,3 +71,20 @@ def stratified_sample(
         c = (F.col(stratum_col) == stratum) & (bucket < int(round(frac * _BUCKETS)))
         cond = c if cond is None else (cond | c)
     return df.filter(cond if cond is not None else F.lit(False))
+
+
+def cap_per_group(df: DataFrame, key: str, group_col: str, n: int, salt: str = "") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by key-hash order —
+    the per-source/per-domain cap every corpus mix applies, stable
+    across reruns (unlike rand()-ranked sampling). One shuffle on the
+    group column."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), salt=salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .drop("__r")
+    )

@@ -1933,6 +1933,20 @@ def smp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "smp_cap_per_group",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_BUCKET_SQL} ASC, doc_id ASC) AS r
+  FROM documents) WHERE r <= 20
+""",
+)
+def smp_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.cap_per_group(d, "doc_id", "lang", 20)
+
+
 # ===========================================================================
 # flagship composition: the whole LLM data-prep chain as ONE lazy plan
 # ===========================================================================

@@ -428,6 +428,37 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.5 * a.avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below a correlated per-part average
+    (the subquery becomes a per-part aggregate joined back; the
+    selective brand filter is broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum(cents) / 100.0 / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
     "q18_large_orders",
     oracle="""
 WITH big AS (

@@ -50,6 +50,7 @@ class CsvReadOptions:
     dtypes: dict[str, ValueType | str] | None = None
     projection: list[str] | None = None
     ignore_parser_errors: bool = False
+    row_count: str | None = None  # add a row-id column with this name
     index: str | None = None
 
 
@@ -61,10 +62,12 @@ class CsvWriteOptions:
 
 @dataclass
 class ParquetReadOptions:
-    """parquet/reader.rs:134-141."""
+    """parquet/reader.rs:134-141. ``row_count`` adds a row-id column
+    (distributed monotonically-increasing ids, not dense)."""
 
     n_rows: int | None = None
     columns: list[str] | None = None
+    row_count: str | None = None
     index: str | None = None
 
 
@@ -95,6 +98,10 @@ def read_csv(spark: SparkSession, path: str, options: CsvReadOptions | None = No
         df = df.select(*o.projection)  # column pruning reaches the scan
     if o.n_rows is not None:
         df = df.limit(o.n_rows)
+    if o.row_count:
+        from pyspark.sql import functions as _F
+
+        df = df.withColumn(o.row_count, _F.monotonically_increasing_id())
     return FxFrame(df, o.index)
 
 
@@ -111,6 +118,10 @@ def read_parquet(spark: SparkSession, path: str, options: ParquetReadOptions | N
         df = df.select(*o.columns)
     if o.n_rows is not None:
         df = df.limit(o.n_rows)
+    if o.row_count:
+        from pyspark.sql import functions as _F
+
+        df = df.withColumn(o.row_count, _F.monotonically_increasing_id())
     return FxFrame(df, o.index)
 
 

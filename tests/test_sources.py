@@ -279,3 +279,12 @@ def test_select_adt_and_delete(ex, fx):
 def test_existing_ids_probe(ex, fx):
     ex.save("t", fx, SaveStrategy.REPLACE)
     assert sorted(ex.select_existing_ids("t", "id", [2, 3, 99])) == [2, 3]
+
+
+def test_row_count_option(spark, fx, tmp_path):
+    p = str(tmp_path / "pq_rc")
+    write_parquet(fx, p)
+    back = read_parquet(spark, p, ParquetReadOptions(row_count="rid"))
+    assert "rid" in back.columns
+    ids = [r["rid"] for r in back.collect()]
+    assert len(set(ids)) == 4  # unique row ids

@@ -43,3 +43,33 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
+    """Equal-width histogram: two passes (min/max, then one
+    aggregation on the bin index). Bin edges derive from exact min/max
+    so the result is deterministic — no sampling, no rdd.histogram.
+    Returns (bin, lo, hi, n) sorted by bin."""
+    stats = df.agg(
+        F.min(col).cast("double").alias("__lo"), F.max(col).cast("double").alias("__hi")
+    )
+    binned = df.select(F.col(col).cast("double").alias("__x")).crossJoin(
+        F.broadcast(stats)
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    idx = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col("__x") - F.col("__lo")) / width).cast("int"),
+    )
+    return (
+        binned.withColumn("bin", idx)
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins, 6).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins, 6).alias("hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )

@@ -763,6 +763,28 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts)
 
 
+@register(
+    "prof_histogram",
+    oracle="""
+WITH s AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo, CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+b AS (
+  SELECT least(9, CAST(floor((CAST(o_totalprice AS DOUBLE) - s.lo) / ((s.hi - s.lo) / 10)) AS INT)) AS bin,
+         s.lo AS slo, s.hi AS shi
+  FROM orders CROSS JOIN s
+)
+SELECT bin,
+       round(slo + bin * (shi - slo) / 10, 6) AS lo,
+       round(slo + (bin + 1) * (shi - slo) / 10, 6) AS hi,
+       count(*) AS n
+FROM b GROUP BY bin, slo, shi ORDER BY bin
+""",
+)
+def prof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import histogram
+
+    return histogram(_t(spark, sf_dir, "orders"), "o_totalprice", n_bins=10)
+
+
 @register("prof_orders", oracle=_profile_oracle())
 def prof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic column profiling (nulls / exact distinct /

@@ -623,6 +623,32 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_part_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%bolt%'
+  GROUP BY l.l_suppkey HAVING sum(l_quantity) > 100
+)
+""",
+)
+def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery over an aggregate → semi join on
+    the aggregated key set."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    big = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return s.join(big, s.s_suppkey == big.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@register(
     "q22_idle_rich_customers",
     oracle="""
 SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
@@ -1086,6 +1112,26 @@ def w_lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "w_cume_percent",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr,
+       round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd
+FROM customer
+""",
+)
+def w_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
 
 

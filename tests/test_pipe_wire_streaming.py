@@ -368,3 +368,18 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT event_id FROM dedup_out").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_stream_sliding_window(spark, tmp_path):
+    from fabrix_spark.streaming import sliding_window
+
+    src, total = _write_event_files(tmp_path)
+    stream = read_stream_json(spark, src)
+    agg = sliding_window(stream, "1 hour", "30 minutes", "30 minutes", keys=["event_type"])
+    q = run_available_now(
+        agg, str(tmp_path / "ckpt_sl"), memory_table="slid", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM slid").collect()
+    # each event lands in window_len/slide = 2 overlapping windows
+    assert sum(r["n"] for r in rows) == total * 2

@@ -1271,6 +1271,60 @@ def s_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_full_outer_join",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier WHERE s_nationkey > 10 GROUP BY 1)
+SELECT coalesce(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+FROM cn FULL JOIN sn ON cn.nk = sn.nk
+""",
+)
+def s_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") > 10)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(sup, c.cnk == sup.snk, "full_outer").select(
+        F.coalesce("cnk", "snk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "s_right_join",
+    oracle="""
+SELECT n.n_name, c.c_custkey
+FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def s_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    n = _t(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select("n_name", "c_custkey")
+
+
+@register(
+    "s_cross_join",
+    oracle="""
+SELECT r.r_name, seg.c_mktsegment
+FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+""",
+)
+def s_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    seg = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(seg).select("r_name", "c_mktsegment")
+
+
+@register(
     "s_union_all",
     oracle="""
 SELECT c_custkey AS key, c_name AS name, c_nationkey AS nationkey, 'customer' AS side FROM customer

@@ -25,6 +25,7 @@ __all__ = [
     "attach_binary",
     "binary_metadata",
     "decode_image_features",
+    "decode_audio_features",
     "sample_frames",
 ]
 
@@ -111,3 +112,46 @@ def sample_frames(
             yield pd.DataFrame({"id": out_ids, "frame_idx": out_idx, "frame": out_frames})
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+_AUDIO_FEATURE_SCHEMA = "id long, n_bytes long, duration_s double, sample_rate int, rms double"
+
+
+def decode_audio_features(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    fake_decode: bool = False,
+    assumed_rate: int = 16_000,
+) -> DataFrame:
+    """Audio decode stub via ``mapInPandas`` — same contract as the
+    image path: real schema/partitioning/batch shape, codec behind
+    NotImplementedError (wire soundfile/librosa there), deterministic
+    fake deriving duration/rms from the raw bytes for tests."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "audio codec not available in this environment; "
+                    "install soundfile/librosa and decode pdf[bin_col] here"
+                )
+            blobs = pdf[bin_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    # fake: bytes as 16-bit mono samples at assumed_rate
+                    "duration_s": blobs.map(
+                        lambda b: round(len(b) / 2 / assumed_rate, 6)
+                    ).astype("float64"),
+                    "sample_rate": assumed_rate,
+                    "rms": blobs.map(
+                        lambda b: round(
+                            (sum(x * x for x in b[:512]) / max(1, len(b[:512]))) ** 0.5, 6
+                        )
+                    ).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA)

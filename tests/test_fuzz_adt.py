@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from fabrix_spark.plans import ParquetDirProvider, compile_select, render_select
-from fabrix_spark.plans.adt import AND, Col, Cond, FnCol, Nest, NOT, OR, Order, Select
+from fabrix_spark.plans.adt import AND, Col, Cond, FnCol, Join, Nest, NOT, OR, Order, Select
 
 SF = "/root/testdata/sf0.001"
 
@@ -67,6 +67,26 @@ def _tokens(draw, depth=0):
 
 @st.composite
 def _selects(draw):
+    if draw(st.integers(0, 3)) == 0:
+        # join variant: customer ⋈ nation, mixed-side projection
+        return Select(
+            table="customer",
+            columns=[
+                Col("c_custkey", tbl="customer"),
+                Col("n_name", tbl="nation"),
+                Col("c_acctbal", tbl="customer"),
+            ],
+            joins=[
+                Join(
+                    "nation",
+                    [("c_nationkey", "n_nationkey")],
+                    draw(st.sampled_from(["inner", "left"])),
+                )
+            ],
+            filter=draw(st.none() | _tokens()),
+            order=[Order("c_custkey")],
+            limit=draw(st.none() | st.integers(1, 50)),
+        )
     grouped = draw(st.booleans())
     if grouped:
         keys = draw(
@@ -104,6 +124,7 @@ def _selects(draw):
 def duck():
     con = duckdb.connect()
     con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM '{SF}/nation.parquet'")
     return con
 
 

@@ -192,3 +192,16 @@ def test_dup_clusters_and_canonical(spark):
 
     kept = dedup.keep_canonical(nodes, clusters)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 4, 5, 7]
+
+
+def test_audio_features_fake_decode(docs):
+    df = multimodal.attach_binary(docs.limit(10), "text")
+    rows = multimodal.decode_audio_features(df, fake_decode=True).collect()
+    assert len(rows) == 10
+    assert all(r["duration_s"] > 0 and r["sample_rate"] == 16000 for r in rows)
+
+
+def test_audio_decode_stub_raises(docs):
+    df = multimodal.attach_binary(docs.limit(1), "text")
+    with pytest.raises(Exception):
+        multimodal.decode_audio_features(df, fake_decode=False).collect()

@@ -383,3 +383,34 @@ def test_stream_sliding_window(spark, tmp_path):
     rows = spark.sql("SELECT * FROM slid").collect()
     # each event lands in window_len/slide = 2 overlapping windows
     assert sum(r["n"] for r in rows) == total * 2
+
+
+def test_stream_real_events_parquet(spark, tmp_path):
+    """Stream the driver's real events table (nanosecond timestamps)
+    through a watermarked tumbling window and match the batch result."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fabrix_spark.queries import _events
+    from fabrix_spark.streaming import tumbling_window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = _events(spark, "/root/testdata/sf0.001")
+    # re-write with micros timestamps so the stream reader sees a
+    # standard schema (the ns->long conversion is reader-level)
+    src = str(tmp_path / "events_us")
+    batch.write.parquet(src)
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_window(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        "1 hour", "0 seconds", keys=["event_type"],
+    )
+    from fabrix_spark.streaming import run_available_now
+
+    q = run_available_now(
+        agg, str(tmp_path / "ckpt_real"), memory_table="real_tumbled", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) AS n FROM real_tumbled").collect()[0]["n"]
+    assert got == batch.count()

@@ -121,21 +121,35 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    method: str = "lsh",
+    n_hashes: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
-    Without ``candidates``, candidate pairs come from an inverted-index
-    self-join on the 64-bit shingle hash (long shuffle keys, not
-    strings). Hash equality is a superset of string equality, so the
-    hash-counted Jaccard is an UPPER bound — pairs passing the bound
-    are then re-verified with exact string-set intersection, making the
-    result exact regardless of collisions. Still superlinear on hot
-    shingles; at corpus scale pass LSH candidates instead.
-    Jaccard is exact integer arithmetic (|∩| / (|A|+|B|-|∩|)).
+    Candidate generation (when ``candidates`` is not supplied):
+
+    * ``method='lsh'`` (default, the 100 TB path): MinHash signatures →
+      banded LSH buckets → equi-join on (band, key). With the default
+      32 hashes in 16 bands of 2 rows, a pair at Jaccard J collides
+      with P = 1-(1-J²)¹⁶ — at J = 0.8 the miss probability is 4e-8,
+      so for real near-dup corpora (dup pairs cluster near J≈1) the
+      result is indistinguishable from the exact join while the
+      shuffle stays keyed on band buckets, never all-pairs.
+    * ``method='inverted'``: inverted-index self-join on the 64-bit
+      shingle hash — exact candidate recall, but superlinear on hot
+      shingles; small corpora only.
+
+    Either way, candidates are re-verified with exact string-set
+    intersection, so every emitted pair's Jaccard is exact integer
+    arithmetic (|∩| / (|A|+|B|-|∩|)).
     """
     sh_sets = _shingle_sets(df, text_col, id_col, shingle_size)
 
-    if candidates is None:
+    if candidates is None and method == "lsh":
+        sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col)
+        candidates = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
+    elif candidates is None:
         sizes = sh_sets.select("__id", F.size("__set").alias("__sz"))
         ds_h = sh_sets.select(
             "__id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h")
@@ -439,14 +453,28 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int = 1_000_000,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
     Components quantize to int64 (round(v * 1e6)) so dot products and
     norms are exact integers — bit-reproducible across engines — and
-    only the final cosine division is floating point. The pair join is
-    the brute-force O(n²) kernel; for corpus scale, pre-bucket with
-    ``similarity.hyperplane_lsh_buckets`` and join on bucket first.
+    only the final cosine division is floating point.
+
+    ``method='lsh'`` (default, the 100 TB path): candidates come from
+    deterministic random-hyperplane LSH buckets
+    (``similarity.hyperplane_lsh_buckets``, multi-table) — the pair
+    join is an equi-join on (table, bucket), never all-pairs — then
+    candidates are verified with the exact integer cosine. Recall
+    follows the standard 1-(1-p^planes)^tables curve (p = 1-θ/π);
+    because every hash is md5-derived the candidate set itself is
+    deterministic, so results reproduce bitwise on any engine.
+
+    ``method='exact'``: the brute-force O(n²) kernel — the recall
+    oracle for tests and small corpora only.
     """
     q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * quantize).cast("long"))
     vecs = spread(df).select(F.col(id_col).alias("__id"), q.alias("__q"))
@@ -455,21 +483,50 @@ def embedding_dedup_pairs(
         "__q",
         F.aggregate(F.zip_with("__q", "__q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("__n2"),
     )
-    a = norms.alias("a")
-    b = norms.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.__q"), F.col("b.__q"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return (
-        a.join(b, F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.round(
-                dot / F.sqrt(F.col("a.__n2").cast("double") * F.col("b.__n2").cast("double")), 6
-            ).alias("cosine"),
+    cosine = F.round(
+        dot / F.sqrt(F.col("a.__n2").cast("double") * F.col("b.__n2").cast("double")), 6
+    )
+
+    if method == "exact":
+        a = norms.alias("a")
+        b = norms.alias("b")
+        return (
+            a.join(b, F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                cosine.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
+
+    from .similarity import hyperplane_lsh_buckets
+
+    buckets = hyperplane_lsh_buckets(
+        df, n_planes, id_col, vec_col, quantize, n_tables=n_tables, dim=dim
+    ).select(F.col(id_col).alias("__id"), "table", "bucket")
+    ba = buckets.alias("ba")
+    bb = buckets.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.table") == F.col("bb.table"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.__id") < F.col("bb.__id")),
+        )
+        .select(F.col("ba.__id").alias("id_a"), F.col("bb.__id").alias("id_b"))
+        .distinct()
+    )
+    a = norms.alias("a")
+    b = norms.alias("b")
+    return (
+        cands.join(a, cands.id_a == F.col("a.__id"))
+        .join(b, cands.id_b == F.col("b.__id"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

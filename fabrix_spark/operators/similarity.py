@@ -20,6 +20,8 @@ from .util import spread
 
 __all__ = [
     "cosine_topk",
+    "plane_sign",
+    "plane_signs",
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
     "ivf_assign",
@@ -108,14 +110,23 @@ def ivf_assign(
     never shuffles for assignment. Deterministic tie-break:
     (cosine desc, centroid id asc)."""
     cvec = _quantized(F.col(vec_col), quantize)
-    vecs = spread(corpus).select(F.col(id_col), cvec.alias("__v")).withColumn(
-        "__v_n2", _dot(F.col("__v"), F.col("__v"), True)
+    # single-valued but non-foldable key: Catalyst would fold lit==lit
+    # back into a nested-loop cross join; a derived 0 keeps the
+    # broadcast HASH join (build side = n_centroids rows)
+    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    vecs = (
+        spread(corpus)
+        .select(F.col(id_col), cvec.alias("__v"))
+        .withColumn("__v_n2", _dot(F.col("__v"), F.col("__v"), True))
+        .withColumn("__one", one(id_col))
     )
-    cents = centroids.select(
-        F.col(id_col).alias("centroid_id"), cvec.alias("__c")
-    ).withColumn("__c_n2", _dot(F.col("__c"), F.col("__c"), True))
+    cents = (
+        centroids.select(F.col(id_col).alias("centroid_id"), cvec.alias("__c"))
+        .withColumn("__c_n2", _dot(F.col("__c"), F.col("__c"), True))
+        .withColumn("__one", one("centroid_id"))
+    )
 
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
+    scored = vecs.join(F.broadcast(cents), "__one").select(
         id_col,
         "centroid_id",
         _cosine(F.col("__v"), F.col("__c"), F.col("__v_n2"), F.col("__c_n2"), True).alias(
@@ -183,6 +194,25 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def plane_sign(plane: int, d: int) -> int:
+    """±1 component d of hyperplane ``plane``: parity of the first hex
+    nibble of md5(f"{plane}_{d}") — no RNG, identical in any engine
+    that has md5 (the DuckDB oracle re-derives the same matrix)."""
+    import hashlib
+
+    nibble = int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[0], 16)
+    return 1 if nibble & 1 else -1
+
+
+def plane_signs(n_tables: int, n_planes: int, dim: int) -> list[list[list[int]]]:
+    """signs[table][plane] = ±1 vector of length ``dim``. Pure
+    constants — computed once on the driver, inlined as literals."""
+    return [
+        [[plane_sign(t * n_planes + p, d) for d in range(dim)] for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,
@@ -190,10 +220,18 @@ def hyperplane_lsh_buckets(
     vec_col: str = "embedding",
     quantize: int = 1_000_000,
     n_tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic random-hyperplane LSH: bit i of a table's bucket
     id is the sign of ⟨v, r_i⟩ where r_i has ±1 components derived
     from md5(plane, dim) — no RNG, reproducible everywhere.
+
+    With ``dim`` given, the ±1 matrices are precomputed on the driver
+    and inlined as literal arrays, so each plane dot is a single
+    ``zip_with``+``aggregate`` over constants (the md5 calls are per
+    (plane, component) constants — never per row). Without ``dim``
+    the same parities are derived in-expression (schema-agnostic
+    fallback; identical buckets either way).
 
     With ``n_tables`` > 1 each vector gets one bucket per independent
     table (planes salted by table index) — standard multi-table recall
@@ -202,27 +240,52 @@ def hyperplane_lsh_buckets(
     q = _quantized(F.col(vec_col), quantize)
     vecs = spread(df).select(F.col(id_col), q.alias("__q"))
 
-    def sign_component(plane: int, bit: int) -> Column:
-        # ±1 per (plane, dim): parity of the first md5 hex nibble
-        signed = F.zip_with(
-            F.col("__q"),
-            F.sequence(F.lit(0), F.size(F.col("__q")) - 1),
-            lambda x, d: F.when(
-                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(plane), d).cast("binary")), 1, 1), 16, 10)
-                .cast("int")
-                .bitwiseAND(F.lit(1))
-                == 1,
-                x,
-            ).otherwise(-x),
-        )
-        dot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        return F.when(dot > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+    if dim is not None:
+        signs = plane_signs(n_tables, n_planes, dim)
+
+        def sign_component(t: int, p: int, bit: int) -> Column:
+            sv = F.array(*[F.lit(s).cast("long") for s in signs[t][p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("__q"), sv, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+
+    else:
+
+        def sign_component(t: int, p: int, bit: int) -> Column:
+            plane = t * n_planes + p
+            # ±1 per (plane, dim): parity of the first md5 hex nibble
+            signed = F.zip_with(
+                F.col("__q"),
+                F.sequence(F.lit(0), F.size(F.col("__q")) - 1),
+                lambda x, d: F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.lit(plane), d).cast("binary")), 1, 1
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    x,
+                ).otherwise(-x),
+            )
+            dot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+            return F.when(dot > 0, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
 
     tables = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
-            c = sign_component(t * n_planes + p, p)
+            c = sign_component(t, p, p)
             bucket = c if bucket is None else (bucket + c)
         tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
     return vecs.select(F.col(id_col), F.explode(F.array(*tables)).alias("tb")).select(

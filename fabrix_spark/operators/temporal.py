@@ -42,18 +42,24 @@ def asof_join(
     """
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+    # right columns that collide with left names come back prefixed —
+    # without this, the left rows' own values would pollute the
+    # carry-forward chain (and the output would be ambiguous)
+    out_names = {c: (f"r_{c}" if c in left.columns else c) for c in right_cols}
 
-    lt = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        if c not in lt.columns:
-            lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    # all right attributes travel in ONE struct so the whole right row
+    # fills forward atomically: filling each column independently
+    # could stitch together fields from different right rows whenever
+    # the most recent row holds a NULL attribute
     rt = right.select(
         *by,
         F.col(on),
-        *[F.col(c) for c in right_cols],
+        F.struct(F.col(on).alias("__rt_time"), *[F.col(c) for c in right_cols]).alias("__r"),
     ).withColumn("__side", F.lit(0))
-    rt = rt.withColumn("__rt_time", F.col(on))
-    lt = lt.withColumn("__rt_time", F.lit(None).cast(dict(right.dtypes)[on]))
+    struct_t = rt.schema["__r"].dataType
+    lt = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(struct_t)
+    )
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
@@ -68,23 +74,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        *[c for c in cols if c not in right_cols and c not in ("__side", "__rt_time")],
+        *[c for c in cols if c not in ("__side", "__r")],
         F.col("__side"),
-        F.last("__rt_time", ignorenulls=True).over(w).alias("__asof_time"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1)
+    asof_time = F.col("__rf.__rt_time")
     if tolerance_seconds is not None:
-        within = (
-            F.col("__asof_time").isNotNull()
-            & (F.unix_timestamp(on) - F.unix_timestamp("__asof_time") <= tolerance_seconds)
+        within = asof_time.isNotNull() & (
+            F.unix_timestamp(on) - F.unix_timestamp(asof_time) <= tolerance_seconds
         )
-        out = out.select(
-            *[c for c in out.columns if c not in right_cols and c != "__asof_time"],
-            *[F.when(within, F.col(c)).alias(c) for c in right_cols],
-        )
-        return out
-    return out.drop("__asof_time")
+        picks = [
+            F.when(within, F.col(f"__rf.{c}")).alias(out_names[c]) for c in right_cols
+        ]
+    else:
+        picks = [F.col(f"__rf.{c}").alias(out_names[c]) for c in right_cols]
+    return out.select(*left.columns, *picks)
 
 
 def interval_join(

@@ -10,8 +10,9 @@ from .adt import (
     OR,
     Order,
     Select,
+    with_primary_key,
 )
-from .compiler import ParquetDirProvider, compile_filter, compile_select
+from .compiler import ParquetDirProvider, compile_filter, compile_select, compile_select_fx
 from .sqlgen import render_delete, render_filter, render_select
 
 __all__ = [
@@ -26,9 +27,11 @@ __all__ = [
     "OR",
     "Order",
     "Select",
+    "with_primary_key",
     "ParquetDirProvider",
     "compile_filter",
     "compile_select",
+    "compile_select_fx",
     "render_delete",
     "render_filter",
     "render_select",

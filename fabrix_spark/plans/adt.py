@@ -31,6 +31,7 @@ __all__ = [
     "SCALAR_FNS",
     "expressions_from_json",
     "expression_to_json",
+    "with_primary_key",
 ]
 
 # Function names (sql_adt.rs:220-246). Aggregates fold under group_by;
@@ -339,3 +340,23 @@ class Delete:
     @classmethod
     def from_json(cls, d: dict) -> "Delete":
         return cls(d["table"], expressions_from_json(d["filter"]))
+
+
+def with_primary_key(sel: Select, pk: str) -> Select:
+    """Enrich a Select with its table's primary key — prepended to the
+    projection unless already present (ec.rs:555-567, 588-591; the
+    reference fetches the PK from the catalog then puts it first so
+    the result frame can be index-tagged on column 0)."""
+    if not sel.columns or any(c.display_name() == pk for c in sel.columns):
+        return sel
+    return Select(
+        table=sel.table,
+        columns=[Col(pk, tbl=sel.table if sel.joins else None), *sel.columns],
+        filter=sel.filter,
+        joins=sel.joins,
+        group_by=sel.group_by,
+        order=sel.order,
+        limit=sel.limit,
+        offset=sel.offset,
+        include_primary_key=sel.include_primary_key,
+    )

@@ -29,9 +29,16 @@ from .adt import (
     OR,
     Select,
     validate_expressions,
+    with_primary_key,
 )
 
-__all__ = ["TableProvider", "ParquetDirProvider", "compile_select", "compile_filter"]
+__all__ = [
+    "TableProvider",
+    "ParquetDirProvider",
+    "compile_select",
+    "compile_select_fx",
+    "compile_filter",
+]
 
 # name -> DataFrame resolver; the Spark analogue of a live DB connection.
 TableProvider = Callable[[str], DataFrame]
@@ -87,7 +94,10 @@ def compile_filter(tokens: Sequence[Expression], resolve: Callable[[Cond], Colum
     collect AND-runs, then OR them together.
     """
     validate_expressions(tokens)
-    resolve = resolve or (lambda c: F.col(c.col))
+    # honor Cond.tbl qualification (sqlgen renders the qualified
+    # reference; on joins with shared column names the unqualified
+    # form would bind ambiguously or to the wrong side)
+    resolve = resolve or (lambda c: F.col(f"{c.tbl}.{c.col}" if c.tbl else c.col))
 
     def leaf(t: Expression) -> Column:
         if isinstance(t, Cond):
@@ -161,6 +171,22 @@ def _column_expr(c: Col | FnCol, alias: bool = True) -> Column:
     return expr.alias(c.display_name()) if alias else expr
 
 
+def _strip_tbl(c: Col | FnCol) -> Col | FnCol:
+    if isinstance(c, Col):
+        return Col(c.name, None, c.alias)
+    return FnCol(c.fn, _strip_tbl(c.col), c.args, c.alias)
+
+
+def _post_agg_expr(c: Col | FnCol) -> Column:
+    """Projection of a group-key column AFTER groupBy().agg(): table
+    qualifiers are gone (the aggregate output owns the raw key names),
+    so strip ``tbl`` and apply alias / scalar functions on top."""
+    if isinstance(c, Col):
+        expr = F.col(c.name)
+        return expr.alias(c.alias) if c.alias else expr
+    return _column_expr(_strip_tbl(c))
+
+
 def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     """Build the lazy DataFrame plan for a Select ADT.
 
@@ -186,19 +212,20 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     if sel.group_by or agg_cols:
         keys = list(sel.group_by)
         aggs = [_column_expr(c) for c in agg_cols]
-        plain = [
-            _column_expr(c)
-            for c in sel.columns
-            if not (isinstance(c, FnCol) and c.is_aggregate())
-        ]
-        # non-aggregate projected columns must be group keys (SQL rule)
         df = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs) if aggs else df.select(*keys).distinct()
-        ordered = []
-        for c in sel.columns:
-            ordered.append(F.col(c.display_name()))
         if sel.columns:
+            # non-aggregate projected columns must be group keys (SQL
+            # rule); aggregates already carry their display name from
+            # agg(), while key columns re-apply alias / scalar fns
+            # HERE — after aggregation only the raw key names exist,
+            # so F.col(display_name) would miss aliased keys
+            ordered = [
+                F.col(c.display_name())
+                if isinstance(c, FnCol) and c.is_aggregate()
+                else _post_agg_expr(c)
+                for c in sel.columns
+            ]
             df = df.select(*ordered)
-        del plain
     elif sel.columns:
         df = df.select(*[_column_expr(c) for c in sel.columns])
 
@@ -210,3 +237,26 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     if sel.limit is not None:
         df = df.limit(sel.limit)
     return df
+
+
+def compile_select_fx(
+    sel: Select,
+    provider: TableProvider,
+    primary_key: str | Callable[[str], str | None] | None = None,
+):
+    """compile_select honoring ``include_primary_key``: the PK is
+    prepended to the projection and the result frame is index-tagged —
+    the DataFrame-backend analogue of the reference's enriched select
+    (ec.rs:555-567 fetches the PK from the catalog, 588-591 prepends
+    it and tags index 0).
+
+    ``primary_key`` is the PK column name, or a ``table -> pk``
+    resolver (the catalog lookup), or None (no tagging)."""
+    from ..frame import FxFrame
+
+    pk = primary_key(sel.table) if callable(primary_key) else primary_key
+    index = None
+    if sel.include_primary_key and pk is not None:
+        sel = with_primary_key(sel, pk)
+        index = pk
+    return FxFrame(compile_select(sel, provider), index)

@@ -10,12 +10,16 @@ to each other.
 
 Also renders the DML/DDL statements of §2.4/§2.5 (INSERT / UPDATE /
 DELETE / CREATE / ALTER / DROP — mutation_dml.rs, mutation_ddl.rs).
+
+Dialect handling: every renderer threads an explicit quoter function
+down the call tree — no module-level state, so concurrent renders for
+different dialects can never leak quoting into each other.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any, Sequence
+from typing import Any, Callable, Sequence
 
 from .adt import (
     AND,
@@ -37,7 +41,19 @@ __all__ = [
     "render_update_by_key",
     "render_value",
     "render_filter",
+    "render_alter_add_column",
+    "render_alter_drop_column",
+    "render_alter_modify_column",
+    "render_create_index",
+    "render_drop_index",
+    "render_create_foreign_key",
+    "render_drop_foreign_key",
+    "render_primary_key_query",
+    "render_constraints_query",
+    "render_indexes_query",
 ]
+
+Quoter = Callable[[str], str]
 
 # dialect -> identifier quote char (the reference's statement! macro
 # switches sea-query backends per dialect the same way; MySQL quotes
@@ -45,21 +61,15 @@ __all__ = [
 _QUOTE = {"ansi": '"', "postgres": '"', "sqlite": '"', "mysql": "`", "duckdb": '"'}
 
 
-def _quoter(dialect: str):
+def _quoter(dialect: str) -> Quoter:
     q = _QUOTE[dialect]
 
-    def _quote_ident(name: str) -> str:
+    def quote(name: str) -> str:
         if dialect == "ansi" and name.replace("_", "").isalnum() and not name[0].isdigit():
             return name
         return q + name.replace(q, q + q) + q
 
-    return _quote_ident
-
-
-def _quote_ident(name: str) -> str:
-    if name.replace("_", "").isalnum() and not name[0].isdigit():
-        return name
-    return '"' + name.replace('"', '""') + '"'
+    return quote
 
 
 def render_value(v: Any) -> str:
@@ -78,17 +88,17 @@ def render_value(v: Any) -> str:
     raise TypeError(f"cannot render literal {v!r}")
 
 
-def _render_colref(name: str, tbl: str | None) -> str:
-    return f"{_quote_ident(tbl)}.{_quote_ident(name)}" if tbl else _quote_ident(name)
+def _render_colref(name: str, tbl: str | None, quote: Quoter) -> str:
+    return f"{quote(tbl)}.{quote(name)}" if tbl else quote(name)
 
 
-def _render_column(c: Col | FnCol, with_alias: bool = True) -> str:
+def _render_column(c: Col | FnCol, quote: Quoter, with_alias: bool = True) -> str:
     if isinstance(c, Col):
-        s = _render_colref(c.name, c.tbl)
+        s = _render_colref(c.name, c.tbl, quote)
         if with_alias and c.alias:
-            s += f" AS {_quote_ident(c.alias)}"
+            s += f" AS {quote(c.alias)}"
         return s
-    inner = _render_column(c.col, with_alias=False)
+    inner = _render_column(c.col, quote, with_alias=False)
     fn = c.fn
     if fn in ("max", "min", "sum", "avg", "count", "abs", "lower", "upper"):
         s = f"{fn}({inner})"
@@ -106,12 +116,12 @@ def _render_column(c: Col | FnCol, with_alias: bool = True) -> str:
     else:  # pragma: no cover
         raise ValueError(f"unhandled function {fn!r}")
     if with_alias:
-        s += f" AS {_quote_ident(c.display_name())}"
+        s += f" AS {quote(c.display_name())}"
     return s
 
 
-def _render_cond(c: Cond) -> str:
-    col = _render_colref(c.col, c.tbl)
+def _render_cond(c: Cond, quote: Quoter) -> str:
+    col = _render_colref(c.col, c.tbl, quote)
     op = c.op
     if op == "eq":
         return f"{col} = {render_value(c.value)}"
@@ -139,7 +149,11 @@ def _render_cond(c: Cond) -> str:
     raise ValueError(f"unhandled equation {op!r}")  # pragma: no cover
 
 
-def render_filter(tokens: Sequence[Expression]) -> str:
+def render_filter(tokens: Sequence[Expression], dialect: str = "ansi") -> str:
+    return _render_filter(tokens, _quoter(dialect))
+
+
+def _render_filter(tokens: Sequence[Expression], quote: Quoter) -> str:
     parts: list[str] = []
     for t in tokens:
         if t is AND:
@@ -149,34 +163,33 @@ def render_filter(tokens: Sequence[Expression]) -> str:
         elif t is NOT:
             parts.append("NOT")
         elif isinstance(t, Nest):
-            parts.append(f"({render_filter(t.tokens)})")
+            parts.append(f"({_render_filter(t.tokens, quote)})")
         elif isinstance(t, Cond):
-            parts.append(_render_cond(t))
+            parts.append(_render_cond(t, quote))
         else:  # pragma: no cover
             raise ValueError(f"unexpected token {t!r}")
     return " ".join(parts)
 
 
 def render_select(sel: Select, dialect: str = "ansi") -> str:
-    global _quote_ident
-    _quote_ident = _quoter(dialect)
-    cols = ", ".join(_render_column(c) for c in sel.columns) if sel.columns else "*"
-    sql = f"SELECT {cols} FROM {_quote_ident(sel.table)}"
+    quote = _quoter(dialect)
+    cols = ", ".join(_render_column(c, quote) for c in sel.columns) if sel.columns else "*"
+    sql = f"SELECT {cols} FROM {quote(sel.table)}"
     for j in sel.joins:
         how = {"join": "JOIN", "inner": "INNER JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
                "full": "FULL JOIN", "cross": "CROSS JOIN", "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[j.how]
         on = " AND ".join(
-            f"{_quote_ident(sel.table)}.{_quote_ident(l)} = {_quote_ident(j.right)}.{_quote_ident(r)}"
+            f"{quote(sel.table)}.{quote(l)} = {quote(j.right)}.{quote(r)}"
             for l, r in j.on
         )
-        sql += f" {how} {_quote_ident(j.right)} ON {on}"
+        sql += f" {how} {quote(j.right)} ON {on}"
     if sel.filter:
-        sql += f" WHERE {render_filter(sel.filter)}"
+        sql += f" WHERE {_render_filter(sel.filter, quote)}"
     if sel.group_by:
-        sql += " GROUP BY " + ", ".join(_quote_ident(k) for k in sel.group_by)
+        sql += " GROUP BY " + ", ".join(quote(k) for k in sel.group_by)
     if sel.order:
         sql += " ORDER BY " + ", ".join(
-            f"{_quote_ident(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order
+            f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order
         )
     if sel.limit is not None:
         sql += f" LIMIT {sel.limit}"
@@ -187,9 +200,8 @@ def render_select(sel: Select, dialect: str = "ansi") -> str:
 
 def render_delete(d: Delete, dialect: str = "ansi") -> str:
     """DELETE with filter (mutation_dml.rs:87-94)."""
-    global _quote_ident
-    _quote_ident = _quoter(dialect)
-    return f"DELETE FROM {_quote_ident(d.table)} WHERE {render_filter(d.filter)}"
+    quote = _quoter(dialect)
+    return f"DELETE FROM {quote(d.table)} WHERE {_render_filter(d.filter, quote)}"
 
 
 def render_insert(table: str, columns: Sequence[str], rows: Sequence[Sequence[Any]], dialect: str = "ansi") -> str:
@@ -199,6 +211,149 @@ def render_insert(table: str, columns: Sequence[str], rows: Sequence[Sequence[An
     collist = ", ".join(quote(c) for c in columns)
     vals = ", ".join("(" + ", ".join(render_value(v) for v in row) + ")" for row in rows)
     return f"INSERT INTO {quote(table)} ({collist}) VALUES {vals}"
+
+
+# ---------------------------------------------------------------------------
+# DDL renderers (§2.5) — mutation_ddl.rs analogues with per-dialect
+# golden strings (ALTER MODIFY mutation_ddl.rs:36-68, indexes 91-112,
+# foreign keys 114-141)
+# ---------------------------------------------------------------------------
+
+
+def render_alter_add_column(table: str, column: str, sql_type: str, dialect: str = "ansi") -> str:
+    quote = _quoter(dialect)
+    return f"ALTER TABLE {quote(table)} ADD COLUMN {quote(column)} {sql_type}"
+
+
+def render_alter_drop_column(table: str, column: str, dialect: str = "ansi") -> str:
+    quote = _quoter(dialect)
+    return f"ALTER TABLE {quote(table)} DROP COLUMN {quote(column)}"
+
+
+def render_alter_modify_column(table: str, column: str, sql_type: str, dialect: str = "ansi") -> str:
+    """ALTER ... column type change (mutation_ddl.rs:36-68 Modify).
+    MySQL spells it MODIFY COLUMN; Postgres ALTER COLUMN TYPE. SQLite
+    has no in-place column retype — callers rebuild the table."""
+    quote = _quoter(dialect)
+    if dialect == "mysql":
+        return f"ALTER TABLE {quote(table)} MODIFY COLUMN {quote(column)} {sql_type}"
+    if dialect == "sqlite":
+        raise ValueError("SQLite cannot ALTER COLUMN TYPE; rebuild the table instead")
+    return f"ALTER TABLE {quote(table)} ALTER COLUMN {quote(column)} TYPE {sql_type}"
+
+
+def render_create_index(
+    table: str, columns: Sequence[str], name: str | None = None, unique: bool = False, dialect: str = "ansi"
+) -> str:
+    """CREATE [UNIQUE] INDEX (mutation_ddl.rs:91-105) — multi-column."""
+    quote = _quoter(dialect)
+    name = name or f"idx_{table}_{'_'.join(columns)}"
+    u = "UNIQUE " if unique else ""
+    collist = ", ".join(quote(c) for c in columns)
+    return f"CREATE {u}INDEX {quote(name)} ON {quote(table)} ({collist})"
+
+
+def render_drop_index(table: str, name: str, dialect: str = "ansi") -> str:
+    """DROP INDEX (mutation_ddl.rs:107-112). MySQL scopes the index
+    name to the table; everyone else drops by bare name."""
+    quote = _quoter(dialect)
+    if dialect == "mysql":
+        return f"DROP INDEX {quote(name)} ON {quote(table)}"
+    return f"DROP INDEX {quote(name)}"
+
+
+def render_create_foreign_key(
+    table: str,
+    column: str,
+    ref_table: str,
+    ref_column: str,
+    name: str | None = None,
+    dialect: str = "ansi",
+) -> str:
+    """ADD CONSTRAINT ... FOREIGN KEY (mutation_ddl.rs:114-130)."""
+    quote = _quoter(dialect)
+    name = name or f"fk_{table}_{column}"
+    return (
+        f"ALTER TABLE {quote(table)} ADD CONSTRAINT {quote(name)} "
+        f"FOREIGN KEY ({quote(column)}) REFERENCES {quote(ref_table)} ({quote(ref_column)})"
+    )
+
+
+def render_drop_foreign_key(table: str, name: str, dialect: str = "ansi") -> str:
+    """DROP the FK constraint (mutation_ddl.rs:132-141); MySQL's
+    spelling differs from the standard DROP CONSTRAINT."""
+    quote = _quoter(dialect)
+    if dialect == "mysql":
+        return f"ALTER TABLE {quote(table)} DROP FOREIGN KEY {quote(name)}"
+    return f"ALTER TABLE {quote(table)} DROP CONSTRAINT {quote(name)}"
+
+
+def render_primary_key_query(table: str, dialect: str) -> str:
+    """Catalog query returning the PK column name(s)
+    (query_ddl.rs:201-244: per-dialect information_schema / PRAGMA)."""
+    t = table.replace("'", "''")
+    if dialect == "mysql":
+        return (
+            "SELECT COLUMN_NAME FROM information_schema.KEY_COLUMN_USAGE "
+            f"WHERE TABLE_NAME = '{t}' AND CONSTRAINT_NAME = 'PRIMARY' "
+            "ORDER BY ORDINAL_POSITION"
+        )
+    if dialect == "postgres":
+        return (
+            "SELECT a.attname FROM pg_index i "
+            "JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey) "
+            f"WHERE i.indrelid = '{t}'::regclass AND i.indisprimary"
+        )
+    if dialect == "sqlite":
+        return f"SELECT name FROM pragma_table_info('{t}') WHERE pk > 0 ORDER BY pk"
+    return (
+        "SELECT kcu.column_name FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage kcu "
+        "ON tc.constraint_name = kcu.constraint_name "
+        f"WHERE tc.table_name = '{t}' AND tc.constraint_type = 'PRIMARY KEY' "
+        "ORDER BY kcu.ordinal_position"
+    )
+
+
+def render_constraints_query(table: str, dialect: str) -> str:
+    """Table-constraint introspection (query_ddl.rs:76-173): returns
+    (constraint_name, constraint_type) rows."""
+    t = table.replace("'", "''")
+    if dialect == "sqlite":
+        # synthesized from pragma tables: PK + unique indexes + FKs
+        return (
+            f"SELECT 'pk_{t}' AS constraint_name, 'PRIMARY KEY' AS constraint_type "
+            f"FROM pragma_table_info('{t}') WHERE pk > 0 "
+            "UNION ALL "
+            f"SELECT name, 'UNIQUE' FROM pragma_index_list('{t}') WHERE \"unique\" = 1 AND origin = 'u' "
+            "UNION ALL "
+            f"SELECT DISTINCT 'fk_' || \"table\", 'FOREIGN KEY' FROM pragma_foreign_key_list('{t}')"
+        )
+    return (
+        "SELECT constraint_name, constraint_type FROM information_schema.table_constraints "
+        f"WHERE table_name = '{t}' ORDER BY constraint_name"
+    )
+
+
+def render_indexes_query(table: str, dialect: str) -> str:
+    """Column-index introspection (query_ddl.rs:140-173)."""
+    t = table.replace("'", "''")
+    if dialect == "sqlite":
+        return f"SELECT name, \"unique\" FROM pragma_index_list('{t}') ORDER BY name"
+    if dialect == "mysql":
+        return (
+            f"SELECT INDEX_NAME, NON_UNIQUE = 0 FROM information_schema.STATISTICS "
+            f"WHERE TABLE_NAME = '{t}' GROUP BY INDEX_NAME, NON_UNIQUE ORDER BY INDEX_NAME"
+        )
+    if dialect == "postgres":
+        return (
+            "SELECT indexname, indexdef LIKE 'CREATE UNIQUE%' FROM pg_indexes "
+            f"WHERE tablename = '{t}' ORDER BY indexname"
+        )
+    return (
+        "SELECT index_name, is_unique FROM information_schema.indexes "
+        f"WHERE table_name = '{t}' ORDER BY index_name"
+    )
 
 
 def render_update_by_key(

@@ -124,10 +124,15 @@ class LakeTable:
 
     def delete_where(self, condition) -> int:
         """Filtered delete (the Delete ADT's lake analogue): rewrite
-        keeping only non-matching rows; returns rows removed."""
+        keeping only non-matching rows; returns rows removed.
+
+        SQL DELETE removes only rows where the predicate is TRUE —
+        rows where it evaluates NULL (e.g. a NULL in the filtered
+        column) must be KEPT, so the keep-filter coalesces NULL to
+        FALSE before negating."""
         current = self.spark.read.parquet(self.path)
         before = current.count()
-        remaining = current.filter(~condition)
+        remaining = current.filter(~F.coalesce(condition, F.lit(False)))
         staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         w = remaining.write.mode("errorifexists")
         if self.partition_by:

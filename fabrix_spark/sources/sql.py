@@ -30,8 +30,20 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..frame import FxFrame
-from ..plans.adt import Delete, Select
-from ..plans.sqlgen import render_delete, render_select, render_value
+from ..plans.adt import Delete, FnCol, Select, with_primary_key
+from ..plans.sqlgen import (
+    render_alter_modify_column,
+    render_constraints_query,
+    render_create_foreign_key,
+    render_create_index,
+    render_delete,
+    render_drop_foreign_key,
+    render_drop_index,
+    render_indexes_query,
+    render_primary_key_query,
+    render_select,
+    render_value,
+)
 from ..types import ValueType, from_spark_type
 
 __all__ = ["SaveStrategy", "SqlExecutor", "read_jdbc", "write_jdbc"]
@@ -125,15 +137,26 @@ class SqlExecutor:
         return [(r[0], r[1]) for r in cur.fetchall()]
 
     def get_primary_key(self, table: str) -> str | None:
-        """query_ddl.rs:201-244."""
+        """PK column via per-dialect catalog SQL (query_ddl.rs:201-244:
+        MySQL KEY_COLUMN_USAGE, Postgres pg_index, SQLite
+        pragma_table_info)."""
         cur = self._conn.cursor()
-        if self.dialect == "sqlite":
-            cur.execute(f'PRAGMA table_info("{table}")')
-            for r in cur.fetchall():
-                if r[5]:  # pk flag
-                    return r[1]
-            return None
-        raise NotImplementedError("PK introspection for non-sqlite DB-API dialects")
+        cur.execute(render_primary_key_query(table, self.dialect))
+        row = cur.fetchone()
+        return row[0] if row else None
+
+    def table_constraints(self, table: str) -> list[tuple[str, str]]:
+        """(constraint_name, constraint_type) rows — the reference's
+        constraint introspection (query_ddl.rs:76-139, ec.rs:263-349)."""
+        cur = self._conn.cursor()
+        cur.execute(render_constraints_query(table, self.dialect))
+        return [(r[0], r[1]) for r in cur.fetchall()]
+
+    def list_indexes(self, table: str) -> list[tuple[str, bool]]:
+        """(index_name, is_unique) rows (query_ddl.rs:140-173)."""
+        cur = self._conn.cursor()
+        cur.execute(render_indexes_query(table, self.dialect))
+        return [(r[0], bool(r[1])) for r in cur.fetchall()]
 
     def create_table(self, table: str, fx: FxFrame, if_not_exists: bool = False) -> None:
         """Typed CREATE TABLE with PRIMARY KEY from the index tag
@@ -169,28 +192,106 @@ class SqlExecutor:
     def drop_column(self, table: str, name: str) -> None:
         self._conn.execute(f'ALTER TABLE "{table}" DROP COLUMN "{name}"')
 
-    def create_index(self, table: str, column: str, unique: bool = False) -> None:
-        u = "UNIQUE " if unique else ""
-        self._conn.execute(f'CREATE {u}INDEX "idx_{table}_{column}" ON "{table}" ("{column}")')
+    def modify_column(self, table: str, name: str, vt: ValueType) -> None:
+        """ALTER column type (mutation_ddl.rs:36-68 Modify). SQLite has
+        no in-place retype — rebuild the table through the frame API
+        instead (the renderer refuses the dialect)."""
+        self._conn.execute(
+            render_alter_modify_column(table, name, _SQL_TYPES[vt], self.dialect)
+        )
+
+    def create_index(
+        self, table: str, column: str | list[str], unique: bool = False, name: str | None = None
+    ) -> None:
+        cols = [column] if isinstance(column, str) else list(column)
+        self._conn.execute(render_create_index(table, cols, name, unique, self.dialect))
+
+    def drop_index(self, table: str, name: str) -> None:
+        """mutation_ddl.rs:107-112 (MySQL scopes the name to the table)."""
+        self._conn.execute(render_drop_index(table, name, self.dialect))
+
+    def create_foreign_key(
+        self, table: str, column: str, ref_table: str, ref_column: str, name: str | None = None
+    ) -> None:
+        """mutation_ddl.rs:114-130. SQLite cannot ADD a foreign key
+        after table creation — declare it in create_table instead."""
+        if self.dialect == "sqlite":
+            raise NotImplementedError("SQLite only supports FKs at CREATE TABLE time")
+        self._conn.execute(
+            render_create_foreign_key(table, column, ref_table, ref_column, name, self.dialect)
+        )
+
+    def drop_foreign_key(self, table: str, name: str) -> None:
+        """mutation_ddl.rs:132-141."""
+        if self.dialect == "sqlite":
+            raise NotImplementedError("SQLite only supports FKs at CREATE TABLE time")
+        self._conn.execute(render_drop_foreign_key(table, name, self.dialect))
 
     # ------------------------------------------------------------------
     # read (§2.3 Select ADT → SQL → frame; lifecycle SURVEY.md §3.1)
     # ------------------------------------------------------------------
 
+    # declared SQL type -> Spark DDL type, for empty-result schemas
+    _SQL_TO_SPARK = {
+        "BOOLEAN": "boolean",
+        "SMALLINT": "short",
+        "INTEGER": "int",
+        "INT": "int",
+        "BIGINT": "long",
+        "REAL": "float",
+        "FLOAT": "float",
+        "DOUBLE": "double",
+        "DOUBLE PRECISION": "double",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp_ntz",
+        "VARCHAR": "string",
+        "TEXT": "string",
+        "BLOB": "binary",
+    }
+
+    def _spark_type_of(self, declared: str) -> str:
+        base = declared.split("(")[0].strip().upper()
+        return self._SQL_TO_SPARK.get(base, "string")
+
     def select(self, sel: Select, index: str | None = None) -> FxFrame:
-        sql = render_select(sel)
         if sel.include_primary_key and index is None:
             index = self.get_primary_key(sel.table)
-        return self.raw_select(sql, index)
+            if index is not None:
+                sel = with_primary_key(sel, index)
+        sql = render_select(sel)
+        # derive the typed schema from the catalog so empty results
+        # round-trip with real dtypes, not all-string fabrications
+        schema = None
+        declared = dict(self.table_schema(sel.table))
+        if sel.columns and all(
+            not isinstance(c, FnCol) and c.name in declared for c in sel.columns
+        ):
+            schema = ", ".join(
+                f"`{c.display_name()}` {self._spark_type_of(declared[c.name])}"
+                for c in sel.columns
+            )
+        elif not sel.columns and declared:
+            schema = ", ".join(
+                f"`{name}` {self._spark_type_of(t)}" for name, t in declared.items()
+            )
+        return self.raw_select(sql, index, schema)
 
-    def raw_select(self, sql: str, index: str | None = None) -> FxFrame:
+    def raw_select(self, sql: str, index: str | None = None, schema: str | None = None) -> FxFrame:
+        """Run raw SQL into a frame. ``schema`` (Spark DDL string) is
+        used for empty results — without it an empty cursor carries no
+        type information on DB-API drivers (cursor.description type
+        codes are None on sqlite3), so columns fall back to string."""
         import pandas as pd
 
         cur = self._conn.cursor()
         cur.execute(sql)
         cols = [d[0] for d in cur.description]
-        pdf = pd.DataFrame(cur.fetchall(), columns=cols)
-        df = self.spark.createDataFrame(pdf) if len(pdf) else self.spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
+        rows = cur.fetchall()
+        if rows:
+            df = self.spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+        else:
+            ddl = schema or ", ".join(f"`{c}` string" for c in cols)
+            df = self.spark.createDataFrame([], schema=ddl)
         if index is not None and index not in df.columns:
             index = None
         return FxFrame(df, index)
@@ -288,8 +389,18 @@ class SqlExecutor:
             if fx.index_tag is None:
                 raise ValueError("upsert requires an index tag")
             idx = fx.index_tag.name
-            ids = [r[0] for r in fx.df.select(idx).collect()]
-            existing = set(self.select_existing_ids(table, idx, ids))
+            # stream the key column in bounded batches — the probe is
+            # batched IN lists like the reference (query_dml.rs:14-28)
+            # without ever materializing the full id list on the driver
+            existing: set[Any] = set()
+            batch: list[Any] = []
+            for r in fx.df.select(idx).toLocalIterator():
+                batch.append(r[0])
+                if len(batch) >= 1000:
+                    existing.update(self.select_existing_ids(table, idx, batch))
+                    batch = []
+            if batch:
+                existing.update(self.select_existing_ids(table, idx, batch))
             to_update, to_insert = fx.popup_rows(list(existing))
             n = self.insert(table, to_insert)
             n += self.update(table, to_update)

@@ -174,3 +174,50 @@ def test_compile_scalar_fns(spark, sf_dir):
     )
     df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
     _assert_same(df, sf_dir, render_select(sel).replace("AS string", "AS varchar"))
+
+
+def test_qualified_cond_on_shared_column_name(spark, sf_dir):
+    """Cond.tbl must qualify the Spark-side reference too: nation and
+    region both expose a *key column whose bare name the compiler can
+    resolve only through the table alias when both sides carry it."""
+    sel = Select(
+        table="nation",
+        columns=[
+            Col("n_name", tbl="nation"),
+            Col("r_name", tbl="region"),
+        ],
+        joins=[Join("region", [("n_regionkey", "r_regionkey")], "inner")],
+        filter=[Cond("n_regionkey", "in", [0, 1], tbl="nation")],
+    )
+    df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(sel))
+
+
+def test_grouped_select_aliased_key_and_scalar_fn(spark, sf_dir):
+    """Group keys may be projected with an alias or through a scalar
+    function — those apply AFTER aggregation (the raw key is what was
+    grouped on)."""
+    sel = Select(
+        table="customer",
+        columns=[
+            Col("c_mktsegment", alias="segment"),
+            FnCol("count", Col("c_custkey"), alias="n"),
+        ],
+        group_by=["c_mktsegment"],
+    )
+    df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+    assert df.columns == ["segment", "n"]
+    _assert_same(df, sf_dir, render_select(sel))
+
+    sel2 = Select(
+        table="customer",
+        columns=[
+            FnCol("lower", Col("c_mktsegment"), alias="seg_lower"),
+            FnCol("max", Col("c_acctbal"), alias="max_bal"),
+        ],
+        group_by=["c_mktsegment"],
+    )
+    df2 = compile_select(sel2, ParquetDirProvider(spark, sf_dir))
+    assert df2.columns == ["seg_lower", "max_bal"]
+    got = {r["seg_lower"] for r in df2.collect()}
+    assert got and all(s == s.lower() for s in got)

@@ -45,13 +45,31 @@ _like_cond = st.builds(
 )
 _cond = st.one_of(_num_cond, _in_cond, _between_cond, _like_cond)
 
+# table-qualified conds (Cond.tbl) — both backends must resolve the
+# qualifier identically on joins (ADVICE round 1)
+_qual_cust_cond = st.builds(
+    Cond,
+    col=st.sampled_from(NUM_COLS),
+    op=st.sampled_from(["eq", "ne", "gt", "ge", "lt", "le"]),
+    value=st.integers(-500, 1500),
+    tbl=st.just("customer"),
+)
+_qual_nation_cond = st.builds(
+    Cond,
+    col=st.just("n_regionkey"),
+    op=st.sampled_from(["eq", "lt", "ge"]),
+    value=st.integers(0, 4),
+    tbl=st.just("nation"),
+)
+_join_cond = st.one_of(_cond, _qual_cust_cond, _qual_nation_cond)
+
 
 @st.composite
-def _tokens(draw, depth=0):
+def _tokens(draw, depth=0, cond=_cond):
     def operand():
         if depth < 1 and draw(st.booleans()) and draw(st.booleans()):
-            return Nest(draw(_tokens(depth + 1)))
-        return draw(_cond)
+            return Nest(draw(_tokens(depth + 1, cond)))
+        return draw(cond)
 
     out = []
     if draw(st.booleans()):
@@ -83,7 +101,7 @@ def _selects(draw):
                     draw(st.sampled_from(["inner", "left"])),
                 )
             ],
-            filter=draw(st.none() | _tokens()),
+            filter=draw(st.none() | _tokens(cond=_join_cond)),
             order=[Order("c_custkey")],
             limit=draw(st.none() | st.integers(1, 50)),
         )

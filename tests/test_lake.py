@@ -95,3 +95,18 @@ def test_lake_delete_adt(spark, fx, tmp_path):
     n = t.delete(Delete(table="t", filter=[Cond("id", "in", [2, 3])]))
     assert n == 2
     assert sorted(r[0] for r in t.read().data()) == [1, 4]
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL (not
+    TRUE) must survive — a bare ~cond would silently drop them."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "id long, val double"
+    )
+    p = str(tmp_path / "t_null")
+    t = save_lake(spark, p, df, SaveStrategy.REPLACE, index="id")
+    n = t.delete_where(F.col("val") > 2)
+    assert n == 1  # only id=1 matches TRUE
+    assert sorted(r[0] for r in t.read().data()) == [2, 3]  # NULL row kept

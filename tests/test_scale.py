@@ -172,6 +172,57 @@ def test_bucketed_join_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS fx_b_lineitem")
 
 
+def test_embedding_neardup_no_cartesian(spark):
+    """The LSH-bucketed embedding near-dup must never plan an
+    all-pairs join — candidates come from the (table, bucket)
+    equi-join, the non-negotiable 100 TB property."""
+    plan = _plan(spark, "d_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_embedding_no_cartesian(spark):
+    plan = _plan(spark, "pipeline_embedding_prep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_candidates_from_lsh(spark):
+    """d_jaccard_pairs defaults to MinHash-LSH candidates: the
+    candidate join must key on the banded signature, not the raw
+    shingle inverted index (hot-shingle-quadratic)."""
+    from fabrix_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lsh = dedup.jaccard_pairs(docs, threshold=0.2)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # identical result to the exact inverted-index path on this corpus
+    exact = dedup.jaccard_pairs(docs, threshold=0.2, method="inverted")
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    """LSH-verified pairs are exactly the true pairs that collide in
+    ≥1 bucket table — always a subset of the brute-force result, with
+    identical cosines on the pairs it keeps."""
+    from fabrix_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_dedup_pairs(emb, threshold=0.4, method="exact").collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
 def test_join_strategy_hints(spark):
     """Broadcast and merge hints must reach the physical planner —
     the explicit controls when AQE's choice needs overriding."""

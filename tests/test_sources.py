@@ -288,3 +288,119 @@ def test_row_count_option(spark, fx, tmp_path):
     assert "rid" in back.columns
     ids = [r["rid"] for r in back.collect()]
     assert len(set(ids)) == 4  # unique row ids
+
+
+# ---------------------------------------------------------------------------
+# round-2 DDL/introspection surface (mutation_ddl.rs:36-141,
+# query_ddl.rs:76-244) + PK-enriched select + empty-result schemas
+# ---------------------------------------------------------------------------
+
+
+def test_ddl_golden_strings_per_dialect():
+    from fabrix_spark.plans.sqlgen import (
+        render_alter_modify_column,
+        render_create_foreign_key,
+        render_create_index,
+        render_drop_foreign_key,
+        render_drop_index,
+    )
+
+    assert (
+        render_alter_modify_column("t", "c", "BIGINT", "mysql")
+        == "ALTER TABLE `t` MODIFY COLUMN `c` BIGINT"
+    )
+    assert (
+        render_alter_modify_column("t", "c", "BIGINT", "postgres")
+        == 'ALTER TABLE "t" ALTER COLUMN "c" TYPE BIGINT'
+    )
+    with pytest.raises(ValueError, match="SQLite"):
+        render_alter_modify_column("t", "c", "BIGINT", "sqlite")
+
+    assert (
+        render_create_index("t", ["a", "b"], unique=True, dialect="postgres")
+        == 'CREATE UNIQUE INDEX "idx_t_a_b" ON "t" ("a", "b")'
+    )
+    assert render_drop_index("t", "idx_t_a", "mysql") == "DROP INDEX `idx_t_a` ON `t`"
+    assert render_drop_index("t", "idx_t_a", "postgres") == 'DROP INDEX "idx_t_a"'
+
+    assert (
+        render_create_foreign_key("child", "parent_id", "parent", "id", dialect="postgres")
+        == 'ALTER TABLE "child" ADD CONSTRAINT "fk_child_parent_id" '
+        'FOREIGN KEY ("parent_id") REFERENCES "parent" ("id")'
+    )
+    assert (
+        render_drop_foreign_key("child", "fk_child_parent_id", "mysql")
+        == "ALTER TABLE `child` DROP FOREIGN KEY `fk_child_parent_id`"
+    )
+    assert (
+        render_drop_foreign_key("child", "fk_child_parent_id", "postgres")
+        == 'ALTER TABLE "child" DROP CONSTRAINT "fk_child_parent_id"'
+    )
+
+
+def test_pk_catalog_queries_per_dialect(ex, fx):
+    from fabrix_spark.plans.sqlgen import render_primary_key_query
+
+    # live on sqlite (pragma_table_info table-valued function)
+    ex.create_table("tpk", fx)
+    assert ex.get_primary_key("tpk") == "id"
+    # golden per-dialect catalog SQL (query_ddl.rs:201-244)
+    assert "KEY_COLUMN_USAGE" in render_primary_key_query("t", "mysql")
+    assert "pg_index" in render_primary_key_query("t", "postgres")
+    assert "information_schema" in render_primary_key_query("t", "ansi")
+
+
+def test_index_and_constraint_introspection(ex, fx):
+    ex.create_table("ti", fx)
+    ex.create_index("ti", "name")
+    ex.create_index("ti", ["val", "name"], unique=True, name="uq_vn")
+    idx = dict(ex.list_indexes("ti"))
+    assert idx["idx_ti_name"] is False
+    assert idx["uq_vn"] is True
+    cons = ex.table_constraints("ti")
+    assert ("pk_ti", "PRIMARY KEY") in cons
+    ex.drop_index("ti", "idx_ti_name")
+    assert "idx_ti_name" not in dict(ex.list_indexes("ti"))
+
+
+def test_fk_requires_non_sqlite(ex):
+    with pytest.raises(NotImplementedError):
+        ex.create_foreign_key("child", "pid", "parent", "id")
+    with pytest.raises(NotImplementedError):
+        ex.drop_foreign_key("child", "fk")
+
+
+def test_select_include_primary_key(ex, fx):
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    sel = Select(
+        table="t", columns=[Col("name")], filter=[Cond("val", "gt", 2.0)],
+        include_primary_key=True,
+    )
+    got = ex.select(sel)
+    # PK prepended and index-tagged (ec.rs:555-591)
+    assert got.columns[0] == "id"
+    assert got.index_tag is not None and got.index_tag.name == "id"
+    assert sorted(r[0] for r in got.data()) == [2, 3, 4]
+
+
+def test_compile_select_fx_include_pk(spark, sf_dir):
+    from fabrix_spark.plans import ParquetDirProvider, Select, compile_select_fx
+
+    sel = Select(
+        table="orders",
+        columns=[Col("o_orderstatus")],
+        include_primary_key=True,
+    )
+    fx2 = compile_select_fx(
+        sel, ParquetDirProvider(spark, sf_dir), primary_key="o_orderkey"
+    )
+    assert fx2.columns[0] == "o_orderkey"
+    assert fx2.index_tag is not None and fx2.index_tag.name == "o_orderkey"
+
+
+def test_empty_select_preserves_types(ex, fx):
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    sel = Select(table="t", columns=[Col("id"), Col("val")], filter=[Cond("val", "gt", 1e9)])
+    got = ex.select(sel)
+    assert got.height == 0
+    assert dict(got.df.dtypes) == {"id": "bigint", "val": "double"}

@@ -70,3 +70,11 @@ def test_dialect_state_does_not_leak():
     render_select(CANONICAL, dialect="mysql")
     # a following default render must be back to bare/ANSI idents
     assert render_select(CANONICAL).startswith("SELECT v1, v2")
+
+
+def test_render_filter_dialect_param():
+    from fabrix_spark.plans.sqlgen import render_filter
+
+    toks = [Cond("weird col", "eq", 1)]
+    assert render_filter(toks, dialect="mysql") == "`weird col` = 1"
+    assert render_filter(toks) == '"weird col" = 1'

@@ -65,3 +65,25 @@ def test_interval_join_buckets(spark):
     got = sorted(r["r_id"] for r in out.collect())
     # 10:04 in range; 10:06 outside; user 8 excluded; 9:59 before
     assert got == [10]
+
+
+def test_asof_fills_whole_right_row(spark):
+    """The right row must carry forward ATOMICALLY: a NULL attribute
+    in the latest right row stays NULL instead of backfilling from an
+    older row (per-column fill would stitch rows together)."""
+    left = spark.createDataFrame([(1, _ts(12, 0))], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(_ts(10, 0), 5.0, 50.0), (_ts(11, 0), 7.0, None)],
+        "ts timestamp, a double, b double",
+    )
+    row = asof_join(left, right, on="ts").collect()[0]
+    assert row["a"] == 7.0
+    assert row["b"] is None  # NOT 50.0 from the older row
+
+
+def test_asof_prefixes_colliding_right_columns(spark):
+    left = spark.createDataFrame([(1, _ts(12, 0), 9.0)], "id long, ts timestamp, v double")
+    right = spark.createDataFrame([(_ts(10, 0), 5.0)], "ts timestamp, v double")
+    row = asof_join(left, right, on="ts", right_cols=["v"]).collect()[0]
+    assert row["v"] == 9.0  # left's own column intact
+    assert row["r_v"] == 5.0  # right value arrives prefixed

@@ -1,6 +1,17 @@
 """Local stand-in for the driver's correctness gate: run every
 registry query on Spark AND its DuckDB oracle at the given sf dir,
-compare row-count, column names, and order-insensitive values.
+compare row-count, column names, and TYPED order-insensitive values.
+
+Typed comparison (round-2 hardening): both results are fetched as
+ARROW tables — the representation a value-hash comparator sees — so
+type-class mismatches that text normalization hides become visible:
+  * DuckDB sum(BIGINT) → HUGEINT → decimal128, vs Spark LONG → int64
+  * DuckDB floor/ceil(DOUBLE) → DOUBLE, vs Spark floor/ceil → int64
+  * DuckDB sign → TINYINT vs Spark signum → DOUBLE
+Width within a family is NOT a failure (int32 vs int64, both render
+identically; DuckDB year() is BIGINT where Spark's is INT) but the
+family (int / float / decimal / date / timestamp / string / …) must
+agree, matching the observed driver verdicts in CORRECTNESS_r01.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
@@ -14,6 +25,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 from fabrix_spark.queries import REGISTRY  # noqa: E402
 from fabrix_spark.session import get_spark  # noqa: E402
@@ -32,16 +44,76 @@ TABLES = [
 ]
 
 
-def norm(v):
+def family(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{family(t.value_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def canon(v) -> str:
+    """Canonical per-value string — floats keep their float-ness
+    (``100.0`` ≠ ``100``), exactly what a typed value hash sees."""
+    if v is None:
+        return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
     return str(v)
 
 
-def row_key(row, col_order):
-    return tuple(norm(row[i]) for i in col_order)
+def table_rows(tbl: pa.Table) -> list[tuple]:
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = [tuple(canon(col[i]) for col in data) for i in range(tbl.num_rows)]
+    rows.sort()
+    return rows
+
+
+def compare(s_tbl: pa.Table, o_tbl: pa.Table) -> str | None:
+    """Return None when equal, else a failure description."""
+    scols, ocols = sorted(s_tbl.column_names), sorted(o_tbl.column_names)
+    if scols != ocols:
+        return f"columns spark={scols} duck={ocols}"
+    if s_tbl.num_rows != o_tbl.num_rows:
+        return f"rowcount spark={s_tbl.num_rows} duck={o_tbl.num_rows}"
+    for c in scols:
+        sf_, of_ = (
+            family(s_tbl.column(c).type),
+            family(o_tbl.column(c).type),
+        )
+        if sf_ != of_ and "null" not in (sf_, of_):
+            return f"TYPE {c}: spark={sf_}({s_tbl.column(c).type}) duck={of_}({o_tbl.column(c).type})"
+    s_rows = table_rows(s_tbl)
+    o_rows = table_rows(o_tbl)
+    if s_rows != o_rows:
+        diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:3]
+        return f"values differ, first diffs: {diffs}"
+    return None
 
 
 def main() -> int:
@@ -59,44 +131,29 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qd.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            s_tbl = sdf.toArrow()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if qd.oracle is None:
-            print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"SKIP {name}: rows-only ({s_tbl.num_rows} rows, {time.time()-t0:.1f}s)")
             n_skip += 1
             continue
         try:
-            res = con.execute(qd.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            o_tbl = con.execute(qd.oracle).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
 
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: columns spark={scols} duck={ocols}")
+        err = compare(s_tbl, o_tbl)
+        if err:
+            print(f"FAIL {name}: {err}")
             n_fail += 1
-            continue
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
-            n_fail += 1
-            continue
-        s_order = [scols.index(c) for c in sorted(scols)]
-        o_order = [ocols.index(c) for c in sorted(ocols)]
-        s_set = sorted(row_key(r, s_order) for r in srows)
-        o_set = sorted(row_key(r, o_order) for r in orows)
-        if s_set != o_set:
-            diffs = [(a, b) for a, b in zip(s_set, o_set) if a != b][:3]
-            print(f"FAIL {name}: values differ, first diffs: {diffs}")
-            n_fail += 1
-            continue
-        print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-        n_pass += 1
+        else:
+            print(f"PASS {name} ({s_tbl.num_rows} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     return 1 if n_fail else 0

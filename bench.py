@@ -35,20 +35,28 @@ def main() -> None:
             except Exception as e:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # best-of-2 per query: single runs on a shared box carry GC /
-    # page-cache noise of ±40%; the min measures steady-state capacity
+    # 3 runs per query: the headline numbers report the MEDIAN (robust
+    # single-run estimate, reconcilable with the driver's one-shot
+    # timing); best-of-3 is recorded alongside as steady-state capacity
+    # (GC / page-cache noise on a shared box is ±40%)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
-    total = 0.0
+    per_query_best: dict[str, float] = {}
+    total = total_best = 0.0
     for name, fn in headline_queries().items():
-        best, n = float("inf"), -1
-        for _ in range(2):
+        times, n = [], -1
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count() if not df.isStreaming else -1
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        median = times[len(times) // 2]
+        per_query[name] = round(median, 3)
+        per_query_best[name] = round(times[0], 3)
+        total += median
+        total_best += times[0]
+        print(f"# {name}: median {median:.3f}s best {times[0]:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -57,6 +65,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_best": per_query_best,
+                "total_best": round(total_best, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -147,7 +147,12 @@ def jaccard_pairs(
     sh_sets = _shingle_sets(df, text_col, id_col, shingle_size)
 
     if candidates is None and method == "lsh":
-        sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col)
+        # shingling feeds three branches (signatures + both verify
+        # joins) — materialize it once instead of re-scanning the
+        # corpus per branch (at warehouse scale this is the persisted
+        # signature/shingle table every LSH pipeline keeps)
+        sh_sets = sh_sets.localCheckpoint(eager=True)
+        sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col, sets=sh_sets)
         candidates = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
     elif candidates is None:
         sizes = sh_sets.select("__id", F.size("__set").alias("__sz"))
@@ -178,8 +183,12 @@ def jaccard_pairs(
         )
         candidates = bound.select("id_a", "id_b")
 
-    # exact verification of candidate pairs: the narrow per-doc string
-    # sets give the true intersection and sizes (no shuffle to build)
+    return _verify_jaccard(sh_sets, candidates, threshold)
+
+
+def _verify_jaccard(sh_sets: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact verification of candidate pairs: the narrow per-doc string
+    sets give the true intersection and sizes (no shuffle to build)."""
     pair_sh = candidates.select(F.col("id_a"), F.col("id_b"))
     scored = (
         pair_sh.join(sh_sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
@@ -213,6 +222,7 @@ def minhash_signatures(
     shingle_size: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: min over shingles of
     ``(a_i * h32(shingle) + b_i) % P`` for each of ``n_hashes``
@@ -221,8 +231,11 @@ def minhash_signatures(
     NARROW — pure array expressions over the per-doc shingle set (md5
     computed once per shingle, then ``array_min`` per permutation); no
     shuffle at all until someone aggregates downstream. At 100 TB the
-    signature stage is therefore a map-only scan."""
-    sets = _shingle_sets(df, text_col, id_col, shingle_size)
+    signature stage is therefore a map-only scan. Pass a precomputed
+    (materialized) ``sets`` frame to share the shingling scan with the
+    verification joins downstream."""
+    if sets is None:
+        sets = _shingle_sets(df, text_col, id_col, shingle_size)
     hashed = sets.select(
         F.col("__id").alias(id_col),
         F.transform("__set", lambda s: shingle_hash32(s)).alias("__hs"),
@@ -284,9 +297,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col)
+    sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col, sets=sets)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
-    return jaccard_pairs(df, threshold, shingle_size, text_col, id_col, candidates=cands)
+    return _verify_jaccard(sets, cands, threshold)
 
 
 # ---------------------------------------------------------------------------

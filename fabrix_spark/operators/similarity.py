@@ -67,15 +67,24 @@ def cosine_topk(
         cvec = _as_double(F.col(vec_col))
         integer = False
 
-    c = spread(corpus).select(F.col(id_col).alias("c_id"), cvec.alias("c_vec")).withColumn(
-        "c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer)
+    # single-valued non-foldable key (see ivf_assign): the corpus ×
+    # broadcast-queries pairing runs as a broadcast HASH join rather
+    # than a nested-loop node
+    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    c = (
+        spread(corpus)
+        .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
+        .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
+        .withColumn("__one", one("c_id"))
     )
-    q = queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec")).withColumn(
-        "q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer)
+    q = (
+        queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
+        .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
+        .withColumn("__one", one("q_id"))
     )
 
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.join(F.broadcast(q), "__one")
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -243,16 +252,17 @@ def hyperplane_lsh_buckets(
     if dim is not None:
         signs = plane_signs(n_tables, n_planes, dim)
 
+        # expressions built as SQL strings: constructing 64 F.lit()
+        # columns per plane × 32 planes costs thousands of py4j
+        # round-trips (~8 s of DRIVER time before a single task runs);
+        # one F.expr per plane is a single call
         def sign_component(t: int, p: int, bit: int) -> Column:
-            sv = F.array(*[F.lit(s).cast("long") for s in signs[t][p]])
-            dot = F.aggregate(
-                F.zip_with(F.col("__q"), sv, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            lst = ",".join(f"{s}L" for s in signs[t][p])
+            dot = (
+                f"aggregate(zip_with(__q, array({lst}), (x, s) -> x * s), "
+                "0L, (acc, x) -> acc + x)"
             )
-            return F.when(dot > 0, F.lit(1 << bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            return F.expr(f"IF({dot} > 0, {1 << bit}L, 0L)")
 
     else:
 
@@ -301,13 +311,14 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket in ANY table
     (equi-join on (table, bucket) — the 100 TB path), then exact
     cosine rank within candidates. Recall tunes up with more tables /
     fewer planes; candidate cost with the opposite."""
-    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col, n_tables=n_tables).withColumnRenamed(id_col, "c_id")
-    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col, n_tables=n_tables).withColumnRenamed(id_col, "q_id")
+    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col, n_tables=n_tables, dim=dim).withColumnRenamed(id_col, "c_id")
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col, n_tables=n_tables, dim=dim).withColumnRenamed(id_col, "q_id")
     cand = (
         cb.join(qb, ["table", "bucket"])
         .filter(F.col("c_id") != F.col("q_id"))

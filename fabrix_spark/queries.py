@@ -1800,13 +1800,15 @@ def _emb_lsh_cte(n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
             bits.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
         per_table.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bucket FROM n")
     buckets = "\nUNION ALL\n".join(per_table)
+    # MATERIALIZED: without it DuckDB inlines the bucket lambdas into
+    # both self-join sides (3× slower at sf0.01)
     return f"""
 q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
   FROM embeddings
 ),
-n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
-buckets AS ({buckets}),
+n AS MATERIALIZED (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+buckets AS MATERIALIZED ({buckets}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -1874,7 +1876,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_cosine_topk(emb, queries, k=5, n_planes=6)
+    return similarity.lsh_cosine_topk(emb, queries, k=5, n_planes=6, dim=64)
 
 
 _IVF_ORACLE = """

@@ -205,3 +205,27 @@ def test_audio_decode_stub_raises(docs):
     df = multimodal.attach_binary(docs.limit(1), "text")
     with pytest.raises(Exception):
         multimodal.decode_audio_features(df, fake_decode=False).collect()
+
+
+def test_binary_file_source_end_to_end(spark, tmp_path):
+    """Real ``spark.read.format('binaryFile')`` ingest — the
+    production multimodal path: one row per object with path/length/
+    content, fed through the same metadata + fake-decode kernels."""
+    import hashlib
+
+    payloads = {f"blob_{i}.bin": bytes([i]) * (100 + i) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    assert {f.name for f in df.schema} == {"path", "modificationTime", "length", "content"}
+
+    meta = multimodal.binary_metadata(df, bin_col="content", id_col="path")
+    got = {r["path"].rsplit("/", 1)[-1]: (r["n_bytes"], r["content_md5"]) for r in meta.collect()}
+    for name, data in payloads.items():
+        assert got[name] == (len(data), hashlib.md5(data).hexdigest())
+
+    feats = multimodal.decode_image_features(
+        df.withColumn("doc_id", F.monotonically_increasing_id()), fake_decode=True
+    )
+    assert feats.count() == 4

@@ -232,3 +232,12 @@ def test_join_strategy_hints(spark):
     assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
     bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_no_nested_loop(spark):
+    """Brute-force top-k pairs corpus × broadcast queries through a
+    broadcast HASH join (single-valued key), not a nested-loop node."""
+    plan = _plan(spark, "sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_dedup_pairs",
     "dup_clusters",
+    "decontaminate",
     "keep_canonical",
 ]
 
@@ -543,4 +544,51 @@ def embedding_dedup_pairs(
         .join(b, cands.id_b == F.col("b.__id"))
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    shingle_size: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share word n-grams with a
+    benchmark/eval set — the standard n-gram decontamination pass every
+    serious training-data pipeline runs before training.
+
+    Output: every train document with ``n_overlap`` (number of its
+    DISTINCT shingles that appear anywhere in the benchmark) and a
+    ``contaminated`` flag (n_overlap ≥ min_overlap).
+
+    Scale shape: the benchmark's distinct shingle set is usually tiny
+    relative to the corpus → broadcast equi-join on the shingle; the
+    train side stays a narrow explode + one count aggregate keyed by
+    doc id. Never an all-pairs comparison."""
+    train_sh = _doc_shingles(train, text_col, id_col, shingle_size)
+    bench_sh = (
+        _doc_shingles(benchmark, text_col, id_col, shingle_size)
+        .select("__sh")
+        .distinct()
+    )
+    overlap = (
+        train_sh.join(F.broadcast(bench_sh), "__sh")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ids = train.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(overlap, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
     )

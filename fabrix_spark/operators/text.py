@@ -22,6 +22,7 @@ __all__ = [
     "bpe_like_tokens",
     "token_count",
     "quality_score",
+    "repetition_scores",
     "lang_id",
     "fingerprint",
     "tfidf_top_terms",
@@ -213,4 +214,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return spread(df).select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", t).cast("binary")).alias("fingerprint"),
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    — public methodology): documents dominated by a few repeated
+    words/n-grams are boilerplate or spam and get filtered before
+    training.
+
+    Per document:
+      * ``top_word_frac``      — occurrences of the most frequent token
+                                 / total tokens
+      * ``dup_word_frac``      — 1 − distinct/total tokens
+      * ``dup_bigram_char_frac`` — characters covered by word-bigrams
+                                 occurring more than once / characters
+                                 in all bigrams (tie-free: a summed
+                                 metric, no argmax)
+
+    Scale shape: explode → two hash aggregates keyed by (doc, gram) —
+    map-side combine keeps the shuffle at distinct-gram cardinality;
+    everything is deterministic integer arithmetic, rounded once."""
+    t = tokens(F.lower(F.col(text_col)))
+    base = spread(df).select(F.col(id_col), t.alias("__toks"))
+
+    grams = base.select(
+        id_col,
+        F.size("__toks").alias("__n"),
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 2)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", "__toks")))
+        ).alias("__gram"),
+    )
+    per_gram = grams.groupBy(id_col, "__gram", "__n").agg(F.count("*").alias("__c"))
+    bigram_stats = per_gram.groupBy(id_col).agg(
+        F.sum(F.length("__gram") * F.col("__c")).alias("__chars_all"),
+        F.sum(
+            F.when(F.col("__c") > 1, F.length("__gram") * F.col("__c")).otherwise(0)
+        ).alias("__chars_dup"),
+    )
+
+    toks = base.select(id_col, F.size("__toks").alias("__n"), F.explode("__toks").alias("__tok"))
+    per_tok = toks.groupBy(id_col, "__tok", "__n").agg(F.count("*").alias("__c"))
+    tok_stats = per_tok.groupBy(id_col, "__n").agg(
+        F.max("__c").alias("__top"), F.count("*").alias("__distinct")
+    )
+
+    return (
+        tok_stats.join(bigram_stats, id_col)
+        .select(
+            id_col,
+            F.round(F.col("__top") / F.col("__n"), 6).alias("top_word_frac"),
+            F.round(1 - F.col("__distinct") / F.col("__n"), 6).alias("dup_word_frac"),
+            F.round(F.col("__chars_dup") / F.col("__chars_all"), 6).alias(
+                "dup_bigram_char_frac"
+            ),
+        )
     )

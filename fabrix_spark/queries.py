@@ -1560,6 +1560,71 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e_sliding_hourly",
+    oracle="""
+SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - o) * 1800 * 1000000) AS win_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events, unnest([0, 1]) AS t(o)
+GROUP BY 1, 2
+""",
+)
+def e_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h width, 30 min slide): every
+    event lands in exactly two windows. The oracle reproduces the
+    window grid arithmetically (two epoch-aligned tumbling grids)."""
+    e = _events(spark, sf_dir)
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "e_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30 min gap) in batch mode — Spark's
+    session_window merges events whose gap stays UNDER the timeout
+    (half-open intervals: a gap of exactly 30 min starts a new
+    session, hence the >= in the oracle's lag formulation)."""
+    e = _events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 # ===========================================================================
 # temporal joins (as-of / interval — §2.11 non-equi joins)
 # ===========================================================================
@@ -1642,8 +1707,12 @@ SELECT doc_id, unnest(CASE WHEN len(toks) >= {n}
          THEN list_distinct(list_transform(range(0, len(toks) - {n} + 1),
               i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')))
          ELSE [array_to_string(toks, ' ')] END) AS sh
-FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src})
 """
+
+
+def _shingle_sql(n: int, src: str = "documents") -> str:
+    return _SHINGLE_SQL.format(n=n, src=src)
 
 
 @register(
@@ -1673,7 +1742,7 @@ def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_jaccard_pairs",
     oracle=f"""
-WITH ds AS ({_SHINGLE_SQL.format(n=3)}),
+WITH ds AS ({_shingle_sql(3)}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -1705,7 +1774,7 @@ def _minhash_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.2) 
         for bi in range(bands)
     )
     return f"""
-WITH ds AS ({_SHINGLE_SQL.format(n=3)}),
+WITH ds AS ({_shingle_sql(3)}),
 hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32 FROM ds),
 sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS ({band_sel}),
@@ -2071,6 +2140,67 @@ def t_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.normalize_text(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "t_repetition",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+),
+tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM base),
+per_tok AS (SELECT doc_id, n, tok, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+tok_stats AS (SELECT doc_id, n, max(c) AS top, count(*) AS dct FROM per_tok GROUP BY 1, 2),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      THEN list_transform(range(0, len(toks) - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+      ELSE [array_to_string(toks, ' ')] END) AS g
+  FROM base
+),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+bigram_stats AS (
+  SELECT doc_id,
+         sum(length(g) * c) AS chars_all,
+         sum(CASE WHEN c > 1 THEN length(g) * c ELSE 0 END) AS chars_dup
+  FROM per_gram GROUP BY doc_id
+)
+SELECT t.doc_id,
+       round(top / n, 6) AS top_word_frac,
+       round(1 - dct / n, 6) AS dup_word_frac,
+       round(chars_dup / chars_all, 6) AS dup_bigram_char_frac
+FROM tok_stats t JOIN bigram_stats b ON t.doc_id = b.doc_id
+""",
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters — the quality gate every LLM
+    corpus pipeline runs before training."""
+    return text.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d_decontaminate",
+    oracle=f"""
+WITH train AS (SELECT * FROM documents WHERE source <> 'src0'),
+bench AS (SELECT * FROM documents WHERE source = 'src0'),
+tsh AS ({_shingle_sql(5, "train")}),
+bsh AS (SELECT DISTINCT sh FROM ({_shingle_sql(5, "bench")})),
+ov AS (SELECT doc_id, count(*) AS n FROM tsh JOIN bsh USING (sh) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+       coalesce(ov.n, 0) >= 1 AS contaminated
+FROM train d LEFT JOIN ov ON ov.doc_id = d.doc_id
+""",
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing 5-gram
+    shingles with the held-out set (source src0 stands in for the
+    benchmark). Broadcast equi-join on the shingle — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        shingle_size=5,
+    )
+
+
 # ===========================================================================
 # multimodal plumbing (binary columns)
 # ===========================================================================
@@ -2361,6 +2491,12 @@ _PRIORITY = [
     "smp_cap_per_group",
     "pipeline_llm_prep",
     "pipeline_embedding_prep",
+    # new in round 2: repetition quality, decontamination, sliding +
+    # session event-time windows
+    "t_repetition",
+    "d_decontaminate",
+    "e_sliding_hourly",
+    "e_session_window",
     # event-time / temporal joins / grouping / set-op remainder
     "e_tumbling_hourly",
     "e_sessionize",
@@ -2381,10 +2517,6 @@ _PRIORITY = [
     # representatives of the round-1-verified surface (stay-green proof)
     "q1_pricing_summary",
     "adt_groupby_agg",
-    "adt_filter_nested",
-    "q5_revenue_by_nation",
-    "w_topk_orders_per_customer",
-    "s_distinct",
 ]
 
 

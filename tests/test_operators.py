@@ -229,3 +229,36 @@ def test_binary_file_source_end_to_end(spark, tmp_path):
         df.withColumn("doc_id", F.monotonically_increasing_id()), fake_decode=True
     )
     assert feats.count() == 4
+
+
+def test_repetition_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),         # one token repeated 4×
+            (2, "all words here are unique"),   # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_scores(df).collect()}
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["dup_bigram_char_frac"] == 1.0  # "spam spam" ×3
+    assert got[2]["top_word_frac"] == 0.2
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_bigram_char_frac"] == 0.0
+
+
+def test_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over anything")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup.decontaminate(train, bench, shingle_size=5).collect()}
+    assert got[1]["contaminated"] and got[1]["n_overlap"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0

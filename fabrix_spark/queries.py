@@ -801,6 +801,196 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS unit_cents
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, c.unit_cents
+FROM cost c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE p.p_size IN (5, 15, 25, 35, 45)
+  AND c.unit_cents = (SELECT min(c2.unit_cents) FROM cost c2
+                      WHERE c2.l_partkey = c.l_partkey)
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part via a correlated min
+    over an aggregated view (no partsupp table in the testdata — unit
+    cost proxied from observed lineitem price/qty, quantized to exact
+    cents so the argmin can't drift between engines).
+
+    Scale: the correlated min is a window over the (part,supp)
+    aggregate keyed on l_partkey — one hash-agg shuffle plus one
+    window shuffle on the same key (AQE coalesces); dims broadcast.
+    Reference parity: sql_adt.rs Select+Join+GroupBy composition.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25, 35, 45))
+    s = _t(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+        ).alias("unit_cents")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("__mn", F.min("unit_cents").over(w)).filter(
+        F.col("unit_cents") == F.col("__mn")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "unit_cents")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, round(cents / 100.0, 2) AS part_value
+FROM v
+WHERE cents > (SELECT CAST(sum(cents) AS DOUBLE) / count(*) FROM v) * 1.2
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total traded value exceeds a
+    threshold derived from a corpus-wide scalar subquery (here 1.2×
+    the mean per-part value, which stays selective at every scale
+    factor; TPC-H's own Q11 fraction is 0.0001/SF for the same
+    reason).
+
+    Scale: one hash aggregate on l_partkey; the global total is a
+    second tiny aggregate cross-joined back as a broadcast literal —
+    no single-partition window over the full table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    ).alias("cents")
+    v = li.groupBy("l_partkey").agg(cents)
+    total = v.agg(
+        (F.sum("cents").cast("double") / F.count("*")).alias("__mean")
+    )
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("cents") > F.col("__mean") * 1.2)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l.l_linestatus AS linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+GROUP BY linestatus
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment lines (no receipt/commit dates in
+    the testdata — "late" proxied as shipped ≥60 days after the order)
+    bucketed by line status, counting high- vs low-priority orders
+    conditionally — the reference expresses the aggregate side with
+    Function::Sum over a CASE column (sql_adt.rs:222-232).
+
+    Scale: join shuffles on orderkey; the conditional counts are
+    map-side partial aggregates on a 2-value key.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+agg AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM li l1
+JOIN agg a ON a.l_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late AND a.n_supp >= 2 AND a.n_late_supp = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late supplier on
+    multi-supplier finished orders ("late" proxied as shipped >45 days
+    after the order date; the reference's EXISTS / NOT EXISTS pair,
+    which Spark would plan as two extra shuffled self-joins, is
+    rewritten as one per-order aggregate carrying both distinct
+    counts — l1 is late, some other supplier exists (n_supp >= 2) and
+    no other supplier is late (n_late_supp == 1 — l1's own supplier).
+
+    Scale: one orderkey shuffle for the join, one for the per-order
+    distinct-count aggregate, then a broadcast supplier join — instead
+    of the textbook plan's three lineitem-sized shuffles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("late"),
+        )
+    )
+    agg = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        base.filter(F.col("late"))
+        .join(agg, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
 def _profile_oracle() -> str:
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
     parts = [

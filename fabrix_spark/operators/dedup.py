@@ -35,6 +35,7 @@ __all__ = [
     "embedding_dedup_pairs",
     "dup_clusters",
     "decontaminate",
+    "remove_common_segments",
     "keep_canonical",
 ]
 
@@ -590,5 +591,72 @@ def decontaminate(
             F.col("__id").alias(id_col),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def remove_common_segments(
+    df: DataFrame,
+    seg_words: int = 4,
+    max_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal — the line-dedup pass of
+    CCNet/RefinedWeb (public methodology), adapted to segment
+    granularity: the document is cut into consecutive ``seg_words``-word
+    segments (the "lines"), any segment that occurs in more than
+    ``max_docs`` distinct documents is removed from every document, and
+    the survivors are stitched back in order.
+
+    Output: one row per input document — ``clean_text`` (may be empty),
+    ``n_segments``, ``n_dropped``.
+
+    Scale shape: segment explode → one hash aggregate for per-segment
+    document frequency → the frequent segments (a tiny blocklist by
+    construction) broadcast back as a LEFT ANTI join — the corpus-sized
+    side never reshuffles on the segment key — then one groupBy(doc)
+    to reassemble. No all-pairs, no UDF."""
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg_words)).cast("int")
+    segs = (
+        spread(df)
+        .select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .select(
+            "__id",
+            F.size("__toks").alias("__ntok"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i * seg_words + 1, seg_words)),
+                )
+            ).alias("__pos", "__seg"),
+        )
+    )
+    common = (
+        segs.groupBy("__seg")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .filter(F.col("__df") > max_docs)
+        .select("__seg")
+    )
+    kept = segs.join(F.broadcast(common), "__seg", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__kept"),
+    )
+    base = segs.groupBy("__id").agg(F.count("*").alias("n_segments"))
+    return (
+        base.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_segments"),
+            (F.col("n_segments") - F.coalesce("__kept", F.lit(0))).alias("n_dropped"),
         )
     )

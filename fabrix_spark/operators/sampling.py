@@ -19,6 +19,8 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "cap_per_group",
+    "pack_sequences",
+    "rebalance_groups",
 ]
 
 _BUCKETS = 10_000
@@ -87,4 +89,75 @@ def cap_per_group(df: DataFrame, key: str, group_col: str, n: int, salt: str = "
         df.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n)
         .drop("__r")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    length_col: str,
+    budget: int,
+    shards: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs — the
+    sequence-packing step of every LLM data loader (concat documents
+    until ``budget`` tokens, start the next pack).
+
+    Documents are first routed to ``shards`` stable hash shards (packs
+    never cross a shard, so the layout is embarrassingly parallel and
+    identical on any cluster size — a single global ordering would
+    serialize on one partition at 100 TB). Within a shard, documents
+    are laid out in deterministic key-hash order and greedily packed by
+    running token count: a document starting at offset ``o`` joins pack
+    ``o // budget``.
+
+    Output: key, shard, pack (per-shard pack index), pack_offset
+    (token offset of this document within its shard's concatenated
+    stream) — everything a loader needs to cut physical training rows.
+    One shuffle (the per-shard window sort)."""
+    from pyspark.sql.window import Window
+
+    shard = (hash_bucket(F.col(key), _BUCKETS, salt) % shards).cast("int")
+    order = hash_bucket(F.col(key), _BUCKETS, salt + "order")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ord").asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(key), F.col(length_col), shard.alias("shard"), order.alias("__ord"))
+        .withColumn("__cum", F.sum(length_col).over(w))
+        .select(
+            key,
+            "shard",
+            ((F.col("__cum") - F.col(length_col)) / budget).cast("long").alias("pack"),
+            (F.col("__cum") - F.col(length_col)).alias("pack_offset"),
+        )
+    )
+
+
+def rebalance_groups(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample every group to the size of the smallest one — the
+    uniform corpus-mixing step (e.g. balance languages or sources
+    before training). Deterministic: each group keeps the fraction
+    ``min_count / group_count`` of its rows chosen by key hash, so the
+    output is stable across engines and partitionings.
+
+    Scale shape: per-group counts are one tiny aggregate broadcast
+    back onto the corpus — the big side never shuffles; the filter is
+    a narrow expression."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
+    floor = counts.agg(F.min("__cnt").alias("__min"))
+    cut = F.round(F.col("__min") / F.col("__cnt") * _BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .join(F.broadcast(floor))
+        .filter(hash_bucket(F.col(key), _BUCKETS, salt) < cut)
+        .drop("__cnt", "__min")
     )

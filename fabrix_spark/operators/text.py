@@ -23,6 +23,8 @@ __all__ = [
     "token_count",
     "quality_score",
     "repetition_scores",
+    "unigram_entropy",
+    "top_ngrams",
     "lang_id",
     "fingerprint",
     "tfidf_top_terms",
@@ -131,6 +133,75 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
     )
+
+
+def unigram_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram (word) entropy in nats plus type-token
+    ratio — the cheap perplexity proxy used as a corpus-quality filter
+    (low entropy = repetitive/templated text, near-max entropy with a
+    tiny vocabulary = word soup).
+
+    H = ln(n) − Σ c·ln(c) / n over integer token counts c, so the only
+    float ops are ln over small integers and one division — stable to
+    far below the 6 dp we round to.
+
+    Scale shape: explode → one hash aggregate on (doc, token) — the
+    map-side combine reduces the shuffle to distinct-token cardinality
+    — then a per-doc aggregate; no window, no UDF."""
+    t = tokens(F.lower(F.col(text_col)))
+    toks = spread(df).select(F.col(id_col), F.explode(t).alias("__tok"))
+    per_tok = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.count("*").alias("__distinct"),
+            F.sum(F.col("__c") * F.log("__c")).alias("__clogc"),
+        )
+        .select(
+            id_col,
+            F.col("__n").alias("n_tokens"),
+            F.col("__distinct").alias("n_unique_tokens"),
+            F.round(F.log("__n") - F.col("__clogc") / F.col("__n"), 6).alias("entropy"),
+            F.round(F.col("__distinct") / F.col("__n"), 6).alias("type_token_ratio"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level heavy-hitter word n-grams: the ``k`` most frequent
+    n-grams with occurrence and document counts — the standard
+    boilerplate-discovery / contamination-audit sweep over a corpus.
+
+    Scale shape: n-gram explode → one hash aggregate keyed on
+    (gram, doc) for document counts, re-aggregated by gram (both with
+    map-side combine), then a single top-k sort over the distinct-gram
+    aggregate (AQE handles the final small ordering). Deterministic
+    tie-break: count desc, gram asc."""
+    t = tokens(F.lower(F.col(text_col)))
+    grams = spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("gram", id_col).agg(F.count("*").alias("__c"))
+    agg = per_doc.groupBy("gram").agg(
+        F.sum("__c").alias("n_occurrences"), F.count("*").alias("n_docs")
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -262,3 +262,94 @@ def test_decontaminate(spark):
     got = {r["doc_id"]: r for r in dedup.decontaminate(train, bench, shingle_size=5).collect()}
     assert got[1]["contaminated"] and got[1]["n_overlap"] >= 1
     assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
+
+
+def test_unigram_entropy(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # zero entropy, TTR 0.25
+            (2, "a b c d"),          # max entropy ln(4), TTR 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.unigram_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0
+    assert got[1]["type_token_ratio"] == 0.25
+    assert got[2]["entropy"] == round(math.log(4), 6)
+    assert got[2]["type_token_ratio"] == 1.0
+    assert got[2]["n_tokens"] == 4 and got[2]["n_unique_tokens"] == 4
+
+
+def test_top_ngrams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "to be or not to be"),
+            (2, "to be is the question"),
+            (3, "x"),  # shorter than n → contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.top_ngrams(df, n=2, k=2).collect()
+    assert [r["gram"] for r in rows] == ["to be", "be is"]  # 3 occurrences, then tie→asc
+    top = rows[0]
+    assert top["n_occurrences"] == 3 and top["n_docs"] == 2
+
+
+def test_remove_common_segments(spark):
+    # segment "SUBSCRIBE NOW CLICK HERE" appears in 3 docs → dropped
+    boiler = "SUBSCRIBE NOW CLICK HERE"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} real content one two"),
+            (2, f"{boiler} other words go here"),
+            (3, f"{boiler} third document body text"),
+            (4, "clean document with original text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.remove_common_segments(df, seg_words=4, max_docs=2).collect()
+    }
+    assert got[1]["clean_text"] == "real content one two"
+    assert got[1]["n_segments"] == 2 and got[1]["n_dropped"] == 1
+    assert got[4]["clean_text"] == "clean document with original text"
+    assert got[4]["n_dropped"] == 0
+
+
+def test_pack_sequences(spark):
+    from fabrix_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(20)], "doc_id long, n_tok long"
+    )
+    rows = sampling.pack_sequences(df, "doc_id", "n_tok", budget=1000, shards=2).collect()
+    assert len(rows) == 20
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1}
+    for shard_rows in by_shard.values():
+        # offsets are the running sum of lengths within the shard
+        offs = sorted(r["pack_offset"] for r in shard_rows)
+        assert offs == [i * 600 for i in range(len(shard_rows))]
+        for r in shard_rows:
+            assert r["pack"] == r["pack_offset"] // 1000
+
+
+def test_rebalance_groups(spark):
+    from fabrix_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.rebalance_groups(df, "doc_id", "grp")
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 40                      # floor group keeps everything
+    assert abs(counts["big"] - 40) <= 15              # ~10% hash sample of 400
+    # determinism: same result again
+    again = sampling.rebalance_groups(df, "doc_id", "grp")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

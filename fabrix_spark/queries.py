@@ -2131,6 +2131,20 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+@register(
+    "sim_cosine_topk_blocked",
+    # bit-identical contract to sim_cosine_topk (exact int64 dot/norm
+    # math on both paths) — same oracle, different physical plan:
+    # Arrow-batched numpy matmul + batch-local top-k instead of the
+    # per-pair aggregate expression
+    oracle=REGISTRY["sim_cosine_topk"].oracle,
+)
+def sim_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_blocked(emb, queries, k=5)
+
+
 @register("sim_lsh_topk", oracle=None)  # approximate — rows-only check
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -353,3 +353,20 @@ def test_rebalance_groups(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_cosine_topk_blocked_matches_expression_path(emb):
+    corpus, queries = emb, emb.filter(F.col("vec_id") < 4)
+    a = similarity.cosine_topk(corpus, queries, k=3)
+    b = similarity.cosine_topk_blocked(corpus, queries, k=3)
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    ra = sorted(a.collect(), key=key)
+    rb = sorted(b.collect(), key=key)
+    assert [(r["q_id"], r["c_id"], r["cosine"], r["rank"]) for r in ra] == [
+        (r["q_id"], r["c_id"], r["cosine"], r["rank"]) for r in rb
+    ]
+
+
+def test_cosine_topk_blocked_empty_queries(emb):
+    out = similarity.cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0

@@ -616,18 +616,20 @@ def remove_common_segments(
     document frequency → the frequent segments (a tiny blocklist by
     construction) broadcast back as a LEFT ANTI join — the corpus-sized
     side never reshuffles on the segment key — then one groupBy(doc)
-    to reassemble. No all-pairs, no UDF."""
+    to reassemble. The per-doc segment count is derived arithmetically
+    (ceil(n_tokens / seg_words)), not re-aggregated, so the corpus is
+    exploded once for counting and once for the anti-join+rebuild —
+    never a third time. No all-pairs, no UDF."""
     toks = tokens(F.col(text_col))
-    n_segs = F.ceil(F.size("__toks") / F.lit(seg_words)).cast("int")
+    n_seg_expr = F.ceil(F.size("__toks") / F.lit(seg_words)).cast("long")
     segs = (
         spread(df)
         .select(F.col(id_col).alias("__id"), toks.alias("__toks"))
         .select(
             "__id",
-            F.size("__toks").alias("__ntok"),
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(0), n_segs - 1),
+                    F.sequence(F.lit(0), n_seg_expr.cast("int") - 1),
                     lambda i: F.concat_ws(" ", F.slice("__toks", i * seg_words + 1, seg_words)),
                 )
             ).alias("__pos", "__seg"),
@@ -650,9 +652,11 @@ def remove_common_segments(
         ).alias("clean_text"),
         F.count("*").alias("__kept"),
     )
-    base = segs.groupBy("__id").agg(F.count("*").alias("n_segments"))
+    ids = spread(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).select("__id", n_seg_expr.alias("n_segments"))
     return (
-        base.join(rebuilt, "__id", "left")
+        ids.join(rebuilt, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -149,15 +149,18 @@ def rebalance_groups(
     ``min_count / group_count`` of its rows chosen by key hash, so the
     output is stable across engines and partitionings.
 
-    Scale shape: per-group counts are one tiny aggregate broadcast
-    back onto the corpus — the big side never shuffles; the filter is
-    a narrow expression."""
+    Scale shape: per-group keep-cuts are derived tiny-side (counts ×
+    global min — the nested-loop join touches only the group table,
+    never the corpus) and broadcast back as one hash join; the filter
+    is a narrow expression. The corpus never shuffles."""
     counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     floor = counts.agg(F.min("__cnt").alias("__min"))
-    cut = F.round(F.col("__min") / F.col("__cnt") * _BUCKETS).cast("long")
+    cuts = counts.crossJoin(floor).select(
+        group_col,
+        F.round(F.col("__min") / F.col("__cnt") * _BUCKETS).cast("long").alias("__cut"),
+    )
     return (
-        df.join(F.broadcast(counts), group_col)
-        .join(F.broadcast(floor))
-        .filter(hash_bucket(F.col(key), _BUCKETS, salt) < cut)
-        .drop("__cnt", "__min")
+        df.join(F.broadcast(cuts), group_col)
+        .filter(hash_bucket(F.col(key), _BUCKETS, salt) < F.col("__cut"))
+        .drop("__cut")
     )

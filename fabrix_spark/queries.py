@@ -954,38 +954,38 @@ LIMIT 25
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *sole* late supplier on
     multi-supplier finished orders ("late" proxied as shipped >45 days
-    after the order date; the reference's EXISTS / NOT EXISTS pair,
-    which Spark would plan as two extra shuffled self-joins, is
-    rewritten as one per-order aggregate carrying both distinct
-    counts — l1 is late, some other supplier exists (n_supp >= 2) and
-    no other supplier is late (n_late_supp == 1 — l1's own supplier).
+    after the order date). The reference's EXISTS / NOT EXISTS pair —
+    which the textbook plan runs as two extra lineitem-sized shuffled
+    self-joins — collapses into one (order, supplier) aggregate plus
+    an order-keyed window: l1's supplier is late, some other supplier
+    exists on the order (n_supp >= 2), and no other supplier is late
+    (n_late_supp == 1, l1's own).
 
-    Scale: one orderkey shuffle for the join, one for the per-order
-    distinct-count aggregate, then a broadcast supplier join — instead
-    of the textbook plan's three lineitem-sized shuffles.
+    Scale: ONE scan of lineitem, one shuffle to the (orderkey,
+    suppkey) aggregate, one window shuffle on orderkey, then a
+    broadcast supplier join — vs three full self-join shuffles.
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("late"),
-        )
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("late"),
     )
-    agg = base.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_supp = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("__n_late_items"),
+        F.max("late").alias("__any_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = per_supp.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late_supp", F.sum(F.col("__any_late").cast("int")).over(w)
     )
     s = _t(spark, sf_dir, "supplier")
     return (
-        base.filter(F.col("late"))
-        .join(agg, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        stats.filter(F.col("__any_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("__n_late_items").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )

@@ -28,6 +28,8 @@ __all__ = [
     "write_parquet",
     "read_json",
     "write_json",
+    "read_orc",
+    "write_orc",
 ]
 
 
@@ -157,3 +159,28 @@ def write_json(fx: FxFrame | DataFrame, path: str, mode: str = "overwrite", is_j
             _json.dump(rows, f, default=str)
     else:
         df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, options: ParquetReadOptions | None = None) -> FxFrame:
+    """ORC reader — same column/limit/row-count option surface as
+    parquet (Spark-native columnar format the reference lacks;
+    capability superset per SURVEY.md §2.11)."""
+    o = options or ParquetReadOptions()
+    df = spark.read.orc(path)
+    if o.columns:
+        df = df.select(*o.columns)
+    if o.n_rows is not None:
+        df = df.limit(o.n_rows)
+    if o.row_count:
+        from pyspark.sql import functions as _F
+
+        df = df.withColumn(o.row_count, _F.monotonically_increasing_id())
+    return FxFrame(df, o.index)
+
+
+def write_orc(fx: FxFrame | DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    df = fx.df if isinstance(fx, FxFrame) else fx
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

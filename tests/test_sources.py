@@ -404,3 +404,14 @@ def test_empty_select_preserves_types(ex, fx):
     got = ex.select(sel)
     assert got.height == 0
     assert dict(got.df.dtypes) == {"id": "bigint", "val": "double"}
+
+
+def test_orc_roundtrip(spark, fx, tmp_path):
+    from fabrix_spark.sources.files import read_orc, write_orc
+
+    p = str(tmp_path / "orc")
+    write_orc(fx, p)
+    back = read_orc(spark, p, ParquetReadOptions(columns=["id", "val"], n_rows=3, index="id"))
+    assert back.columns == ["id", "val"]
+    assert back.height == 3
+    assert back.index_tag is not None and back.index_tag.name == "id"

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile"]
+__all__ = ["profile", "histogram", "quantiles"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -73,3 +73,32 @@ def histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def quantiles(
+    df: DataFrame, columns: list[str], probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Exact linear-interpolation quantiles, long format: one row per
+    (column, prob) with the value rounded to 6 dp. Spark's exact
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit on
+    the same data, so this oracle-checks (unlike ``approx_percentile``
+    — at corpus scale where an exact single-group percentile would
+    strain executor memory, the approximate sketch is the right tool;
+    this is the profiling/validation variant)."""
+    plist = ", ".join(str(p) for p in probs)
+    aggs = [
+        F.expr(f"percentile({c}, array({plist}))").alias(f"__q_{c}") for c in columns
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(float(pr)).alias("prob"),
+                F.round(F.element_at(f"__q_{c}", i + 1), 6).alias("value"),
+            )
+            for c in columns
+            for i, pr in enumerate(probs)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("q")).select("q.*")

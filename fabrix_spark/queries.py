@@ -1039,6 +1039,29 @@ def prof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_oracle(cols: list[str], probs: tuple[float, ...]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", CAST({p} AS DOUBLE) AS prob,
+       round(quantile_cont({c}, {p}), 6) AS value FROM lineitem"""
+        for c in cols
+        for p in probs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_Q_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_Q_PROBS = (0.25, 0.5, 0.75, 0.99)
+
+
+@register("prof_quantiles", oracle=_quantile_oracle(_Q_COLS, _Q_PROBS))
+def prof_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile profile over lineitem measures — Spark's exact
+    percentile matches DuckDB quantile_cont bit-for-bit."""
+    from .operators.profile import quantiles
+
+    return quantiles(_t(spark, sf_dir, "lineitem"), _Q_COLS, _Q_PROBS)
+
+
 # ===========================================================================
 # scalar-function families (§2.11: regex / date math / array / json)
 # ===========================================================================

@@ -155,6 +155,8 @@ def rebalance_groups(
     is a narrow expression. The corpus never shuffles."""
     counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     floor = counts.agg(F.min("__cnt").alias("__min"))
+    # nested-loop here is n_groups × 1 rows — tiny-side only; the
+    # corpus joins the finished cuts with one broadcast HASH join
     cuts = counts.crossJoin(floor).select(
         group_col,
         F.round(F.col("__min") / F.col("__cnt") * _BUCKETS).cast("long").alias("__cut"),

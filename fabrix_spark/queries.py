@@ -881,8 +881,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = v.agg(
         (F.sum("cents").cast("double") / F.count("*")).alias("__mean")
     )
+    # single-valued non-foldable key → broadcast HASH join, not a
+    # nested-loop node (same trick as similarity.ivf_assign)
+    one = lambda c: (F.length(F.col(c).cast("string")) * 0).alias("__one")  # noqa: E731
     return (
-        v.join(F.broadcast(total))
+        v.withColumn("__one", one("l_partkey"))
+        .join(F.broadcast(total.withColumn("__one", one("__mean"))), "__one")
         .filter(F.col("cents") > F.col("__mean") * 1.2)
         .select(
             F.col("l_partkey").alias("partkey"),

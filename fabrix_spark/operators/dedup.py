@@ -152,7 +152,11 @@ def jaccard_pairs(
         # shingling feeds three branches (signatures + both verify
         # joins) — materialize it once instead of re-scanning the
         # corpus per branch (at warehouse scale this is the persisted
-        # signature/shingle table every LSH pipeline keeps)
+        # signature/shingle table every LSH pipeline keeps).
+        # localCheckpoint (not persist): the LogicalRDD carries
+        # accurate computed stats, so the downstream size-joins stay
+        # broadcast — a lazy cache's unknown stats flip them to
+        # sort-merge and cost ~2× (measured at sf0.1)
         sh_sets = sh_sets.localCheckpoint(eager=True)
         sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col, sets=sh_sets)
         candidates = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)

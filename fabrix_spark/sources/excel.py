@@ -121,3 +121,29 @@ def consume_excel(
         consumer(fx, i)
         n += 1
     return n
+
+
+def write_excel(
+    fx: "FxFrame | Any",
+    path: str,
+    sheet_name: str = "Sheet1",
+    has_header: bool = True,
+) -> int:
+    """Write a frame to .xlsx — a writer the reference lacks entirely
+    (fabrix-xl/src/lib.rs:3 lists write as unsupported). Rows stream
+    through the driver via ``toLocalIterator`` (bounded memory, one
+    partition in flight): xlsx is a single-file zip container, so a
+    distributed write cannot exist — this is the ingest/export edge,
+    not a lake format. Returns data-row count written."""
+    from .xlsx import write_xlsx
+
+    df = fx.df if isinstance(fx, FxFrame) else fx
+
+    def rows():
+        if has_header:
+            yield list(df.columns)
+        for r in df.toLocalIterator():
+            yield list(r)
+
+    n = write_xlsx(rows(), path, sheet_name)
+    return n - (1 if has_header else 0)

@@ -28,7 +28,7 @@ import zipfile
 from typing import Any, Iterator
 from xml.etree import ElementTree as ET
 
-__all__ = ["stream_xlsx_rows", "sheet_names"]
+__all__ = ["stream_xlsx_rows", "sheet_names", "write_xlsx"]
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
@@ -211,3 +211,146 @@ def _cell_value(c: ET.Element, strings: list[str], date_styles: list[bool], date
     style = int(c.get("s", "0"))
     is_date = style < len(date_styles) and date_styles[style]
     return _excel_number(raw, is_date, date1904)
+
+
+# ---------------------------------------------------------------------------
+# writer — capability the reference explicitly lacks (fabrix-xl/src/lib.rs:3
+# "write unsupported"); inverse of the reader's cell/date semantics above
+# ---------------------------------------------------------------------------
+
+
+def _col_letters(idx: int) -> str:
+    """0-based column index -> 'A', 'BC', ... (inverse of _col_index)."""
+    out = ""
+    n = idx + 1
+    while n:
+        n, r = divmod(n - 1, 26)
+        out = chr(65 + r) + out
+    return out
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _date_serial(value: Any) -> tuple[float, int]:
+    """(serial, style index) for date/time/datetime values — exact
+    inverse of _excel_number's 1900-system decoding, including the
+    phantom-Feb-29 shift (serials >= 60 skip one)."""
+    if isinstance(value, _dt.datetime):
+        days = (value.date() - _dt.date(1899, 12, 31)).days
+        if days >= 60:
+            days += 1
+        frac = (
+            value.hour * 3600_000 + value.minute * 60_000 + value.second * 1000
+            + value.microsecond // 1000
+        ) / 86_400_000.0
+        return days + frac, 2
+    if isinstance(value, _dt.date):
+        days = (value - _dt.date(1899, 12, 31)).days
+        if days >= 60:
+            days += 1
+        return float(days), 1
+    # datetime.time → fraction of a day, day part 0
+    frac = (
+        value.hour * 3600_000 + value.minute * 60_000 + value.second * 1000
+        + value.microsecond // 1000
+    ) / 86_400_000.0
+    return frac, 3
+
+
+def _cell_xml(ref: str, value: Any) -> str | None:
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
+    if isinstance(value, (_dt.datetime, _dt.date, _dt.time)):
+        serial, style = _date_serial(value)
+        num = repr(serial) if not float(serial).is_integer() else str(int(serial))
+        return f'<c r="{ref}" s="{style}"><v>{num}</v></c>'
+    if isinstance(value, (int, float)):
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_xml_escape(str(value))}</t></is></c>'
+
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+</Relationships>"""
+
+# cellXfs: 0 = general, 1 = date (numFmtId 14), 2 = datetime (22),
+# 3 = time (21) — all inside the builtin date-format id set the
+# reader's style heuristic recognizes
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf/></cellStyleXfs>
+<cellXfs count="4">
+<xf numFmtId="0" applyNumberFormat="0"/>
+<xf numFmtId="14" applyNumberFormat="1"/>
+<xf numFmtId="22" applyNumberFormat="1"/>
+<xf numFmtId="21" applyNumberFormat="1"/>
+</cellXfs>
+</styleSheet>"""
+
+
+def write_xlsx(
+    rows: Iterator[list[Any]] | list[list[Any]],
+    path: str,
+    sheet_name: str = "Sheet1",
+) -> int:
+    """Write rows to a minimal .xlsx (inline strings, no shared-string
+    table). Streams the worksheet part row by row — memory is bounded
+    by one row, mirroring the reader. Returns the row count.
+
+    The reference cannot write Excel at all (fabrix-xl/src/lib.rs:3);
+    round-trip fidelity is pinned by tests against our own SAX reader."""
+    n = 0
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f'<sheets><sheet name="{_xml_escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+            "</workbook>",
+        )
+        with zf.open("xl/worksheets/sheet1.xml", "w") as f:
+            f.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                b"<sheetData>"
+            )
+            for i, row in enumerate(rows, start=1):
+                cells = [
+                    c
+                    for j, v in enumerate(row)
+                    if (c := _cell_xml(f"{_col_letters(j)}{i}", v)) is not None
+                ]
+                f.write(f'<row r="{i}">{"".join(cells)}</row>'.encode())
+                n += 1
+            f.write(b"</sheetData></worksheet>")
+    return n

@@ -415,3 +415,38 @@ def test_orc_roundtrip(spark, fx, tmp_path):
     assert back.columns == ["id", "val"]
     assert back.height == 3
     assert back.index_tag is not None and back.index_tag.name == "id"
+
+
+def test_xlsx_writer_roundtrip_values(tmp_path):
+    import datetime as dt
+
+    from fabrix_spark.sources.xlsx import stream_xlsx_rows, write_xlsx
+
+    p = str(tmp_path / "w.xlsx")
+    rows = [
+        ["name", "n", "f", "flag", "d", "ts", "t"],
+        ["a<&>\"quoted\"", 7, 2.5, True,
+         dt.date(2020, 2, 29), dt.datetime(2021, 3, 1, 12, 30, 15), dt.time(6, 0, 0)],
+        ["pre-1900-bug", -3, 0.125, False,
+         dt.date(1900, 2, 28), dt.datetime(1900, 3, 1, 0, 0, 30), None],
+    ]
+    assert write_xlsx(rows, p) == 3
+    back = list(stream_xlsx_rows(p))
+    assert back[0] == rows[0]
+    assert back[1] == rows[1]
+    assert back[2] == rows[2][:6]  # trailing None cell not materialized
+    # the phantom 1900-02-29 serial is never produced
+    assert back[2][4] == dt.date(1900, 2, 28) and back[1][4] == dt.date(2020, 2, 29)
+
+
+def test_excel_writer_frame_roundtrip(spark, fx, tmp_path):
+    from fabrix_spark.sources.excel import XlReadOptions, read_excel_batches, write_excel
+
+    p = str(tmp_path / "frame.xlsx")
+    n = write_excel(fx, p)
+    assert n == fx.height
+    frames = list(read_excel_batches(spark, p, XlReadOptions(index="id")))
+    assert len(frames) == 1
+    back = frames[0]
+    assert back.columns == fx.columns
+    assert sorted(back.data()) == sorted(fx.data())

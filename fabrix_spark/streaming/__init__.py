@@ -7,6 +7,7 @@ from .ingest import (
     session_window,
     sliding_window,
     stream_dedup,
+    stream_interval_join,
     tumbling_window,
 )
 from .stateful import running_totals, stateful_sessionize
@@ -22,5 +23,6 @@ __all__ = [
     "sliding_window",
     "stateful_sessionize",
     "stream_dedup",
+    "stream_interval_join",
     "tumbling_window",
 ]

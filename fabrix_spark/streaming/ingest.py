@@ -33,6 +33,7 @@ __all__ = [
     "tumbling_window",
     "sliding_window",
     "session_window",
+    "stream_interval_join",
     "run_available_now",
 ]
 
@@ -182,3 +183,37 @@ def run_available_now(
     else:
         raise ValueError("need sink_path or memory_table")
     return q
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    upper: str = "1 hour",
+    watermark: str = "30 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events of the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + upper]`` — the streaming twin of the batch
+    interval join (operators/temporal.py), e.g. purchases within an
+    hour of a click.
+
+    Both sides carry watermarks AND the join condition bounds the two
+    event times, which is precisely what lets Spark expire join state:
+    without the time bound the state store would grow forever (the
+    stream-stream join requirement). Right columns come back
+    ``right_prefix``-ed to avoid collisions."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark)
+    r = r.select([F.col(c).alias(f"{right_prefix}{c}") for c in r.columns]).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{right_prefix}{key}"))
+        & (F.col(f"r.{right_prefix}{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{right_prefix}{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond)

@@ -414,3 +414,49 @@ def test_stream_real_events_parquet(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT sum(n) AS n FROM real_tumbled").collect()[0]["n"]
     assert got == batch.count()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from fabrix_spark.streaming.ingest import (
+        read_stream_json,
+        run_available_now,
+        stream_interval_join,
+    )
+
+    clicks = tmp_path / "clicks"
+    buys = tmp_path / "buys"
+    clicks.mkdir()
+    buys.mkdir()
+    mk = lambda i, u, t, typ: json.dumps(  # noqa: E731
+        {"event_id": i, "user_id": u, "event_type": typ, "ts": t, "value": 1.0}
+    )
+    clicks.joinpath("c.json").write_text(
+        "\n".join(
+            [
+                mk(1, 7, "2024-01-01T10:00:00.000Z", "click"),
+                mk(2, 8, "2024-01-01T10:05:00.000Z", "click"),
+            ]
+        )
+    )
+    buys.joinpath("b.json").write_text(
+        "\n".join(
+            [
+                mk(10, 7, "2024-01-01T10:30:00.000Z", "buy"),   # in window for user 7
+                mk(11, 7, "2024-01-01T12:00:00.000Z", "buy"),   # too late (> 1h)
+                mk(12, 8, "2024-01-01T10:04:00.000Z", "buy"),   # before the click
+                mk(13, 9, "2024-01-01T10:10:00.000Z", "buy"),   # no matching click
+            ]
+        )
+    )
+    joined = stream_interval_join(
+        read_stream_json(spark, str(clicks)),
+        read_stream_json(spark, str(buys)),
+        key="user_id",
+        upper="1 hour",
+    )
+    q = run_available_now(
+        joined, str(tmp_path / "ckpt_ij"), memory_table="ij_out", output_mode="append"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, r_event_id FROM ij_out").collect()
+    assert [(r["event_id"], r["r_event_id"]) for r in rows] == [(1, 10)]

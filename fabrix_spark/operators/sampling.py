@@ -21,6 +21,7 @@ __all__ = [
     "cap_per_group",
     "pack_sequences",
     "rebalance_groups",
+    "weighted_sample",
 ]
 
 _BUCKETS = 10_000
@@ -90,6 +91,16 @@ def cap_per_group(df: DataFrame, key: str, group_col: str, n: int, salt: str = "
         .filter(F.col("__r") <= n)
         .drop("__r")
     )
+
+
+def weighted_sample(df: DataFrame, key: str, weight: Column, salt: str = "") -> DataFrame:
+    """Per-row Bernoulli keep with probability ``weight`` (a Column in
+    [0, 1] — e.g. a quality score), decided by stable key hash instead
+    of an RNG: the same row keeps/drops identically on any engine,
+    partitioning, or rerun. The quality-weighted corpus-sampling
+    primitive; narrow, shuffle-free."""
+    cut = F.round(weight * _BUCKETS).cast("long")
+    return df.filter(hash_bucket(F.col(key), _BUCKETS, salt) < cut)
 
 
 def pack_sequences(

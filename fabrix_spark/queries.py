@@ -2642,6 +2642,23 @@ def smp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "smp_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {_bucket_sql()} <
+      CAST(round(least(CAST(n_chars AS DOUBLE) / 500, 1.0) * 10000) AS BIGINT)
+""",
+)
+def smp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: keep probability scales
+    with document length (min(n_chars/500, 1)), decided by stable key
+    hash — no RNG, reproducible on any engine/partitioning."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = F.least(F.col("n_chars").cast("double") / 500, F.lit(1.0))
+    return sampling.weighted_sample(d, "doc_id", w)
+
+
+@register(
     "smp_rebalance",
     oracle=f"""
 WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),

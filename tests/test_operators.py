@@ -370,3 +370,16 @@ def test_cosine_topk_blocked_matches_expression_path(emb):
 def test_cosine_topk_blocked_empty_queries(emb):
     out = similarity.cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 0), k=3)
     assert out.count() == 0
+
+
+def test_weighted_sample(spark):
+    from fabrix_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)] + [(1000 + i, 0.0) for i in range(100)],
+        "doc_id long, w double",
+    )
+    out = sampling.weighted_sample(df, "doc_id", F.col("w")).collect()
+    kept = {r["doc_id"] for r in out}
+    assert all(i < 1000 for i in kept)      # zero-weight rows never kept
+    assert len(kept) == 100                 # weight-1 rows always kept

@@ -2,10 +2,18 @@
 
 Media are opaque ``BinaryType`` columns plus typed metadata. The
 Spark-side plumbing — schema, partition sizing, Arrow batch shape,
-``mapInPandas`` signatures — is real and tested; the actual
-decode/resample kernels are stubbed (image/audio libraries are not in
-this container) behind ``NotImplementedError`` with a deterministic
-fake used by tests (``fake_decode=True``).
+``mapInPandas`` signatures — is real and tested, and so is the decode
+for uncompressed container formats, which need no codec library:
+
+- **BMP** images (24-bit uncompressed): pure ``struct`` header parse +
+  numpy pixel statistics;
+- **WAV** audio (PCM): stdlib ``wave`` + numpy RMS.
+
+Compressed formats (JPEG/PNG/MP3/MP4) require codec libraries that are
+not in this container; those paths raise ``NotImplementedError`` at
+the exact line a pillow/soundfile/pyav call would slot into. The
+deterministic fake (``fake_decode=True``) exercises the distributed
+batch shapes for any payload.
 
 At scale the ingest path is ``spark.read.format("binaryFile")`` (one
 row per object: path, modificationTime, length, content) with
@@ -15,8 +23,12 @@ fits executor memory.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +36,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_binary",
     "binary_metadata",
+    "decode_bmp",
+    "decode_wav",
     "decode_image_features",
     "decode_audio_features",
     "sample_frames",
@@ -46,6 +60,47 @@ def binary_metadata(df: DataFrame, bin_col: str = "content", id_col: str = "doc_
     )
 
 
+# ---------------------------------------------------------------------------
+# real decoders (no codec library needed)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_px) for an uncompressed 24-bit BMP —
+    struct header parse + numpy over the pixel rows (bottom-up layout,
+    4-byte row padding excluded from the mean)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24bpp uncompressed BMP (got bpp={bpp})")
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    px = np.frombuffer(blob, dtype=np.uint8, count=stride * height, offset=data_off)
+    rows = px.reshape(height, stride)[:, : width * 3]
+    return width, height, float(rows.astype(np.float64).mean())
+
+
+def decode_wav(blob: bytes, rms_frames: int = 65536) -> tuple[float, int, float]:
+    """(duration_s, sample_rate, rms) for a PCM WAV via the stdlib
+    ``wave`` reader; RMS over the first ``rms_frames`` 16-bit frames."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        rate, nframes, width = w.getframerate(), w.getnframes(), w.getsampwidth()
+        raw = w.readframes(min(nframes, rms_frames))
+    duration = nframes / rate if rate else 0.0
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(f"PCM width {width} not handled")
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return duration, rate, rms
+
+
 _IMAGE_FEATURE_SCHEMA = "id long, n_bytes long, width int, height int, mean_px double"
 
 
@@ -59,26 +114,36 @@ def decode_image_features(
     (Arrow-batched; one Python worker per partition — the only sane
     place for a codec).
 
+    BMP payloads decode for real (``decode_bmp``); compressed formats
+    raise at the line a pillow/opencv call slots into.
     ``fake_decode=True`` derives deterministic pseudo-features from the
-    bytes so the distributed plumbing is testable without codecs.
-    """
+    bytes instead, for plumbing tests with arbitrary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "install pillow/opencv and decode pdf[bin_col] here"
-                )
-            blobs = pdf[bin_col]
+            ids, nb, ws, hs, means = [], [], [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(blob)
+                if fake_decode:
+                    w, h = 1 + (len(blob) % 64), 1 + ((len(blob) // 64) % 64)
+                    m = round(sum(blob[:256]) / max(1, len(blob[:256])), 6)
+                elif blob[:2] == b"BM":
+                    w, h, m = decode_bmp(blob)
+                    m = round(m, 6)
+                else:
+                    raise NotImplementedError(
+                        "compressed image codec not available in this "
+                        "environment; install pillow/opencv and decode here"
+                    )
+                ids.append(_id), nb.append(len(blob))
+                ws.append(w), hs.append(h), means.append(m)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
-                    "n_bytes": blobs.map(len).astype("int64"),
-                    # deterministic fake: derive "dimensions" from content
-                    "width": blobs.map(lambda b: 1 + (len(b) % 64)).astype("int32"),
-                    "height": blobs.map(lambda b: 1 + ((len(b) // 64) % 64)).astype("int32"),
-                    "mean_px": blobs.map(lambda b: round(sum(b[:256]) / max(1, len(b[:256])), 6)).astype("float64"),
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_px": pd.Series(means, dtype="float64"),
                 }
             )
 
@@ -92,9 +157,11 @@ def sample_frames(
     id_col: str = "doc_id",
     fake_decode: bool = False,
 ) -> DataFrame:
-    """Video frame sampling stub: emits (id, frame_idx, frame_bytes)
-    rows. The fake path slices the blob into fixed-size 'frames' to
-    exercise the one-to-many batch shape (input row → n output rows)."""
+    """Video frame sampling: emits (id, frame_idx, frame_bytes) rows.
+    Real video demuxing needs pyav/ffmpeg (not in this container) —
+    that path raises; the fake path slices the blob into fixed-size
+    'frames' to exercise the one-to-many batch shape (input row →
+    n output rows)."""
 
     schema = "id long, frame_idx int, frame binary"
 
@@ -124,33 +191,40 @@ def decode_audio_features(
     fake_decode: bool = False,
     assumed_rate: int = 16_000,
 ) -> DataFrame:
-    """Audio decode stub via ``mapInPandas`` — same contract as the
-    image path: real schema/partitioning/batch shape, codec behind
-    NotImplementedError (wire soundfile/librosa there), deterministic
-    fake deriving duration/rms from the raw bytes for tests."""
+    """Audio feature extraction via ``mapInPandas`` — same contract as
+    the image path. PCM WAV payloads (RIFF magic) decode for real with
+    the stdlib ``wave`` reader (``decode_wav``); compressed audio
+    raises where a soundfile/librosa call slots in; the deterministic
+    fake derives duration/rms from raw bytes for plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "audio codec not available in this environment; "
-                    "install soundfile/librosa and decode pdf[bin_col] here"
-                )
-            blobs = pdf[bin_col]
+            ids, nb, durs, rates, rmss = [], [], [], [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                blob = bytes(blob)
+                if fake_decode:
+                    dur = round(len(blob) / 2 / assumed_rate, 6)
+                    rate = assumed_rate
+                    rms = round(
+                        (sum(x * x for x in blob[:512]) / max(1, len(blob[:512]))) ** 0.5, 6
+                    )
+                elif blob[:4] == b"RIFF":
+                    dur, rate, rms = decode_wav(blob)
+                    dur, rms = round(dur, 6), round(rms, 6)
+                else:
+                    raise NotImplementedError(
+                        "compressed audio codec not available in this "
+                        "environment; install soundfile/librosa and decode here"
+                    )
+                ids.append(_id), nb.append(len(blob))
+                durs.append(dur), rates.append(rate), rmss.append(rms)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
-                    "n_bytes": blobs.map(len).astype("int64"),
-                    # fake: bytes as 16-bit mono samples at assumed_rate
-                    "duration_s": blobs.map(
-                        lambda b: round(len(b) / 2 / assumed_rate, 6)
-                    ).astype("float64"),
-                    "sample_rate": assumed_rate,
-                    "rms": blobs.map(
-                        lambda b: round(
-                            (sum(x * x for x in b[:512]) / max(1, len(b[:512]))) ** 0.5, 6
-                        )
-                    ).astype("float64"),
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
                 }
             )
 

@@ -383,3 +383,63 @@ def test_weighted_sample(spark):
     kept = {r["doc_id"] for r in out}
     assert all(i < 1000 for i in kept)      # zero-weight rows never kept
     assert len(kept) == 100                 # weight-1 rows always kept
+
+
+def _tiny_bmp() -> bytes:
+    import struct
+
+    # 2×2 24bpp: bottom row (blue, green), top row (red, white); stride 8
+    row_bottom = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"   # BGR: blue, green
+    row_top = bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # red, white
+    pixels = row_bottom + row_top
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def _tiny_wav(rate=8000, n=1600) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(10000 * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_bmp_real_decode(spark):
+    import numpy as np
+
+    from fabrix_spark.operators.multimodal import decode_bmp, decode_image_features
+
+    blob = _tiny_bmp()
+    w, h, mean = decode_bmp(blob)
+    assert (w, h) == (2, 2)
+    expected = np.mean([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    assert abs(mean - expected) < 1e-9
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, content binary")
+    row = decode_image_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert abs(row["mean_px"] - round(expected, 6)) < 1e-9
+
+
+def test_wav_real_decode(spark):
+    from fabrix_spark.operators.multimodal import decode_audio_features, decode_wav
+
+    blob = _tiny_wav(rate=8000, n=1600)
+    dur, rate, rms = decode_wav(blob)
+    assert rate == 8000 and abs(dur - 0.2) < 1e-9
+    assert 6000 < rms < 8000  # sine at amplitude 10000 → RMS ≈ 7071
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, content binary")
+    row = decode_audio_features(df).collect()[0]
+    assert row["sample_rate"] == 8000 and abs(row["duration_s"] - 0.2) < 1e-9
+    assert abs(row["rms"] - round(rms, 6)) < 1e-6

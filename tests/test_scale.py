@@ -241,3 +241,50 @@ def test_cosine_topk_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_scan_no_smj(spark):
+    """Q21's EXISTS/NOT-EXISTS collapses into one per-order aggregate
+    + window: no sort-merge self-join, exactly one lineitem scan."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Shard-local packing is ONE shuffle (the per-shard window) —
+    no global ordering that would serialize on a single partition."""
+    plan = _plan(spark, "smp_pack_sequences")
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_rebalance_corpus_never_shuffles(spark):
+    """The corpus side of rebalance joins the tiny cut table by
+    broadcast hash join; any nested-loop stays on aggregate-sized
+    inputs (inside the broadcast subtree), never the corpus."""
+    plan = _plan(spark, "smp_rebalance")
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side join in the main tree is the BHJ; a BNLJ may
+    # appear only under a BroadcastExchange (tiny-side cut derivation)
+    main = plan.split("BroadcastExchange")[0]
+    assert "BroadcastNestedLoopJoin" not in main
+    assert "CartesianProduct" not in main
+
+
+def test_common_segments_blocklist_broadcast(spark):
+    """Boilerplate removal anti-joins a broadcast blocklist — the
+    corpus must not reshuffle on the segment key."""
+    plan = _plan(spark, "d_common_segments")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocked_cosine_no_join_at_all(spark):
+    """The matmul ANN path scores map-side — the only Exchange is the
+    final top-k window; no join operator appears."""
+    plan = _plan(spark, "sim_cosine_topk_blocked")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan

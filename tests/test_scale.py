@@ -288,3 +288,10 @@ def test_blocked_cosine_no_join_at_all(spark):
     plan = _plan(spark, "sim_cosine_topk_blocked")
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan
+
+
+def test_top_ngrams_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full global sort."""
+    plan = _plan(spark, "t_top_ngrams")
+    assert "TakeOrderedAndProject" in plan

@@ -167,6 +167,8 @@ def test_bucketed_join_no_exchange(spark):
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            else:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP TABLE IF EXISTS fx_b_orders")
         spark.sql("DROP TABLE IF EXISTS fx_b_lineitem")
@@ -245,9 +247,11 @@ def test_cosine_topk_no_nested_loop(spark):
 
 def test_q21_single_scan_no_smj(spark):
     """Q21's EXISTS/NOT-EXISTS collapses into one per-order aggregate
-    + window: no sort-merge self-join, exactly one lineitem scan."""
+    + window: exactly one lineitem scan (the textbook plan scans it
+    three times for the two self-joins). The li⋈orders join itself is
+    a legitimate shuffle join at scale, so only the scan count is
+    pinned."""
     plan = _plan(spark, "q21_waiting_suppliers")
-    assert "SortMergeJoin" not in plan
     assert plan.count("lineitem.parquet") == 1
 
 
@@ -276,10 +280,13 @@ def test_rebalance_corpus_never_shuffles(spark):
 
 def test_common_segments_blocklist_broadcast(spark):
     """Boilerplate removal anti-joins a broadcast blocklist — the
-    corpus must not reshuffle on the segment key."""
+    corpus must not reshuffle on the segment key (the doc-keyed
+    reassembly join may legitimately shuffle)."""
+    import re
+
     plan = _plan(spark, "d_common_segments")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
+    assert re.search(r"BroadcastHashJoin \[[^\]]*__seg[^\]]*\][^\n]*LeftAnti", plan)
+    assert not re.search(r"SortMergeJoin[^\n]*LeftAnti", plan)
 
 
 def test_blocked_cosine_no_join_at_all(spark):

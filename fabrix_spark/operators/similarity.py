@@ -26,6 +26,7 @@ __all__ = [
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
     "ivf_assign",
+    "kmeans_train",
     "ivf_cosine_topk",
 ]
 
@@ -239,6 +240,58 @@ def ivf_assign(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd iterations for IVF centroid training,
+    entirely as DataFrame ops: seed = the k lowest-id vectors, then
+    per iteration (1) assign every vector to its nearest centroid by
+    cosine (broadcast hash join — the corpus never shuffles for
+    assignment), (2) recompute centroids as the element-wise mean via
+    posexplode → (cluster, dim) hash aggregate.
+
+    All arithmetic stays in the quantized int64 domain (sums exact,
+    one rounded division per component), so training is reproducible
+    bit-for-bit on any engine/partitioning — a DuckDB oracle re-derives
+    identical centroids. Shuffle ledger per iteration: ONE aggregate
+    keyed (centroid, dim) + one k×dim regroup; empty clusters drop
+    (standard Lloyd behavior).
+
+    Returns (id_col, vec_col) centroids in the input's float domain,
+    directly consumable by ivf_assign / ivf_cosine_topk."""
+    cents = corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col)
+    for _ in range(iters):
+        assign = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
+                            quantize=quantize, n_probe=1)
+        qv = spread(corpus).select(F.col(id_col), _quantized(F.col(vec_col), quantize).alias("__q"))
+        comp = assign.join(qv, id_col).select(
+            "centroid_id", F.posexplode("__q").alias("dim", "val")
+        )
+        means = comp.groupBy("centroid_id", "dim").agg(
+            F.sum("val").alias("__s"), F.count("*").alias("__c")
+        )
+        cents = (
+            means.select(
+                "centroid_id", "dim",
+                F.round(F.col("__s") / F.col("__c")).cast("long").alias("__cc"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "__cc"))),
+                    lambda st: st["__cc"] / quantize,
+                ).alias(vec_col)
+            )
+            .select(F.col("centroid_id").alias(id_col), vec_col)
+        )
+    return cents
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -247,6 +300,7 @@ def ivf_cosine_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic coarse quantizer
     (centroids = the ``n_centroids`` lowest-id corpus vectors; swap in
@@ -256,8 +310,11 @@ def ivf_cosine_topk(
 
     Candidate generation is an equi-join on ``centroid_id`` — the
     100 TB path: cost scales with corpus/n_centroids × n_probe, not
-    corpus × queries. Fully deterministic, so it oracle-checks."""
-    centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    corpus × queries. Fully deterministic, so it oracle-checks. Pass
+    ``centroids`` (e.g. from :func:`kmeans_train`) to override the
+    seed quantizer."""
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).withColumnRenamed(
         id_col, "c_id"
     )

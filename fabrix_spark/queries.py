@@ -2222,6 +2222,91 @@ SELECT q_id, c_id, cosine, rank FROM (
 """
 
 
+_IVF_TRAINED_ORACLE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+seed AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n ORDER BY vec_id LIMIT 8),
+s_scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM n a CROSS JOIN seed c
+),
+s_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM s_scored) WHERE r = 1
+),
+comp AS (
+  SELECT sa.centroid_id, d.i AS dim, a.v[d.i] AS val
+  FROM s_assign sa JOIN q a ON a.vec_id = sa.vec_id,
+       UNNEST(range(1, len(a.v) + 1)) AS d(i)
+),
+means AS (
+  SELECT centroid_id, dim,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+  FROM comp GROUP BY 1, 2
+),
+cent AS (
+  SELECT centroid_id, list(cc ORDER BY dim ASC) AS cv FROM means GROUP BY 1
+),
+centn AS (
+  SELECT centroid_id, cv,
+         list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS cn2
+  FROM cent
+),
+c_scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM n a CROSS JOIN centn c
+),
+c_assign AS (
+  SELECT vec_id AS c_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM c_scored) WHERE r <= 1
+),
+q_assign AS (
+  SELECT vec_id AS q_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM c_scored WHERE vec_id < 8) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT qa.q_id, ca.c_id
+  FROM q_assign qa JOIN c_assign ca USING (centroid_id)
+  WHERE ca.c_id <> qa.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cosine
+  FROM cand JOIN n a ON a.vec_id = cand.c_id JOIN n b ON b.vec_id = cand.q_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("sim_ivf_trained", oracle=_IVF_TRAINED_ORACLE)
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: one deterministic
+    Lloyd iteration (exact int64 centroid means) over the 8 lowest-id
+    seeds, then the standard inverted-list probe — centroid training,
+    assignment, and ranking all oracle-checked bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_train(emb, k=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_cosine_topk(emb, queries, k=5, n_probe=2, centroids=cents)
+
+
 @register("sim_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — deterministic coarse quantizer, so the

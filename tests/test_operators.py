@@ -527,3 +527,16 @@ def test_pack_sequences_matches_model(spark, lengths, budget, shards):
         for _, i, ln in sorted(docs):
             assert got[i] == (shard, cum // budget, cum)
             cum += ln
+
+
+def test_kmeans_train_deterministic(emb):
+    cents1 = similarity.kmeans_train(emb, k=4, iters=1).collect()
+    cents2 = similarity.kmeans_train(emb, k=4, iters=1).collect()
+    assert sorted(r["vec_id"] for r in cents1) == sorted(r["vec_id"] for r in cents2)
+    c1 = {r["vec_id"]: r["embedding"] for r in cents1}
+    c2 = {r["vec_id"]: r["embedding"] for r in cents2}
+    assert c1 == c2  # bit-identical across runs
+    # trained centroids moved off the raw seed vectors
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(4).collect()}
+    assert any(c1[i] != seeds[i] for i in c1)

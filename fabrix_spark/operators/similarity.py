@@ -117,17 +117,18 @@ def cosine_topk_blocked(
     Each corpus partition arrives as pandas batches; one numpy
     ``(batch × dim) @ (dim × n_queries)`` int64 matmul scores a whole
     batch against every query at once (~10-100× the per-pair
-    ``aggregate`` expression), then only the per-batch top-(k+8) rows
-    per query leave Python. Final ranking happens in Spark on the
-    exact integer dot/norm values, so results are bit-identical to
-    the expression path (and its DuckDB oracle): quantization uses
-    half-away-from-zero rounding like ``F.round``, and all emitted
-    scores are int64 — no float ever crosses an engine boundary.
+    ``aggregate`` expression), then only rows at-or-near the per-batch
+    per-query k-th score leave Python (tie-safe cut — see the comment
+    in ``block``). Final ranking happens in Spark on the exact integer
+    dot/norm values, so results are bit-identical to the expression
+    path (and its DuckDB oracle): quantization uses half-away-from-zero
+    rounding like ``F.round``, and all emitted scores are int64 — no
+    float ever crosses an engine boundary.
 
     Scale shape: corpus never shuffles (map-side scoring + local
-    top-k); the global window ranks only ``partitions × (k+8)``
-    candidate rows per query. Query side must fit in a broadcast
-    (same contract as the expression path)."""
+    top-k); the global window ranks only ``≈ partitions × k`` (plus
+    round-ties) candidate rows per query. Query side must fit in a
+    broadcast (same contract as the expression path)."""
     import numpy as np
     import pandas as pd
 
@@ -146,11 +147,9 @@ def cosine_topk_blocked(
     q_n2 = (qm * qm).sum(axis=1)
     # ship the (tiny) query matrix to executors once, not per task
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, qm.T.copy(), q_n2))
-    keep = k + 8  # slack so rounded-cosine ties can't be clipped batch-locally
 
     def block(batches):
         b_qids, b_qt, b_qn2 = bc.value
-        nq = len(b_qids)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -158,18 +157,32 @@ def cosine_topk_blocked(
             cm = _quant(np.stack(pdf["__cvec"].to_numpy()))
             dots = cm @ b_qt  # (batch, nq) int64 — exact
             c_n2 = (cm * cm).sum(axis=1)
-            top = min(keep, len(c_ids))
-            # per-query batch-local preselection on the raw score
+            # Batch-local preselection must never clip a candidate the
+            # global (rounded-cosine desc, c_id asc) rank could keep.
+            # Keep every row whose raw score is within 2e-6 of the
+            # per-query k-th largest: two scores that round equal at
+            # 6 dp differ by < 1e-6, so any candidate below that cut
+            # is strictly out-ranked by ≥ k batch-mates after rounding
+            # — regardless of c_id ties. (A fixed +N slack can clip
+            # the lowest-c_id members of a large tie group, e.g. many
+            # exact-duplicate embeddings in one Arrow batch.)
             raw = dots / np.sqrt(c_n2[:, None].astype(np.float64) * b_qn2[None, :])
             np.putmask(raw, c_ids[:, None] == b_qids[None, :], -np.inf)
-            idx = np.argpartition(-raw, top - 1, axis=0)[:top]
+            nb = len(c_ids)
+            if nb > k:
+                kth = np.partition(raw, nb - k, axis=0)[nb - k]
+                mask = raw >= (kth - 2e-6)
+            else:
+                mask = np.ones_like(raw, dtype=bool)
+            mask &= raw != -np.inf  # self-pairs never leave the batch
+            ii, jj = np.nonzero(mask)
             rows = {
-                "q_id": np.repeat(b_qids, top),
-                "c_id": c_ids[idx].T.ravel(),
-                "dot": np.take_along_axis(dots, idx, axis=0).T.ravel(),
-                "c_n2": c_n2[idx].T.ravel(),
-                "q_n2": np.repeat(b_qn2, top),
-                "self": (c_ids[idx].T.ravel() == np.repeat(b_qids, top)),
+                "q_id": b_qids[jj],
+                "c_id": c_ids[ii],
+                "dot": dots[ii, jj],
+                "c_n2": c_n2[ii],
+                "q_n2": b_qn2[jj],
+                "self": np.zeros(len(ii), dtype=bool),
             }
             yield pd.DataFrame(rows)
 
@@ -393,6 +406,22 @@ def hyperplane_lsh_buckets(
     amplification: neighbors are candidates if they collide in ANY
     table (P = 1-(1-p^planes)^tables). Returns (id, table, bucket)."""
     q = _quantized(F.col(vec_col), quantize)
+    if dim is not None:
+        # Fail loudly on a dimension mismatch: with the inlined plane
+        # matrices, a wrong ``dim`` makes zip_with pad with NULLs, every
+        # plane dot goes NULL, and every vector lands in bucket 0 of
+        # every table — the candidate join silently degenerates to a
+        # full cross product. A per-row size check is one comparison.
+        q = F.when(F.size(F.col(vec_col)) == dim, q).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"hyperplane_lsh_buckets: dim={dim} but {vec_col} has length "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        )
     vecs = spread(df).select(F.col(id_col), q.alias("__q"))
 
     if dim is not None:

@@ -2068,12 +2068,12 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
-def _emb_lsh_cte(n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
-    """CTE chain mirroring ``embedding_dedup_pairs(method='lsh')``:
-    the ±1 hyperplane matrices are the same md5-derived constants the
-    Spark side inlines (similarity.plane_signs), so candidate buckets
-    — and therefore the verified pair set — are identical by
-    construction. Exposes ``emb_pairs(id_a, id_b, cosine)``."""
+def _emb_buckets_cte(n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
+    """CTEs ``q``/``n``/``buckets`` mirroring
+    ``similarity.hyperplane_lsh_buckets``: the ±1 hyperplane matrices
+    are the same md5-derived constants the Spark side inlines
+    (similarity.plane_signs), so the LSH buckets — and therefore any
+    candidate set built on them — are identical by construction."""
     from .operators.similarity import plane_signs
 
     signs = plane_signs(n_tables, n_planes, dim)
@@ -2094,7 +2094,14 @@ q AS (
   FROM embeddings
 ),
 n AS MATERIALIZED (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
-buckets AS MATERIALIZED ({buckets}),
+buckets AS MATERIALIZED ({buckets})"""
+
+
+def _emb_lsh_cte(n_planes: int = 8, n_tables: int = 4, dim: int = 64) -> str:
+    """Near-dup pair CTE chain mirroring
+    ``embedding_dedup_pairs(method='lsh')``. Exposes
+    ``emb_pairs(id_a, id_b, cosine)``."""
+    return f"""{_emb_buckets_cte(n_planes, n_tables, dim)},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -2120,7 +2127,9 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs join anywhere — then exact integer-cosine
     verification. The oracle re-derives the identical md5 hyperplanes,
     so the approximate candidate set itself is verified bit-for-bit."""
-    return dedup.embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+    return dedup.embedding_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, dim=64
+    )
 
 
 # ===========================================================================
@@ -2172,7 +2181,33 @@ def sim_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_blocked(emb, queries, k=5)
 
 
-@register("sim_lsh_topk", oracle=None)  # approximate — rows-only check
+def _lsh_topk_oracle(n_planes: int = 6, n_tables: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Oracle for the hyperplane-LSH top-k: re-derives the identical
+    md5 plane matrices (same construction d_embedding_neardup verifies),
+    so the approximate candidate set itself is hash-checked — the
+    "approximate" path is deterministic and therefore fully oracle-able."""
+    return f"""
+WITH {_emb_buckets_cte(n_planes, n_tables, dim)},
+cand AS (
+  SELECT DISTINCT bq.vec_id AS q_id, bc.vec_id AS c_id
+  FROM buckets bc JOIN buckets bq ON bc.tbl = bq.tbl AND bc.bucket = bq.bucket
+  WHERE bq.vec_id < 8 AND bc.vec_id <> bq.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cosine
+  FROM cand JOIN n a ON a.vec_id = cand.c_id JOIN n b ON b.vec_id = cand.q_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register("sim_lsh_topk", oracle=_lsh_topk_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -2975,91 +3010,11 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry accessors (driver contract)
 # ===========================================================================
 
-# The driver's correctness gate samples the registry in insertion
-# order (round 1 checked exactly the first 50 entries), so insertion
-# order IS the verification budget. Lead with the operators that had
-# no driver evidence last round — every dedup / similarity / text /
-# multimodal / sampling / pipeline / event / temporal-join / grouping
-# query — plus the three repaired typed-hash entries, then a spread of
-# representatives from the already-verified relational surface.
-_PRIORITY = [
-    # repaired in round 2 (typed-hash canonicalization) — must re-check
-    "q15_top_supplier",
-    "prof_orders",
-    "f_math_fns",
-    # LLM-pipeline operators: no driver row in round 1
-    "d_exact_groups",
-    "d_fingerprint",
-    "d_jaccard_pairs",
-    "d_minhash_lsh",
-    "d_dup_clusters",
-    "d_simhash",
-    "d_embedding_neardup",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "t_token_count",
-    "t_quality",
-    "t_lang_id",
-    "t_bpe_count",
-    "t_tfidf_top_terms",
-    "t_pii_mask",
-    "t_normalize",
-    "m_binary_metadata",
-    "m_image_features",
-    "m_frame_sample",
-    "smp_deterministic",
-    "smp_split",
-    "smp_stratified",
-    "smp_cap_per_group",
-    "pipeline_llm_prep",
-    "pipeline_embedding_prep",
-    # new in round 2: repetition quality, decontamination, sliding +
-    # session event-time windows
-    "t_repetition",
-    "d_decontaminate",
-    "e_sliding_hourly",
-    "e_session_window",
-    # event-time / temporal joins / grouping / set-op remainder
-    "e_tumbling_hourly",
-    "e_sessionize",
-    "tj_asof_rates",
-    "tj_interval_pairs",
-    "g_count_distinct_multi",
-    "g_rollup",
-    "g_cube",
-    "g_pivot",
-    # new in round 2: the packed-corpus pipeline composition
-    "pipeline_pack_corpus",
-    # new in round 2: entropy/ngram quality, boilerplate removal,
-    # sequence packing, corpus rebalancing (displace g_having/
-    # g_case_when/s_right_join/s_cross_join/s_union_all just past the
-    # window — their families have round-1 driver evidence)
-    "t_entropy",
-    "t_top_ngrams",
-    "d_common_segments",
-    "smp_pack_sequences",
-    "smp_rebalance",
-    # new in round 2: PK-enriched DataFrame-backend select
-    "adt_include_pk",
-    # representatives of the round-1-verified surface (stay-green proof)
-    "q1_pricing_summary",
-    "adt_groupby_agg",
-]
-
-
-def _reorder() -> None:
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
-    missing = [n for n in _PRIORITY if n not in REGISTRY]
-    assert not missing, f"priority list names unknown queries: {missing}"
-    for n, qd in REGISTRY.items():
-        if n not in ordered:
-            ordered[n] = qd
-    REGISTRY.clear()
-    REGISTRY.update(ordered)
-
-
-_reorder()
+# REGISTRY iterates in plain definition order. Any ordering an external
+# verification tool wants (e.g. which queries land in a sampled check
+# window) is that tool's concern — see the documented rotation in
+# ``__spark_entry__.py`` — and must NOT be encoded here: every library
+# consumer (bench, plan_report, verify_local) sees definition order.
 
 
 def queries() -> dict[str, QueryFn]:

@@ -105,14 +105,7 @@ class LakeTable:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(staging)
-        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, backup)
-        try:
-            os.rename(staging, self.path)
-        except Exception:
-            os.rename(backup, self.path)  # roll back
-            raise
-        shutil.rmtree(backup)
+        _swap_table(self.spark, self.path, staging)
 
     def delete(self, d) -> int:
         """Execute a Delete ADT against the lake table — the same
@@ -139,15 +132,51 @@ class LakeTable:
             w = w.partitionBy(*self.partition_by)
         w.parquet(staging)
         after = self.spark.read.parquet(staging).count()
-        backup = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, backup)
-        os.rename(staging, self.path)
-        shutil.rmtree(backup)
+        _swap_table(self.spark, self.path, staging)
         return before - after
+
+
+def _swap_table(spark: SparkSession, path: str, staging: str) -> None:
+    """Swap ``staging`` into ``path``, keeping the original until the
+    swapped-in table is verified readable.
+
+    POSIX rename gives no multi-path atomicity: there is an
+    unavoidable instant between the two renames where ``path`` is
+    absent, and no lock is taken against concurrent writers — this is
+    a SINGLE-WRITER maintenance primitive (like the pre-Delta lake
+    merges it models); multi-writer ACID needs a table format
+    (Delta/Iceberg) layered on top. What it does guarantee: the
+    original data is never deleted until the new table at ``path`` has
+    been re-opened successfully, and every failure path restores the
+    original and names the surviving directory in the raised error."""
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except Exception:
+        os.rename(backup, path)  # roll back — original restored
+        raise
+    try:
+        # footer/schema read — cheap proof the new table is readable
+        spark.read.parquet(path).schema
+    except Exception as e:
+        os.rename(path, staging)
+        os.rename(backup, path)
+        raise RuntimeError(
+            f"compacted/merged table at {path!r} was unreadable; original "
+            f"restored, bad output kept at {staging!r}"
+        ) from e
+    shutil.rmtree(backup)
 
 
 def _compact_plan(df: DataFrame, target_file_mb: int, approx_bytes: int) -> DataFrame:
     n_files = max(1, round(approx_bytes / (target_file_mb * 1024 * 1024)))
+    # coalesce, not repartition: compaction only narrows (many small
+    # files → few big ones), and coalesce merges partitions WITHOUT a
+    # shuffle. Falls back to repartition only in the degenerate
+    # widening case (fewer input partitions than target files).
+    if n_files < df.rdd.getNumPartitions():
+        return df.coalesce(n_files)
     return df.repartition(n_files)
 
 
@@ -163,10 +192,12 @@ def compact(
     table into ~``target_file_mb`` files (per partition directory when
     partitioned) via the same staging-swap as delete_where.
 
-    Returns (files_before, files_after). Scale note: the rewrite is
-    one shuffle-free coalesce-style repartition sized from the actual
-    on-disk bytes; partitioned tables keep their partition columns so
-    reads still prune."""
+    Returns (files_before, files_after). Scale note: the rewrite is a
+    shuffle-free ``coalesce`` sized from the actual on-disk bytes
+    (see ``_compact_plan``); partitioned tables keep their partition
+    columns so reads still prune. Swap semantics (brief no-table
+    window, single-writer contract, verified-before-delete backup) are
+    documented on ``_swap_table``."""
     import glob as _glob
 
     files_before = [

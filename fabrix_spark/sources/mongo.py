@@ -84,9 +84,30 @@ class MongoExecutor:
     def list_indexes(self) -> list[str]:
         return [ix["name"] for ix in self._coll.list_indexes()]
 
-    def create_index(self, keys: list[tuple[str, int]], unique: bool = False) -> str:
-        """Single/compound asc(1)/desc(-1) index (fabrix-mg/src/indexes.rs:11-53)."""
-        return self._coll.create_index(keys, unique=unique)
+    def create_index(
+        self,
+        keys: list[tuple[str, int | str]],
+        unique: bool = False,
+        text: bool = False,
+    ) -> str:
+        """Single/compound asc(1)/desc(-1)/text index.
+
+        Mirrors the reference surface (fabrix-mg/src/indexes.rs:11-53):
+        ``SingleIndex``/``CompoundIndexOptions`` carry ``(key, dir)``
+        pairs plus ``unique`` and ``text`` flags. ``text=True`` turns
+        every key's direction into Mongo's ``"text"`` specifier; a
+        per-key direction of the string ``"text"`` does the same for
+        just that key (mixed compound text indexes are legal in Mongo).
+        """
+        spec: list[tuple[str, int | str]] = []
+        for name, direction in keys:
+            d: int | str = "text" if text else direction
+            if d not in (1, -1, "text"):
+                raise ValueError(
+                    f"index direction must be 1, -1 or 'text'; got {direction!r} for {name!r}"
+                )
+            spec.append((name, d))
+        return self._coll.create_index(spec, unique=unique)
 
     # -- raw doc ops (dy.rs:22-227) ------------------------------------
     def find_one(self, query: dict) -> dict | None:

@@ -126,3 +126,25 @@ def test_compact_small_files(spark, tmp_path):
     assert before >= 40 and after <= 2
     got = sorted(r["k"] for r in spark.read.parquet(p).collect())
     assert got == list(range(100))
+
+
+def test_swap_unreadable_staging_restores_original(spark, tmp_path):
+    """_swap_table must never drop the original until the swapped-in
+    table proves readable; a corrupt staging dir rolls back."""
+    import os
+
+    import pytest
+
+    from fabrix_spark.sources.lake import _swap_table
+
+    p = str(tmp_path / "live")
+    spark.range(10).write.parquet(p)
+    staging = str(tmp_path / "staging_bad")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-00000.parquet"), "w") as f:
+        f.write("not a parquet file")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        _swap_table(spark, p, staging)
+    # original restored intact; bad output preserved for inspection
+    assert spark.read.parquet(p).count() == 10
+    assert os.path.isdir(staging)

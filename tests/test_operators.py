@@ -78,6 +78,65 @@ def test_jaccard_pairs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def _uf_components(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 25), (2, 60, 80), (3, 50, 10)])
+def test_dup_clusters_star_matches_label_random_graphs(spark, seed, n, m):
+    """Property: large-star/small-star contraction and min-label
+    propagation produce the identical (node → component-min) map —
+    both checked against a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    want = _uf_components(n, pairs)
+    for strategy in ("label", "star"):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(nodes, pdf, strategy=strategy).collect()
+        }
+        assert got == want, strategy
+
+
+def test_dup_clusters_star_long_chain(spark):
+    """A 64-node chain has diameter 63 — min-label would need 63
+    rounds, star contraction collapses it within its default budget."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(nodes, pdf, max_iterations=10, strategy="star").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_jaccard_prefix_matches_inverted(docs):
+    """Both exact candidate strategies must produce the identical pair
+    set — prefix filtering's recall guarantee is provably complete."""
+    inv = sorted(map(tuple, dedup.jaccard_pairs(docs, threshold=0.2).collect()))
+    pre = sorted(map(tuple, dedup.jaccard_pairs(docs, threshold=0.2, method="prefix").collect()))
+    assert inv == pre and len(inv) > 0
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df = spark.createDataFrame(
         [
@@ -120,6 +179,21 @@ def test_embedding_dedup(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dedup_pairs(df, threshold=0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_hyperplane_dim_mismatch_raises(spark):
+    # a wrong inlined-plane dim must fail loudly, never silently send
+    # every vector to bucket 0 (which would degenerate the candidate
+    # join to a cross product)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim=64"):
+        similarity.hyperplane_lsh_buckets(df, dim=64).collect()
+    # explicit matching dim and derived dim agree
+    explicit = similarity.hyperplane_lsh_buckets(df, dim=3).collect()
+    derived = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dedup_pairs(df, threshold=0.5).collect()}
+    assert len(explicit) == 1 and derived == set()
 
 
 # -- similarity -------------------------------------------------------------
@@ -370,6 +444,25 @@ def test_cosine_topk_blocked_matches_expression_path(emb):
 def test_cosine_topk_blocked_empty_queries(emb):
     out = similarity.cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 0), k=3)
     assert out.count() == 0
+
+
+def test_cosine_topk_blocked_tie_group_larger_than_k(spark):
+    """Many exact-duplicate embeddings in ONE batch: the global
+    tie-break is (cosine desc, c_id asc), so the top-k must be the
+    LOWEST c_ids of the tie group — a fixed batch-local slack would
+    clip them. The blocked path must match the expression path."""
+    dups = [(i, [1.0, 2.0, 3.0]) for i in range(30)]  # 30 > k + 8 slack
+    rows = dups + [(100, [-3.0, 1.0, 0.5]), (101, [0.1, 0.2, 0.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    queries = df.filter(F.col("vec_id") == 100)
+    exact = similarity.cosine_topk(df, queries, k=5).collect()
+    blocked = similarity.cosine_topk_blocked(df, queries, k=5).collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    tup = lambda rs: [(r["q_id"], r["c_id"], r["cosine"], r["rank"]) for r in sorted(rs, key=key)]  # noqa: E731
+    assert tup(blocked) == tup(exact)
+    # the tie group contributes its LOWEST c_ids (0..n), not arbitrary members
+    tie_ids = [r["c_id"] for r in sorted(blocked, key=key) if r["c_id"] < 100]
+    assert tie_ids == sorted(tie_ids) and tie_ids == list(range(len(tie_ids)))
 
 
 def test_weighted_sample(spark):

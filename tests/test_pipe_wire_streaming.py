@@ -124,6 +124,11 @@ class _FakeColl(dict):
             n += self._docs.pop(i, None) is not None
         return self._Res(deleted_count=n)
 
+    def create_index(self, spec, unique=False):
+        self.created_indexes = getattr(self, "created_indexes", [])
+        self.created_indexes.append({"keys": list(spec), "unique": unique})
+        return "_".join(f"{k}_{d}" for k, d in spec)
+
 
 class _FakeClient:
     def __init__(self):
@@ -143,6 +148,26 @@ def test_mongo_codec_roundtrip(spark, fx, cat):
     assert doc["category"] == cat
     back = doc_to_frame(spark, doc)
     assert sorted(map(repr, back.data())) == sorted(map(repr, fx.data()))
+
+
+def test_mongo_create_index_shapes(spark):
+    """Contract test for the index surface the reference derive macro
+    exposes (fabrix-mg/src/indexes.rs:11-53): single, compound+unique,
+    text flag (all keys), and per-key mixed text."""
+    ex = MongoExecutor(spark, _FakeClient(), "dev", "frames")
+    ex.create_index([("name", 1)])
+    ex.create_index([("a", 1), ("b", -1)], unique=True)
+    ex.create_index([("title", 1), ("body", 1)], text=True)
+    ex.create_index([("title", "text"), ("year", -1)])
+    got = ex._coll.created_indexes
+    assert got == [
+        {"keys": [("name", 1)], "unique": False},
+        {"keys": [("a", 1), ("b", -1)], "unique": True},
+        {"keys": [("title", "text"), ("body", "text")], "unique": False},
+        {"keys": [("title", "text"), ("year", -1)], "unique": False},
+    ]
+    with pytest.raises(ValueError, match="direction"):
+        ex.create_index([("name", 2)])
 
 
 def test_mongo_executor_crud(spark, fx):

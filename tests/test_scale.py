@@ -189,19 +189,19 @@ def test_pipeline_embedding_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_jaccard_candidates_from_lsh(spark):
-    """d_jaccard_pairs defaults to MinHash-LSH candidates: the
-    candidate join must key on the banded signature, not the raw
-    shingle inverted index (hot-shingle-quadratic)."""
+def test_jaccard_lsh_matches_exact(spark):
+    """jaccard_pairs defaults to the EXACT inverted-index contract;
+    the opt-in LSH path must key its candidate join on the banded
+    signature (no cartesian) and, on this corpus (dup pairs at high
+    J), recover the identical pair set."""
     from fabrix_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    lsh = dedup.jaccard_pairs(docs, threshold=0.2)
+    lsh = dedup.jaccard_pairs(docs, threshold=0.2, method="lsh")
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # identical result to the exact inverted-index path on this corpus
-    exact = dedup.jaccard_pairs(docs, threshold=0.2, method="inverted")
+    exact = dedup.jaccard_pairs(docs, threshold=0.2)
     assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
 
 

@@ -406,6 +406,38 @@ def test_empty_select_preserves_types(ex, fx):
     assert dict(got.df.dtypes) == {"id": "bigint", "val": "double"}
 
 
+def test_jdbc_live_roundtrip_derby(spark, tmp_path):
+    """Live end-to-end exercise of the declared 100 TB SQL path
+    (read_jdbc/write_jdbc) against Derby's embedded JDBC driver, which
+    ships in Spark's own jars: write, table read, whole-query pushdown
+    (the reference's execution model — the remote DB runs our rendered
+    SQL, fabrix-sql/src/executor/ec.rs:550-581), partitionColumn
+    parallel read, and filter pushdown into the scan."""
+    from fabrix_spark.sources.sql import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    write_jdbc(df, url, "t1", mode="overwrite", driver=drv)
+
+    back = read_jdbc(spark, url, table="t1", driver=drv)
+    assert back.count() == 100
+    # whole-query pushdown (Derby folds unquoted idents to upper case,
+    # hence the quoting)
+    q = read_jdbc(spark, url, query='SELECT "id", "v" FROM t1 WHERE "id" < 10', driver=drv)
+    assert q.count() == 10 and set(q.columns) == {"id", "v"}
+    # partitioned parallel read: 4 bound-ranged scans
+    p = read_jdbc(
+        spark, url, table="t1", partition_column='"id"',
+        num_partitions=4, lower_bound=0, upper_bound=100, driver=drv,
+    )
+    assert p.rdd.getNumPartitions() == 4 and p.count() == 100
+    # predicate pushdown reaches the JDBC scan node
+    f = read_jdbc(spark, url, table="t1", driver=drv).filter("v >= 100")
+    assert f.count() == 50
+    assert "PushedFilters" in f._jdf.queryExecution().executedPlan().toString()
+
+
 def test_orc_roundtrip(spark, fx, tmp_path):
     from fabrix_spark.sources.files import read_orc, write_orc
 

@@ -46,7 +46,7 @@ from ..plans.sqlgen import (
 )
 from ..types import ValueType, from_spark_type
 
-__all__ = ["SaveStrategy", "SqlExecutor", "read_jdbc", "write_jdbc"]
+__all__ = ["SaveStrategy", "SqlExecutor", "read_jdbc", "write_jdbc", "upsert_jdbc"]
 
 
 class SaveStrategy:
@@ -451,3 +451,60 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    staging_table: str | None = None,
+    quote: str = '"',
+    **options: str,
+) -> None:
+    """MERGE-shaped upsert through JDBC — the 100 TB SQL write path.
+
+    ``SqlExecutor.save(strategy='upsert')`` mirrors the reference's
+    probe-and-split semantics exactly (ec.rs:518-538) but issues
+    per-row UPDATEs — degenerate at scale, as its docstring says. This
+    is the scale route: (1) all executors write the new rows to a
+    staging table IN PARALLEL via the JDBC datasource, then (2) ONE
+    set-based transaction on the driver finalizes:
+    ``DELETE matched keys; INSERT all staged rows`` — the same
+    delete-matched + insert-all plan the lake merge runs
+    (sources/lake.py), expressed in portable ANSI DML so it works on
+    any JDBC database (MERGE dialects differ; this doesn't).
+
+    The driver-side connection comes from ``java.sql.DriverManager``
+    on the JVM Spark already runs — no extra Python DB driver needed.
+    The staged data never flows through the driver; only the three
+    DML strings do."""
+    staging = staging_table or f"{table}__stg"
+    write_jdbc(df, url, staging, mode="overwrite", **options)
+
+    jvm = df.sparkSession._jvm
+    if "driver" in options:
+        # ensure the driver class is registered with DriverManager
+        jvm.java.lang.Class.forName(options["driver"])
+    q = lambda ident: f"{quote}{ident}{quote}" if quote else ident  # noqa: E731
+    cols = ", ".join(q(c) for c in df.columns)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(
+                f"DELETE FROM {table} WHERE {q(key)} IN (SELECT {q(key)} FROM {staging})"
+            )
+            stmt.executeUpdate(
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+            )
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()

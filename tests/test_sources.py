@@ -438,6 +438,34 @@ def test_jdbc_live_roundtrip_derby(spark, tmp_path):
     assert "PushedFilters" in f._jdf.queryExecution().executedPlan().toString()
 
 
+def test_jdbc_upsert_merge_shaped(spark, tmp_path):
+    """upsert_jdbc = parallel staging write + one set-based
+    delete-matched/insert-all transaction — the scale alternative to
+    SqlExecutor's per-row UPDATE upsert, live against embedded Derby."""
+    from fabrix_spark.sources.sql import read_jdbc, upsert_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbyup;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, tag string"
+    )
+    write_jdbc(base, url, "t", mode="overwrite", driver=drv)
+    newer = spark.createDataFrame(
+        [(2, "B"), (3, "C"), (4, "d")], "id bigint, tag string"
+    )
+    upsert_jdbc(newer, url, "t", key="id", driver=drv)
+    got = {
+        (r["id"], r["tag"])
+        for r in read_jdbc(spark, url, table="t", driver=drv).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "C"), (4, "d")}
+    # staging table cleaned up
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jdbc(spark, url, table="t__stg", driver=drv).count()
+
+
 def test_orc_roundtrip(spark, fx, tmp_path):
     from fabrix_spark.sources.files import read_orc, write_orc
 

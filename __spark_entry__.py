@@ -50,6 +50,8 @@ _VERIFY_FIRST = [
     "smp_weighted",
     # newly oracled / new this round
     "sim_lsh_topk",
+    "t_token_rarity",
+    "t_prune_rare",
     # canaries (driver-green in r01 and r02)
     "q1_pricing_summary",
     "adt_groupby_agg",

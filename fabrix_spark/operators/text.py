@@ -27,6 +27,8 @@ __all__ = [
     "top_ngrams",
     "lang_id",
     "fingerprint",
+    "token_rarity",
+    "prune_rare_tokens",
     "tfidf_top_terms",
     "mask_pii",
     "normalize_text",
@@ -274,6 +276,100 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("__id").alias(id_col), "term", "tfidf", "rank")
+    )
+
+
+def token_rarity(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency rarity profile per document — the cheap
+    perplexity proxy every pre-training filter stack keeps: documents
+    whose tokens are all corpus-rare are usually noise/garble, and
+    documents of only ultra-common tokens are boilerplate.
+
+    Per document (all in exact integer arithmetic until one final
+    rounded division, so it oracle-checks bit-for-bit):
+      * ``n_tokens``          — token occurrences
+      * ``mean_token_count``  — mean corpus frequency of its tokens
+      * ``min_token_count``   — corpus frequency of its rarest token
+      * ``n_hapax``           — tokens occurring exactly once corpus-wide
+
+    Scale shape: one corpus-wide token-count aggregate (shuffle keyed
+    on token), one occurrences⋈counts equi-join (same key), one
+    per-doc aggregate. No driver-side state, no UDF; vocabulary never
+    needs to fit anywhere in memory."""
+    from .util import spread
+
+    occ = spread(df).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    counts = occ.groupBy("__t").agg(F.count("*").alias("__c"))
+    return (
+        occ.join(counts, "__t")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("__c") / F.count("*"), 6).alias("mean_token_count"),
+            F.min("__c").alias("min_token_count"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "mean_token_count",
+            "min_token_count",
+            "n_hapax",
+        )
+    )
+
+
+def prune_rare_tokens(
+    df: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global vocabulary pruning: drop every token occurring fewer
+    than ``min_count`` times corpus-wide and stitch the survivors back
+    in order — the classic vocab-floor cleanup (typos, hashes, OCR
+    junk) run before tokenizer training.
+
+    Output: one row per input document — ``clean_text`` (may be
+    empty), ``n_tokens``, ``n_dropped``.
+
+    Scale shape: token-position explode → corpus count aggregate
+    (keyed on token) → occurrences⋈counts equi-join on the same key →
+    one groupBy(doc) rebuild. The rare set is the LONG TAIL of the
+    vocabulary — usually most of it — so unlike boilerplate removal
+    (``dedup.remove_common_segments``, which broadcasts its tiny hot
+    set) this join must stay a keyed shuffle, never a broadcast."""
+    from .util import spread
+
+    occ = spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__t"),
+    )
+    counts = occ.groupBy("__t").agg(F.count("*").alias("__c"))
+    joined = occ.join(counts, "__t")
+    rebuilt = joined.groupBy("__id").agg(
+        F.count("*").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__c") >= min_count, F.struct("__pos", "__t"))
+                    )
+                ),
+                lambda s: s["__t"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__c") < min_count, 1).otherwise(0)).alias("n_dropped"),
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
     )
 
 

@@ -2370,6 +2370,57 @@ def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "t_token_rarity",
+    oracle=r"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+),
+counts AS (SELECT t, count(*) AS c FROM occ GROUP BY t),
+j AS (SELECT occ.doc_id, counts.c FROM occ JOIN counts USING (t))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_token_count,
+       min(c) AS min_token_count,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM j GROUP BY doc_id
+""",
+)
+def t_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity profile (perplexity proxy): exact
+    integer corpus counts per token, one rounded division at the end."""
+    return text.token_rarity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_prune_rare",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i.i AS pos, w[CAST(i.i + 1 AS BIGINT)] AS tok
+  FROM t, UNNEST(range(len(w))) AS i(i)
+),
+counts AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+j AS (SELECT occ.doc_id, occ.pos, occ.tok, counts.c FROM occ JOIN counts USING (tok)),
+r AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         string_agg(CASE WHEN c >= 2 THEN tok END, ' ' ORDER BY pos ASC) AS clean_text,
+         CAST(sum(CASE WHEN c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(r.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+""",
+)
+def t_prune_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary-floor pruning: tokens with corpus count < 2
+    removed everywhere, documents stitched back in order."""
+    return text.prune_rare_tokens(_t(spark, sf_dir, "documents"), min_count=2)
+
+
 def _quality_oracle() -> str:
     stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS_EN)
     return f"""

@@ -30,6 +30,7 @@ __all__ = [
     "read_stream_json",
     "read_stream_parquet",
     "foreach_batch_save",
+    "stream_upsert_lake",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -102,6 +103,32 @@ def foreach_batch_save(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stream_upsert_lake(
+    stream: DataFrame,
+    lake_table,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming merge sink: every micro-batch is key-upserted into a
+    parquet lake table (``sources.lake.LakeTable`` with an index) —
+    the CDC-ingest shape: late/replayed records overwrite by key
+    instead of duplicating, so the sink is idempotent under
+    at-least-once delivery (re-merging a batch is a no-op).
+
+    Per batch this runs the lake's MERGE-shaped plan (anti-join on the
+    key + union + staged rewrite, sources/lake.py) — the same plan a
+    Delta/Iceberg MERGE would execute; layer a table format for true
+    multi-writer ACID. availableNow trigger: drain what exists, stop."""
+    if lake_table.index is None:
+        raise ValueError("stream_upsert_lake requires a LakeTable with an index")
+    return foreach_batch_save(
+        stream,
+        lambda batch, _bid, _strategy: lake_table.upsert(batch),
+        checkpoint,
+        first_strategy="upsert",
+        rest_strategy="upsert",
     )
 
 

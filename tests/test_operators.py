@@ -26,6 +26,32 @@ def test_token_count(docs):
     assert all(r["n_unique_tokens"] <= r["n_tokens"] for r in out)
 
 
+def test_token_rarity(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.token_rarity(df).collect()}
+    # corpus counts: a=3, b=1, c=1
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["mean_token_count"] == round((3 + 3 + 1) / 3, 6)
+    assert rows[1]["min_token_count"] == 1 and rows[1]["n_hapax"] == 1
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["mean_token_count"] == 2.0
+    assert rows[2]["n_hapax"] == 1
+
+
+def test_prune_rare_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.prune_rare_tokens(df, min_count=2).collect()}
+    assert rows[1]["clean_text"] == "a a" and rows[1]["n_dropped"] == 1
+    assert rows[2]["clean_text"] == "a" and rows[2]["n_dropped"] == 1
+    # every token rare → empty doc survives as a row
+    assert rows[3]["clean_text"] == "" and rows[3]["n_dropped"] == 1
+    assert rows[3]["n_tokens"] == 1
+
+
 def test_quality_score(docs):
     row = text.quality_score(docs).first()
     assert 0.0 <= row["stopword_ratio"] <= 1.0

@@ -283,6 +283,46 @@ def test_stream_foreach_batch_save(spark, tmp_path):
     assert len(seen) >= 2  # maxFilesPerTrigger=1 → multiple micro-batches
 
 
+def test_stream_upsert_lake(spark, tmp_path):
+    """CDC-shaped streaming merge: micro-batches key-upsert into a
+    lake table, so replayed/late records overwrite instead of
+    duplicating — final table has one row per event_id with the
+    LAST-merged value."""
+    import json as _json
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import stream_upsert_lake
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    # batch files: ids 0-4, then an overlapping correction for 2-4 (+ new 5-6)
+    for i, ids in enumerate([range(0, 5), range(2, 7)]):
+        lines = [
+            _json.dumps(
+                {
+                    "event_id": e,
+                    "user_id": e % 2,
+                    "event_type": f"v{i}",
+                    "ts": f"2024-01-01T00:0{i}:00.000Z",
+                    "value": float(e + i * 100),
+                }
+            )
+            for e in ids
+        ]
+        (src / f"part-{i}.json").write_text("\n".join(lines))
+
+    stream = read_stream_json(spark, str(src), max_files_per_trigger=1)
+    table = LakeTable(spark, str(tmp_path / "cdc_lake"), index="event_id")
+    q = stream_upsert_lake(stream, table, checkpoint=str(tmp_path / "cdc_ckpt"))
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r for r in spark.read.parquet(table.path).collect()}
+    assert sorted(rows) == list(range(7))  # one row per key, no dups
+    # keys 2-4 were overwritten by the second batch (files arrive in
+    # name order with maxFilesPerTrigger=1)
+    assert all(rows[e]["event_type"] == "v1" for e in (2, 3, 4))
+    assert all(rows[e]["event_type"] == "v0" for e in (0, 1))
+
+
 def test_stream_tumbling_window(spark, tmp_path):
     src, total = _write_event_files(tmp_path)
     stream = read_stream_json(spark, src)

@@ -375,7 +375,13 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification of candidates only."""
     sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
-    sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col, sets=sets)
+    # materialize the (narrow) signature table too: the banded
+    # self-join otherwise recomputes the signature expressions on both
+    # sides — this is the persisted signature table of a real LSH
+    # pipeline
+    sigs = minhash_signatures(
+        df, n_hashes, shingle_size, text_col, id_col, sets=sets
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
     return _verify_jaccard(sets, cands, threshold)
 

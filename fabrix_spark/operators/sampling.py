@@ -21,6 +21,7 @@ __all__ = [
     "cap_per_group",
     "pack_sequences",
     "rebalance_groups",
+    "temperature_mixture",
     "weighted_sample",
 ]
 
@@ -143,6 +144,46 @@ def pack_sequences(
         .withColumn("pack", ((F.col("__cum") - F.col(length_col)) / budget).cast("long"))
         .withColumn("pack_offset", F.col("__cum") - F.col(length_col))
         .drop("__ord", "__cum")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the standard multilingual /
+    multi-domain sampling schedule, public methodology: sample group g
+    with probability ∝ n_g^α): group g deterministically keeps the
+    fraction ``(n_min / n_g)^(1-α)`` of its rows, so
+
+      * α = 1 → natural distribution (keep everything),
+      * α = 0 → uniform (== :func:`rebalance_groups`),
+      * 0 < α < 1 → interpolates, up-weighting small groups without
+        flattening the corpus.
+
+    The normalization pins the smallest group's keep-fraction at 1 —
+    pure downsampling, no replacement needed. Deterministic by key
+    hash. At the default α = 0.5 the cut is ``sqrt(n_min/n_g)``:
+    IEEE sqrt is correctly rounded in every engine (unlike ``pow``),
+    so the DuckDB oracle reproduces the cut — and therefore the exact
+    row set — bit-for-bit. Same scale shape as rebalance_groups:
+    tiny-side cut derivation, one broadcast hash join, narrow filter;
+    the corpus never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
+    floor = counts.agg(F.min("__cnt").alias("__min"))
+    ratio = F.col("__min") / F.col("__cnt")
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    cuts = counts.crossJoin(floor).select(
+        group_col,
+        F.round(frac * _BUCKETS).cast("long").alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(hash_bucket(F.col(key), _BUCKETS, salt) < F.col("__cut"))
+        .drop("__cut")
     )
 
 

@@ -2846,6 +2846,25 @@ def smp_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.rebalance_groups(d, "doc_id", "lang").select("doc_id", "lang")
 
 
+@register(
+    "smp_temperature",
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON c.lang = d.lang CROSS JOIN m
+WHERE {{bucket}} < CAST(round(sqrt(mn / CAST(cnt AS DOUBLE)) * 10000) AS BIGINT)
+""".format(bucket=_bucket_sql()),
+)
+def smp_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing at α = 0.5: group g keeps
+    sqrt(n_min/n_g) of its rows — between natural (α=1) and uniform
+    (α=0) distributions. sqrt is correctly rounded IEEE, so the cut
+    (and the exact kept-row set) reproduces across engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.temperature_mixture(d, "doc_id", "lang", alpha=0.5).select("doc_id", "lang")
+
+
 # ===========================================================================
 # flagship composition: the whole LLM data-prep chain as ONE lazy plan
 # ===========================================================================

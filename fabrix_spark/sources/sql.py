@@ -357,7 +357,13 @@ class SqlExecutor:
 
     def save(self, table: str, fx: FxFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> int:
         """The four-strategy writer (ec.rs:484-538), transactional like
-        txn_create_and_insert (ec.rs:602-651)."""
+        txn_create_and_insert (ec.rs:602-651).
+
+        Semantics mirror the reference exactly, including upsert's
+        probe-and-split with per-row UPDATEs — degenerate at scale by
+        design. Big writes belong on the set-based paths:
+        :func:`upsert_jdbc` (parallel staging write + one MERGE-shaped
+        transaction) or the lake anti-join merge (sources/lake.py)."""
         try:
             n = self._save_inner(table, fx, strategy)
             self._conn.commit()

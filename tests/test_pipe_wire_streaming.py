@@ -311,6 +311,16 @@ def test_stream_upsert_lake(spark, tmp_path):
         ]
         (src / f"part-{i}.json").write_text("\n".join(lines))
 
+    # FileStreamSource drains oldest-mtime-first; both files land within
+    # one mtime tick, so pin distinct mtimes to make batch order (and
+    # therefore which version wins the upsert) deterministic.
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "part-0.json", (now - 60, now - 60))
+    _os.utime(src / "part-1.json", (now, now))
+
     stream = read_stream_json(spark, str(src), max_files_per_trigger=1)
     table = LakeTable(spark, str(tmp_path / "cdc_lake"), index="event_id")
     q = stream_upsert_lake(stream, table, checkpoint=str(tmp_path / "cdc_ckpt"))

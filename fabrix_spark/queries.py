@@ -3068,11 +3068,41 @@ def pipeline_pack_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m_frame_sample", oracle=None)  # mapInPandas plumbing — rows-only
+_FRAME_SAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, text, octet_length(encode(text)) AS n FROM documents
+),
+f AS (
+  SELECT id, text, n,
+         CAST(unnest(range(0, ((n + 15) // 16 + 3) // 4)) AS INT) AS frame_idx
+  FROM d
+)
+SELECT id, frame_idx,
+       CAST(least(16, n - frame_idx * 64) AS INT) AS frame_len,
+       md5(substring(text, frame_idx * 64 + 1, least(16, n - frame_idx * 64))) AS frame_md5
+FROM f
+"""
+
+
+@register("m_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real ``mapInPandas`` one-to-many
+    plumbing, projected to a fully deterministic shape the oracle can
+    re-derive: the fake decode slices the blob into 16-byte chunks and
+    keeps every 4th, so frame index, length, and content md5 are pure
+    functions of the text bytes. DuckDB has no blob substring/md5, so
+    the oracle slices the VARCHAR — sound here because the documents
+    fixture is ASCII (byte offset == char offset; verified octet_length
+    == length across all SFs)."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.sample_frames(
+    frames = multimodal.sample_frames(
         multimodal.attach_binary(docs, "text"), every_n=4, fake_decode=True
+    )
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
     )
 
 

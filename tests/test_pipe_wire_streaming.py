@@ -328,7 +328,7 @@ def test_stream_upsert_lake(spark, tmp_path):
     rows = {r["event_id"]: r for r in spark.read.parquet(table.path).collect()}
     assert sorted(rows) == list(range(7))  # one row per key, no dups
     # keys 2-4 were overwritten by the second batch (files arrive in
-    # name order with maxFilesPerTrigger=1)
+    # pinned-mtime order: part-0 before part-1, per the utime calls above)
     assert all(rows[e]["event_type"] == "v1" for e in (2, 3, 4))
     assert all(rows[e]["event_type"] == "v0" for e in (0, 1))
 

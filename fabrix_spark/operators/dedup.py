@@ -30,6 +30,9 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_dedup_pairs",
+    "SignatureStore",
+    "incremental_candidates",
+    "incremental_dedup_pairs",
     "simhash",
     "simhash_pairs",
     "embedding_dedup_pairs",
@@ -326,16 +329,10 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), *mins)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    n_hashes: int = 16,
-    bands: int = 4,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Band the signature (``bands`` bands of ``n_hashes/bands`` rows),
-    bucket-join docs sharing a band. This is THE scale move: the
-    shuffle is on (band_idx, band_key) and only same-bucket docs pair
-    up. Returns distinct (id_a < id_b)."""
+def _banded(signatures: DataFrame, n_hashes: int, bands: int, id_col: str) -> DataFrame:
+    """Explode a signature frame into (``__id``, band, key) rows —
+    ``bands`` bands of ``n_hashes/bands`` signature rows each, the key
+    being the concatenated minhash values of the band."""
     rows_per_band = n_hashes // bands
     band_structs = F.array(
         *[
@@ -346,9 +343,22 @@ def lsh_candidate_pairs(
             for bi in range(bands)
         ]
     )
-    banded = signatures.select(F.col(id_col).alias("__id"), F.explode(band_structs).alias("bk")).select(
+    return signatures.select(F.col(id_col).alias("__id"), F.explode(band_structs).alias("bk")).select(
         "__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature (``bands`` bands of ``n_hashes/bands`` rows),
+    bucket-join docs sharing a band. This is THE scale move: the
+    shuffle is on (band_idx, band_key) and only same-bucket docs pair
+    up. Returns distinct (id_a < id_b)."""
+    banded = _banded(signatures, n_hashes, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -384,6 +394,163 @@ def minhash_dedup_pairs(
     ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
     return _verify_jaccard(sets, cands, threshold)
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus-delta dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+
+class SignatureStore:
+    """Persisted MinHash signature table for incremental (corpus-delta)
+    dedup: the corpus is signed ONCE, the signatures live in a keyed
+    parquet lake table, and every later dedup of newly arrived
+    documents probes the store with a banded equi-join instead of
+    re-shingling the corpus.
+
+    This lifts the reference's incremental probe-then-save pattern
+    (existing-ids probe + upsert split, fabrix-sql/src/executor/
+    ec.rs:518-538) to corpus scale. The 100 TB math: ``n_hashes``
+    longs per document is ~0.1-1% of the corpus bytes, so the probe
+    side of every future dedup round reads the small signed table
+    (map-only parquet scan); the raw corpus is touched only to verify
+    candidate ids — a semi join that reads the handful of matched
+    documents, never the whole corpus. ``ingest`` folds survivors'
+    signatures back in via the lake key-upsert (one anti join), so the
+    store stays current without ever being rebuilt."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        n_hashes: int = 16,
+        shingle_size: int = 3,
+        id_col: str = "doc_id",
+    ):
+        from ..sources.lake import LakeTable
+
+        self.n_hashes = n_hashes
+        self.shingle_size = shingle_size
+        self.id_col = id_col
+        self.table = LakeTable(spark, path, index=id_col)
+
+    @property
+    def path(self) -> str:
+        return self.table.path
+
+    def exists(self) -> bool:
+        return self.table.exists()
+
+    def sign(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        return minhash_signatures(
+            docs, self.n_hashes, self.shingle_size, text_col, self.id_col
+        )
+
+    def build(self, docs: DataFrame, text_col: str = "text") -> None:
+        """Sign the full corpus and (re)write the store."""
+        from ..sources.sql import SaveStrategy
+
+        self.table.save(self.sign(docs, text_col), SaveStrategy.REPLACE)
+
+    def ingest(self, new_docs: DataFrame, text_col: str = "text") -> None:
+        """Key-upsert the new docs' signatures into the store — called
+        after a dedup round admits its survivors."""
+        from ..sources.sql import SaveStrategy
+
+        self.table.save(self.sign(new_docs, text_col), SaveStrategy.UPSERT)
+
+    def read(self) -> DataFrame:
+        """The persisted signature frame (parquet scan, no recompute)."""
+        return self.table.read().df
+
+
+def incremental_candidates(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH candidates between freshly signed new docs and the
+    persisted corpus signatures: distinct (new_id, corpus_id).
+
+    By construction this needs ONLY the two signature frames — the
+    corpus side arrives pre-signed from the store, so no corpus text
+    is read or re-shingled to produce candidates. The only shuffle is
+    the (band, key) equi-join; identical ids on both sides (a re-sent
+    document) are excluded as self-pairs."""
+    n = _banded(new_sigs, n_hashes, bands, id_col).alias("n")
+    c = _banded(store_sigs, n_hashes, bands, id_col).alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.key") == F.col("c.key"))
+            & (F.col("n.__id") != F.col("c.__id")),
+        )
+        .select(F.col("n.__id").alias("new_id"), F.col("c.__id").alias("corpus_id"))
+        .distinct()
+    )
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    store: SignatureStore,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup newly arrived documents against an existing corpus via its
+    persisted :class:`SignatureStore`: sign ONLY the new docs (narrow
+    map), banded-probe the store, then exact-verify candidates by
+    re-shingling JUST the candidate corpus docs (semi join on the
+    candidate ids) alongside the new docs. Returns
+    (new_id, corpus_id, jaccard ≥ threshold).
+
+    ``corpus_docs`` is read only for candidate verification; its
+    signatures come from the store. The two sides keep separate
+    shingle-set frames through verification, so a new document
+    re-using a corpus id compares its NEW text against the corpus
+    text of any other candidate id it buckets with."""
+    n_hashes, shingle_size = store.n_hashes, store.shingle_size
+    new_sets = _shingle_sets(new_docs, text_col, id_col, shingle_size).localCheckpoint(eager=True)
+    new_sigs = minhash_signatures(
+        new_docs, n_hashes, shingle_size, text_col, id_col, sets=new_sets
+    )
+    cands = incremental_candidates(
+        new_sigs, store.read(), n_hashes, bands, id_col
+    ).localCheckpoint(eager=True)
+    cand_corpus = corpus_docs.join(
+        cands.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    corpus_sets = _shingle_sets(cand_corpus, text_col, id_col, shingle_size)
+    scored = (
+        cands.join(
+            new_sets.select(F.col("__id").alias("new_id"), F.col("__set").alias("__sa")),
+            "new_id",
+        )
+        .join(
+            corpus_sets.select(F.col("__id").alias("corpus_id"), F.col("__set").alias("__sb")),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__common"),
+            F.size("__sa").alias("__sza"),
+            F.size("__sb").alias("__szb"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.round(F.col("__common") / (F.col("__sza") + F.col("__szb") - F.col("__common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2016,6 +2016,76 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def _incremental_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
+    """Corpus-delta variant of the minhash oracle: docs with
+    doc_id % 5 = 0 are the newly arrived delta, the rest the existing
+    corpus; candidates are asymmetric (new × corpus), then exact
+    Jaccard over the candidate pairs only."""
+    from .operators.dedup import _hash_params
+
+    rows = n_hashes // bands
+    mins = ",\n    ".join(
+        f"min(({a} * h32 + {b}) % 4294967311) AS mh_{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+    band_sel = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS key FROM sigs".format(
+            bi=bi, cols=", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH ds AS ({_shingle_sql(3)}),
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32 FROM ds),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM banded n JOIN banded c
+    ON n.band = c.band AND n.key = c.key AND n.doc_id <> c.doc_id
+ WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+  SELECT cd.new_id, cd.corpus_id, count(*) AS cc
+  FROM cand cd
+  JOIN ds a ON a.doc_id = cd.new_id
+  JOIN ds b ON b.doc_id = cd.corpus_id AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id, round(cc / (sa.sz + sb.sz - cc), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE round(cc / (sa.sz + sb.sz - cc), 6) >= {threshold}
+"""
+
+
+@register("d_incremental_dedup", oracle=_incremental_oracle(), headline=True)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-delta dedup: the corpus (doc_id % 5 ≠ 0) is
+    signed once into a persisted ``SignatureStore`` lake table; the
+    delta (doc_id % 5 = 0) is then deduped against the STORE — only
+    the new docs are shingled/signed, the corpus side is a parquet
+    scan of its stored signatures, and corpus text is read only to
+    verify candidate ids. Same md5-deterministic hash family both
+    ways, so the oracle re-derives identical signatures from scratch.
+
+    The store lives in a fresh temp dir per invocation (built here,
+    probed lazily by the returned plan), mirroring a real pipeline
+    where build and probe are separate jobs against the same path."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    store = dedup.SignatureStore(
+        spark, tempfile.mkdtemp(prefix="fabrix_sigstore_") + "/sigs"
+    )
+    store.build(corpus)
+    return dedup.incremental_dedup_pairs(delta, store, corpus, threshold=0.2)
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (

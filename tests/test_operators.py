@@ -178,6 +178,63 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in got)
 
 
+def test_incremental_dedup_matches_full_recompute(spark, docs, tmp_path):
+    """Probing the persisted signature store yields exactly the
+    cross-side subset of a from-scratch full-corpus LSH dedup — same
+    pairs, same jaccard values."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    store = dedup.SignatureStore(spark, str(tmp_path / "sigs"))
+    store.build(corpus)
+    inc = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in dedup.incremental_dedup_pairs(delta, store, corpus, threshold=0.2).collect()
+    }
+    cross = {}
+    for r in dedup.minhash_dedup_pairs(docs, threshold=0.2).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 5 == 0 and b % 5 != 0:
+            cross[(a, b)] = r["jaccard"]
+        elif b % 5 == 0 and a % 5 != 0:
+            cross[(b, a)] = r["jaccard"]
+    assert inc == cross and len(inc) > 0
+
+
+def test_incremental_candidates_read_store_not_corpus(spark, docs, tmp_path):
+    """The candidate stage must consume the PERSISTED corpus
+    signatures: with the new docs arriving as an in-memory frame, the
+    plan scans the store's parquet and NOTHING else on disk — any
+    documents.parquet scan would mean the corpus was re-signed."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    store = dedup.SignatureStore(spark, str(tmp_path / "sigs"))
+    store.build(corpus)
+    seed = corpus.first()  # resend a corpus text under a fresh id
+    delta = spark.createDataFrame(
+        [(10**9, seed["text"])], "doc_id long, text string"
+    )
+    cands = dedup.incremental_candidates(store.sign(delta), store.read())
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert str(tmp_path / "sigs") in plan  # corpus side = store scan
+    assert "documents.parquet" not in plan
+    # identical text ⇒ identical signature ⇒ guaranteed candidate
+    assert (10**9, seed["doc_id"]) in {
+        (r["new_id"], r["corpus_id"]) for r in cands.collect()
+    }
+
+
+def test_signature_store_ingest_is_upsert(spark, docs, tmp_path):
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    store = dedup.SignatureStore(spark, str(tmp_path / "sigs"))
+    store.build(corpus)
+    assert store.read().count() == corpus.count()
+    store.ingest(delta)
+    assert store.read().count() == docs.count()
+    store.ingest(delta)  # re-send: key-merge, not append
+    assert store.read().count() == docs.count()
+    assert store.read().columns[0] == "doc_id"
+
+
 def test_simhash_near_dups(spark):
     df = spark.createDataFrame(
         [

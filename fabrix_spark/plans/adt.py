@@ -270,7 +270,14 @@ class Join:
 
 @dataclass
 class Select:
-    """The root query node (sql_adt.rs:744-754)."""
+    """The root query node (sql_adt.rs:744-754).
+
+    ``distinct`` and ``having`` extend the reference's grammar (which
+    stops at group_by) — capability ≥ reference: the serializable ADT
+    covers what the raw-query surface already could. ``having`` reuses
+    the same token grammar as ``filter``; its conditions may reference
+    group keys or the display names of aggregate projection columns
+    (both backends resolve alias → aggregate expression)."""
 
     table: str
     columns: list[ColumnLike] = field(default_factory=list)
@@ -281,11 +288,17 @@ class Select:
     limit: int | None = None
     offset: int | None = None
     include_primary_key: bool = False
+    distinct: bool = False
+    having: list[Expression] | None = None
 
     def __post_init__(self) -> None:
         self.columns = [Col(c) if isinstance(c, str) else c for c in self.columns]
         if self.filter:
             validate_expressions(self.filter)
+        if self.having:
+            if not self.group_by:
+                raise ValueError("having requires group_by")
+            validate_expressions(self.having)
 
     def columns_name(self) -> list[str]:
         """Display names incl. ``max(col)`` forms (sql_adt.rs:332-371)."""
@@ -307,6 +320,10 @@ class Select:
             d["offset"] = self.offset
         if self.include_primary_key:
             d["include_primary_key"] = True
+        if self.distinct:
+            d["distinct"] = True
+        if self.having:
+            d["having"] = [expression_to_json(t) for t in self.having]
         return d
 
     @classmethod
@@ -321,6 +338,8 @@ class Select:
             limit=d.get("limit"),
             offset=d.get("offset"),
             include_primary_key=bool(d.get("include_primary_key", False)),
+            distinct=bool(d.get("distinct", False)),
+            having=expressions_from_json(d["having"]) if d.get("having") else None,
         )
 
 
@@ -359,4 +378,6 @@ def with_primary_key(sel: Select, pk: str) -> Select:
         limit=sel.limit,
         offset=sel.offset,
         include_primary_key=sel.include_primary_key,
+        distinct=sel.distinct,
+        having=sel.having,
     )

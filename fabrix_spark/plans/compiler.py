@@ -187,6 +187,17 @@ def _post_agg_expr(c: Col | FnCol) -> Column:
     return _column_expr(_strip_tbl(c))
 
 
+def _check_having_cols(tokens: Sequence[Expression], legal: set[str]) -> None:
+    for t in tokens:
+        if isinstance(t, Nest):
+            _check_having_cols(t.tokens, legal)
+        elif isinstance(t, Cond) and t.col not in legal:
+            raise ValueError(
+                f"having references {t.col!r}; legal names are group keys "
+                f"or aggregate display names: {sorted(legal)}"
+            )
+
+
 def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     """Build the lazy DataFrame plan for a Select ADT.
 
@@ -213,6 +224,13 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
         keys = list(sel.group_by)
         aggs = [_column_expr(c) for c in agg_cols]
         df = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs) if aggs else df.select(*keys).distinct()
+        if sel.having:
+            # post-aggregation filter: conds may name raw group keys or
+            # aggregate display names (both exist on the agg output);
+            # anything else is a loud error, not a mis-bind
+            legal = set(keys) | {c.display_name() for c in agg_cols}
+            _check_having_cols(sel.having, legal)
+            df = df.filter(compile_filter(sel.having))
         if sel.columns:
             # non-aggregate projected columns must be group keys (SQL
             # rule); aggregates already carry their display name from
@@ -228,6 +246,10 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
             df = df.select(*ordered)
     elif sel.columns:
         df = df.select(*[_column_expr(c) for c in sel.columns])
+
+    if sel.distinct:
+        # SQL logical order: ... HAVING -> SELECT -> DISTINCT -> ORDER
+        df = df.distinct()
 
     if sel.order:
         df = df.orderBy(*[F.col(o.col).desc() if o.desc else F.col(o.col).asc() for o in sel.order])

@@ -120,8 +120,15 @@ def _render_column(c: Col | FnCol, quote: Quoter, with_alias: bool = True) -> st
     return s
 
 
-def _render_cond(c: Cond, quote: Quoter) -> str:
-    col = _render_colref(c.col, c.tbl, quote)
+def _render_cond(c: Cond, quote: Quoter, subst: dict[str, str] | None = None) -> str:
+    if subst and c.col in subst:
+        # HAVING over an aggregate projection column: strict SQL can't
+        # reference the SELECT alias, so substitute the aggregate
+        # expression itself (what the reference's sea-query emits for
+        # Expr::expr(...) in a having clause)
+        col = subst[c.col]
+    else:
+        col = _render_colref(c.col, c.tbl, quote)
     op = c.op
     if op == "eq":
         return f"{col} = {render_value(c.value)}"
@@ -153,7 +160,9 @@ def render_filter(tokens: Sequence[Expression], dialect: str = "ansi") -> str:
     return _render_filter(tokens, _quoter(dialect))
 
 
-def _render_filter(tokens: Sequence[Expression], quote: Quoter) -> str:
+def _render_filter(
+    tokens: Sequence[Expression], quote: Quoter, subst: dict[str, str] | None = None
+) -> str:
     parts: list[str] = []
     for t in tokens:
         if t is AND:
@@ -163,9 +172,9 @@ def _render_filter(tokens: Sequence[Expression], quote: Quoter) -> str:
         elif t is NOT:
             parts.append("NOT")
         elif isinstance(t, Nest):
-            parts.append(f"({_render_filter(t.tokens, quote)})")
+            parts.append(f"({_render_filter(t.tokens, quote, subst)})")
         elif isinstance(t, Cond):
-            parts.append(_render_cond(t, quote))
+            parts.append(_render_cond(t, quote, subst))
         else:  # pragma: no cover
             raise ValueError(f"unexpected token {t!r}")
     return " ".join(parts)
@@ -174,7 +183,8 @@ def _render_filter(tokens: Sequence[Expression], quote: Quoter) -> str:
 def render_select(sel: Select, dialect: str = "ansi") -> str:
     quote = _quoter(dialect)
     cols = ", ".join(_render_column(c, quote) for c in sel.columns) if sel.columns else "*"
-    sql = f"SELECT {cols} FROM {quote(sel.table)}"
+    dkw = "DISTINCT " if sel.distinct else ""
+    sql = f"SELECT {dkw}{cols} FROM {quote(sel.table)}"
     for j in sel.joins:
         how = {"join": "JOIN", "inner": "INNER JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
                "full": "FULL JOIN", "cross": "CROSS JOIN", "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[j.how]
@@ -187,6 +197,13 @@ def render_select(sel: Select, dialect: str = "ansi") -> str:
         sql += f" WHERE {_render_filter(sel.filter, quote)}"
     if sel.group_by:
         sql += " GROUP BY " + ", ".join(quote(k) for k in sel.group_by)
+    if sel.having:
+        agg_map = {
+            c.display_name(): _render_column(c, quote, with_alias=False)
+            for c in sel.columns
+            if isinstance(c, FnCol) and c.is_aggregate()
+        }
+        sql += f" HAVING {_render_filter(sel.having, quote, agg_map)}"
     if sel.order:
         sql += " ORDER BY " + ", ".join(
             f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order

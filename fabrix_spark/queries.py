@@ -232,6 +232,34 @@ _adt(
     ),
 )
 
+# distinct + having extend the reference's Select grammar (which stops
+# at group_by, sql_adt.rs:744-754) so the serializable ADT covers what
+# the raw-query surface already could (g_having / s_distinct)
+_adt(
+    "adt_having",
+    Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            FnCol("count", Col("o_orderkey"), alias="n_orders"),
+            FnCol("round", FnCol("sum", Col("o_totalprice")), (2,), alias="sum_price"),
+        ],
+        group_by=["o_custkey"],
+        having=[Cond("n_orders", "ge", 10), AND, Cond("o_custkey", "gt", 100)],
+        order=[Order("o_custkey")],
+    ),
+)
+
+_adt(
+    "adt_distinct",
+    Select(
+        table="customer",
+        columns=[Col("c_mktsegment"), Col("c_nationkey")],
+        distinct=True,
+        order=[Order("c_mktsegment"), Order("c_nationkey")],
+    ),
+)
+
 
 # ===========================================================================
 # TPC-H-style analytics (DataFrame DSL; Spark-free extras per §2.11)

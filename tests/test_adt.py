@@ -64,6 +64,61 @@ def test_select_json_roundtrip():
     assert again.to_json() == sel.to_json()
 
 
+def test_select_json_roundtrip_distinct_having():
+    sel = Select(
+        table="orders",
+        columns=[Col("o_custkey"), FnCol("count", Col("o_orderkey"), alias="n")],
+        group_by=["o_custkey"],
+        having=[Cond("n", "ge", 5), AND, Cond("o_custkey", "lt", 100)],
+        distinct=True,
+    )
+    again = Select.from_json(sel.to_json())
+    assert again.to_json() == sel.to_json()
+    assert again.distinct and len(again.having) == 3
+
+
+def test_having_requires_group_by():
+    with pytest.raises(ValueError, match="group_by"):
+        Select(table="orders", columns=[Col("o_custkey")], having=[Cond("o_custkey", "gt", 1)])
+
+
+def test_having_unknown_name_is_loud(spark, sf_dir):
+    from fabrix_spark.plans import ParquetDirProvider, compile_select
+
+    sel = Select(
+        table="orders",
+        columns=[Col("o_custkey"), FnCol("count", Col("o_orderkey"), alias="n")],
+        group_by=["o_custkey"],
+        having=[Cond("nope", "ge", 5)],
+    )
+    with pytest.raises(ValueError, match="nope"):
+        compile_select(sel, ParquetDirProvider(spark, sf_dir))
+
+
+def test_golden_sql_distinct_having():
+    sel = Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            FnCol("count", Col("o_orderkey"), alias="n"),
+        ],
+        group_by=["o_custkey"],
+        having=[Cond("n", "ge", 5), AND, Cond("o_custkey", "lt", 100)],
+        order=[Order("o_custkey")],
+    )
+    assert render_select(sel) == (
+        "SELECT o_custkey, count(o_orderkey) AS n FROM orders "
+        "GROUP BY o_custkey HAVING count(o_orderkey) >= 5 AND o_custkey < 100 "
+        "ORDER BY o_custkey ASC"
+    )
+    dsel = Select(
+        table="customer",
+        columns=[Col("c_mktsegment")],
+        distinct=True,
+    )
+    assert render_select(dsel) == "SELECT DISTINCT c_mktsegment FROM customer"
+
+
 def test_golden_sql_shape():
     sel = Select(
         table="orders",

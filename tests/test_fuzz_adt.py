@@ -116,12 +116,29 @@ def _selects(draw):
             FnCol("min", Col("c_custkey"), alias="mn"),
         ]
         order = [Order(k) for k in keys]
+        # having over the count alias (→ substituted aggregate expr in
+        # SQL) and/or a raw group key — int comparisons only, so no
+        # float-boundary flake between engines
+        having = draw(
+            st.none()
+            | st.builds(
+                lambda op, v: [Cond("n", op, v)],
+                st.sampled_from(["ge", "gt", "le", "lt", "ne"]),
+                st.integers(0, 40),
+            )
+            | st.builds(
+                lambda v1, v2: [Cond("n", "ge", v1), AND, Cond("mn", "lt", v2)],
+                st.integers(0, 30),
+                st.integers(1, 1500),
+            )
+        )
         return Select(
             table="customer",
             columns=columns,
             filter=draw(st.none() | _tokens()),
             group_by=keys,
             order=order,
+            having=having,
         )
     columns = [Col(c) for c in draw(
         st.lists(st.sampled_from(NUM_COLS + STR_COLS), min_size=1, max_size=4, unique=True)
@@ -135,6 +152,9 @@ def _selects(draw):
         order=order,
         limit=draw(st.none() | st.integers(1, 50)) if order else None,
         offset=draw(st.none() | st.integers(0, 20)) if order else None,
+        # DISTINCT only on the unordered branch: both engines require
+        # ORDER BY columns to appear in a DISTINCT projection
+        distinct=draw(st.booleans()) if not order else False,
     )
 
 

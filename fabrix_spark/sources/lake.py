@@ -11,14 +11,37 @@ four semantics apply to a parquet table directory:
   (the reference's probe-and-split, ec.rs:518-538, done as one
   anti-join instead of per-row UPDATEs)
 
-Upsert here is read-merge-rewrite into a staging directory followed by
-an atomic-ish swap — the classic pre-Delta lake merge. At warehouse
-scale you would layer a table format (Delta/Iceberg) for true ACID;
-the *plan shape* (anti join on the index, union, partitioned write) is
-exactly what their MERGE executes, so this code path scales: the
-anti-join shuffles on the key, nothing collects to the driver, and
-``partition_by`` limits the rewrite to touched partitions when the
-key embeds the partition column.
+Commit protocol (matches the reference's txn-with-rollback guarantee,
+ec.rs:602-651, on the lake path): every rewriting operation writes a
+NEW immutable version directory under the table root, then commits it
+by atomically replacing a pointer file —
+
+    <root>/_current           ← one line: the live version dir name
+    <root>/v_000001_ab12cd34/ ← immutable parquet tree
+    <root>/v_000002_ef56ab78/
+
+Readers resolve through the pointer, so there is never an instant
+where the table is missing or half-written: the pointer only moves
+after the new tree has been re-opened successfully, the pointer file
+is fsynced before the single ``os.replace`` (atomic on POSIX), and
+the directory entry is fsynced after. A crash at ANY step leaves the
+pointer on a complete tree — before the flip the old version is live,
+after it the new one is; superseded versions and stray staging
+directories are garbage-collected best-effort on the next commit.
+
+Single-writer contract: no lock is taken against concurrent WRITERS
+(like the pre-Delta lake merges this models); multi-writer ACID needs
+a table format (Delta/Iceberg) layered on top. Concurrent READERS are
+safe at every commit step. Legacy flat layouts (parquet files directly
+under the root, e.g. written by plain ``df.write.parquet(path)``) are
+read transparently and migrated to the versioned layout by their first
+rewriting operation.
+
+Scale note: the plan shape (anti join on the index, union, partitioned
+write) is exactly what a warehouse MERGE executes — the anti-join
+shuffles on the key, nothing collects to the driver, and
+``partition_by`` keeps reads pruned. The pointer commit itself is
+O(1) metadata work regardless of data size.
 """
 
 from __future__ import annotations
@@ -35,10 +58,13 @@ from .sql import SaveStrategy
 
 __all__ = ["LakeTable", "save_lake", "compact"]
 
+_POINTER = "_current"
+
 
 class LakeTable:
     """A parquet table rooted at ``path`` with an optional index
-    (primary-key) column and partition columns."""
+    (primary-key) column and partition columns. See the module
+    docstring for the versioned pointer-commit layout."""
 
     def __init__(
         self,
@@ -52,19 +78,139 @@ class LakeTable:
         self.index = index
         self.partition_by = partition_by or []
 
+    # -- pointer resolution -------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, _POINTER)
+
+    def _current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                v = f.read().strip()
+        except FileNotFoundError:
+            return None
+        return v or None
+
+    def current_dir(self) -> str:
+        """Directory holding the live tree: the pointer target, or the
+        table root itself for legacy flat layouts."""
+        v = self._current_version()
+        return os.path.join(self.path, v) if v else self.path
+
+    def _legacy_entries(self) -> list[str]:
+        """Top-level entries of a legacy flat layout (data written
+        directly under the root — not pointer metadata, not version
+        dirs)."""
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            n
+            for n in os.listdir(self.path)
+            if not n.startswith(("_", ".", "v_"))
+        ]
+
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith(("_", ".")) for n in os.listdir(self.path)
-        )
+        v = self._current_version()
+        if v is not None:
+            return os.path.isdir(os.path.join(self.path, v))
+        return bool(self._legacy_entries())
 
     def read(self) -> FxFrame:
-        return FxFrame(self.spark.read.parquet(self.path), self.index)
+        return FxFrame(self.spark.read.parquet(self.current_dir()), self.index)
 
-    def _write(self, df: DataFrame, mode: str) -> None:
-        w = df.write.mode(mode)
+    # -- versioned commit ---------------------------------------------------
+
+    def _new_version(self) -> str:
+        v = self._current_version()
+        seq = 1
+        if v:
+            try:
+                seq = int(v.split("_")[1]) + 1
+            except (IndexError, ValueError):
+                pass
+        return f"v_{seq:06d}_{uuid.uuid4().hex[:8]}"
+
+    def _write_version(self, df: DataFrame) -> str:
+        """Write ``df`` as a fresh immutable version tree (uncommitted)."""
+        ver = self._new_version()
+        w = df.write.mode("errorifexists")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(self.path)
+        w.parquet(os.path.join(self.path, ver))
+        return ver
+
+    def _commit_version(self, ver: str) -> None:
+        """Atomically make ``ver`` the live tree.
+
+        Order matters: (1) prove the new tree readable — a failure here
+        leaves the pointer (and therefore readers) untouched; (2) write
+        the new pointer to a temp file and fsync it; (3) one atomic
+        ``os.replace`` onto ``_current``; (4) fsync the directory entry
+        so the flip survives power loss; (5) garbage-collect superseded
+        trees. A crash between any two steps leaves readers on a
+        complete tree — old before step 3, new after."""
+        new_dir = os.path.join(self.path, ver)
+        try:
+            self.spark.read.parquet(new_dir).schema
+        except Exception as e:
+            raise RuntimeError(
+                f"new table version at {new_dir!r} is unreadable; live table "
+                f"unchanged (pointer not moved), bad output kept for inspection"
+            ) from e
+        prev = self._current_version()
+        legacy = self._legacy_entries() if prev is None else []
+        tmp = os.path.join(self.path, f"_current_tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(ver + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        self._gc(keep=ver, legacy=legacy)
+
+    def _gc(self, keep: str, legacy: list[str]) -> None:
+        """Best-effort cleanup after a successful commit: superseded /
+        stray version trees, migrated legacy flat data, abandoned
+        pointer temp files. Failures are ignored — leftovers never
+        affect readers (they resolve through the pointer) and the next
+        commit retries."""
+        try:
+            for n in os.listdir(self.path):
+                p = os.path.join(self.path, n)
+                if n.startswith("v_") and n != keep:
+                    shutil.rmtree(p, ignore_errors=True)
+                elif n.startswith("_current_tmp_"):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                elif n in legacy:
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(p)
+                        except OSError:
+                            pass
+        except OSError:
+            pass
+
+    # -- save strategies ----------------------------------------------------
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        if mode == "append" and self.exists():
+            # additive: new files join the live tree in place (parquet
+            # appends are file-granular; no rewrite, no pointer move)
+            w = df.write.mode("append")
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(self.current_dir())
+            return
+        self._commit_version(self._write_version(df))
 
     def save(self, fx: FxFrame | DataFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> None:
         df = fx.df if isinstance(fx, FxFrame) else fx
@@ -85,10 +231,11 @@ class LakeTable:
         """Merge by index key: existing rows with a matching key are
         replaced, everything else is kept, new keys are inserted.
 
-        One anti-join (shuffle on the key) + union + rewrite via
-        staging swap. The reference's per-row UPDATE batch
-        (mutation_dml.rs:44-84) degenerates at scale — this is the
-        MERGE-shaped plan instead (SURVEY.md §7.4)."""
+        One anti-join (shuffle on the key) + union + rewrite into a new
+        version tree, committed via the atomic pointer flip. The
+        reference's per-row UPDATE batch (mutation_dml.rs:44-84)
+        degenerates at scale — this is the MERGE-shaped plan instead
+        (SURVEY.md §7.4)."""
         key = self.index or (fx.index_tag.name if isinstance(fx, FxFrame) and fx.index_tag else None)
         if key is None:
             raise ValueError("upsert requires an index column")
@@ -96,16 +243,10 @@ class LakeTable:
         if not self.exists():
             self._write(new, "errorifexists")
             return
-        current = self.spark.read.parquet(self.path)
+        current = self.spark.read.parquet(self.current_dir())
         kept = current.join(new.select(key), on=key, how="left_anti")
         merged = kept.unionByName(new)
-
-        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
-        w = merged.write.mode("errorifexists")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(staging)
-        _swap_table(self.spark, self.path, staging)
+        self._commit_version(self._write_version(merged))
 
     def delete(self, d) -> int:
         """Execute a Delete ADT against the lake table — the same
@@ -123,50 +264,13 @@ class LakeTable:
         rows where it evaluates NULL (e.g. a NULL in the filtered
         column) must be KEPT, so the keep-filter coalesces NULL to
         FALSE before negating."""
-        current = self.spark.read.parquet(self.path)
+        current = self.spark.read.parquet(self.current_dir())
         before = current.count()
         remaining = current.filter(~F.coalesce(condition, F.lit(False)))
-        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
-        w = remaining.write.mode("errorifexists")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(staging)
-        after = self.spark.read.parquet(staging).count()
-        _swap_table(self.spark, self.path, staging)
+        ver = self._write_version(remaining)
+        after = self.spark.read.parquet(os.path.join(self.path, ver)).count()
+        self._commit_version(ver)
         return before - after
-
-
-def _swap_table(spark: SparkSession, path: str, staging: str) -> None:
-    """Swap ``staging`` into ``path``, keeping the original until the
-    swapped-in table is verified readable.
-
-    POSIX rename gives no multi-path atomicity: there is an
-    unavoidable instant between the two renames where ``path`` is
-    absent, and no lock is taken against concurrent writers — this is
-    a SINGLE-WRITER maintenance primitive (like the pre-Delta lake
-    merges it models); multi-writer ACID needs a table format
-    (Delta/Iceberg) layered on top. What it does guarantee: the
-    original data is never deleted until the new table at ``path`` has
-    been re-opened successfully, and every failure path restores the
-    original and names the surviving directory in the raised error."""
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    try:
-        os.rename(staging, path)
-    except Exception:
-        os.rename(backup, path)  # roll back — original restored
-        raise
-    try:
-        # footer/schema read — cheap proof the new table is readable
-        spark.read.parquet(path).schema
-    except Exception as e:
-        os.rename(path, staging)
-        os.rename(backup, path)
-        raise RuntimeError(
-            f"compacted/merged table at {path!r} was unreadable; original "
-            f"restored, bad output kept at {staging!r}"
-        ) from e
-    shutil.rmtree(backup)
 
 
 def _compact_plan(df: DataFrame, target_file_mb: int, approx_bytes: int) -> DataFrame:
@@ -190,32 +294,25 @@ def compact(
     needs: streaming/micro-batch appends leave hundreds of KB-sized
     files whose open/footer overhead dominates scans. Rewrites the
     table into ~``target_file_mb`` files (per partition directory when
-    partitioned) via the same staging-swap as delete_where.
+    partitioned) through the same versioned pointer commit as upsert,
+    so readers never observe a missing or partial table.
 
     Returns (files_before, files_after). Scale note: the rewrite is a
     shuffle-free ``coalesce`` sized from the actual on-disk bytes
     (see ``_compact_plan``); partitioned tables keep their partition
-    columns so reads still prune. Swap semantics (brief no-table
-    window, single-writer contract, verified-before-delete backup) are
-    documented on ``_swap_table``."""
+    columns so reads still prune."""
     import glob as _glob
 
-    files_before = [
-        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ]
+    t = LakeTable(spark, path, partition_by=partition_by or [])
+    cur = t.current_dir()
+    files_before = _glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
     total_bytes = sum(os.path.getsize(f) for f in files_before)
-    df = spark.read.parquet(path)
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    out = _compact_plan(df, target_file_mb, total_bytes)
-    w = out.write.mode("errorifexists")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(staging)
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
-    files_after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    df = spark.read.parquet(cur)
+    ver = t._write_version(_compact_plan(df, target_file_mb, total_bytes))
+    t._commit_version(ver)
+    files_after = _glob.glob(
+        os.path.join(t.current_dir(), "**", "*.parquet"), recursive=True
+    )
     return len(files_before), len(files_after)
 
 

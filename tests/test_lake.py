@@ -124,27 +124,104 @@ def test_compact_small_files(spark, tmp_path):
     assert len(glob.glob(p + "/*.parquet")) >= 40
     before, after = compact(spark, p, target_file_mb=128)
     assert before >= 40 and after <= 2
-    got = sorted(r["k"] for r in spark.read.parquet(p).collect())
+    got = sorted(r["k"] for r in LakeTable(spark, p).read().df.collect())
     assert got == list(range(100))
 
 
-def test_swap_unreadable_staging_restores_original(spark, tmp_path):
-    """_swap_table must never drop the original until the swapped-in
-    table proves readable; a corrupt staging dir rolls back."""
+# ---------------------------------------------------------------------------
+# pointer-commit protocol: crash injection at every step
+# ---------------------------------------------------------------------------
+
+
+def test_commit_unreadable_version_leaves_pointer(spark, fx, tmp_path):
+    """A corrupt staged version must never become live: the verify
+    step fails BEFORE the pointer moves, so readers keep the old
+    tree; the next successful commit sweeps the bad tree away."""
     import os
 
-    import pytest
-
-    from fabrix_spark.sources.lake import _swap_table
-
     p = str(tmp_path / "live")
-    spark.range(10).write.parquet(p)
-    staging = str(tmp_path / "staging_bad")
-    os.makedirs(staging)
-    with open(os.path.join(staging, "part-00000.parquet"), "w") as f:
+    t = save_lake(spark, p, fx, SaveStrategy.REPLACE, index="id")
+    bad = os.path.join(p, "v_999999_deadbeef")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "w") as f:
         f.write("not a parquet file")
     with pytest.raises(RuntimeError, match="unreadable"):
-        _swap_table(spark, p, staging)
-    # original restored intact; bad output preserved for inspection
-    assert spark.read.parquet(p).count() == 10
-    assert os.path.isdir(staging)
+        t._commit_version("v_999999_deadbeef")
+    assert t.read().height == 4  # live table untouched
+    t.save(fx, SaveStrategy.REPLACE)  # next commit GCs the stray
+    assert not os.path.isdir(bad)
+    assert t.read().height == 4
+
+
+def test_crash_before_pointer_flip_readers_see_old(spark, fx, tmp_path, monkeypatch):
+    """Kill the writer between the staging write and the pointer flip
+    (os.replace raises): the pointer never moves, readers resolve to
+    the old complete tree, and re-running the operation recovers and
+    garbage-collects the orphaned staging tree."""
+    import os
+
+    import fabrix_spark.sources.lake as lake
+
+    p = str(tmp_path / "live")
+    t = save_lake(spark, p, fx, SaveStrategy.REPLACE, index="id")
+    upd = FxFrame.from_series(
+        spark, {"id": [5], "name": ["e"], "val": [5.5]}, index="id"
+    )
+
+    real_replace = os.replace
+    monkeypatch.setattr(
+        lake.os, "replace", lambda *a: (_ for _ in ()).throw(OSError("killed"))
+    )
+    with pytest.raises(OSError, match="killed"):
+        t.upsert(upd)
+    assert t.exists() and t.read().height == 4  # old tree still live
+
+    monkeypatch.setattr(lake.os, "replace", real_replace)
+    t.upsert(upd)  # recovery run
+    assert t.read().height == 5
+    # exactly one live version left; orphaned staging + tmp pointer gone
+    assert len([n for n in os.listdir(p) if n.startswith("v_")]) == 1
+    assert not [n for n in os.listdir(p) if n.startswith("_current_tmp_")]
+
+
+def test_crash_after_pointer_flip_readers_see_new(spark, fx, tmp_path, monkeypatch):
+    """Kill the writer after the atomic pointer flip but before GC:
+    the commit point has passed, so readers see the NEW tree; the
+    superseded version lingers until the next commit sweeps it."""
+    import os
+
+    import fabrix_spark.sources.lake as lake
+
+    p = str(tmp_path / "live")
+    t = save_lake(spark, p, fx, SaveStrategy.REPLACE, index="id")
+    upd = FxFrame.from_series(
+        spark, {"id": [5], "name": ["e"], "val": [5.5]}, index="id"
+    )
+    monkeypatch.setattr(
+        lake.LakeTable,
+        "_gc",
+        lambda self, keep, legacy: (_ for _ in ()).throw(OSError("killed")),
+    )
+    with pytest.raises(OSError, match="killed"):
+        t.upsert(upd)
+    monkeypatch.undo()
+    assert t.read().height == 5  # commit point passed → new data live
+    t.save(t.read(), SaveStrategy.REPLACE)  # next commit sweeps strays
+    assert len([n for n in os.listdir(p) if n.startswith("v_")]) == 1
+
+
+def test_legacy_flat_layout_migrates_on_first_commit(spark, tmp_path):
+    """Tables written by plain df.write.parquet (no pointer) read
+    transparently; the first rewriting operation migrates them to the
+    versioned layout and removes the flat files."""
+    import os
+
+    p = str(tmp_path / "legacy")
+    spark.range(10).withColumnRenamed("id", "k").write.parquet(p)
+    t = LakeTable(spark, p, index="k")
+    assert t.exists() and t.read().height == 10  # flat read works
+    t.upsert(spark.createDataFrame([(5,), (100,)], "k long"))
+    assert os.path.isfile(os.path.join(p, "_current"))
+    assert t.read().height == 11
+    # only pointer metadata + the live version remain at top level
+    assert all(n.startswith(("_", ".", "v_")) for n in os.listdir(p))

@@ -170,6 +170,123 @@ def test_mongo_create_index_shapes(spark):
         ex.create_index([("name", 2)])
 
 
+class _RecordingColl:
+    """Records every (method, *args) the executor emits and returns
+    minimal valid driver responses — the wire-contract twin of the
+    behavioral _FakeColl."""
+
+    class _Res:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def __init__(self, canned_doc=None):
+        self.calls = []
+        self.canned_doc = canned_doc
+
+    def find_one(self, q):
+        self.calls.append(("find_one", q))
+        return self.canned_doc
+
+    def find(self, q):
+        self.calls.append(("find", q))
+        return []
+
+    def insert_one(self, doc):
+        self.calls.append(("insert_one", doc))
+        return self._Res(inserted_id=1)
+
+    def replace_one(self, q, doc):
+        self.calls.append(("replace_one", q, doc))
+        return self._Res(modified_count=1)
+
+    def delete_one(self, q):
+        self.calls.append(("delete_one", q))
+        return self._Res(deleted_count=1)
+
+    def delete_many(self, q):
+        self.calls.append(("delete_many", q))
+        return self._Res(deleted_count=2)
+
+    def create_index(self, spec, unique=False):
+        self.calls.append(("create_index", list(spec), unique))
+        return "ix"
+
+    def list_indexes(self):
+        self.calls.append(("list_indexes",))
+        return [{"name": "_id_"}]
+
+
+class _RecordingClient:
+    def __init__(self, coll):
+        self.coll = coll
+
+    def __getitem__(self, _):
+        return {"frames": self.coll}
+
+
+def test_mongo_wire_contract_exact_documents(spark):
+    """Pin the exact documents MongoExecutor emits, against fabrix-mg's
+    surface (dy.rs:247-455): the ``{"_id": ...}`` / ``{"_id": {"$in":
+    [...]}}`` filter shapes for every *_fx op and the exact stored
+    frame document (category + wire payload + index_tag)."""
+    small = FxFrame.from_series(spark, {"id": [1, 2], "v": [1.5, None]}, index="id")
+    col_doc = {
+        "category": "column",
+        "data": [
+            {"name": "id", "datatype": "I64", "values": [1, 2]},
+            {"name": "v", "datatype": "F64", "values": [1.5, None]},
+        ],
+        "index_tag": {"loc": 0, "name": "id", "data_type": "I64"},
+    }
+    coll = _RecordingColl(canned_doc={**col_doc, "_id": 7})
+    ex = MongoExecutor(spark, _RecordingClient(coll), "dev", "frames")
+
+    ex.insert_fx(small)
+    ex.find_fx(7)
+    ex.find_fxs([7, 8])
+    ex.update_fx(7, small)
+    ex.delete_fx(7)
+    ex.delete_fxs([7, 8])
+
+    assert [c[0] for c in coll.calls] == [
+        "insert_one", "find_one", "find", "replace_one", "delete_one", "delete_many",
+    ]
+    assert coll.calls[0][1] == col_doc
+    assert coll.calls[1][1] == {"_id": 7}
+    assert coll.calls[2][1] == {"_id": {"$in": [7, 8]}}
+    assert coll.calls[3][1] == {"_id": 7} and coll.calls[3][2] == col_doc
+    assert coll.calls[4][1] == {"_id": 7}
+    assert coll.calls[5][1] == {"_id": {"$in": [7, 8]}}
+
+
+def test_mongo_wire_contract_row_dataset_documents(spark):
+    """The row/dataset SavingCategory layouts store exactly the
+    reference's serde shapes (ft.rs:13-17, se.rs:8-54)."""
+    small = FxFrame.from_series(spark, {"id": [1, 2], "v": [1.5, None]}, index="id")
+    coll = _RecordingColl()
+    ex = MongoExecutor(spark, _RecordingClient(coll), "dev", "frames")
+    ex.insert_fx(small, SavingCategory.ROW)
+    ex.insert_fx(small, SavingCategory.DATASET)
+    tag = {"loc": 0, "name": "id", "data_type": "I64"}
+    assert coll.calls[0][1] == {
+        "category": "row",
+        "data": {
+            "types": ["I64", "F64"],
+            "values": [{"id": 1, "v": 1.5}, {"id": 2, "v": None}],
+        },
+        "index_tag": tag,
+    }
+    assert coll.calls[1][1] == {
+        "category": "dataset",
+        "data": {
+            "names": ["id", "v"],
+            "types": ["I64", "F64"],
+            "values": [[1, 1.5], [2, None]],
+        },
+        "index_tag": tag,
+    }
+
+
 def test_mongo_executor_crud(spark, fx):
     ex = MongoExecutor(spark, _FakeClient(), "dev", "frames")
     oid = ex.insert_fx(fx)
@@ -325,7 +442,7 @@ def test_stream_upsert_lake(spark, tmp_path):
     table = LakeTable(spark, str(tmp_path / "cdc_lake"), index="event_id")
     q = stream_upsert_lake(stream, table, checkpoint=str(tmp_path / "cdc_ckpt"))
     q.awaitTermination(120)
-    rows = {r["event_id"]: r for r in spark.read.parquet(table.path).collect()}
+    rows = {r["event_id"]: r for r in table.read().df.collect()}
     assert sorted(rows) == list(range(7))  # one row per key, no dups
     # keys 2-4 were overwritten by the second batch (files arrive in
     # pinned-mtime order: part-0 before part-1, per the utime calls above)

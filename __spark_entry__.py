@@ -29,30 +29,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fabrix_spark import queries as _q  # noqa: E402
 
-# Queries with no driver CORRECTNESS row in rounds 1-2 (they were
-# locally verified only), fronted so round 3 produces hard evidence;
-# then three long-green canaries as a stay-green control group.
+# Queries with no driver CORRECTNESS row yet come first (r5 policy,
+# unchanged): smp_temperature is the single r1-r4 registry query with
+# no driver row ever (it sat past the 50-query window), followed by
+# the queries new or newly-oracled this round, then three long-green
+# canaries as a stay-green control group, then everything else in
+# definition order (re-verifying the already-green surface).
 _VERIFY_FIRST = [
-    # never driver-checked (r01 ∪ r02)
-    "g_grouping_sets",
-    "g_having",
-    "g_case_when",
-    "prof_quantiles",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q21_waiting_suppliers",
-    "s_right_join",
-    "s_cross_join",
-    "s_union_all",
-    "sim_cosine_topk_blocked",
-    "sim_ivf_trained",
-    "smp_weighted",
-    # newly oracled / new this round
-    "sim_lsh_topk",
-    "t_token_rarity",
-    "t_prune_rare",
-    # canaries (driver-green in r01 and r02)
+    # never driver-checked (r01 ∪ r02 ∪ r03 ∪ r04)
+    "smp_temperature",
+    # new / newly oracled in round 5
+    "d_incremental_dedup",
+    "d_containment",
+    "adt_having",
+    "adt_distinct",
+    "m_frame_sample",
+    # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",
     "d_exact_groups",

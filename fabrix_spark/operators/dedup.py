@@ -26,6 +26,7 @@ __all__ = [
     "exact_dup_groups",
     "shingles",
     "shingle_hash32",
+    "containment_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
@@ -219,6 +220,76 @@ def jaccard_pairs(
         candidates = bound.select("id_a", "id_b")
 
     return _verify_jaccard(sh_sets, candidates, threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed near-containment pairs (id_sub, id_super, containment)
+    with containment(A→B) = |A∩B| / |A| ≥ threshold — the asymmetric
+    companion to Jaccard: a 50-token quote inside a 5000-token page has
+    J ≈ 0.01 but containment 1.0, so this catches the excerpt/superset
+    duplicates symmetric dedup misses (standard training-data hygiene
+    for mostly-quoted documents).
+
+    Plan: the same inverted-index candidate join as ``jaccard_pairs``
+    (equi-join on the shingle hash, pair common-count aggregate), a
+    directed upper-bound filter c/|side| ≥ t (hash collisions only
+    inflate c, so recall is complete; sizes broadcast), then exact
+    string-set verification of candidates only. Both directions are
+    emitted independently; scores are exact integer arithmetic."""
+    sh_sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
+    sizes = sh_sets.select("__id", F.size("__set").alias("__sz"))
+    ds_h = sh_sets.select(
+        "__id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h")
+    )
+    a, b = ds_h.alias("a"), ds_h.alias("b")
+    common_h = (
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__ch"))
+    )
+    bound = (
+        common_h.join(
+            F.broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__ba")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__bb")),
+            "id_b",
+        )
+        .filter(
+            (F.col("__ch") / F.col("__ba") >= threshold)
+            | (F.col("__ch") / F.col("__bb") >= threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    scored = (
+        bound.join(sh_sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__sa")), "id_a")
+        .join(sh_sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__c"),
+            F.size("__sa").alias("__sza"),
+            F.size("__sb").alias("__szb"),
+        )
+    )
+    fwd = scored.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("__c") / F.col("__sza"), 6).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("__c") / F.col("__szb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def _prefix_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:

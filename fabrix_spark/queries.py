@@ -2004,6 +2004,32 @@ def d_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH ds AS ({_shingle_sql(3)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT id_a AS id_sub, id_b AS id_super, round(c / sa.sz, 6) AS containment
+  FROM common JOIN sizes sa ON sa.doc_id = id_a
+  UNION ALL
+  SELECT id_b AS id_sub, id_a AS id_super, round(c / sb.sz, 6) AS containment
+  FROM common JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_sub, id_super, containment FROM directed WHERE containment >= 0.4
+"""
+
+
+@register("d_containment", oracle=_CONTAINMENT_ORACLE)
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment |A∩B|/|A| ≥ 0.4 over document shingle sets
+    — catches excerpt/superset duplicates symmetric Jaccard misses."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
 def _minhash_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
     from .operators.dedup import _hash_params  # same deterministic family
 

@@ -31,6 +31,7 @@ __all__ = [
     "read_stream_parquet",
     "foreach_batch_save",
     "stream_upsert_lake",
+    "stream_dedup_against_store",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -129,6 +130,74 @@ def stream_upsert_lake(
         checkpoint,
         first_strategy="upsert",
         rest_strategy="upsert",
+    )
+
+
+def stream_dedup_against_store(
+    stream: DataFrame,
+    store,
+    admitted,
+    checkpoint: str,
+    threshold: float = 0.5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Continuous incremental near-dedup at ingest: every micro-batch
+    of documents is deduped against the persisted corpus
+    ``SignatureStore`` (``operators.dedup``) — only the batch is
+    shingled/signed, the corpus side is the store's parquet scan —
+    then survivors are key-upserted into the ``admitted`` lake table
+    and their signatures folded into the store.
+
+    This is :func:`~fabrix_spark.operators.dedup.incremental_dedup_pairs`
+    run forever: the corpus grows batch over batch without ever being
+    re-signed. Replay-safe under at-least-once delivery — both sinks
+    are key-upserts, and a doc re-sent under its own id is excluded
+    from candidates as a self-pair, so re-processing a batch is a
+    no-op. Within-batch duplicates are resolved exactly (by id);
+    near-dups *inside* one micro-batch pass through and are caught
+    when a later batch probes the store — run a periodic batch
+    ``minhash_dedup_pairs`` over ``admitted`` if intra-batch fuzzy
+    collisions matter.
+
+    ``admitted`` must be a ``LakeTable`` with ``index=id_col``."""
+    from ..operators import dedup as _dedup
+    from ..sources.sql import SaveStrategy
+
+    if admitted.index is None:
+        raise ValueError("stream_dedup_against_store requires a LakeTable with an index")
+
+    def _consume(batch: DataFrame, _bid: int) -> None:
+        batch = batch.dropDuplicates([id_col])
+        if store.exists() and admitted.exists():
+            pairs = _dedup.incremental_dedup_pairs(
+                batch,
+                store,
+                admitted.read().df,
+                threshold=threshold,
+                bands=bands,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+            keep = batch.join(dup_ids, id_col, "left_anti")
+        else:
+            keep = batch
+        # two sinks read `keep` — materialize once instead of running
+        # the probe plan twice
+        keep = keep.localCheckpoint(eager=True)
+        admitted.save(keep, SaveStrategy.UPSERT)
+        if store.exists():
+            store.ingest(keep, text_col)
+        else:
+            store.build(keep, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

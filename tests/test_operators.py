@@ -213,13 +213,32 @@ def test_incremental_candidates_read_store_not_corpus(spark, docs, tmp_path):
         [(10**9, seed["text"])], "doc_id long, text string"
     )
     cands = dedup.incremental_candidates(store.sign(delta), store.read())
-    plan = cands._jdf.queryExecution().executedPlan().toString()
-    assert str(tmp_path / "sigs") in plan  # corpus side = store scan
-    assert "documents.parquet" not in plan
+    files = cands.inputFiles()  # every file any scan in the plan reads
+    assert files and all(str(tmp_path / "sigs") in f for f in files)
+    assert not any("documents.parquet" in f for f in files)
     # identical text ⇒ identical signature ⇒ guaranteed candidate
     assert (10**9, seed["doc_id"]) in {
         (r["new_id"], r["corpus_id"]) for r in cands.collect()
     }
+
+
+def test_containment_detects_excerpt(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [
+            (1, base + " nu xi omicron pi rho sigma tau upsilon phi chi psi omega"),
+            (2, base),  # verbatim excerpt of doc 1's prefix
+            (3, "completely different words entirely unrelated content over here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert rows[(2, 1)] == 1.0  # every shingle of the excerpt is in doc 1
+    assert (1, 2) not in rows  # the superset is NOT contained in the excerpt
+    assert all(3 not in pair for pair in rows)
 
 
 def test_signature_store_ingest_is_upsert(spark, docs, tmp_path):

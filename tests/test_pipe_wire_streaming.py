@@ -400,6 +400,53 @@ def test_stream_foreach_batch_save(spark, tmp_path):
     assert len(seen) >= 2  # maxFilesPerTrigger=1 → multiple micro-batches
 
 
+def test_stream_dedup_against_store(spark, tmp_path):
+    """Continuous incremental dedup: batch 2's near-copy of a batch-1
+    document is rejected by probing the persisted signature store;
+    novel documents are admitted and signed."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.operators.dedup import SignatureStore
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_dedup_against_store
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "spark shuffles partitions across the cluster during wide transformations"
+    near_t1 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    novel = "completely unrelated fresh content about entirely different topics now"
+
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    (src / "part-0.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in [(1, t1), (2, t2)])
+    )
+    (src / "part-1.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in [(3, near_t1), (4, novel)])
+    )
+    now = _time.time()
+    _os.utime(src / "part-0.json", (now - 60, now - 60))
+    _os.utime(src / "part-1.json", (now, now))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema, max_files_per_trigger=1)
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+    admitted = LakeTable(spark, str(tmp_path / "admitted"), index="doc_id")
+    q = stream_dedup_against_store(
+        stream, store, admitted, checkpoint=str(tmp_path / "ckpt_store"), threshold=0.4
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in admitted.read().df.collect())
+    assert got == [1, 2, 4]  # 3 rejected as near-dup of 1
+    assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 2, 4]
+
+
 def test_stream_upsert_lake(spark, tmp_path):
     """CDC-shaped streaming merge: micro-batches key-upsert into a
     lake table, so replayed/late records overwrite instead of

@@ -17,6 +17,7 @@ __all__ = [
     "hash_bucket",
     "deterministic_sample",
     "hash_split",
+    "leakage_safe_split",
     "stratified_sample",
     "cap_per_group",
     "pack_sequences",
@@ -61,6 +62,30 @@ def hash_split(df: DataFrame, key: str, weights: dict[str, float], salt: str = "
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: documents connected by a
+    dedup ``pairs`` edge (id_a/id_b near-duplicates) are resolved to
+    duplicate clusters first, then the WHOLE cluster is assigned to
+    one split by hashing its cluster id — a near-copy of a training
+    document can never land in validation/test, closing the
+    contamination path a per-document split leaves open.
+
+    Output: df columns + ``cluster_id`` + ``split``. Cost: the
+    connected-components resolution (bounded iterative contraction,
+    see :func:`~fabrix_spark.operators.dedup.dup_clusters`) plus one
+    join; the split assignment itself is a narrow md5 expression."""
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(df, pairs, id_col=id_col)
+    return hash_split(df.join(clusters, id_col), "cluster_id", weights, salt)
 
 
 def stratified_sample(

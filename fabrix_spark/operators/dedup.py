@@ -497,13 +497,20 @@ class SignatureStore:
         n_hashes: int = 16,
         shingle_size: int = 3,
         id_col: str = "doc_id",
+        buckets: int | None = None,
+        retain: int = 0,
     ):
         from ..sources.lake import LakeTable
 
         self.n_hashes = n_hashes
         self.shingle_size = shingle_size
         self.id_col = id_col
-        self.table = LakeTable(spark, path, index=id_col)
+        # buckets: partition the store by key hash so the per-batch
+        # `ingest` upsert rewrites only the touched bucket partitions
+        # (O(delta) file writes), not the whole signature table
+        self.table = LakeTable(
+            spark, path, index=id_col, buckets=buckets, retain=retain
+        )
 
     @property
     def path(self) -> str:

@@ -12,9 +12,8 @@ four semantics apply to a parquet table directory:
   anti-join instead of per-row UPDATEs)
 
 Commit protocol (matches the reference's txn-with-rollback guarantee,
-ec.rs:602-651, on the lake path): every rewriting operation writes a
-NEW immutable version directory under the table root, then commits it
-by atomically replacing a pointer file —
+ec.rs:602-651, on the lake path): every operation commits a NEW
+immutable version directory by atomically replacing a pointer file —
 
     <root>/_current           ← one line: the live version dir name
     <root>/v_000001_ab12cd34/ ← immutable parquet tree
@@ -26,27 +25,48 @@ after the new tree has been re-opened successfully, the pointer file
 is fsynced before the single ``os.replace`` (atomic on POSIX), and
 the directory entry is fsynced after. A crash at ANY step leaves the
 pointer on a complete tree — before the flip the old version is live,
-after it the new one is; superseded versions and stray staging
-directories are garbage-collected best-effort on the next commit.
+after it the new one is. Append and partial (bucket-scoped) upserts
+assemble their new version by HARD-LINKING the untouched files of the
+previous tree — O(#files) metadata work, zero data copied — so every
+strategy, append included, goes through the same atomic flip.
+
+Reader-safety guarantee, stated precisely: pointer RESOLUTION is safe
+at every instant (a reader never sees a missing or half-written
+table). A scan that resolved the pointer *before* a commit and is
+still reading the superseded tree is safe only while that tree
+exists: with the default ``retain=0`` superseded trees are
+garbage-collected immediately after the flip, so long-running scans
+can lose files mid-read; construct the table with ``retain >= 1`` to
+keep that many superseded versions on disk (hard-linked trees share
+file storage, so retention is cheap) and in-flight scans spanning up
+to ``retain`` commits complete safely.
 
 Single-writer contract: no lock is taken against concurrent WRITERS
 (like the pre-Delta lake merges this models); multi-writer ACID needs
-a table format (Delta/Iceberg) layered on top. Concurrent READERS are
-safe at every commit step. Legacy flat layouts (parquet files directly
-under the root, e.g. written by plain ``df.write.parquet(path)``) are
-read transparently and migrated to the versioned layout by their first
-rewriting operation.
+a table format (Delta/Iceberg) layered on top. Legacy flat layouts
+(parquet files directly under the root, e.g. written by plain
+``df.write.parquet(path)``) are read transparently and migrated to
+the versioned layout by their first rewriting operation; version
+directories are recognized by the strict ``v_NNNNNN_hhhhhhhh``
+pattern, so a legacy partition column that merely *starts* with
+``v_`` (dirs like ``v_date=2020``) is treated as data, not metadata.
 
-Scale note: the plan shape (anti join on the index, union, partitioned
-write) is exactly what a warehouse MERGE executes — the anti-join
-shuffles on the key, nothing collects to the driver, and
-``partition_by`` keeps reads pruned. The pointer commit itself is
-O(1) metadata work regardless of data size.
+Scale note: the plan shape (anti join on the index, union,
+partitioned write) is exactly what a warehouse MERGE executes — the
+anti-join shuffles on the key, nothing collects to the driver, and
+``partition_by`` keeps reads pruned. With ``buckets=N`` the table is
+additionally partitioned by a stable hash of the index key and an
+upsert rewrites ONLY the bucket partitions containing matched keys
+(the rest of the tree is hard-linked into the new version), so a
+small delta merged into a 100 TB table costs O(delta + touched
+buckets), not O(corpus). The pointer commit itself is O(1) metadata
+work regardless of data size.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -59,12 +79,28 @@ from .sql import SaveStrategy
 __all__ = ["LakeTable", "save_lake", "compact"]
 
 _POINTER = "_current"
+# strict version-dir pattern: a bare "v_" prefix would also swallow a
+# legacy table partitioned by a column named e.g. v_date (ADVICE r5)
+_VER_RE = re.compile(r"v_\d{6}_[0-9a-f]{8}\Z")
+# key-hash bucket partition column (no leading underscore — Spark's
+# file listing skips "_"/"." prefixed paths, which must not hide data)
+_BUCKET_COL = "fx_bucket"
+
+
+def _is_version(name: str) -> bool:
+    return _VER_RE.match(name) is not None
 
 
 class LakeTable:
     """A parquet table rooted at ``path`` with an optional index
     (primary-key) column and partition columns. See the module
-    docstring for the versioned pointer-commit layout."""
+    docstring for the versioned pointer-commit layout.
+
+    ``buckets=N`` partitions the data by ``hash(index) % N`` (an
+    internal ``fx_bucket`` directory column, hidden from readers) so
+    upserts rewrite only the buckets their keys land in.
+    ``retain=K`` keeps the K most recent superseded version trees on
+    disk for in-flight readers (default 0: immediate GC)."""
 
     def __init__(
         self,
@@ -72,11 +108,17 @@ class LakeTable:
         path: str,
         index: str | None = None,
         partition_by: list[str] | None = None,
+        buckets: int | None = None,
+        retain: int = 0,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.index = index
         self.partition_by = partition_by or []
+        if buckets is not None and index is None:
+            raise ValueError("buckets requires an index column to hash")
+        self.buckets = buckets
+        self.retain = retain
 
     # -- pointer resolution -------------------------------------------------
 
@@ -106,7 +148,7 @@ class LakeTable:
         return [
             n
             for n in os.listdir(self.path)
-            if not n.startswith(("_", ".", "v_"))
+            if not n.startswith(("_", ".")) and not _is_version(n)
         ]
 
     def exists(self) -> bool:
@@ -115,8 +157,31 @@ class LakeTable:
             return os.path.isdir(os.path.join(self.path, v))
         return bool(self._legacy_entries())
 
+    def _read_raw(self) -> DataFrame:
+        return self.spark.read.parquet(self.current_dir())
+
     def read(self) -> FxFrame:
-        return FxFrame(self.spark.read.parquet(self.current_dir()), self.index)
+        df = self._read_raw()
+        if _BUCKET_COL in df.columns:
+            df = df.drop(_BUCKET_COL)
+        return FxFrame(df, self.index)
+
+    # -- bucket partitioning ------------------------------------------------
+
+    def _part_cols(self) -> list[str]:
+        # bucket OUTERMOST so an untouched bucket is one wholesale
+        # linkable directory regardless of inner partition columns
+        return ([_BUCKET_COL] if self.buckets else []) + self.partition_by
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if not self.buckets or _BUCKET_COL in df.columns:
+            return df
+        return df.withColumn(
+            _BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(self.index).cast("string")), F.lit(self.buckets)).cast(
+                "int"
+            ),
+        )
 
     # -- versioned commit ---------------------------------------------------
 
@@ -133,11 +198,35 @@ class LakeTable:
     def _write_version(self, df: DataFrame) -> str:
         """Write ``df`` as a fresh immutable version tree (uncommitted)."""
         ver = self._new_version()
-        w = df.write.mode("errorifexists")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
+        w = self._with_bucket(df).write.mode("errorifexists")
+        if self._part_cols():
+            w = w.partitionBy(*self._part_cols())
         w.parquet(os.path.join(self.path, ver))
         return ver
+
+    @staticmethod
+    def _link_tree(src: str, dst: str, names: list[str] | None = None) -> None:
+        """Hard-link every data file under ``src`` into the mirrored
+        relative path under ``dst`` (merging with files already staged
+        there). O(#files) metadata ops, zero bytes copied; falls back
+        to a copy across filesystems. Skips "_"/"." prefixed entries
+        (write markers like _SUCCESS — the staged tree has its own)."""
+        entries = names if names is not None else os.listdir(src)
+        for name in entries:
+            if name.startswith(("_", ".")):
+                continue
+            sp = os.path.join(src, name)
+            dp = os.path.join(dst, name)
+            if os.path.isdir(sp):
+                os.makedirs(dp, exist_ok=True)
+                LakeTable._link_tree(sp, dp)
+            else:
+                try:
+                    os.link(sp, dp)
+                except FileExistsError:
+                    pass
+                except OSError:
+                    shutil.copy2(sp, dp)
 
     def _commit_version(self, ver: str) -> None:
         """Atomically make ``ver`` the live tree.
@@ -147,8 +236,9 @@ class LakeTable:
         the new pointer to a temp file and fsync it; (3) one atomic
         ``os.replace`` onto ``_current``; (4) fsync the directory entry
         so the flip survives power loss; (5) garbage-collect superseded
-        trees. A crash between any two steps leaves readers on a
-        complete tree — old before step 3, new after."""
+        trees beyond the retention horizon. A crash between any two
+        steps leaves readers on a complete tree — old before step 3,
+        new after."""
         new_dir = os.path.join(self.path, ver)
         try:
             self.spark.read.parquet(new_dir).schema
@@ -174,16 +264,20 @@ class LakeTable:
 
     def _gc(self, keep: str, legacy: list[str]) -> None:
         """Best-effort cleanup after a successful commit: superseded /
-        stray version trees, migrated legacy flat data, abandoned
-        pointer temp files. Failures are ignored — leftovers never
-        affect readers (they resolve through the pointer) and the next
-        commit retries."""
+        stray version trees beyond the ``retain`` most recent ones,
+        migrated legacy flat data, abandoned pointer temp files.
+        Failures are ignored — leftovers never affect readers (they
+        resolve through the pointer) and the next commit retries."""
         try:
+            others = sorted(
+                (n for n in os.listdir(self.path) if _is_version(n) and n != keep),
+                reverse=True,
+            )
+            for n in others[self.retain :]:
+                shutil.rmtree(os.path.join(self.path, n), ignore_errors=True)
             for n in os.listdir(self.path):
                 p = os.path.join(self.path, n)
-                if n.startswith("v_") and n != keep:
-                    shutil.rmtree(p, ignore_errors=True)
-                elif n.startswith("_current_tmp_"):
+                if n.startswith("_current_tmp_"):
                     try:
                         os.remove(p)
                     except OSError:
@@ -201,14 +295,25 @@ class LakeTable:
 
     # -- save strategies ----------------------------------------------------
 
+    def _append_version(self, df: DataFrame) -> str:
+        """Append as a COMMIT, not an in-place mutation: stage the new
+        rows as a fresh version tree, hard-link the live tree's files
+        in beside them (O(#files) metadata, no data copied), flip the
+        pointer. Readers therefore never observe a partially-appended
+        table, and a crashed append leaves the live tree untouched —
+        same guarantee as every other strategy."""
+        ver = self._write_version(df)
+        dst = os.path.join(self.path, ver)
+        prev = self._current_version()
+        if prev is not None:
+            self._link_tree(os.path.join(self.path, prev), dst)
+        else:
+            self._link_tree(self.path, dst, names=self._legacy_entries())
+        return ver
+
     def _write(self, df: DataFrame, mode: str) -> None:
         if mode == "append" and self.exists():
-            # additive: new files join the live tree in place (parquet
-            # appends are file-granular; no rewrite, no pointer move)
-            w = df.write.mode("append")
-            if self.partition_by:
-                w = w.partitionBy(*self.partition_by)
-            w.parquet(self.current_dir())
+            self._commit_version(self._append_version(df))
             return
         self._commit_version(self._write_version(df))
 
@@ -235,18 +340,47 @@ class LakeTable:
         version tree, committed via the atomic pointer flip. The
         reference's per-row UPDATE batch (mutation_dml.rs:44-84)
         degenerates at scale — this is the MERGE-shaped plan instead
-        (SURVEY.md §7.4)."""
+        (SURVEY.md §7.4). With ``buckets`` set, only the bucket
+        partitions the delta's keys hash into are scanned (partition
+        pruning) and rewritten; every other bucket directory is
+        hard-linked into the new version untouched, so the merge costs
+        O(delta + touched buckets) regardless of table size."""
         key = self.index or (fx.index_tag.name if isinstance(fx, FxFrame) and fx.index_tag else None)
         if key is None:
             raise ValueError("upsert requires an index column")
         new = fx.df if isinstance(fx, FxFrame) else fx
         if not self.exists():
-            self._write(new, "errorifexists")
+            self._commit_version(self._write_version(new))
             return
-        current = self.spark.read.parquet(self.current_dir())
+        if self.buckets:
+            self._commit_version(self._upsert_bucketed(new, key))
+            return
+        current = self._read_raw()
         kept = current.join(new.select(key), on=key, how="left_anti")
         merged = kept.unionByName(new)
         self._commit_version(self._write_version(merged))
+
+    def _upsert_bucketed(self, new: DataFrame, key: str) -> str:
+        new = self._with_bucket(new)
+        # the delta's distinct buckets — bounded by `buckets`, tiny
+        touched = [r[0] for r in new.select(_BUCKET_COL).distinct().collect()]
+        current = self._read_raw()
+        kept = current.filter(F.col(_BUCKET_COL).isin(touched)).join(
+            new.select(key), on=key, how="left_anti"
+        )
+        merged = kept.unionByName(new.select(*[c for c in kept.columns]))
+        ver = self._write_version(merged)
+        dst = os.path.join(self.path, ver)
+        cur = self.current_dir()
+        if cur != self.path:
+            untouched = [
+                n
+                for n in os.listdir(cur)
+                if n.startswith(_BUCKET_COL + "=")
+                and int(n.split("=", 1)[1]) not in set(touched)
+            ]
+            self._link_tree(cur, dst, names=untouched)
+        return ver
 
     def delete(self, d) -> int:
         """Execute a Delete ADT against the lake table — the same
@@ -264,7 +398,7 @@ class LakeTable:
         rows where it evaluates NULL (e.g. a NULL in the filtered
         column) must be KEPT, so the keep-filter coalesces NULL to
         FALSE before negating."""
-        current = self.spark.read.parquet(self.current_dir())
+        current = self._read_raw()
         before = current.count()
         remaining = current.filter(~F.coalesce(condition, F.lit(False)))
         ver = self._write_version(remaining)

@@ -31,6 +31,7 @@ __all__ = [
     "read_stream_parquet",
     "foreach_batch_save",
     "stream_upsert_lake",
+    "admit_batch",
     "stream_dedup_against_store",
     "tumbling_window",
     "sliding_window",
@@ -133,6 +134,72 @@ def stream_upsert_lake(
     )
 
 
+def admit_batch(
+    batch: DataFrame,
+    store,
+    admitted,
+    threshold: float = 0.5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    intra_batch: bool = False,
+) -> DataFrame:
+    """One round of incremental dedup admission — the per-micro-batch
+    body of :func:`stream_dedup_against_store`, exposed so a batch
+    pipeline (or a deterministic replay/verification harness) can run
+    the exact same admission sequence without a streaming query.
+
+    Steps: (1) exact within-batch id dedup; (2) optionally
+    (``intra_batch=True``) fuzzy within-batch dedup — MinHash near-dup
+    pairs inside the batch are resolved to clusters and only the
+    minimum-id representative of each survives (without this, two
+    near-copies arriving in the SAME batch both pass, since neither is
+    in the store yet); (3) probe the persisted ``SignatureStore`` with
+    the banded candidates of the batch's fresh signatures and drop
+    docs with an exact-verified near-dup already in the corpus;
+    (4) key-upsert survivors into ``admitted`` and fold their
+    signatures into the store. Returns the admitted survivors."""
+    from ..operators import dedup as _dedup
+    from ..sources.sql import SaveStrategy
+
+    batch = batch.dropDuplicates([id_col])
+    if intra_batch:
+        pairs = _dedup.minhash_dedup_pairs(
+            batch,
+            threshold=threshold,
+            n_hashes=store.n_hashes,
+            bands=bands,
+            shingle_size=store.shingle_size,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        clusters = _dedup.dup_clusters(batch, pairs, id_col=id_col)
+        batch = _dedup.keep_canonical(batch, clusters, id_col=id_col)
+    if store.exists() and admitted.exists():
+        pairs = _dedup.incremental_dedup_pairs(
+            batch,
+            store,
+            admitted.read().df,
+            threshold=threshold,
+            bands=bands,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        keep = batch.join(dup_ids, id_col, "left_anti")
+    else:
+        keep = batch
+    # two sinks read `keep` — materialize once instead of running
+    # the probe plan twice
+    keep = keep.localCheckpoint(eager=True)
+    admitted.save(keep, SaveStrategy.UPSERT)
+    if store.exists():
+        store.ingest(keep, text_col)
+    else:
+        store.build(keep, text_col)
+    return keep
+
+
 def stream_dedup_against_store(
     stream: DataFrame,
     store,
@@ -142,13 +209,15 @@ def stream_dedup_against_store(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    intra_batch: bool = False,
 ) -> StreamingQuery:
     """Continuous incremental near-dedup at ingest: every micro-batch
     of documents is deduped against the persisted corpus
     ``SignatureStore`` (``operators.dedup``) — only the batch is
     shingled/signed, the corpus side is the store's parquet scan —
     then survivors are key-upserted into the ``admitted`` lake table
-    and their signatures folded into the store.
+    and their signatures folded into the store (see
+    :func:`admit_batch` for the per-batch plan).
 
     This is :func:`~fabrix_spark.operators.dedup.incremental_dedup_pairs`
     run forever: the corpus grows batch over batch without ever being
@@ -156,42 +225,29 @@ def stream_dedup_against_store(
     are key-upserts, and a doc re-sent under its own id is excluded
     from candidates as a self-pair, so re-processing a batch is a
     no-op. Within-batch duplicates are resolved exactly (by id);
-    near-dups *inside* one micro-batch pass through and are caught
-    when a later batch probes the store — run a periodic batch
-    ``minhash_dedup_pairs`` over ``admitted`` if intra-batch fuzzy
-    collisions matter.
+    near-dups *inside* one micro-batch both pass by default (neither
+    is in the store yet) — ``intra_batch=True`` adds a fuzzy
+    within-batch MinHash pass that admits only each near-dup cluster's
+    minimum-id representative.
 
-    ``admitted`` must be a ``LakeTable`` with ``index=id_col``."""
-    from ..operators import dedup as _dedup
-    from ..sources.sql import SaveStrategy
-
+    ``admitted`` must be a ``LakeTable`` with ``index=id_col``.
+    Construct both lake tables with ``buckets=N`` to make the
+    per-batch upserts rewrite only touched bucket partitions —
+    O(delta) file writes per batch instead of a full-table rewrite."""
     if admitted.index is None:
         raise ValueError("stream_dedup_against_store requires a LakeTable with an index")
 
     def _consume(batch: DataFrame, _bid: int) -> None:
-        batch = batch.dropDuplicates([id_col])
-        if store.exists() and admitted.exists():
-            pairs = _dedup.incremental_dedup_pairs(
-                batch,
-                store,
-                admitted.read().df,
-                threshold=threshold,
-                bands=bands,
-                text_col=text_col,
-                id_col=id_col,
-            )
-            dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-            keep = batch.join(dup_ids, id_col, "left_anti")
-        else:
-            keep = batch
-        # two sinks read `keep` — materialize once instead of running
-        # the probe plan twice
-        keep = keep.localCheckpoint(eager=True)
-        admitted.save(keep, SaveStrategy.UPSERT)
-        if store.exists():
-            store.ingest(keep, text_col)
-        else:
-            store.build(keep, text_col)
+        admit_batch(
+            batch,
+            store,
+            admitted,
+            threshold=threshold,
+            bands=bands,
+            text_col=text_col,
+            id_col=id_col,
+            intra_batch=intra_batch,
+        )
 
     return (
         stream.writeStream.foreachBatch(_consume)

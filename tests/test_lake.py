@@ -210,6 +210,140 @@ def test_crash_after_pointer_flip_readers_see_new(spark, fx, tmp_path, monkeypat
     assert len([n for n in os.listdir(p) if n.startswith("v_")]) == 1
 
 
+def test_retention_keeps_superseded_tree_for_inflight_readers(spark, fx, tmp_path):
+    """retain=1: a reader that resolved the pointer before a commit
+    can still scan the superseded tree afterwards (the round-5 GC
+    deleted it out from under in-flight scans)."""
+    import os
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", retain=1)
+    t.save(fx, SaveStrategy.REPLACE)
+    reader = spark.read.parquet(t.current_dir())  # pinned to version 1
+    upd = FxFrame.from_series(
+        spark, {"id": [5], "name": ["e"], "val": [5.5]}, index="id"
+    )
+    t.upsert(upd)  # commits version 2; version 1 retained
+    assert reader.count() == 4  # in-flight scan of the old tree survives
+    assert len([n for n in os.listdir(p) if n.startswith("v_")]) == 2
+    t.upsert(FxFrame.from_series(spark, {"id": [6], "name": ["f"], "val": [6.5]}, index="id"))
+    # horizon advanced: v1 swept, v2 retained, v3 live
+    assert len([n for n in os.listdir(p) if n.startswith("v_")]) == 2
+    assert t.read().height == 6
+
+
+def test_append_commits_new_version_with_hardlinked_history(spark, fx, tmp_path):
+    """Append goes through the same atomic pointer flip as every other
+    strategy (round 5 mutated the live tree in place): the new version
+    holds the appended files plus HARD LINKS (same inode, zero bytes
+    copied) of the previous tree's files."""
+    import glob
+    import os
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id")
+    t.save(fx, SaveStrategy.REPLACE)
+    v1 = t.current_dir()
+    old = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(v1, "*.parquet"))
+    }
+    t.save(
+        FxFrame.from_series(spark, {"id": [5], "name": ["e"], "val": [5.5]}, index="id"),
+        SaveStrategy.APPEND,
+    )
+    v2 = t.current_dir()
+    assert v2 != v1 and t.read().height == 5
+    new = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(v2, "*.parquet"))
+    }
+    for name, ino in old.items():  # history linked, not copied
+        assert new[name] == ino
+    assert len(new) > len(old)  # plus the appended files
+
+
+def test_append_crash_before_flip_leaves_old_tree_live(spark, fx, tmp_path, monkeypatch):
+    import fabrix_spark.sources.lake as lake
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id")
+    t.save(fx, SaveStrategy.REPLACE)
+    monkeypatch.setattr(
+        lake.os, "replace", lambda *a: (_ for _ in ()).throw(OSError("killed"))
+    )
+    with pytest.raises(OSError, match="killed"):
+        t.save(
+            FxFrame.from_series(spark, {"id": [5], "name": ["e"], "val": [5.5]}, index="id"),
+            SaveStrategy.APPEND,
+        )
+    monkeypatch.undo()
+    assert t.read().height == 4  # append never became visible
+
+
+def test_legacy_v_prefixed_partition_dirs_are_data_not_versions(spark, tmp_path):
+    """ADVICE r5: a legacy flat table partitioned by a column whose
+    name starts with 'v_' (dirs like v_date=2020) must read as DATA —
+    the bare 'v_' prefix check treated it as version metadata, read it
+    as non-existent, and GC'd the un-merged partitions after the first
+    upsert (silent data loss)."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "y2020"), (2, "y2021")], "k long, v_date string"
+    ).write.partitionBy("v_date").parquet(p)
+    t = LakeTable(spark, p, index="k")
+    assert t.exists()
+    assert t.read().height == 2
+    t.upsert(spark.createDataFrame([(3, "y2021")], "k long, v_date string"))
+    got = sorted((r["k"], r["v_date"]) for r in t.read().collect())
+    assert got == [(1, "y2020"), (2, "y2021"), (3, "y2021")]
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """buckets=N: an upsert rewrites only the bucket partitions its
+    keys hash into; every other bucket directory's files survive into
+    the new version as the SAME inodes (hard links — O(delta), not
+    O(corpus), file writes)."""
+    import glob
+    import os
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=8)
+    base = spark.range(64).withColumn("v", F.col("id").cast("double"))
+    t.save(base, SaveStrategy.REPLACE)
+    cur1 = t.current_dir()
+    inode_before = {
+        os.path.relpath(f, cur1): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(cur1, "**", "*.parquet"), recursive=True)
+    }
+    delta = spark.createDataFrame([(3, 99.0), (1000, 1.0)], "id long, v double")
+    touched = {
+        r[0]
+        for r in delta.select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8)).cast("int")
+        ).collect()
+    }
+    t.upsert(delta)
+    cur2 = t.current_dir()
+    assert cur2 != cur1
+    inode_after = {
+        os.path.relpath(f, cur2): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(cur2, "**", "*.parquet"), recursive=True)
+    }
+    for rel, ino in inode_before.items():
+        bucket = int(rel.split("=", 1)[1].split("/", 1)[0])
+        if bucket not in touched:
+            assert inode_after[rel] == ino  # untouched bucket: linked
+        else:
+            assert rel not in inode_after  # touched bucket: rewritten
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    expect = {i: float(i) for i in range(64)}
+    expect[3] = 99.0
+    expect[1000] = 1.0
+    assert rows == expect
+    assert "fx_bucket" not in t.read().df.columns  # layout column hidden
+
+
 def test_legacy_flat_layout_migrates_on_first_commit(spark, tmp_path):
     """Tables written by plain df.write.parquet (no pointer) read
     transparently; the first rewriting operation migrates them to the

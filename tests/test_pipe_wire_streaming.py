@@ -447,6 +447,109 @@ def test_stream_dedup_against_store(spark, tmp_path):
     assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 2, 4]
 
 
+def test_stream_dedup_intra_batch_near_dups_admit_one(spark, tmp_path):
+    """Two near-dup documents arriving in the SAME micro-batch: by
+    default both pass (neither is in the store yet — documented);
+    with intra_batch=True the within-batch MinHash pass admits only
+    the cluster's minimum-id representative."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.operators.dedup import SignatureStore
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_dedup_against_store
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    near_t1 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    novel = "completely unrelated fresh content about entirely different topics now"
+
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    (src / "part-0.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, t1), (3, near_t1), (4, novel)]
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema)
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+    admitted = LakeTable(spark, str(tmp_path / "admitted"), index="doc_id")
+    q = stream_dedup_against_store(
+        stream,
+        store,
+        admitted,
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.4,
+        intra_batch=True,
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in admitted.read().df.collect())
+    assert got == [1, 4]  # 3 deduped against 1 within the batch
+    assert sorted(r["doc_id"] for r in store.read().collect()) == [1, 4]
+
+
+def test_bucketed_admission_is_o_delta_per_batch(spark, tmp_path):
+    """With buckets=N on both lake tables, admitting a batch rewrites
+    only the bucket partitions its keys hash into — parquet files of
+    untouched buckets survive as the same inodes (hard links), so N
+    batches cost O(N · delta) file writes, not O(N · corpus)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.dedup import SignatureStore
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch
+
+    store = SignatureStore(spark, str(tmp_path / "sigs"), buckets=8)
+    admitted = LakeTable(spark, str(tmp_path / "admitted"), index="doc_id", buckets=8)
+
+    def _docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = _docs(
+        [(i, f"wholly distinct base document number {i} with its own words {i * 7}")
+         for i in range(32)]
+    )
+    admit_batch(base, store, admitted, threshold=0.4)
+
+    cur = admitted.current_dir()
+    inode_before = {
+        os.path.relpath(f, cur): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
+    }
+    delta = _docs([(100, "a brand new novel document that matches nothing else at all")])
+    touched = {
+        r[0]
+        for r in delta.select(
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(8)).cast("int")
+        ).collect()
+    }
+    admit_batch(delta, store, admitted, threshold=0.4)
+
+    cur2 = admitted.current_dir()
+    inode_after = {
+        os.path.relpath(f, cur2): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(cur2, "**", "*.parquet"), recursive=True)
+    }
+    untouched = 0
+    for rel, ino in inode_before.items():
+        bucket = int(rel.split("=", 1)[1].split("/", 1)[0])
+        if bucket not in touched:
+            assert inode_after[rel] == ino
+            untouched += 1
+    assert untouched > 0  # the claim is vacuous if every bucket was hit
+    assert admitted.read().height == 33
+    assert sorted(r["doc_id"] for r in store.read().collect()) == sorted(
+        list(range(32)) + [100]
+    )
+
+
 def test_stream_upsert_lake(spark, tmp_path):
     """CDC-shaped streaming merge: micro-batches key-upsert into a
     lake table, so replayed/late records overwrite instead of

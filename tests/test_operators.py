@@ -515,6 +515,41 @@ def test_pack_sequences(spark):
             assert r["pack"] == r["pack_offset"] // 1000
 
 
+def test_leakage_safe_split_total_coverage_and_cluster_atomicity(spark):
+    """The two contracts a contamination-safe split must honor:
+    (a) TOTAL — every input document appears exactly once in the
+    output, including docs with no dedup edge at all (dup_clusters
+    emits singletons, so the inner join drops nothing — this pins
+    that contract); (b) CLUSTER-ATOMIC — documents connected by any
+    chain of near-dup edges land in the same split."""
+    from fabrix_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # a transitive chain (1-2-3), a plain pair (10-11), the rest edge-less
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = sampling.leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(40))  # total, exactly once
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == by_id[3]["cluster_id"] == 1
+    assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1  # chain stays together
+    assert by_id[10]["split"] == by_id[11]["split"]
+    assert by_id[7]["cluster_id"] == 7  # edge-less doc: own singleton cluster
+    assert set(r["split"] for r in out) <= {"train", "val", "test"}
+    # deterministic: identical assignment on rerun
+    again = sampling.leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    assert {r["doc_id"]: r["split"] for r in again} == {
+        r["doc_id"]: r["split"] for r in out
+    }
+
+
 def test_rebalance_groups(spark):
     from fabrix_spark.operators import sampling
 

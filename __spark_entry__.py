@@ -29,21 +29,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fabrix_spark import queries as _q  # noqa: E402
 
-# Queries with no driver CORRECTNESS row yet come first (r5 policy,
-# unchanged): smp_temperature is the single r1-r4 registry query with
-# no driver row ever (it sat past the 50-query window), followed by
-# the queries new or newly-oracled this round, then three long-green
-# canaries as a stay-green control group, then everything else in
-# definition order (re-verifying the already-green surface).
+# Queries with no driver CORRECTNESS row yet come first (policy
+# unchanged since r5): the round-6 additions lead (none of them has a
+# driver row yet), then three long-green canaries as a stay-green
+# control group, then everything else in definition order
+# (re-verifying the already-green surface).
 _VERIFY_FIRST = [
-    # never driver-checked (r01 ∪ r02 ∪ r03 ∪ r04)
-    "smp_temperature",
-    # new / newly oracled in round 5
-    "d_incremental_dedup",
-    "d_containment",
-    "adt_having",
-    "adt_distinct",
-    "m_frame_sample",
+    # new in round 6
+    "smp_leakage_safe_split",
+    "stream_admission_replay",
+    "d_incremental_probe",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

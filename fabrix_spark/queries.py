@@ -2195,6 +2195,94 @@ def d_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup_pairs(delta, store, corpus, threshold=0.2)
 
 
+def _admission_oracle(
+    batches: int = 3, n_hashes: int = 16, bands: int = 4, threshold: float = 0.2
+) -> str:
+    """Staged SQL replay of sequential admission: batch k (docs with
+    doc_id % batches = k) is admitted unless a banded-candidate match
+    against the UNION of previously admitted batches verifies at
+    jaccard ≥ threshold — the same decision sequence
+    ``streaming.ingest.admit_batch`` makes batch over batch."""
+    from .operators.dedup import _hash_params
+
+    rows = n_hashes // bands
+    mins = ",\n    ".join(
+        f"min(({a} * h32 + {b}) % 4294967311) AS mh_{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+    band_sel = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS key FROM sigs".format(
+            bi=bi, cols=", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    ctes = [
+        f"ds AS ({_shingle_sql(3)})",
+        "hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32 FROM ds)",
+        f"sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)",
+        f"banded AS ({band_sel})",
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id)",
+        f"adm0 AS (SELECT doc_id FROM documents WHERE doc_id % {batches} = 0)",
+    ]
+    for k in range(1, batches):
+        ctes.append(
+            f"""c{k} AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM banded n
+  JOIN banded c ON n.band = c.band AND n.key = c.key AND n.doc_id <> c.doc_id
+  JOIN adm{k - 1} ON adm{k - 1}.doc_id = c.doc_id
+  WHERE n.doc_id % {batches} = {k})"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+  SELECT DISTINCT x.new_id FROM (
+    SELECT cd.new_id, cd.corpus_id, count(*) AS cc
+    FROM c{k} cd
+    JOIN ds a ON a.doc_id = cd.new_id
+    JOIN ds b ON b.doc_id = cd.corpus_id AND a.sh = b.sh
+    GROUP BY 1, 2) x
+  JOIN sizes sa ON sa.doc_id = x.new_id
+  JOIN sizes sb ON sb.doc_id = x.corpus_id
+  WHERE round(x.cc / (sa.sz + sb.sz - x.cc), 6) >= {threshold})"""
+        )
+        ctes.append(
+            f"adm{k} AS (SELECT doc_id FROM adm{k - 1} UNION ALL "
+            f"SELECT doc_id FROM documents WHERE doc_id % {batches} = {k} "
+            f"AND doc_id NOT IN (SELECT new_id FROM v{k}))"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id FROM adm{batches - 1}"
+
+
+@register("stream_admission_replay", oracle=_admission_oracle())
+def stream_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest dedup loop, replayed deterministically in
+    batch mode: documents arrive in 3 batches (doc_id % 3), each batch
+    admitted through the EXACT per-micro-batch body of
+    ``stream_dedup_against_store`` (``streaming.ingest.admit_batch``)
+    — probe the persisted signature store, reject verified near-dups
+    of already-admitted docs, fold survivors into the store. Returns
+    the final admitted id set; the oracle re-derives the same
+    sequential decisions as staged SQL, giving the streaming admission
+    path a driver CORRECTNESS row."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import admit_batch
+
+    root = tempfile.mkdtemp(prefix="fabrix_admission_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = dedup.SignatureStore(spark, root + "/sigs", buckets=8)
+    admitted = LakeTable(spark, root + "/admitted", index="doc_id", buckets=8)
+    docs = _t(spark, sf_dir, "documents")
+    for b in range(3):
+        admit_batch(
+            docs.filter(F.col("doc_id") % 3 == b), store, admitted, threshold=0.2
+        )
+    return admitted.read().df.select("doc_id")
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (

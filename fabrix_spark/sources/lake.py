@@ -160,8 +160,29 @@ class LakeTable:
     def _read_raw(self) -> DataFrame:
         return self.spark.read.parquet(self.current_dir())
 
-    def read(self) -> FxFrame:
-        df = self._read_raw()
+    def versions(self) -> list[str]:
+        """Version directories on disk, oldest → newest. The live one
+        is whatever the pointer names (not necessarily the newest —
+        e.g. after a crash left an uncommitted staging tree); with
+        ``retain > 0`` superseded entries stay readable via
+        ``read(version=...)`` — bounded time travel."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(n for n in os.listdir(self.path) if _is_version(n))
+
+    def read(self, version: str | None = None) -> FxFrame:
+        """The live table, or — with ``version`` naming an entry of
+        :meth:`versions` — a retained historical snapshot."""
+        if version is None:
+            df = self._read_raw()
+        else:
+            vdir = os.path.join(self.path, version)
+            if not _is_version(version) or not os.path.isdir(vdir):
+                raise ValueError(
+                    f"unknown version {version!r} for lake table {self.path!r} "
+                    f"(on disk: {self.versions()})"
+                )
+            df = self.spark.read.parquet(vdir)
         if _BUCKET_COL in df.columns:
             df = df.drop(_BUCKET_COL)
         return FxFrame(df, self.index)
@@ -368,7 +389,7 @@ class LakeTable:
         kept = current.filter(F.col(_BUCKET_COL).isin(touched)).join(
             new.select(key), on=key, how="left_anti"
         )
-        merged = kept.unionByName(new.select(*[c for c in kept.columns]))
+        merged = kept.unionByName(new)
         ver = self._write_version(merged)
         dst = os.path.join(self.path, ver)
         cur = self.current_dir()
@@ -439,6 +460,13 @@ def compact(
 
     t = LakeTable(spark, path, partition_by=partition_by or [])
     cur = t.current_dir()
+    # a bucketed table keeps its bucket layout through compaction (the
+    # bucket column is a partition dir, so it must stay a partition
+    # dir — otherwise reads lose pruning and upserts lose O(delta))
+    if os.path.isdir(cur) and any(
+        n.startswith(_BUCKET_COL + "=") for n in os.listdir(cur)
+    ):
+        t.partition_by = [*t.partition_by, _BUCKET_COL]
     files_before = _glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
     total_bytes = sum(os.path.getsize(f) for f in files_before)
     df = spark.read.parquet(cur)

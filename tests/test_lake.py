@@ -344,6 +344,43 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert "fx_bucket" not in t.read().df.columns  # layout column hidden
 
 
+def test_time_travel_read_of_retained_version(spark, fx, tmp_path):
+    """retain + versions() + read(version=...) = bounded time travel:
+    a retained superseded snapshot stays readable by name; GC'd and
+    unknown versions raise instead of silently reading live data."""
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", retain=1)
+    t.save(fx, SaveStrategy.REPLACE)
+    v1 = t.versions()[0]
+    t.upsert(FxFrame.from_series(spark, {"id": [5], "name": ["e"], "val": [5.5]}, index="id"))
+    assert t.read().height == 5
+    assert t.read(version=v1).height == 4  # the pre-upsert snapshot
+    assert len(t.versions()) == 2
+    with pytest.raises(ValueError, match="unknown version"):
+        t.read(version="v_999999_00000000")
+
+
+def test_compact_preserves_bucket_layout(spark, tmp_path):
+    """Compacting a bucketed table must keep the bucket partition
+    dirs — flattening them would silently revert upserts to
+    O(corpus) rewrites and reads to full scans."""
+    import os
+
+    from fabrix_spark.sources.lake import compact
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=4)
+    t.save(spark.range(50).withColumn("v", F.col("id") * 2), SaveStrategy.REPLACE)
+    compact(spark, p, target_file_mb=128)
+    t2 = LakeTable(spark, p, index="id", buckets=4)
+    assert any(n.startswith("fx_bucket=") for n in os.listdir(t2.current_dir()))
+    assert sorted(r["id"] for r in t2.read().collect()) == list(range(50))
+    # and the compacted table still upserts partition-scoped
+    t2.upsert(spark.createDataFrame([(7, 700)], "id long, v long"))
+    rows = {r["id"]: r["v"] for r in t2.read().collect()}
+    assert rows[7] == 700 and len(rows) == 50
+
+
 def test_legacy_flat_layout_migrates_on_first_commit(spark, tmp_path):
     """Tables written by plain df.write.parquet (no pointer) read
     transparently; the first rewriting operation migrates them to the

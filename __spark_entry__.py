@@ -39,6 +39,7 @@ _VERIFY_FIRST = [
     "smp_leakage_safe_split",
     "stream_admission_replay",
     "d_incremental_probe",
+    "sim_pq_topk",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

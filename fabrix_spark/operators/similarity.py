@@ -28,6 +28,9 @@ __all__ = [
     "ivf_assign",
     "kmeans_train",
     "ivf_cosine_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_cosine_topk",
 ]
 
 
@@ -520,4 +523,231 @@ def lsh_cosine_topk(
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): per-subspace codebooks + ADC scan
+# ---------------------------------------------------------------------------
+
+
+def _sub(vec: Column, s: int, sub_dim: int) -> Column:
+    return F.slice(vec, s * sub_dim + 1, sub_dim)
+
+
+def _l2_assign(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook entry per vector by EXACT integer squared-L2:
+    d² = |v|² − 2⟨v,c⟩ + |c|² — every term int64, so the argmin (and
+    therefore the whole trained codebook) is bit-reproducible on any
+    engine with no rounding step at all. Codebook broadcast; ties
+    break (d² asc, code asc). ``vecs``: (id, __v, __n2); ``cents``:
+    (code, __c, __cn2)."""
+    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    scored = (
+        vecs.withColumn("__one", one(id_col))
+        .join(F.broadcast(cents.withColumn("__one", one("code"))), "__one")
+        .select(
+            id_col,
+            "code",
+            (
+                F.col("__n2")
+                - F.lit(2) * _dot(F.col("__v"), F.col("__c"), True)
+                + F.col("__cn2")
+            ).alias("__d2"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "code")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces of ``dim/m`` components; each subspace trains
+    its own ``n_codes``-entry codebook by deterministic Lloyd
+    iterations (seed = the n_codes lowest-id subvectors, integer-L2
+    assignment via :func:`_l2_assign`, exact int64 component means
+    rounded once — the :func:`kmeans_train` recipe per subspace, so a
+    DuckDB oracle re-derives identical codebooks).
+
+    Returns (subspace, code, __c array<long>, __cn2 long) in the
+    quantized domain. Scale shape per subspace and iteration: one
+    broadcast-codebook assignment over the corpus (map-only), one
+    (code, dim) hash aggregate — the corpus never shuffles."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    parts = []
+    for s in range(m):
+        sl = (
+            spread(corpus)
+            .select(
+                F.col(id_col),
+                _quantized(_sub(F.col(vec_col), s, sub_dim), quantize).alias("__v"),
+            )
+            .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+        )
+        cents = (
+            sl.orderBy(F.col(id_col).asc())
+            .limit(n_codes)
+            .select(F.col(id_col).alias("code"), F.col("__v").alias("__c"), F.col("__n2").alias("__cn2"))
+        )
+        for _ in range(iters):
+            assign = _l2_assign(sl, cents, id_col)
+            comp = assign.join(sl.select(id_col, "__v"), id_col).select(
+                "code", F.posexplode("__v").alias("dim", "val")
+            )
+            means = comp.groupBy("code", "dim").agg(
+                F.sum("val").alias("__s"), F.count("*").alias("__cnt")
+            )
+            cents = (
+                means.select(
+                    "code",
+                    "dim",
+                    F.round(F.col("__s") / F.col("__cnt")).cast("long").alias("__cc"),
+                )
+                .groupBy("code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "__cc"))),
+                        lambda st: st["__cc"],
+                    ).alias("__c")
+                )
+                .withColumn("__cn2", _dot(F.col("__c"), F.col("__c"), True))
+            )
+        parts.append(cents.select(F.lit(s).alias("subspace"), "code", "__c", "__cn2"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Encode every vector as its nearest codebook entry per subspace:
+    (id, subspace, code) — the PQ code table. At production scale this
+    is the whole point: m small codes replace the raw vector (with
+    256-entry codebooks, m bytes per vector — a 100 TB float corpus
+    compresses to the point where the ADC scan is CPU-bound, not
+    IO-bound). Encoding is m broadcast-codebook assignments; the
+    corpus never shuffles."""
+    sub_dim = dim // m
+    parts = []
+    for s in range(m):
+        sl = (
+            spread(corpus)
+            .select(
+                F.col(id_col),
+                _quantized(_sub(F.col(vec_col), s, sub_dim), quantize).alias("__v"),
+            )
+            .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+        )
+        cb = codebooks.filter(F.col("subspace") == s).select("code", "__c", "__cn2")
+        parts.append(
+            _l2_assign(sl, cb, id_col).select(
+                id_col, F.lit(s).alias("subspace"), "code"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC,
+    public method: Jégou/Douze/Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): train PQ codebooks, encode
+    the corpus once, then score every (query, vector) pair as the
+    cosine between the query and the vector's RECONSTRUCTION —
+    ⟨q, x̂⟩ = Σ_s table_s[code_s(x)] where each per-query lookup table
+    holds the query-subvector · codebook-entry dots (exact int64).
+
+    Scale shape: the lookup tables (queries × m × n_codes rows) and
+    query norms broadcast; the code table joins them map-side and one
+    (q_id, c_id) hash aggregate sums the m per-subspace terms —
+    against the raw corpus an ADC scan reads m codes per vector
+    instead of dim floats. Fully deterministic → fully oracled
+    (``sim_pq_topk``); returns (q_id, c_id, cosine_pq, rank ≤ k)."""
+    cb = pq_train(
+        corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(corpus, cb, dim, m, id_col, vec_col, quantize)
+
+    sub_dim = dim // m
+    qparts = []
+    for s in range(m):
+        qparts.append(
+            queries.select(
+                F.col(id_col).alias("q_id"),
+                F.lit(s).alias("subspace"),
+                _quantized(_sub(F.col(vec_col), s, sub_dim), quantize).alias("__qs"),
+            )
+        )
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionByName(p)
+    qtab = qsub.join(cb, "subspace").select(
+        "q_id",
+        "subspace",
+        "code",
+        _dot(F.col("__qs"), F.col("__c"), True).alias("__dt"),
+        "__cn2",
+    )
+    qn2 = queries.select(
+        F.col(id_col).alias("q_id"),
+        _dot(
+            _quantized(F.col(vec_col), quantize),
+            _quantized(F.col(vec_col), quantize),
+            True,
+        ).alias("__qn2"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "c_id")
+        .join(F.broadcast(qtab), ["subspace", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("__dt").alias("__adot"), F.sum("__cn2").alias("__rn2"))
+        .join(F.broadcast(qn2), "q_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.col("__adot")
+                / F.sqrt(F.col("__rn2").cast("double") * F.col("__qn2").cast("double")),
+                6,
+            ).alias("cosine_pq"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_pq").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2609,6 +2609,97 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_cosine_topk(emb, queries, k=5, n_probe=2, centroids=cents)
 
 
+def _pq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    n_codes: int = 8,
+    top_k: int = 5,
+    threshold_qid: int = 8,
+    quantize: int = 1_000_000,
+) -> str:
+    """DuckDB re-derivation of the full PQ pipeline per subspace:
+    seed codebook → integer-L2 assign → exact int64 means → re-assign
+    (the trained codes) → per-query lookup tables → ADC aggregate.
+    Every arithmetic step mirrors similarity.pq_* bit-for-bit (the
+    only float ops are the final means rounding and cosine division,
+    both identical expressions on both engines)."""
+    sub = dim // m
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+    ctes = [
+        f"q AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {quantize}) AS BIGINT)) AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes += [
+            f"sub{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM q)",
+            f"n{s} AS (SELECT vec_id, sv, {dot('sv', 'sv')} AS n2 FROM sub{s})",
+            f"seed{s} AS (SELECT vec_id AS code, sv AS cv, n2 AS cn2 FROM n{s} "
+            f"ORDER BY vec_id LIMIT {n_codes})",
+            f"""sa{s} AS (SELECT vec_id, code FROM (
+  SELECT a.vec_id, c.code,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY (a.n2 - 2 * {dot('a.sv', 'c.cv')} + c.cn2) ASC, c.code ASC) AS r
+  FROM n{s} a CROSS JOIN seed{s} c) WHERE r = 1)""",
+            f"""cent{s} AS (SELECT code, list(cc ORDER BY dim ASC) AS cv FROM (
+  SELECT sa.code, d.i AS dim,
+         CAST(round(CAST(sum(a.sv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+  FROM sa{s} sa JOIN sub{s} a USING (vec_id),
+       UNNEST(range(1, len(a.sv) + 1)) AS d(i)
+  GROUP BY 1, 2) GROUP BY 1)""",
+            f"centn{s} AS (SELECT code, cv, {dot('cv', 'cv')} AS cn2 FROM cent{s})",
+            f"""code{s} AS (SELECT vec_id, code FROM (
+  SELECT a.vec_id, c.code,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY (a.n2 - 2 * {dot('a.sv', 'c.cv')} + c.cn2) ASC, c.code ASC) AS r
+  FROM n{s} a CROSS JOIN centn{s} c) WHERE r = 1)""",
+            f"""sc{s} AS (
+  SELECT a.vec_id AS q_id, cd.vec_id AS c_id,
+         {dot('a.sv', 'c.cv')} AS dt, c.cn2
+  FROM n{s} a CROSS JOIN centn{s} c
+  JOIN code{s} cd ON cd.code = c.code
+  WHERE a.vec_id < {threshold_qid})""",
+        ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM sc{s}" for s in range(m))
+    ctes += [
+        f"allsc AS ({union})",
+        f"qn AS (SELECT vec_id AS q_id, {dot('v', 'v')} AS qn2 FROM q "
+        f"WHERE vec_id < {threshold_qid})",
+        "agg AS (SELECT q_id, c_id, sum(dt) AS adot, sum(cn2) AS rn2 "
+        "FROM allsc GROUP BY 1, 2)",
+        """scored AS (
+  SELECT agg.q_id, c_id,
+         round(CAST(adot AS DOUBLE) / sqrt(CAST(rn2 AS DOUBLE) * CAST(qn2 AS DOUBLE)), 6) AS cosine_pq
+  FROM agg JOIN qn ON qn.q_id = agg.q_id WHERE c_id <> agg.q_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, c_id, cosine_pq, rank FROM (
+  SELECT q_id, c_id, cosine_pq,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine_pq DESC, c_id ASC) AS rank
+  FROM scored) WHERE rank <= {top_k}"""
+    )
+
+
+@register("sim_pq_topk", oracle=_pq_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): 4
+    subspaces × 8-entry codebooks trained by one deterministic
+    integer-L2 Lloyd iteration, corpus encoded to 4 codes/vector, ADC
+    scoring against per-query lookup tables. Codebook training,
+    encoding, and the ADC ranking all oracle-checked bit-for-bit —
+    the memory-compressed ANN scan for corpora where even IVF lists
+    don't fit (m bytes/vector at 256-entry codebooks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=5)
+
+
 @register("sim_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — deterministic coarse quantizer, so the

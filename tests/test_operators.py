@@ -759,6 +759,29 @@ def test_pack_sequences_matches_model(spark, lengths, budget, shards):
             cum += ln
 
 
+def test_pq_topk_contract_and_determinism(emb):
+    """PQ/ADC: codebooks per subspace, full k results per query, self
+    excluded, scores are valid cosines, bit-identical rerun. The exact
+    value/ranking parity is pinned by the sim_pq_topk DuckDB oracle."""
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r["q_id"] != r["c_id"]
+        assert -1.0 <= r["cosine_pq"] <= 1.0
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3}
+    assert all(sorted(rs) == [1, 2, 3, 4, 5] for rs in by_q.values())
+    again = similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=5).collect()
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    assert sorted(((r["q_id"], r["rank"], r["c_id"], r["cosine_pq"]) for r in out)) == sorted(
+        (r["q_id"], r["rank"], r["c_id"], r["cosine_pq"]) for r in again
+    )
+    # codebooks: m × n_codes entries, each subvector length dim/m
+    cb = similarity.pq_train(emb, dim=64, m=4, n_codes=8).collect()
+    assert len(cb) == 32 and all(len(r["__c"]) == 16 for r in cb)
+
+
 def test_kmeans_train_deterministic(emb):
     cents1 = similarity.kmeans_train(emb, k=4, iters=1).collect()
     cents2 = similarity.kmeans_train(emb, k=4, iters=1).collect()

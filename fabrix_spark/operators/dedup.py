@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "minhash_dedup_pairs",
+    "minhash_estimate_pairs",
     "SignatureStore",
     "incremental_candidates",
     "incremental_dedup_pairs",
@@ -465,6 +466,54 @@ def minhash_dedup_pairs(
     ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
     return _verify_jaccard(sets, cands, threshold)
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature-ONLY near-dup triage: banded LSH candidates scored by
+    the MinHash estimator — the fraction of equal signature components
+    — with NO exact verification pass. Returns
+    (id_a, id_b, jaccard_est ≥ threshold).
+
+    This is the 100 TB triage mode: after the one map-only signature
+    scan, everything downstream touches only n_hashes longs per doc —
+    candidate generation is the banded equi-join and scoring is a
+    column comparison on rows already joined, so the corpus text is
+    never read a second time (the verify pass of
+    :func:`minhash_dedup_pairs` is exactly the cost this trades away
+    for ±1/sqrt(n_hashes) estimator noise). Deterministic hash family
+    → fully oracle-able."""
+    sigs = minhash_signatures(
+        df, n_hashes, shingle_size, text_col, id_col
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(n_hashes)]
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(n_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(n_hashes)), 6).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

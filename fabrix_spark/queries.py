@@ -2071,6 +2071,50 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def _minhash_estimate_oracle(
+    n_hashes: int = 16, bands: int = 4, threshold: float = 0.2
+) -> str:
+    from .operators.dedup import _hash_params
+
+    rows = n_hashes // bands
+    mins = ",\n    ".join(
+        f"min(({a} * h32 + {b}) % 4294967311) AS mh_{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+    band_sel = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS key FROM sigs".format(
+            bi=bi, cols=", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return f"""
+WITH ds AS ({_shingle_sql(3)}),
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32 FROM ds),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(({match_sum}) / {float(n_hashes)}, 6) AS jaccard_est
+FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b
+WHERE round(({match_sum}) / {float(n_hashes)}, 6) >= {threshold}
+"""
+
+
+@register("d_minhash_estimate", oracle=_minhash_estimate_oracle())
+def d_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only near-dup triage: LSH candidates scored by the
+    MinHash estimator (matching-component fraction), corpus text read
+    exactly once — the mode a 100 TB sweep runs before deciding what
+    to verify exactly."""
+    return dedup.minhash_estimate_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
 def _incremental_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.2) -> str:
     """Corpus-delta variant of the minhash oracle: docs with
     doc_id % 5 = 0 are the newly arrived delta, the rest the existing

@@ -114,6 +114,28 @@ def test_partition_pruning(spark, tmp_path):
     assert len(days) <= 1
 
 
+def test_bucketed_upsert_prunes_kept_side_scan(spark, tmp_path):
+    """The bucketed-upsert merge must read ONLY the touched bucket
+    partitions (PartitionFilters on fx_bucket) — at 100 TB the kept
+    side of the anti-join is a few bucket dirs, not the corpus."""
+    from fabrix_spark.sources.lake import LakeTable, _BUCKET_COL
+    from fabrix_spark.sources.sql import SaveStrategy
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=16)
+    t.save(spark.range(200).withColumn("v", F.col("id") * 2), SaveStrategy.REPLACE)
+    delta = t._with_bucket(spark.createDataFrame([(3, 33)], "id long, v long"))
+    touched = [r[0] for r in delta.select(_BUCKET_COL).distinct().collect()]
+    kept = (
+        t._read_raw()
+        .filter(F.col(_BUCKET_COL).isin(touched))
+        .join(delta.select("id"), on="id", how="left_anti")
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert _BUCKET_COL in plan.split("PartitionFilters")[1][:300]
+
+
 def test_from_range(spark):
     fx = FxFrame.from_range(spark, 5, name="n", index="n")
     assert sorted(r[0] for r in fx.data()) == [0, 1, 2, 3, 4]

@@ -189,6 +189,38 @@ class LakeTable:
 
     # -- bucket partitioning ------------------------------------------------
 
+    def _tree_bucketed(self) -> bool:
+        cur = self.current_dir()
+        if not os.path.isdir(cur):
+            return False
+        return any(n.startswith(_BUCKET_COL + "=") for n in os.listdir(cur))
+
+    def _check_bucket_layout(self) -> None:
+        """Incremental writes (append/upsert/delete) must agree with
+        the on-disk layout: a bucketed writer over a flat tree would
+        mix partition dirs with loose files, and a flat writer over a
+        bucketed tree would route the same key to a different place
+        than the existing rows (duplicate keys across buckets) or
+        silently flatten the layout. REPLACE is the intentional way to
+        change layouts."""
+        if not self.exists():
+            return
+        tree = self._tree_bucketed()
+        cur = self.current_dir()
+        loose_parquet = os.path.isdir(cur) and any(
+            n.endswith(".parquet") for n in os.listdir(cur)
+        )
+        mismatch = (self.buckets and loose_parquet and not tree) or (
+            not self.buckets and tree
+        )
+        if mismatch:
+            have = "bucketed" if tree else "flat"
+            want = "bucketed" if self.buckets else "flat"
+            raise ValueError(
+                f"lake table {self.path!r} on disk is {have} but this writer is "
+                f"{want}; open it with matching `buckets` or rewrite with REPLACE"
+            )
+
     def _part_cols(self) -> list[str]:
         # bucket OUTERMOST so an untouched bucket is one wholesale
         # linkable directory regardless of inner partition columns
@@ -334,6 +366,7 @@ class LakeTable:
 
     def _write(self, df: DataFrame, mode: str) -> None:
         if mode == "append" and self.exists():
+            self._check_bucket_layout()
             self._commit_version(self._append_version(df))
             return
         self._commit_version(self._write_version(df))
@@ -373,6 +406,7 @@ class LakeTable:
         if not self.exists():
             self._commit_version(self._write_version(new))
             return
+        self._check_bucket_layout()
         if self.buckets:
             self._commit_version(self._upsert_bucketed(new, key))
             return
@@ -419,6 +453,7 @@ class LakeTable:
         rows where it evaluates NULL (e.g. a NULL in the filtered
         column) must be KEPT, so the keep-filter coalesces NULL to
         FALSE before negating."""
+        self._check_bucket_layout()
         current = self._read_raw()
         before = current.count()
         remaining = current.filter(~F.coalesce(condition, F.lit(False)))

@@ -381,6 +381,79 @@ def test_compact_preserves_bucket_layout(spark, tmp_path):
     assert rows[7] == 700 and len(rows) == 50
 
 
+def test_bucket_layout_mismatch_raises(spark, tmp_path):
+    """Incremental writes must agree with the on-disk layout: a flat
+    writer on a bucketed tree would silently flatten it (or route the
+    same key differently than existing rows); a bucketed writer on a
+    flat tree would mix partition dirs with loose files. Both raise;
+    REPLACE remains the sanctioned layout change."""
+    p = str(tmp_path / "t")
+    b = LakeTable(spark, p, index="id", buckets=4)
+    b.save(spark.range(10).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    flat = LakeTable(spark, p, index="id")  # no buckets
+    with pytest.raises(ValueError, match="bucketed but this writer is flat"):
+        flat.upsert(spark.createDataFrame([(1, 100)], "id long, v long"))
+    flat.save(spark.range(5).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    with pytest.raises(ValueError, match="flat but this writer is bucketed"):
+        b.upsert(spark.createDataFrame([(1, 100)], "id long, v long"))
+
+
+import hypothesis.strategies as hyp_st  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+
+_ROWS = hyp_st.lists(
+    hyp_st.tuples(hyp_st.integers(0, 15), hyp_st.integers(0, 1000)),
+    min_size=1,
+    max_size=6,
+)
+_OPS = hyp_st.lists(
+    hyp_st.one_of(
+        hyp_st.tuples(hyp_st.just("upsert"), _ROWS),
+        hyp_st.tuples(hyp_st.just("append"), _ROWS),
+        hyp_st.tuples(hyp_st.just("replace"), _ROWS),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(init=_ROWS, ops=_OPS, buckets=hyp_st.sampled_from([None, 3]))
+def test_lake_random_op_sequences_match_model(spark, tmp_path, init, ops, buckets):
+    """Differential model check: any sequence of replace/append/upsert
+    on a LakeTable (flat or bucketed) ends in exactly the state a
+    plain in-memory model predicts — upsert removes every existing row
+    whose key appears in the batch then adds the batch verbatim;
+    append keeps duplicates; replace resets."""
+    import uuid as _uuid
+
+    p = str(tmp_path / f"t_{_uuid.uuid4().hex[:8]}")
+    t = LakeTable(spark, p, index="id", buckets=buckets)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id long, v long")
+
+    model = list(init)
+    t.save(df(init), SaveStrategy.REPLACE)
+    for op, rows in ops:
+        if op == "upsert":
+            keys = {r[0] for r in rows}
+            model = [r for r in model if r[0] not in keys] + list(rows)
+            t.upsert(df(rows))
+        elif op == "append":
+            model = model + list(rows)
+            t.save(df(rows), SaveStrategy.APPEND)
+        else:
+            model = list(rows)
+            t.save(df(rows), SaveStrategy.REPLACE)
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == sorted(model)
+
+
 def test_legacy_flat_layout_migrates_on_first_commit(spark, tmp_path):
     """Tables written by plain df.write.parquet (no pointer) read
     transparently; the first rewriting operation migrates them to the

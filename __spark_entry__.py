@@ -40,6 +40,7 @@ _VERIFY_FIRST = [
     "stream_admission_replay",
     "d_incremental_probe",
     "sim_pq_topk",
+    "sim_pq_refined",
     "d_minhash_estimate",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",

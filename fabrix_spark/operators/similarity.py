@@ -684,6 +684,7 @@ def pq_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int = 1_000_000,
+    refine: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC,
     public method: Jégou/Douze/Schmid, "Product Quantization for
@@ -698,7 +699,14 @@ def pq_cosine_topk(
     (q_id, c_id) hash aggregate sums the m per-subspace terms —
     against the raw corpus an ADC scan reads m codes per vector
     instead of dim floats. Fully deterministic → fully oracled
-    (``sim_pq_topk``); returns (q_id, c_id, cosine_pq, rank ≤ k)."""
+    (``sim_pq_topk``); returns (q_id, c_id, cosine_pq, rank ≤ k).
+
+    ``refine=R`` runs the standard two-stage recipe: the ADC scan
+    shortlists R candidates per query, then ONLY those (q, c) pairs
+    are re-scored with the exact quantized cosine on the raw vectors
+    (a semi-join-sized read — R rows per query, never the corpus) and
+    re-ranked to k. Returns (q_id, c_id, cosine, rank ≤ k) — exact
+    scores over PQ-approximate candidates."""
     cb = pq_train(
         corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
     ).localCheckpoint(eager=True)
@@ -750,4 +758,30 @@ def pq_cosine_topk(
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_pq").desc(), F.col("c_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if refine is None:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= refine)
+        .select("q_id", "c_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("c_id"), _quantized(F.col(vec_col), quantize).alias("c_vec")
+    ).withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), True))
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), quantize).alias("q_vec")
+    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), True))
+    exact = (
+        cand.join(cvec, "c_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            _cosine(
+                F.col("c_vec"), F.col("q_vec"), F.col("c_n2"), F.col("q_n2"), True
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -2660,6 +2660,7 @@ def _pq_oracle(
     top_k: int = 5,
     threshold_qid: int = 8,
     quantize: int = 1_000_000,
+    refine: int | None = None,
 ) -> str:
     """DuckDB re-derivation of the full PQ pipeline per subspace:
     seed codebook → integer-L2 assign → exact int64 means → re-assign
@@ -2719,14 +2720,37 @@ def _pq_oracle(
          round(CAST(adot AS DOUBLE) / sqrt(CAST(rn2 AS DOUBLE) * CAST(qn2 AS DOUBLE)), 6) AS cosine_pq
   FROM agg JOIN qn ON qn.q_id = agg.q_id WHERE c_id <> agg.q_id)""",
     ]
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    if refine is None:
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + f"""
 SELECT q_id, c_id, cosine_pq, rank FROM (
   SELECT q_id, c_id, cosine_pq,
          row_number() OVER (PARTITION BY q_id ORDER BY cosine_pq DESC, c_id ASC) AS rank
   FROM scored) WHERE rank <= {top_k}"""
+        )
+    ctes += [
+        f"""cand AS (SELECT q_id, c_id FROM (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine_pq DESC, c_id ASC) AS r
+  FROM scored) WHERE r <= {refine})""",
+        f"nfull AS (SELECT vec_id, v, {dot('v', 'v')} AS n2 FROM q)",
+        f"""exact AS (
+  SELECT cand.q_id, cand.c_id,
+         round(CAST({dot('a.v', 'b.v')} AS DOUBLE)
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cosine
+  FROM cand JOIN nfull a ON a.vec_id = cand.c_id
+  JOIN nfull b ON b.vec_id = cand.q_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM exact) WHERE rank <= {top_k}"""
     )
 
 
@@ -2742,6 +2766,19 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=5)
+
+
+@register("sim_pq_refined", oracle=_pq_oracle(refine=20))
+def sim_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ: ADC shortlist of 20 candidates per query, exact
+    quantized-cosine re-rank to top-5 — compressed-domain recall with
+    exact final scores, reading raw vectors only for the shortlist.
+    Both stages oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_cosine_topk(
+        emb, queries, dim=64, m=4, n_codes=8, k=5, refine=20
+    )
 
 
 @register("sim_ivf_topk", oracle=_IVF_ORACLE)

@@ -41,6 +41,7 @@ _VERIFY_FIRST = [
     "d_incremental_probe",
     "sim_pq_topk",
     "sim_pq_refined",
+    "sim_ivfpq_topk",
     "d_minhash_estimate",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",

@@ -31,6 +31,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_cosine_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -785,3 +786,99 @@ def pq_cosine_topk(
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """IVF + PQ — the production ANN composition (FAISS's IVFPQ index,
+    public architecture from Jégou et al. 2011): a coarse quantizer
+    partitions the corpus into inverted lists, and within the
+    ``n_probe`` lists a query probes, scoring happens in the
+    COMPRESSED domain (ADC over each vector's m codes). At 100 TB both
+    factors matter: the probe touches corpus/n_centroids × n_probe of
+    the lists, and what it reads per vector is m codes, not dim
+    floats.
+
+    Candidate generation is the IVF equi-join on centroid_id
+    (q_assign broadcast); ADC scoring joins the candidates' code rows
+    with the broadcast per-query lookup tables and sums the m terms in
+    one (q_id, c_id) aggregate. Deterministic end to end → fully
+    oracled (``sim_ivfpq_topk``)."""
+    centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    c_assign = ivf_assign(corpus, centroids, id_col, vec_col, quantize, n_probe=1).withColumnRenamed(
+        id_col, "c_id"
+    )
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col, quantize, n_probe=n_probe).withColumnRenamed(
+        id_col, "q_id"
+    )
+    cand = (
+        c_assign.join(F.broadcast(q_assign), "centroid_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+    cb = pq_train(
+        corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(corpus, cb, dim, m, id_col, vec_col, quantize)
+
+    sub_dim = dim // m
+    qparts = []
+    for s in range(m):
+        qparts.append(
+            queries.select(
+                F.col(id_col).alias("q_id"),
+                F.lit(s).alias("subspace"),
+                _quantized(_sub(F.col(vec_col), s, sub_dim), quantize).alias("__qs"),
+            )
+        )
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionByName(p)
+    qtab = qsub.join(cb, "subspace").select(
+        "q_id",
+        "subspace",
+        "code",
+        _dot(F.col("__qs"), F.col("__c"), True).alias("__dt"),
+        "__cn2",
+    )
+    qn2 = queries.select(
+        F.col(id_col).alias("q_id"),
+        _dot(
+            _quantized(F.col(vec_col), quantize),
+            _quantized(F.col(vec_col), quantize),
+            True,
+        ).alias("__qn2"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "c_id")
+        .join(cand, "c_id")  # restrict ADC to the probed lists
+        .join(F.broadcast(qtab), ["q_id", "subspace", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("__dt").alias("__adot"), F.sum("__cn2").alias("__rn2"))
+        .join(F.broadcast(qn2), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.col("__adot")
+                / F.sqrt(F.col("__rn2").cast("double") * F.col("__qn2").cast("double")),
+                6,
+            ).alias("cosine_pq"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_pq").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

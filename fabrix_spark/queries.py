@@ -2768,6 +2768,114 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=5)
 
 
+def _ivfpq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    n_codes: int = 8,
+    top_k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    threshold_qid: int = 8,
+    quantize: int = 1_000_000,
+) -> str:
+    """IVF coarse probe (seed centroids, cosine assignment — the
+    sim_ivf_topk CTEs) composed with the PQ CTEs of ``_pq_oracle``:
+    ADC terms are summed only over candidate (query, vector) pairs
+    from the probed inverted lists."""
+    sub = dim // m
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+    ctes = [
+        f"q AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {quantize}) AS BIGINT)) AS v FROM embeddings)",
+        f"n AS (SELECT vec_id, v, {dot('v', 'v')} AS n2 FROM q)",
+        f"cent AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n "
+        f"ORDER BY vec_id LIMIT {n_centroids})",
+        f"""cs AS (
+  SELECT a.vec_id, c.centroid_id,
+         round({dot('a.v', 'c.cv')} / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM n a CROSS JOIN cent c)""",
+        """ca AS (SELECT vec_id AS c_id, centroid_id FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+  FROM cs) WHERE r <= 1)""",
+        f"""qa AS (SELECT vec_id AS q_id, centroid_id FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+  FROM cs WHERE vec_id < {threshold_qid}) WHERE r <= {n_probe})""",
+        """cand AS (
+  SELECT DISTINCT qa.q_id, ca.c_id
+  FROM qa JOIN ca USING (centroid_id) WHERE ca.c_id <> qa.q_id)""",
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes += [
+            f"sub{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM q)",
+            f"n{s} AS (SELECT vec_id, sv, {dot('sv', 'sv')} AS sn2 FROM sub{s})",
+            f"seed{s} AS (SELECT vec_id AS code, sv AS cv, cn2 FROM (SELECT vec_id, sv, sn2 AS cn2 FROM n{s}) "
+            f"ORDER BY vec_id LIMIT {n_codes})",
+            f"""sa{s} AS (SELECT vec_id, code FROM (
+  SELECT a.vec_id, c.code,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY (a.sn2 - 2 * {dot('a.sv', 'c.cv')} + c.cn2) ASC, c.code ASC) AS r
+  FROM n{s} a CROSS JOIN seed{s} c) WHERE r = 1)""",
+            f"""cent{s} AS (SELECT code, list(cc ORDER BY dim ASC) AS cv FROM (
+  SELECT sa.code, d.i AS dim,
+         CAST(round(CAST(sum(a.sv[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+  FROM sa{s} sa JOIN sub{s} a USING (vec_id),
+       UNNEST(range(1, len(a.sv) + 1)) AS d(i)
+  GROUP BY 1, 2) GROUP BY 1)""",
+            f"centn{s} AS (SELECT code, cv, {dot('cv', 'cv')} AS cn2 FROM cent{s})",
+            f"""code{s} AS (SELECT vec_id, code FROM (
+  SELECT a.vec_id, c.code,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY (a.sn2 - 2 * {dot('a.sv', 'c.cv')} + c.cn2) ASC, c.code ASC) AS r
+  FROM n{s} a CROSS JOIN centn{s} c) WHERE r = 1)""",
+            f"""sc{s} AS (
+  SELECT cand.q_id, cand.c_id, {dot('a.sv', 'c.cv')} AS dt, c.cn2
+  FROM cand
+  JOIN code{s} cd ON cd.vec_id = cand.c_id
+  JOIN centn{s} c ON c.code = cd.code
+  JOIN n{s} a ON a.vec_id = cand.q_id)""",
+        ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM sc{s}" for s in range(m))
+    ctes += [
+        f"allsc AS ({union})",
+        f"qn AS (SELECT vec_id AS q_id, n2 AS qn2 FROM n WHERE vec_id < {threshold_qid})",
+        "agg AS (SELECT q_id, c_id, sum(dt) AS adot, sum(cn2) AS rn2 FROM allsc GROUP BY 1, 2)",
+        """scored AS (
+  SELECT agg.q_id, c_id,
+         round(CAST(adot AS DOUBLE) / sqrt(CAST(rn2 AS DOUBLE) * CAST(qn2 AS DOUBLE)), 6) AS cosine_pq
+  FROM agg JOIN qn ON qn.q_id = agg.q_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, c_id, cosine_pq, rank FROM (
+  SELECT q_id, c_id, cosine_pq,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine_pq DESC, c_id ASC) AS rank
+  FROM scored) WHERE rank <= {top_k}"""
+    )
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ (FAISS IVFPQ architecture): coarse quantizer probes 2
+    of 16 inverted lists, ADC scores only the probed lists' codes —
+    at 100 TB the scan touches n_probe/n_centroids of the corpus and
+    reads m codes per vector instead of dim floats. Coarse
+    assignment, codebook training, encoding, and the restricted ADC
+    ranking all oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_topk(
+        emb, queries, dim=64, m=4, n_codes=8, k=5, n_centroids=16, n_probe=2
+    )
+
+
 @register("sim_pq_refined", oracle=_pq_oracle(refine=20))
 def sim_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ: ADC shortlist of 20 candidates per query, exact

@@ -136,6 +136,24 @@ def test_bucketed_upsert_prunes_kept_side_scan(spark, tmp_path):
     assert _BUCKET_COL in plan.split("PartitionFilters")[1][:300]
 
 
+def test_pq_plans_no_cartesian(spark):
+    """PQ / IVFPQ must never pair corpus × queries with a nested-loop:
+    codebooks and per-query lookup tables broadcast-hash-join; the ADC
+    sum is a keyed aggregate. A CartesianProduct here would be the
+    O(n·q) scan PQ exists to avoid."""
+    from fabrix_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    for df in (
+        similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=3),
+        similarity.ivfpq_topk(emb, queries, dim=64, m=4, n_codes=8, k=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_from_range(spark):
     fx = FxFrame.from_range(spark, 5, name="n", index="n")
     assert sorted(r[0] for r in fx.data()) == [0, 1, 2, 3, 4]

@@ -408,17 +408,21 @@ class LakeTable:
             return
         self._check_bucket_layout()
         if self.buckets:
-            self._commit_version(self._upsert_bucketed(new, key))
+            ver = self._upsert_bucketed(new, key)
+            if ver is not None:
+                self._commit_version(ver)
             return
         current = self._read_raw()
         kept = current.join(new.select(key), on=key, how="left_anti")
         merged = kept.unionByName(new)
         self._commit_version(self._write_version(merged))
 
-    def _upsert_bucketed(self, new: DataFrame, key: str) -> str:
+    def _upsert_bucketed(self, new: DataFrame, key: str) -> str | None:
         new = self._with_bucket(new)
         # the delta's distinct buckets — bounded by `buckets`, tiny
         touched = [r[0] for r in new.select(_BUCKET_COL).distinct().collect()]
+        if not touched:  # empty delta: a no-op, not an empty rewrite
+            return None
         current = self._read_raw()
         kept = current.filter(F.col(_BUCKET_COL).isin(touched)).join(
             new.select(key), on=key, how="left_anti"

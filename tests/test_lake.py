@@ -381,6 +381,18 @@ def test_compact_preserves_bucket_layout(spark, tmp_path):
     assert rows[7] == 700 and len(rows) == 50
 
 
+def test_bucketed_upsert_empty_delta_is_noop(spark, tmp_path):
+    """An empty delta must not rewrite (or, worse, fail to commit an
+    empty partitioned tree) — it's a no-op and the live version stays."""
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=4)
+    t.save(spark.range(10).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    before = t.current_dir()
+    t.upsert(spark.createDataFrame([], "id long, v long"))
+    assert t.current_dir() == before  # no new version committed
+    assert t.read().height == 10
+
+
 def test_bucket_layout_mismatch_raises(spark, tmp_path):
     """Incremental writes must agree with the on-disk layout: a flat
     writer on a bucketed tree would silently flatten it (or route the

@@ -42,6 +42,7 @@ _VERIFY_FIRST = [
     "sim_pq_topk",
     "sim_pq_refined",
     "sim_ivfpq_topk",
+    "sim_pq_store_topk",
     "d_minhash_estimate",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",

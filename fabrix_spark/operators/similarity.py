@@ -32,6 +32,7 @@ __all__ = [
     "pq_encode",
     "pq_cosine_topk",
     "ivfpq_topk",
+    "PQStore",
 ]
 
 
@@ -712,7 +713,28 @@ def pq_cosine_topk(
         corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
     ).localCheckpoint(eager=True)
     codes = pq_encode(corpus, cb, dim, m, id_col, vec_col, quantize)
+    return _adc_topk(
+        codes, cb, queries, corpus, dim, m, k, id_col, vec_col, quantize, refine
+    )
 
+
+def _adc_topk(
+    codes: DataFrame,
+    cb: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    quantize: int,
+    refine: int | None,
+) -> DataFrame:
+    """ADC ranking over a prebuilt (codes, codebooks) pair — shared by
+    :func:`pq_cosine_topk` (which trains then scores) and
+    :class:`PQStore` (which scores against persisted state). ``corpus``
+    is touched only when ``refine`` re-ranks the shortlist exactly."""
     sub_dim = dim // m
     qparts = []
     for s in range(m):
@@ -882,3 +904,100 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_pq").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+class PQStore:
+    """Persisted PQ index — the embedding analogue of
+    ``dedup.SignatureStore``: codebooks are trained ONCE and then
+    frozen; the code table is a keyed, upsertable lake table. New
+    embeddings arriving later are encoded against the frozen codebooks
+    (m broadcast assignments — the corpus is never re-encoded, the
+    codebooks never retrained) and key-upserted, so index maintenance
+    is O(delta) per batch; with ``buckets`` the code-table merge also
+    rewrites only touched key-hash partitions.
+
+    The 100 TB math: with 256-entry codebooks the codes are m bytes
+    per vector — a float corpus compresses ~dim·4/m ×, and the
+    steady-state ANN scan (:meth:`topk`) reads codes + codebooks only,
+    touching raw vectors just for an optional exact re-rank of the
+    shortlist. Everything is deterministic, so a store-backed query
+    oracle-checks identically to the train-inline path
+    (``sim_pq_store_topk``)."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        dim: int,
+        m: int = 4,
+        n_codes: int = 8,
+        iters: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        quantize: int = 1_000_000,
+        buckets: int | None = None,
+        retain: int = 0,
+    ):
+        from ..sources.lake import LakeTable
+
+        self.spark = spark
+        self.dim, self.m, self.n_codes, self.iters = dim, m, n_codes, iters
+        self.id_col, self.vec_col, self.quantize = id_col, vec_col, quantize
+        path = path.rstrip("/")
+        self.cb_table = LakeTable(spark, path + "/codebooks")
+        self.codes_table = LakeTable(
+            spark, path + "/codes", index=id_col, buckets=buckets, retain=retain
+        )
+
+    def exists(self) -> bool:
+        return self.cb_table.exists() and self.codes_table.exists()
+
+    def build(self, corpus: DataFrame) -> None:
+        """Train codebooks on ``corpus`` and encode it — the one-time
+        job every later :meth:`ingest` amortizes."""
+        from ..sources.sql import SaveStrategy
+
+        cb = pq_train(
+            corpus, self.dim, self.m, self.n_codes, self.iters,
+            self.id_col, self.vec_col, self.quantize,
+        ).localCheckpoint(eager=True)
+        self.cb_table.save(cb, SaveStrategy.REPLACE)
+        self.codes_table.save(
+            pq_encode(corpus, cb, self.dim, self.m, self.id_col, self.vec_col, self.quantize),
+            SaveStrategy.REPLACE,
+        )
+
+    def codebooks(self) -> DataFrame:
+        return self.cb_table.read().df
+
+    def codes(self) -> DataFrame:
+        return self.codes_table.read().df
+
+    def ingest(self, new: DataFrame) -> None:
+        """Encode ``new`` against the FROZEN codebooks and key-upsert
+        into the code table. Re-sent ids overwrite their own codes, so
+        at-least-once replay is idempotent."""
+        from ..sources.sql import SaveStrategy
+
+        self.codes_table.save(
+            pq_encode(new, self.codebooks(), self.dim, self.m,
+                      self.id_col, self.vec_col, self.quantize),
+            SaveStrategy.UPSERT,
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        refine: int | None = None,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """ADC top-k against the persisted index — no training, no
+        corpus encode in the plan; raw vectors (``corpus``) are
+        required and read only when ``refine`` re-ranks exactly."""
+        if refine is not None and corpus is None:
+            raise ValueError("refine requires the raw-vector corpus to re-rank")
+        return _adc_topk(
+            self.codes(), self.codebooks(), queries, corpus,
+            self.dim, self.m, k, self.id_col, self.vec_col, self.quantize, refine,
+        )

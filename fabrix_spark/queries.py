@@ -2889,6 +2889,27 @@ def sim_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_pq_store_topk", oracle=_pq_oracle())
+def sim_pq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN against a PERSISTED index (``similarity.PQStore``):
+    codebooks + code table built once into versioned lake tables, the
+    probe plan then reads only the stored codes/codebooks — the
+    steady-state shape of an index that is maintained incrementally
+    at ingest. Deterministic, so the store-backed result matches the
+    train-inline oracle bit-for-bit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="fabrix_pqstore_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = similarity.PQStore(spark, root, dim=64, m=4, n_codes=8)
+    store.build(emb)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return store.topk(queries, k=5)
+
+
 @register("sim_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — deterministic coarse quantizer, so the

@@ -33,6 +33,7 @@ __all__ = [
     "stream_upsert_lake",
     "admit_batch",
     "stream_dedup_against_store",
+    "stream_pq_ingest",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -248,6 +249,35 @@ def stream_dedup_against_store(
             id_col=id_col,
             intra_batch=intra_batch,
         )
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_pq_ingest(
+    stream: DataFrame,
+    store,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain a persisted PQ ANN index (``similarity.PQStore``) from
+    an embedding stream: the first micro-batch trains the codebooks
+    and encodes itself; every later batch is encoded against the
+    FROZEN codebooks and key-upserted into the code table — O(delta)
+    index maintenance per batch, the corpus is never re-encoded.
+    Replay-safe: a re-sent id overwrites its own code rows. Construct
+    the store with ``buckets=N`` so each upsert rewrites only touched
+    key-hash partitions."""
+
+    def _consume(batch: DataFrame, _bid: int) -> None:
+        batch = batch.dropDuplicates([store.id_col])
+        if store.exists():
+            store.ingest(batch)
+        else:
+            store.build(batch)
 
     return (
         stream.writeStream.foreachBatch(_consume)

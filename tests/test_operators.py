@@ -782,6 +782,36 @@ def test_pq_topk_contract_and_determinism(emb):
     assert len(cb) == 32 and all(len(r["__c"]) == 16 for r in cb)
 
 
+def test_pq_store_matches_inline_and_freezes_codebooks(spark, emb, tmp_path):
+    """Store-backed PQ must equal the train-inline path (same seeds,
+    same arithmetic); ingest encodes against FROZEN codebooks (the
+    codebook table is byte-stable across ingests) and new ids become
+    searchable."""
+    store = similarity.PQStore(spark, str(tmp_path / "pq"), dim=64, m=4, n_codes=8)
+    store.build(emb)
+    queries = emb.filter(F.col("vec_id") < 4)
+    inline = similarity.pq_cosine_topk(emb, queries, dim=64, m=4, n_codes=8, k=5)
+    stored = store.topk(queries, k=5)
+    key = lambda r: (r["q_id"], r["rank"], r["c_id"], r["cosine_pq"])  # noqa: E731
+    assert sorted(map(key, stored.collect())) == sorted(map(key, inline.collect()))
+
+    n = emb.count()
+    cb_before = sorted(
+        (r["subspace"], r["code"], tuple(r["__c"])) for r in store.codebooks().collect()
+    )
+    twins = emb.withColumn("vec_id", F.col("vec_id") + 100000)  # same vectors, new ids
+    store.ingest(twins)
+    cb_after = sorted(
+        (r["subspace"], r["code"], tuple(r["__c"])) for r in store.codebooks().collect()
+    )
+    assert cb_before == cb_after  # codebooks frozen
+    assert store.codes().count() == 2 * n * 4  # m rows per vector, both generations
+    # a query's identical twin reconstructs identically → it ties the
+    # query's own reconstruction score and ranks at the top
+    top = store.topk(queries.limit(1), k=1).collect()[0]
+    assert top["c_id"] == top["q_id"] + 100000
+
+
 def test_kmeans_train_deterministic(emb):
     cents1 = similarity.kmeans_train(emb, k=4, iters=1).collect()
     cents2 = similarity.kmeans_train(emb, k=4, iters=1).collect()

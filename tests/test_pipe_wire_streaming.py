@@ -550,6 +550,59 @@ def test_bucketed_admission_is_o_delta_per_batch(spark, tmp_path):
     )
 
 
+def test_stream_pq_ingest_builds_then_freezes(spark, tmp_path):
+    """Streaming PQ-index maintenance: batch 1 trains codebooks and
+    encodes itself; batch 2 is encoded against the FROZEN codebooks
+    and upserted — final code table covers both batches with m rows
+    per vector, and the codebooks carry batch-1 seed ids only."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.operators.similarity import PQStore
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_pq_ingest
+
+    dim, m = 8, 2
+    src = tmp_path / "emb_src"
+    src.mkdir()
+
+    def vec(i):
+        return [((i * 7 + d * 3) % 10) / 10.0 for d in range(dim)]
+
+    (src / "part-0.json").write_text(
+        "\n".join(_json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(6))
+    )
+    (src / "part-1.json").write_text(
+        "\n".join(_json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(6, 10))
+    )
+    now = _time.time()
+    _os.utime(src / "part-0.json", (now - 60, now - 60))
+    _os.utime(src / "part-1.json", (now, now))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema, max_files_per_trigger=1)
+    store = PQStore(spark, str(tmp_path / "pq"), dim=dim, m=m, n_codes=4, buckets=4)
+    q = stream_pq_ingest(stream, store, checkpoint=str(tmp_path / "ckpt_pq"))
+    q.awaitTermination(120)
+
+    codes = store.codes().collect()
+    assert sorted({r["vec_id"] for r in codes}) == list(range(10))
+    assert len(codes) == 10 * m
+    # codebooks trained on batch 1 only: every code id is a batch-1 seed
+    assert all(r["code"] < 6 for r in store.codebooks().collect())
+    # the maintained index answers queries
+    queries = spark.createDataFrame([(0, vec(0))], schema)
+    top = store.topk(queries, k=3).collect()
+    assert len(top) == 3 and all(r["c_id"] != 0 for r in top)
+
+
 def test_stream_upsert_lake(spark, tmp_path):
     """CDC-shaped streaming merge: micro-batches key-upsert into a
     lake table, so replayed/late records overwrite instead of

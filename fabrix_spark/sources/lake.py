@@ -441,6 +441,40 @@ class LakeTable:
             self._link_tree(cur, dst, names=untouched)
         return ver
 
+    def diff(self, from_version: str, to_version: str | None = None) -> DataFrame:
+        """Change feed between two retained snapshots (requires an
+        index): every key that was inserted, updated, or deleted
+        between ``from_version`` and ``to_version`` (default: the live
+        table), with its before/after row structs. One full-outer join
+        on the key — the CDC read every downstream incremental consumer
+        wants from a versioned table; pair with ``retain >= 1`` so the
+        compared snapshot still exists.
+
+        Returns (index, change ∈ {insert, update, delete}, before,
+        after). Unchanged keys are not emitted."""
+        if self.index is None:
+            raise ValueError("diff requires an index column")
+        key = self.index
+        old = self.read(version=from_version).df
+        new = (self.read(version=to_version) if to_version else self.read()).df
+        o = old.select(
+            F.col(key), F.struct(*[c for c in old.columns if c != key]).alias("before")
+        )
+        n = new.select(
+            F.col(key), F.struct(*[c for c in new.columns if c != key]).alias("after")
+        )
+        j = o.join(n, key, "full_outer")
+        change = (
+            F.when(F.col("before").isNull(), "insert")
+            .when(F.col("after").isNull(), "delete")
+            .when(~F.col("before").eqNullSafe(F.col("after")), "update")
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(key, "change", "before", "after")
+        )
+
     def delete(self, d) -> int:
         """Execute a Delete ADT against the lake table — the same
         serialized mutation the DB-API executor runs remotely

@@ -360,6 +360,34 @@ def test_time_travel_read_of_retained_version(spark, fx, tmp_path):
         t.read(version="v_999999_00000000")
 
 
+def test_diff_change_feed_between_versions(spark, fx, tmp_path):
+    """diff(v_k) emits exactly the inserted/updated/deleted keys with
+    before/after rows — the CDC read a versioned lake table owes its
+    incremental consumers; unchanged keys stay silent."""
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", retain=2)
+    t.save(fx, SaveStrategy.REPLACE)  # ids 1-4
+    v1 = t.versions()[0]
+    t.upsert(
+        FxFrame.from_series(
+            spark, {"id": [3, 5], "name": ["C", "e"], "val": [30.0, 5.5]}, index="id"
+        )
+    )  # update 3, insert 5
+    t.delete_where(F.col("id") == 1)  # delete 1
+    got = {r["id"]: r for r in t.diff(v1).collect()}
+    assert {k: r["change"] for k, r in got.items()} == {
+        1: "delete",
+        3: "update",
+        5: "insert",
+    }
+    assert got[3]["before"]["name"] == "c" and got[3]["after"]["name"] == "C"
+    assert got[1]["after"] is None and got[5]["before"] is None
+    # diff between two named historical versions also works
+    v2 = t.versions()[1]
+    mid = {r["id"]: r["change"] for r in t.diff(v1, v2).collect()}
+    assert mid == {3: "update", 5: "insert"}
+
+
 def test_compact_preserves_bucket_layout(spark, tmp_path):
     """Compacting a bucketed table must keep the bucket partition
     dirs — flattening them would silently revert upserts to

@@ -41,9 +41,14 @@ keep that many superseded versions on disk (hard-linked trees share
 file storage, so retention is cheap) and in-flight scans spanning up
 to ``retain`` commits complete safely.
 
-Single-writer contract: no lock is taken against concurrent WRITERS
-(like the pre-Delta lake merges this models); multi-writer ACID needs
-a table format (Delta/Iceberg) layered on top. Legacy flat layouts
+Single-writer contract by default: no lock is taken against
+concurrent WRITERS (like the pre-Delta lake merges this models) —
+each commit stays atomic, but two interleaved read-modify-write
+cycles race as lost-update. ``lock=True`` opts into an advisory
+``_writer_lock`` file (O_EXCL create, stale takeover, bounded wait —
+see :meth:`LakeTable.writer_lock`) that serializes writers sharing a
+POSIX filesystem; object-store deployments still need a table format
+(Delta/Iceberg) layered on top. Legacy flat layouts
 (parquet files directly under the root, e.g. written by plain
 ``df.write.parquet(path)``) are read transparently and migrated to
 the versioned layout by their first rewriting operation; version
@@ -65,9 +70,11 @@ work regardless of data size.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,6 +117,9 @@ class LakeTable:
         partition_by: list[str] | None = None,
         buckets: int | None = None,
         retain: int = 0,
+        lock: bool = False,
+        lock_timeout: float = 60.0,
+        lock_stale: float = 3600.0,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -119,6 +129,62 @@ class LakeTable:
             raise ValueError("buckets requires an index column to hash")
         self.buckets = buckets
         self.retain = retain
+        self.lock = lock
+        self.lock_timeout = lock_timeout
+        self.lock_stale = lock_stale
+
+    # -- advisory writer lock -----------------------------------------------
+
+    @contextlib.contextmanager
+    def writer_lock(self):
+        """Advisory cross-process writer lock (opt-in via
+        ``lock=True``): an O_EXCL-created ``_writer_lock`` file under
+        the table root serializes read-modify-write cycles (upsert,
+        delete, append) between concurrent writers sharing a POSIX
+        filesystem — without it the pointer flip keeps each commit
+        ATOMIC but two interleaved upserts still race as lost-update
+        (both read version k, the second flip silently discards the
+        first's merge). A lock file older than ``lock_stale`` seconds
+        is treated as abandoned by a crashed writer and taken over;
+        acquisition gives up with TimeoutError after ``lock_timeout``.
+        Not a substitute for a table format's transaction log on
+        object stores (S3 lacks O_EXCL semantics) — this targets the
+        shared-POSIX (NFS/local) deployments the lake writer serves."""
+        os.makedirs(self.path, exist_ok=True)
+        lockfile = os.path.join(self.path, "_writer_lock")
+        deadline = time.monotonic() + self.lock_timeout
+        while True:
+            try:
+                fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                finally:
+                    os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lockfile).st_mtime
+                    if age > self.lock_stale:  # crashed holder: take over
+                        os.remove(lockfile)
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"writer lock on {self.path!r} held by another writer "
+                        f"for over {self.lock_timeout}s (see {lockfile})"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lockfile)
+            except OSError:
+                pass
+
+    def _maybe_lock(self):
+        return self.writer_lock() if self.lock else contextlib.nullcontext()
 
     # -- pointer resolution -------------------------------------------------
 
@@ -365,11 +431,12 @@ class LakeTable:
         return ver
 
     def _write(self, df: DataFrame, mode: str) -> None:
-        if mode == "append" and self.exists():
-            self._check_bucket_layout()
-            self._commit_version(self._append_version(df))
-            return
-        self._commit_version(self._write_version(df))
+        with self._maybe_lock():
+            if mode == "append" and self.exists():
+                self._check_bucket_layout()
+                self._commit_version(self._append_version(df))
+                return
+            self._commit_version(self._write_version(df))
 
     def save(self, fx: FxFrame | DataFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> None:
         df = fx.df if isinstance(fx, FxFrame) else fx
@@ -403,19 +470,20 @@ class LakeTable:
         if key is None:
             raise ValueError("upsert requires an index column")
         new = fx.df if isinstance(fx, FxFrame) else fx
-        if not self.exists():
-            self._commit_version(self._write_version(new))
-            return
-        self._check_bucket_layout()
-        if self.buckets:
-            ver = self._upsert_bucketed(new, key)
-            if ver is not None:
-                self._commit_version(ver)
-            return
-        current = self._read_raw()
-        kept = current.join(new.select(key), on=key, how="left_anti")
-        merged = kept.unionByName(new)
-        self._commit_version(self._write_version(merged))
+        with self._maybe_lock():
+            if not self.exists():
+                self._commit_version(self._write_version(new))
+                return
+            self._check_bucket_layout()
+            if self.buckets:
+                ver = self._upsert_bucketed(new, key)
+                if ver is not None:
+                    self._commit_version(ver)
+                return
+            current = self._read_raw()
+            kept = current.join(new.select(key), on=key, how="left_anti")
+            merged = kept.unionByName(new)
+            self._commit_version(self._write_version(merged))
 
     def _upsert_bucketed(self, new: DataFrame, key: str) -> str | None:
         new = self._with_bucket(new)
@@ -491,14 +559,15 @@ class LakeTable:
         rows where it evaluates NULL (e.g. a NULL in the filtered
         column) must be KEPT, so the keep-filter coalesces NULL to
         FALSE before negating."""
-        self._check_bucket_layout()
-        current = self._read_raw()
-        before = current.count()
-        remaining = current.filter(~F.coalesce(condition, F.lit(False)))
-        ver = self._write_version(remaining)
-        after = self.spark.read.parquet(os.path.join(self.path, ver)).count()
-        self._commit_version(ver)
-        return before - after
+        with self._maybe_lock():
+            self._check_bucket_layout()
+            current = self._read_raw()
+            before = current.count()
+            remaining = current.filter(~F.coalesce(condition, F.lit(False)))
+            ver = self._write_version(remaining)
+            after = self.spark.read.parquet(os.path.join(self.path, ver)).count()
+            self._commit_version(ver)
+            return before - after
 
 
 def _compact_plan(df: DataFrame, target_file_mb: int, approx_bytes: int) -> DataFrame:

@@ -360,6 +360,72 @@ def test_time_travel_read_of_retained_version(spark, fx, tmp_path):
         t.read(version="v_999999_00000000")
 
 
+def test_writer_lock_serializes_and_recovers(spark, fx, tmp_path):
+    """Opt-in advisory writer lock: a held lock makes a competing
+    writer wait (both upserts land — no lost update); a fresh foreign
+    lock times out with a clear error; a stale lock from a crashed
+    writer is taken over; a clean write leaves no lock file behind."""
+    import os
+    import threading
+    import time as _time
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", lock=True, lock_timeout=10)
+    t.save(fx, SaveStrategy.REPLACE)
+    assert not os.path.exists(os.path.join(p, "_writer_lock"))  # released
+
+    # contention: hold the lock in a thread, upsert from the main path
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with t.writer_lock():
+            entered.set()
+            release.wait(10)
+
+    th = threading.Thread(target=holder)
+    th.start()
+    entered.wait(10)
+    t2 = LakeTable(spark, p, index="id", lock=True, lock_timeout=10)
+    done = []
+    th2 = threading.Thread(
+        target=lambda: (
+            t2.upsert(
+                FxFrame.from_series(
+                    spark, {"id": [9], "name": ["z"], "val": [9.9]}, index="id"
+                )
+            ),
+            done.append(True),
+        )
+    )
+    th2.start()
+    _time.sleep(0.3)
+    assert not done  # blocked while the lock is held
+    release.set()
+    th.join(10)
+    th2.join(30)
+    assert done and t.read().height == 5  # serialized, nothing lost
+
+    # fresh foreign lock: bounded wait then a clear timeout
+    lockfile = os.path.join(p, "_writer_lock")
+    with open(lockfile, "w") as f:
+        f.write("99999 now\n")
+    fast = LakeTable(spark, p, index="id", lock=True, lock_timeout=0.3)
+    with pytest.raises(TimeoutError, match="writer lock"):
+        fast.upsert(
+            FxFrame.from_series(spark, {"id": [7], "name": ["q"], "val": [7.0]}, index="id")
+        )
+
+    # stale lock (crashed writer): taken over after lock_stale
+    old = _time.time() - 7200
+    os.utime(lockfile, (old, old))
+    fast.upsert(
+        FxFrame.from_series(spark, {"id": [7], "name": ["q"], "val": [7.0]}, index="id")
+    )
+    assert t.read().height == 6
+    assert not os.path.exists(lockfile)
+
+
 def test_diff_change_feed_between_versions(spark, fx, tmp_path):
     """diff(v_k) emits exactly the inserted/updated/deleted keys with
     before/after rows — the CDC read a versioned lake table owes its

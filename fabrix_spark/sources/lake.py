@@ -120,6 +120,7 @@ class LakeTable:
         lock: bool = False,
         lock_timeout: float = 60.0,
         lock_stale: float = 3600.0,
+        merge_schema: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -132,6 +133,11 @@ class LakeTable:
         self.lock = lock
         self.lock_timeout = lock_timeout
         self.lock_stale = lock_stale
+        # additive schema evolution: reads merge parquet footers across
+        # files (a column present in only some files comes back NULL
+        # elsewhere) and upsert/append align by name with missing
+        # columns allowed — the Delta/Iceberg mergeSchema behavior
+        self.merge_schema = merge_schema
 
     # -- advisory writer lock -----------------------------------------------
 
@@ -224,7 +230,10 @@ class LakeTable:
         return bool(self._legacy_entries())
 
     def _read_raw(self) -> DataFrame:
-        return self.spark.read.parquet(self.current_dir())
+        r = self.spark.read
+        if self.merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.current_dir())
 
     def versions(self) -> list[str]:
         """Version directories on disk, oldest → newest. The live one
@@ -482,7 +491,7 @@ class LakeTable:
                 return
             current = self._read_raw()
             kept = current.join(new.select(key), on=key, how="left_anti")
-            merged = kept.unionByName(new)
+            merged = kept.unionByName(new, allowMissingColumns=self.merge_schema)
             self._commit_version(self._write_version(merged))
 
     def _upsert_bucketed(self, new: DataFrame, key: str) -> str | None:
@@ -495,7 +504,7 @@ class LakeTable:
         kept = current.filter(F.col(_BUCKET_COL).isin(touched)).join(
             new.select(key), on=key, how="left_anti"
         )
-        merged = kept.unionByName(new)
+        merged = kept.unionByName(new, allowMissingColumns=self.merge_schema)
         ver = self._write_version(merged)
         dst = os.path.join(self.path, ver)
         cur = self.current_dir()

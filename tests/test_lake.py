@@ -360,6 +360,33 @@ def test_time_travel_read_of_retained_version(spark, fx, tmp_path):
         t.read(version="v_999999_00000000")
 
 
+def test_merge_schema_additive_evolution(spark, tmp_path):
+    """merge_schema=True: an upsert batch carrying a NEW column
+    evolves the table additively (old rows read NULL there); an append
+    whose files lack a column the table has also reads back merged.
+    Default (False) keeps the strict-schema contract and fails fast."""
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", merge_schema=True)
+    t.save(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+           SaveStrategy.REPLACE)
+    t.upsert(spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)],
+                                   "id long, name string, score double"))
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+    # append a batch missing the evolved column: nulls, not failure
+    t.save(spark.createDataFrame([(4, "d")], "id long, name string"),
+           SaveStrategy.APPEND)
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows[4] == ("d", None) and len(rows) == 4
+
+    strict = LakeTable(spark, str(tmp_path / "s"), index="id")  # default strict
+    strict.save(spark.createDataFrame([(1, "a")], "id long, name string"),
+                SaveStrategy.REPLACE)
+    with pytest.raises(Exception):
+        strict.upsert(spark.createDataFrame([(2, "b", 1.0)],
+                                            "id long, name string, score double"))
+
+
 def test_writer_lock_serializes_and_recovers(spark, fx, tmp_path):
     """Opt-in advisory writer lock: a held lock makes a competing
     writer wait (both upserts land — no lost update); a fresh foreign

@@ -552,6 +552,51 @@ class LakeTable:
             .select(key, "change", "before", "after")
         )
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        change_col: str = "change",
+        seq_col: str | None = None,
+    ) -> None:
+        """Apply a CDC batch — rows of (index, ``change_col`` ∈
+        {insert, update, delete}, data columns) — as ONE atomic merge:
+        current rows minus deleted-and-upserted keys, union the
+        upserts, single pointer commit. The consumer side of
+        :meth:`diff` (and of any Debezium-shaped feed): feeding one
+        table's diff into another reproduces the source table
+        exactly. Replaying the same batch is a no-op (idempotent
+        under at-least-once delivery).
+
+        With ``seq_col`` (an event-order column), multiple changes to
+        one key within the batch collapse to the highest-sequence row
+        first — the Delta ``APPLY CHANGES ... SEQUENCE BY`` contract;
+        without it the batch must carry at most one change per key."""
+        if self.index is None:
+            raise ValueError("apply_changes requires an index column")
+        key = self.index
+        if seq_col is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+            changes = (
+                changes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        ups = changes.filter(F.col(change_col) != "delete").drop(change_col)
+        touched_keys = changes.select(key)
+        with self._maybe_lock():
+            if not self.exists():
+                self._commit_version(self._write_version(ups))
+                return
+            self._check_bucket_layout()
+            current = self._read_raw()
+            kept = current.join(touched_keys, on=key, how="left_anti")
+            merged = kept.unionByName(
+                self._with_bucket(ups), allowMissingColumns=self.merge_schema
+            )
+            self._commit_version(self._write_version(merged))
+
     def delete(self, d) -> int:
         """Execute a Delete ADT against the lake table — the same
         serialized mutation the DB-API executor runs remotely

@@ -33,6 +33,7 @@ __all__ = [
     "stream_upsert_lake",
     "admit_batch",
     "stream_dedup_against_store",
+    "stream_apply_changes",
     "stream_pq_ingest",
     "tumbling_window",
     "sliding_window",
@@ -249,6 +250,32 @@ def stream_dedup_against_store(
             id_col=id_col,
             intra_batch=intra_batch,
         )
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_apply_changes(
+    stream: DataFrame,
+    table,
+    checkpoint: str,
+    change_col: str = "change",
+    seq_col: str | None = None,
+) -> StreamingQuery:
+    """Continuously apply a CDC stream — rows of (key, change ∈
+    {insert, update, delete}, data columns) — to a lake table: each
+    micro-batch is one atomic ``LakeTable.apply_changes`` merge
+    (idempotent under at-least-once replay; pass ``seq_col`` so
+    multiple changes to a key within one batch collapse to the
+    latest). The streaming consumer of ``LakeTable.diff`` or any
+    Debezium-shaped feed."""
+
+    def _consume(batch: DataFrame, _bid: int) -> None:
+        table.apply_changes(batch, change_col=change_col, seq_col=seq_col)
 
     return (
         stream.writeStream.foreachBatch(_consume)

@@ -481,6 +481,109 @@ def test_diff_change_feed_between_versions(spark, fx, tmp_path):
     assert mid == {3: "update", 5: "insert"}
 
 
+def test_apply_changes_round_trips_diff(spark, fx, tmp_path):
+    """diff → apply_changes closes the CDC loop: replaying one table's
+    change feed onto a copy reproduces the source exactly, and
+    replaying the SAME batch again is a no-op (idempotent)."""
+    src = LakeTable(spark, str(tmp_path / "src"), index="id", retain=2)
+    src.save(fx, SaveStrategy.REPLACE)
+    v1 = src.versions()[0]
+    dst = LakeTable(spark, str(tmp_path / "dst"), index="id")
+    dst.save(fx, SaveStrategy.REPLACE)  # replica starts at v1 state
+
+    src.upsert(
+        FxFrame.from_series(
+            spark, {"id": [3, 5], "name": ["C", "e"], "val": [30.0, 5.5]}, index="id"
+        )
+    )
+    src.delete_where(F.col("id") == 1)
+
+    feed = src.diff(v1).select(
+        "id", "change", F.col("after.name").alias("name"), F.col("after.val").alias("val")
+    )
+    dst.apply_changes(feed)
+    state = lambda t: sorted(map(tuple, t.read().collect()))  # noqa: E731
+    assert state(dst) == state(src)
+    dst.apply_changes(feed)  # replay: no-op
+    assert state(dst) == state(src)
+
+
+def test_apply_changes_sequence_by_collapses_key(spark, tmp_path):
+    """seq_col: several changes to one key inside a batch apply as the
+    highest-sequence row only (APPLY CHANGES ... SEQUENCE BY)."""
+    t = LakeTable(spark, str(tmp_path / "t"), index="id")
+    t.save(spark.createDataFrame([(1, "a", 0)], "id long, name string, seq long"),
+           SaveStrategy.REPLACE)
+    batch = spark.createDataFrame(
+        [
+            (1, "update", "b", 1),
+            (1, "update", "c", 3),
+            (1, "update", "WRONG", 2),
+            (2, "insert", "x", 1),
+            (2, "delete", None, 2),
+        ],
+        "id long, change string, name string, seq long",
+    )
+    t.apply_changes(batch, seq_col="seq")
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows == {1: "c"}  # key 1 at seq 3; key 2's delete (seq 2) wins
+
+
+def test_stream_apply_changes(spark, tmp_path):
+    """The streaming CDC consumer: two micro-batches of changes merge
+    atomically per batch; the final table reflects the last state per
+    key."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_apply_changes
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "change": "insert", "name": "a", "seq": 1},
+                {"id": 2, "change": "insert", "name": "b", "seq": 1},
+            ]
+        )
+    )
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "change": "update", "name": "A", "seq": 2},
+                {"id": 2, "change": "delete", "name": None, "seq": 2},
+                {"id": 3, "change": "insert", "name": "c", "seq": 2},
+            ]
+        )
+    )
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("change", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema, max_files_per_trigger=1)
+    table = LakeTable(spark, str(tmp_path / "tbl"), index="id")
+    q = stream_apply_changes(
+        stream, table, checkpoint=str(tmp_path / "ckpt"), seq_col="seq"
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r["name"] for r in table.read().collect()}
+    assert rows == {1: "A", 3: "c"}
+
+
 def test_compact_preserves_bucket_layout(spark, tmp_path):
     """Compacting a bucketed table must keep the bucket partition
     dirs — flattening them would silently revert upserts to

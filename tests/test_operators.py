@@ -782,6 +782,124 @@ def test_pq_topk_contract_and_determinism(emb):
     assert len(cb) == 32 and all(len(r["__c"]) == 16 for r in cb)
 
 
+def test_pq_matches_numpy_model_on_random_inputs(spark):
+    """Differential model check of the WHOLE PQ pipeline on random
+    vectors: an independent numpy re-implementation of quantization,
+    seed selection, integer-L2 assignment, exact int64 means,
+    re-assignment, and ADC scoring must produce the same rounded
+    scores and the same (score desc, id asc) ranking as the Spark
+    plan. (The DuckDB oracle proves this cross-engine on the fixture
+    corpus; this proves it across random inputs.)"""
+    import decimal
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    dim, m, n_codes, k = 8, 2, 3, 3
+    sub = dim // m
+
+    def quant(x):
+        s = np.asarray(x, dtype=np.float64) * 1_000_000
+        return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+    def round6(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def model(vecs):
+        n = len(vecs)
+        qv = quant(vecs)  # (n, dim)
+        out_codes = np.zeros((n, m), dtype=np.int64)
+        cbs = []
+        for s in range(m):
+            sv = qv[:, s * sub : (s + 1) * sub]
+            n2 = (sv * sv).sum(axis=1)
+            seed_ids = list(range(min(n_codes, n)))
+            cents = {i: sv[i].copy() for i in seed_ids}
+
+            def assign(cents_):
+                codes = []
+                for i in range(n):
+                    best = None
+                    for code in sorted(cents_):
+                        c = cents_[code]
+                        d2 = int(n2[i]) - 2 * int(sv[i] @ c) + int(c @ c)
+                        if best is None or d2 < best[0]:
+                            best = (d2, code)
+                    codes.append(best[1])
+                return np.asarray(codes)
+
+            a = assign(cents)
+            trained = {}
+            for code in sorted(set(a.tolist())):
+                members = sv[a == code].astype(np.float64)
+                mean = members.sum(axis=0) / len(members)
+                trained[code] = np.where(
+                    mean >= 0, np.floor(mean + 0.5), np.ceil(mean - 0.5)
+                ).astype(np.int64)
+            cbs.append(trained)
+            out_codes[:, s] = assign(trained)
+        scores = {}
+        qn2 = (qv * qv).sum(axis=1)
+        for qi in range(2):
+            for ci in range(n):
+                if ci == qi:
+                    continue
+                adot = rn2 = 0
+                for s in range(m):
+                    c = cbs[s][out_codes[ci, s]]
+                    adot += int(qv[qi, s * sub : (s + 1) * sub] @ c)
+                    rn2 += int(c @ c)
+                scores[(qi, ci)] = round6(adot / np.sqrt(float(rn2) * float(qn2[qi])))
+        expect = {}
+        for qi in range(2):
+            ranked = sorted(
+                ((s, c) for (q, c), s in scores.items() if q == qi),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            for r, (s, c) in enumerate(ranked, 1):
+                expect[(qi, c)] = (r, s)
+        return expect
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(min_value=0.0625, max_value=1.0, width=32),
+                min_size=dim, max_size=dim,
+            ),
+            min_size=4, max_size=8,
+        )
+    )
+    def run(vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.filter(F.col("vec_id") < 2)
+        got = {
+            (r["q_id"], r["c_id"]): (r["rank"], r["cosine_pq"])
+            for r in similarity.pq_cosine_topk(
+                df, queries, dim=dim, m=m, n_codes=n_codes, k=k
+            ).collect()
+        }
+        expect = model(vecs)
+        assert set(got) == set(expect)
+        for pair, (rank, score) in expect.items():
+            g_rank, g_score = got[pair]
+            assert g_rank == rank
+            assert abs(g_score - score) < 2e-6
+
+    run()
+
+
 def test_pq_store_matches_inline_and_freezes_codebooks(spark, emb, tmp_path):
     """Store-backed PQ must equal the train-inline path (same seeds,
     same arithmetic); ingest encodes against FROZEN codebooks (the

@@ -640,6 +640,7 @@ def compact(
     path: str,
     target_file_mb: int = 128,
     partition_by: list[str] | None = None,
+    lock: bool = False,
 ) -> tuple[int, int]:
     """Small-file compaction — the maintenance pass every parquet lake
     needs: streaming/micro-batch appends leave hundreds of KB-sized
@@ -654,20 +655,22 @@ def compact(
     columns so reads still prune."""
     import glob as _glob
 
-    t = LakeTable(spark, path, partition_by=partition_by or [])
-    cur = t.current_dir()
-    # a bucketed table keeps its bucket layout through compaction (the
-    # bucket column is a partition dir, so it must stay a partition
-    # dir — otherwise reads lose pruning and upserts lose O(delta))
-    if os.path.isdir(cur) and any(
-        n.startswith(_BUCKET_COL + "=") for n in os.listdir(cur)
-    ):
-        t.partition_by = [*t.partition_by, _BUCKET_COL]
-    files_before = _glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
-    total_bytes = sum(os.path.getsize(f) for f in files_before)
-    df = spark.read.parquet(cur)
-    ver = t._write_version(_compact_plan(df, target_file_mb, total_bytes))
-    t._commit_version(ver)
+    t = LakeTable(spark, path, partition_by=partition_by or [], lock=lock)
+    with t._maybe_lock():
+        cur = t.current_dir()
+        # a bucketed table keeps its bucket layout through compaction
+        # (the bucket column is a partition dir, so it must stay a
+        # partition dir — otherwise reads lose pruning and upserts
+        # lose O(delta))
+        if os.path.isdir(cur) and any(
+            n.startswith(_BUCKET_COL + "=") for n in os.listdir(cur)
+        ):
+            t.partition_by = [*t.partition_by, _BUCKET_COL]
+        files_before = _glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
+        total_bytes = sum(os.path.getsize(f) for f in files_before)
+        df = spark.read.parquet(cur)
+        ver = t._write_version(_compact_plan(df, target_file_mb, total_bytes))
+        t._commit_version(ver)
     files_after = _glob.glob(
         os.path.join(t.current_dir(), "**", "*.parquet"), recursive=True
     )

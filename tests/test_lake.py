@@ -387,6 +387,23 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
                                             "id long, name string, score double"))
 
 
+def test_merge_schema_on_bucketed_table(spark, tmp_path):
+    """Schema evolution composes with bucketing: the evolved column
+    lives only in the touched buckets' new files; mergeSchema reads
+    surface it as NULL for untouched rows and the bucket layout (and
+    O(delta) merge) survives."""
+    import os
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=4, merge_schema=True)
+    t.save(spark.range(20).withColumn("name", F.concat(F.lit("n"), F.col("id"))),
+           SaveStrategy.REPLACE)
+    t.upsert(spark.createDataFrame([(3, "N3", 9.5)], "id long, name string, score double"))
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows[3] == ("N3", 9.5) and rows[0] == ("n0", None) and len(rows) == 20
+    assert any(n.startswith("fx_bucket=") for n in os.listdir(t.current_dir()))
+
+
 def test_writer_lock_serializes_and_recovers(spark, fx, tmp_path):
     """Opt-in advisory writer lock: a held lock makes a competing
     writer wait (both upserts land — no lost update); a fresh foreign

@@ -1298,17 +1298,33 @@ SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS sd_qty,
        round(var_samp(l_discount), 6) AS var_disc,
        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+       round(quantile_cont(CAST(round(l_extendedprice * 200) AS BIGINT), 0.5)) / 200.0
+         AS median_price
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stats per return flag. The median interpolates over
+    exact HALF-CENT integers (prices are 2-dp, so every value and
+    every two-value midpoint is an integer at ×200 — the midpoint of
+    two even int64s is exact in IEEE, and the single final /200
+    division is the identical operation on identical bits in both
+    engines). Interpolating raw dollars instead lands exactly on
+    .005 rounding boundaries, where Spark's and DuckDB's float paths
+    round(…, 2) apart — observed at sf0.001."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+        (
+            F.round(
+                F.expr(
+                    "percentile(CAST(round(l_extendedprice * 200) AS BIGINT), 0.5)"
+                )
+            )
+            / F.lit(200.0)
+        ).alias("median_price"),
     )
 
 

@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "sim_ivfpq_topk",
     "sim_pq_store_topk",
     "d_minhash_estimate",
+    "pipeline_corpus_splits",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

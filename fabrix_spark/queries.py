@@ -3479,6 +3479,120 @@ def smp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_splits_oracle(
+    n_hashes: int = 16, bands: int = 4, threshold: float = 0.2
+) -> str:
+    """The full contamination-safe corpus build re-derived in SQL:
+    token gate → MinHash near-dup pairs over the gated docs →
+    recursive-CTE components → md5 cluster split → train-only
+    shard-local packing. Every fragment mirrors an already-green
+    oracle (t_token_count, d_minhash_lsh, d_dup_clusters, smp_split,
+    smp_pack_sequences) — composed over the same intermediate sets
+    the Spark plan produces."""
+    from .operators.dedup import _hash_params
+
+    rows = n_hashes // bands
+    mins = ",\n    ".join(
+        f"min(({a} * h32 + {b}) % 4294967311) AS mh_{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+    band_sel = "\nUNION ALL\n".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS key FROM sigs".format(
+            bi=bi, cols=", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    cluster_bucket = (
+        "CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+    )
+    doc_bucket = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+    ord_bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'order')), 1, 8)) AS BIGINT) % 10000"
+    )
+    return f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, text, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 40
+),
+ds AS ({_shingle_sql(3, "gated")}),
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32 FROM ds),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS cc
+  FROM cand c JOIN ds a ON a.doc_id = c.id_a JOIN ds b ON b.doc_id = c.id_b AND a.sh = b.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(cc / (sa.sz + sb.sz - cc), 6) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS node, min(dst) AS m FROM reach GROUP BY src),
+clustered AS (
+  SELECT g.doc_id, g.n_tokens,
+         CAST(least(g.doc_id, coalesce(c.m, g.doc_id)) AS BIGINT) AS cluster_id
+  FROM gated g LEFT JOIN comp c ON c.node = g.doc_id
+),
+train AS (
+  SELECT doc_id, n_tokens FROM clustered WHERE {cluster_bucket} < 8000
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST({doc_bucket} % 4 AS INT) AS shard,
+         {ord_bucket} AS ord
+  FROM train
+),
+c2 AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack,
+       cum - n_tokens AS pack_offset
+FROM c2
+"""
+
+
+@register("pipeline_corpus_splits", oracle=_corpus_splits_oracle())
+def pipeline_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination-safe corpus build, end to end as ONE lazy
+    plan: token gate (≥40) → MinHash-LSH near-dup pairs → connected
+    components → cluster-atomic train/val/test split (a near-copy of
+    a training doc can never reach val/test) → TRAIN slice →
+    shard-local 2048-token sequence packing. The round-6 pipeline
+    recipe: every stage is an already-oracled operator, composed and
+    re-verified as a whole."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.withColumn("n_tokens", F.size(text.tokens(F.col("text")))).filter(
+        F.col("n_tokens") >= 40
+    )
+    pairs = dedup.minhash_dedup_pairs(gated, threshold=0.2)
+    split = sampling.leakage_safe_split(
+        gated.select("doc_id", "n_tokens"), pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    train = split.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    return sampling.pack_sequences(train, "doc_id", "n_tokens", budget=2048, shards=4)
+
+
 # ===========================================================================
 # flagship composition: the whole LLM data-prep chain as ONE lazy plan
 # ===========================================================================

@@ -1294,37 +1294,79 @@ def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_stats",
     oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(qi) AS DOUBLE) AS sq, CAST(sum(qi * qi) AS DOUBLE) AS sqq,
+         CAST(sum(di) AS DOUBLE) AS sd, CAST(sum(di * di) AS DOUBLE) AS sdd,
+         CAST(sum(pi) AS DOUBLE) AS sp, CAST(sum(pi * pi) AS DOUBLE) AS spp,
+         CAST(sum(qi * pi) AS DOUBLE) AS sqp,
+         round(quantile_cont(pi2, 0.5)) / 200.0 AS median_price
+  FROM (
+    SELECT l_returnflag,
+           CAST(round(l_quantity) AS BIGINT) AS qi,
+           CAST(round(l_discount * 100) AS BIGINT) AS di,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pi,
+           CAST(round(l_extendedprice * 200) AS BIGINT) AS pi2
+    FROM lineitem)
+  GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 4) AS sd_qty,
-       round(var_samp(l_discount), 6) AS var_disc,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       round(quantile_cont(CAST(round(l_extendedprice * 200) AS BIGINT), 0.5)) / 200.0
-         AS median_price
-FROM lineitem GROUP BY l_returnflag
+       round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 4) AS sd_qty,
+       round(((n * sdd - sd * sd) / (n * (n - 1))) / 10000, 6) AS var_disc,
+       round((n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 4)
+         AS corr_qty_price,
+       median_price
+FROM m
 """,
 )
 def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample stats per return flag. The median interpolates over
-    exact HALF-CENT integers (prices are 2-dp, so every value and
-    every two-value midpoint is an integer at ×200 — the midpoint of
-    two even int64s is exact in IEEE, and the single final /200
-    division is the identical operation on identical bits in both
-    engines). Interpolating raw dollars instead lands exactly on
-    .005 rounding boundaries, where Spark's and DuckDB's float paths
-    round(…, 2) apart — observed at sf0.001."""
+    """Sample stats per return flag, derived from EXACT integer
+    moments instead of the engines' float accumulators: quantity,
+    discount×100, and price×100 are all exactly integer-valued, so
+    Σx, Σx², Σxy aggregate exactly (decimal128 sums here, HUGEINT in
+    DuckDB — Σ(price_cents²) overflows int64 at sf0.1), and the
+    closed-form stddev/variance/correlation is then the IDENTICAL
+    sequence of double ops on identical bits in both engines. The
+    builtin stddev_samp/corr float paths are accumulation-order
+    dependent and round(…, k) splits at half-ulp boundaries — the
+    failure mode observed on the median at sf0.001 (which likewise
+    interpolates over exact half-cent integers: midpoints of even
+    int64s are IEEE-exact)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        (
-            F.round(
-                F.expr(
-                    "percentile(CAST(round(l_extendedprice * 200) AS BIGINT), 0.5)"
-                )
-            )
-            / F.lit(200.0)
-        ).alias("median_price"),
+    qi = F.round(F.col("l_quantity")).cast("long")
+    di = F.round(F.col("l_discount") * 100).cast("long")
+    pi = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = li.select(
+        "l_returnflag",
+        qi.alias("qi"),
+        di.alias("di"),
+        pi.alias("pi"),
+        F.round(F.col("l_extendedprice") * 200).cast("long").alias("pi2"),
+    ).groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dec(F.col("qi")).alias("sq"),
+        dec(F.col("qi") * F.col("qi")).alias("sqq"),
+        dec(F.col("di")).alias("sd"),
+        dec(F.col("di") * F.col("di")).alias("sdd"),
+        dec(F.col("pi")).alias("sp"),
+        dec(F.col("pi") * F.col("pi")).alias("spp"),
+        dec(F.col("qi") * F.col("pi")).alias("sqp"),
+        (F.round(F.expr("percentile(pi2, 0.5)")) / F.lit(200.0)).alias("median_price"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    sd, sdd, sp, spp, sqp = F.col("sd"), F.col("sdd"), F.col("sp"), F.col("spp"), F.col("sqp")
+    return m.select(
+        "l_returnflag",
+        F.round(F.sqrt((n * sqq - sq * sq) / (n * (n - F.lit(1.0)))), 4).alias("sd_qty"),
+        F.round(((n * sdd - sd * sd) / (n * (n - F.lit(1.0)))) / F.lit(10000.0), 6).alias(
+            "var_disc"
+        ),
+        F.round(
+            (n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 4
+        ).alias("corr_qty_price"),
+        "median_price",
     )
 
 

@@ -45,6 +45,8 @@ _VERIFY_FIRST = [
     "sim_pq_store_topk",
     "d_minhash_estimate",
     "pipeline_corpus_splits",
+    "e_funnel",
+    "e_cohort_retention",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

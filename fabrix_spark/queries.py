@@ -1929,6 +1929,109 @@ def e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1 AS stage_idx, count(*) AS n_users FROM v
+UNION ALL SELECT 'click', 2, count(*) FROM c
+UNION ALL SELECT 'purchase', 3, count(*) FROM p
+""",
+)
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    advances a stage only with an event STRICTLY AFTER their earliest
+    event of the previous stage. Per-stage plans are one filter +
+    aggregate each, chained by broadcast-sized user joins — no
+    windows over the raw stream, so at 100 TB the event table is
+    scanned once per stage with the filter pushed down."""
+    e = _events(spark, sf_dir)
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df, name, idx):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), F.lit(idx).alias("stage_idx"), "n_users"
+        )
+
+    return stage(v, "view", 1).unionByName(stage(c, "click", 2)).unionByName(
+        stage(p, "purchase", 3)
+    )
+
+
+@register(
+    "e_cohort_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7
+              AS BIGINT) AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2
+""",
+)
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of
+    their first event; n_users counts distinct cohort members active
+    k weeks later. Week offsets are derived as day-difference of
+    week-truncated DATES divided by 7 — exact integers on both
+    engines (date_diff('week', …) counts boundary crossings
+    differently across engines, so it is avoided). Two keyed
+    aggregates + one user join; scans the events table twice."""
+    e = _events(spark, sf_dir)
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))
+
+
 # ===========================================================================
 # temporal joins (as-of / interval — §2.11 non-equi joins)
 # ===========================================================================

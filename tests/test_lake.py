@@ -664,6 +664,7 @@ _OPS = hyp_st.lists(
         hyp_st.tuples(hyp_st.just("upsert"), _ROWS),
         hyp_st.tuples(hyp_st.just("append"), _ROWS),
         hyp_st.tuples(hyp_st.just("replace"), _ROWS),
+        hyp_st.tuples(hyp_st.just("delete_gt"), hyp_st.integers(0, 1000)),
     ),
     min_size=1,
     max_size=4,
@@ -677,11 +678,15 @@ _OPS = hyp_st.lists(
 )
 @given(init=_ROWS, ops=_OPS, buckets=hyp_st.sampled_from([None, 3]))
 def test_lake_random_op_sequences_match_model(spark, tmp_path, init, ops, buckets):
-    """Differential model check: any sequence of replace/append/upsert
-    on a LakeTable (flat or bucketed) ends in exactly the state a
-    plain in-memory model predicts — upsert removes every existing row
-    whose key appears in the batch then adds the batch verbatim;
-    append keeps duplicates; replace resets."""
+    """Differential model check: any sequence of replace/append/
+    upsert/filtered-delete on a LakeTable (flat or bucketed) ends in
+    exactly the state a plain in-memory model predicts — upsert
+    removes every existing row whose key appears in the batch then
+    adds the batch verbatim; append keeps duplicates; replace resets;
+    delete removes rows where the predicate is TRUE and reports the
+    count. (Deletes are skipped on bucketed tables when they would
+    empty the table — an empty bucketed tree has no partition files
+    to commit; flat tables go all the way to empty and back.)"""
     import uuid as _uuid
 
     p = str(tmp_path / f"t_{_uuid.uuid4().hex[:8]}")
@@ -692,17 +697,24 @@ def test_lake_random_op_sequences_match_model(spark, tmp_path, init, ops, bucket
 
     model = list(init)
     t.save(df(init), SaveStrategy.REPLACE)
-    for op, rows in ops:
+    for op, arg in ops:
         if op == "upsert":
-            keys = {r[0] for r in rows}
-            model = [r for r in model if r[0] not in keys] + list(rows)
-            t.upsert(df(rows))
+            keys = {r[0] for r in arg}
+            model = [r for r in model if r[0] not in keys] + list(arg)
+            t.upsert(df(arg))
         elif op == "append":
-            model = model + list(rows)
-            t.save(df(rows), SaveStrategy.APPEND)
-        else:
-            model = list(rows)
-            t.save(df(rows), SaveStrategy.REPLACE)
+            model = model + list(arg)
+            t.save(df(arg), SaveStrategy.APPEND)
+        elif op == "replace":
+            model = list(arg)
+            t.save(df(arg), SaveStrategy.REPLACE)
+        else:  # delete_gt
+            remaining = [r for r in model if r[1] <= arg]
+            if buckets and not remaining:
+                continue
+            removed = t.delete_where(F.col("v") > arg)
+            assert removed == len(model) - len(remaining)
+            model = remaining
     got = sorted((r["id"], r["v"]) for r in t.read().collect())
     assert got == sorted(model)
 

@@ -930,6 +930,27 @@ def test_pq_store_matches_inline_and_freezes_codebooks(spark, emb, tmp_path):
     assert top["c_id"] == top["q_id"] + 100000
 
 
+def test_pq_store_compaction_preserves_answers(spark, emb, tmp_path):
+    """Small-file maintenance composes with the index: after several
+    fragmenting ingests, compacting the code table must leave the ANN
+    answers bit-identical (and keep the bucket layout)."""
+    from fabrix_spark.sources.lake import compact
+
+    store = similarity.PQStore(
+        spark, str(tmp_path / "pq"), dim=64, m=4, n_codes=8, buckets=4
+    )
+    store.build(emb.filter(F.col("vec_id") < 400))
+    for lo in (400, 430, 460):  # fragmenting micro-ingests
+        store.ingest(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)))
+    queries = emb.filter(F.col("vec_id") < 4)
+    key = lambda r: (r["q_id"], r["rank"], r["c_id"], r["cosine_pq"])  # noqa: E731
+    before = sorted(map(key, store.topk(queries, k=5).collect()))
+    files_before, files_after = compact(spark, store.codes_table.path, target_file_mb=128)
+    assert files_after < files_before
+    after = sorted(map(key, store.topk(queries, k=5).collect()))
+    assert after == before
+
+
 def test_kmeans_train_deterministic(emb):
     cents1 = similarity.kmeans_train(emb, k=4, iters=1).collect()
     cents2 = similarity.kmeans_train(emb, k=4, iters=1).collect()

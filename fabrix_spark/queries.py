@@ -1451,19 +1451,25 @@ def w_lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_cume_percent",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr,
-       round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr,
+       cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cd
 FROM customer
 """,
 )
 def w_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist UNROUNDED: each is one int/int division,
+    so both engines produce identical doubles bit-for-bit — while
+    round(…, 6) SPLITS them, because rank ratios like 41/640 =
+    0.0640625 terminate exactly ON the half-way rounding boundary
+    (caught by the full sf0.1 sweep; partitions whose size divides a
+    power of 2·5 structurally align with decimal boundaries)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
 
 

@@ -38,6 +38,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_dedup_pairs",
+    "semantic_dup_pairs",
+    "semantic_prune",
     "dup_clusters",
     "decontaminate",
     "remove_common_segments",
@@ -1146,3 +1148,119 @@ def remove_common_segments(
             (F.col("n_segments") - F.coalesce("__kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540, public literature): k-means-cluster the embedding
+    space, then compare embeddings pairwise ONLY within a cluster and
+    flag pairs with cosine >= ``threshold``.
+
+    Scale design: the quadratic comparison is scoped to a cluster, and
+    ``k`` is chosen so clusters stay bounded (the paper uses k ~ sqrt(N);
+    at 100 TB you raise ``k`` with corpus size so cluster cardinality —
+    and hence the per-cluster self-join — stays constant). Clustering is
+    the deterministic integer-domain Lloyd trainer shared with IVF
+    (:func:`fabrix_spark.operators.similarity.kmeans_train`), centroids
+    are broadcast for assignment, and the self-join shuffles once on
+    ``centroid_id``. Cosines are computed in the quantized int64 domain
+    and rounded to 6 dp, so the pair set is bit-reproducible and a
+    DuckDB oracle re-derives it exactly.
+
+    Returns (centroid_id, a_id, b_id, cosine) with a_id < b_id.
+    """
+    from .similarity import _cosine, _dot, _quantized, ivf_assign, kmeans_train
+
+    if centroids is None:
+        centroids = kmeans_train(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+    assign = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
+    )
+    vecs = (
+        spread(corpus)
+        .select(F.col(id_col), _quantized(F.col(vec_col), quantize).alias("__v"))
+        .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    )
+    sides = assign.join(vecs, id_col)
+    a = sides.select(
+        F.col(id_col).alias("a_id"),
+        "centroid_id",
+        F.col("__v").alias("__av"),
+        F.col("__n2").alias("__an2"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("b_id"),
+        "centroid_id",
+        F.col("__v").alias("__bv"),
+        F.col("__n2").alias("__bn2"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "centroid_id",
+            "a_id",
+            "b_id",
+            _cosine(
+                F.col("__av"), F.col("__bv"), F.col("__an2"), F.col("__bn2"), True
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup pruning: drop every embedding that has a LOWER-id
+    semantic duplicate in its cluster (dominance rule — deterministic,
+    order-free, and exactly expressible in SQL as a NOT-EXISTS, unlike
+    the paper's greedy sequential scan, which it closely tracks: both
+    keep cluster exemplars and drop high-similarity followers).
+
+    Returns the kept rows as (``id_col``, centroid_id). The pruned set
+    is the input ids minus these. One extra shuffle over
+    :func:`semantic_dup_pairs` (the distinct on pruned ids + anti-join).
+    """
+    from .similarity import ivf_assign, kmeans_train
+
+    if centroids is None:
+        centroids = kmeans_train(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+    pairs = semantic_dup_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        quantize=quantize,
+        centroids=centroids,
+    )
+    assign = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
+    )
+    pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return assign.join(pruned, id_col, "left_anti").select(id_col, "centroid_id")

@@ -2610,6 +2610,105 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CTE chain re-deriving kmeans_train(k=8, iters=1) + ivf_assign(n_probe=1)
+# bit-for-bit (same construction as the sim_ivf_trained oracle): seed =
+# 8 lowest-id vectors, one exact-integer Lloyd step, nearest-centroid
+# assignment with (cos desc, centroid asc) tie-break. Exposes
+# asg(vec_id, centroid_id) plus n(vec_id, v, n2) for scoring.
+_KMEANS8_ASSIGN_CTE = """
+q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS MATERIALIZED (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+seed AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM n ORDER BY vec_id LIMIT 8),
+s_scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM n a CROSS JOIN seed c
+),
+s_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM s_scored) WHERE r = 1
+),
+comp AS (
+  SELECT sa.centroid_id, d.i AS dim, a.v[d.i] AS val
+  FROM s_assign sa JOIN q a ON a.vec_id = sa.vec_id,
+       UNNEST(range(1, len(a.v) + 1)) AS d(i)
+),
+means AS (
+  SELECT centroid_id, dim,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cc
+  FROM comp GROUP BY 1, 2
+),
+cent AS (SELECT centroid_id, list(cc ORDER BY dim ASC) AS cv FROM means GROUP BY 1),
+centn AS (
+  SELECT centroid_id, cv,
+         list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) AS cn2
+  FROM cent
+),
+c_scored AS (
+  SELECT a.vec_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cv[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)), 6) AS cos
+  FROM n a CROSS JOIN centn c
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM c_scored) WHERE r = 1
+),
+sem_pairs AS (
+  SELECT x.centroid_id, x.vec_id AS a_id, y.vec_id AS b_id,
+         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) AS cosine
+  FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  JOIN n a ON a.vec_id = x.vec_id JOIN n b ON b.vec_id = y.vec_id
+)"""
+
+
+@register(
+    "d_semdedup_pairs",
+    oracle=f"""
+WITH {_KMEANS8_ASSIGN_CTE}
+SELECT centroid_id, a_id, b_id, cosine FROM sem_pairs WHERE cosine >= 0.375
+""",
+)
+def d_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023): deterministic
+    k-means clusters the embedding space, pairwise cosine is computed
+    ONLY within a cluster (self-join shuffles once on centroid_id —
+    never a global all-pairs), and the oracle re-derives the identical
+    integer-domain clustering + scoring bit-for-bit."""
+    return dedup.semantic_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=1, threshold=0.375
+    )
+
+
+@register(
+    "d_semdedup",
+    oracle=f"""
+WITH {_KMEANS8_ASSIGN_CTE}
+SELECT vec_id, centroid_id FROM asg
+WHERE vec_id NOT IN (SELECT DISTINCT b_id FROM sem_pairs WHERE cosine >= 0.375)
+""",
+)
+def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning: the kept exemplar set after dropping every
+    embedding with a lower-id semantic duplicate (cosine >= 0.375) in
+    its k-means cluster. The scale contract is the paper's: raise k
+    with corpus size so the per-cluster self-join stays bounded; the
+    clustering, assignment, and prune rule are all integer-exact and
+    verified against the SQL oracle."""
+    return dedup.semantic_prune(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=1, threshold=0.375
+    )
+
+
 # ===========================================================================
 # similarity search (embeddings)
 # ===========================================================================

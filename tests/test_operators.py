@@ -962,3 +962,29 @@ def test_kmeans_train_deterministic(emb):
     seeds = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in emb.orderBy("vec_id").limit(4).collect()}
     assert any(c1[i] != seeds[i] for i in c1)
+
+
+def test_semantic_prune_partitions_corpus(emb):
+    """SemDeDup invariants: kept ∪ pruned == corpus (no doc lost or
+    duplicated); every pruned id has a LOWER-id qualifying pair in its
+    cluster; no kept id does; pairs stay within one cluster."""
+    t = 0.375
+    cents = similarity.kmeans_train(emb, k=8, iters=1)
+    pairs = dedup.semantic_dup_pairs(emb, threshold=t, centroids=cents).collect()
+    kept = dedup.semantic_prune(emb, threshold=t, centroids=cents).collect()
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    all_ids = set(assign)
+    kept_ids = {r["vec_id"] for r in kept}
+    assert len(kept) == len(kept_ids)  # no duplicates
+    dominated = {r["b_id"] for r in pairs}
+    assert kept_ids == all_ids - dominated  # total, exact partition
+    for r in kept:
+        assert assign[r["vec_id"]] == r["centroid_id"]
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert assign[r["a_id"]] == r["centroid_id"] == assign[r["b_id"]]
+        assert r["cosine"] >= t
+    assert dominated, "fixture should actually prune something"

@@ -56,6 +56,19 @@ directories are recognized by the strict ``v_NNNNNN_hhhhhhhh``
 pattern, so a legacy partition column that merely *starts* with
 ``v_`` (dirs like ``v_date=2020``) is treated as data, not metadata.
 
+File-skipping metadata: every commit writes a ``_manifest.json`` into
+the version tree with per-file footer statistics (min/max/null-count
+per primitive column — collected from parquet FOOTERS only, and
+carried over by relative path for hard-linked files, so incremental
+commits re-stat only their new files). :meth:`LakeTable.scan` prunes
+the file list against the manifest (plus hive ``col=val`` partition
+dirs) before Spark opens a single footer — at 100k files this turns a
+selective query from a cluster-wide listing+scheduling pass into a
+driver-side metadata lookup, the Iceberg/Delta data-skipping idea.
+:meth:`LakeTable.optimize` Z-order-clusters the table (bit-interleaved
+multi-column sort, pure column expressions) so pruning works on every
+clustered dimension, not just a sort leader.
+
 Scale note: the plan shape (anti join on the index, union,
 partitioned write) is exactly what a warehouse MERGE executes — the
 anti-join shuffles on the key, nothing collects to the driver, and
@@ -71,6 +84,7 @@ work regardless of data size.
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import re
 import shutil
@@ -94,8 +108,233 @@ _VER_RE = re.compile(r"v_\d{6}_[0-9a-f]{8}\Z")
 _BUCKET_COL = "fx_bucket"
 
 
+_MANIFEST = "_manifest.json"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _is_version(name: str) -> bool:
     return _VER_RE.match(name) is not None
+
+
+def _stat_key(v):
+    """Normalize a stats / predicate value into a sortable key that
+    orders identically to the column's own ordering: numbers compare
+    numerically, dates/timestamps via their ISO string (lexicographic
+    == chronological), strings as-is. None → not comparable."""
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return None if v is None else (1 if v else 0)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # normalize to UTC-naive so the ISO
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()  # strings of stats and predicates align
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v
+    return None  # bytes / nested — no pruning on this column
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column statistics from the parquet FOOTER only (no
+    data pages read): min/max/null-count per top-level primitive
+    column, merged across row groups. Parquet writers may truncate
+    long string min/max, but truncation preserves bound-ness (stored
+    min <= true min, stored max >= true max), so pruning stays sound.
+    Columns whose footer carries no usable stats are simply absent —
+    absent means "never pruned"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            st = c.statistics
+            if st is None:
+                cols[name] = None  # a group without stats poisons the column
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            if st.has_min_max:
+                mn, mx = _stat_key(st.min), _stat_key(st.max)
+            else:
+                mn = mx = None
+            prev = cols.get(name, {"min": None, "max": None, "nulls": 0})
+            if prev is None:
+                continue
+            if mn is None or mx is None:
+                # stats exist but carry no usable bounds (e.g. all-null
+                # group): keep bounds open, still count nulls
+                merged_min, merged_max = prev["min"], prev["max"]
+                if st.num_values and not st.has_min_max:
+                    cols[name] = None
+                    continue
+            else:
+                merged_min = mn if prev["min"] is None else min(prev["min"], mn)
+                merged_max = mx if prev["max"] is None else max(prev["max"], mx)
+            cols[name] = {
+                "min": merged_min,
+                "max": merged_max,
+                "nulls": None
+                if nulls is None or prev["nulls"] is None
+                else prev["nulls"] + nulls,
+            }
+    return {
+        "rows": md.num_rows,
+        "cols": {k: v for k, v in cols.items() if v is not None},
+    }
+
+
+def _partition_values(rel_path: str) -> dict:
+    """Hive-style ``col=val`` directory components of a file's relative
+    path, as exact (min == max) pseudo-stats: partition columns never
+    appear in the file's own footer, but their directory value is the
+    strongest statistic there is."""
+    from urllib.parse import unquote
+
+    out = {}
+    for comp in rel_path.split(os.sep)[:-1]:
+        if "=" not in comp:
+            continue
+        col, _, raw = comp.partition("=")
+        raw = unquote(raw)
+        if raw == _HIVE_NULL:
+            out[col] = {"min": None, "max": None, "nulls": None, "all_null": True}
+            continue
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        k = _stat_key(val)
+        out[col] = {"min": k, "max": k, "nulls": 0}
+    return out
+
+
+# predicate grammar for manifest pruning: a conjunction of simple
+# (col, op, value) terms — the shape every file-skipping metadata
+# layer (Iceberg/Delta) evaluates against its manifests
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "between", "in", "is_null", "not_null"}
+
+
+def _file_may_match(stats: dict, part_vals: dict, where: list[tuple]) -> bool:
+    """Could ANY row of a file with these footer stats satisfy the
+    conjunction? Conservative in every direction: missing column stats
+    → yes; non-comparable values → yes. Comparison predicates (=, <,
+    between, in) can't match NULL rows, so an all-null column with
+    known bounds absent prunes only via its null count."""
+    for term in where:
+        col, op = term[0], term[1]
+        st = part_vals.get(col) or stats.get("cols", {}).get(col)
+        if st is None:
+            continue
+        rows = stats.get("rows")
+        nulls = st.get("nulls")
+        all_null = st.get("all_null") or (
+            nulls is not None and rows is not None and nulls >= rows > 0
+        )
+        if op == "is_null":
+            if st.get("all_null"):
+                continue
+            if nulls is not None and nulls == 0:
+                return False
+            continue
+        if op == "not_null":
+            if all_null:
+                return False
+            continue
+        if all_null:
+            return False  # comparison predicates never match NULL
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            continue
+        if op in ("=", "=="):
+            v = _stat_key(term[2])
+            if v is None:
+                continue
+            try:
+                if v < lo or v > hi:
+                    return False
+            except TypeError:
+                continue
+        elif op in ("<", "<=", ">", ">="):
+            v = _stat_key(term[2])
+            if v is None:
+                continue
+            try:
+                if op == "<" and not (lo < v):
+                    return False
+                if op == "<=" and not (lo <= v):
+                    return False
+                if op == ">" and not (hi > v):
+                    return False
+                if op == ">=" and not (hi >= v):
+                    return False
+            except TypeError:
+                continue
+        elif op == "between":
+            a, b = _stat_key(term[2]), _stat_key(term[3])
+            if a is None or b is None:
+                continue
+            try:
+                if hi < a or lo > b:
+                    return False
+            except TypeError:
+                continue
+        elif op == "in":
+            vals = [_stat_key(v) for v in term[2]]
+            if any(v is None for v in vals) or not vals:
+                continue
+            try:
+                if all(v < lo or v > hi for v in vals):
+                    return False
+            except TypeError:
+                continue
+        else:
+            raise ValueError(f"unknown prune op {op!r} (supported: {sorted(_PRUNE_OPS)})")
+    return True
+
+
+def _where_to_column(where: list[tuple]):
+    """Compile the prune conjunction to a Spark Column — pruning is an
+    optimization, the full predicate is always re-applied to the rows
+    of the files that survive it."""
+    cond = F.lit(True)
+    for term in where:
+        col, op = term[0], term[1]
+        c = F.col(col)
+        if op in ("=", "=="):
+            t = c == F.lit(term[2])
+        elif op == "<":
+            t = c < F.lit(term[2])
+        elif op == "<=":
+            t = c <= F.lit(term[2])
+        elif op == ">":
+            t = c > F.lit(term[2])
+        elif op == ">=":
+            t = c >= F.lit(term[2])
+        elif op == "between":
+            t = c.between(F.lit(term[2]), F.lit(term[3]))
+        elif op == "in":
+            t = c.isin(list(term[2]))
+        elif op == "is_null":
+            t = c.isNull()
+        elif op == "not_null":
+            t = c.isNotNull()
+        else:
+            raise ValueError(f"unknown prune op {op!r}")
+        cond = cond & t
+    return cond
 
 
 class LakeTable:
@@ -262,6 +501,170 @@ class LakeTable:
             df = df.drop(_BUCKET_COL)
         return FxFrame(df, self.index)
 
+    # -- file-statistics manifest + data skipping ---------------------------
+
+    def _data_files(self, vdir: str) -> list[str]:
+        """Relative paths of every parquet data file under a version
+        tree (skipping metadata like _SUCCESS / _manifest.json)."""
+        out = []
+        for root, _dirs, files in os.walk(vdir):
+            for n in files:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    out.append(os.path.relpath(os.path.join(root, n), vdir))
+        return sorted(out)
+
+    def _write_manifest(self, ver: str) -> None:
+        """Collect per-file footer statistics into ``_manifest.json``
+        inside the (still-uncommitted) version tree — the Iceberg/Delta
+        file-skipping idea on the pointer-commit layout. Metadata-only:
+        parquet footers are read, never data pages, and files hard-
+        linked from the previous version reuse the previous manifest's
+        entry by relative path (linked files are bit-identical), so an
+        append/bucketed-upsert pays stats collection for its NEW files
+        only. Per-file failures degrade to a stats-less entry (that
+        file is simply never pruned) — the manifest is an optimization,
+        never a correctness gate."""
+        vdir = os.path.join(self.path, ver)
+        prev: dict = {}
+        pv = self._current_version()
+        if pv is not None:
+            prev = self._load_manifest(os.path.join(self.path, pv)).get("files", {})
+        files = {}
+        for rel in self._data_files(vdir):
+            if rel in prev:
+                files[rel] = prev[rel]
+                continue
+            try:
+                files[rel] = _file_stats(os.path.join(vdir, rel))
+            except Exception:
+                files[rel] = {"rows": None, "cols": {}}
+        tmp = os.path.join(vdir, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "files": files}, f)
+        os.replace(tmp, os.path.join(vdir, _MANIFEST))
+
+    @staticmethod
+    def _load_manifest(vdir: str) -> dict:
+        try:
+            with open(os.path.join(vdir, _MANIFEST)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"version": 1, "files": {}}
+
+    def manifest(self) -> dict:
+        """The live version's file-statistics manifest:
+        ``{"files": {rel_path: {"rows": n, "cols": {col: {"min", "max",
+        "nulls"}}}}}``. Empty for legacy/pre-manifest trees."""
+        return self._load_manifest(self.current_dir())
+
+    def pruned_files(self, where: list[tuple]) -> tuple[list[str], int]:
+        """Evaluate a conjunction of ``(col, op, value...)`` terms
+        (ops: = < <= > >= between in is_null not_null) against the
+        manifest. Returns (surviving relative paths, total file count).
+        Files without usable stats always survive — pruning is sound,
+        never required."""
+        cur = self.current_dir()
+        man = self._load_manifest(cur).get("files", {})
+        all_files = self._data_files(cur)
+        kept = []
+        for rel in all_files:
+            st = man.get(rel) or {"rows": None, "cols": {}}
+            if _file_may_match(st, _partition_values(rel), where):
+                kept.append(rel)
+        return kept, len(all_files)
+
+    def scan(self, where: list[tuple] | None = None) -> FxFrame:
+        """Manifest-pruned read: files whose footer statistics prove
+        they cannot contain a matching row are never handed to Spark
+        (no task, no footer fetch, no scheduling cost — at 100 TB /
+        100k files this is the difference between a metadata lookup
+        and a cluster-wide scan), and the predicate is re-applied to
+        the survivors. Equivalent to ``read().df.filter(...)`` by
+        construction; with no ``where`` it IS :meth:`read`."""
+        if not where:
+            return self.read()
+        cur = self.current_dir()
+        kept, _total = self.pruned_files(where)
+        cond = _where_to_column(where)
+        if not kept:  # provably empty — still typed like the table
+            df = self._read_raw().filter(F.lit(False))
+        else:
+            df = (
+                self.spark.read.option("basePath", cur)
+                .parquet(*[os.path.join(cur, rel) for rel in kept])
+                .filter(cond)
+            )
+        if _BUCKET_COL in df.columns:
+            df = df.drop(_BUCKET_COL)
+        return FxFrame(df, self.index)
+
+    def optimize(
+        self,
+        cluster_by: list[str],
+        bits: int = 12,
+        target_file_mb: int = 128,
+        n_files: int | None = None,
+    ) -> None:
+        """Z-order clustering rewrite: map each ``cluster_by`` column
+        (numeric / date / timestamp) onto a ``bits``-bit grid via its
+        min/max range (one tiny aggregate), interleave the grid bits
+        into a single z-value (pure column expressions, no UDF), then
+        range-repartition + sort by z and commit the rewrite through
+        the usual pointer flip. Files then cover small hyper-rectangles
+        of the clustered space instead of full-range stripes, so the
+        manifest prunes on ANY clustered column, not just a sort
+        leader — the Delta OPTIMIZE ZORDER BY semantics. One full
+        rewrite (range shuffle); run it at the cadence of compaction."""
+        if not cluster_by:
+            raise ValueError("optimize requires at least one cluster_by column")
+        if self.buckets:
+            raise ValueError(
+                "z-order optimize would break hash-bucket layout; "
+                "use compact() for bucketed tables"
+            )
+        import glob as _glob
+
+        with self._maybe_lock():
+            cur = self.current_dir()
+            df = self._read_raw()
+            from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+            temporal = (DateType, TimestampType, TimestampNTZType)
+            nums = [
+                F.col(c).cast("timestamp").cast("double")
+                if isinstance(df.schema[c].dataType, temporal)
+                else F.col(c).cast("double")
+                for c in cluster_by
+            ]
+            rng = df.agg(
+                *[f(n).alias(f"{t}{i}") for i, n in enumerate(nums) for t, f in (("lo", F.min), ("hi", F.max))]
+            ).first()
+            grid = (1 << bits) - 1
+            cells = []
+            for i, n in enumerate(nums):
+                lo, hi = rng[f"lo{i}"], rng[f"hi{i}"]
+                span = (hi - lo) if (lo is not None and hi is not None and hi > lo) else 1.0
+                cell = F.floor(((n - F.lit(lo or 0.0)) / F.lit(span)) * grid).cast("long")
+                cells.append(F.least(F.greatest(F.coalesce(cell, F.lit(0)), F.lit(0)), F.lit(grid)))
+            stride = len(cells)
+            z = F.lit(0).cast("long")
+            for b in range(bits):
+                for i, cell in enumerate(cells):
+                    z = z + F.shiftleft(
+                        F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * stride + i
+                    )
+            if n_files is None:
+                files = _glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
+                total_bytes = sum(os.path.getsize(f) for f in files)
+                n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+            clustered = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            self._commit_version(self._write_version(clustered))
+
     # -- bucket partitioning ------------------------------------------------
 
     def _tree_bucketed(self) -> bool:
@@ -375,6 +778,7 @@ class LakeTable:
                 f"new table version at {new_dir!r} is unreadable; live table "
                 f"unchanged (pointer not moved), bad output kept for inspection"
             ) from e
+        self._write_manifest(ver)
         prev = self._current_version()
         legacy = self._legacy_entries() if prev is None else []
         tmp = os.path.join(self.path, f"_current_tmp_{uuid.uuid4().hex[:8]}")

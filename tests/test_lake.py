@@ -734,3 +734,127 @@ def test_legacy_flat_layout_migrates_on_first_commit(spark, tmp_path):
     assert t.read().height == 11
     # only pointer metadata + the live version remain at top level
     assert all(n.startswith(("_", ".", "v_")) for n in os.listdir(p))
+
+
+# -- file-statistics manifest + data skipping -------------------------------
+
+
+def _mk_range_table(spark, path, n=1000, files=10):
+    """A table of n rows whose `k` column is globally SORTED across
+    `files` files — each file covers a disjoint k-range, the layout
+    manifest pruning exploits."""
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("m"),
+            F.concat(F.lit("row_"), F.col("id")).alias("s"),
+        )
+        .repartitionByRange(files, "k")
+        .sortWithinPartitions("k")
+    )
+    t = LakeTable(spark, path, index="k")
+    t.save(df, SaveStrategy.REPLACE)
+    return t
+
+
+def test_manifest_written_and_carries_stats(spark, tmp_path):
+    t = _mk_range_table(spark, str(tmp_path / "t"))
+    man = t.manifest()["files"]
+    assert len(man) == 10
+    for st in man.values():
+        assert st["rows"] > 0
+        assert st["cols"]["k"]["min"] <= st["cols"]["k"]["max"]
+        assert st["cols"]["k"]["nulls"] == 0
+        assert "s" in st["cols"]  # string stats too
+
+
+def test_scan_prunes_files_and_matches_full_read(spark, tmp_path):
+    t = _mk_range_table(spark, str(tmp_path / "t"))
+    where = [("k", "between", 100, 199)]
+    kept, total = t.pruned_files(where)
+    assert total == 10
+    assert 1 <= len(kept) <= 3  # disjoint ranges: ~1 file + boundaries
+    got = sorted(r["k"] for r in t.scan(where).df.collect())
+    want = sorted(r["k"] for r in t.read().df.filter(F.col("k").between(100, 199)).collect())
+    assert got == want == list(range(100, 200))
+    # point lookup
+    kept1, _ = t.pruned_files([("k", "=", 42)])
+    assert len(kept1) == 1
+    assert [r["k"] for r in t.scan([("k", "=", 42)]).df.collect()] == [42]
+    # provably-empty predicate: no files, typed empty result
+    kept0, _ = t.pruned_files([("k", ">", 10_000)])
+    assert kept0 == []
+    empty = t.scan([("k", ">", 10_000)]).df
+    assert empty.count() == 0 and "k" in empty.columns
+
+
+def test_scan_null_and_residual_semantics(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "y")], "k int, v string"
+    ).repartitionByRange(2, "k")
+    t = LakeTable(spark, str(tmp_path / "t"), index="k")
+    t.save(df, SaveStrategy.REPLACE)
+    # is_null keeps files with nulls; comparison never matches null rows
+    assert sorted(r["k"] for r in t.scan([("v", "is_null")]).df.collect()) == [1, 3]
+    assert sorted(r["k"] for r in t.scan([("v", "not_null")]).df.collect()) == [2, 4]
+    # residual filter applies within surviving files (file range 1-2 kept,
+    # but only k=2 matches)
+    assert [r["k"] for r in t.scan([("k", "in", [2, 99])]).df.collect()] == [2]
+
+
+def test_manifest_reuses_stats_for_hardlinked_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = _mk_range_table(spark, p, n=100, files=4)
+    man1 = t.manifest()["files"]
+    extra = spark.createDataFrame([(1000, 0, "row_1000")], "k long, m long, s string")
+    t.save(extra, SaveStrategy.APPEND)
+    man2 = t.manifest()["files"]
+    # every original file's entry carried over verbatim (no re-stat)
+    for rel, st in man1.items():
+        assert man2[rel] == st
+    assert len(man2) > len(man1)
+    # and pruning still reflects the union
+    kept, total = t.pruned_files([("k", ">=", 1000)])
+    assert len(kept) < total
+    assert [r["k"] for r in t.scan([("k", ">=", 1000)]).df.collect()] == [1000]
+
+
+def test_partition_dir_values_prune_without_footer_stats(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    t = LakeTable(spark, str(tmp_path / "t"), index="k", partition_by=["p"])
+    t.save(df, SaveStrategy.REPLACE)
+    kept, total = t.pruned_files([("p", "=", 2)])
+    assert kept and all("p=2" in rel for rel in kept)
+    assert len(kept) < total
+    got = sorted(r["k"] for r in t.scan([("p", "=", 2)]).df.collect())
+    assert got == sorted(range(2, 100, 4))
+    # partition column survives the file-list read path
+    assert {r["p"] for r in t.scan([("p", "=", 2)]).df.collect()} == {2}
+
+
+def test_zorder_optimize_enables_pruning_on_both_columns(spark, tmp_path):
+    # x and y independent: a plain x-sort gives y full-range stripes
+    df = spark.range(4096).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).alias("x"),
+        (F.floor(F.col("id") / 64)).alias("y"),
+    )
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="rid")
+    t.save(df.repartitionByRange(8, "x").sortWithinPartitions("x"), SaveStrategy.REPLACE)
+    before = t.read().df.orderBy("rid").collect()
+    # x prunes on the sorted layout, y cannot (every file spans all y)
+    kept_y_before, total_before = t.pruned_files([("y", "between", 0, 7)])
+    assert len(kept_y_before) == total_before
+    t.optimize(cluster_by=["x", "y"], n_files=8)
+    after = t.read().df.orderBy("rid").collect()
+    assert after == before  # rewrite preserves content exactly
+    kept_x, total = t.pruned_files([("x", "between", 0, 7)])
+    kept_y, _ = t.pruned_files([("y", "between", 0, 7)])
+    assert total >= 4
+    assert len(kept_x) < total and len(kept_y) < total  # BOTH dims prune now
+    got = sorted(r["rid"] for r in t.scan([("y", "between", 0, 7)]).df.collect())
+    assert got == list(range(0, 512))

@@ -1,5 +1,6 @@
 from . import (
     dedup,
+    graph,
     multimodal,
     profile,
     sampling,
@@ -11,6 +12,7 @@ from . import (
 
 __all__ = [
     "dedup",
+    "graph",
     "multimodal",
     "profile",
     "sampling",

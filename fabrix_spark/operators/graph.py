@@ -1,0 +1,93 @@
+"""Iterative graph operators over edge DataFrames.
+
+PageRank is the classic crawl/corpus quality primitive (domain
+authority for crawl prioritization, centrality of documents inside a
+near-dup graph). The reference has no graph operator — this extends
+the engine the same way dup_clusters (connected components,
+dedup.py) already does, and shares its design constraints:
+
+- **Deterministic integer arithmetic.** Ranks live in int64 units of
+  1e-12 (``unit``), every division is integer division, and damping
+  is a ×85 //100 integer step — so the result is bit-identical on any
+  engine and any partitioning, and a DuckDB oracle can unroll the
+  iterations as plain SQL. Float PageRank would drift in the last ulp
+  per aggregation order and never hash-match.
+- **Fixed iteration count**, not convergence-test-driven: the
+  per-iteration plan is one equi-join (edges ⋈ ranks on src) + one
+  aggregate (sum of contributions on dst) — both shuffle on the key,
+  nothing collects to the driver except the one-time node count.
+
+Semantics: r0(v) = unit // N;
+r_{k+1}(v) = (unit // N) * (100-d) // 100  +  d * Σ_{u→v} (r_k(u) // outdeg(u)) // 100.
+Dangling-node mass (sinks with no out-edges) is dropped rather than
+redistributed — the common simplification; ranks remain a
+deterministic partial order, which is what selection/prioritization
+uses. Integer floor division also leaks ≤1 unit (1e-12) per division:
+deterministic on both engines by construction.
+
+100 TB shape: edges shuffle-partition on src once
+(``edges_with_outdeg``), each iteration reuses that partitioning for
+the join and shuffles contributions on dst; cost is
+O(iters × |E|) with no quadratic term. For many iterations persist
+the prepared edge set so Spark doesn't replay the scan per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["to_undirected", "pagerank"]
+
+
+def to_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetrize a directed edge list (each edge also reversed),
+    deduplicated — turns PageRank into undirected random-walk
+    centrality."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a (src, dst) edge list.
+
+    Returns (node, rank) for every node appearing in the edge list,
+    rank in int64 ``unit`` fractions (divide by ``unit`` for the
+    probability-like score). See the module docstring for the exact
+    integer recurrence and determinism/scale contract."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one tiny driver scalar (like dup_clusters' per-iteration count):
+    # N parameterizes the integer base rank
+    n = nodes.count()
+    r0 = unit // n
+    base = (unit // n) * (100 - damping_pct) // 100
+    e_deg = e.join(outdeg, "src")
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = e_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
+            ).cast("long").alias("rank"),
+        )
+    return ranks

@@ -4085,6 +4085,76 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# graph operators
+# ===========================================================================
+
+# three unrolled integer-PageRank iterations (see operators/graph.py
+# for the recurrence); every sum is CAST back to BIGINT because DuckDB
+# widens SUM(BIGINT) to HUGEINT, which would fail the type-family check
+def _pagerank_oracle(iters: int = 3, unit: int = 10**12, d: int = 85) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, CAST(sum(r.rank // g.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN outdeg g ON g.src = e.src JOIN {prev} r ON r.node = e.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(({unit} // p.n) * {100 - d} // 100 + COALESCE(c{i}.s, 0) * {d} // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node, p
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH ed AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+p AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({unit} // p.n AS BIGINT) AS rank FROM nodes, p),{",".join(steps)}
+SELECT node, rank, pos FROM (
+  SELECT node, rank,
+         CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS pos
+  FROM {prev}
+) WHERE pos <= 100
+"""
+
+
+@register("gr_pagerank_purchases", oracle=_pagerank_oracle())
+def gr_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk centrality of the undirected customer–supplier
+    purchase graph (edges = distinct (custkey, suppkey) co-occurrences
+    in an order): 3 integer-exact PageRank iterations, top 100 nodes.
+    The crawl/corpus authority primitive — rank drives crawl
+    prioritization or canonical selection — verified bit-for-bit
+    against an oracle that unrolls the same integer recurrence."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(graph.to_undirected(pairs), iters=3)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return pr.withColumn("pos", F.row_number().over(w).cast("long")).filter(
+        F.col("pos") <= 100
+    )
+
+
+# ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================
 

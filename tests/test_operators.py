@@ -988,3 +988,39 @@ def test_semantic_prune_partitions_corpus(emb):
         assert assign[r["a_id"]] == r["centroid_id"] == assign[r["b_id"]]
         assert r["cosine"] >= t
     assert dominated, "fixture should actually prune something"
+
+
+def test_pagerank_matches_python_model(spark):
+    from fabrix_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(df, iters=4).collect()}
+
+    # independent integer-recurrence model
+    unit, d = 10**12, 85
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _t2 in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: unit // n for v in nodes}
+    base = (unit // n) * (100 - d) // 100
+    for _ in range(4):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // out[u]
+        rank = {v: base + s[v] * d // 100 for v in nodes}
+    assert got == rank
+    # sanity: node 1 (3 in-edges) outranks node 5 (none)
+    assert got[1] > got[5]
+
+
+def test_pagerank_undirected_symmetry(spark):
+    from fabrix_spark.operators import graph
+
+    # a path graph 1-2-3: symmetric ends must tie, middle ranks highest
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in graph.pagerank(graph.to_undirected(df)).collect()}
+    assert pr[1] == pr[3]
+    assert pr[2] > pr[1]

@@ -4085,6 +4085,74 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# lake data skipping
+# ===========================================================================
+
+_ZLAKE_CACHE: dict = {}
+
+
+def _prebuilt_zorder_lake(spark: SparkSession, sf_dir: str):
+    """A lake copy of lineitem Z-ordered by (l_quantity,
+    l_extendedprice), built at most once per sf_dir and disk-cached
+    under a fingerprint of the source table (same lifecycle as
+    :func:`_prebuilt_sigstore`): repeated invocations pay only the
+    manifest-pruned scan, which is the steady-state cost the operator
+    exists to deliver."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.sql import SaveStrategy
+
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    t = _ZLAKE_CACHE.get(key)
+    if t is None:
+        root = os.path.join(tempfile.gettempdir(), "fabrix_zlake_cache", key)
+        t = LakeTable(spark, os.path.join(root, "t"), index="l_orderkey")
+        _ZLAKE_CACHE[key] = t
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    if not t.exists():
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+        )
+        t.save(li, SaveStrategy.REPLACE)
+        t.optimize(cluster_by=["l_quantity", "l_extendedprice"], n_files=16)
+    return t
+
+
+@register(
+    "lake_zorder_scan",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 15 AND l_extendedprice BETWEEN 15000 AND 25000
+""",
+)
+def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned scan of a Z-ordered lake table: the file list is
+    pruned against per-file footer statistics on BOTH clustered
+    dimensions before Spark opens anything, then the predicate
+    re-applies to survivors. The oracle runs the same filter over the
+    raw source table — so the driver independently proves data
+    skipping loses and invents no rows."""
+    t = _prebuilt_zorder_lake(spark, sf_dir)
+    fx = t.scan(
+        [
+            ("l_quantity", "between", 10, 15),
+            ("l_extendedprice", "between", 15000, 25000),
+        ]
+    )
+    return fx.df.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+# ===========================================================================
 # graph operators
 # ===========================================================================
 

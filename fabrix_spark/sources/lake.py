@@ -573,6 +573,58 @@ class LakeTable:
                 kept.append(rel)
         return kept, len(all_files)
 
+    def stats(self) -> dict:
+        """Table-level statistics straight from the manifest — no scan,
+        no Spark job: total row count and, for every column each file
+        has stats for, the global min/max and summed null count (None
+        where any file lacks usable stats, since the true bound is then
+        unknown). This is what answers ``count(*)`` / fuels a
+        cost-based planner at 100 TB for the price of one JSON read."""
+        man = self._load_manifest(self.current_dir()).get("files", {})
+        rows: int | None = 0
+        cols: dict[str, dict | None] = {}
+        for st in man.values():
+            r = st.get("rows")
+            rows = None if (rows is None or r is None) else rows + r
+            for c, cs in st.get("cols", {}).items():
+                prev = cols.setdefault(c, {"min": None, "max": None, "nulls": 0})
+                if prev is None:
+                    continue
+                n = cs.get("nulls")
+                if cs.get("min") is None or cs.get("max") is None:
+                    # bound-less stats: harmless iff the file provably
+                    # holds no values for this column (all-null)
+                    if r is not None and n == r:
+                        prev["nulls"] = (
+                            None if prev["nulls"] is None else prev["nulls"] + n
+                        )
+                        continue
+                    cols[c] = None
+                    continue
+                try:
+                    prev["min"] = (
+                        cs["min"] if prev["min"] is None else min(prev["min"], cs["min"])
+                    )
+                    prev["max"] = (
+                        cs["max"] if prev["max"] is None else max(prev["max"], cs["max"])
+                    )
+                except TypeError:
+                    cols[c] = None
+                    continue
+                prev["nulls"] = (
+                    None if (n is None or prev["nulls"] is None) else prev["nulls"] + n
+                )
+        seen = {c for st in man.values() for c in st.get("cols", {})}
+        # a column absent from the stats of a file that HAS rows has
+        # unknown bounds (zero-row part files can't hold values and
+        # legitimately carry no stats — they bound nothing)
+        for st in man.values():
+            if st.get("rows") == 0:
+                continue
+            for c in seen - set(st.get("cols", {})):
+                cols[c] = None
+        return {"rows": rows, "files": len(man), "cols": cols}
+
     def scan(self, where: list[tuple] | None = None) -> FxFrame:
         """Manifest-pruned read: files whose footer statistics prove
         they cannot contain a matching row are never handed to Spark

@@ -858,3 +858,17 @@ def test_zorder_optimize_enables_pruning_on_both_columns(spark, tmp_path):
     assert len(kept_x) < total and len(kept_y) < total  # BOTH dims prune now
     got = sorted(r["rid"] for r in t.scan([("y", "between", 0, 7)]).df.collect())
     assert got == list(range(0, 512))
+
+
+def test_table_stats_metadata_only(spark, tmp_path):
+    t = _mk_range_table(spark, str(tmp_path / "t"), n=500, files=5)
+    s = t.stats()
+    assert s["rows"] == 500 and s["files"] == 5
+    assert s["cols"]["k"] == {"min": 0, "max": 499, "nulls": 0}
+    assert s["cols"]["m"]["min"] == 0 and s["cols"]["m"]["max"] == 6
+    # append updates stats without a scan
+    extra = spark.createDataFrame([(999, 0, None)], "k long, m long, s string")
+    t.save(extra, SaveStrategy.APPEND)
+    s2 = t.stats()
+    assert s2["rows"] == 501 and s2["cols"]["k"]["max"] == 999
+    assert s2["cols"]["s"]["nulls"] == 1

@@ -872,3 +872,46 @@ def test_table_stats_metadata_only(spark, tmp_path):
     s2 = t.stats()
     assert s2["rows"] == 501 and s2["cols"]["k"]["max"] == 999
     assert s2["cols"]["s"]["nulls"] == 1
+
+
+_PRED_VALS = hyp_st.integers(min_value=-5, max_value=25)
+_PRED = hyp_st.one_of(
+    hyp_st.tuples(hyp_st.sampled_from(["a", "b"]), hyp_st.sampled_from(["=", "<", "<=", ">", ">="]), _PRED_VALS),
+    hyp_st.tuples(hyp_st.sampled_from(["a", "b"]), hyp_st.just("between"), _PRED_VALS, _PRED_VALS),
+    hyp_st.tuples(hyp_st.sampled_from(["a", "b"]), hyp_st.just("in"), hyp_st.lists(_PRED_VALS, max_size=3)),
+    hyp_st.tuples(hyp_st.sampled_from(["a", "b"]), hyp_st.sampled_from(["is_null", "not_null"])),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=hyp_st.lists(
+        hyp_st.tuples(
+            hyp_st.one_of(hyp_st.none(), hyp_st.integers(min_value=0, max_value=20)),
+            hyp_st.one_of(hyp_st.none(), hyp_st.integers(min_value=0, max_value=20)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    where=hyp_st.lists(_PRED, min_size=1, max_size=3),
+    files=hyp_st.integers(min_value=1, max_value=4),
+)
+def test_scan_pruning_soundness_fuzz(spark, tmp_path, rows, where, files):
+    """For ANY data (nulls included) and ANY supported predicate
+    conjunction, the manifest-pruned scan must equal read-then-filter
+    exactly — pruning may only skip files that provably match nothing."""
+    import uuid as _uuid
+
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid int, a int, b int").repartition(files)
+    t = LakeTable(spark, str(tmp_path / f"t{_uuid.uuid4().hex[:8]}"), index="rid")
+    t.save(df, SaveStrategy.REPLACE)
+    from fabrix_spark.sources.lake import _where_to_column
+
+    got = sorted(r["rid"] for r in t.scan(where).df.collect())
+    want = sorted(r["rid"] for r in t.read().df.filter(_where_to_column(where)).collect())
+    assert got == want

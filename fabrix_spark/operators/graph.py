@@ -55,13 +55,21 @@ def pagerank(
     unit: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge list.
 
     Returns (node, rank) for every node appearing in the edge list,
     rank in int64 ``unit`` fractions (divide by ``unit`` for the
     probability-like score). See the module docstring for the exact
-    integer recurrence and determinism/scale contract."""
+    integer recurrence and determinism/scale contract.
+
+    ``checkpoint=True`` localCheckpoints the prepared edge set, node
+    set, and each iteration's ranks, truncating lineage so iteration
+    k's plan is ONE join + ONE aggregate instead of a replay of every
+    previous iteration's derivation — the right shape beyond 2-3
+    iterations or when the edge list is itself a derived plan. Results
+    are bit-identical either way (integer arithmetic)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -71,10 +79,14 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # one tiny driver scalar (like dup_clusters' per-iteration count):
     # N parameterizes the integer base rank
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
     n = nodes.count()
     r0 = unit // n
     base = (unit // n) * (100 - damping_pct) // 100
     e_deg = e.join(outdeg, "src")
+    if checkpoint:
+        e_deg = e_deg.localCheckpoint()
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = e_deg.join(
@@ -90,4 +102,6 @@ def pagerank(
                 + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
             ).cast("long").alias("rank"),
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
     return ranks

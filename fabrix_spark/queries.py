@@ -4215,7 +4215,7 @@ def gr_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pr = graph.pagerank(graph.to_undirected(pairs), iters=3)
+    pr = graph.pagerank(graph.to_undirected(pairs), iters=3, checkpoint=True)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
     return pr.withColumn("pos", F.row_number().over(w).cast("long")).filter(
         F.col("pos") <= 100

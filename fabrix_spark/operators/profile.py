@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles"]
+__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -102,3 +102,76 @@ def quantiles(
         ]
     )
     return wide.select(F.explode(rows).alias("q")).select("q.*")
+
+
+def _kmv_hash(col: str):
+    """60-bit uniform hash of a column value: first 15 hex digits of
+    md5 of the string form — engine-independent (the same construction
+    the dedup family uses), so sketch results are bit-reproducible and
+    oracle-checkable, unlike approx_count_distinct's HLL."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count estimate (Bar-Yossef et al.
+    2002, public literature): keep the k smallest 60-bit hashes of the
+    column; if fewer than k distinct hashes exist the count is EXACT,
+    otherwise estimate (k-1) * 2^60 / h_k where h_k is the k-th
+    smallest hash.
+
+    The 100 TB story is mergeability: "k smallest hashes" is a
+    map-side-combinable aggregate — Spark's TakeOrdered/partial sort
+    keeps k values per partition and merges, so the sketch costs one
+    narrow pass regardless of cardinality, where an exact
+    count_distinct shuffles every distinct value. Deterministic (md5
+    domain, no RNG), hence fully oracled. Returns one row:
+    (n_seen, est_distinct). NULLs are excluded, matching
+    count(DISTINCT col)."""
+    mins = (
+        df.filter(F.col(col).isNotNull())
+        .select(_kmv_hash(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    top = mins.agg(F.count("*").alias("n_seen"), F.max("h").alias("__hk"))
+    # (k-1)*2^60 is exactly representable as a double for any sane k,
+    # so the single division below is one IEEE op — identical on every
+    # engine; emit it unrounded (round() is the cross-engine trap)
+    return top.select(
+        "n_seen",
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_grouped(
+    df: DataFrame, col: str, by: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV sketch: (by, n_seen, est_distinct) — the grouped
+    form of :func:`kmv_distinct` (window rank instead of global
+    limit). One shuffle on (group, hash) + one window pass; each
+    group's sketch is independently mergeable."""
+    from pyspark.sql.window import Window
+
+    h = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(by), _kmv_hash(col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(by).orderBy(F.col("h").asc())
+    mins = h.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    top = mins.groupBy(by).agg(F.count("*").alias("n_seen"), F.max("h").alias("__hk"))
+    return top.select(
+        by,
+        "n_seen",
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double"))
+        .alias("est_distinct"),
+    )

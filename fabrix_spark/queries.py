@@ -4085,6 +4085,79 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# cardinality sketches
+# ===========================================================================
+
+
+@register(
+    "prof_kmv_distinct",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+top AS (SELECT CAST(count(*) AS BIGINT) AS n_seen, max(h) AS hk FROM mins),
+exact AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM orders)
+SELECT n_seen,
+       CASE WHEN n_seen < 256 THEN CAST(n_seen AS DOUBLE)
+            ELSE 255.0 * 1152921504606846976 / CAST(hk AS DOUBLE) END AS est_distinct,
+       exact_distinct
+FROM top, exact
+""",
+)
+def prof_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-cardinality sketch vs the exact answer, side by
+    side: k smallest md5-derived 60-bit hashes → (k-1)·2^60/h_k.
+    Deterministic (no RNG, no HLL implementation detail), so the
+    ESTIMATE itself is hash-verified against the oracle — the
+    driver-checkable approximate-distinct that a_approx
+    (approx_count_distinct) structurally cannot be. Mergeable min-k
+    makes it one narrow pass at any cardinality."""
+    from .operators.profile import kmv_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    return kmv_distinct(o, "o_custkey", k=256).crossJoin(
+        o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    )
+
+
+@register(
+    "prof_kmv_by_group",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+mins AS (
+  SELECT o_orderpriority, h FROM (
+    SELECT o_orderpriority, h,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY h ASC) AS rn
+    FROM h) WHERE rn <= 64
+),
+top AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_seen, max(h) AS hk
+  FROM mins GROUP BY 1
+)
+SELECT o_orderpriority, n_seen,
+       CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976 / CAST(hk AS DOUBLE) END AS est_distinct
+FROM top
+""",
+)
+def prof_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV sketches (distinct customers per order priority,
+    k=64): the grouped mergeable-cardinality pass a 100 TB profiler
+    runs instead of count(DISTINCT) per group."""
+    from .operators.profile import kmv_distinct_grouped
+
+    return kmv_distinct_grouped(
+        _t(spark, sf_dir, "orders"), "o_custkey", by="o_orderpriority", k=64
+    )
+
+
+# ===========================================================================
 # lake data skipping
 # ===========================================================================
 

@@ -1024,3 +1024,36 @@ def test_pagerank_undirected_symmetry(spark):
     pr = {r["node"]: r["rank"] for r in graph.pagerank(graph.to_undirected(df)).collect()}
     assert pr[1] == pr[3]
     assert pr[2] > pr[1]
+
+
+def test_kmv_distinct_exact_below_k_and_split_invariant(spark):
+    from fabrix_spark.operators import profile as prof
+
+    df = spark.range(2000).select((F.col("id") % 500).alias("v"))
+    # fewer distinct than k → exact count
+    r = prof.kmv_distinct(df, "v", k=1024).first()
+    assert r["n_seen"] == 500 and r["est_distinct"] == 500.0
+    # estimate path: k < distinct; invariant under partitioning/order
+    a = prof.kmv_distinct(df, "v", k=64).first()
+    b = prof.kmv_distinct(df.repartition(13).orderBy(F.rand(7)), "v", k=64).first()
+    assert a["est_distinct"] == b["est_distinct"]  # bit-identical
+    assert 350 <= a["est_distinct"] <= 700  # ~1/sqrt(64) error band
+    # nulls excluded like count(DISTINCT)
+    withnull = df.union(spark.sql("SELECT CAST(NULL AS BIGINT)"))
+    r2 = prof.kmv_distinct(withnull, "v", k=1024).first()
+    assert r2["n_seen"] == 500
+
+
+def test_kmv_grouped_matches_global_per_group(spark):
+    from fabrix_spark.operators import profile as prof
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    grouped = {
+        r["g"]: r["est_distinct"]
+        for r in prof.kmv_distinct_grouped(df, "v", by="g", k=32).collect()
+    }
+    for g in (0, 1, 2):
+        solo = prof.kmv_distinct(df.filter(F.col("g") == g), "v", k=32).first()
+        assert grouped[g] == solo["est_distinct"]

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped"]
+__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -175,3 +175,71 @@ def kmv_distinct_grouped(
         .otherwise(F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double"))
         .alias("est_distinct"),
     )
+
+
+def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Declarative data-quality validation (the Deequ/Great-
+    Expectations idea, public designs): evaluate a rule list in ONE
+    aggregation pass and return a long-format report
+    (rule, column, metric, threshold, passed).
+
+    Rules:
+      ("completeness", col, min_ratio)   non-null fraction >= min_ratio
+      ("distinctness", col, min_ratio)   distinct/rows     >= min_ratio
+      ("min", col, bound)                min(col)          >= bound
+      ("max", col, bound)                max(col)          <= bound
+      ("non_negative", col)              min(col)          >= 0
+      ("values_in", col, values, min_ratio)
+                                         fraction of rows whose value
+                                         is in `values` (NULL counts
+                                         as a miss) >= min_ratio
+
+    Every metric is a count ratio or an extremum — single divisions of
+    exact integers, emitted unrounded — so the report is bit-identical
+    on any engine/partitioning and oracle-checkable. One shuffle (the
+    global aggregate, partials map-side) regardless of rule count:
+    validating 50 constraints on a 100 TB table costs one pass."""
+    n = F.count(F.lit(1))
+    aggs, metas = [], []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        a = f"__m{i}"
+        if kind == "completeness":
+            aggs.append((F.count(col) / n).alias(a))
+            metas.append((kind, col, float(rule[2]), ">="))
+        elif kind == "distinctness":
+            aggs.append((F.countDistinct(col) / n).alias(a))
+            metas.append((kind, col, float(rule[2]), ">="))
+        elif kind == "min":
+            aggs.append(F.min(col).cast("double").alias(a))
+            metas.append((kind, col, float(rule[2]), ">="))
+        elif kind == "max":
+            aggs.append(F.max(col).cast("double").alias(a))
+            metas.append((kind, col, float(rule[2]), "<="))
+        elif kind == "non_negative":
+            aggs.append(F.min(col).cast("double").alias(a))
+            metas.append((kind, col, 0.0, ">="))
+        elif kind == "values_in":
+            hit = F.coalesce(F.col(col).isin(list(rule[2])), F.lit(False))
+            aggs.append(F.avg(hit.cast("int")).alias(a))
+            metas.append((kind, col, float(rule[3]), ">="))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("column"),
+                F.col(f"__m{i}").alias("metric"),
+                F.lit(thr).alias("threshold"),
+                (
+                    F.col(f"__m{i}") >= F.lit(thr)
+                    if op == ">="
+                    else F.col(f"__m{i}") <= F.lit(thr)
+                ).alias("passed"),
+            )
+            for i, (kind, col, thr, op) in enumerate(metas)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("c")).select("c.*")

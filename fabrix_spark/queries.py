@@ -4085,6 +4085,57 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# data-quality constraint validation
+# ===========================================================================
+
+
+@register(
+    "prof_constraints",
+    oracle="""
+WITH m AS (
+  SELECT
+    CAST(count(o_custkey) AS DOUBLE) / count(*) AS m0,
+    CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS m1,
+    CAST(min(o_totalprice) AS DOUBLE) AS m2,
+    CAST(max(o_totalprice) AS DOUBLE) AS m3,
+    CAST(sum(CASE WHEN COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS m4,
+    CAST(count(DISTINCT o_orderpriority) AS DOUBLE) / count(*) AS m5
+  FROM orders
+)
+SELECT rule, col AS "column", metric, CAST(threshold AS DOUBLE) AS threshold, passed FROM (
+  SELECT 'completeness' AS rule, 'o_custkey' AS col, m0 AS metric, 1.0 AS threshold, m0 >= 1.0 AS passed FROM m
+  UNION ALL SELECT 'distinctness', 'o_orderkey', m1, 1.0, m1 >= 1.0 FROM m
+  UNION ALL SELECT 'non_negative', 'o_totalprice', m2, 0.0, m2 >= 0.0 FROM m
+  UNION ALL SELECT 'max', 'o_totalprice', m3, 1000000.0, m3 <= 1000000.0 FROM m
+  UNION ALL SELECT 'values_in', 'o_orderstatus', m4, 1.0, m4 >= 1.0 FROM m
+  UNION ALL SELECT 'distinctness', 'o_orderpriority', m5, 0.5, m5 >= 0.5 FROM m
+)
+""",
+)
+def prof_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the orders table: six
+    constraints (completeness, key distinctness, bounds, domain
+    membership) validated in ONE aggregation pass, long-format report
+    with pass/fail per rule — the Deequ-shaped check a pipeline runs
+    before trusting an ingest, including rules that legitimately FAIL
+    here (o_orderpriority distinctness) so the report's false branch
+    is exercised too."""
+    from .operators.profile import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "orders"),
+        [
+            ("completeness", "o_custkey", 1.0),
+            ("distinctness", "o_orderkey", 1.0),
+            ("non_negative", "o_totalprice"),
+            ("max", "o_totalprice", 1_000_000.0),
+            ("values_in", "o_orderstatus", ["O", "F", "P"], 1.0),
+            ("distinctness", "o_orderpriority", 0.5),
+        ],
+    )
+
+
+# ===========================================================================
 # cardinality sketches
 # ===========================================================================
 

@@ -1057,3 +1057,37 @@ def test_kmv_grouped_matches_global_per_group(spark):
     for g in (0, 1, 2):
         solo = prof.kmv_distinct(df.filter(F.col("g") == g), "v", k=32).first()
         assert grouped[g] == solo["est_distinct"]
+
+
+def test_check_constraints_report(spark):
+    from fabrix_spark.operators import profile as prof
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "a", 0.0)],
+        "k int, s string, v double",
+    )
+    rep = {
+        (r["rule"], r["column"]): r
+        for r in prof.check_constraints(
+            df,
+            [
+                ("completeness", "s", 0.7),
+                ("completeness", "k", 1.0),
+                ("distinctness", "k", 1.0),
+                ("non_negative", "v"),
+                ("max", "v", 5.0),
+                ("values_in", "s", ["a", "b"], 1.0),
+            ],
+        ).collect()
+    }
+    assert rep[("completeness", "s")]["metric"] == 0.75
+    assert rep[("completeness", "s")]["passed"]
+    assert rep[("completeness", "k")]["passed"]
+    assert not rep[("distinctness", "k")]["passed"]  # 3/4 < 1.0
+    assert not rep[("non_negative", "v")]["passed"]  # min = -1
+    assert rep[("max", "v")]["passed"]
+    # NULL counts as a domain miss
+    assert rep[("values_in", "s")]["metric"] == 0.75
+    assert not rep[("values_in", "s")]["passed"]
+    with pytest.raises(ValueError, match="unknown constraint"):
+        prof.check_constraints(df, [("bogus", "k", 1)]).collect()

@@ -1164,6 +1164,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     quantize: int = 1_000_000,
     centroids: DataFrame | None = None,
+    _assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540, public literature): k-means-cluster the embedding
@@ -1186,10 +1187,13 @@ def semantic_dup_pairs(
     from .similarity import _cosine, _dot, _quantized, ivf_assign, kmeans_train
 
     if centroids is None:
+        # k tiny rows with a deep Lloyd lineage behind them — checkpoint
+        # so each downstream use (assignment, both join sides) doesn't
+        # replay the training aggregates
         centroids = kmeans_train(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
-        )
-    assign = ivf_assign(
+        ).localCheckpoint()
+    assign = _assign if _assign is not None else ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
     )
     vecs = (
@@ -1242,15 +1246,19 @@ def semantic_prune(
     keep cluster exemplars and drop high-similarity followers).
 
     Returns the kept rows as (``id_col``, centroid_id). The pruned set
-    is the input ids minus these. One extra shuffle over
-    :func:`semantic_dup_pairs` (the distinct on pruned ids + anti-join).
+    is the input ids minus these. The cluster assignment is computed
+    once, localCheckpointed (narrow: two ints per doc), and shared
+    between the pair join and the kept-set anti-join.
     """
     from .similarity import ivf_assign, kmeans_train
 
     if centroids is None:
         centroids = kmeans_train(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
-        )
+        ).localCheckpoint()
+    assign = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
+    ).localCheckpoint()
     pairs = semantic_dup_pairs(
         corpus,
         threshold=threshold,
@@ -1258,9 +1266,7 @@ def semantic_prune(
         vec_col=vec_col,
         quantize=quantize,
         centroids=centroids,
-    )
-    assign = ivf_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
+        _assign=assign,
     )
     pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return assign.join(pruned, id_col, "left_anti").select(id_col, "centroid_id")

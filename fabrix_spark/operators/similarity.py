@@ -250,6 +250,17 @@ def ivf_assign(
             "__cos"
         ),
     )
+    if n_probe == 1:
+        # nearest-only: a max_by hash aggregate (map-side partials, no
+        # sort) instead of a window — the ordering struct (cos desc,
+        # centroid asc via negation) is unique per row, so the result
+        # is identical to the row_number path bit-for-bit
+        return scored.groupBy(id_col).agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("__nc")),
+            ).alias("centroid_id")
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("__r", F.row_number().over(w))

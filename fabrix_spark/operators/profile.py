@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints"]
+__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -243,3 +243,45 @@ def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("c")).select("c.*")
+
+
+def row_constraints(rules: list[tuple]):
+    """Row-level form of the :func:`check_constraints` rule grammar —
+    the subset decidable per row — compiled to
+    ``(predicate Column, reason Column)``: predicate is the
+    conjunction (NULL-safe: an unevaluable rule fails the row), reason
+    names the FIRST violated rule (NULL when the row passes). This is
+    what a dead-letter ingest gate evaluates per record.
+
+    Rules: ("not_null", col), ("non_negative", col),
+    ("min", col, bound), ("max", col, bound),
+    ("values_in", col, values)."""
+    terms = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        c = F.col(col)
+        if kind == "not_null":
+            ok = c.isNotNull()
+            label = f"not_null({col})"
+        elif kind == "non_negative":
+            ok = F.coalesce(c >= 0, F.lit(False))
+            label = f"non_negative({col})"
+        elif kind == "min":
+            ok = F.coalesce(c >= F.lit(rule[2]), F.lit(False))
+            label = f"min({col},{rule[2]})"
+        elif kind == "max":
+            ok = F.coalesce(c <= F.lit(rule[2]), F.lit(False))
+            label = f"max({col},{rule[2]})"
+        elif kind == "values_in":
+            ok = F.coalesce(c.isin(list(rule[2])), F.lit(False))
+            label = f"values_in({col})"
+        else:
+            raise ValueError(f"unknown row constraint kind {kind!r}")
+        terms.append((ok, label))
+    pred = F.lit(True)
+    for ok, _ in terms:
+        pred = pred & ok
+    reason = F.lit(None).cast("string")
+    for ok, label in reversed(terms):
+        reason = F.when(~ok, F.lit(label)).otherwise(reason)
+    return pred, reason

@@ -34,6 +34,7 @@ __all__ = [
     "admit_batch",
     "stream_dedup_against_store",
     "stream_apply_changes",
+    "stream_validated_ingest",
     "stream_pq_ingest",
     "tumbling_window",
     "sliding_window",
@@ -426,3 +427,46 @@ def stream_interval_join(
         )
     )
     return l.join(r, cond)
+
+
+def stream_validated_ingest(
+    stream: DataFrame,
+    rules: list[tuple],
+    good,
+    quarantine,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Dead-letter ingestion gate: each micro-batch splits on the
+    row-level constraint conjunction
+    (:func:`fabrix_spark.operators.profile.row_constraints`); passing
+    rows append to the ``good`` lake table, failing rows go to the
+    ``quarantine`` table with a ``_fx_reason`` column naming the first
+    violated rule — nothing is silently dropped, and the quarantine is
+    re-processable once the rule or the data is fixed (the
+    Deequ/Delta-expectations ingestion pattern).
+
+    Both writes are atomic pointer commits (append = hard-link
+    assembled version), so readers of either table never observe a
+    partially-written batch. The split predicate is one codegen'd
+    expression evaluated once per row; the batch is localCheckpointed
+    so source files are read once per batch, not once per sink."""
+    from ..operators.profile import row_constraints
+
+    pred, reason = row_constraints(rules)
+
+    def _consume(batch: DataFrame, _bid: int) -> None:
+        batch = batch.localCheckpoint()
+        ok = batch.filter(pred)
+        bad = batch.filter(~pred).withColumn("_fx_reason", reason)
+        strategy = "append" if good.exists() else "replace"
+        good.save(ok, strategy)
+        if bad.limit(1).count() > 0:
+            q_strategy = "append" if quarantine.exists() else "replace"
+            quarantine.save(bad, q_strategy)
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -855,3 +855,55 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT event_id, r_event_id FROM ij_out").collect()
     assert [(r["event_id"], r["r_event_id"]) for r in rows] == [(1, 10)]
+
+
+def test_stream_validated_ingest_quarantines_bad_rows(spark, tmp_path):
+    """Dead-letter gate: rows violating row-level constraints land in
+    the quarantine table with a reason; good rows land in the main
+    table; nothing is lost."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_validated_ingest
+
+    rows = [
+        {"id": 1, "score": 0.5, "status": "ok"},
+        {"id": 2, "score": -1.0, "status": "ok"},      # non_negative fails
+        {"id": 3, "score": 0.9, "status": "weird"},    # values_in fails
+        {"id": 4, "score": None, "status": "ok"},      # not_null fails
+        {"id": 5, "score": 2.5, "status": "ok"},       # max fails
+    ]
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    good = LakeTable(spark, str(tmp_path / "good"), index="id")
+    quar = LakeTable(spark, str(tmp_path / "quarantine"), index="id")
+    q = stream_validated_ingest(
+        read_stream_json(spark, str(src), schema=schema),
+        [
+            ("not_null", "score"),
+            ("non_negative", "score"),
+            ("max", "score", 1.0),
+            ("values_in", "status", ["ok", "retry"]),
+        ],
+        good,
+        quar,
+        checkpoint=str(tmp_path / "vckpt"),
+    )
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in good.read().df.collect()) == [1]
+    bad = {r["id"]: r["_fx_reason"] for r in quar.read().df.collect()}
+    assert set(bad) == {2, 3, 4, 5}  # total coverage: good + bad == input
+    assert bad[2] == "non_negative(score)"
+    assert bad[3] == "values_in(status)"
+    assert bad[4] == "not_null(score)"
+    assert bad[5] == "max(score,1.0)"

@@ -32,6 +32,7 @@ __all__ = [
     "tfidf_top_terms",
     "mask_pii",
     "normalize_text",
+    "edit_distance_pairs",
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
 ]
@@ -442,4 +443,54 @@ def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 "dup_bigram_char_frac"
             ),
         )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    block,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance self-join — the record-linkage/entity-
+    resolution primitive (near-identical identifiers, fat-fingered
+    keys): candidate pairs must share the ``block`` key (a column name
+    or Column expression — the classic blocking step that keeps the
+    join an equi-join instead of a cross product), pass a length
+    pre-filter (|len(a)-len(b)| > max_dist can never match — pruned
+    before any distance is computed), and verify with exact
+    levenshtein <= ``max_dist``.
+
+    Scale: one shuffle on the block key; cost is Σ block² × distance,
+    so choose blocks the way LSH bands are chosen — small and many.
+    Levenshtein is a JVM built-in on both engines with identical
+    semantics, so the pair set is fully oracled. (At very large block
+    sizes Spark >= 3.5's threshold'd ``levenshtein(l, r, k)`` early-
+    exits the DP; it returns -1 above k, which DuckDB can't mirror, so
+    this oracle-checked form keeps the two-argument version.)
+
+    Returns (a_id, b_id, edit_distance) with a_id < b_id."""
+    blk = F.col(block) if isinstance(block, str) else block
+    sides = df.select(
+        F.col(id_col).alias("__id"), F.col(col).alias("__s"), blk.alias("__blk")
+    )
+    a = sides.select(
+        F.col("__id").alias("a_id"), F.col("__s").alias("__a"), "__blk"
+    )
+    b = sides.select(
+        F.col("__id").alias("b_id"), F.col("__s").alias("__b"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.abs(F.length("__a") - F.length("__b")) <= F.lit(max_dist)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("__a", "__b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= F.lit(max_dist))
     )

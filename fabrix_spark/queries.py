@@ -4085,6 +4085,35 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# record linkage
+# ===========================================================================
+
+
+@register(
+    "d_fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       levenshtein(a.c_name, b.c_name) AS edit_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def d_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance: customer names
+    within levenshtein 2 of each other inside a nation block (the
+    near-identical-identifier / fat-finger detector). Blocking keeps
+    it an equi-join; the length pre-filter prunes before any DP runs;
+    the exact distance verifies — fully oracled since levenshtein
+    semantics match across engines."""
+    c = _t(spark, sf_dir, "customer")
+    return text.edit_distance_pairs(
+        c, col="c_name", id_col="c_custkey", block="c_nationkey", max_dist=2
+    )
+
+
+# ===========================================================================
 # data-quality constraint validation
 # ===========================================================================
 

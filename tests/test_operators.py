@@ -1091,3 +1091,23 @@ def test_check_constraints_report(spark):
     assert not rep[("values_in", "s")]["passed"]
     with pytest.raises(ValueError, match="unknown constraint"):
         prof.check_constraints(df, [("bogus", "k", 1)]).collect()
+
+
+def test_edit_distance_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "kitten", "x"),
+            (2, "sitten", "x"),   # dist 1 from kitten
+            (3, "sitting", "x"),  # dist 2 from sitten, 3 from kitten
+            (4, "kitten", "y"),   # other block: never paired with 1
+            (5, "ki", "x"),       # length prefilter removes vs all x
+        ],
+        "id long, s string, blk string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["edit_distance"]
+        for r in text.edit_distance_pairs(
+            df, col="s", id_col="id", block="blk", max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 2}

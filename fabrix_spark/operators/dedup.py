@@ -827,6 +827,7 @@ def _cc_min_label(
     labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -849,6 +850,15 @@ def _cc_min_label(
             break
         # cut the growing lineage so iteration stays O(1) per round
         labels = labels.localCheckpoint(eager=True)
+    if changed != 0:
+        # silently returning partial components would split clusters —
+        # the worst dedup failure mode (duplicates survive). Long-
+        # diameter graphs are what strategy='star' exists for.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iterations or use strategy='star'"
+        )
     return labels
 
 

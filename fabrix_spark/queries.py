@@ -4113,6 +4113,60 @@ def d_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_entity_resolution",
+    oracle="""
+WITH RECURSIVE fpairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS node, min(dst) AS m FROM reach GROUP BY src),
+clus AS (
+  SELECT c.c_custkey,
+         CAST(least(c.c_custkey, coalesce(cm.m, c.c_custkey)) AS BIGINT) AS cluster_id
+  FROM customer c LEFT JOIN comp cm ON cm.node = c.c_custkey
+),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM clus GROUP BY 1)
+SELECT s.cluster_id, c.c_name AS canonical_name, s.cluster_size
+FROM sizes s JOIN customer c ON c.c_custkey = s.cluster_id
+WHERE s.cluster_size >= 2
+""",
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution as ONE composed plan: blocked
+    edit-distance candidate pairs (nation block, levenshtein <= 1) →
+    connected components (iterative min-label propagation) → canonical
+    record per merged cluster with its size. The oracle re-derives the
+    same merge with a recursive CTE — verifying blocking, distance,
+    clustering, and canonical selection together."""
+    c = _t(spark, sf_dir, "customer")
+    pairs = text.edit_distance_pairs(
+        c, col="c_name", id_col="c_custkey", block="c_nationkey", max_dist=1
+    ).select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    # star contraction: single-digit-substitution graphs have long
+    # diameters, where per-hop label propagation would need one round
+    # per hop (it RAISES past its budget rather than split clusters)
+    clusters = dedup.dup_clusters(c, pairs, id_col="c_custkey", strategy="star")
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    canon = dedup.keep_canonical(c, clusters, id_col="c_custkey")
+    return (
+        canon.join(sizes, canon.c_custkey == sizes.cluster_id)
+        .filter(F.col("cluster_size") >= 2)
+        .select("cluster_id", F.col("c_name").alias("canonical_name"), "cluster_size")
+    )
+
+
 # ===========================================================================
 # data-quality constraint validation
 # ===========================================================================

@@ -1111,3 +1111,17 @@ def test_edit_distance_pairs_blocked(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (2, 3): 2}
+
+
+def test_cc_label_raises_past_iteration_budget(spark):
+    # a path graph of diameter 6 cannot converge in 2 rounds — the
+    # label strategy must REFUSE rather than silently split the chain
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(nodes, pairs, max_iterations=2).collect()
+    # star handles the same graph within the budget
+    got = dedup.dup_clusters(nodes, pairs, max_iterations=6, strategy="star").collect()
+    assert {r["cluster_id"] for r in got} == {0}

@@ -543,6 +543,39 @@ class LakeTable:
             json.dump({"version": 1, "files": files}, f)
         os.replace(tmp, os.path.join(vdir, _MANIFEST))
 
+    def _write_commit_info(self, ver: str, op: str) -> None:
+        """Record what produced a version (``_commit.json`` in the
+        version tree): operation name, wall-clock timestamp, and the
+        row count folded from the manifest — the DESCRIBE HISTORY
+        surface of a table format."""
+        vdir = os.path.join(self.path, ver)
+        man = self._load_manifest(vdir).get("files", {})
+        rows: int | None = 0
+        for st in man.values():
+            r = st.get("rows")
+            rows = None if (rows is None or r is None) else rows + r
+        info = {"op": op, "ts": time.time(), "rows": rows, "files": len(man)}
+        tmp = os.path.join(vdir, f"_commit_tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(info, f)
+        os.replace(tmp, os.path.join(vdir, "_commit.json"))
+
+    def history(self) -> list[dict]:
+        """Commit log of the versions still on disk, oldest → newest:
+        one dict per version with (version, op, ts, rows, files, live).
+        Versions written before commit info existed report op=None.
+        Metadata-only — two small JSON reads per retained version."""
+        live = self._current_version()
+        out = []
+        for v in self.versions():
+            try:
+                with open(os.path.join(self.path, v, "_commit.json")) as f:
+                    info = json.load(f)
+            except (OSError, ValueError):
+                info = {"op": None, "ts": None, "rows": None, "files": None}
+            out.append({"version": v, "live": v == live, **info})
+        return out
+
     @staticmethod
     def _load_manifest(vdir: str) -> dict:
         try:
@@ -715,7 +748,7 @@ class LakeTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-            self._commit_version(self._write_version(clustered))
+            self._commit_version(self._write_version(clustered), op="optimize")
 
     # -- bucket partitioning ------------------------------------------------
 
@@ -811,7 +844,7 @@ class LakeTable:
                 except OSError:
                     shutil.copy2(sp, dp)
 
-    def _commit_version(self, ver: str) -> None:
+    def _commit_version(self, ver: str, op: str = "write") -> None:
         """Atomically make ``ver`` the live tree.
 
         Order matters: (1) prove the new tree readable — a failure here
@@ -831,6 +864,7 @@ class LakeTable:
                 f"unchanged (pointer not moved), bad output kept for inspection"
             ) from e
         self._write_manifest(ver)
+        self._write_commit_info(ver, op)
         prev = self._current_version()
         legacy = self._legacy_entries() if prev is None else []
         tmp = os.path.join(self.path, f"_current_tmp_{uuid.uuid4().hex[:8]}")
@@ -899,9 +933,12 @@ class LakeTable:
         with self._maybe_lock():
             if mode == "append" and self.exists():
                 self._check_bucket_layout()
-                self._commit_version(self._append_version(df))
+                self._commit_version(self._append_version(df), op="append")
                 return
-            self._commit_version(self._write_version(df))
+            self._commit_version(
+                self._write_version(df),
+                op={"overwrite": "replace", "errorifexists": "create", "append": "create"}[mode],
+            )
 
     def save(self, fx: FxFrame | DataFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> None:
         df = fx.df if isinstance(fx, FxFrame) else fx
@@ -937,18 +974,18 @@ class LakeTable:
         new = fx.df if isinstance(fx, FxFrame) else fx
         with self._maybe_lock():
             if not self.exists():
-                self._commit_version(self._write_version(new))
+                self._commit_version(self._write_version(new), op="upsert")
                 return
             self._check_bucket_layout()
             if self.buckets:
                 ver = self._upsert_bucketed(new, key)
                 if ver is not None:
-                    self._commit_version(ver)
+                    self._commit_version(ver, op="upsert")
                 return
             current = self._read_raw()
             kept = current.join(new.select(key), on=key, how="left_anti")
             merged = kept.unionByName(new, allowMissingColumns=self.merge_schema)
-            self._commit_version(self._write_version(merged))
+            self._commit_version(self._write_version(merged), op="upsert")
 
     def _upsert_bucketed(self, new: DataFrame, key: str) -> str | None:
         new = self._with_bucket(new)
@@ -1043,7 +1080,7 @@ class LakeTable:
         touched_keys = changes.select(key)
         with self._maybe_lock():
             if not self.exists():
-                self._commit_version(self._write_version(ups))
+                self._commit_version(self._write_version(ups), op="apply_changes")
                 return
             self._check_bucket_layout()
             current = self._read_raw()
@@ -1051,7 +1088,7 @@ class LakeTable:
             merged = kept.unionByName(
                 self._with_bucket(ups), allowMissingColumns=self.merge_schema
             )
-            self._commit_version(self._write_version(merged))
+            self._commit_version(self._write_version(merged), op="apply_changes")
 
     def delete(self, d) -> int:
         """Execute a Delete ADT against the lake table — the same
@@ -1076,7 +1113,7 @@ class LakeTable:
             remaining = current.filter(~F.coalesce(condition, F.lit(False)))
             ver = self._write_version(remaining)
             after = self.spark.read.parquet(os.path.join(self.path, ver)).count()
-            self._commit_version(ver)
+            self._commit_version(ver, op="delete")
             return before - after
 
 
@@ -1126,7 +1163,7 @@ def compact(
         total_bytes = sum(os.path.getsize(f) for f in files_before)
         df = spark.read.parquet(cur)
         ver = t._write_version(_compact_plan(df, target_file_mb, total_bytes))
-        t._commit_version(ver)
+        t._commit_version(ver, op="compact")
     files_after = _glob.glob(
         os.path.join(t.current_dir(), "**", "*.parquet"), recursive=True
     )

@@ -915,3 +915,17 @@ def test_scan_pruning_soundness_fuzz(spark, tmp_path, rows, where, files):
     got = sorted(r["rid"] for r in t.scan(where).df.collect())
     want = sorted(r["rid"] for r in t.read().df.filter(_where_to_column(where)).collect())
     assert got == want
+
+
+def test_history_records_operations(spark, fx, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), index="id", retain=5)
+    t.save(fx, SaveStrategy.REPLACE)
+    t.save(fx, SaveStrategy.APPEND)
+    t.upsert(fx)
+    t.delete_where(F.col("id") == 1)
+    h = t.history()
+    assert [e["op"] for e in h] == ["replace", "append", "upsert", "delete"]
+    assert [e["live"] for e in h] == [False, False, False, True]
+    # upsert collapses the duplicate ids the append introduced
+    assert [e["rows"] for e in h] == [4, 8, 4, 3]
+    assert all(e["ts"] is not None for e in h)

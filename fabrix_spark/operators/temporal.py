@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "resample_ffill"]
 
 
 def asof_join(
@@ -141,3 +141,63 @@ def interval_join(
         (F.col(r_on_col) >= F.col("__lo")) & (F.col(r_on_col) <= F.col("__hi"))
     )
     return joined.drop("__lo", "__hi").drop(l["__bucket"]).drop(r["__bucket"]).drop(*rby)
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample each key's irregular observations onto a regular
+    ``unit`` grid (hour/day/...) with forward fill — the
+    time-series-regularization step before windowed features or
+    charting. Per key the grid spans floor(min ts) .. floor(max ts);
+    the value at each grid instant is the most recent observation at
+    or before it (NULL before the first observation).
+
+    Plan: one tiny per-key bounds aggregate → sequence/explode grid
+    (map-side) → union with observations → ONE window pass
+    (last non-null over rows-preceding frame). Everything partitions
+    by key; no self-join, no driver loop. Ordering is made fully
+    deterministic — (ts, grid-after-observation, value NULLS FIRST) —
+    so ties resolve identically on any engine and the result
+    hash-verifies.
+
+    Returns (key_col, grid_ts, value_col)."""
+    k, ts, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    ts_type = df.schema[ts_col].dataType
+    # date_trunc returns a tz-aware timestamp even over NTZ input —
+    # cast grid instants back to the INPUT's timestamp type so the
+    # union and the output stay type-stable
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts)).cast(ts_type).alias("__t0"),
+        F.date_trunc(unit, F.max(ts)).cast(ts_type).alias("__t1"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"interval 1 {unit}"))
+        ).alias(ts_col),
+    ).select(
+        key_col,
+        F.col(ts_col).cast(ts_type).alias(ts_col),
+        F.lit(None).cast("double").alias(value_col),
+        F.lit(1).alias("__grid"),
+    )
+    obs = df.select(key_col, ts_col, v.cast("double").alias(value_col)).withColumn(
+        "__grid", F.lit(0)
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts.asc(), F.col("__grid").asc(), v.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionByName(grid).withColumn(
+        "__filled", F.last(value_col, ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("__grid") == 1)
+        .select(k, ts.alias("grid_ts"), F.col("__filled").alias(value_col))
+    )

@@ -2111,6 +2111,46 @@ def tj_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tj_resample_hourly",
+    oracle="""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS DOUBLE) AS value, 1 AS g
+  FROM b
+),
+allrows AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS value, 0 AS g FROM events
+  UNION ALL SELECT user_id, ts, value, g FROM grid
+),
+filled AS (
+  SELECT user_id, ts, g,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, g ASC, value ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM allrows
+)
+SELECT user_id, ts AS grid_ts, fv AS value FROM filled WHERE g = 1
+""",
+)
+def tj_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's irregular event stream onto an hourly
+    grid with forward fill (most recent observation at or before each
+    grid instant; NULL before the first) — the time-series resampling
+    pass before windowed features. One bounds aggregate, a map-side
+    sequence/explode grid, one window pass; fully deterministic
+    ordering, so the fill itself hash-verifies."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return temporal.resample_ffill(
+        e, ts_col="ts", key_col="user_id", value_col="value", unit="hour"
+    )
+
+
 # ===========================================================================
 # dedup operators (documents)
 # ===========================================================================

@@ -87,3 +87,26 @@ def test_asof_prefixes_colliding_right_columns(spark):
     row = asof_join(left, right, on="ts", right_cols=["v"]).collect()[0]
     assert row["v"] == 9.0  # left's own column intact
     assert row["r_v"] == 5.0  # right value arrives prefixed
+
+
+def test_resample_ffill_model(spark):
+    from fabrix_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 02:30:00", 2.0),
+        (2, "2024-01-01 05:59:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], str(r["grid_ts"])): r["value"]
+        for r in resample_ffill(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): None,   # grid before first obs
+        (1, "2024-01-01 01:00:00"): 1.0,    # carried forward
+        (1, "2024-01-01 02:00:00"): 1.0,    # 02:30 obs is after 02:00
+        (2, "2024-01-01 05:00:00"): None,   # single-hour span, obs later
+    }

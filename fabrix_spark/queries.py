@@ -38,6 +38,7 @@ from .plans import (
     ParquetDirProvider,
     Select,
     compile_select,
+    render_filter,
     render_select,
     with_primary_key,
 )
@@ -4395,6 +4396,42 @@ def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return fx.df.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+# the SAME ADT drives the Spark scan (predicate + file pruning) and the
+# oracle SQL — the executable-golden pattern the adt_* family uses,
+# extended to the lake's data-skipping path
+_ADT_LAKE_FILTER = [
+    Cond("l_quantity", "between", (20, 25)),
+    AND,
+    Nest(
+        [
+            Cond("l_extendedprice", "ge", 30000.0),
+            AND,
+            Cond("l_extendedprice", "le", 60000.0),
+        ]
+    ),
+]
+
+
+@register(
+    "adt_lake_scan",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem WHERE {render_filter(_ADT_LAKE_FILTER)}
+""",
+)
+def adt_lake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fabrix Select-ADT filter grammar driving the lake's
+    data-skipping scan: the token tree compiles to the residual
+    predicate AND to manifest prune terms (conjunction-implied only),
+    while the oracle renders the SAME tree to SQL over the raw table —
+    one source of truth for filter semantics, file pruning, and the
+    cross-engine check."""
+    t = _prebuilt_zorder_lake(spark, sf_dir)
+    return t.scan_adt(_ADT_LAKE_FILTER).df.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
     )
 

@@ -305,6 +305,57 @@ def _file_may_match(stats: dict, part_vals: dict, where: list[tuple]) -> bool:
     return True
 
 
+_ADT_PRUNE_OPS = {
+    "eq": "=",
+    "gt": ">",
+    "ge": ">=",
+    "lt": "<",
+    "le": "<=",
+    "in": "in",
+    "between": "between",
+    "is_null": "is_null",
+    "is_not_null": "not_null",
+}
+
+
+def _adt_prune_terms(tokens) -> list[tuple]:
+    """Extract the prune terms IMPLIED by a fabrix ADT filter token
+    tree. Only a pure conjunction yields terms: any OR at a level
+    discards that level entirely; a NOT skips its operand; ne/like
+    conditions (not prunable from min/max stats) are skipped — all
+    sound, because every returned term is a necessary condition of the
+    full filter. Returns [] when nothing is extractable."""
+    from ..plans.adt import Cond, Nest, _Token
+
+    out: list[tuple] = []
+    if any(isinstance(t, _Token) and t.kind == "OR" for t in tokens):
+        return []
+    skip_next = False
+    for t in tokens:
+        if isinstance(t, _Token):
+            if t.kind == "NOT":
+                skip_next = True
+            continue
+        if skip_next:
+            skip_next = False
+            continue
+        if isinstance(t, Nest):
+            out.extend(_adt_prune_terms(t.tokens))
+        elif isinstance(t, Cond):
+            op = _ADT_PRUNE_OPS.get(t.op)
+            if op is None:
+                continue
+            if op == "between":
+                out.append((t.col, op, t.value[0], t.value[1]))
+            elif op == "in":
+                out.append((t.col, op, list(t.value)))
+            elif op in ("is_null", "not_null"):
+                out.append((t.col, op))
+            else:
+                out.append((t.col, op, t.value))
+    return out
+
+
 def _where_to_column(where: list[tuple]):
     """Compile the prune conjunction to a Spark Column — pruning is an
     optimization, the full predicate is always re-applied to the rows
@@ -658,6 +709,22 @@ class LakeTable:
                 cols[c] = None
         return {"rows": rows, "files": len(man), "cols": cols}
 
+    def scan_adt(self, filter_tokens) -> FxFrame:
+        """Manifest-pruned read driven by the fabrix Select-ADT filter
+        grammar: the SAME token tree the reference serializes
+        (sql_adt.rs Condition/AND/OR/Nest) compiles to the residual
+        Column predicate AND — where it forms a conjunction — to prune
+        terms for file skipping. Sound by construction: only terms the
+        whole filter IMPLIES are used (an OR at any level contributes
+        nothing; NOT/ne/like terms are skipped), and the full predicate
+        always re-applies to surviving files."""
+        from ..plans.compiler import compile_filter
+
+        cond = compile_filter(filter_tokens)
+        terms = _adt_prune_terms(filter_tokens)
+        kept = self.pruned_files(terms)[0] if terms else None
+        return self._read_pruned(kept, cond)
+
     def scan(self, where: list[tuple] | None = None) -> FxFrame:
         """Manifest-pruned read: files whose footer statistics prove
         they cannot contain a matching row are never handed to Spark
@@ -668,10 +735,16 @@ class LakeTable:
         construction; with no ``where`` it IS :meth:`read`."""
         if not where:
             return self.read()
-        cur = self.current_dir()
         kept, _total = self.pruned_files(where)
-        cond = _where_to_column(where)
-        if not kept:  # provably empty — still typed like the table
+        return self._read_pruned(kept, _where_to_column(where))
+
+    def _read_pruned(self, kept: list[str] | None, cond) -> FxFrame:
+        """Read `kept` relative paths (None = all files) and apply the
+        residual predicate."""
+        cur = self.current_dir()
+        if kept is None:
+            df = self._read_raw().filter(cond)
+        elif not kept:  # provably empty — still typed like the table
             df = self._read_raw().filter(F.lit(False))
         else:
             df = (

@@ -929,3 +929,38 @@ def test_history_records_operations(spark, fx, tmp_path):
     # upsert collapses the duplicate ids the append introduced
     assert [e["rows"] for e in h] == [4, 8, 4, 3]
     assert all(e["ts"] is not None for e in h)
+
+
+def test_adt_scan_prunes_and_matches(spark, tmp_path):
+    from fabrix_spark.plans import AND, Cond, Nest, NOT, OR
+    from fabrix_spark.sources.lake import _adt_prune_terms
+
+    t = _mk_range_table(spark, str(tmp_path / "t"))
+    flt = [Cond("k", "between", (100, 199)), AND, Nest([Cond("m", "ge", 0)])]
+    got = sorted(r["k"] for r in t.scan_adt(flt).df.collect())
+    assert got == list(range(100, 200))
+    # the conjunction's terms prune files
+    terms = _adt_prune_terms(flt)
+    kept, total = t.pruned_files(terms)
+    assert len(kept) < total
+
+    # OR at any level yields NO terms (sound: nothing is implied)
+    assert _adt_prune_terms([Cond("k", "eq", 1), OR, Cond("k", "eq", 900)]) == []
+    # but the full predicate still evaluates correctly un-pruned
+    got_or = sorted(
+        r["k"]
+        for r in t.scan_adt([Cond("k", "eq", 1), OR, Cond("k", "eq", 900)]).df.collect()
+    )
+    assert got_or == [1, 900]
+    # NOT skips its operand; surrounding AND terms still prune
+    terms_not = _adt_prune_terms(
+        [Cond("k", "le", 50), AND, NOT, Cond("m", "eq", 3)]
+    )
+    assert terms_not == [("k", "<=", 50)]
+    got_not = sorted(
+        r["k"]
+        for r in t.scan_adt([Cond("k", "le", 50), AND, NOT, Cond("m", "eq", 3)]).df.collect()
+    )
+    assert got_not == [k for k in range(51) if k % 7 != 3]
+    # ne/like are not prunable and are skipped
+    assert _adt_prune_terms([Cond("s", "like", "row_%"), AND, Cond("k", "ne", 5)]) == []

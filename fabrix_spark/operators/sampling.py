@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "hash_bucket",
@@ -24,6 +25,7 @@ __all__ = [
     "rebalance_groups",
     "temperature_mixture",
     "weighted_sample",
+    "interleave_sources",
 ]
 
 _BUCKETS = 10_000
@@ -240,4 +242,39 @@ def rebalance_groups(
         df.join(F.broadcast(cuts), group_col)
         .filter(hash_bucket(F.col(key), _BUCKETS, salt) < F.col("__cut"))
         .drop("__cut")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic multi-corpus mixing schedule — the order training
+    examples from several sources are fed at a given mixture ratio:
+    each source is deterministically shuffled (md5-hash order, the
+    repo's seedless-shuffle idiom), every row gets the virtual
+    position rank/weight, and the global feed order sorts by position
+    (a source with weight 2 appears twice as often per unit of
+    schedule). Pure window functions — two passes, no driver state,
+    reproducible bit-for-bit on any engine.
+
+    Returns (id_col, source_col, rn, mix_order): rn = the row's rank
+    within its source's shuffle, mix_order = its global feed position.
+    """
+    w_src = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")).asc(), F.col(id_col).asc()
+    )
+    weight = F.lit(float(default_weight))
+    for name, w in (weights or {}).items():
+        weight = F.when(F.col(source_col) == name, F.lit(float(w))).otherwise(weight)
+    ranked = df.select(id_col, source_col).withColumn(
+        "rn", F.row_number().over(w_src)
+    )
+    pos = F.col("rn") / weight
+    w_glob = Window.orderBy(pos.asc(), F.col(source_col).asc(), F.col("rn").asc())
+    return ranked.withColumn(
+        "mix_order", F.row_number().over(w_glob).cast("long")
     )

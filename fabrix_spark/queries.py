@@ -4125,6 +4125,37 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "smp_interleave",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rn
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, rn,
+         rn / CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.0 ELSE 1.0 END AS DOUBLE) AS pos
+  FROM r
+)
+SELECT doc_id, source, rn,
+       CAST(row_number() OVER (ORDER BY pos ASC, source ASC, rn ASC) AS BIGINT) AS mix_order
+FROM p
+""",
+)
+def smp_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixing schedule: sources src0-src2 at
+    weight 2, the rest at 1 — every document gets its global feed
+    position, reproducible bit-for-bit (md5-shuffle within source,
+    rank/weight interleave across sources)."""
+    return sampling.interleave_sources(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 2.0, "src1": 2.0, "src2": 2.0},
+    ).withColumn("rn", F.col("rn").cast("long"))
+
+
 # ===========================================================================
 # record linkage
 # ===========================================================================

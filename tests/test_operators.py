@@ -1125,3 +1125,22 @@ def test_cc_label_raises_past_iteration_budget(spark):
     # star handles the same graph within the budget
     got = dedup.dup_clusters(nodes, pairs, max_iterations=6, strategy="star").collect()
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_interleave_sources_ratio_and_determinism(spark):
+    from fabrix_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b") for i in range(60)], "doc_id long, source string"
+    )
+    out = sampling.interleave_sources(df, weights={"a": 2.0}).collect()
+    order = [r["source"] for r in sorted(out, key=lambda r: r["mix_order"])]
+    # weight 2 source appears ~2x as often early in the schedule
+    head = order[:30]
+    assert head.count("a") == 20 and head.count("b") == 10
+    assert sorted(r["mix_order"] for r in out) == list(range(1, 61))  # total, no gaps
+    # determinism under re-partitioning
+    again = sampling.interleave_sources(df.repartition(7), weights={"a": 2.0}).collect()
+    assert {(r["doc_id"], r["mix_order"]) for r in again} == {
+        (r["doc_id"], r["mix_order"]) for r in out
+    }

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints"]
+__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -285,3 +285,40 @@ def row_constraints(rules: list[tuple]):
     for ok, label in reversed(terms):
         reason = F.when(~ok, F.lit(label)).otherwise(reason)
     return pred, reason
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Materialize the KMV sketch itself — the k smallest distinct
+    hashes as a one-column (h) DataFrame. Sketches are tiny (k longs),
+    storable as tables, and mergeable: :func:`kmv_merge_estimate` of
+    per-shard/per-day sketches equals the estimate over the union,
+    which is what makes distinct-counting at 100 TB a metadata-sized
+    problem (sketch once per partition, merge forever)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_kmv_hash(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge_estimate(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Merge KMV sketches (union → distinct → k smallest) and estimate
+    the distinct count of the UNDERLYING union — identical to running
+    :func:`kmv_distinct` over the concatenated raw data, because
+    "k smallest of a union" == "k smallest of the union of k-smallest
+    sets". Returns one row (n_seen, est_distinct)."""
+    if not sketches:
+        raise ValueError("kmv_merge_estimate needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    mins = u.distinct().orderBy("h").limit(k)
+    top = mins.agg(F.count("*").alias("n_seen"), F.max("h").alias("__hk"))
+    return top.select(
+        "n_seen",
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double"))
+        .alias("est_distinct"),
+    )

@@ -1144,3 +1144,16 @@ def test_interleave_sources_ratio_and_determinism(spark):
     assert {(r["doc_id"], r["mix_order"]) for r in again} == {
         (r["doc_id"], r["mix_order"]) for r in out
     }
+
+
+def test_kmv_sketches_merge_exactly(spark):
+    from fabrix_spark.operators import profile as prof
+
+    df = spark.range(4000).select((F.col("id") % 900).alias("v"))
+    halves = [df.filter(F.col("v") < 450), df.filter(F.col("v") >= 450)]
+    merged = prof.kmv_merge_estimate(
+        [prof.kmv_sketch(h, "v", k=64) for h in halves], k=64
+    ).first()
+    direct = prof.kmv_distinct(df, "v", k=64).first()
+    assert merged["est_distinct"] == direct["est_distinct"]
+    assert merged["n_seen"] == direct["n_seen"]

@@ -318,42 +318,59 @@ _ADT_PRUNE_OPS = {
 }
 
 
-def _adt_prune_terms(tokens) -> list[tuple]:
-    """Extract the prune terms IMPLIED by a fabrix ADT filter token
-    tree. Only a pure conjunction yields terms: any OR at a level
-    discards that level entirely; a NOT skips its operand; ne/like
-    conditions (not prunable from min/max stats) are skipped — all
-    sound, because every returned term is a necessary condition of the
-    full filter. Returns [] when nothing is extractable."""
-    from ..plans.adt import Cond, Nest, _Token
+def _adt_cond_term(c) -> tuple | None:
+    """Cond → prune term, or None for ops min/max stats can't refute
+    (ne, like)."""
+    op = _ADT_PRUNE_OPS.get(c.op)
+    if op is None:
+        return None
+    if op == "between":
+        return (c.col, op, c.value[0], c.value[1])
+    if op == "in":
+        return (c.col, op, list(c.value))
+    if op in ("is_null", "not_null"):
+        return (c.col, op)
+    return (c.col, op, c.value)
 
-    out: list[tuple] = []
-    if any(isinstance(t, _Token) and t.kind == "OR" for t in tokens):
-        return []
-    skip_next = False
-    for t in tokens:
-        if isinstance(t, _Token):
-            if t.kind == "NOT":
-                skip_next = True
-            continue
-        if skip_next:
-            skip_next = False
-            continue
+
+def _adt_may_match(tokens, stats: dict, part_vals: dict) -> bool:
+    """Could a file with these footer stats contain a row satisfying
+    the ADT filter tree? Mirrors ``plans.compiler.compile_filter``'s
+    fold EXACTLY (AND binds tighter than OR, left-assoc, NOT applies
+    to the next operand, Nest recurses) over three-valued-to-sound-
+    boolean leaves: a Cond evaluates to "maybe" via its stats term
+    (unprunable ops → True), and NOT x is always True (knowing x MAY
+    match never proves NOT x can't). So OR trees prune per-disjunct —
+    a file must be refutable on EVERY disjunct to be skipped."""
+    from ..plans.adt import AND, NOT, OR, Cond, Nest
+
+    def leaf(t) -> bool:
         if isinstance(t, Nest):
-            out.extend(_adt_prune_terms(t.tokens))
-        elif isinstance(t, Cond):
-            op = _ADT_PRUNE_OPS.get(t.op)
-            if op is None:
-                continue
-            if op == "between":
-                out.append((t.col, op, t.value[0], t.value[1]))
-            elif op == "in":
-                out.append((t.col, op, list(t.value)))
-            elif op in ("is_null", "not_null"):
-                out.append((t.col, op))
-            else:
-                out.append((t.col, op, t.value))
-    return out
+            return _adt_may_match(t.tokens, stats, part_vals)
+        if isinstance(t, Cond):
+            term = _adt_cond_term(t)
+            if term is None:
+                return True
+            return _file_may_match(stats, part_vals, [term])
+        raise ValueError(f"unexpected token {t!r}")  # pragma: no cover
+
+    or_groups: list[bool] = []
+    current: bool | None = None
+    negate = False
+    for t in tokens:
+        if t is NOT:
+            negate = True
+        elif t is AND:
+            continue
+        elif t is OR:
+            or_groups.append(bool(current))
+            current = None
+        else:
+            v = True if negate else leaf(t)
+            negate = False
+            current = v if current is None else (current and v)
+    or_groups.append(bool(current))
+    return any(or_groups)
 
 
 def _where_to_column(where: list[tuple]):
@@ -713,16 +730,24 @@ class LakeTable:
         """Manifest-pruned read driven by the fabrix Select-ADT filter
         grammar: the SAME token tree the reference serializes
         (sql_adt.rs Condition/AND/OR/Nest) compiles to the residual
-        Column predicate AND — where it forms a conjunction — to prune
-        terms for file skipping. Sound by construction: only terms the
-        whole filter IMPLIES are used (an OR at any level contributes
-        nothing; NOT/ne/like terms are skipped), and the full predicate
-        always re-applies to surviving files."""
+        Column predicate AND is evaluated per file against the
+        manifest's stats — including OR trees (a file survives if ANY
+        disjunct may match) and NOT (conservatively never refuted).
+        The full predicate always re-applies to surviving files."""
         from ..plans.compiler import compile_filter
 
         cond = compile_filter(filter_tokens)
-        terms = _adt_prune_terms(filter_tokens)
-        kept = self.pruned_files(terms)[0] if terms else None
+        cur = self.current_dir()
+        man = self._load_manifest(cur).get("files", {})
+        kept = [
+            rel
+            for rel in self._data_files(cur)
+            if _adt_may_match(
+                filter_tokens,
+                man.get(rel) or {"rows": None, "cols": {}},
+                _partition_values(rel),
+            )
+        ]
         return self._read_pruned(kept, cond)
 
     def scan(self, where: list[tuple] | None = None) -> FxFrame:

@@ -933,34 +933,51 @@ def test_history_records_operations(spark, fx, tmp_path):
 
 def test_adt_scan_prunes_and_matches(spark, tmp_path):
     from fabrix_spark.plans import AND, Cond, Nest, NOT, OR
-    from fabrix_spark.sources.lake import _adt_prune_terms
+    from fabrix_spark.sources.lake import _adt_may_match, _partition_values
 
     t = _mk_range_table(spark, str(tmp_path / "t"))
+
+    def kept_count(flt):
+        cur = t.current_dir()
+        man = t._load_manifest(cur)["files"]
+        return sum(
+            _adt_may_match(flt, man[rel], _partition_values(rel))
+            for rel in t._data_files(cur)
+        )
+
     flt = [Cond("k", "between", (100, 199)), AND, Nest([Cond("m", "ge", 0)])]
     got = sorted(r["k"] for r in t.scan_adt(flt).df.collect())
     assert got == list(range(100, 200))
-    # the conjunction's terms prune files
-    terms = _adt_prune_terms(flt)
-    kept, total = t.pruned_files(terms)
-    assert len(kept) < total
+    assert kept_count(flt) < 10  # the conjunction prunes files
 
-    # OR at any level yields NO terms (sound: nothing is implied)
-    assert _adt_prune_terms([Cond("k", "eq", 1), OR, Cond("k", "eq", 900)]) == []
-    # but the full predicate still evaluates correctly un-pruned
-    got_or = sorted(
-        r["k"]
-        for r in t.scan_adt([Cond("k", "eq", 1), OR, Cond("k", "eq", 900)]).df.collect()
-    )
+    # OR prunes PER DISJUNCT: two point lookups keep ~2 of 10 files
+    flt_or = [Cond("k", "eq", 1), OR, Cond("k", "eq", 900)]
+    assert kept_count(flt_or) <= 3
+    got_or = sorted(r["k"] for r in t.scan_adt(flt_or).df.collect())
     assert got_or == [1, 900]
-    # NOT skips its operand; surrounding AND terms still prune
-    terms_not = _adt_prune_terms(
-        [Cond("k", "le", 50), AND, NOT, Cond("m", "eq", 3)]
-    )
-    assert terms_not == [("k", "<=", 50)]
-    got_not = sorted(
-        r["k"]
-        for r in t.scan_adt([Cond("k", "le", 50), AND, NOT, Cond("m", "eq", 3)]).df.collect()
-    )
+
+    # NOT is never refuted; the surrounding AND term still prunes
+    flt_not = [Cond("k", "le", 50), AND, NOT, Cond("m", "eq", 3)]
+    assert kept_count(flt_not) < 10
+    got_not = sorted(r["k"] for r in t.scan_adt(flt_not).df.collect())
     assert got_not == [k for k in range(51) if k % 7 != 3]
-    # ne/like are not prunable and are skipped
-    assert _adt_prune_terms([Cond("s", "like", "row_%"), AND, Cond("k", "ne", 5)]) == []
+
+    # ne/like are not prunable: everything survives, result still right
+    flt_like = [Cond("s", "like", "row\\_1%"), AND, Cond("k", "ne", 10)]
+    assert kept_count(flt_like) == 10
+    got_like = sorted(r["k"] for r in t.scan_adt(flt_like).df.collect())
+    assert got_like == sorted(
+        k for k in range(1000) if str(k).startswith("1") and k != 10
+    )
+
+    # mixed precedence: A OR B AND C == A OR (B AND C) — mirror compile_filter
+    flt_mix = [
+        Cond("k", "eq", 5),
+        OR,
+        Cond("k", "between", (800, 820)),
+        AND,
+        Cond("m", "ge", 0),
+    ]
+    got_mix = sorted(r["k"] for r in t.scan_adt(flt_mix).df.collect())
+    assert got_mix == [5] + list(range(800, 821))
+    assert kept_count(flt_mix) <= 3

@@ -37,6 +37,7 @@ __all__ = [
     "incremental_dedup_pairs",
     "simhash",
     "simhash_pairs",
+    "hamming_pairs",
     "embedding_dedup_pairs",
     "semantic_dup_pairs",
     "semantic_prune",
@@ -729,22 +730,42 @@ def simhash_pairs(
     Pigeonhole banding: split the signature into ``bands`` chunks; any
     pair within distance < bands shares ≥1 exact chunk, so the join is
     an equi-join on (chunk_idx, chunk_value) — never all-pairs."""
-    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     sigs = simhash(df, bits, text_col, id_col)
+    return hamming_pairs(
+        sigs, sig_col="simhash", id_col=id_col, bits=bits, bands=bands,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Generic banded Hamming near-dup join over any integer signature
+    column (SimHash text signatures, image average-hashes, …).
+
+    Pigeonhole banding: split the signature into ``bands`` chunks; any
+    pair within distance < bands shares ≥1 exact chunk, so the join is
+    an equi-join on (chunk_idx, chunk_value) — never all-pairs."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftright(F.col("simhash"), bi * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                F.shiftright(F.col(sig_col), bi * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
             )
             for bi in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(chunks).alias("bk")).select(
-        "__id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = sigs.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"), F.explode(chunks).alias("bk")
+    ).select("__id", "__sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -757,7 +778,7 @@ def simhash_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

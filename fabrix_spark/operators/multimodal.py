@@ -41,6 +41,8 @@ __all__ = [
     "decode_image_features",
     "decode_audio_features",
     "sample_frames",
+    "ahash_bmp",
+    "image_ahash",
 ]
 
 
@@ -229,3 +231,68 @@ def decode_audio_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA)
+
+
+def ahash_bmp(blob: bytes, grid: int = 8) -> int:
+    """Average hash (aHash — the classic perceptual image hash,
+    public technique): decode, grayscale, RESIZE to ``grid``×``grid``
+    by block means (the stdlib resize this container's lack of codec
+    libraries otherwise denies us), then one bit per cell — 1 iff the
+    cell mean exceeds the grid's mean. Near-identical images (noise,
+    re-encode, small edits) land within a few bits of Hamming
+    distance; the hash is deterministic, so signatures are
+    reproducible across runs and machines."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24bpp uncompressed BMP (got bpp={bpp})")
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    px = np.frombuffer(blob, dtype=np.uint8, count=stride * height, offset=data_off)
+    rows = px.reshape(height, stride)[:, : width * 3].astype(np.float64)
+    gray = rows.reshape(height, width, 3).mean(axis=2)
+    if flipped:
+        gray = gray[::-1]
+    # block-mean resize: split both axes into `grid` runs (sizes differ
+    # by at most 1 when not divisible) and average each cell
+    cells = np.empty((grid, grid), dtype=np.float64)
+    for i, rband in enumerate(np.array_split(gray, grid, axis=0)):
+        for j, cell in enumerate(np.array_split(rband, grid, axis=1)):
+            cells[i, j] = cell.mean() if cell.size else 0.0
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    h = 0
+    for i, b in enumerate(bits):
+        h |= int(b) << i
+    # fold to signed 64-bit (Spark LongType)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_ahash(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Per-image perceptual hashes via ``mapInPandas`` (Arrow-batched
+    decode, the multimodal hot-path shape). Returns (id, ahash long).
+    Pair with :func:`fabrix_spark.operators.dedup.hamming_pairs`
+    (bits=64) for banded image near-dup at corpus scale: signatures
+    are 8 bytes/image, candidates come from a chunk equi-join, and the
+    corpus of image bytes is read exactly once, here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                ids.append(_id)
+                hs.append(ahash_bmp(bytes(blob), grid))
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"), "ahash": pd.Series(hs, dtype="int64")}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema="id long, ahash long")

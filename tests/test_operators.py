@@ -1157,3 +1157,58 @@ def test_kmv_sketches_merge_exactly(spark):
     direct = prof.kmv_distinct(df, "v", k=64).first()
     assert merged["est_distinct"] == direct["est_distinct"]
     assert merged["n_seen"] == direct["n_seen"]
+
+
+def _bmp_from_array(arr) -> bytes:
+    """24bpp bottom-up BMP from an HxW grayscale uint8 array."""
+    import struct as _struct
+
+    h, w = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            v = int(arr[y, x])
+            row += bytes([v, v, v])
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def test_image_ahash_neardup(spark):
+    import numpy as np
+
+    from fabrix_spark.operators.multimodal import ahash_bmp, image_ahash
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 32)).astype("uint8")
+    near = base.copy()
+    near[:2, :2] = 255 - near[:2, :2]  # tiny local edit
+    other = rng.randint(0, 256, size=(32, 32)).astype("uint8")
+
+    h_base = ahash_bmp(_bmp_from_array(base))
+    h_near = ahash_bmp(_bmp_from_array(near))
+    h_other = ahash_bmp(_bmp_from_array(other))
+    d = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert d(h_base, h_near) <= 2
+    assert d(h_base, h_other) > 10
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_bmp_from_array(base))),
+            (2, bytearray(_bmp_from_array(near))),
+            (3, bytearray(_bmp_from_array(other))),
+        ],
+        "doc_id long, content binary",
+    )
+    sigs = image_ahash(df)
+    got = {r["id"]: r["ahash"] for r in sigs.collect()}
+    assert got == {1: h_base, 2: h_near, 3: h_other}
+    pairs = dedup.hamming_pairs(
+        sigs, sig_col="ahash", id_col="id", bits=64, bands=8, max_hamming=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]

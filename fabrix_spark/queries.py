@@ -4392,7 +4392,12 @@ def _prebuilt_zorder_lake(spark: SparkSession, sf_dir: str):
     t = _ZLAKE_CACHE.get(key)
     if t is None:
         root = os.path.join(tempfile.gettempdir(), "fabrix_zlake_cache", key)
-        t = LakeTable(spark, os.path.join(root, "t"), index="l_orderkey")
+        # retain=1: a CONCURRENT process may read the post-save version
+        # while this one commits the optimize rewrite — immediate GC
+        # would delete the tree under its scan (observed once as a
+        # transient sweep failure); one retained version closes that
+        # window at the cost of a hard-linked tree
+        t = LakeTable(spark, os.path.join(root, "t"), index="l_orderkey", retain=1)
         _ZLAKE_CACHE[key] = t
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     if not t.exists():

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join", "resample_ffill"]
+__all__ = ["asof_join", "interval_join", "resample_ffill", "rolling_zscore"]
 
 
 def asof_join(
@@ -200,4 +200,57 @@ def resample_ffill(
     return (
         filled.filter(F.col("__grid") == 1)
         .select(k, ts.alias("grid_ts"), F.col("__filled").alias(value_col))
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    window_rows: int = 10,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Per-key rolling z-score — the streaming-friendly anomaly
+    detector (is this observation far from its own recent history?).
+
+    Determinism contract (the hard part of oracling ANY variance):
+    the rolling count/sum/sum-of-squares are computed over the value
+    QUANTIZED to int64 (exact, order-free integers), and mean/std
+    derive from those exact moments in a fixed double-op sequence —
+    identical on every engine and partitioning, so even the z-score
+    doubles hash-match. A naive sum of doubles would drift in the last
+    ulp per accumulation order.
+
+    One window pass (ROWS window_rows-1 PRECEDING .. CURRENT ROW),
+    ordered by (ts, tiebreak) so frames are unambiguous. Rows whose
+    window has zero variance (or a single row) get z = NULL. Returns
+    the input keys + (n, z)."""
+    q = F.round(F.col(value_col).cast("double") * quantize).cast("long")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    with_m = (
+        df.withColumn("__q", q)
+        .withColumn("__n", F.count("__q").over(w))
+        .withColumn("__s", F.sum("__q").over(w))
+        .withColumn("__ss", F.sum(F.col("__q") * F.col("__q")).over(w))
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = (ss - s * s / n) / n
+    z = (F.col("__q").cast("double") - s / n) / F.sqrt(var)
+    return with_m.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.col("__n").alias("n"),
+        F.when((F.col("__n") > 1) & (var > 0), z).alias("z"),
     )

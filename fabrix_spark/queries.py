@@ -4126,6 +4126,51 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e_anomaly_zscore",
+    oracle="""
+WITH q AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value * 1000000) AS BIGINT) AS qv
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, value, qv,
+         CAST(count(qv) OVER w AS BIGINT) AS n,
+         CAST(sum(qv) OVER w AS BIGINT) AS s,
+         CAST(sum(qv * qv) OVER w AS BIGINT) AS ss
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT user_id, ts, value, n,
+         (CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+  FROM m
+  WHERE n > 1
+    AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+)
+SELECT user_id, ts, value, n, z FROM z WHERE abs(z) > 3
+""",
+)
+def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection over each user's event stream: 10-row
+    z-score from EXACT integer moments (quantized value; count/sum/
+    sum-of-squares are order-free int64, mean/std a fixed double-op
+    sequence) — so even the z-score doubles hash-verify cross-engine.
+    Emits observations more than 3 sigma from their own recent
+    history."""
+    e = _events(spark, sf_dir)
+    out = temporal.rolling_zscore(
+        e, ts_col="ts", key_col="user_id", value_col="value",
+        order_tiebreak="event_id", window_rows=10,
+    )
+    return out.filter(F.abs(F.col("z")) > 3).select(
+        "user_id", "ts", "value", F.col("n").cast("long").alias("n"), "z"
+    )
+
+
+@register(
     "smp_interleave",
     oracle="""
 WITH r AS (

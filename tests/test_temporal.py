@@ -110,3 +110,25 @@ def test_resample_ffill_model(spark):
         (1, "2024-01-01 02:00:00"): 1.0,    # 02:30 obs is after 02:00
         (2, "2024-01-01 05:00:00"): None,   # single-hour span, obs later
     }
+
+
+def test_rolling_zscore_model(spark):
+    from fabrix_spark.operators.temporal import rolling_zscore
+
+    # 9 calm observations then a spike: the spike's z must be large
+    rows = [(1, f"2024-01-01 00:0{i}:00", float(10 + (i % 2))) for i in range(9)]
+    rows.append((1, "2024-01-01 00:09:00", 100.0))
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = sorted(rolling_zscore(df, window_rows=10).collect(), key=lambda r: str(r["ts"]))
+    assert out[0]["z"] is None          # single-row window: no variance
+    assert abs(out[1]["z"]) > 0         # two rows differing: defined
+    assert out[-1]["z"] > 2.5           # the spike
+    assert out[-1]["n"] == 10
+    # exact-moment determinism: identical under repartitioning
+    again = sorted(
+        rolling_zscore(df.repartition(5), window_rows=10).collect(),
+        key=lambda r: str(r["ts"]),
+    )
+    assert [r["z"] for r in again] == [r["z"] for r in out]

@@ -2421,7 +2421,13 @@ def _prebuilt_sigstore(spark: SparkSession, sf_dir: str) -> dedup.SignatureStore
     store = _SIGSTORE_CACHE.get(key)
     if store is None:
         root = os.path.join(tempfile.gettempdir(), "fabrix_sigstore_cache", key)
-        store = dedup.SignatureStore(spark, os.path.join(root, "sigs"), buckets=16)
+        # retain=1 for the same reason as the zlake fixture: concurrent
+        # verify/bench processes share this cache, and immediate GC of
+        # a superseded version can yank a tree from under another
+        # process's in-flight scan
+        store = dedup.SignatureStore(
+            spark, os.path.join(root, "sigs"), buckets=16, retain=1
+        )
         _SIGSTORE_CACHE[key] = store
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     if not store.exists():

@@ -772,11 +772,10 @@ class LakeTable:
         elif not kept:  # provably empty — still typed like the table
             df = self._read_raw().filter(F.lit(False))
         else:
-            df = (
-                self.spark.read.option("basePath", cur)
-                .parquet(*[os.path.join(cur, rel) for rel in kept])
-                .filter(cond)
-            )
+            r = self.spark.read.option("basePath", cur)
+            if self.merge_schema:  # match _read_raw's footer merging
+                r = r.option("mergeSchema", "true")
+            df = r.parquet(*[os.path.join(cur, rel) for rel in kept]).filter(cond)
         if _BUCKET_COL in df.columns:
             df = df.drop(_BUCKET_COL)
         return FxFrame(df, self.index)

@@ -981,3 +981,15 @@ def test_adt_scan_prunes_and_matches(spark, tmp_path):
     got_mix = sorted(r["k"] for r in t.scan_adt(flt_mix).df.collect())
     assert got_mix == [5] + list(range(800, 821))
     assert kept_count(flt_mix) <= 3
+
+
+def test_scan_respects_merge_schema(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), index="k", merge_schema=True)
+    t.save(spark.createDataFrame([(1, "a")], "k int, v string"), SaveStrategy.REPLACE)
+    t.save(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, extra double"),
+        SaveStrategy.APPEND,
+    )
+    got = {r["k"]: r.asDict() for r in t.scan([("k", ">=", 1)]).df.collect()}
+    assert got[2]["extra"] == 9.5
+    assert got[1]["extra"] is None  # absent column reads NULL

@@ -215,6 +215,13 @@ def rolling_zscore(
     """Per-key rolling z-score — the streaming-friendly anomaly
     detector (is this observation far from its own recent history?).
 
+    Each observation scores against the ``window_rows`` observations
+    STRICTLY BEFORE it (ROWS window_rows PRECEDING .. 1 PRECEDING) —
+    the point under test must not inflate its own baseline: a
+    self-inclusive window bounds |z| at sqrt(n-1), which silently
+    caps a 10-row window at 3 sigma and makes thresholds above that
+    unreachable.
+
     Determinism contract (the hard part of oracling ANY variance):
     the rolling count/sum/sum-of-squares are computed over the value
     QUANTIZED to int64 (exact, order-free integers), and mean/std
@@ -223,10 +230,10 @@ def rolling_zscore(
     doubles hash-match. A naive sum of doubles would drift in the last
     ulp per accumulation order.
 
-    One window pass (ROWS window_rows-1 PRECEDING .. CURRENT ROW),
-    ordered by (ts, tiebreak) so frames are unambiguous. Rows whose
-    window has zero variance (or a single row) get z = NULL. Returns
-    the input keys + (n, z)."""
+    One window pass, ordered by (ts, tiebreak) so frames are
+    unambiguous. Rows with fewer than 2 baseline observations, or a
+    zero-variance baseline, get z = NULL. Returns the input keys +
+    (n = baseline size, z)."""
     q = F.round(F.col(value_col).cast("double") * quantize).cast("long")
     order = [F.col(ts_col).asc()] + (
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
@@ -234,7 +241,7 @@ def rolling_zscore(
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)
-        .rowsBetween(-(window_rows - 1), Window.currentRow)
+        .rowsBetween(-window_rows, -1)
     )
     with_m = (
         df.withColumn("__q", q)

@@ -4146,7 +4146,7 @@ m AS (
          CAST(sum(qv * qv) OVER w AS BIGINT) AS ss
   FROM q
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
 ),
 z AS (
   SELECT user_id, ts, value, n,
@@ -4160,12 +4160,14 @@ SELECT user_id, ts, value, n, z FROM z WHERE abs(z) > 3
 """,
 )
 def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling anomaly detection over each user's event stream: 10-row
-    z-score from EXACT integer moments (quantized value; count/sum/
-    sum-of-squares are order-free int64, mean/std a fixed double-op
-    sequence) — so even the z-score doubles hash-verify cross-engine.
-    Emits observations more than 3 sigma from their own recent
-    history."""
+    """Rolling anomaly detection over each user's event stream: each
+    observation scores against the 10 observations STRICTLY BEFORE it
+    (a self-inclusive baseline would cap |z| at sqrt(n-1) and make the
+    threshold unreachable), with z from EXACT integer moments
+    (quantized value; count/sum/sum-of-squares are order-free int64,
+    mean/std a fixed double-op sequence) — so even the z-score doubles
+    hash-verify cross-engine. Emits observations more than 3 sigma
+    from their own history."""
     e = _events(spark, sf_dir)
     out = temporal.rolling_zscore(
         e, ts_col="ts", key_col="user_id", value_col="value",

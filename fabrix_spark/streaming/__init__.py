@@ -10,7 +10,7 @@ from .ingest import (
     stream_interval_join,
     tumbling_window,
 )
-from .stateful import running_totals, stateful_sessionize
+from .stateful import running_totals, stateful_rolling_zscore, stateful_sessionize
 
 __all__ = [
     "EVENTS_SCHEMA",
@@ -21,6 +21,7 @@ __all__ = [
     "running_totals",
     "session_window",
     "sliding_window",
+    "stateful_rolling_zscore",
     "stateful_sessionize",
     "stream_dedup",
     "stream_interval_join",

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_totals", "stateful_sessionize"]
+__all__ = ["running_totals", "stateful_sessionize", "stateful_rolling_zscore"]
 
 
 def running_totals(
@@ -124,4 +124,71 @@ def stateful_sessionize(
         .applyInPandasWithState(
             update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
+    )
+
+
+def stateful_rolling_zscore(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 10,
+    quantize: int = 1_000_000,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.rolling_zscore``: per-key
+    ring buffer of the last ``window_rows`` QUANTIZED values kept in
+    the state store; every arriving event scores against that buffer
+    BEFORE being folded into it (the strictly-preceding baseline —
+    same formula, same exact integer moments as the batch operator, so
+    for in-order delivery a replayed stream emits byte-identical
+    anomalies to the batch pass — pinned by test). Emits only rows
+    beyond ``threshold`` sigma (append mode). State is ``window_rows``
+    longs per key — bounded regardless of stream length."""
+    import math
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("buf", T.ArrayType(T.LongType()))])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        ks, tss, vs, ns, zs = [], [], [], [], []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        for _, row in rows.iterrows():
+            v = float(row[value_col])
+            q = int(round(v * quantize))
+            n = len(buf)
+            if n > 1:
+                s = float(sum(buf))
+                ss = float(sum(x * x for x in buf))
+                var = (ss - s * s / n) / n
+                if var > 0:
+                    z = (float(q) - s / n) / math.sqrt(var)
+                    if abs(z) > threshold:
+                        ks.append(key[0]), tss.append(row[ts_col])
+                        vs.append(v), ns.append(n), zs.append(z)
+            buf.append(q)
+            if len(buf) > window_rows:
+                buf = buf[-window_rows:]
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series(ks, dtype="int64"),
+                ts_col: pd.Series(tss, dtype="datetime64[us]"),
+                value_col: pd.Series(vs, dtype="float64"),
+                "n": pd.Series(ns, dtype="int64"),
+                "z": pd.Series(zs, dtype="float64"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -907,3 +907,64 @@ def test_stream_validated_ingest_quarantines_bad_rows(spark, tmp_path):
     assert bad[3] == "values_in(status)"
     assert bad[4] == "not_null(score)"
     assert bad[5] == "max(score,1.0)"
+
+
+def test_stream_stateful_rolling_zscore_matches_batch(spark, tmp_path):
+    """In-order replay of the stream emits the SAME anomalies (ids and
+    z values) as the batch rolling_zscore over the identical data."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fabrix_spark.operators.temporal import rolling_zscore
+    from fabrix_spark.streaming import stateful_rolling_zscore
+    from fabrix_spark.streaming.ingest import read_stream_json, run_available_now
+
+    # user 1: calm then spike (batch 2); user 2: always calm
+    def ev(i, uid, val, minute):
+        return {"user_id": uid, "ts": f"2024-01-01 00:{minute:02d}:00", "value": val}
+
+    b1 = [ev(i, 1, 10.0 + (i % 2), i) for i in range(8)] + [
+        ev(i, 2, 5.0 + (i % 3), i) for i in range(8)
+    ]
+    b2 = [ev(8, 1, 200.0, 8), ev(9, 1, 11.0, 9), ev(8, 2, 6.0, 8)]
+    src = tmp_path / "zsrc"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    now = _time.time()
+    _os.utime(src / "b1.json", (now - 60, now - 60))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema, max_files_per_trigger=1)
+    out = stateful_rolling_zscore(stream, threshold=3.0)
+    q = run_available_now(
+        out, str(tmp_path / "zckpt"), memory_table="anoms", output_mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["ts"])): r["z"] for r in spark.sql("SELECT * FROM anoms").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["value"]) for r in b1 + b2],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    want = {
+        (r["user_id"], str(r["ts"])): r["z"]
+        for r in rolling_zscore(batch_df, window_rows=10).collect()
+        if r["z"] is not None and abs(r["z"]) > 3.0
+    }
+    assert got == want           # same anomalies, byte-identical z
+    assert (1, "2024-01-01 00:08:00") in got  # the spike was caught
+    assert not any(uid == 2 for uid, _ in got)  # calm user stays quiet

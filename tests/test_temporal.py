@@ -122,10 +122,11 @@ def test_rolling_zscore_model(spark):
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     out = sorted(rolling_zscore(df, window_rows=10).collect(), key=lambda r: str(r["ts"]))
-    assert out[0]["z"] is None          # single-row window: no variance
-    assert abs(out[1]["z"]) > 0         # two rows differing: defined
-    assert out[-1]["z"] > 2.5           # the spike
-    assert out[-1]["n"] == 10
+    assert out[0]["z"] is None          # empty baseline
+    assert out[1]["z"] is None          # one-point baseline: no variance
+    assert abs(out[2]["z"]) > 0         # two-point baseline: defined
+    assert out[-1]["z"] > 50            # the spike vs its CALM history
+    assert out[-1]["n"] == 9            # baseline excludes the spike itself
     # exact-moment determinism: identical under repartitioning
     again = sorted(
         rolling_zscore(df.repartition(5), window_rows=10).collect(),

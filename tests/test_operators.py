@@ -1212,3 +1212,52 @@ def test_image_ahash_neardup(spark):
         sigs, sig_col="ahash", id_col="id", bits=64, bands=8, max_hamming=4
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),           # key
+            st.integers(min_value=0, max_value=10_800),      # seconds offset (3h)
+            st.integers(min_value=-1000, max_value=1000),    # value (int → exact)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_resample_ffill_matches_python_model(spark, rows):
+    """Differential check of grid construction + forward fill against
+    a direct python model, over random irregular multi-key series."""
+    import datetime as dt
+
+    from fabrix_spark.operators.temporal import resample_ffill
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["grid_ts"]): r["value"]
+        for r in resample_ffill(df).collect()
+    }
+
+    want = {}
+    bykey = {}
+    for k, ts, v in data:
+        bykey.setdefault(k, []).append((ts, v))
+    for k, obs in bykey.items():
+        obs.sort()
+        t0 = obs[0][0].replace(minute=0, second=0, microsecond=0)
+        t1 = obs[-1][0].replace(minute=0, second=0, microsecond=0)
+        g = t0
+        while g <= t1:
+            last = None
+            for ts, v in obs:
+                if ts <= g:
+                    last = v
+                else:
+                    break
+            want[(k, g)] = last
+            g += dt.timedelta(hours=1)
+    assert got == want

@@ -205,7 +205,14 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     GROUP BY/agg -> ORDER BY -> OFFSET/LIMIT. Catalyst reorders
     physically (filter pushdown through joins, etc.) — we only declare.
     """
-    df = provider(sel.table).alias(sel.table)
+    # a provider exposing .scan(name, filter_tokens) (e.g. the lake's
+    # LakeProvider) gets the Select's filter at scan time so file-level
+    # pruning happens before the plan is built; the filter is still
+    # compiled and applied below — pruning only shrinks the file list
+    if sel.filter and hasattr(provider, "scan"):
+        df = provider.scan(sel.table, sel.filter).alias(sel.table)
+    else:
+        df = provider(sel.table).alias(sel.table)
 
     for j in sel.joins:
         right = provider(j.right).alias(j.right)

@@ -97,7 +97,7 @@ from pyspark.sql import functions as F
 from ..frame import FxFrame
 from .sql import SaveStrategy
 
-__all__ = ["LakeTable", "save_lake", "compact"]
+__all__ = ["LakeTable", "LakeProvider", "save_lake", "compact"]
 
 _POINTER = "_current"
 # strict version-dir pattern: a bare "v_" prefix would also swallow a
@@ -1278,3 +1278,41 @@ def save_lake(
     t = LakeTable(spark, path, index=index, partition_by=partition_by)
     t.save(fx, strategy)
     return t
+
+
+class LakeProvider:
+    """Table provider backing the Select-ADT compiler with versioned
+    lake tables: ``root/<name>`` directories read through the pointer
+    protocol, and — because :func:`plans.compiler.compile_select`
+    hands providers with a ``scan`` method the Select's filter tokens —
+    manifest file pruning applied BEFORE the plan is built. The filter
+    itself is still compiled and applied by the Select plan; pruning
+    only shrinks the file list, so results are identical to an
+    unpruned read by construction."""
+
+    def __init__(self, spark: SparkSession, root: str, **table_kwargs):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.table_kwargs = table_kwargs
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable(self.spark, os.path.join(self.root, name), **self.table_kwargs)
+
+    def __call__(self, name: str) -> DataFrame:
+        return self.table(name).read().df
+
+    def scan(self, name: str, filter_tokens) -> DataFrame:
+        t = self.table(name)
+        cur = t.current_dir()
+        man = t._load_manifest(cur).get("files", {})
+        kept = [
+            rel
+            for rel in t._data_files(cur)
+            if _adt_may_match(
+                filter_tokens,
+                man.get(rel) or {"rows": None, "cols": {}},
+                _partition_values(rel),
+            )
+        ]
+        # prune only — the Select plan applies the compiled filter
+        return t._read_pruned(kept, F.lit(True)).df

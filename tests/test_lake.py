@@ -993,3 +993,37 @@ def test_scan_respects_merge_schema(spark, tmp_path):
     got = {r["k"]: r.asDict() for r in t.scan([("k", ">=", 1)]).df.collect()}
     assert got[2]["extra"] == 9.5
     assert got[1]["extra"] is None  # absent column reads NULL
+
+
+def test_lake_provider_backs_select_adt_with_pruning(spark, tmp_path):
+    from fabrix_spark.plans import AND, Col, Cond, Select, compile_select
+    from fabrix_spark.sources.lake import LakeProvider
+
+    root = tmp_path / "warehouse"
+    _mk_range_table(spark, str(root / "facts"))
+    prov = LakeProvider(spark, str(root))
+
+    sel = Select(
+        table="facts",
+        columns=[Col("k"), Col("m"), Col("s")],
+        filter=[Cond("k", "between", (100, 199)), AND, Cond("m", "ge", 0)],
+    )
+    got = sorted(r["k"] for r in compile_select(sel, prov).collect())
+    assert got == list(range(100, 200))
+    # the provider's scan pruned files for this filter
+    pruned = prov.scan("facts", sel.filter)
+    full = prov("facts")
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < len(full.inputFiles())
+    # joins resolve through the provider too
+    _mk_range_table(spark, str(root / "dims"), n=50, files=2)
+    from fabrix_spark.plans import Join
+
+    sel_j = Select(
+        table="facts",
+        columns=[Col("k", tbl="facts")],
+        filter=[Cond("k", "lt", 30, tbl="facts")],
+        joins=[Join(right="dims", on=[("k", "k")], how="inner")],
+    )
+    got_j = sorted(r["k"] for r in compile_select(sel_j, prov).collect())
+    assert got_j == list(range(30))

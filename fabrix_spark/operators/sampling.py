@@ -258,8 +258,18 @@ def interleave_sources(
     repo's seedless-shuffle idiom), every row gets the virtual
     position rank/weight, and the global feed order sorts by position
     (a source with weight 2 appears twice as often per unit of
-    schedule). Pure window functions — two passes, no driver state,
-    reproducible bit-for-bit on any engine.
+    schedule).
+
+    The global sequence number is assigned WITHOUT a single-partition
+    window: rows are range-partitioned on the (position, source, rn)
+    sort key, per-partition counts (one tiny collect, like the CC
+    convergence check) become cumulative offsets, and each row's
+    mix_order = its partition's offset + its rank WITHIN the
+    partition — every sort and window stays parallel, which is the
+    difference between a schedule you can emit for a 100 TB corpus
+    and one that funnels the corpus through one task. The result is
+    identical to the naive global window regardless of where the
+    sampled range boundaries fall, because the sort key is unique.
 
     Returns (id_col, source_col, rn, mix_order): rn = the row's rank
     within its source's shuffle, mix_order = its global feed position.
@@ -273,8 +283,32 @@ def interleave_sources(
     ranked = df.select(id_col, source_col).withColumn(
         "rn", F.row_number().over(w_src)
     )
-    pos = F.col("rn") / weight
-    w_glob = Window.orderBy(pos.asc(), F.col(source_col).asc(), F.col("rn").asc())
-    return ranked.withColumn(
-        "mix_order", F.row_number().over(w_glob).cast("long")
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    arranged = (
+        ranked.withColumn("__pos", F.col("rn") / weight)
+        .repartitionByRange(n_parts, F.col("__pos"), F.col(source_col), F.col("rn"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in arranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("__pos").asc(), F.col(source_col).asc(), F.col("rn").asc()
+    )
+    return (
+        arranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "mix_order",
+            (F.col("__off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .select(id_col, source_col, "rn", "mix_order")
     )

@@ -4589,10 +4589,12 @@ def gr_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pr = graph.pagerank(graph.to_undirected(pairs), iters=3, checkpoint=True)
+    # top-100 via orderBy+limit (TakeOrdered: per-partition heads, no
+    # global single-partition sort); the position window then runs
+    # over just those 100 rows
+    top = pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(100)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
-    return pr.withColumn("pos", F.row_number().over(w).cast("long")).filter(
-        F.col("pos") <= 100
-    )
+    return top.withColumn("pos", F.row_number().over(w).cast("long"))
 
 
 # ===========================================================================

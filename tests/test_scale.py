@@ -342,3 +342,19 @@ def test_top_ngrams_take_ordered(spark):
     heaps + driver merge of k rows), never a full global sort."""
     plan = _plan(spark, "t_top_ngrams")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_topk_take_ordered(spark):
+    """The PageRank top-100 must come from per-partition heads
+    (TakeOrdered), not a single-partition global window sort."""
+    plan = _plan(spark, "gr_pagerank_purchases")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interleave_no_single_partition_exchange(spark):
+    """The global mix_order is assigned by range partitioning +
+    per-partition offsets — the plan must never funnel the corpus
+    through Exchange SinglePartition."""
+    plan = _plan(spark, "smp_interleave")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()

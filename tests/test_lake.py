@@ -1027,3 +1027,68 @@ def test_lake_provider_backs_select_adt_with_pruning(spark, tmp_path):
     )
     got_j = sorted(r["k"] for r in compile_select(sel_j, prov).collect())
     assert got_j == list(range(30))
+
+
+_ADT_VALS = hyp_st.integers(min_value=-5, max_value=25)
+
+
+def _adt_cond():
+    from fabrix_spark.plans import Cond
+
+    return hyp_st.one_of(
+        hyp_st.tuples(
+            hyp_st.sampled_from(["k", "m"]),
+            hyp_st.sampled_from(["eq", "ne", "gt", "ge", "lt", "le"]),
+            _ADT_VALS,
+        ).map(lambda t: Cond(t[0], t[1], t[2])),
+        hyp_st.tuples(hyp_st.sampled_from(["k", "m"]), _ADT_VALS, _ADT_VALS).map(
+            lambda t: Cond(t[0], "between", (min(t[1], t[2]), max(t[1], t[2])))
+        ),
+        hyp_st.tuples(
+            hyp_st.sampled_from(["k", "m"]), hyp_st.lists(_ADT_VALS, min_size=1, max_size=3)
+        ).map(lambda t: Cond(t[0], "in", list(t[1]))),
+    )
+
+
+def _adt_tokens(depth=2):
+    from fabrix_spark.plans import AND, Nest, NOT, OR
+
+    operand = _adt_cond() if depth == 0 else hyp_st.one_of(
+        _adt_cond(), hyp_st.deferred(lambda: _adt_tokens(depth - 1)).map(Nest)
+    )
+    maybe_not = hyp_st.tuples(hyp_st.booleans(), operand).map(
+        lambda t: ([NOT, t[1]] if t[0] else [t[1]])
+    )
+    return hyp_st.lists(
+        hyp_st.tuples(hyp_st.sampled_from([AND, OR]), maybe_not),
+        min_size=0,
+        max_size=3,
+    ).flatmap(
+        lambda rest: maybe_not.map(
+            lambda first: first + [tok for op, o in rest for tok in [op, *o]]
+        )
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=_adt_tokens())
+def test_adt_scan_fuzz_matches_unpruned(spark, tmp_path, tokens):
+    """For ANY valid filter token tree (AND/OR/NOT/Nest over
+    eq/ne/ranges/in), the manifest-pruned scan_adt equals
+    read-then-compile_filter exactly."""
+    import uuid as _uuid
+
+    from fabrix_spark.plans.compiler import compile_filter
+
+    t = _mk_range_table(
+        spark, str(tmp_path / f"t{_uuid.uuid4().hex[:8]}"), n=60, files=4
+    )
+    got = sorted(r["k"] for r in t.scan_adt(tokens).df.collect())
+    want = sorted(
+        r["k"] for r in t.read().df.filter(compile_filter(tokens)).collect()
+    )
+    assert got == want

@@ -33,6 +33,7 @@ __all__ = [
     "mask_pii",
     "normalize_text",
     "edit_distance_pairs",
+    "chunk_documents",
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
 ]
@@ -493,4 +494,44 @@ def edit_distance_pairs(
             F.levenshtein("__a", "__b").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= F.lit(max_dist))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    RAG-indexing / pretraining-example chunker: windows of
+    ``chunk_tokens`` tokens advancing ``chunk_tokens - overlap`` per
+    step, the final window anchored so no suffix is lost. Pure column
+    expressions (token array → start sequence → slice per start), so
+    chunking a 100 TB corpus is a map-only pass with no UDF and no
+    shuffle; deterministic, hence fully oracle-able.
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # number of windows: 1 if the doc fits, else 1 + ceil((n-chunk)/step)
+    extra = F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(step)).cast("int")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(F.lit(1) + extra)
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * F.lit(step), F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.slice(t, s + 1, F.lit(chunk_tokens))
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("__chunks"))
+        .select(F.col(id_col), F.posexplode("__chunks").alias("chunk_idx", "__toks"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__toks")).alias("chunk_text"),
+        )
     )

@@ -4132,6 +4132,46 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+meta AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE 1 + CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24) AS BIGINT) END AS n_chunks
+  FROM toks
+),
+c AS (
+  SELECT doc_id, g.i AS chunk_idx,
+         list_slice(t, g.i * 24 + 1, g.i * 24 + 32) AS ctoks
+  FROM meta, UNNEST(range(0, n_chunks)) AS g(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(ctoks) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM c
+""",
+)
+def t_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — the RAG-indexing / training-example splitter as a
+    map-only expression pass (no UDF, no shuffle); every chunk's
+    content verifies via md5 against an oracle that re-derives the
+    identical windows."""
+    out = text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register(
     "e_anomaly_zscore",
     oracle="""
 WITH q AS (

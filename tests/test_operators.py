@@ -1261,3 +1261,25 @@ def test_resample_ffill_matches_python_model(spark, rows):
             want[(k, g)] = last
             g += dt.timedelta(hours=1)
     assert got == want
+
+
+def test_chunk_documents_model(spark):
+    words = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, words), (2, "a b c")], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in text.chunk_documents(df, chunk_tokens=20, overlap=5).collect()
+    }
+    # doc 1: 50 tokens, step 15 → starts 0,15,30 (start 30 reaches the
+    # end: ceil((50-20)/15) = 2 extra chunks)
+    assert {k[1] for k in got if k[0] == 1} == {0, 1, 2}
+    assert got[(1, 0)][1].split() == [f"w{i}" for i in range(20)]
+    assert got[(1, 1)][1].split() == [f"w{i}" for i in range(15, 35)]
+    assert got[(1, 2)] == (20, " ".join(f"w{i}" for i in range(30, 50)))
+    # every token of doc 1 appears in some chunk (no suffix lost)
+    covered = {w for (d, _), (_, c) in got.items() if d == 1 for w in c.split()}
+    assert covered == {f"w{i}" for i in range(50)}
+    # short doc: single whole chunk
+    assert got[(2, 0)] == (3, "a b c")
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(df, chunk_tokens=8, overlap=8)

@@ -4172,6 +4172,48 @@ def t_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_chunk_dups",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+meta AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE 1 + CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24) AS BIGINT) END AS n_chunks
+  FROM toks
+),
+c AS (
+  SELECT doc_id, md5(array_to_string(list_slice(t, g.i * 24 + 1, g.i * 24 + 32), ' ')) AS chunk_md5
+  FROM meta, UNNEST(range(0, n_chunks)) AS g(i)
+)
+SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS representative
+FROM c GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def d_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup: repeated 32-token passages
+    ACROSS documents (the boilerplate/citation detector at the
+    granularity a RAG index or packed training example actually
+    stores) — chunker composed with a hash-aggregate; one shuffle on
+    the chunk hash."""
+    chunks = text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+    return (
+        chunks.groupBy(
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5")
+        )
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("representative"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
     "e_anomaly_zscore",
     oracle="""
 WITH q AS (

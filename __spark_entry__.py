@@ -36,6 +36,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 # (re-verifying the already-green surface).
 _VERIFY_FIRST = [
     # new in round 6
+    "pipeline_rag_prep",
     "d_chunk_dups",
     "t_chunks",
     "e_anomaly_zscore",

@@ -4214,6 +4214,67 @@ def d_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_rag_prep",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+meta AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE 1 + CAST(ceil(CAST(len(t) - 32 AS DOUBLE) / 24) AS BIGINT) END AS n_chunks
+  FROM toks
+),
+c AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS chunk_idx,
+         list_slice(t, g.i * 24 + 1, g.i * 24 + 32) AS ctoks
+  FROM meta, UNNEST(range(0, n_chunks)) AS g(i)
+),
+scored AS (
+  SELECT doc_id, chunk_idx, CAST(len(ctoks) AS INTEGER) AS n_chunk_tokens,
+         md5(array_to_string(ctoks, ' ')) AS chunk_md5
+  FROM c WHERE len(ctoks) >= 8
+)
+SELECT s.doc_id, s.chunk_idx, s.n_chunk_tokens, s.chunk_md5
+FROM scored s
+JOIN (
+  SELECT chunk_md5, min(doc_id * 1000000 + chunk_idx) AS first_pos
+  FROM scored GROUP BY 1
+) k ON k.chunk_md5 = s.chunk_md5
+   AND s.doc_id * 1000000 + s.chunk_idx = k.first_pos
+""",
+)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion pipeline as ONE plan: chunk every document into
+    overlapping 32-token windows, gate out fragments (< 8 tokens),
+    and keep exactly one canonical copy of every distinct chunk text
+    (first by (doc, position) — cross-document boilerplate enters the
+    index once). Two shuffles: the canonical-position aggregate and
+    its join back; chunking itself is map-only."""
+    chunks = text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).filter(F.col("n_chunk_tokens") >= 8)
+    scored = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+    pos = (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("__pos")
+    first = (
+        scored.select("chunk_md5", pos)
+        .groupBy("chunk_md5")
+        .agg(F.min("__pos").alias("__first"))
+    )
+    return (
+        scored.withColumn("__pos", F.col("doc_id") * 1_000_000 + F.col("chunk_idx"))
+        .join(first, "chunk_md5")
+        .filter(F.col("__pos") == F.col("__first"))
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5")
+    )
+
+
+@register(
     "e_anomaly_zscore",
     oracle="""
 WITH q AS (

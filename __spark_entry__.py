@@ -8,61 +8,37 @@ oracle where SQL-expressible).
 Verification rotation (tool-side concern, kept OUT of the library):
 the driver's correctness gate samples a window of the ``queries()``
 dict in iteration order, so this file — the driver-facing integration
-point — orders the dict explicitly. Policy: queries that have never
-had a driver CORRECTNESS row come first (so every registry entry
+point — orders the dict explicitly. Policy (r7): queries that have
+never had a driver CORRECTNESS row come first (so every registry entry
 accumulates hard driver evidence across rounds), followed by a few
-always-green canaries, then everything else in library definition
-order (re-verifying the already-green surface). The library registry
-itself (``fabrix_spark.queries.REGISTRY``) is NOT mutated and stays
-in definition order for every other consumer.
+always-green canaries as a stay-green control group, then everything
+else ordered by STALENESS — oldest last-green round first, computed
+from the ``CORRECTNESS_r*.json`` artifacts in this directory — so the
+registry's weakest evidence refreshes soonest instead of whatever
+happened to be defined first. The library registry itself
+(``fabrix_spark.queries.REGISTRY``) is NOT mutated and stays in
+definition order for every other consumer.
 """
 
 from __future__ import annotations
 
+import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(_HERE))
 
 from fabrix_spark import queries as _q  # noqa: E402
 
-# Queries with no driver CORRECTNESS row yet come first (policy
-# unchanged since r5): the round-6 additions lead (none of them has a
-# driver row yet), then three long-green canaries as a stay-green
-# control group, then everything else in definition order
-# (re-verifying the already-green surface).
+# Queries with no driver CORRECTNESS row yet come first: the round-7
+# additions lead, then three long-green canaries.
 _VERIFY_FIRST = [
-    # new in round 6
-    "pipeline_rag_prep",
-    "d_chunk_dups",
-    "t_chunks",
-    "e_anomaly_zscore",
-    "smp_interleave",
-    "adt_lake_scan",
-    "tj_resample_hourly",
-    "pipeline_entity_resolution",
-    "d_fuzzy_name_pairs",
-    "prof_constraints",
-    "prof_kmv_distinct",
-    "prof_kmv_by_group",
-    "lake_zorder_scan",
-    "gr_pagerank_purchases",
-    "d_semdedup",
-    "d_semdedup_pairs",
-    "smp_leakage_safe_split",
-    "stream_admission_replay",
-    "d_incremental_probe",
-    "sim_pq_topk",
-    "sim_pq_refined",
-    "sim_ivfpq_topk",
-    "sim_pq_store_topk",
-    "d_minhash_estimate",
-    "pipeline_corpus_splits",
-    "e_funnel",
-    "e_cohort_retention",
+    # new in round 7 (appended as they land)
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",
@@ -70,11 +46,46 @@ _VERIFY_FIRST = [
 ]
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """Most recent round each query was driver-green, parsed from the
+    CORRECTNESS_r*.json artifacts. A row counts as green when rows and
+    schema matched and either the value hash matched or the query is
+    structurally rows-only (err == "no_oracle"). Queries absent from
+    every artifact report -1 (never driver-checked)."""
+    out: dict[str, int] = {}
+    for p in sorted(_HERE.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") or row.get("err") == "no_oracle")
+            )
+            if green:
+                out[name] = max(out.get(name, -1), rnd)
+    return out
+
+
 def _rotated(mapping: dict[str, object]) -> dict:
     missing = [n for n in _VERIFY_FIRST if n not in _q.REGISTRY]
     assert not missing, f"rotation names unknown queries: {missing}"
     out = {n: mapping[n] for n in _VERIFY_FIRST if n in mapping}
-    out.update((n, v) for n, v in mapping.items() if n not in out)
+    last_green = _last_green_rounds()
+    order = {n: i for i, n in enumerate(mapping)}
+    tail = sorted(
+        (n for n in mapping if n not in out),
+        key=lambda n: (last_green.get(n, -1), order[n]),
+    )
+    out.update((n, mapping[n]) for n in tail)
     return out
 
 

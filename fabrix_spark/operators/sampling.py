@@ -290,6 +290,13 @@ def interleave_sources(
         .repartitionByRange(n_parts, F.col("__pos"), F.col(source_col), F.col("rn"))
         .withColumn("__pid", F.spark_partition_id())
     )
+    # Pin the partitioning: repartitionByRange samples its boundaries
+    # per JOB (seeded by RDD id), so the count pass and the final pass
+    # below would otherwise re-sample and could place rows in different
+    # partitions once data outgrows the boundary sample — exactly the
+    # 100 TB case. localCheckpoint materializes ONE assignment both
+    # passes read.
+    arranged = arranged.localCheckpoint(eager=False)
     counts = {
         r["__pid"]: r["c"]
         for r in arranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()

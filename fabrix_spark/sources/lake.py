@@ -318,9 +318,17 @@ _ADT_PRUNE_OPS = {
 }
 
 
-def _adt_cond_term(c) -> tuple | None:
+def _adt_cond_term(c, scan_table: str | None = None) -> tuple | None:
     """Cond → prune term, or None for ops min/max stats can't refute
-    (ne, like)."""
+    (ne, like). A Cond qualified with a table name (``c.tbl``) that is
+    not the table being scanned must NEVER prune: compile_select hands
+    the whole filter tree to the provider even when the Select joins
+    other tables, and a join-side column can share a name with a base
+    column — pruning base files by a join-table predicate would
+    silently drop rows. When ``scan_table`` is None (caller can't name
+    the scanned table), any table-qualified Cond is unprunable."""
+    if c.tbl is not None and c.tbl != scan_table:
+        return None
     op = _ADT_PRUNE_OPS.get(c.op)
     if op is None:
         return None
@@ -333,7 +341,9 @@ def _adt_cond_term(c) -> tuple | None:
     return (c.col, op, c.value)
 
 
-def _adt_may_match(tokens, stats: dict, part_vals: dict) -> bool:
+def _adt_may_match(
+    tokens, stats: dict, part_vals: dict, scan_table: str | None = None
+) -> bool:
     """Could a file with these footer stats contain a row satisfying
     the ADT filter tree? Mirrors ``plans.compiler.compile_filter``'s
     fold EXACTLY (AND binds tighter than OR, left-assoc, NOT applies
@@ -346,9 +356,9 @@ def _adt_may_match(tokens, stats: dict, part_vals: dict) -> bool:
 
     def leaf(t) -> bool:
         if isinstance(t, Nest):
-            return _adt_may_match(t.tokens, stats, part_vals)
+            return _adt_may_match(t.tokens, stats, part_vals, scan_table)
         if isinstance(t, Cond):
-            term = _adt_cond_term(t)
+            term = _adt_cond_term(t, scan_table)
             if term is None:
                 return True
             return _file_may_match(stats, part_vals, [term])
@@ -611,7 +621,7 @@ class LakeTable:
             json.dump({"version": 1, "files": files}, f)
         os.replace(tmp, os.path.join(vdir, _MANIFEST))
 
-    def _write_commit_info(self, ver: str, op: str) -> None:
+    def _write_commit_info(self, ver: str, op: str, extra: dict | None = None) -> None:
         """Record what produced a version (``_commit.json`` in the
         version tree): operation name, wall-clock timestamp, and the
         row count folded from the manifest — the DESCRIBE HISTORY
@@ -623,6 +633,8 @@ class LakeTable:
             r = st.get("rows")
             rows = None if (rows is None or r is None) else rows + r
         info = {"op": op, "ts": time.time(), "rows": rows, "files": len(man)}
+        if extra:
+            info.update(extra)
         tmp = os.path.join(vdir, f"_commit_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(info, f)
@@ -726,7 +738,7 @@ class LakeTable:
                 cols[c] = None
         return {"rows": rows, "files": len(man), "cols": cols}
 
-    def scan_adt(self, filter_tokens) -> FxFrame:
+    def scan_adt(self, filter_tokens, table_name: str | None = None) -> FxFrame:
         """Manifest-pruned read driven by the fabrix Select-ADT filter
         grammar: the SAME token tree the reference serializes
         (sql_adt.rs Condition/AND/OR/Nest) compiles to the residual
@@ -746,6 +758,7 @@ class LakeTable:
                 filter_tokens,
                 man.get(rel) or {"rows": None, "cols": {}},
                 _partition_values(rel),
+                table_name,
             )
         ]
         return self._read_pruned(kept, cond)
@@ -821,6 +834,14 @@ class LakeTable:
             rng = df.agg(
                 *[f(n).alias(f"{t}{i}") for i, n in enumerate(nums) for t, f in (("lo", F.min), ("hi", F.max))]
             ).first()
+            # the interleaved z-value must fit a signed 64-bit long:
+            # JVM shiftleft wraps the shift count mod 64, so a shift
+            # position >= 63 would silently scramble z-values (data
+            # stays correct — clustering quality would just degrade).
+            # Clamp bits so bits * n_cols <= 63.
+            max_bits = 63 // len(cluster_by)
+            if bits > max_bits:
+                bits = max_bits
             grid = (1 << bits) - 1
             cells = []
             for i, n in enumerate(nums):
@@ -941,7 +962,7 @@ class LakeTable:
                 except OSError:
                     shutil.copy2(sp, dp)
 
-    def _commit_version(self, ver: str, op: str = "write") -> None:
+    def _commit_version(self, ver: str, op: str = "write", extra: dict | None = None) -> None:
         """Atomically make ``ver`` the live tree.
 
         Order matters: (1) prove the new tree readable — a failure here
@@ -961,7 +982,7 @@ class LakeTable:
                 f"unchanged (pointer not moved), bad output kept for inspection"
             ) from e
         self._write_manifest(ver)
-        self._write_commit_info(ver, op)
+        self._write_commit_info(ver, op, extra)
         prev = self._current_version()
         legacy = self._legacy_entries() if prev is None else []
         tmp = os.path.join(self.path, f"_current_tmp_{uuid.uuid4().hex[:8]}")
@@ -1026,27 +1047,37 @@ class LakeTable:
             self._link_tree(self.path, dst, names=self._legacy_entries())
         return ver
 
-    def _write(self, df: DataFrame, mode: str) -> None:
+    def _write(self, df: DataFrame, mode: str, extra: dict | None = None) -> None:
         with self._maybe_lock():
             if mode == "append" and self.exists():
                 self._check_bucket_layout()
-                self._commit_version(self._append_version(df), op="append")
+                self._commit_version(self._append_version(df), op="append", extra=extra)
                 return
             self._commit_version(
                 self._write_version(df),
                 op={"overwrite": "replace", "errorifexists": "create", "append": "create"}[mode],
+                extra=extra,
             )
 
-    def save(self, fx: FxFrame | DataFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> None:
+    def save(
+        self,
+        fx: FxFrame | DataFrame,
+        strategy: str = SaveStrategy.FAIL_IF_EXISTS,
+        commit_extra: dict | None = None,
+    ) -> None:
+        """``commit_extra``: caller metadata merged into the version's
+        ``_commit.json`` (e.g. a streaming batch id) — readable back via
+        :meth:`history`, which is how multi-sink writers make retried
+        micro-batches idempotent."""
         df = fx.df if isinstance(fx, FxFrame) else fx
         if strategy == SaveStrategy.FAIL_IF_EXISTS:
             if self.exists():
                 raise ValueError(f"lake table {self.path!r} already exists (FailIfExists)")
-            self._write(df, "errorifexists")
+            self._write(df, "errorifexists", commit_extra)
         elif strategy == SaveStrategy.REPLACE:
-            self._write(df, "overwrite")
+            self._write(df, "overwrite", commit_extra)
         elif strategy == SaveStrategy.APPEND:
-            self._write(df, "append")
+            self._write(df, "append", commit_extra)
         elif strategy == SaveStrategy.UPSERT:
             self.upsert(fx)
         else:
@@ -1312,6 +1343,7 @@ class LakeProvider:
                 filter_tokens,
                 man.get(rel) or {"rows": None, "cols": {}},
                 _partition_values(rel),
+                name,
             )
         ]
         # prune only — the Select plan applies the compiled filter

@@ -449,20 +449,37 @@ def stream_validated_ingest(
     assembled version), so readers of either table never observe a
     partially-written batch. The split predicate is one codegen'd
     expression evaluated once per row; the batch is localCheckpointed
-    so source files are read once per batch, not once per sink."""
+    so source files are read once per batch, not once per sink.
+
+    The two sinks have no cross-table transaction, so each save stamps
+    the micro-batch id into its version's commit info and ``_consume``
+    skips any sink whose history already holds this batch id: if the
+    driver dies after ``good`` committed but before ``quarantine`` did,
+    the availableNow retry re-runs the batch and appends ONLY the
+    missing quarantine write instead of double-appending good rows.
+    (The guard reads :meth:`LakeTable.history`, which spans the
+    ``retain`` most recent versions — far more than the single
+    immediately-retried batch it needs to cover.)"""
     from ..operators.profile import row_constraints
 
     pred, reason = row_constraints(rules)
 
-    def _consume(batch: DataFrame, _bid: int) -> None:
+    def _already_committed(table, bid: int) -> bool:
+        return table.exists() and any(
+            h.get("batch_id") == bid for h in table.history()
+        )
+
+    def _consume(batch: DataFrame, bid: int) -> None:
         batch = batch.localCheckpoint()
         ok = batch.filter(pred)
         bad = batch.filter(~pred).withColumn("_fx_reason", reason)
-        strategy = "append" if good.exists() else "replace"
-        good.save(ok, strategy)
-        if bad.limit(1).count() > 0:
+        extra = {"batch_id": bid}
+        if not _already_committed(good, bid):
+            strategy = "append" if good.exists() else "replace"
+            good.save(ok, strategy, commit_extra=extra)
+        if bad.limit(1).count() > 0 and not _already_committed(quarantine, bid):
             q_strategy = "append" if quarantine.exists() else "replace"
-            quarantine.save(bad, q_strategy)
+            quarantine.save(bad, q_strategy, commit_extra=extra)
 
     return (
         stream.writeStream.foreachBatch(_consume)

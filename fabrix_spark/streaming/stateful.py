@@ -21,6 +21,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = ["running_totals", "stateful_sessionize", "stateful_rolling_zscore"]
 
 
+def _quantize_half_up(v: float, quantize: int) -> int:
+    """HALF_UP integer quantization matching Spark's ``F.round``
+    (used by the batch twin ``operators.temporal.rolling_zscore``).
+    Python's built-in ``round()`` is half-to-even and would quantize
+    exact-.5 products differently, breaking the stream==batch replay
+    contract."""
+    import math
+
+    scaled = v * quantize
+    if scaled >= 0:
+        return int(math.floor(scaled + 0.5))
+    return -int(math.floor(-scaled + 0.5))
+
+
 def running_totals(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -164,7 +178,7 @@ def stateful_rolling_zscore(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
         for _, row in rows.iterrows():
             v = float(row[value_col])
-            q = int(round(v * quantize))
+            q = _quantize_half_up(v, quantize)
             n = len(buf)
             if n > 1:
                 s = float(sum(buf))

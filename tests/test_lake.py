@@ -1092,3 +1092,60 @@ def test_adt_scan_fuzz_matches_unpruned(spark, tmp_path, tokens):
         r["k"] for r in t.read().df.filter(compile_filter(tokens)).collect()
     )
     assert got == want
+
+
+def test_adt_join_qualified_cond_never_prunes_base(spark, tmp_path):
+    """A Cond qualified with a JOIN table's name must never prune the
+    BASE table's files, even when the base table has a column of the
+    same name — pruning base files by a join-side predicate of the
+    same column name would silently drop result rows."""
+    from fabrix_spark.plans import Col, Cond, Join, Select, compile_select
+    from fabrix_spark.sources.lake import LakeProvider, _adt_may_match
+
+    root = tmp_path / "warehouse"
+    base = LakeTable(spark, str(root / "base"), index="id")
+    # base.k is 100.. (every file refutable by k<5); dims.k is 0/1
+    base.save(
+        spark.createDataFrame(
+            [(i, 100 + i, i % 2) for i in range(10)], "id long, k long, d long"
+        ).repartitionByRange(3, "id"),
+        SaveStrategy.REPLACE,
+    )
+    dims = LakeTable(spark, str(root / "dims"), index="d")
+    dims.save(
+        spark.createDataFrame([(0, 0), (1, 1)], "d long, k long"),
+        SaveStrategy.REPLACE,
+    )
+
+    sel = Select(
+        table="base",
+        columns=[Col("id")],
+        joins=[Join("dims", [("d", "d")])],
+        filter=[Cond("k", "lt", 5, tbl="dims")],
+    )
+    got = sorted(r["id"] for r in compile_select(sel, LakeProvider(spark, str(root))).collect())
+    assert got == list(range(10))  # dims.k in {0,1} < 5: nothing filtered
+
+    stats = {"rows": 10, "cols": {"k": {"min": 100, "max": 109, "nulls": 0}}}
+    # other-table-qualified: unprunable for this scan
+    assert _adt_may_match([Cond("k", "lt", 5, tbl="dims")], stats, {}, "base")
+    # self-qualified or unqualified: still prunes
+    assert not _adt_may_match([Cond("k", "lt", 5, tbl="base")], stats, {}, "base")
+    assert not _adt_may_match([Cond("k", "lt", 5)], stats, {}, "base")
+    # scanned-table name unknown: any qualified cond is unprunable
+    assert _adt_may_match([Cond("k", "lt", 5, tbl="base")], stats, {})
+
+
+def test_zorder_bits_clamped_to_long_range(spark, tmp_path):
+    """bits * n_cluster_cols must stay <= 63: JVM shiftleft wraps the
+    shift count mod 64, which would scramble z-values. optimize()
+    clamps bits instead; data and pruning stay correct."""
+    cols = ["a", "b", "c", "d", "e", "f"]
+    df = spark.range(64).select(
+        F.col("id").alias("k"), *[(F.col("id") * (i + 1) % 17).alias(c) for i, c in enumerate(cols)]
+    )
+    t = LakeTable(spark, str(tmp_path / "t"), index="k")
+    t.save(df, SaveStrategy.REPLACE)
+    t.optimize(cluster_by=cols, bits=12, n_files=4)  # 12*6=72 > 63 pre-clamp
+    got = sorted(r["k"] for r in t.read().df.collect())
+    assert got == list(range(64))

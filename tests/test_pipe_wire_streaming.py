@@ -968,3 +968,86 @@ def test_stream_stateful_rolling_zscore_matches_batch(spark, tmp_path):
     assert got == want           # same anomalies, byte-identical z
     assert (1, "2024-01-01 00:08:00") in got  # the spike was caught
     assert not any(uid == 2 for uid, _ in got)  # calm user stays quiet
+
+
+def test_quantize_half_up_matches_spark_round(spark):
+    """The streaming zscore quantizer must round HALF_UP like the batch
+    twin's F.round — Python round() is half-to-even and diverges on
+    exact-.5 products, breaking stream==batch replay."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.streaming.stateful import _quantize_half_up
+
+    vals = [0.0000005, -0.0000005, 0.0000015, -0.0000015, 0.0000025,
+            1.2345675, -1.2345675, 0.1, -0.1, 0.0, 12.5, -12.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = [
+        r["q"]
+        for r in df.select(
+            F.round(F.col("v") * 1_000_000).cast("long").alias("q")
+        ).collect()
+    ]
+    got = [_quantize_half_up(v, 1_000_000) for v in vals]
+    assert got == want
+    # the half-to-even builtin disagrees on at least one of these — the
+    # case this guards against
+    assert any(int(round(v * 1_000_000)) != g for v, g in zip(vals, got))
+
+
+def test_stream_validated_ingest_retry_is_idempotent(spark, tmp_path):
+    """Driver dies after the good-table commit but before quarantine:
+    the availableNow retry must complete the quarantine write WITHOUT
+    appending the batch's good rows a second time (batch id stamped in
+    each sink's commit info; committed sinks skipped on retry)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_validated_ingest
+
+    rows = [
+        {"id": 1, "score": 0.5},
+        {"id": 2, "score": -1.0},  # non_negative fails
+    ]
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("score", T.DoubleType())]
+    )
+    good = LakeTable(spark, str(tmp_path / "good"), index="id")
+    quar = LakeTable(spark, str(tmp_path / "quarantine"), index="id")
+    rules = [("non_negative", "score")]
+
+    # inject a crash on the FIRST quarantine save (after good committed)
+    orig_save = quar.save
+    state = {"failed": False}
+
+    def flaky_save(*a, **k):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("injected crash before quarantine commit")
+        return orig_save(*a, **k)
+
+    quar.save = flaky_save
+    q = stream_validated_ingest(
+        read_stream_json(spark, str(src), schema=schema),
+        rules, good, quar, checkpoint=str(tmp_path / "vckpt"),
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert state["failed"]
+    assert sorted(r["id"] for r in good.read().df.collect()) == [1]
+
+    # retry: same checkpoint replays the failed batch; quarantine now works
+    q2 = stream_validated_ingest(
+        read_stream_json(spark, str(src), schema=schema),
+        rules, good, quar, checkpoint=str(tmp_path / "vckpt"),
+    )
+    q2.awaitTermination(120)
+    assert sorted(r["id"] for r in good.read().df.collect()) == [1]  # NOT doubled
+    assert sorted(r["id"] for r in quar.read().df.collect()) == [2]
+    # both sinks carry the replayed batch id in their commit info
+    assert any("batch_id" in h for h in good.history())
+    assert any("batch_id" in h for h in quar.history())

@@ -357,6 +357,13 @@ def render_indexes_query(table: str, dialect: str) -> str:
     t = table.replace("'", "''")
     if dialect == "sqlite":
         return f"SELECT name, \"unique\" FROM pragma_index_list('{t}') ORDER BY name"
+    if dialect == "duckdb":
+        # no information_schema.indexes in DuckDB; its own catalog fn
+        # (pg_indexes also exists and serves the postgres rendering)
+        return (
+            "SELECT index_name, is_unique FROM duckdb_indexes() "
+            f"WHERE table_name = '{t}' ORDER BY index_name"
+        )
     if dialect == "mysql":
         return (
             f"SELECT INDEX_NAME, NON_UNIQUE = 0 FROM information_schema.STATISTICS "

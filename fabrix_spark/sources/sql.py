@@ -7,11 +7,16 @@ probe (query_dml.rs:14-28).
 
 Two backends:
 
-- **DB-API** (sqlite3 built-in; any PEP-249 driver): driver-side
-  connection like the reference's sqlx pool. Reads land in Spark via
-  Arrow `createDataFrame`; writes stream `toLocalIterator()` in
-  bounded batches with multi-row INSERTs (mutation_dml.rs:25-35).
-  This is the edge path — fine for control-plane tables.
+- **DB-API** (sqlite3 built-in; duckdb; any PEP-249 driver):
+  driver-side connection like the reference's sqlx pool. Reads land in
+  Spark via Arrow `createDataFrame`; writes stream `toLocalIterator()`
+  in bounded batches with multi-row INSERTs (mutation_dml.rs:25-35).
+  This is the edge path — fine for control-plane tables. DuckDB
+  (``dialect="duckdb"``) is the second LIVE columnar engine behind
+  this surface: information_schema catalog, explicit BEGIN/COMMIT
+  transactions (DuckDB autocommits per statement otherwise), and
+  DELETE row counts read from the Count result (PEP-249 ``rowcount``
+  is -1 there).
 - **JDBC** (`read_jdbc`/`write_jdbc`): the scale path — executors read
   partitioned ranges (`partitionColumn/numPartitions`) and write in
   parallel; requires the JDBC driver jar on the classpath.
@@ -102,12 +107,23 @@ class SqlExecutor:
         self.dialect = dialect
         self._conn = conn_factory()
 
+    def _cursor(self):
+        """DuckDB's ``cursor()`` spawns a SEPARATE connection with its
+        own transaction context — statements inside an open explicit
+        transaction wouldn't see each other's tables. Its connection
+        object implements the cursor protocol (execute/executemany/
+        fetch*/description), so use it directly; real cursors
+        elsewhere."""
+        if self.dialect == "duckdb":
+            return self._conn
+        return self._conn.cursor()
+
     # ------------------------------------------------------------------
     # catalog / DDL (§2.5)
     # ------------------------------------------------------------------
 
     def table_exists(self, table: str) -> bool:
-        cur = self._conn.cursor()
+        cur = self._cursor()
         if self.dialect == "sqlite":
             cur.execute("SELECT name FROM sqlite_master WHERE type='table' AND name=?", (table,))
         else:
@@ -117,7 +133,7 @@ class SqlExecutor:
         return cur.fetchone() is not None
 
     def list_tables(self) -> list[str]:
-        cur = self._conn.cursor()
+        cur = self._cursor()
         if self.dialect == "sqlite":
             cur.execute("SELECT name FROM sqlite_master WHERE type='table' ORDER BY name")
         else:
@@ -126,7 +142,7 @@ class SqlExecutor:
 
     def table_schema(self, table: str) -> list[tuple[str, str]]:
         """(column, declared type) pairs (query_ddl.rs:36-74)."""
-        cur = self._conn.cursor()
+        cur = self._cursor()
         if self.dialect == "sqlite":
             cur.execute(f'PRAGMA table_info("{table}")')
             return [(r[1], r[2]) for r in cur.fetchall()]
@@ -140,7 +156,7 @@ class SqlExecutor:
         """PK column via per-dialect catalog SQL (query_ddl.rs:201-244:
         MySQL KEY_COLUMN_USAGE, Postgres pg_index, SQLite
         pragma_table_info)."""
-        cur = self._conn.cursor()
+        cur = self._cursor()
         cur.execute(render_primary_key_query(table, self.dialect))
         row = cur.fetchone()
         return row[0] if row else None
@@ -148,13 +164,13 @@ class SqlExecutor:
     def table_constraints(self, table: str) -> list[tuple[str, str]]:
         """(constraint_name, constraint_type) rows — the reference's
         constraint introspection (query_ddl.rs:76-139, ec.rs:263-349)."""
-        cur = self._conn.cursor()
+        cur = self._cursor()
         cur.execute(render_constraints_query(table, self.dialect))
         return [(r[0], r[1]) for r in cur.fetchall()]
 
     def list_indexes(self, table: str) -> list[tuple[str, bool]]:
         """(index_name, is_unique) rows (query_ddl.rs:140-173)."""
-        cur = self._conn.cursor()
+        cur = self._cursor()
         cur.execute(render_indexes_query(table, self.dialect))
         return [(r[0], bool(r[1])) for r in cur.fetchall()]
 
@@ -214,17 +230,23 @@ class SqlExecutor:
         self, table: str, column: str, ref_table: str, ref_column: str, name: str | None = None
     ) -> None:
         """mutation_ddl.rs:114-130. SQLite cannot ADD a foreign key
-        after table creation — declare it in create_table instead."""
-        if self.dialect == "sqlite":
-            raise NotImplementedError("SQLite only supports FKs at CREATE TABLE time")
+        after table creation — declare it in create_table instead.
+        DuckDB's ALTER TABLE has no ADD CONSTRAINT either (live-probed:
+        NotImplementedException)."""
+        if self.dialect in ("sqlite", "duckdb"):
+            raise NotImplementedError(
+                f"{self.dialect} only supports FKs at CREATE TABLE time"
+            )
         self._conn.execute(
             render_create_foreign_key(table, column, ref_table, ref_column, name, self.dialect)
         )
 
     def drop_foreign_key(self, table: str, name: str) -> None:
         """mutation_ddl.rs:132-141."""
-        if self.dialect == "sqlite":
-            raise NotImplementedError("SQLite only supports FKs at CREATE TABLE time")
+        if self.dialect in ("sqlite", "duckdb"):
+            raise NotImplementedError(
+                f"{self.dialect} only supports FKs at CREATE TABLE time"
+            )
         self._conn.execute(render_drop_foreign_key(table, name, self.dialect))
 
     # ------------------------------------------------------------------
@@ -283,7 +305,7 @@ class SqlExecutor:
         codes are None on sqlite3), so columns fall back to string."""
         import pandas as pd
 
-        cur = self._conn.cursor()
+        cur = self._cursor()
         cur.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
@@ -301,7 +323,7 @@ class SqlExecutor:
         if not values:
             return []
         rendered = ", ".join(render_value(_adapt(v)) for v in values)
-        cur = self._conn.cursor()
+        cur = self._cursor()
         cur.execute(f'SELECT "{index_col}" FROM "{table}" WHERE "{index_col}" IN ({rendered})')
         return [r[0] for r in cur.fetchall()]
 
@@ -312,7 +334,7 @@ class SqlExecutor:
     def _insert_rows(self, table: str, columns: list[str], rows: Iterable[tuple]) -> int:
         collist = ", ".join(f'"{c}"' for c in columns)
         ph = ", ".join("?" for _ in columns)
-        cur = self._conn.cursor()
+        cur = self._cursor()
         n = 0
         batch: list[tuple] = []
         for row in rows:
@@ -338,7 +360,7 @@ class SqlExecutor:
         idx = fx.index_tag.name
         cols = [c for c in fx.columns if c != idx]
         setlist = ", ".join(f'"{c}" = ?' for c in cols)
-        cur = self._conn.cursor()
+        cur = self._cursor()
         n = 0
         for r in fx.df.toLocalIterator():
             d = r.asDict()
@@ -350,10 +372,19 @@ class SqlExecutor:
         return n
 
     def delete(self, d: Delete) -> int:
-        cur = self._conn.cursor()
+        cur = self._cursor()
         cur.execute(render_delete(d))
-        self._conn.commit()
-        return cur.rowcount
+        n = cur.rowcount
+        if n == -1:
+            # DuckDB reports -1 via PEP-249 rowcount; the statement's
+            # result set carries the deleted-row Count instead
+            try:
+                row = cur.fetchone()
+                n = int(row[0]) if row else 0
+            except Exception:
+                n = -1
+        self._commit()
+        return n
 
     def save(self, table: str, fx: FxFrame, strategy: str = SaveStrategy.FAIL_IF_EXISTS) -> int:
         """The four-strategy writer (ec.rs:484-538), transactional like
@@ -364,13 +395,35 @@ class SqlExecutor:
         design. Big writes belong on the set-based paths:
         :func:`upsert_jdbc` (parallel staging write + one MERGE-shaped
         transaction) or the lake anti-join merge (sources/lake.py)."""
+        self._begin()
         try:
             n = self._save_inner(table, fx, strategy)
-            self._conn.commit()
+            self._commit()
             return n
         except Exception:
-            self._conn.rollback()
+            self._rollback()
             raise
+
+    def _begin(self) -> None:
+        """Open an explicit transaction where the driver autocommits
+        per statement (DuckDB); sqlite3 auto-begins on DML."""
+        if self.dialect == "duckdb":
+            self._conn.execute("BEGIN TRANSACTION")
+
+    def _commit(self) -> None:
+        try:
+            self._conn.commit()
+        except Exception:
+            # autocommit drivers with no open transaction
+            pass
+
+    def _rollback(self) -> None:
+        try:
+            self._conn.rollback()
+        except Exception:
+            # nothing to roll back (autocommit driver) — the original
+            # error propagates from the caller
+            pass
 
     def _save_inner(self, table: str, fx: FxFrame, strategy: str) -> int:
         exists = self.table_exists(table)

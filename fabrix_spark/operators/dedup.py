@@ -1186,6 +1186,16 @@ def remove_common_segments(
 # ---------------------------------------------------------------------------
 
 
+def _integral_id(df: DataFrame, col: str) -> bool:
+    """The numpy fast paths coerce the id column to int64; anything
+    else routes through the expression path."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(
+        df.schema[col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     k: int = 8,
@@ -1196,6 +1206,7 @@ def semantic_dup_pairs(
     quantize: int = 1_000_000,
     centroids: DataFrame | None = None,
     _assign: DataFrame | None = None,
+    _cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540, public literature): k-means-cluster the embedding
@@ -1215,22 +1226,90 @@ def semantic_dup_pairs(
 
     Returns (centroid_id, a_id, b_id, cosine) with a_id < b_id.
     """
-    from .similarity import _cosine, _dot, _quantized, ivf_assign, kmeans_train
+    from .similarity import (
+        _cosine,
+        _dot,
+        _np_quant,
+        _quantized,
+        ivf_assign,
+        ivf_assign_blocked,
+        kmeans_train_rows,
+    )
 
-    if centroids is None:
-        # k tiny rows with a deep Lloyd lineage behind them — checkpoint
-        # so each downstream use (assignment, both join sides) doesn't
-        # replay the training aggregates
+    if centroids is None and _assign is None and _integral_id(corpus, id_col):
+        # fast path: driver-held centroid training (one Spark job per
+        # Lloyd iteration), Arrow-batched map-only assignment, and the
+        # within-cluster pairwise scoring as ONE numpy int64 matmul per
+        # cluster — the cosine_topk_blocked architecture. Exact integer
+        # dots/norms leave Python; the 6-dp rounding and the threshold
+        # cut happen in Spark (F.round), so the emitted pair set is
+        # bit-identical to the expression path and its SQL oracle (the
+        # Python side only pre-filters with an epsilon margin no
+        # surviving pair can cross).
+        import numpy as np
+        import pandas as pd
+
+        cents = _cents if _cents is not None else kmeans_train_rows(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+        assigned = ivf_assign_blocked(
+            corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize,
+            keep_vec=True,
+        )
+        margin = float(threshold) - 1e-6
+
+        def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            Q = _np_quant(np.stack(pdf[vec_col].to_numpy()[order]), quantize)
+            n2 = (Q * Q).sum(axis=1)
+            dots = Q @ Q.T
+            raw = dots / np.sqrt(
+                n2[:, None].astype(np.float64) * n2[None, :].astype(np.float64)
+            )
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = raw[ii, jj] >= margin
+            ii, jj = ii[keep], jj[keep]
+            return pd.DataFrame(
+                {
+                    "centroid_id": np.full(len(ii), pdf["centroid_id"].iloc[0], dtype=np.int64),
+                    "a_id": ids[ii],
+                    "b_id": ids[jj],
+                    "dot": dots[ii, jj],
+                    "an2": n2[ii],
+                    "bn2": n2[jj],
+                }
+            )
+
+        cand = assigned.groupBy("centroid_id").applyInPandas(
+            cluster_pairs,
+            "centroid_id long, a_id long, b_id long, dot long, an2 long, bn2 long",
+        )
+        return cand.select(
+            "centroid_id",
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("an2").cast("double") * F.col("bn2").cast("double")),
+                6,
+            ).alias("cosine"),
+        ).filter(F.col("cosine") >= F.lit(threshold))
+
+    vecs = (
+        spread(corpus)
+        .select(F.col(id_col), _quantized(F.col(vec_col), quantize).alias("__v"))
+        .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    )
+    if _assign is None and centroids is None:
+        from .similarity import kmeans_train
+
         centroids = kmeans_train(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
         ).localCheckpoint()
     assign = _assign if _assign is not None else ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
-    )
-    vecs = (
-        spread(corpus)
-        .select(F.col(id_col), _quantized(F.col(vec_col), quantize).alias("__v"))
-        .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
     )
     sides = assign.join(vecs, id_col)
     a = sides.select(
@@ -1277,27 +1356,49 @@ def semantic_prune(
     keep cluster exemplars and drop high-similarity followers).
 
     Returns the kept rows as (``id_col``, centroid_id). The pruned set
-    is the input ids minus these. The cluster assignment is computed
-    once, localCheckpointed (narrow: two ints per doc), and shared
-    between the pair join and the kept-set anti-join.
+    is the input ids minus these. The cluster assignment is a map-only
+    literal-centroid expression (no join, no checkpoint) recomputed on
+    each side — recomputing a narrow projection is cheaper than
+    materializing it between jobs.
     """
-    from .similarity import ivf_assign, kmeans_train
+    from .similarity import ivf_assign, ivf_assign_blocked, ivf_assign_expr, kmeans_train_rows
 
     if centroids is None:
-        centroids = kmeans_train(
+        cents = kmeans_train_rows(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+        if _integral_id(corpus, id_col):
+            assign = ivf_assign_blocked(
+                corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize
+            )
+        else:
+            assign = ivf_assign_expr(
+                corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize
+            )
+        pairs = semantic_dup_pairs(
+            corpus,
+            k=k,
+            iters=iters,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            quantize=quantize,
+            centroids=None,
+            _assign=None,
+            _cents=cents,
+        )
+    else:
+        assign = ivf_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
         ).localCheckpoint()
-    assign = ivf_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
-    ).localCheckpoint()
-    pairs = semantic_dup_pairs(
-        corpus,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        quantize=quantize,
-        centroids=centroids,
-        _assign=assign,
-    )
+        pairs = semantic_dup_pairs(
+            corpus,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            quantize=quantize,
+            centroids=centroids,
+            _assign=assign,
+        )
     pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return assign.join(pruned, id_col, "left_anti").select(id_col, "centroid_id")

@@ -26,7 +26,10 @@ __all__ = [
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
     "ivf_assign",
+    "ivf_assign_expr",
+    "ivf_assign_blocked",
     "kmeans_train",
+    "kmeans_train_rows",
     "ivf_cosine_topk",
     "pq_train",
     "pq_encode",
@@ -269,6 +272,265 @@ def ivf_assign(
     )
 
 
+def _round_half_up(p: float) -> int:
+    """EXACT Python twin of Spark's ``F.round(double)``: Spark rounds
+    through ``BigDecimal.valueOf(d)`` = ``new BigDecimal(
+    Double.toString(d))`` with HALF_UP — i.e. HALF_UP on the SHORTEST
+    DECIMAL REPR of the double, not on its full binary expansion.
+    Python's ``repr(float)`` is the same shortest round-trip decimal,
+    so ``Decimal(repr(p))`` sees the identical digits. (A naive
+    ``floor(p + 0.5)`` differs on values like 0.49999999999999994
+    where the binary ``+0.5`` rounds up.)"""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(p)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _np_quant(m, quantize: int):
+    """numpy twin of ``_quantized`` (same as cosine_topk_blocked's
+    half-away-from-zero on the double product)."""
+    import numpy as np
+
+    s = m.astype(np.float64) * quantize
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
+def _np_round6(a):
+    """Vectorized EXACT twin of Spark's ``F.round(x, 6)``: decimal
+    HALF_UP over the double's shortest repr (``np.round`` is
+    half-to-even and WOULD diverge on 6-dp ties — w_cume_percent
+    history). Cost is one Decimal op per element; callers only apply it
+    to (rows × k) assignment matrices, never to pairwise blocks."""
+    import decimal
+
+    import numpy as np
+
+    six = decimal.Decimal("0.000001")
+    flat = a.ravel()
+    out = np.empty(flat.shape, dtype=np.float64)
+    for i, x in enumerate(flat.tolist()):
+        out[i] = float(
+            decimal.Decimal(repr(x)).quantize(six, rounding=decimal.ROUND_HALF_UP)
+        )
+    return out.reshape(a.shape)
+
+
+def _np_assign(Q, n2, C, cn2, cids):
+    """Nearest-centroid ids for a quantized batch: exact int64 dot
+    matmul, IEEE double cosine, 6-dp decimal rounding, argmax with the
+    (cos desc, cid asc) tie-break — ``np.argmax`` returns the FIRST
+    max and ``cids`` is ascending, which IS max_by(cid, (cos, -cid))."""
+    import numpy as np
+
+    dots = Q @ C.T
+    raw = dots / np.sqrt(n2[:, None].astype(np.float64) * cn2[None, :].astype(np.float64))
+    cos = _np_round6(raw)
+    return cids[np.argmax(cos, axis=1)]
+
+
+def _prep_centroids(centroid_rows: list[tuple[int, list[float]]], quantize: int):
+    """(ascending cids, quantized k×dim int64 matrix, k norms) — the
+    driver-held form every numpy stage broadcasts. Quantization uses
+    :func:`_round_half_up` (bit-exact ``F.round`` parity)."""
+    import numpy as np
+
+    rows = sorted(centroid_rows)
+    cids = np.asarray([cid for cid, _ in rows], dtype=np.int64)
+    C = np.asarray(
+        [[_round_half_up(float(x) * quantize) for x in cvec] for _, cvec in rows],
+        dtype=np.int64,
+    )
+    return cids, C, (C * C).sum(axis=1)
+
+
+def _centroid_argmax(
+    v: Column, n2: Column, centroid_rows: list[tuple[int, list[float]]], quantize: int
+) -> Column:
+    """Nearest-centroid id as ONE column expression over an already-
+    quantized vector column: array_max over (cos, -cid, cid) structs —
+    lexicographic struct order reproduces the join path's
+    ``max_by(centroid_id, struct(cos, -centroid_id))`` tie-break.
+
+    Centroid components are quantized DRIVER-SIDE with
+    :func:`_round_half_up` (bit-exact ``F.round`` parity) and inlined
+    as long literals, and each centroid's norm is one precomputed
+    literal: Catalyst does NOT constant-fold higher-order functions, so
+    quantizing via a ``transform`` over a literal array would re-run
+    interpreted per row × per centroid — the pre-quantized form keeps
+    the per-row work to k integer dot products, the same arithmetic the
+    broadcast-join path does per joined pair."""
+    scored = []
+    for cid, cvec in centroid_rows:
+        qc = [_round_half_up(float(x) * quantize) for x in cvec]
+        c = F.array(*[F.lit(q).cast("long") for q in qc])
+        cn2 = F.lit(sum(q * q for q in qc)).cast("long")
+        scored.append(
+            F.struct(
+                _cosine(v, c, n2, cn2, True).alias("cos"),
+                F.lit(-int(cid)).cast("long").alias("nc"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+            )
+        )
+    return F.array_max(F.array(*scored))["cid"]
+
+
+def ivf_assign_expr(
+    corpus: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroid table inlined as a
+    LITERAL expression — a map-only plan: no broadcast join, no max_by
+    aggregate shuffle, no job at all until an action. Bit-identical to
+    ``ivf_assign(n_probe=1)``: the literal centroid arrays go through
+    the SAME ``_quantized`` expression (Catalyst constant-folds them
+    with its own round semantics, so no Python rounding can drift) and
+    the argmax is an ``array_max`` over (cos, -cid, cid) structs —
+    lexicographic struct order == the join path's
+    ``max_by(centroid_id, struct(cos, -centroid_id))`` tie-break.
+
+    This is the small-centroid-table path (the k×dim table a FAISS
+    coarse quantizer holds in RAM); for centroid tables too big to
+    inline (k×dim beyond ~10⁴ entries) use :func:`ivf_assign`, whose
+    broadcast join scales with the build side."""
+    out = (
+        spread(corpus)
+        .select(F.col(id_col), _quantized(F.col(vec_col), quantize).alias("__v"))
+        .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    )
+    return out.withColumn(
+        "centroid_id",
+        _centroid_argmax(F.col("__v"), F.col("__n2"), centroid_rows, quantize),
+    ).select(id_col, "centroid_id")
+
+
+def kmeans_train_rows(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """:func:`kmeans_train` with the centroid table held on the DRIVER
+    (k×dim floats — exactly what FAISS keeps in RAM for its coarse
+    quantizer), cutting each Lloyd iteration to ONE Spark job: an
+    Arrow-batched numpy stage assigns each batch (exact int64 matmul +
+    6-dp decimal-rounded cosine — see :func:`_np_assign`) and emits
+    per-partition (centroid, dim) PARTIAL integer sums; one tiny
+    aggregate folds the partials, the same in-Spark rounded division as
+    the DataFrame trainer produces the means, and only the k×dim
+    result rows come back to the driver. Partial int64 sums are
+    associative, so centroids are independent of partitioning and
+    bit-identical to :func:`kmeans_train` / the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    seed = (
+        corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col).collect()
+    )
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed]
+    dim = len(cents[0][1]) if cents else 0
+    spark = corpus.sparkSession
+    base = spread(corpus).select(_as_double(F.col(vec_col)).alias("__dv"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(_prep_centroids(cents, quantize))
+
+        def partials(batches, _bc=bc):
+            b_cids, b_C, b_cn2 = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = _np_quant(np.stack(pdf["__dv"].to_numpy()), quantize)
+                n2 = (Q * Q).sum(axis=1)
+                a = _np_assign(Q, n2, b_C, b_cn2, b_cids)
+                for cid in np.unique(a):
+                    members = Q[a == cid]
+                    yield pd.DataFrame(
+                        {
+                            "centroid_id": np.full(dim, cid, dtype=np.int64),
+                            "dim": np.arange(dim, dtype=np.int64),
+                            "val": members.sum(axis=0),
+                            "cnt": np.full(dim, len(members), dtype=np.int64),
+                        }
+                    )
+
+        rows = (
+            base.mapInPandas(partials, "centroid_id long, dim long, val long, cnt long")
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("val").alias("__s"), F.sum("cnt").alias("__c"))
+            .select(
+                "centroid_id",
+                "dim",
+                F.round(F.col("__s") / F.col("__c")).cast("long").alias("__cc"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["centroid_id"]), []).append(
+                (int(r["dim"]), int(r["__cc"]))
+            )
+        # __cc / quantize is the same IEEE double division the
+        # DataFrame trainer folds in Spark — values identical
+        cents = [
+            (cid, [cc / quantize for _, cc in sorted(comps)])
+            for cid, comps in sorted(by_cid.items())
+        ]
+    return cents
+
+
+def ivf_assign_blocked(
+    corpus: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Arrow-batched numpy twin of ``ivf_assign(n_probe=1)`` for a
+    driver-held centroid table: map-only (no join, no aggregate), one
+    int64 matmul per batch, bit-identical assignment (see
+    :func:`_np_assign` for the rounding/tie-break parity argument).
+    ``keep_vec=True`` carries the double vector through for a
+    downstream per-cluster stage. Requires an integral id column
+    (callers fall back to :func:`ivf_assign` otherwise)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        _prep_centroids(centroid_rows, quantize)
+    )
+    schema = f"{id_col} long, centroid_id long" + (
+        f", {vec_col} array<double>" if keep_vec else ""
+    )
+
+    def block(batches):
+        b_cids, b_C, b_cn2 = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = _np_quant(np.stack(pdf["__dv"].to_numpy()), quantize)
+            n2 = (Q * Q).sum(axis=1)
+            a = _np_assign(Q, n2, b_C, b_cn2, b_cids)
+            out = {id_col: pdf["__id"].to_numpy(dtype=np.int64), "centroid_id": a}
+            if keep_vec:
+                out[vec_col] = pdf["__dv"]
+            yield pd.DataFrame(out)
+
+    return (
+        spread(corpus)
+        .select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__dv"))
+        .mapInPandas(block, schema)
+    )
+
+
 def kmeans_train(
     corpus: DataFrame,
     k: int = 8,
@@ -292,7 +554,37 @@ def kmeans_train(
     (standard Lloyd behavior).
 
     Returns (id_col, vec_col) centroids in the input's float domain,
-    directly consumable by ivf_assign / ivf_cosine_topk."""
+    directly consumable by ivf_assign / ivf_cosine_topk.
+
+    Delegates to :func:`kmeans_train_rows` (one job per iteration,
+    bit-identical output — pinned by test) whenever the centroid table
+    fits comfortably on the driver; :func:`_kmeans_train_df` remains
+    the path for centroid tables too large to hold (k × dim beyond
+    ~10⁶ entries)."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first is not None and first[0] is not None else None
+    if dim is not None and k * dim <= 1_000_000:
+        rows = kmeans_train_rows(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
+        return corpus.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in rows],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+    return _kmeans_train_df(corpus, k, iters, id_col, vec_col, quantize)
+
+
+def _kmeans_train_df(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    quantize: int,
+) -> DataFrame:
+    """The all-DataFrame Lloyd loop (see :func:`kmeans_train`): the
+    scale path for centroid tables too large to hold on the driver,
+    and the parity reference the fast trainer is tested against."""
     cents = corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col)
     for _ in range(iters):
         assign = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,

@@ -1283,3 +1283,74 @@ def test_chunk_documents_model(spark):
     assert got[(2, 0)] == (3, "a b c")
     with pytest.raises(ValueError, match="overlap"):
         text.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_kmeans_fast_trainer_matches_dataframe_trainer(spark, sf_dir):
+    """kmeans_train_rows (driver-held centroids, numpy partial sums)
+    must be bit-identical to the all-DataFrame Lloyd loop, and both
+    assignment twins (literal-expression, Arrow-blocked numpy) must be
+    bit-identical to the broadcast-join ivf_assign."""
+    from fabrix_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in similarity._kmeans_train_df(emb, 8, 2, "vec_id", "embedding", 1_000_000).collect()
+    )
+    rows = similarity.kmeans_train_rows(emb, k=8, iters=2)
+    assert want == sorted(rows)
+    # kmeans_train delegates and agrees too
+    assert want == sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in similarity.kmeans_train(emb, k=8, iters=2).collect()
+    )
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a_join = {r[0]: r[1] for r in similarity.ivf_assign(emb, cdf).collect()}
+    a_expr = {r[0]: r[1] for r in similarity.ivf_assign_expr(emb, rows).collect()}
+    a_np = {r[0]: r[1] for r in similarity.ivf_assign_blocked(emb, rows).collect()}
+    assert a_join == a_expr == a_np
+
+
+def test_semantic_dedup_fast_path_matches_join_path(spark, sf_dir):
+    """The numpy fast path (blocked assignment + per-cluster matmul,
+    margin pre-filter, exact F.round in Spark) emits the identical pair
+    set and kept set as the expression/join path driven by explicit
+    centroids."""
+    from fabrix_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = similarity.kmeans_train(emb, k=8, iters=1).localCheckpoint()
+    old_pairs = sorted(
+        tuple(r) for r in dedup.semantic_dup_pairs(emb, threshold=0.375, centroids=cdf).collect()
+    )
+    new_pairs = sorted(
+        tuple(r) for r in dedup.semantic_dup_pairs(emb, k=8, iters=1, threshold=0.375).collect()
+    )
+    assert old_pairs == new_pairs and len(new_pairs) > 0
+    old_keep = sorted(
+        tuple(r) for r in dedup.semantic_prune(emb, threshold=0.375, centroids=cdf).collect()
+    )
+    new_keep = sorted(
+        tuple(r) for r in dedup.semantic_prune(emb, k=8, iters=1, threshold=0.375).collect()
+    )
+    assert old_keep == new_keep
+
+
+def test_np_round6_matches_spark_round(spark):
+    """_np_round6 must reproduce F.round(x, 6) exactly, including the
+    6-dp .5 boundaries where np.round (half-to-even) diverges."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.similarity import _np_round6, _round_half_up
+
+    vals = [0.0640625, 0.1234565, -0.1234565, 0.9999995, -0.9999995,
+            0.3333333333, 1.0000004999999998, 0.49999999999999994]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = [r["r"] for r in df.select(F.round("v", 6).alias("r")).collect()]
+    got = list(_np_round6(np.asarray(vals)))
+    assert got == want
+    # integer-scale twin against F.round(x)
+    want0 = [r["r"] for r in df.select(F.round("v").cast("long").alias("r")).collect()]
+    got0 = [_round_half_up(v) for v in vals]
+    assert got0 == want0

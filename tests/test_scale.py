@@ -357,4 +357,8 @@ def test_interleave_no_single_partition_exchange(spark):
     through Exchange SinglePartition."""
     plan = _plan(spark, "smp_interleave")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the range-partitioned arrangement is pinned by a localCheckpoint
+    # (one materialized assignment shared by the offset pass and the
+    # final pass), so it surfaces as the checkpointed scan the final
+    # plan reads, not as an Exchange inside this plan
+    assert "ExistingRDD" in plan or "rangepartitioning" in plan.lower()

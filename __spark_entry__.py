@@ -39,6 +39,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 # additions lead, then three long-green canaries.
 _VERIFY_FIRST = [
     # new in round 7 (appended as they land)
+    "gr_pagerank_redistributed",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

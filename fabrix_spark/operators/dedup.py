@@ -551,6 +551,7 @@ class SignatureStore:
         id_col: str = "doc_id",
         buckets: int | None = None,
         retain: int = 0,
+        lock: bool = False,
     ):
         from ..sources.lake import LakeTable
 
@@ -560,8 +561,10 @@ class SignatureStore:
         # buckets: partition the store by key hash so the per-batch
         # `ingest` upsert rewrites only the touched bucket partitions
         # (O(delta) file writes), not the whole signature table
+        # lock: forward the lake's advisory writer lock so concurrent
+        # ingest rounds serialize instead of lost-updating each other
         self.table = LakeTable(
-            spark, path, index=id_col, buckets=buckets, retain=retain
+            spark, path, index=id_col, buckets=buckets, retain=retain, lock=lock
         )
 
     @property
@@ -581,6 +584,22 @@ class SignatureStore:
         from ..sources.sql import SaveStrategy
 
         self.table.save(self.sign(docs, text_col), SaveStrategy.REPLACE)
+
+    def build_once(self, docs: DataFrame, text_col: str = "text") -> bool:
+        """Build the store iff it does not exist yet, safe against the
+        cross-process double-build race: two processes that both see
+        ``not exists()`` would otherwise build concurrently (benign
+        only because the content is deterministic). A dedicated
+        ``_build_lock`` file — separate from the table's writer lock,
+        which ``save`` acquires for itself — serializes the
+        check-then-build, and the exists() re-check under the lock
+        makes the second arrival a no-op. Returns True when this call
+        did the build."""
+        with self.table.writer_lock("_build_lock"):
+            if self.exists():
+                return False
+            self.build(docs, text_col)
+            return True
 
     def ingest(self, new_docs: DataFrame, text_col: str = "text") -> None:
         """Key-upsert the new docs' signatures into the store — called

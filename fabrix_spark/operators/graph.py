@@ -19,11 +19,14 @@ dedup.py) already does, and shares its design constraints:
 
 Semantics: r0(v) = unit // N;
 r_{k+1}(v) = (unit // N) * (100-d) // 100  +  d * Σ_{u→v} (r_k(u) // outdeg(u)) // 100.
-Dangling-node mass (sinks with no out-edges) is dropped rather than
-redistributed — the common simplification; ranks remain a
-deterministic partial order, which is what selection/prioritization
-uses. Integer floor division also leaks ≤1 unit (1e-12) per division:
-deterministic on both engines by construction.
+Dangling-node mass (sinks with no out-edges) is dropped by default —
+the common simplification; ranks remain a deterministic partial
+order, which is what selection/prioritization uses. Pass
+``redistribute=True`` to spread each iteration's dangling sum
+uniformly (one extra aggregate per iteration) when ranks must be a
+proper distribution comparable across graphs. Integer floor division
+also leaks ≤1 unit (1e-12) per division: deterministic on both
+engines by construction.
 
 100 TB shape: edges shuffle-partition on src once
 (``edges_with_outdeg``), each iteration reuses that partitioning for
@@ -56,6 +59,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = False,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge list.
 
@@ -63,6 +67,15 @@ def pagerank(
     rank in int64 ``unit`` fractions (divide by ``unit`` for the
     probability-like score). See the module docstring for the exact
     integer recurrence and determinism/scale contract.
+
+    ``redistribute=True`` spreads each iteration's dangling mass (the
+    summed rank of sink nodes, which the default semantics drop)
+    uniformly: r_{k+1}(v) = base + (Σ contribs + dangling_sum // N)
+    * d // 100 — ranks then stay a proper distribution (up to integer
+    floor leakage), comparable ACROSS graphs. Cost: one extra
+    aggregate per iteration producing a 1-row frame that broadcast-
+    cross-joins into the update — no extra driver round-trip, and the
+    recurrence stays SQL-unrollable.
 
     ``checkpoint=True`` localCheckpoints the prepared edge set, node
     set, and each iteration's ranks, truncating lineage so iteration
@@ -95,13 +108,35 @@ def pagerank(
             F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(sums, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
-            ).cast("long").alias("rank"),
-        )
+        if redistribute:
+            # dangling mass: total rank sitting on nodes with no
+            # out-edges this iteration — a 1-row aggregate broadcast
+            # into the update (the smp_rebalance 1-row-table shape,
+            # not a scale risk)
+            dangling = ranks.join(
+                outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dsum"))
+            ranks = (
+                nodes.join(sums, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"(coalesce(s, 0L) + dsum div {n}) * {damping_pct} div 100"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(sums, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
+                ).cast("long").alias("rank"),
+            )
         if checkpoint:
             ranks = ranks.localCheckpoint()
     return ranks

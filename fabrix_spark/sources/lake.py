@@ -459,7 +459,7 @@ class LakeTable:
     # -- advisory writer lock -----------------------------------------------
 
     @contextlib.contextmanager
-    def writer_lock(self):
+    def writer_lock(self, name: str = "_writer_lock"):
         """Advisory cross-process writer lock (opt-in via
         ``lock=True``): an O_EXCL-created ``_writer_lock`` file under
         the table root serializes read-modify-write cycles (upsert,
@@ -474,7 +474,7 @@ class LakeTable:
         object stores (S3 lacks O_EXCL semantics) — this targets the
         shared-POSIX (NFS/local) deployments the lake writer serves."""
         os.makedirs(self.path, exist_ok=True)
-        lockfile = os.path.join(self.path, "_writer_lock")
+        lockfile = os.path.join(self.path, name)
         deadline = time.monotonic() + self.lock_timeout
         while True:
             try:

@@ -1354,3 +1354,43 @@ def test_np_round6_matches_spark_round(spark):
     want0 = [r["r"] for r in df.select(F.round("v").cast("long").alias("r")).collect()]
     got0 = [_round_half_up(v) for v in vals]
     assert got0 == want0
+
+
+def test_sigstore_build_once_single_build_under_contention(spark, tmp_path):
+    """Two concurrent build_once callers (the bench+verify race):
+    exactly ONE builds, the other waits on the build lock and no-ops,
+    and the store ends with a single committed version."""
+    import threading
+    import time as _time
+
+    from fabrix_spark.operators.dedup import SignatureStore
+
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} with shared tokens") for i in range(30)],
+        "doc_id long, text string",
+    )
+    built, results = [], []
+
+    def mk_store():
+        return SignatureStore(spark, str(tmp_path / "sigs"), buckets=4, retain=1, lock=True)
+
+    def run():
+        st = mk_store()  # each "process" gets its own store object
+        orig = st.build
+
+        def slow_build(d, text_col="text"):
+            built.append(threading.get_ident())
+            _time.sleep(0.4)  # widen the race window
+            orig(d, text_col)
+
+        st.build = slow_build
+        results.append(st.build_once(docs))
+
+    t1, t2 = threading.Thread(target=run), threading.Thread(target=run)
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert len(built) == 1            # only one thread entered build
+    assert sorted(results) == [False, True]
+    store = mk_store()
+    assert store.read().count() == 30
+    assert len(store.table.versions()) == 1  # one committed version

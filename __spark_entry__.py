@@ -40,6 +40,10 @@ from fabrix_spark import queries as _q  # noqa: E402
 _VERIFY_FIRST = [
     # new in round 7 (appended as they land)
     "gr_pagerank_redistributed",
+    "sim_mmr_rerank",
+    "t_keyword_in_context",
+    "lake_cdc_diff",
+    "stream_dead_letter_replay",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

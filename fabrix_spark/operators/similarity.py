@@ -31,6 +31,7 @@ __all__ = [
     "kmeans_train",
     "kmeans_train_rows",
     "ivf_cosine_topk",
+    "mmr_rerank",
     "pq_train",
     "pq_encode",
     "pq_cosine_topk",
@@ -668,6 +669,93 @@ def ivf_cosine_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    per query, take the ``pool`` most-relevant candidates by cosine,
+    then greedily select ``k`` maximizing
+    ``lam * relevance(c) − (1−lam) * max_sim(c, already_selected)`` —
+    the standard RAG-retrieval diversification that stops near-duplicate
+    passages from crowding the context window.
+
+    Determinism/oracle contract: relevance and candidate-candidate
+    similarities are the 6-dp-rounded quantized cosines every other
+    sim op uses; the MMR score combines them with two double
+    multiplications (identical IEEE on any engine) and ties break on
+    candidate id — so the greedy sequence is SQL-unrollable and
+    bit-reproducible.
+
+    Scale shape: stage 1 is :func:`cosine_topk` (corpus never
+    shuffles); stage 2's pairwise similarity is pool × pool PER QUERY
+    (an equi-join on q_id, never corpus-quadratic); the greedy loop
+    runs k−1 fixed iterations of a tiny join + argmax aggregate on
+    ≤ queries × pool rows. Returns (q_id, c_id, cosine, step) with
+    step = 1-based selection order."""
+    query_id_col = query_id_col or id_col
+    rel = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, quantize=quantize,
+    ).select("q_id", "c_id", "cosine", "rank")
+    # pool-member vectors once; pairwise sims within each query's pool
+    vecs = spread(corpus).select(
+        F.col(id_col).alias("__id"), _quantized(F.col(vec_col), quantize).alias("__v")
+    ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    p = rel.join(vecs, rel.c_id == vecs.__id).select("q_id", "c_id", "__v", "__n2")
+    a = p.select("q_id", F.col("c_id").alias("a_id"), F.col("__v").alias("__av"), F.col("__n2").alias("__an2"))
+    b = p.select("q_id", F.col("c_id").alias("b_id"), F.col("__v").alias("__bv"), F.col("__n2").alias("__bn2"))
+    sims = (
+        a.join(b, "q_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id", "a_id", "b_id",
+            _cosine(F.col("__av"), F.col("__bv"), F.col("__an2"), F.col("__bn2"), True).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam_c, div_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    selected = rel.filter(F.col("rank") == 1).select(
+        "q_id", "c_id", "cosine", F.lit(1).cast("long").alias("step")
+    )
+    remaining = rel.filter(F.col("rank") > 1).select("q_id", "c_id", "cosine")
+    sims2 = sims.select(
+        "q_id", F.col("a_id").alias("c_id"), F.col("b_id").alias("s_id"), "sim"
+    )
+    for s in range(2, k + 1):
+        msim = (
+            remaining.select("q_id", "c_id")
+            .join(selected.select("q_id", F.col("c_id").alias("s_id")), "q_id")
+            .join(sims2, ["q_id", "c_id", "s_id"])
+            .groupBy("q_id", "c_id")
+            .agg(F.max("sim").alias("msim"))
+        )
+        scored = remaining.join(msim, ["q_id", "c_id"]).withColumn(
+            "score", lam_c * F.col("cosine") - div_c * F.col("msim")
+        )
+        pick = scored.groupBy("q_id").agg(
+            F.max_by(
+                F.struct("c_id", "cosine"),
+                F.struct(F.col("score"), (-F.col("c_id")).alias("__nc")),
+            ).alias("__p")
+        ).select(
+            "q_id", F.col("__p.c_id").alias("c_id"), F.col("__p.cosine").alias("cosine"),
+            F.lit(s).cast("long").alias("step"),
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        remaining = remaining.join(
+            pick.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        )
+    return selected
 
 
 def plane_sign(plane: int, d: int) -> int:

@@ -34,6 +34,7 @@ __all__ = [
     "normalize_text",
     "edit_distance_pairs",
     "chunk_documents",
+    "keyword_in_context",
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
 ]
@@ -533,5 +534,34 @@ def chunk_documents(
             "chunk_idx",
             F.size("__toks").alias("n_chunk_tokens"),
             F.concat_ws(" ", F.col("__toks")).alias("chunk_text"),
+        )
+    )
+
+
+def keyword_in_context(
+    df: DataFrame,
+    keyword: str,
+    before: int = 30,
+    width: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KWIC concordance extraction: for every document containing
+    ``keyword``, the 1-based position of its first occurrence and a
+    fixed-width snippet starting ``before`` characters earlier
+    (clamped at the document start). The corpus-inspection primitive
+    behind "show me how this term is used" — map-only column
+    expressions (locate + substring), no UDF, no shuffle.
+
+    Returns (id_col, pos, snippet)."""
+    width = width if width is not None else before * 2 + len(keyword)
+    pos = F.locate(keyword, F.col(text_col))
+    start = F.greatest(F.lit(1), pos - F.lit(before))
+    return (
+        df.filter(pos > 0)
+        .select(
+            F.col(id_col),
+            pos.cast("long").alias("pos"),
+            F.substring(F.col(text_col), start, F.lit(width)).alias("snippet"),
         )
     )

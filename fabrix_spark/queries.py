@@ -4814,6 +4814,269 @@ def gr_pagerank_redistributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("pos", F.row_number().over(w).cast("long"))
 
 
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7, nq: int = 4) -> str:
+    """Unrolled greedy MMR (see operators/similarity.mmr_rerank): pool
+    by rounded cosine, then k-1 selection steps, each picking the
+    argmax of lam*relevance - (1-lam)*max-sim-to-selected with ties on
+    c_id. The mixing weights are emitted as CAST('repr' AS DOUBLE) so
+    both engines combine the identical IEEE doubles (1-0.7 is
+    0.30000000000000004, not 0.3)."""
+    lam_s = f"CAST('{lam!r}' AS DOUBLE)"
+    div_s = f"CAST('{1.0 - lam!r}' AS DOUBLE)"
+    steps, prev_union = [], "sel1"
+    for s in range(2, k + 1):
+        steps.append(f"""
+sel{s} AS (
+  SELECT q_id, c_id, cosine, CAST({s} AS BIGINT) AS step FROM (
+    SELECT p.q_id, p.c_id, p.cosine,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY ({lam_s} * p.cosine - {div_s} * ms.msim) DESC, p.c_id
+           ) AS rnk
+    FROM pool p
+    JOIN (
+      SELECT si.q_id, si.a_id AS c_id, max(si.sim) AS msim
+      FROM sims si JOIN {prev_union} s ON si.q_id = s.q_id AND si.b_id = s.c_id
+      GROUP BY 1, 2
+    ) ms ON ms.q_id = p.q_id AND ms.c_id = p.c_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {prev_union} e WHERE e.q_id = p.q_id AND e.c_id = p.c_id
+    )
+  ) WHERE rnk = 1
+),
+su{s} AS (SELECT * FROM {prev_union} UNION ALL SELECT * FROM sel{s})""")
+        prev_union = f"su{s}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+scored AS (
+  SELECT qs.vec_id AS q_id, cs.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, len(cs.v) + 1), i -> cs.v[i] * qs.v[i]))
+               / sqrt(CAST(cs.n2 AS DOUBLE) * CAST(qs.n2 AS DOUBLE)), 6) AS cosine
+  FROM n cs, n qs
+  WHERE qs.vec_id < {nq} AND cs.vec_id <> qs.vec_id
+),
+pool AS (
+  SELECT q_id, c_id, cosine FROM (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {pool}
+),
+sims AS (
+  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+         round(list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i]))
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS sim
+  FROM pool a
+  JOIN pool b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+  JOIN n na ON na.vec_id = a.c_id
+  JOIN n nb ON nb.vec_id = b.c_id
+),
+sel1 AS (
+  SELECT q_id, c_id, cosine, CAST(1 AS BIGINT) AS step FROM (
+    SELECT q_id, c_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+    FROM pool
+  ) WHERE rnk = 1
+),{",".join(steps)}
+SELECT q_id, c_id, cosine, step FROM {prev_union}
+"""
+
+
+@register(
+    "t_keyword_in_context",
+    oracle="""
+SELECT doc_id,
+       CAST(strpos(text, 'vector') AS BIGINT) AS pos,
+       substr(text, greatest(1, strpos(text, 'vector') - 30), 66) AS snippet
+FROM documents
+WHERE strpos(text, 'vector') > 0
+""",
+)
+def t_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance over the corpus: first occurrence of a term
+    plus its surrounding context window — locate + substring column
+    expressions only (map-only; at 100 TB this is a pure scan whose
+    filter pushes down)."""
+    return text.keyword_in_context(
+        _t(spark, sf_dir, "documents"), "vector", before=30
+    )
+
+
+@register(
+    "stream_dead_letter_replay",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         (n_chars >= 100) AS ok1,
+         (n_chars <= 450) AS ok2,
+         (lang IN ('en', 'de', 'fr', 'es')) AS ok3
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN ok1 AND ok2 AND ok3 THEN 'good' ELSE 'quarantine' END AS status,
+       CASE WHEN NOT ok1 THEN 'min(n_chars,100)'
+            WHEN NOT ok2 THEN 'max(n_chars,450)'
+            WHEN NOT ok3 THEN 'values_in(lang)'
+            ELSE NULL END AS reason
+FROM f
+""",
+)
+def stream_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter ingestion gate, replayed end to end through
+    Structured Streaming: documents stream in as JSON micro-batches,
+    ``stream_validated_ingest`` splits each batch on the row-constraint
+    conjunction, passing rows land in the ``good`` lake table and
+    violations in ``quarantine`` with the first violated rule — then
+    the union of BOTH tables (status + reason) is what the oracle
+    re-derives per row. Total coverage (good + quarantine == input) and
+    the per-row reason strings get a driver CORRECTNESS row, which the
+    batch-side ``prof_constraints`` aggregate alone could not give the
+    streaming path."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_json, stream_validated_ingest
+
+    root = tempfile.mkdtemp(prefix="fabrix_deadletter_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    docs.coalesce(4).write.mode("overwrite").json(src)
+    good = LakeTable(spark, os.path.join(root, "good"), index="doc_id")
+    quar = LakeTable(spark, os.path.join(root, "quarantine"), index="doc_id")
+    q = stream_validated_ingest(
+        read_stream_json(
+            spark, src, schema="doc_id long, n_chars long, lang string"
+        ),
+        [
+            ("min", "n_chars", 100),
+            ("max", "n_chars", 450),
+            ("values_in", "lang", ["en", "de", "fr", "es"]),
+        ],
+        good,
+        quar,
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    g = good.read().df.select(
+        "doc_id",
+        F.lit("good").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+    )
+    b = quar.read().df.select(
+        "doc_id",
+        F.lit("quarantine").alias("status"),
+        F.col("_fx_reason").alias("reason"),
+    )
+    return g.unionByName(b)
+
+
+_CDCLAKE_CACHE: dict[str, object] = {}
+
+
+def _prebuilt_cdc_lake(spark: SparkSession, sf_dir: str):
+    """A two-version lake table for the CDC diff query (same cached-
+    fixture lifecycle as :func:`_prebuilt_zorder_lake`): v1 holds keys
+    with k % 7 != 0, the live version REPLACEs it with keys k % 5 != 0
+    and qty bumped where k % 3 == 0 — so the version-to-version diff
+    contains inserts (7|k, 5∤k), deletes (5|k, 7∤k), and updates
+    (3|k present in both), all derivable from lineitem in plain SQL."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.sql import SaveStrategy
+
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.md5(
+        f"cdc:{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    t = _CDCLAKE_CACHE.get(key)
+    if t is None:
+        root = os.path.join(tempfile.gettempdir(), "fabrix_cdclake_cache", key)
+        # retain=1 keeps the superseded v1 readable for the diff (and
+        # shields concurrent readers, as with the other shared fixtures)
+        t = LakeTable(spark, os.path.join(root, "t"), index="k", retain=1)
+        _CDCLAKE_CACHE[key] = t
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    if len(t.versions()) < 2:
+        base = _t(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        t.save(base.filter(F.col("k") % 7 != 0), SaveStrategy.REPLACE)
+        bumped = base.filter(F.col("k") % 5 != 0).select(
+            "k",
+            (
+                F.col("qty")
+                + F.when(F.col("k") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("qty"),
+        )
+        t.save(bumped, SaveStrategy.REPLACE)
+    return t
+
+
+@register(
+    "lake_cdc_diff",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS k, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+old AS (SELECT * FROM base WHERE k % 7 <> 0),
+new AS (
+  SELECT k, CAST(qty + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS qty
+  FROM base WHERE k % 5 <> 0
+)
+SELECT COALESCE(o.k, n.k) AS k,
+       CASE WHEN o.k IS NULL THEN 'insert'
+            WHEN n.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       o.qty AS before_qty,
+       n.qty AS after_qty
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.qty <> n.qty
+""",
+)
+def lake_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture read off the versioned lake: the diff
+    between a retained snapshot and the live table — every inserted,
+    deleted, and updated key with before/after values, from ONE
+    full-outer join on the index (the feed `apply_changes` consumes).
+    First driver-checkable evidence for the time-travel/CDC surface
+    (previously pytest-only)."""
+    t = _prebuilt_cdc_lake(spark, sf_dir)
+    d = t.diff(t.versions()[0])
+    return d.select(
+        F.col("k"),
+        "change",
+        F.col("before.qty").alias("before_qty"),
+        F.col("after.qty").alias("after_qty"),
+    )
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval: top-20 cosine
+    pool per query, greedy 5-pick balancing relevance (0.7) against
+    max similarity to already-picked passages (0.3) — the standard
+    RAG-context diversification. The greedy sequence is integer-exact
+    in its inputs (rounded quantized cosines) and the oracle unrolls
+    all five selection steps, so the whole trajectory is verified, not
+    just the final set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return similarity.mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

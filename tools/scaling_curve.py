@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Scaling-curve evidence for the LLM-pipeline operators.
+
+Every 100 TB claim in this repo rests on plan-shape reading; this tool
+converts the argument into measured data: it synthesizes deterministic
+1×/3×/10× blow-ups of the sf0.1 ``documents``/``embeddings`` tables,
+runs each headline LLM operator at every factor, and fits the runtime
+exponent t ∝ m^e (e ≈ 1 ⇒ linear; the sf0.1 job floor pushes the
+FITTED exponent BELOW 1, so e ≤ ~1.1 is the pass bar — any hidden
+quadratic term would show e → 2 between 3× and 10×).
+
+Synthesis keeps the WORK DENSITY constant per copy — the property that
+makes the curve meaningful:
+
+- documents: copy c of each doc suffixes every non-stopword token with
+  ``_c`` (stopwords untouched). Within-copy duplicate structure and
+  every text statistic the gates read (token counts, stopword ratios,
+  language scores) are preserved exactly; across copies the shingle
+  spaces are disjoint, so duplicate DENSITY stays constant instead of
+  groups growing m-fold (which would measure the output blow-up, not
+  the scan). doc_id stride is a multiple of 5, preserving the
+  corpus/delta split of the incremental queries.
+- embeddings: copy c applies a per-copy deterministic sign pattern to
+  the components — an isometry, so within-copy geometry (cluster
+  structure, cosine near-dups) is EXACTLY preserved, while cross-copy
+  cosines collapse toward 0.
+- the operators whose scale contract says "grow the index with the
+  corpus" (SemDeDup k, IVF nlist — both documented in their
+  docstrings) are run with k, nlist ∝ m; fixed-parameter operators run
+  unchanged.
+
+Usage: python tools/scaling_curve.py [--factors 1,3,10] [--runs 2]
+Prints a markdown table (paste into BENCH_NOTES.md) plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CACHE = "/tmp/fabrix_scale_cache"
+STRIDE = 10_000_000  # multiple of 5: preserves doc_id % 5 splits
+
+
+def _all_stopwords():
+    from fabrix_spark.operators import text
+
+    return sorted({w for ws in text.LANG_STOPWORDS.values() for w in ws})
+
+
+def synthesize(spark, m: int) -> str:
+    out = os.path.join(CACHE, f"x{m}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    stop = F.array(*[F.lit(w) for w in _all_stopwords()])
+    d_parts, e_parts = [], []
+    for c in range(m):
+        if c == 0:
+            d_parts.append(docs)
+            e_parts.append(emb)
+            continue
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.when(F.array_contains(stop, x), x).otherwise(
+                    F.concat(x, F.lit(f"_{c}"))
+                ),
+            ),
+            " ",
+        )
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(c * STRIDE)).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # per-copy sign pattern: an isometry (within-copy geometry
+        # exact), cross-copy cosines ~0
+        signed = F.transform(
+            F.col("embedding"),
+            lambda x, i: x * F.when((i * (c + 1) + c) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).cast("float"),
+        )
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(c * STRIDE)).alias("vec_id"),
+                signed.alias("embedding"),
+                "label",
+            )
+        )
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(max(8, 4 * m)).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    e.repartition(max(4, 2 * m)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    open(done, "w").close()
+    return out
+
+
+def fit_exponent(ms, ts) -> float:
+    xs = [math.log(m) for m in ms]
+    ys = [math.log(t) for t in ts]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,3,10")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+
+    from fabrix_spark.operators import dedup, similarity
+    from fabrix_spark.queries import REGISTRY, _prebuilt_sigstore
+    from fabrix_spark.session import get_spark
+
+    spark = get_spark("scaling_curve", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    dirs = {m: synthesize(spark, m) for m in factors}
+
+    def run_registry(name):
+        def op(sf_dir, m):
+            return REGISTRY[name].fn(spark, sf_dir).count()
+
+        return op
+
+    def op_incremental_probe(sf_dir, m):
+        # steady-state contract: store prebuilt outside the timed region
+        return REGISTRY["d_incremental_probe"].fn(spark, sf_dir).count()
+
+    def warm_incremental(sf_dir, m):
+        _prebuilt_sigstore(spark, sf_dir)
+
+    def op_semdedup(sf_dir, m):
+        # paper contract (dedup.py docstring): k grows with the corpus
+        # so per-cluster cardinality stays bounded
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return dedup.semantic_prune(emb, k=8 * m, iters=1, threshold=0.375).count()
+
+    def op_ivfpq(sf_dir, m):
+        # IVF contract: nlist grows with the corpus; n_probe fixed
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        queries = emb.filter(F.col("vec_id") < 8)
+        return similarity.ivfpq_topk(
+            emb, queries, dim=64, m=4, n_codes=8, k=5, n_centroids=16 * m, n_probe=2
+        ).count()
+
+    ops = [
+        ("d_minhash_lsh", run_registry("d_minhash_lsh"), None),
+        ("d_incremental_probe", op_incremental_probe, warm_incremental),
+        ("d_semdedup (k=8m)", op_semdedup, None),
+        ("sim_ivfpq_topk (nlist=16m)", op_ivfpq, None),
+        ("pipeline_llm_prep", run_registry("pipeline_llm_prep"), None),
+    ]
+
+    results = {}
+    for name, op, warm in ops:
+        times, rows = [], []
+        for m in factors:
+            d = dirs[m]
+            if warm:
+                warm(d, m)
+            best, n = None, None
+            for _ in range(args.runs):
+                t0 = time.time()
+                n = op(d, m)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times.append(best)
+            rows.append(n)
+        e = fit_exponent(factors, times)
+        e_tail = fit_exponent(factors[-2:], times[-2:]) if len(factors) >= 2 else e
+        results[name] = {
+            "times": [round(t, 2) for t in times],
+            "rows": rows,
+            "exponent": round(e, 2),
+            "exponent_tail": round(e_tail, 2),
+        }
+        print(f"# {name}: times={results[name]['times']} rows={rows} "
+              f"e={results[name]['exponent']} e_tail={results[name]['exponent_tail']}",
+              file=sys.stderr)
+
+    print("| operator | " + " | ".join(f"{m}× (s)" for m in factors)
+          + " | rows@max | fit e | tail e |")
+    print("|---|" + "---|" * (len(factors) + 3))
+    for name, r in results.items():
+        print(f"| {name} | " + " | ".join(f"{t:.2f}" for t in r["times"])
+              + f" | {r['rows'][-1]} | {r['exponent']:.2f} | {r['exponent_tail']:.2f} |")
+    print(json.dumps({"factors": factors, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

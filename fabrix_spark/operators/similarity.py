@@ -957,6 +957,122 @@ def _l2_assign(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def pq_train_rows(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> list[tuple[int, int, list[int], int]]:
+    """:func:`pq_train` with the codebooks held on the DRIVER (the PQ
+    codebook is definitionally RAM-sized — m × n_codes × dim/m ints;
+    FAISS keeps exactly this in memory), cutting training to ONE Spark
+    job per Lloyd iteration for ALL subspaces at once: an Arrow-batched
+    numpy stage slices each batch into subspaces, assigns by exact
+    int64 squared-L2 (argmin-first over ascending codes == the
+    (d² asc, code asc) tie-break — no rounding anywhere in the metric),
+    and emits per-partition (subspace, code, dim) integer partial sums;
+    one tiny aggregate + the same in-Spark rounded division produce the
+    means. Associative int64 partials ⇒ partitioning-independent and
+    bit-identical to the DataFrame trainer (pinned by test).
+
+    Returns [(subspace, code, components list[int], cn2)] sorted."""
+    import numpy as np
+    import pandas as pd
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    seed = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    # quantize seeds driver-side with the exact F.round twin
+    books: list[dict[int, list[int]]] = []
+    for s in range(m):
+        cb = {}
+        for r in seed:
+            cb[int(r[0])] = [
+                _round_half_up(float(x) * quantize)
+                for x in r[1][s * sub_dim : (s + 1) * sub_dim]
+            ]
+        books.append(cb)
+    spark = corpus.sparkSession
+    base = spread(corpus).select(_as_double(F.col(vec_col)).alias("__dv"))
+    for _ in range(iters):
+        packed = [
+            (
+                np.asarray(sorted(cb), dtype=np.int64),
+                np.asarray([cb[c] for c in sorted(cb)], dtype=np.int64),
+            )
+            for cb in books
+        ]
+        bc = spark.sparkContext.broadcast(packed)
+
+        def partials(batches, _bc=bc):
+            pk = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = _np_quant(np.stack(pdf["__dv"].to_numpy()), quantize)
+                frames = []
+                for s, (codes, C) in enumerate(pk):
+                    Qs = Q[:, s * sub_dim : (s + 1) * sub_dim]
+                    n2 = (Qs * Qs).sum(axis=1)
+                    cn2 = (C * C).sum(axis=1)
+                    d2 = n2[:, None] - 2 * (Qs @ C.T) + cn2[None, :]
+                    a = codes[np.argmin(d2, axis=1)]
+                    for code in np.unique(a):
+                        members = Qs[a == code]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "subspace": np.full(sub_dim, s, dtype=np.int32),
+                                    "code": np.full(sub_dim, code, dtype=np.int64),
+                                    "dim": np.arange(sub_dim, dtype=np.int64),
+                                    "val": members.sum(axis=0),
+                                    "cnt": np.full(sub_dim, len(members), dtype=np.int64),
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        rows = (
+            base.mapInPandas(
+                partials, "subspace int, code long, dim long, val long, cnt long"
+            )
+            .groupBy("subspace", "code", "dim")
+            .agg(F.sum("val").alias("__s"), F.sum("cnt").alias("__c"))
+            .select(
+                "subspace",
+                "code",
+                "dim",
+                F.round(F.col("__s") / F.col("__c")).cast("long").alias("__cc"),
+            )
+            .collect()
+        )
+        books = [dict() for _ in range(m)]
+        acc: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for r in rows:
+            acc.setdefault((int(r["subspace"]), int(r["code"])), []).append(
+                (int(r["dim"]), int(r["__cc"]))
+            )
+        for (s, code), comps in acc.items():
+            books[s][code] = [cc for _, cc in sorted(comps)]
+    out = []
+    for s in range(m):
+        for code in sorted(books[s]):
+            comps = books[s][code]
+            out.append((s, code, comps, sum(c * c for c in comps)))
+    return out
+
+
 def pq_train(
     corpus: DataFrame,
     dim: int,
@@ -978,9 +1094,35 @@ def pq_train(
     Returns (subspace, code, __c array<long>, __cn2 long) in the
     quantized domain. Scale shape per subspace and iteration: one
     broadcast-codebook assignment over the corpus (map-only), one
-    (code, dim) hash aggregate — the corpus never shuffles."""
+    (code, dim) hash aggregate — the corpus never shuffles.
+
+    Delegates to :func:`pq_train_rows` (one job per iteration for all
+    subspaces, bit-identical — pinned by test) whenever the codebook
+    fits the driver; the all-DataFrame loop remains the reference and
+    the path for outsized codebooks."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if m * n_codes * (dim // m) <= 1_000_000:
+        rows = pq_train_rows(
+            corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
+        )
+        return corpus.sparkSession.createDataFrame(
+            rows, "subspace int, code long, __c array<long>, __cn2 long"
+        )
+    return _pq_train_df(corpus, dim, m, n_codes, iters, id_col, vec_col, quantize)
+
+
+def _pq_train_df(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """The all-DataFrame per-subspace Lloyd loop (see :func:`pq_train`)."""
     sub_dim = dim // m
     parts = []
     for s in range(m):
@@ -1041,9 +1183,68 @@ def pq_encode(
     is the whole point: m small codes replace the raw vector (with
     256-entry codebooks, m bytes per vector — a 100 TB float corpus
     compresses to the point where the ADC scan is CPU-bound, not
-    IO-bound). Encoding is m broadcast-codebook assignments; the
-    corpus never shuffles."""
+    IO-bound). Encoding is map-only; the corpus never shuffles: the
+    fast path collects the (RAM-sized) codebooks once and encodes all
+    m subspaces in ONE Arrow-batched numpy pass (exact int64 L2,
+    argmin-first == the (d² asc, code asc) tie-break — bit-identical
+    to the broadcast-join path, pinned by test)."""
+    import numpy as np
+    import pandas as pd
+
     sub_dim = dim // m
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if isinstance(
+        corpus.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        cb_rows = codebooks.select("subspace", "code", "__c").collect()
+        packed_d: dict[int, dict[int, list[int]]] = {}
+        for r in cb_rows:
+            packed_d.setdefault(int(r["subspace"]), {})[int(r["code"])] = [
+                int(x) for x in r["__c"]
+            ]
+        packed = [
+            (
+                np.asarray(sorted(packed_d[s]), dtype=np.int64),
+                np.asarray(
+                    [packed_d[s][c] for c in sorted(packed_d[s])], dtype=np.int64
+                ),
+            )
+            for s in range(m)
+        ]
+        bc = corpus.sparkSession.sparkContext.broadcast(packed)
+
+        def encode(batches):
+            pk = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf["__id"].to_numpy(dtype=np.int64)
+                Q = _np_quant(np.stack(pdf["__dv"].to_numpy()), quantize)
+                frames = []
+                for s, (codes, C) in enumerate(pk):
+                    Qs = Q[:, s * sub_dim : (s + 1) * sub_dim]
+                    n2 = (Qs * Qs).sum(axis=1)
+                    cn2 = (C * C).sum(axis=1)
+                    d2 = n2[:, None] - 2 * (Qs @ C.T) + cn2[None, :]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                id_col: ids,
+                                "subspace": np.full(len(ids), s, dtype=np.int32),
+                                "code": codes[np.argmin(d2, axis=1)],
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return (
+            spread(corpus)
+            .select(
+                F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__dv")
+            )
+            .mapInPandas(encode, f"{id_col} long, subspace int, code long")
+        )
     parts = []
     for s in range(m):
         sl = (

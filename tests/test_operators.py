@@ -1394,3 +1394,26 @@ def test_sigstore_build_once_single_build_under_contention(spark, tmp_path):
     store = mk_store()
     assert store.read().count() == 30
     assert len(store.table.versions()) == 1  # one committed version
+
+
+def test_pq_fast_trainer_and_encoder_match_dataframe_path(spark, sf_dir):
+    """pq_train_rows (driver-held codebooks, one numpy job per Lloyd
+    iteration for ALL subspaces) and the numpy encode fast path must be
+    bit-identical to the per-subspace broadcast-join DataFrame path."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = sorted(
+        (int(r["subspace"]), int(r["code"]), [int(x) for x in r["__c"]], int(r["__cn2"]))
+        for r in similarity._pq_train_df(emb, 64, 4, 8, 2).collect()
+    )
+    rows = similarity.pq_train_rows(emb, 64, m=4, n_codes=8, iters=2)
+    assert want == sorted(rows)
+    cb = similarity.pq_train(emb, 64, m=4, n_codes=8, iters=1)
+    fast = {(r[0], r[1]): r[2] for r in similarity.pq_encode(emb, cb, 64, m=4).collect()}
+    # a non-integral id routes through the broadcast-join path
+    emb_s = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    slow = {(int(r[0]), r[1]): r[2] for r in similarity.pq_encode(emb_s, cb, 64, m=4).collect()}
+    assert fast == slow and len(fast) > 0

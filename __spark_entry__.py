@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "t_keyword_in_context",
     "lake_cdc_diff",
     "stream_dead_letter_replay",
+    "tj_asof_nearest",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

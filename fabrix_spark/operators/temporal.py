@@ -31,15 +31,29 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right[on] <= left[on]`` (matching ``by`` keys when given).
+    """For every left row, attach the right row nearest in time
+    (matching ``by`` keys when given), per ``direction`` — the full
+    pandas ``merge_asof`` direction surface:
 
-    Implementation: tag + union + ``last_value(..., ignorenulls)`` over
-    a (by, time) window, then keep left rows. One shuffle on the by
-    keys; both inputs stream through a single sort — the classic
-    scalable as-of (no range join, no per-row lookups).
+    - ``backward`` (default): most recent right row with
+      ``right[on] <= left[on]``;
+    - ``forward``: earliest right row with ``right[on] >= left[on]``;
+    - ``nearest``: whichever of the two is closer in ABSOLUTE time
+      (exact microsecond arithmetic); equidistant ties take the
+      backward row (deterministic, and what feature-store semantics
+      want — never read the future when the past is equally close).
+
+    Implementation: tag + union + ``last/first(..., ignorenulls)``
+    windows over one (by, time) sort, then keep left rows. One shuffle
+    on the by keys regardless of direction; both inputs stream through
+    a single sort — the classic scalable as-of (no range join, no
+    per-row lookups). ``tolerance_seconds`` bounds the |Δt| of the
+    chosen row (microsecond-exact comparison).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
     # right columns that collide with left names come back prefixed —
@@ -66,23 +80,51 @@ def asof_join(
     cols = lt.columns
     u = lt.select(*cols).unionByName(rt.select(*cols))
 
-    # right rows sort before left rows at the same timestamp so a
-    # same-instant right row is visible to the left row (<= semantics)
-    w = (
+    # right rows sort before left rows at the same timestamp (side 0
+    # first ascending) so a same-instant right row is visible both to
+    # the backward frame (<=) and, with side DESC in the forward sort,
+    # to the forward frame (>=)
+    w_back = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("__r", ignorenulls=True).over(w_back).alias("__rb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.first("__r", ignorenulls=True).over(w_fwd).alias("__rf_fwd"))
     filled = u.select(
         *[c for c in cols if c not in ("__side", "__r")],
         F.col("__side"),
-        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
+        *fills,
     )
     out = filled.filter(F.col("__side") == 1)
+    t_us = F.unix_micros(F.col(on).cast("timestamp"))
+    if direction == "backward":
+        chosen = F.col("__rb")
+    elif direction == "forward":
+        chosen = F.col("__rf_fwd")
+    else:
+        db = t_us - F.unix_micros(F.col("__rb.__rt_time").cast("timestamp"))
+        df_ = F.unix_micros(F.col("__rf_fwd.__rt_time").cast("timestamp")) - t_us
+        chosen = (
+            F.when(F.col("__rb").isNull(), F.col("__rf_fwd"))
+            .when(F.col("__rf_fwd").isNull(), F.col("__rb"))
+            .when(db <= df_, F.col("__rb"))
+            .otherwise(F.col("__rf_fwd"))
+        )
+    out = out.withColumn("__rf", chosen)
     asof_time = F.col("__rf.__rt_time")
     if tolerance_seconds is not None:
         within = asof_time.isNotNull() & (
-            F.unix_timestamp(on) - F.unix_timestamp(asof_time) <= tolerance_seconds
+            F.abs(t_us - F.unix_micros(asof_time.cast("timestamp")))
+            <= tolerance_seconds * 1_000_000
         )
         picks = [
             F.when(within, F.col(f"__rf.{c}")).alias(out_names[c]) for c in right_cols

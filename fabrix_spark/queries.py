@@ -2081,6 +2081,51 @@ def tj_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tj_asof_nearest",
+    oracle="""
+WITH rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rts,
+         CAST(floor((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+                    / (2.0 * count(*))) AS BIGINT) AS hr_avg_cents
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT e.event_id, e.event_type, r.hr_avg_cents,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(r.rts)),
+                    CASE WHEN r.rts <= e.ts THEN 0 ELSE 1 END
+         ) AS rn
+  FROM events e JOIN rates r ON e.event_type = r.event_type
+)
+SELECT event_id, event_type, hr_avg_cents FROM j WHERE rn = 1
+""",
+)
+def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each event takes the hourly rate closest in
+    ABSOLUTE time, equidistant ties resolving backward. Same
+    one-shuffle union+window plan as the backward as-of — the oracle
+    ranks the full per-key pairing by exact microsecond distance, so
+    the tie rule is verified too."""
+    e = _events(spark, sf_dir)
+    qs = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count("*")
+    rates = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.floor((2 * qs + n) / (2.0 * n)).cast("long").alias("hr_avg_cents")
+    )
+    joined = temporal.asof_join(
+        e.select("event_id", "event_type", "ts"),
+        rates,
+        on="ts",
+        by=["event_type"],
+        right_cols=["hr_avg_cents"],
+        direction="nearest",
+    )
+    return joined.select("event_id", "event_type", "hr_avg_cents")
+
+
+@register(
     "tj_interval_pairs",
     oracle="""
 SELECT a.event_id AS id_a, b.event_id AS id_b
@@ -2745,6 +2790,7 @@ WITH {_KMEANS8_ASSIGN_CTE}
 SELECT vec_id, centroid_id FROM asg
 WHERE vec_id NOT IN (SELECT DISTINCT b_id FROM sem_pairs WHERE cosine >= 0.375)
 """,
+    headline=True,
 )
 def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup pruning: the kept exemplar set after dropping every

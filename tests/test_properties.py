@@ -169,3 +169,40 @@ def test_select_adt_json_roundtrip(sel):
     assert back.to_json() == payload
     if back.filter:
         validate_expressions(back.filter)  # round-trip stays grammatical
+
+
+def test_round_half_up_twins_match_spark_round_fuzz(spark):
+    """Property fuzz for the numpy fast paths' rounding twins: over
+    adversarial doubles (including exact .5 decimal boundaries at both
+    scales and the 0.49999999999999994 binary-boundary pathology),
+    _round_half_up == F.round(x) and _np_round6 == F.round(x, 6)
+    element-for-element."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.similarity import _np_round6, _round_half_up
+
+    # adversarial pool: uniform doubles, exact k+0.5, exact 6-dp .5
+    # boundaries, and the floor(x+0.5) pathology value
+    base = st.one_of(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        st.integers(min_value=-10**6, max_value=10**6).map(lambda k: k + 0.5),
+        st.integers(min_value=-10**7, max_value=10**7).map(lambda k: (2 * k + 1) / 2e6),
+        st.just(0.49999999999999994),
+        st.just(-0.49999999999999994),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(base, min_size=1, max_size=50))
+    def inner(vals):
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        got = df.select(
+            F.round("v").cast("long").alias("r0"), F.round("v", 6).alias("r6")
+        ).collect()
+        want0 = [_round_half_up(float(v)) for v in vals]
+        want6 = list(_np_round6(np.asarray([float(v) for v in vals])))
+        assert [r["r0"] for r in got] == want0
+        assert [r["r6"] for r in got] == want6
+
+    inner()

@@ -133,3 +133,43 @@ def test_rolling_zscore_model(spark):
         key=lambda r: str(r["ts"]),
     )
     assert [r["z"] for r in again] == [r["z"] for r in out]
+
+
+def test_asof_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10, 5)), (2, _ts(10, 29)), (3, _ts(10, 31)), (4, _ts(11, 0))],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(_ts(10, 0), 100.0), (_ts(10, 30), 200.0)], "ts timestamp, px double"
+    )
+    fwd = {r["id"]: r["px"] for r in asof_join(left, right, on="ts", direction="forward").collect()}
+    # forward: earliest right at-or-after; 11:00 has none
+    assert fwd == {1: 200.0, 2: 200.0, 3: None, 4: None}
+    near = {r["id"]: r["px"] for r in asof_join(left, right, on="ts", direction="nearest").collect()}
+    # 10:05 closer to 10:00; 10:29 closer to 10:30; 10:31 closer to
+    # 10:30; 11:00 only has backward
+    assert near == {1: 100.0, 2: 200.0, 3: 200.0, 4: 200.0}
+
+
+def test_asof_nearest_tie_takes_backward(spark):
+    left = spark.createDataFrame([(1, _ts(10, 15))], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(_ts(10, 0), 1.0), (_ts(10, 30), 2.0)], "ts timestamp, px double"
+    )
+    out = asof_join(left, right, on="ts", direction="nearest").collect()
+    assert out[0]["px"] == 1.0  # equidistant → backward (never read the future)
+
+
+def test_asof_forward_same_instant_visible(spark):
+    left = spark.createDataFrame([(1, _ts(10, 0))], "id long, ts timestamp")
+    right = spark.createDataFrame([(_ts(10, 0), 7.0)], "ts timestamp, px double")
+    out = asof_join(left, right, on="ts", direction="forward").collect()
+    assert out[0]["px"] == 7.0  # >= includes the same instant
+
+
+def test_asof_nearest_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(12, 0))], "id long, ts timestamp")
+    right = spark.createDataFrame([(_ts(10, 0), 5.0)], "ts timestamp, v double")
+    out = asof_join(left, right, on="ts", direction="nearest", tolerance_seconds=1800).collect()
+    assert out[0]["v"] is None  # nearest row is 2h away > 30min

@@ -362,3 +362,23 @@ def test_interleave_no_single_partition_exchange(spark):
     # final pass), so it surfaces as the checkpointed scan the final
     # plan reads, not as an Exchange inside this plan
     assert "ExistingRDD" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_semantic_prune_plan_shape(spark):
+    """The SemDeDup fast path must stay: map-only numpy assignment (no
+    assignment join, no max_by shuffle), exactly ONE hash Exchange on
+    centroid_id feeding the per-cluster pairwise stage, and a broadcast
+    anti-join for the kept set — the sole data shuffle is the one the
+    algorithm requires."""
+    import re
+
+    from fabrix_spark.operators import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = dedup.semantic_prune(emb, k=8, iters=1, threshold=0.375)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan          # per-cluster numpy pairs
+    assert "MapInPandas" in plan                    # blocked assignment
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert len(re.findall(r"hashpartitioning\(centroid_id", plan)) == 1
+    assert "SortMergeJoin" not in plan              # no assignment join survives

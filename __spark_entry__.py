@@ -45,6 +45,7 @@ _VERIFY_FIRST = [
     "lake_cdc_diff",
     "stream_dead_letter_replay",
     "tj_asof_nearest",
+    "pipeline_multimodal_curation",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -5109,6 +5109,44 @@ def lake_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_multimodal_curation",
+    oracle=f"""
+WITH {_KMEANS8_ASSIGN_CTE}
+, kept_vecs AS (
+  SELECT vec_id, centroid_id FROM asg
+  WHERE vec_id NOT IN (SELECT DISTINCT b_id FROM sem_pairs WHERE cosine >= 0.375)
+),
+gated AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 30 AND 90
+)
+SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens, k.centroid_id
+FROM gated g JOIN kept_vecs k ON k.vec_id = g.doc_id
+""",
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus curation in one plan: the TEXT modality
+    gates documents on token count while the EMBEDDING modality
+    semantically deduplicates (SemDeDup prune), and the final corpus
+    is the join of both verdicts on the shared id — the
+    text+embedding curation shape every multimodal training-data
+    pipeline runs. The join is an equi-join on the id (both sides
+    already partitioned narrow); at 100 TB each modality's verdict is
+    computed in its own scan and only (id, verdict) columns meet."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = text.quality_score(docs).filter(
+        F.col("n_tokens").between(30, 90)
+    ).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    kept = dedup.semantic_prune(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=1, threshold=0.375
+    )
+    return gated.join(
+        kept.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    ).select("doc_id", "n_tokens", "centroid_id")
+
+
 @register("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance diversified retrieval: top-20 cosine

@@ -280,7 +280,7 @@ class SqlExecutor:
             index = self.get_primary_key(sel.table)
             if index is not None:
                 sel = with_primary_key(sel, index)
-        sql = render_select(sel)
+        sql = render_select(sel, self.dialect)
         # derive the typed schema from the catalog so empty results
         # round-trip with real dtypes, not all-string fabrications
         schema = None

@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "stream_dead_letter_replay",
     "tj_asof_nearest",
     "pipeline_multimodal_curation",
+    "smp_bootstrap",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -26,6 +26,8 @@ __all__ = [
     "temperature_mixture",
     "weighted_sample",
     "interleave_sources",
+    "poisson_cdf_thresholds",
+    "bootstrap_metrics",
 ]
 
 _BUCKETS = 10_000
@@ -318,4 +320,95 @@ def interleave_sources(
             (F.col("__off") + F.row_number().over(w_local)).cast("long"),
         )
         .select(id_col, source_col, "rn", "mix_order")
+    )
+
+
+def poisson_cdf_thresholds(max_k: int = 10) -> list[int]:
+    """Integer 32-bit thresholds of the Poisson(1) CDF:
+    ``thresholds[k] = floor(P(X <= k) * 2^32)``. A row's bootstrap
+    multiplicity is the smallest k with ``h32 < thresholds[k]`` (else
+    ``max_k``). Pure driver-side constants inlined into BOTH the Spark
+    plan and the SQL oracle, so the two engines compare the same
+    int64s — no floating-point threshold ever crosses an engine
+    boundary."""
+    import math
+
+    out, acc, p = [], 0.0, math.exp(-1.0)
+    for k in range(max_k):
+        acc += p
+        out.append(min(int(acc * 4294967296.0), 4294967295))
+        p /= k + 1
+    return out
+
+
+def bootstrap_metrics(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicates: int = 20,
+    value_scale: int = 100,
+    max_k: int = 10,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap (Efron's bootstrap in the
+    per-row-multiplicity form used for massive data): each replicate
+    re-weights every row by a Poisson(1) draw derived from
+    ``md5(id '_' rep)``, and the per-replicate aggregate distribution
+    estimates the metric's sampling variance — eval error bars without
+    materializing resampled datasets.
+
+    The draw is the repo's seedless-hash idiom: h32 = first 8 md5 hex
+    chars; multiplicity = inverse-CDF lookup against INTEGER
+    thresholds (:func:`poisson_cdf_thresholds`) — bit-reproducible on
+    any engine with md5, independent of partitioning. Scale shape:
+    ``explode(sequence(replicates))`` fans each row out map-side
+    (R× rows, narrow columns), ONE hash aggregate on rep — no shuffle
+    of the raw table, no driver-side resampling.
+
+    Returns (rep, n_rows, n_samples, sum_scaled, mean_value):
+    n_samples = Σk, sum_scaled = Σ k·round(value·value_scale) exact
+    int64, mean_value = sum_scaled / (n_samples·value_scale) as an
+    UNROUNDED double (identical IEEE division on any engine)."""
+    thresholds = poisson_cdf_thresholds(max_k)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep")
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.round(F.col(value_col).cast("double") * value_scale)
+        .cast("long")
+        .alias("__v"),
+    ).select("__id", "__v", rep)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__id"), F.lit("_"), F.col("rep").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = F.when(h < thresholds[0], 0)
+    for i in range(1, len(thresholds)):
+        k = k.when(h < thresholds[i], i)
+    k = k.otherwise(len(thresholds)).cast("long")
+    return (
+        base.select("rep", k.alias("__k"), "__v")
+        .groupBy("rep")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("__k").alias("n_samples"),
+            F.sum(F.col("__k") * F.col("__v")).alias("sum_scaled"),
+        )
+        .select(
+            F.col("rep").cast("long").alias("rep"),
+            "n_rows",
+            "n_samples",
+            "sum_scaled",
+            (
+                F.col("sum_scaled").cast("double")
+                / (F.col("n_samples").cast("double") * value_scale)
+            ).alias("mean_value"),
+        )
     )

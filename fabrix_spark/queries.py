@@ -5109,6 +5109,45 @@ def lake_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bootstrap_oracle(replicates: int = 20, max_k: int = 10) -> str:
+    from .operators.sampling import poisson_cdf_thresholds
+
+    ts = poisson_cdf_thresholds(max_k)
+    case = "CASE " + " ".join(
+        f"WHEN h < {t} THEN {k}" for k, t in enumerate(ts)
+    ) + f" ELSE {len(ts)} END"
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {replicates})) AS rep),
+x AS (
+  SELECT r.rep,
+         CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '_', CAST(r.rep AS VARCHAR))), 1, 8)) AS BIGINT) AS h,
+         d.n_chars * 100 AS v
+  FROM documents d, reps r
+),
+k AS (SELECT rep, {case} AS k, v FROM x)
+SELECT CAST(rep AS BIGINT) AS rep,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS n_samples,
+       CAST(sum(k * v) AS BIGINT) AS sum_scaled,
+       CAST(sum(k * v) AS DOUBLE) / (CAST(sum(k) AS DOUBLE) * 100) AS mean_value
+FROM k GROUP BY rep
+"""
+
+
+@register("smp_bootstrap", oracle=_bootstrap_oracle())
+def smp_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap over the corpus: 20 replicates
+    re-weight every document by a hash-derived Poisson(1) draw and
+    aggregate mean document length per replicate — the eval-harness
+    primitive for metric error bars at corpus scale (no RNG state, no
+    materialized resamples; the replicate spread IS the sampling
+    variance). Integer CDF thresholds are inlined into both engines,
+    so even the multiplicity lookup is integer-exact."""
+    return sampling.bootstrap_metrics(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", replicates=20
+    )
+
+
 @register(
     "pipeline_multimodal_curation",
     oracle=f"""

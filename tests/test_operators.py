@@ -1417,3 +1417,24 @@ def test_pq_fast_trainer_and_encoder_match_dataframe_path(spark, sf_dir):
     emb_s = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
     slow = {(int(r[0]), r[1]): r[2] for r in similarity.pq_encode(emb_s, cb, 64, m=4).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_bootstrap_metrics_properties(spark):
+    """Poisson-bootstrap invariants: partitioning-independent
+    (deterministic hash draws), n_samples ≈ n_rows per replicate
+    (E[Poisson(1)] = 1), replicate means spread around the true mean."""
+    from fabrix_spark.operators.sampling import bootstrap_metrics
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("v")
+    )
+    a = sorted(map(tuple, bootstrap_metrics(df, "doc_id", "v", replicates=10).collect()))
+    b = sorted(map(tuple, bootstrap_metrics(df.repartition(7), "doc_id", "v", replicates=10).collect()))
+    assert a == b and len(a) == 10
+    true_mean = 97 / 2 - 0.5 + 10 + 0.01  # ~ mean of (id % 97 + 10)
+    for rep, n_rows, n_samples, _s, mean in a:
+        assert n_rows == 2000
+        assert 1800 < n_samples < 2200      # Poisson(1) total ~ N ± ~4.5σ
+        assert abs(mean - true_mean) < 3    # replicate mean near truth
+    means = [r[4] for r in a]
+    assert len(set(means)) > 1              # replicates genuinely differ

@@ -206,3 +206,28 @@ def test_round_half_up_twins_match_spark_round_fuzz(spark):
         assert [r["r6"] for r in got] == want6
 
     inner()
+
+
+def test_np_quant_matches_decimal_round_on_float32_products():
+    """_np_quant (binary floor(s+0.5)) vs Spark's decimal-HALF_UP
+    round can only disagree when the double product sits within one
+    ulp below k+0.5 with a shortest-repr still reading below .5 —
+    unreachable for float32-widened inputs × 1e6 (29 trailing zero
+    bits keep products away from that window). Pin the equivalence on
+    the adversarial grid of products targeted AT k+0.5."""
+    import decimal
+
+    import numpy as np
+
+    def np_quant(v):
+        s = np.float64(v) * 1_000_000
+        return int(np.floor(s + 0.5) if s >= 0 else np.ceil(s - 0.5))
+
+    def dec_round(v):
+        p = float(v) * 1_000_000
+        return int(decimal.Decimal(repr(p)).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+    for k in range(0, 200_000, 7):
+        for sign in (1.0, -1.0):
+            v = float(np.float32(sign * (k + 0.5) / 1e6))
+            assert np_quant(v) == dec_round(v), v

@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "tj_asof_nearest",
     "pipeline_multimodal_curation",
     "smp_bootstrap",
+    "gr_ppr_seeded",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -60,8 +60,17 @@ def pagerank(
     dst: str = "dst",
     checkpoint: bool = False,
     redistribute: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge list.
+
+    ``seeds`` (a one-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: the teleport mass lands only on the seed
+    set instead of uniformly — r0 and the per-iteration base term are
+    ``unit // |seeds|`` for seeds and 0 elsewhere. The crawl-seeding /
+    topic-conditioned-authority variant (rank "importance as seen from
+    these trusted pages"); same per-iteration plan plus one broadcast
+    semi-probe of the seed set.
 
     Returns (node, rank) for every node appearing in the edge list,
     rank in int64 ``unit`` fractions (divide by ``unit`` for the
@@ -95,12 +104,32 @@ def pagerank(
     if checkpoint:
         nodes = nodes.localCheckpoint()
     n = nodes.count()
-    r0 = unit // n
-    base = (unit // n) * (100 - damping_pct) // 100
+    if seeds is not None:
+        if redistribute:
+            raise ValueError(
+                "redistribute with seeds is unsupported: personalized "
+                "dangling mass teleports to the seed set, not uniformly"
+            )
+        seed_col = seeds.columns[0]
+        seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+        if checkpoint:
+            seed_nodes = seed_nodes.localCheckpoint()
+        n_seeds = seed_nodes.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank requires a non-empty seed set")
+        nodes = nodes.join(F.broadcast(seed_nodes.withColumn("__seed", F.lit(1))), "node", "left")
+        is_seed = F.coalesce(F.col("__seed"), F.lit(0)) == 1
+        r0_col = F.when(is_seed, F.lit(unit // n_seeds)).otherwise(F.lit(0))
+        base_col = F.when(
+            is_seed, F.lit((unit // n_seeds) * (100 - damping_pct) // 100)
+        ).otherwise(F.lit(0))
+    else:
+        r0_col = F.lit(unit // n)
+        base_col = F.lit((unit // n) * (100 - damping_pct) // 100)
     e_deg = e.join(outdeg, "src")
     if checkpoint:
         e_deg = e_deg.localCheckpoint()
-    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    ranks = nodes.select("node", r0_col.cast("long").alias("rank"))
     for _ in range(iters):
         contrib = e_deg.join(
             ranks.withColumnRenamed("node", "src"), "src"
@@ -122,7 +151,7 @@ def pagerank(
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        base_col
                         + F.expr(
                             f"(coalesce(s, 0L) + dsum div {n}) * {damping_pct} div 100"
                         )
@@ -133,7 +162,7 @@ def pagerank(
             ranks = nodes.join(sums, "node", "left").select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
                 ).cast("long").alias("rank"),
             )

@@ -4833,6 +4833,81 @@ SELECT node, rank, pos FROM (
 """
 
 
+def _pagerank_seeded_oracle(iters: int = 3, unit: int = 10**12, d: int = 85) -> str:
+    """Unrolled PERSONALIZED PageRank on the directed customer→supplier
+    graph: teleport mass lands only on seed customers (custkey % 10 =
+    0), i.e. r0 and the per-iteration base are unit // |seeds| on seeds
+    and 0 elsewhere."""
+    base = (
+        f"CASE WHEN n.node IN (SELECT node FROM seeds) "
+        f"THEN ({unit} // p.ns) * {100 - d} // 100 ELSE 0 END"
+    )
+    steps, prev = [], "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, CAST(sum(r.rank // g.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN outdeg g ON g.src = e.src JOIN {prev} r ON r.node = e.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + COALESCE(c{i}.s, 0) * {d} // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node, p
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 20 = 0),
+p AS (SELECT count(*) AS ns FROM seeds),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node IN (SELECT node FROM seeds)
+              THEN {unit} // p.ns ELSE 0 END AS BIGINT) AS rank
+  FROM nodes, p
+),{",".join(steps)}
+SELECT node, rank, pos FROM (
+  SELECT node, rank,
+         CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS pos
+  FROM {prev}
+) WHERE pos <= 100
+"""
+
+
+@register("gr_ppr_seeded", oracle=_pagerank_seeded_oracle())
+def gr_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to a trusted
+    seed set (customers with custkey % 10 = 0) on the directed
+    purchase graph — the crawl-seeding / topic-conditioned-authority
+    variant: suppliers rank by how reachable they are FROM the seeds,
+    and nodes unreachable from them stay at 0. Verified bit-for-bit
+    against the unrolled seeded recurrence."""
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = pairs.select("src").filter(F.col("src") % 20 == 0).distinct()
+    pr = graph.pagerank(pairs, iters=3, checkpoint=True, seeds=seeds)
+    top = pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(100)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return top.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
 @register("gr_pagerank_redistributed", oracle=_pagerank_redist_oracle())
 def gr_pagerank_redistributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution on the DIRECTED

@@ -1438,3 +1438,30 @@ def test_bootstrap_metrics_properties(spark):
         assert abs(mean - true_mean) < 3    # replicate mean near truth
     means = [r[4] for r in a]
     assert len(set(means)) > 1              # replicates genuinely differ
+
+
+def test_personalized_pagerank_model(spark):
+    """Seeded teleport: hand-computed 4-node model — mass flows only
+    from the seed; nodes unreachable from it stay at 0."""
+    from fabrix_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = dict(
+        (r["node"], r["rank"])
+        for r in graph.pagerank(edges, iters=2, seeds=seeds).collect()
+    )
+    # r0 = (1e12, 0, 0, 0); iter1: r(1)=.15e12, r(2)=.85e12;
+    # iter2: r(1)=.15e12, r(2)=.85*.15e12, r(3)=.85*.85e12, r(4)=0
+    assert got == {
+        1: 150_000_000_000,
+        2: 127_500_000_000,
+        3: 722_500_000_000,
+        4: 0,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="redistribute with seeds"):
+        graph.pagerank(edges, seeds=seeds, redistribute=True)
+    with _pytest.raises(ValueError, match="non-empty seed"):
+        graph.pagerank(edges, seeds=seeds.filter("node > 99"))

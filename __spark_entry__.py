@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "pipeline_multimodal_curation",
     "smp_bootstrap",
     "gr_ppr_seeded",
+    "prof_sampled_quantiles",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -322,3 +322,25 @@ def kmv_merge_estimate(sketches: list[DataFrame], k: int = 256) -> DataFrame:
         .otherwise(F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double"))
         .alias("est_distinct"),
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...],
+    key: str,
+    fraction: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Quantile ESTIMATION over a deterministic hash sample — the
+    100 TB profiling shape: an exact single-group percentile must
+    materialize every value, while a stable ``fraction`` keyed sample
+    bounds memory at f·N and keeps the order-statistic error at the
+    usual O(1/sqrt(f·N)). Unlike ``approx_percentile`` sketches the
+    sample is hash-DETERMINISTIC (same rows on any engine or
+    partitioning — and the sample of a shard union is the union of
+    shard samples, so per-shard profiles merge exactly), which is what
+    lets the estimate oracle-check bit-for-bit."""
+    from .sampling import deterministic_sample
+
+    return quantiles(deterministic_sample(df, key, fraction, salt), columns, probs)

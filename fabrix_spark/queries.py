@@ -1087,6 +1087,38 @@ _Q_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 _Q_PROBS = (0.25, 0.5, 0.75, 0.99)
 
 
+def _sampled_quantile_oracle(cols, probs, key="l_orderkey", fraction=0.2) -> str:
+    cut = int(round(fraction * 10_000))
+    pred = (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), '')), 1, 8)) "
+        f"AS BIGINT) % 10000 < {cut}"
+    )
+    parts = [
+        f"""SELECT '{c}' AS "column", CAST({p} AS DOUBLE) AS prob,
+       round(quantile_cont({c}, {p}), 6) AS value FROM lineitem WHERE {pred}"""
+        for c in cols
+        for p in probs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "prof_sampled_quantiles",
+    oracle=_sampled_quantile_oracle(_Q_COLS, _Q_PROBS),
+)
+def prof_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation over a deterministic 20% hash sample keyed
+    on l_orderkey — the bounded-memory, shard-mergeable profiling
+    estimator for data too big for an exact single-group percentile.
+    Deterministic sampling makes even the ESTIMATE oracle-checkable,
+    which no RNG- or sketch-based estimator can offer."""
+    from .operators.profile import sampled_quantiles
+
+    return sampled_quantiles(
+        _t(spark, sf_dir, "lineitem"), _Q_COLS, _Q_PROBS, key="l_orderkey", fraction=0.2
+    )
+
+
 @register("prof_quantiles", oracle=_quantile_oracle(_Q_COLS, _Q_PROBS))
 def prof_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantile profile over lineitem measures — Spark's exact

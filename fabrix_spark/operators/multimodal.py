@@ -43,6 +43,8 @@ __all__ = [
     "sample_frames",
     "ahash_bmp",
     "image_ahash",
+    "audio_fingerprint_wav",
+    "audio_fingerprints",
 ]
 
 
@@ -296,3 +298,67 @@ def image_ahash(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema="id long, ahash long")
+
+
+def audio_fingerprint_wav(blob: bytes, frames: int = 64) -> int:
+    """Energy-delta audio fingerprint (the classic Haitsma-Kalker
+    shape, public technique, reduced to one band): decode PCM, split
+    into ``frames`` equal windows, one bit per adjacent-window pair —
+    1 iff energy increases. Robust to gain changes (energy RATIOS
+    drive the bits) and small noise; deterministic, so fingerprints
+    reproduce across runs and machines. Returns a signed 64-bit int
+    (``frames``-1 ≤ 64 bits, Spark LongType)."""
+    if frames < 2 or frames > 65:
+        raise ValueError("frames must be in [2, 65] for a 64-bit fingerprint")
+    import io
+    import wave
+
+    if blob[:4] != b"RIFF":
+        raise NotImplementedError(
+            "compressed audio codec not available in this environment; "
+            "install soundfile/librosa and decode here"
+        )
+    with wave.open(io.BytesIO(blob)) as w:
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    energies = np.asarray(
+        [
+            float((chunk * chunk).sum())
+            for chunk in np.array_split(samples, frames)
+        ]
+    )
+    bits = (np.diff(energies) > 0).astype(np.uint64)
+    h = 0
+    for i, b in enumerate(bits):
+        h |= int(b) << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "doc_id",
+    frames: int = 64,
+) -> DataFrame:
+    """Per-clip audio fingerprints via ``mapInPandas`` (Arrow-batched,
+    audio bytes read exactly once). Returns (id, afp long). Pair with
+    :func:`fabrix_spark.operators.dedup.hamming_pairs` (bits=64) for
+    banded audio near-dup at corpus scale — the audio twin of
+    :func:`image_ahash`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for _id, blob in zip(pdf[id_col], pdf[bin_col]):
+                ids.append(_id)
+                hs.append(audio_fingerprint_wav(bytes(blob), frames))
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"), "afp": pd.Series(hs, dtype="int64")}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema="id long, afp long")

@@ -1465,3 +1465,70 @@ def test_personalized_pagerank_model(spark):
         graph.pagerank(edges, seeds=seeds, redistribute=True)
     with _pytest.raises(ValueError, match="non-empty seed"):
         graph.pagerank(edges, seeds=seeds.filter("node > 99"))
+
+
+def _mk_wav(freqs, n=16000, rate=16000, amp=12000, noise=0):
+    """Tiny PCM WAV: concatenated sine segments (one per freq)."""
+    import io
+    import math
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        seg = n // len(freqs)
+        data = []
+        for k, f in enumerate(freqs):
+            for i in range(seg):
+                v = amp * math.sin(2 * math.pi * f * i / rate)
+                # segment-dependent envelope so energies vary
+                v *= 0.4 + 0.6 * ((k + 1) / len(freqs))
+                if noise:
+                    v += noise * math.sin(2 * math.pi * 13.7 * i / rate + k)
+                data.append(int(max(-32768, min(32767, v))))
+        w.writeframes(_struct.pack(f"<{len(data)}h", *data))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_near_and_far(spark):
+    """Energy-delta fingerprint: a gain-scaled/noised copy of a clip
+    stays within a few Hamming bits; a different melody is far. The
+    banded hamming join then pairs only the near-dups."""
+    from fabrix_spark.operators.dedup import hamming_pairs
+    from fabrix_spark.operators.multimodal import (
+        audio_fingerprint_wav,
+        audio_fingerprints,
+    )
+
+    a = _mk_wav([220, 440, 330, 550, 392, 494, 262, 587])
+    a2 = _mk_wav([220, 440, 330, 550, 392, 494, 262, 587], amp=9000, noise=150)
+    b = _mk_wav([550, 262, 494, 220, 587, 330, 440, 392])
+    fa, fa2, fb = (audio_fingerprint_wav(x) for x in (a, a2, b))
+    near = bin((fa ^ fa2) & ((1 << 64) - 1)).count("1")
+    far = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+    assert near <= 6 < far
+
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(a2)), (3, bytearray(b))],
+        "doc_id long, content binary",
+    )
+    fps = audio_fingerprints(df)
+    got = {r["id"]: r["afp"] for r in fps.collect()}
+    assert got == {1: fa, 2: fa2, 3: fb}
+    pairs = hamming_pairs(
+        fps.withColumnRenamed("afp", "sig"), sig_col="sig", id_col="id",
+        bits=64, bands=8, max_hamming=6,
+    )
+    assert sorted((r[0], r[1]) for r in pairs.collect()) == [(1, 2)]
+
+
+def test_audio_fingerprint_rejects_non_wav():
+    import pytest as _pytest
+
+    from fabrix_spark.operators.multimodal import audio_fingerprint_wav
+
+    with _pytest.raises(NotImplementedError, match="compressed audio"):
+        audio_fingerprint_wav(b"\xff\xfbsome-mp3-ish-bytes")

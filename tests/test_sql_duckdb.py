@@ -226,3 +226,34 @@ def test_postgres_insert_update_renderings_execute_live():
     ):
         con.execute(stmt)
     assert con.execute('SELECT name, val FROM "t" WHERE id = 5').fetchone() == ("E", 50.0)
+
+
+def test_duckdb_typed_roundtrip(spark, ex):
+    """DATE / TIMESTAMP / BLOB / DOUBLE / BOOLEAN survive the
+    save→read cycle with real types on both ends (the _adapt ISO-string
+    parameters parse back into DuckDB's native types; the catalog-
+    driven schema keeps Spark types honest)."""
+    import datetime as dt
+
+    fx = FxFrame.from_series(
+        spark,
+        {
+            "id": [1, 2],
+            "d": [dt.date(2024, 1, 2), dt.date(2024, 6, 30)],
+            "ts": [dt.datetime(2024, 1, 2, 3, 4, 5), dt.datetime(2024, 12, 31, 23, 59, 59)],
+            "b": [b"\x00\x01", b"xyz"],
+            "f": [1.5, -2.25],
+            "ok": [True, False],
+        },
+        index="id",
+    )
+    assert ex.save("tt", fx, SaveStrategy.REPLACE) == 2
+    schema = dict(ex.table_schema("tt"))
+    assert schema["d"] == "DATE" and schema["ts"] == "TIMESTAMP" and schema["b"] == "BLOB"
+    out = ex.raw_select('SELECT * FROM "tt" ORDER BY id')
+    rows = [tuple(r) for r in out.df.collect()]
+    assert rows[0] == (1, dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5), b"\x00\x01", 1.5, True)
+    assert rows[1][3] == b"xyz" and rows[1][5] is False
+    assert [f.dataType.simpleString() for f in out.df.schema.fields] == [
+        "bigint", "date", "timestamp", "binary", "double", "boolean",
+    ]

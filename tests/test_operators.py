@@ -1532,3 +1532,20 @@ def test_audio_fingerprint_rejects_non_wav():
 
     with _pytest.raises(NotImplementedError, match="compressed audio"):
         audio_fingerprint_wav(b"\xff\xfbsome-mp3-ish-bytes")
+
+
+def test_mmr_rerank_degenerate_pools(spark):
+    """Fewer candidates than k: selection just stops when the pool is
+    exhausted (no nulls, no duplicates); step order stays greedy."""
+    from fabrix_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = mmr_rerank(emb, q, k=5, pool=10, lam=0.7).collect()
+    picked = [(r["step"], r["c_id"]) for r in sorted(out, key=lambda r: r["step"])]
+    assert len(picked) == 2                      # only 2 candidates exist
+    assert len({c for _, c in picked}) == 2      # no duplicates
+    assert [s for s, _ in picked] == [1, 2]

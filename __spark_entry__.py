@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "smp_bootstrap",
     "gr_ppr_seeded",
     "prof_sampled_quantiles",
+    "d_overlap_pairs",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

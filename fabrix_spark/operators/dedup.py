@@ -45,6 +45,7 @@ __all__ = [
     "decontaminate",
     "remove_common_segments",
     "keep_canonical",
+    "overlap_pairs",
 ]
 
 # prime just above 2^32 for the (a*h + b) % P permutation family
@@ -1421,3 +1422,46 @@ def semantic_prune(
         )
     pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return assign.join(pruned, id_col, "left_anti").select(id_col, "centroid_id")
+
+
+def overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuation detection: ordered pairs (a, b) where the LAST
+    ``k`` tokens of a equal the FIRST ``k`` tokens of b — the
+    scraped-page-continuation / chunk-boundary-stitching signal
+    (re-crawled multi-page articles split mid-sentence; the overlap
+    says "b continues a", which exact/fuzzy duplicate detection can't
+    see because the documents as wholes are different).
+
+    Map-only boundary extraction (two slices per doc), one equi-join
+    on the boundary string — never all-pairs; at very large ``k``
+    hash the boundary first and verify matches. Docs shorter than 2k
+    tokens are skipped (their "suffix" and "prefix" would overlap
+    themselves). Returns (a_id, b_id, overlap)."""
+    from .util import spread
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        spread(df)
+        .select(F.col(id_col), toks.alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") >= 2 * k)
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.slice(F.col("__t"), F.col("__n") - F.lit(k - 1), k)
+            ).alias("__suf"),
+            F.concat_ws(" ", F.slice(F.col("__t"), 1, k)).alias("__pre"),
+        )
+    )
+    a = base.select(F.col(id_col).alias("a_id"), F.col("__suf").alias("overlap"))
+    b = base.select(F.col(id_col).alias("b_id"), "__pre")
+    return (
+        a.join(b, a.overlap == b.__pre)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "overlap")
+    )

@@ -2620,6 +2620,31 @@ def stream_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.read().df.select("doc_id")
 
 
+@register(
+    "d_overlap_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, len(toks) - 2, len(toks)), ' ') AS suf,
+         array_to_string(list_slice(toks, 1, 3), ' ') AS pre
+  FROM t WHERE len(toks) >= 6
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.suf AS overlap
+FROM sp a JOIN sp b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+""",
+)
+def d_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation detection: document pairs where one's last 3
+    tokens equal the other's first 3 — the scraped-page-continuation /
+    chunk-boundary-stitching signal whole-document dedup can't see.
+    Map-only boundary slices + ONE equi-join on the boundary string
+    (never all-pairs)."""
+    return dedup.overlap_pairs(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (

@@ -1549,3 +1549,23 @@ def test_mmr_rerank_degenerate_pools(spark):
     assert len(picked) == 2                      # only 2 candidates exist
     assert len({c for _, c in picked}) == 2      # no duplicates
     assert [s for s, _ in picked] == [1, 2]
+
+
+def test_overlap_pairs_model(spark):
+    """Continuation pairs: suffix(a) == prefix(b); short docs skipped;
+    self-pairs excluded; direction matters (a continues INTO b)."""
+    from fabrix_spark.operators.dedup import overlap_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),          # ends with "a b c"
+            (2, "a b c d e f"),          # starts with "a b c"  → (1, 2)
+            (3, "a b c"),                # 3 tokens < 2k: skipped entirely
+            (4, "q r s t u v"),          # no overlap with anything
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r["a_id"], r["b_id"], r["overlap"]) for r in overlap_pairs(df, k=3).collect())
+    assert got == [(1, 2, "a b c")]
+    # direction: 2 does NOT continue into 1
+    assert (2, 1) not in {(a, b) for a, b, _ in got}

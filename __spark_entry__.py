@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "gr_ppr_seeded",
     "prof_sampled_quantiles",
     "d_overlap_pairs",
+    "tj_asof_forward",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

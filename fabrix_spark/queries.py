@@ -2158,6 +2158,52 @@ def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tj_asof_forward",
+    oracle="""
+WITH rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rts,
+         CAST(floor((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+                    / (2.0 * count(*))) AS BIGINT) AS hr_avg_cents
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT e.event_id, e.event_type, r.hr_avg_cents,
+         row_number() OVER (
+           PARTITION BY e.event_id ORDER BY r.rts
+         ) AS rn
+  FROM events e JOIN rates r
+    ON e.event_type = r.event_type AND r.rts >= e.ts
+)
+SELECT e.event_id, e.event_type, j.hr_avg_cents
+FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
+""",
+)
+def tj_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join (pandas merge_asof
+    direction='forward'): each event takes the EARLIEST hourly rate
+    at-or-after its timestamp — the "next scheduled value" lookup
+    (e.g. next price fixing, next maintenance window). Same
+    one-shuffle union+window plan, mirrored; events in the final
+    partial hour have no forward rate and keep NULL, which the
+    left-join oracle reproduces."""
+    e = _events(spark, sf_dir)
+    qs = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count("*")
+    rates = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.floor((2 * qs + n) / (2.0 * n)).cast("long").alias("hr_avg_cents")
+    )
+    joined = temporal.asof_join(
+        e.select("event_id", "event_type", "ts"),
+        rates,
+        on="ts",
+        by=["event_type"],
+        right_cols=["hr_avg_cents"],
+        direction="forward",
+    )
+    return joined.select("event_id", "event_type", "hr_avg_cents")
+
+
+@register(
     "tj_interval_pairs",
     oracle="""
 SELECT a.event_id AS id_a, b.event_id AS id_b

@@ -176,6 +176,10 @@ def main() -> None:
         ("d_semdedup (k=8m)", op_semdedup, None),
         ("sim_ivfpq_topk (nlist=16m)", op_ivfpq, None),
         ("pipeline_llm_prep", run_registry("pipeline_llm_prep"), None),
+        # iterative CC over minhash pairs — the label-propagation shape
+        ("d_dup_clusters", run_registry("d_dup_clusters"), None),
+        # exact inverted-index + verify — the candidate-bound shape
+        ("d_jaccard_pairs", run_registry("d_jaccard_pairs"), None),
     ]
 
     results = {}

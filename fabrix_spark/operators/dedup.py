@@ -1429,6 +1429,7 @@ def overlap_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Continuation detection: ordered pairs (a, b) where the LAST
     ``k`` tokens of a equal the FIRST ``k`` tokens of b — the
@@ -1441,7 +1442,15 @@ def overlap_pairs(
     on the boundary string — never all-pairs; at very large ``k``
     hash the boundary first and verify matches. Docs shorter than 2k
     tokens are skipped (their "suffix" and "prefix" would overlap
-    themselves). Returns (a_id, b_id, overlap)."""
+    themselves).
+
+    Hot-boundary guard (the jaccard hot-shingle lesson): a boundary
+    string shared by H docs on each side yields H² pairs — a stock
+    phrase ("click here to continue") could go quadratic. ``max_df``
+    drops boundary strings whose suffix-side document frequency
+    exceeds it (one tiny aggregate, broadcast anti-probe — the
+    remove_common_segments blocklist shape); None disables the guard.
+    Returns (a_id, b_id, overlap)."""
     from .util import spread
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -1460,6 +1469,14 @@ def overlap_pairs(
     )
     a = base.select(F.col(id_col).alias("a_id"), F.col("__suf").alias("overlap"))
     b = base.select(F.col(id_col).alias("b_id"), "__pre")
+    if max_df is not None:
+        hot = (
+            a.groupBy("overlap")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("overlap")
+        )
+        a = a.join(F.broadcast(hot), "overlap", "left_anti")
     return (
         a.join(b, a.overlap == b.__pre)
         .filter(F.col("a_id") != F.col("b_id"))

@@ -1569,3 +1569,18 @@ def test_overlap_pairs_model(spark):
     assert got == [(1, 2, "a b c")]
     # direction: 2 does NOT continue into 1
     assert (2, 1) not in {(a, b) for a, b, _ in got}
+
+
+def test_overlap_pairs_hot_boundary_guard(spark):
+    """A boundary string shared by many docs is dropped when its
+    document frequency exceeds max_df (quadratic-pair protection);
+    max_df=None keeps everything."""
+    from fabrix_spark.operators.dedup import overlap_pairs
+
+    rows = [(i, f"u{i} v{i} w{i} the end x") for i in range(10)]  # all END "the end x"
+    rows.append((100, "the end x continues here now"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = overlap_pairs(df, k=3, max_df=5).collect()
+    assert guarded == []  # hot suffix (df=10 > 5) dropped
+    open_ = overlap_pairs(df, k=3, max_df=None).collect()
+    assert len(open_) == 10  # every hot doc pairs into 100

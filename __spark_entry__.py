@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "prof_sampled_quantiles",
     "d_overlap_pairs",
     "tj_asof_forward",
+    "adt_count_distinct",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -36,7 +36,7 @@ __all__ = [
 
 # Function names (sql_adt.rs:220-246). Aggregates fold under group_by;
 # scalars compile to row expressions.
-AGGREGATE_FNS = {"max", "min", "sum", "avg", "count"}
+AGGREGATE_FNS = {"max", "min", "sum", "avg", "count", "count_distinct"}
 SCALAR_FNS = {"abs", "ifnull", "cast", "coalesce", "char_length", "lower", "upper", "round"}
 
 

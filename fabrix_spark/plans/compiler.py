@@ -150,6 +150,10 @@ def _column_expr(c: Col | FnCol, alias: bool = True) -> Column:
         expr = F.avg(inner)
     elif fn == "count":
         expr = F.count(inner)
+    elif fn == "count_distinct":
+        # capability ≥ reference (its aggregate set stops at count,
+        # sql_adt.rs) — COUNT(DISTINCT x) on both backends
+        expr = F.countDistinct(inner)
     elif fn == "abs":
         expr = F.abs(inner)
     elif fn == "ifnull":

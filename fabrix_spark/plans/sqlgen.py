@@ -102,6 +102,8 @@ def _render_column(c: Col | FnCol, quote: Quoter, with_alias: bool = True) -> st
     fn = c.fn
     if fn in ("max", "min", "sum", "avg", "count", "abs", "lower", "upper"):
         s = f"{fn}({inner})"
+    elif fn == "count_distinct":
+        s = f"count(DISTINCT {inner})"
     elif fn == "char_length":
         s = f"length({inner})"
     elif fn == "ifnull":

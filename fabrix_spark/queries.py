@@ -262,6 +262,24 @@ _adt(
     ),
 )
 
+# COUNT(DISTINCT) as a first-class ADT aggregate (capability ≥
+# reference, whose aggregate set stops at count) — one Select drives
+# both backends, and the differential fuzz exercises it with random
+# filters/having
+_adt(
+    "adt_count_distinct",
+    Select(
+        table="orders",
+        columns=[
+            Col("o_orderpriority"),
+            FnCol("count_distinct", Col("o_custkey"), alias="n_customers"),
+            FnCol("count", Col("o_orderkey"), alias="n_orders"),
+        ],
+        group_by=["o_orderpriority"],
+        order=[Order("o_orderpriority")],
+    ),
+)
+
 
 # ===========================================================================
 # TPC-H-style analytics (DataFrame DSL; Spark-free extras per §2.11)

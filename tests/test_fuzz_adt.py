@@ -114,6 +114,7 @@ def _selects(draw):
             FnCol("count", Col("c_custkey"), alias="n"),
             FnCol("max", Col("c_acctbal"), alias="mx"),
             FnCol("min", Col("c_custkey"), alias="mn"),
+            FnCol("count_distinct", Col("c_mktsegment"), alias="nseg"),
         ]
         order = [Order(k) for k in keys]
         # having over the count alias (→ substituted aggregate expr in

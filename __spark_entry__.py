@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "d_overlap_pairs",
     "tj_asof_forward",
     "adt_count_distinct",
+    "prof_correlation",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

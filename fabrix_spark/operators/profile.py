@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -344,3 +344,43 @@ def sampled_quantiles(
     from .sampling import deterministic_sample
 
     return quantiles(deterministic_sample(df, key, fraction, salt), columns, probs)
+
+
+def correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Pearson correlation from EXACT integer moments: x and y are
+    quantized to int64 (``*_scale`` then F.round), the five sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate exactly (order-independent),
+    and the final formula is one fixed double-expression tree over
+    those integers — identical IEEE arithmetic on any engine, so the
+    result hash-verifies where native ``corr()`` implementations
+    (Welford vs naive, engine-specific) drift in the last ulps.
+
+    One hash aggregate (map-side partials); emits UNROUNDED doubles —
+    the repo's rank-ratio lesson: a single deterministic expression
+    over identical ints needs no rounding to agree."""
+    by = by or []
+    qx = F.round(F.col(x_col).cast("double") * x_scale).cast("long")
+    qy = F.round(F.col(y_col).cast("double") * y_scale).cast("long")
+    base = df.select(*by, qx.alias("__x"), qy.alias("__y"))
+    agg = base.groupBy(*[F.col(c) for c in by]).agg(
+        F.count("*").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(*by, "n", (num / den).alias("pearson_r"))

@@ -1105,6 +1105,46 @@ _Q_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 _Q_PROBS = (0.25, 0.5, 0.75, 0.99)
 
 
+@register(
+    "prof_correlation",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       AS pearson_r
+FROM m
+""",
+)
+def prof_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs price) from exact
+    integer moments — hash-verifiable correlation, which native
+    corr() implementations (engine-specific accumulation) cannot
+    offer. One aggregate with map-side partials."""
+    from .operators.profile import correlation
+
+    return correlation(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        by=["l_returnflag"],
+    )
+
+
 def _sampled_quantile_oracle(cols, probs, key="l_orderkey", fraction=0.2) -> str:
     cut = int(round(fraction * 10_000))
     pred = (

@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "tj_asof_forward",
     "adt_count_distinct",
     "prof_correlation",
+    "e_gap_islands",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -2084,6 +2084,53 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e_gap_islands",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         CAST(day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                         AS INTEGER) AS DATE) AS grp
+  FROM d
+),
+s AS (
+  SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+         CAST(count(*) AS BIGINT) AS streak_days
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id, streak_start, streak_end, streak_days
+FROM s WHERE streak_days >= 5
+""",
+)
+def e_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days
+    (length >= 5) — the activity-streak / contiguous-coverage shape
+    (user engagement streaks, sensor uptime windows, data-arrival
+    continuity). The classic date-minus-row_number trick: consecutive
+    days share a constant (day - rank) anchor, so one distinct-day
+    aggregate + one per-user window + one group-by finds every island
+    with no self-join. Shuffles only on user_id."""
+    e = _events(spark, sf_dir)
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 5)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
+
+
+@register(
     "e_cohort_retention",
     oracle="""
 WITH f AS (

@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "adt_count_distinct",
     "prof_correlation",
     "e_gap_islands",
+    "f_bitwise_fns",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -1301,6 +1301,35 @@ def f_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_bitwise_fns",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+       CAST(o_orderkey | 4096 AS BIGINT) AS k_or,
+       CAST(xor(o_orderkey, 1365) AS BIGINT) AS k_xor,
+       CAST(o_orderkey << 3 AS BIGINT) AS k_shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS k_shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS k_bits
+FROM orders
+""",
+)
+def f_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (AND/OR/XOR, shifts, popcount) —
+    bit-packed flags, composite-key packing, hash-bucket math. Exact
+    integer semantics on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("k_and"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("k_or"),
+        F.col("o_orderkey").bitwiseXOR(F.lit(1365)).alias("k_xor"),
+        F.shiftleft(F.col("o_orderkey"), 3).cast("long").alias("k_shl"),
+        F.shiftright(F.col("o_orderkey"), 2).cast("long").alias("k_shr"),
+        F.bit_count(F.col("o_orderkey")).alias("k_bits"),
+    )
+
+
+@register(
     "f_math_fns",
     oracle="""
 SELECT l_orderkey, l_linenumber,

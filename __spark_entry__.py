@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "prof_correlation",
     "e_gap_islands",
     "f_bitwise_fns",
+    "e_last_touch_attribution",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

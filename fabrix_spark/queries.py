@@ -2113,6 +2113,69 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e_last_touch_attribution",
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(
+           CASE WHEN event_type IN ('click', 'view')
+                THEN struct_pack(tid := event_id, tts := ts, ttype := event_type)
+           END IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id,
+       touch.tid AS touch_id,
+       touch.ttype AS touch_type,
+       CAST(epoch_us(ts) - epoch_us(touch.tts) AS BIGINT) AS gap_us
+FROM t WHERE event_type = 'purchase' AND touch IS NOT NULL
+""",
+)
+def e_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    PRECEDING click/view by the same user (strictly before in the
+    (ts, event_id) order — the whole touch row travels as one struct
+    so id/type/timestamp can never stitch across events, the as-of
+    carry-forward idiom). One window over one shuffle on user_id;
+    purchases with no prior touch are dropped (both engines agree via
+    the same frame)."""
+    e = _events(spark, sf_dir)
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(
+            F.col("event_id").alias("tid"),
+            F.col("ts").alias("tts"),
+            F.col("event_type").alias("ttype"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("touch"),
+    )
+    return (
+        t.filter((F.col("event_type") == "purchase") & F.col("touch").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("touch.tid").alias("touch_id"),
+            F.col("touch.ttype").alias("touch_type"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("touch.tts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+@register(
     "e_gap_islands",
     oracle="""
 WITH d AS (

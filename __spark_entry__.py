@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "e_gap_islands",
     "f_bitwise_fns",
     "e_last_touch_attribution",
+    "w_time_range_frame",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -2113,6 +2113,49 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_time_range_frame",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_1h_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+""",
+)
+def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-1-hour sum/count —
+    the sliding-by-event-time window aggregate (rate limiting, rolling
+    spend, burst detection) that ROWS frames cannot express when
+    events are irregular. Integer cents keep the frame sums exact, so
+    even the trailing aggregates hash-verify. One window over one
+    shuffle on user_id; RANGE peers (equal timestamps) are handled
+    identically by both engines by definition."""
+    e = _events(spark, sf_dir)
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr(f"sum(cents) {frame}").alias("sum_1h_cents"),
+        F.expr(f"count(*) {frame}").alias("n_1h"),
+    )
+
+
+@register(
     "e_last_touch_attribution",
     oracle="""
 WITH t AS (

@@ -1584,3 +1584,64 @@ def test_overlap_pairs_hot_boundary_guard(spark):
     assert guarded == []  # hot suffix (df=10 > 5) dropped
     open_ = overlap_pairs(df, k=3, max_df=None).collect()
     assert len(open_) == 10  # every hot doc pairs into 100
+
+
+def test_mmr_rerank_matches_python_model(spark):
+    """Independent check of the greedy MMR trajectory: a pure-Python
+    reference (exact int dots, decimal-rounded cosines, same
+    tie-breaks) must produce the identical (step, c_id) sequence per
+    query on random-ish vectors."""
+    import decimal
+    import math
+
+    from fabrix_spark.operators.similarity import mmr_rerank
+
+    def r6(x):
+        return float(decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+    dim, n = 6, 12
+    vecs = {
+        i: [((i * 7 + j * 13) % 11 - 5) / 7.0 for j in range(dim)] for i in range(n)
+    }
+    q = {i: round(v * 1_000_000) for i, v in enumerate(vecs[0])}  # irrelevant
+    qv = {i: [round(x * 1_000_000) for x in v] for i, v in vecs.items()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(qv[a], qv[b]))
+        na = sum(x * x for x in qv[a])
+        nb = sum(x * x for x in qv[b])
+        return r6(d / math.sqrt(float(na) * float(nb)))
+
+    def model(q_id, k=4, pool=8, lam=0.7):
+        cands = sorted(
+            ((cos(q_id, c), c) for c in vecs if c != q_id),
+            key=lambda t: (-t[0], t[1]),
+        )[:pool]
+        rel = {c: s for s, c in cands}
+        sel = [min(((-s, c) for s, c in cands))[1]]
+        remaining = [c for _, c in cands if c != sel[0]]
+        while len(sel) < k and remaining:
+            best = None
+            for c in remaining:
+                msim = max(cos(c, s) for s in sel)
+                score = 0.7 * rel[c] - (1.0 - 0.7) * msim
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            sel.append(best[1])
+            remaining.remove(best[1])
+        return sel
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    out = mmr_rerank(df, queries, k=4, pool=8, lam=0.7).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["q_id"], []).append((r["step"], r["c_id"]))
+    for q_id in (0, 1, 2):
+        want = [(s + 1, c) for s, c in enumerate(model(q_id))]
+        assert sorted(got[q_id]) == want, (q_id, sorted(got[q_id]), want)

@@ -35,28 +35,15 @@ sys.path.insert(0, str(_HERE))
 
 from fabrix_spark import queries as _q  # noqa: E402
 
-# Queries with no driver CORRECTNESS row yet come first: the round-7
-# additions lead, then three long-green canaries.
+# Queries with no driver CORRECTNESS row yet come first (new round-8
+# additions appended as they land), then three long-green canaries.
+# Kept deliberately SHORT this round (r7 judge instruction) so the
+# staleness-ordered tail — the 26 queries whose newest driver row is
+# still round 2 (t_*, smp_*, pipeline_*, d_embedding_neardup,
+# d_decontaminate, d_common_segments, sim_*, m_*) — fills the window.
 _VERIFY_FIRST = [
-    # new in round 7 (appended as they land)
-    "gr_pagerank_redistributed",
-    "sim_mmr_rerank",
-    "t_keyword_in_context",
-    "lake_cdc_diff",
-    "stream_dead_letter_replay",
-    "tj_asof_nearest",
-    "pipeline_multimodal_curation",
-    "smp_bootstrap",
-    "gr_ppr_seeded",
-    "prof_sampled_quantiles",
-    "d_overlap_pairs",
-    "tj_asof_forward",
-    "adt_count_distinct",
-    "prof_correlation",
-    "e_gap_islands",
-    "f_bitwise_fns",
-    "e_last_touch_attribution",
-    "w_time_range_frame",
+    # new in round 8 (appended as they land)
+    "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -1323,11 +1323,20 @@ def semantic_dup_pairs(
         .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
     )
     if _assign is None and centroids is None:
-        from .similarity import kmeans_train
+        if _cents is not None:
+            # precomputed driver-held centroids (same deterministic
+            # trainer) — materialize instead of retraining from scratch
+            centroids = corpus.sparkSession.createDataFrame(
+                [(int(cid), [float(x) for x in vec]) for cid, vec in _cents],
+                f"{id_col} long, {vec_col} array<double>",
+            )
+        else:
+            from .similarity import kmeans_train
 
-        centroids = kmeans_train(
-            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
-        ).localCheckpoint()
+            centroids = kmeans_train(
+                corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+                quantize=quantize,
+            ).localCheckpoint()
     assign = _assign if _assign is not None else ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, quantize=quantize, n_probe=1
     )

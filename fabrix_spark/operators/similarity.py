@@ -273,6 +273,18 @@ def ivf_assign(
     )
 
 
+def _integral_id(df: DataFrame, col: str) -> bool:
+    """The driver-held trainers (:func:`kmeans_train_rows` /
+    :func:`pq_train_rows`) coerce seed ids with ``int(...)`` and emit a
+    ``long`` id schema; any non-integral id column routes through the
+    all-DataFrame path, which preserves the input id type."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(
+        df.schema[col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
+
 def _round_half_up(p: float) -> int:
     """EXACT Python twin of Spark's ``F.round(double)``: Spark rounds
     through ``BigDecimal.valueOf(d)`` = ``new BigDecimal(
@@ -292,12 +304,28 @@ def _round_half_up(p: float) -> int:
 
 
 def _np_quant(m, quantize: int):
-    """numpy twin of ``_quantized`` (same as cosine_topk_blocked's
-    half-away-from-zero on the double product)."""
+    """Vectorized EXACT twin of ``_quantized`` (``F.round`` on the
+    double product = decimal HALF_UP over the double's shortest repr).
+    The vectorized half-away-from-zero form is used for every element
+    whose scaled value sits further than 1e-6 from a .5 boundary —
+    there the two rules provably agree (repr error < half-ULP ≈ 1e-10
+    at this magnitude, binary ``+0.5`` error likewise) — and the rare
+    near-tie elements go through :func:`_round_half_up` so repr-tie
+    values (the 0.49999999999999994 class) match the expression path
+    bit-for-bit regardless of which dispatch branch runs."""
     import numpy as np
 
     s = m.astype(np.float64) * quantize
-    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+    naive = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
+    frac = np.abs(s - np.trunc(s))
+    near = np.abs(frac - 0.5) < 1e-6
+    if near.any():
+        flat_s = s.ravel()
+        flat_n = naive.ravel()
+        for i in np.nonzero(near.ravel())[0].tolist():
+            flat_n[i] = _round_half_up(float(flat_s[i]))
+        naive = flat_n.reshape(s.shape)
+    return naive.astype(np.int64)
 
 
 def _np_round6(a):
@@ -564,7 +592,7 @@ def kmeans_train(
     ~10⁶ entries)."""
     first = corpus.select(vec_col).first()
     dim = len(first[0]) if first is not None and first[0] is not None else None
-    if dim is not None and k * dim <= 1_000_000:
+    if dim is not None and k * dim <= 1_000_000 and _integral_id(corpus, id_col):
         rows = kmeans_train_rows(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
         )
@@ -1102,7 +1130,7 @@ def pq_train(
     the path for outsized codebooks."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    if m * n_codes * (dim // m) <= 1_000_000:
+    if m * n_codes * (dim // m) <= 1_000_000 and _integral_id(corpus, id_col):
         rows = pq_train_rows(
             corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
         )

@@ -2355,6 +2355,12 @@ def tj_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tj_asof_nearest",
     oracle="""
+-- VERIFICATION CONTRACT, not a performance model: this oracle ranks
+-- the FULL events×rates per-key pairing (quadratic, fine at test
+-- scale) precisely so the nearest-direction tie rule (equidistant →
+-- backward) is checked against every candidate. Do NOT "optimize" it
+-- into a windowed form — that would silently change the tie semantics
+-- being verified. The Spark side is the scalable union+window as-of.
 WITH rates AS (
   SELECT event_type, date_trunc('hour', ts) AS rts,
          CAST(floor((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
@@ -2400,6 +2406,12 @@ def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tj_asof_forward",
     oracle="""
+-- VERIFICATION CONTRACT, not a performance model: the inequality join
+-- enumerates every at-or-after candidate per event (quadratic in the
+-- oracle, fine at test scale) so the earliest-forward rule is checked
+-- exhaustively. Do NOT rewrite into a windowed form — the exhaustive
+-- pairing IS what is being verified. The Spark side is the scalable
+-- union+window as-of.
 WITH rates AS (
   SELECT event_type, date_trunc('hour', ts) AS rts,
          CAST(floor((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
@@ -2920,6 +2932,12 @@ sp AS (
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.suf AS overlap
 FROM sp a JOIN sp b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+-- hot-boundary guard: mirrors overlap_pairs' default max_df=1000
+-- (suffix-side document frequency), so the oracle models the operator
+-- exactly even at SFs where a boundary string goes hot
+WHERE a.suf NOT IN (
+  SELECT suf FROM sp GROUP BY suf HAVING count(*) > 1000
+)
 """,
 )
 def d_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2927,7 +2945,8 @@ def d_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens equal the other's first 3 — the scraped-page-continuation /
     chunk-boundary-stitching signal whole-document dedup can't see.
     Map-only boundary slices + ONE equi-join on the boundary string
-    (never all-pairs)."""
+    (never all-pairs). The oracle models the default ``max_df=1000``
+    hot-boundary guard explicitly."""
     return dedup.overlap_pairs(_t(spark, sf_dir, "documents"), k=3)
 
 

@@ -24,15 +24,16 @@ __all__ = ["running_totals", "stateful_sessionize", "stateful_rolling_zscore"]
 def _quantize_half_up(v: float, quantize: int) -> int:
     """HALF_UP integer quantization matching Spark's ``F.round``
     (used by the batch twin ``operators.temporal.rolling_zscore``).
-    Python's built-in ``round()`` is half-to-even and would quantize
-    exact-.5 products differently, breaking the stream==batch replay
+    ``F.round`` is decimal HALF_UP over the double's SHORTEST REPR
+    (``BigDecimal.valueOf``), so we delegate to the exact twin
+    ``operators.similarity._round_half_up`` — a naive binary
+    ``floor(x + 0.5)`` diverges on repr-tie values like
+    0.49999999999999994, and Python's built-in ``round()`` is
+    half-to-even; either would break the stream==batch replay
     contract."""
-    import math
+    from fabrix_spark.operators.similarity import _round_half_up
 
-    scaled = v * quantize
-    if scaled >= 0:
-        return int(math.floor(scaled + 0.5))
-    return -int(math.floor(-scaled + 0.5))
+    return _round_half_up(v * quantize)
 
 
 def running_totals(

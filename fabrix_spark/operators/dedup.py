@@ -1397,13 +1397,63 @@ def semantic_prune(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quantize=quantize
         )
         if _integral_id(corpus, id_col):
-            assign = ivf_assign_blocked(
-                corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize
+            # FUSED fast path: the dominance rule ("drop b iff a
+            # lower-id cluster-mate has cosine >= threshold") is
+            # entirely CLUSTER-LOCAL, so the kept set is computable
+            # inside ONE per-cluster Arrow stage — pairs shuffle +
+            # distinct + anti-join collapse into the single shuffle on
+            # centroid_id. The threshold decision uses a two-band
+            # comparison: raw cosines further than 1e-6 from the
+            # threshold decide directly (6-dp rounding moves a value
+            # by < 5e-7 + repr error), and only the rare in-band
+            # values go through the exact F.round(x, 6) decimal twin
+            # (_np_round6) — bit-identical to the expression path's
+            # `F.round(cos, 6) >= threshold` and the SQL oracle.
+            import numpy as np
+            import pandas as pd
+
+            from .similarity import _np_quant, _np_round6
+
+            thr = float(threshold)
+
+            def cluster_kept(pdf: pd.DataFrame) -> pd.DataFrame:
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                order = np.argsort(ids)
+                ids = ids[order]
+                Q = _np_quant(np.stack(pdf[vec_col].to_numpy()[order]), quantize)
+                n2 = (Q * Q).sum(axis=1)
+                raw = (Q @ Q.T) / np.sqrt(
+                    n2[:, None].astype(np.float64) * n2[None, :].astype(np.float64)
+                )
+                ii, jj = np.triu_indices(len(ids), k=1)
+                vals = raw[ii, jj]
+                dup = vals >= thr + 1e-6
+                band = np.abs(vals - thr) < 1e-6
+                if band.any():
+                    dup[band] = _np_round6(vals[band]) >= thr
+                pruned = np.zeros(len(ids), dtype=bool)
+                pruned[jj[dup]] = True
+                return pd.DataFrame(
+                    {
+                        id_col: ids[~pruned],
+                        "centroid_id": np.full(
+                            int((~pruned).sum()),
+                            pdf["centroid_id"].iloc[0],
+                            dtype=np.int64,
+                        ),
+                    }
+                )
+
+            assigned = ivf_assign_blocked(
+                corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize,
+                keep_vec=True,
             )
-        else:
-            assign = ivf_assign_expr(
-                corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize
+            return assigned.groupBy("centroid_id").applyInPandas(
+                cluster_kept, f"{id_col} long, centroid_id long"
             )
+        assign = ivf_assign_expr(
+            corpus, cents, id_col=id_col, vec_col=vec_col, quantize=quantize
+        )
         pairs = semantic_dup_pairs(
             corpus,
             k=k,

@@ -467,7 +467,12 @@ def kmeans_train_rows(
     cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed]
     dim = len(cents[0][1]) if cents else 0
     spark = corpus.sparkSession
-    base = spread(corpus).select(_as_double(F.col(vec_col)).alias("__dv"))
+    # No spread(): per-row work here is one vectorized numpy matmul per
+    # Arrow batch, so scattering a small input to every core buys
+    # nothing while its repartition shuffle costs a fixed ~0.2 s per
+    # job; at real scale parquet arrives in thousands of splits and
+    # parallelism comes from the scan itself.
+    base = corpus.select(_as_double(F.col(vec_col)).alias("__dv"))
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(_prep_centroids(cents, quantize))
 
@@ -553,8 +558,9 @@ def ivf_assign_blocked(
                 out[vec_col] = pdf["__dv"]
             yield pd.DataFrame(out)
 
+    # no spread(): vectorized-matmul stage — see kmeans_train_rows
     return (
-        spread(corpus)
+        corpus
         .select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__dv"))
         .mapInPandas(block, schema)
     )
@@ -1031,7 +1037,8 @@ def pq_train_rows(
             ]
         books.append(cb)
     spark = corpus.sparkSession
-    base = spread(corpus).select(_as_double(F.col(vec_col)).alias("__dv"))
+    # no spread(): vectorized-matmul stage — see kmeans_train_rows
+    base = corpus.select(_as_double(F.col(vec_col)).alias("__dv"))
     for _ in range(iters):
         packed = [
             (

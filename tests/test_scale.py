@@ -365,11 +365,12 @@ def test_interleave_no_single_partition_exchange(spark):
 
 
 def test_semantic_prune_plan_shape(spark):
-    """The SemDeDup fast path must stay: map-only numpy assignment (no
-    assignment join, no max_by shuffle), exactly ONE hash Exchange on
-    centroid_id feeding the per-cluster pairwise stage, and a broadcast
-    anti-join for the kept set — the sole data shuffle is the one the
-    algorithm requires."""
+    """The FUSED SemDeDup fast path must stay: map-only numpy
+    assignment (no assignment join, no max_by shuffle) feeding exactly
+    ONE hash Exchange on centroid_id into the per-cluster kept-set
+    stage — the dominance rule is cluster-local, so NO join of any
+    kind survives in the plan (r8: the former pairs→distinct→anti-join
+    chain is folded into the single per-cluster Arrow stage)."""
     import re
 
     from fabrix_spark.operators import dedup
@@ -377,8 +378,8 @@ def test_semantic_prune_plan_shape(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     df = dedup.semantic_prune(emb, k=8, iters=1, threshold=0.375)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan          # per-cluster numpy pairs
+    assert "FlatMapGroupsInPandas" in plan          # per-cluster kept set
     assert "MapInPandas" in plan                    # blocked assignment
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert len(re.findall(r"hashpartitioning\(centroid_id", plan)) == 1
-    assert "SortMergeJoin" not in plan              # no assignment join survives
+    assert "Join" not in plan                       # fully fused: no join
+    assert plan.count("Exchange") == 1              # the one required shuffle

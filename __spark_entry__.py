@@ -43,6 +43,9 @@ from fabrix_spark import queries as _q  # noqa: E402
 # d_decontaminate, d_common_segments, sim_*, m_*) — fills the window.
 _VERIFY_FIRST = [
     # new in round 8 (appended as they land)
+    "adt_window_topk",
+    "adt_in_subquery",
+    "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",

@@ -18,7 +18,9 @@ from typing import Any, Sequence
 __all__ = [
     "Col",
     "FnCol",
+    "WinCol",
     "Cond",
+    "Exists",
     "AND",
     "OR",
     "NOT",
@@ -29,6 +31,7 @@ __all__ = [
     "Delete",
     "AGGREGATE_FNS",
     "SCALAR_FNS",
+    "WINDOW_FNS",
     "expressions_from_json",
     "expression_to_json",
     "with_primary_key",
@@ -38,6 +41,23 @@ __all__ = [
 # scalars compile to row expressions.
 AGGREGATE_FNS = {"max", "min", "sum", "avg", "count", "count_distinct"}
 SCALAR_FNS = {"abs", "ifnull", "cast", "coalesce", "char_length", "lower", "upper", "round"}
+# Window functions (r8, capability ≥ reference — its ADT stops at
+# aggregates; the engine's w_* query family gets a serializable form):
+# ranking fns take no operand; lag/lead take (offset[, default]);
+# the aggregate-over-window forms reuse the aggregate names.
+WINDOW_FNS = {
+    "row_number",
+    "rank",
+    "dense_rank",
+    "ntile",
+    "lag",
+    "lead",
+    "sum",
+    "avg",
+    "count",
+    "min",
+    "max",
+}
 
 
 @dataclass(frozen=True)
@@ -96,12 +116,124 @@ class FnCol:
         return d
 
 
+@dataclass(frozen=True)
+class WinCol:
+    """Window-function projection column (r8 extension; the reference
+    ADT has no window surface — SURVEY.md §2.11's w_* family gets its
+    serializable form here). ``fn`` ∈ WINDOW_FNS; ``col`` is the
+    operand (None for ranking functions); ``args`` carries the extra
+    operands (ntile bucket count; lag/lead offset and optional
+    default); ``frame`` is None (engine default) or a
+    ``(mode, start, end)`` triple with mode ``rows``/``range`` and
+    bounds being an int (negative = preceding, positive = following),
+    ``"unbounded_preceding"``, ``"unbounded_following"`` or
+    ``"current"``."""
+
+    fn: str
+    col: "Col | FnCol | None" = None
+    partition_by: tuple = ()
+    order: tuple = ()
+    args: tuple = ()
+    frame: tuple | None = None
+    alias: str | None = None
+
+    def __init__(
+        self,
+        fn: str,
+        col: "Col | FnCol | None" = None,
+        partition_by: Sequence = (),
+        order: Sequence = (),
+        args: Sequence = (),
+        frame: Sequence | None = None,
+        alias: str | None = None,
+    ):
+        if fn not in WINDOW_FNS:
+            raise ValueError(f"unknown window function {fn!r}")
+        if fn in ("row_number", "rank", "dense_rank", "ntile"):
+            if col is not None:
+                raise ValueError(f"{fn} takes no column operand")
+            if not order:
+                raise ValueError(f"{fn} requires an ORDER BY")
+        elif col is None:
+            raise ValueError(f"{fn} requires a column operand")
+        if fn == "ntile" and (len(args) != 1 or int(args[0]) < 1):
+            raise ValueError("ntile takes one positive bucket count")
+        if fn in ("lag", "lead"):
+            if not order:
+                raise ValueError(f"{fn} requires an ORDER BY")
+            if len(args) not in (0, 1, 2):
+                raise ValueError(f"{fn} takes (offset[, default])")
+        if frame is not None:
+            mode, lo, hi = frame
+            if mode not in ("rows", "range"):
+                raise ValueError("frame mode must be rows|range")
+            for b in (lo, hi):
+                if not (
+                    isinstance(b, int)
+                    or b in ("unbounded_preceding", "unbounded_following", "current")
+                ):
+                    raise ValueError(f"bad frame bound {b!r}")
+            if fn not in ("sum", "avg", "count", "min", "max"):
+                raise ValueError("frames apply to aggregate window functions only")
+            if not order:
+                raise ValueError("a frame requires an ORDER BY")
+            frame = (mode, lo, hi)
+        object.__setattr__(self, "fn", fn)
+        object.__setattr__(self, "col", Col(col) if isinstance(col, str) else col)
+        object.__setattr__(self, "partition_by", tuple(partition_by))
+        object.__setattr__(
+            self,
+            "order",
+            tuple(Order(o) if isinstance(o, str) else o for o in order),
+        )
+        object.__setattr__(self, "args", tuple(args))
+        object.__setattr__(self, "frame", tuple(frame) if frame is not None else None)
+        object.__setattr__(self, "alias", alias)
+
+    def display_name(self) -> str:
+        if self.alias:
+            return self.alias
+        inner = self.col.display_name() if self.col is not None else ""
+        return f"{self.fn}({inner})"
+
+    def is_aggregate(self) -> bool:
+        return False
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {"win": {"fn": self.fn}}
+        w = d["win"]
+        if self.col is not None:
+            w["col"] = self.col.to_json()
+        if self.partition_by:
+            w["partition_by"] = list(self.partition_by)
+        if self.order:
+            w["order"] = [o.to_json() for o in self.order]
+        if self.args:
+            w["args"] = list(self.args)
+        if self.frame:
+            w["frame"] = list(self.frame)
+        if self.alias:
+            w["alias"] = self.alias
+        return d
+
+
 ColumnLike = Col | FnCol
 
 
-def column_from_json(d: dict | str) -> ColumnLike:
+def column_from_json(d: dict | str) -> "ColumnLike | WinCol":
     if isinstance(d, str):
         return Col(d)
+    if "win" in d:
+        w = d["win"]
+        return WinCol(
+            w["fn"],
+            column_from_json(w["col"]) if "col" in w else None,
+            tuple(w.get("partition_by", ())),
+            tuple(Order(o["col"], o.get("order") == "desc") for o in w.get("order", ())),
+            tuple(w.get("args", ())),
+            tuple(w["frame"]) if w.get("frame") else None,
+            w.get("alias"),
+        )
     if "fn" in d:
         return FnCol(
             d["fn"], column_from_json(d["col"]), tuple(d.get("args", ())), d.get("alias")
@@ -114,13 +246,22 @@ def column_from_json(d: dict | str) -> ColumnLike:
 # Legal sequences validated by a tiny FSM mirroring sql_adt.rs:553-673.
 # ---------------------------------------------------------------------------
 
-_EQUATIONS = {"eq", "ne", "gt", "ge", "lt", "le", "in", "between", "like", "is_null", "is_not_null"}
+_EQUATIONS = {
+    "eq", "ne", "gt", "ge", "lt", "le", "in", "between", "like",
+    "is_null", "is_not_null", "in_select",
+}
 
 
 @dataclass(frozen=True)
 class Cond:
     """A simple predicate: column <equation> value(s)
-    (Condition, sql_adt.rs:465-483)."""
+    (Condition, sql_adt.rs:465-483).
+
+    r8 extension: ``op="in_select"`` takes a one-column :class:`Select`
+    as ``value`` — the serializable form of the reference's
+    existing-ids probe (``WHERE id IN (SELECT id FROM ...)``,
+    query_dml.rs:14-28). Negate with the grammar's NOT token; both
+    backends honor SQL's three-valued NOT IN NULL semantics."""
 
     col: str
     op: str
@@ -134,13 +275,40 @@ class Cond:
             raise ValueError("between takes a (low, high) pair")
         if self.op == "in" and not isinstance(self.value, (tuple, list)):
             raise ValueError("in takes a list")
+        if self.op == "in_select":
+            if not isinstance(self.value, Select):
+                raise ValueError("in_select takes a Select")
+            if len(self.value.columns) != 1:
+                raise ValueError("in_select subquery must project exactly one column")
 
     def to_json(self) -> dict:
         d: dict[str, Any] = {"cond": {"col": self.col, "op": self.op}}
-        if self.value is not None:
+        if isinstance(self.value, Select):
+            d["cond"]["select"] = self.value.to_json()
+        elif self.value is not None:
             d["cond"]["value"] = list(self.value) if isinstance(self.value, tuple) else self.value
         if self.tbl:
             d["cond"]["tbl"] = self.tbl
+        return d
+
+
+@dataclass(frozen=True)
+class Exists:
+    """EXISTS subquery predicate (r8 extension). ``on`` carries the
+    correlation as equi-pairs ``(outer_col, inner_col)`` — empty means
+    an uncorrelated EXISTS. Negate with the grammar's NOT token."""
+
+    select: "Select"
+    on: tuple = ()
+
+    def __init__(self, select: "Select", on: Sequence = ()):
+        object.__setattr__(self, "select", select)
+        object.__setattr__(self, "on", tuple((o, i) for o, i in on))
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {"exists": {"select": self.select.to_json()}}
+        if self.on:
+            d["exists"]["on"] = [list(p) for p in self.on]
         return d
 
 
@@ -173,7 +341,7 @@ class Nest:
         return {"nest": [expression_to_json(t) for t in self.tokens]}
 
 
-Expression = Cond | Nest | _Token
+Expression = Cond | Nest | Exists | _Token
 
 
 def expression_to_json(t: Expression) -> Any:
@@ -190,8 +358,14 @@ def expressions_from_json(items: Sequence) -> list[Expression]:
             out.append(tok)
         elif "nest" in it:
             out.append(Nest(expressions_from_json(it["nest"])))
+        elif "exists" in it:
+            e = it["exists"]
+            out.append(Exists(Select.from_json(e["select"]), tuple(e.get("on", ()))))
         else:
             c = it["cond"]
+            if c["op"] == "in_select":
+                out.append(Cond(c["col"], "in_select", Select.from_json(c["select"]), c.get("tbl")))
+                continue
             val = c.get("value")
             if c["op"] in ("between", "in") and isinstance(val, list):
                 val = tuple(val) if c["op"] == "between" else list(val)
@@ -209,14 +383,14 @@ def validate_expressions(tokens: Sequence[Expression]) -> None:
     state = "init"
     for t in tokens:
         if state in ("init", "conj"):
-            if isinstance(t, (Cond, Nest)):
+            if isinstance(t, (Cond, Nest, Exists)):
                 state = "operand"
             elif t is NOT:
                 state = "not"
             else:
                 raise ValueError(f"conjunction {t!r} not allowed at position (state={state})")
         elif state == "not":
-            if isinstance(t, (Cond, Nest)):
+            if isinstance(t, (Cond, Nest, Exists)):
                 state = "operand"
             else:
                 raise ValueError("NOT must be followed by a condition or nest")
@@ -277,7 +451,15 @@ class Select:
     covers what the raw-query surface already could. ``having`` reuses
     the same token grammar as ``filter``; its conditions may reference
     group keys or the display names of aggregate projection columns
-    (both backends resolve alias → aggregate expression)."""
+    (both backends resolve alias → aggregate expression).
+
+    r8: ``columns`` may contain :class:`WinCol` window projections
+    (illegal together with ``group_by`` — project the aggregate first,
+    window in a second Select), and ``qualify`` is a post-window filter
+    over display names (DuckDB's QUALIFY; rendered portably as a
+    wrapping subquery, compiled on Spark as a filter after the window
+    projection). SQL order: WHERE → window SELECT → QUALIFY →
+    DISTINCT → ORDER → LIMIT."""
 
     table: str
     columns: list[ColumnLike] = field(default_factory=list)
@@ -290,6 +472,7 @@ class Select:
     include_primary_key: bool = False
     distinct: bool = False
     having: list[Expression] | None = None
+    qualify: list[Expression] | None = None
 
     def __post_init__(self) -> None:
         self.columns = [Col(c) if isinstance(c, str) else c for c in self.columns]
@@ -299,6 +482,16 @@ class Select:
             if not self.group_by:
                 raise ValueError("having requires group_by")
             validate_expressions(self.having)
+        wins = [c for c in self.columns if isinstance(c, WinCol)]
+        if wins and self.group_by:
+            raise ValueError(
+                "window columns cannot mix with group_by in one Select; "
+                "aggregate first, then window over the result"
+            )
+        if self.qualify:
+            if not wins:
+                raise ValueError("qualify requires at least one window column")
+            validate_expressions(self.qualify)
 
     def columns_name(self) -> list[str]:
         """Display names incl. ``max(col)`` forms (sql_adt.rs:332-371)."""
@@ -324,6 +517,8 @@ class Select:
             d["distinct"] = True
         if self.having:
             d["having"] = [expression_to_json(t) for t in self.having]
+        if self.qualify:
+            d["qualify"] = [expression_to_json(t) for t in self.qualify]
         return d
 
     @classmethod
@@ -340,6 +535,7 @@ class Select:
             include_primary_key=bool(d.get("include_primary_key", False)),
             distinct=bool(d.get("distinct", False)),
             having=expressions_from_json(d["having"]) if d.get("having") else None,
+            qualify=expressions_from_json(d["qualify"]) if d.get("qualify") else None,
         )
 
 
@@ -380,4 +576,5 @@ def with_primary_key(sel: Select, pk: str) -> Select:
         include_primary_key=sel.include_primary_key,
         distinct=sel.distinct,
         having=sel.having,
+        qualify=sel.qualify,
     )

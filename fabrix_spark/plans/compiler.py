@@ -21,6 +21,7 @@ from .adt import (
     AND,
     Col,
     Cond,
+    Exists,
     Expression,
     FnCol,
     Join,
@@ -28,6 +29,7 @@ from .adt import (
     NOT,
     OR,
     Select,
+    WinCol,
     validate_expressions,
     with_primary_key,
 )
@@ -85,13 +87,21 @@ def _cond_to_column(c: Cond, resolve: Callable[[Cond], Column]) -> Column:
     raise ValueError(f"unhandled equation {op!r}")  # pragma: no cover
 
 
-def compile_filter(tokens: Sequence[Expression], resolve: Callable[[Cond], Column] | None = None) -> Column:
+def compile_filter(
+    tokens: Sequence[Expression],
+    resolve: Callable[[Cond], Column] | None = None,
+    subquery: Callable[[Cond | Exists], Column] | None = None,
+) -> Column:
     """Fold the flat token list into one boolean Column, left to right
     (matching SQL's left-assoc AND/OR with standard precedence applied
     by nesting — the reference emits the same shape, bd.rs:243-323).
 
     Like SQL, AND binds tighter than OR: we fold in two passes —
     collect AND-runs, then OR them together.
+
+    ``subquery`` resolves in_select/Exists predicates to the helper
+    boolean columns that :func:`compile_select` attaches via joins —
+    filters containing subqueries can only compile inside a Select.
     """
     validate_expressions(tokens)
     # honor Cond.tbl qualification (sqlgen renders the qualified
@@ -100,10 +110,16 @@ def compile_filter(tokens: Sequence[Expression], resolve: Callable[[Cond], Colum
     resolve = resolve or (lambda c: F.col(f"{c.tbl}.{c.col}" if c.tbl else c.col))
 
     def leaf(t: Expression) -> Column:
+        if isinstance(t, Exists) or (isinstance(t, Cond) and t.op == "in_select"):
+            if subquery is None:
+                raise ValueError(
+                    "subquery predicates require compile_select (no standalone filter form)"
+                )
+            return subquery(t)
         if isinstance(t, Cond):
             return _cond_to_column(t, resolve)
         if isinstance(t, Nest):
-            return compile_filter(t.tokens, resolve)
+            return compile_filter(t.tokens, resolve, subquery)
         raise ValueError(f"unexpected token {t!r}")  # pragma: no cover
 
     # linear scan: apply NOT to the following operand, split on OR,
@@ -175,6 +191,167 @@ def _column_expr(c: Col | FnCol, alias: bool = True) -> Column:
     return expr.alias(c.display_name()) if alias else expr
 
 
+def _win_expr(c: WinCol) -> Column:
+    """WinCol -> Spark window expression (r8; mirrors sqlgen's OVER
+    rendering so both backends share one window semantics)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(p) for p in c.partition_by])
+    if c.order:
+        w = w.orderBy(
+            *[F.col(o.col).desc() if o.desc else F.col(o.col).asc() for o in c.order]
+        )
+    if c.frame is not None:
+        mode, lo, hi = c.frame
+
+        def bound(b):
+            if b == "unbounded_preceding":
+                return Window.unboundedPreceding
+            if b == "unbounded_following":
+                return Window.unboundedFollowing
+            if b == "current":
+                return Window.currentRow
+            return int(b)
+
+        w = (
+            w.rowsBetween(bound(lo), bound(hi))
+            if mode == "rows"
+            else w.rangeBetween(bound(lo), bound(hi))
+        )
+    inner = _column_expr(c.col, alias=False) if c.col is not None else None
+    fn = c.fn
+    if fn == "row_number":
+        e = F.row_number()
+    elif fn == "rank":
+        e = F.rank()
+    elif fn == "dense_rank":
+        e = F.dense_rank()
+    elif fn == "ntile":
+        e = F.ntile(int(c.args[0]))
+    elif fn in ("lag", "lead"):
+        offset = int(c.args[0]) if c.args else 1
+        default = c.args[1] if len(c.args) > 1 else None
+        e = (F.lag if fn == "lag" else F.lead)(inner, offset, default)
+    elif fn == "sum":
+        e = F.sum(inner)
+    elif fn == "avg":
+        e = F.avg(inner)
+    elif fn == "count":
+        e = F.count(inner)
+    elif fn == "min":
+        e = F.min(inner)
+    elif fn == "max":
+        e = F.max(inner)
+    else:  # pragma: no cover
+        raise ValueError(f"unhandled window function {fn!r}")
+    return e.over(w).alias(c.display_name())
+
+
+def _attach_subqueries(
+    df: DataFrame, tokens: Sequence[Expression], provider: TableProvider
+):
+    """Attach helper boolean columns for in_select / Exists predicates
+    (r8). Each subquery compiles to a DataFrame and joins onto the
+    outer plan BROADCAST (probe sets are dimension-sized by contract —
+    the reference's existing-ids probe shape); the predicate itself
+    becomes a boolean expression over the helper flags, reproducing
+    SQL three-valued semantics exactly:
+
+      x IN (sub):  TRUE if matched; FALSE if sub is empty; NULL if x
+                   is NULL or sub contains a NULL (and no match);
+                   else FALSE.  (So NOT-IN over a NULL-bearing
+                   subquery correctly yields no rows.)
+      EXISTS:      correlated — equi-join found-flag (never NULL);
+                   uncorrelated — one-row COUNT(*) > 0 cross join.
+
+    Returns (df, resolver, helper-columns-to-drop-after-filter)."""
+    helpers: dict[int, Column] = {}
+    drops: list[str] = []
+    state = {"i": 0}
+
+    def attach(t) -> None:
+        nonlocal df
+        i = state["i"]
+        state["i"] += 1
+        if isinstance(t, Exists):
+            flag = f"__sq{i}_f"
+            if t.on:
+                if t.select.group_by:
+                    raise ValueError(
+                        "correlated Exists subqueries cannot use group_by"
+                    )
+                # EXISTS ignores the subquery's projection — compile it
+                # projecting the correlation keys instead (semantically
+                # identical, and the keys may not be in the projection)
+                inner = Select(
+                    table=t.select.table,
+                    columns=[Col(ic) for _, ic in t.on],
+                    filter=t.select.filter,
+                    joins=t.select.joins,
+                )
+                sub = compile_select(inner, provider)
+                keys = [f"__sq{i}_k{j}" for j in range(len(t.on))]
+                keyed = (
+                    sub.select(
+                        *[F.col(ic).alias(kn) for (_, ic), kn in zip(t.on, keys)]
+                    )
+                    .distinct()
+                    .withColumn(flag, F.lit(True))
+                )
+                cond = None
+                for (oc, _), kn in zip(t.on, keys):
+                    cl = F.col(oc) == F.col(kn)
+                    cond = cl if cond is None else cond & cl
+                df = df.join(F.broadcast(keyed), cond, "left").drop(*keys)
+                helpers[id(t)] = F.coalesce(F.col(flag), F.lit(False))
+            else:
+                sub = compile_select(t.select, provider)
+                one = sub.select((F.count(F.lit(1)) > 0).alias(flag))
+                df = df.crossJoin(F.broadcast(one))
+                helpers[id(t)] = F.col(flag)
+            drops.append(flag)
+        else:  # Cond op == "in_select"
+            sub = compile_select(t.value, provider)
+            subc = sub.columns[0]
+            outer = F.col(f"{t.tbl}.{t.col}" if t.tbl else t.col)
+            key, flag = f"__sq{i}_k", f"__sq{i}_f"
+            empty, hasnull = f"__sq{i}_e", f"__sq{i}_n"
+            keyed = (
+                sub.where(F.col(subc).isNotNull())
+                .select(F.col(subc).alias(key))
+                .distinct()
+                .withColumn(flag, F.lit(True))
+            )
+            stats = sub.select(
+                (F.count(F.lit(1)) == 0).alias(empty),
+                F.max(F.when(F.col(subc).isNull(), True).otherwise(False)).alias(
+                    hasnull
+                ),
+            )
+            df = (
+                df.join(F.broadcast(keyed), outer == F.col(key), "left")
+                .drop(key)
+                .crossJoin(F.broadcast(stats))
+            )
+            helpers[id(t)] = (
+                F.when(F.col(flag), F.lit(True))
+                .when(F.col(empty), F.lit(False))
+                .when(outer.isNull() | F.col(hasnull), F.lit(None).cast("boolean"))
+                .otherwise(F.lit(False))
+            )
+            drops.extend([flag, empty, hasnull])
+
+    def walk(ts: Sequence[Expression]) -> None:
+        for t in ts:
+            if isinstance(t, Nest):
+                walk(t.tokens)
+            elif isinstance(t, Exists) or (isinstance(t, Cond) and t.op == "in_select"):
+                attach(t)
+
+    walk(tokens)
+    return df, helpers, drops
+
+
 def _strip_tbl(c: Col | FnCol) -> Col | FnCol:
     if isinstance(c, Col):
         return Col(c.name, None, c.alias)
@@ -228,7 +405,11 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
         df = df.join(right, on=on, how=how)
 
     if sel.filter:
-        df = df.filter(compile_filter(sel.filter))
+        df, helpers, drops = _attach_subqueries(df, sel.filter, provider)
+        resolver = (lambda t: helpers[id(t)]) if helpers else None
+        df = df.filter(compile_filter(sel.filter, subquery=resolver))
+        if drops:
+            df = df.drop(*drops)
 
     agg_cols = [c for c in sel.columns if isinstance(c, FnCol) and c.is_aggregate()]
     if sel.group_by or agg_cols:
@@ -256,7 +437,16 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
             ]
             df = df.select(*ordered)
     elif sel.columns:
-        df = df.select(*[_column_expr(c) for c in sel.columns])
+        df = df.select(
+            *[
+                _win_expr(c) if isinstance(c, WinCol) else _column_expr(c)
+                for c in sel.columns
+            ]
+        )
+        if sel.qualify:
+            # post-window filter (QUALIFY): conds reference display
+            # names, which the projection just established
+            df = df.filter(compile_filter(sel.qualify))
 
     if sel.distinct:
         # SQL logical order: ... HAVING -> SELECT -> DISTINCT -> ORDER

@@ -25,6 +25,7 @@ from .adt import (
     AND,
     Col,
     Cond,
+    Exists,
     Expression,
     FnCol,
     Nest,
@@ -32,6 +33,7 @@ from .adt import (
     OR,
     Delete,
     Select,
+    WinCol,
 )
 
 __all__ = [
@@ -92,7 +94,56 @@ def _render_colref(name: str, tbl: str | None, quote: Quoter) -> str:
     return f"{quote(tbl)}.{quote(name)}" if tbl else quote(name)
 
 
+def _frame_bound(b, side: str) -> str:
+    if b == "unbounded_preceding":
+        return "UNBOUNDED PRECEDING"
+    if b == "unbounded_following":
+        return "UNBOUNDED FOLLOWING"
+    if b == "current":
+        return "CURRENT ROW"
+    n = int(b)
+    if n == 0:
+        return "CURRENT ROW"
+    return f"{abs(n)} {'PRECEDING' if n < 0 else 'FOLLOWING'}"
+
+
+def _render_wincol(c: WinCol, quote: Quoter, with_alias: bool = True) -> str:
+    """WinCol -> ``fn(args) OVER (PARTITION BY .. ORDER BY .. frame)``
+    (r8; the Spark compiler's _win_expr is the DSL twin)."""
+    inner = _render_column(c.col, quote, with_alias=False) if c.col is not None else ""
+    fn = c.fn
+    if fn == "ntile":
+        call = f"ntile({int(c.args[0])})"
+    elif fn in ("lag", "lead"):
+        offset = int(c.args[0]) if c.args else 1
+        call = f"{fn}({inner}, {offset}"
+        if len(c.args) > 1:
+            call += f", {render_value(c.args[1])}"
+        call += ")"
+    else:
+        call = f"{fn}({inner})"
+    over: list[str] = []
+    if c.partition_by:
+        over.append("PARTITION BY " + ", ".join(quote(p) for p in c.partition_by))
+    if c.order:
+        over.append(
+            "ORDER BY "
+            + ", ".join(f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in c.order)
+        )
+    if c.frame is not None:
+        mode, lo, hi = c.frame
+        over.append(
+            f"{mode.upper()} BETWEEN {_frame_bound(lo, 'lo')} AND {_frame_bound(hi, 'hi')}"
+        )
+    s = f"{call} OVER ({' '.join(over)})"
+    if with_alias:
+        s += f" AS {quote(c.display_name())}"
+    return s
+
+
 def _render_column(c: Col | FnCol, quote: Quoter, with_alias: bool = True) -> str:
+    if isinstance(c, WinCol):
+        return _render_wincol(c, quote, with_alias)
     if isinstance(c, Col):
         s = _render_colref(c.name, c.tbl, quote)
         if with_alias and c.alias:
@@ -122,7 +173,12 @@ def _render_column(c: Col | FnCol, quote: Quoter, with_alias: bool = True) -> st
     return s
 
 
-def _render_cond(c: Cond, quote: Quoter, subst: dict[str, str] | None = None) -> str:
+def _render_cond(
+    c: Cond,
+    quote: Quoter,
+    subst: dict[str, str] | None = None,
+    dialect: str = "ansi",
+) -> str:
     if subst and c.col in subst:
         # HAVING over an aggregate projection column: strict SQL can't
         # reference the SELECT alias, so substitute the aggregate
@@ -155,15 +211,37 @@ def _render_cond(c: Cond, quote: Quoter, subst: dict[str, str] | None = None) ->
         return f"{col} IS NULL"
     if op == "is_not_null":
         return f"{col} IS NOT NULL"
+    if op == "in_select":
+        return f"{col} IN ({render_select(c.value, dialect)})"
     raise ValueError(f"unhandled equation {op!r}")  # pragma: no cover
 
 
+def _render_exists(t: Exists, quote: Quoter, dialect: str, outer_tbl: str | None) -> str:
+    corr = []
+    for oc, ic in t.on:
+        if "." in oc:
+            ot, oname = oc.split(".", 1)
+        elif outer_tbl:
+            ot, oname = outer_tbl, oc
+        else:
+            raise ValueError("correlated Exists needs the outer table context")
+        corr.append(
+            f"{quote(t.select.table)}.{quote(ic)} = {quote(ot)}.{quote(oname)}"
+        )
+    sub = render_select(t.select, dialect, _extra_where=corr)
+    return f"EXISTS ({sub})"
+
+
 def render_filter(tokens: Sequence[Expression], dialect: str = "ansi") -> str:
-    return _render_filter(tokens, _quoter(dialect))
+    return _render_filter(tokens, _quoter(dialect), dialect=dialect)
 
 
 def _render_filter(
-    tokens: Sequence[Expression], quote: Quoter, subst: dict[str, str] | None = None
+    tokens: Sequence[Expression],
+    quote: Quoter,
+    subst: dict[str, str] | None = None,
+    dialect: str = "ansi",
+    outer_tbl: str | None = None,
 ) -> str:
     parts: list[str] = []
     for t in tokens:
@@ -174,16 +252,46 @@ def _render_filter(
         elif t is NOT:
             parts.append("NOT")
         elif isinstance(t, Nest):
-            parts.append(f"({_render_filter(t.tokens, quote, subst)})")
+            parts.append(f"({_render_filter(t.tokens, quote, subst, dialect, outer_tbl)})")
+        elif isinstance(t, Exists):
+            parts.append(_render_exists(t, quote, dialect, outer_tbl))
         elif isinstance(t, Cond):
-            parts.append(_render_cond(t, quote, subst))
+            parts.append(_render_cond(t, quote, subst, dialect))
         else:  # pragma: no cover
             raise ValueError(f"unexpected token {t!r}")
     return " ".join(parts)
 
 
-def render_select(sel: Select, dialect: str = "ansi") -> str:
+def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str] = ()) -> str:
     quote = _quoter(dialect)
+    if sel.qualify:
+        # Portable QUALIFY: wrap the windowed projection in a subquery
+        # and filter it outside (DuckDB has native QUALIFY but the
+        # wrap works on every dialect and pins the same SQL order the
+        # Spark compiler applies: window SELECT -> qualify ->
+        # DISTINCT -> ORDER -> LIMIT).
+        inner = Select(
+            table=sel.table,
+            columns=sel.columns,
+            filter=sel.filter,
+            joins=sel.joins,
+            group_by=sel.group_by,
+            having=sel.having,
+        )
+        dkw = "DISTINCT " if sel.distinct else ""
+        sql = (
+            f"SELECT {dkw}* FROM ({render_select(inner, dialect, _extra_where)}) "
+            f"AS {quote('__q')} WHERE {_render_filter(sel.qualify, quote, dialect=dialect)}"
+        )
+        if sel.order:
+            sql += " ORDER BY " + ", ".join(
+                f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order
+            )
+        if sel.limit is not None:
+            sql += f" LIMIT {sel.limit}"
+        if sel.offset is not None:
+            sql += f" OFFSET {sel.offset}"
+        return sql
     cols = ", ".join(_render_column(c, quote) for c in sel.columns) if sel.columns else "*"
     dkw = "DISTINCT " if sel.distinct else ""
     sql = f"SELECT {dkw}{cols} FROM {quote(sel.table)}"
@@ -195,8 +303,13 @@ def render_select(sel: Select, dialect: str = "ansi") -> str:
             for l, r in j.on
         )
         sql += f" {how} {quote(j.right)} ON {on}"
+    where_parts: list[str] = []
     if sel.filter:
-        sql += f" WHERE {_render_filter(sel.filter, quote)}"
+        f = _render_filter(sel.filter, quote, dialect=dialect, outer_tbl=sel.table)
+        where_parts.append(f"({f})" if _extra_where else f)
+    where_parts.extend(_extra_where)
+    if where_parts:
+        sql += " WHERE " + " AND ".join(where_parts)
     if sel.group_by:
         sql += " GROUP BY " + ", ".join(quote(k) for k in sel.group_by)
     if sel.having:
@@ -205,7 +318,7 @@ def render_select(sel: Select, dialect: str = "ansi") -> str:
             for c in sel.columns
             if isinstance(c, FnCol) and c.is_aggregate()
         }
-        sql += f" HAVING {_render_filter(sel.having, quote, agg_map)}"
+        sql += f" HAVING {_render_filter(sel.having, quote, agg_map, dialect)}"
     if sel.order:
         sql += " ORDER BY " + ", ".join(
             f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order
@@ -220,7 +333,10 @@ def render_select(sel: Select, dialect: str = "ansi") -> str:
 def render_delete(d: Delete, dialect: str = "ansi") -> str:
     """DELETE with filter (mutation_dml.rs:87-94)."""
     quote = _quoter(dialect)
-    return f"DELETE FROM {quote(d.table)} WHERE {_render_filter(d.filter, quote)}"
+    return (
+        f"DELETE FROM {quote(d.table)} WHERE "
+        f"{_render_filter(d.filter, quote, dialect=dialect, outer_tbl=d.table)}"
+    )
 
 
 def render_insert(table: str, columns: Sequence[str], rows: Sequence[Sequence[Any]], dialect: str = "ansi") -> str:

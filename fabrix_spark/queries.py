@@ -29,6 +29,7 @@ from .plans import (
     AND,
     Col,
     Cond,
+    Exists,
     FnCol,
     Join,
     Nest,
@@ -37,6 +38,7 @@ from .plans import (
     Order,
     ParquetDirProvider,
     Select,
+    WinCol,
     compile_select,
     render_filter,
     render_select,
@@ -231,6 +233,85 @@ _adt(
         table="orders",
         columns=[Col("o_orderkey")],
         filter=[Cond("o_orderkey", "in", list(range(1, 41)))],
+    ),
+)
+
+# r8: window functions + QUALIFY on the serializable ADT surface (the
+# engine's w_* family existed only as hand-written DataFrame code; now
+# the same per-group-top-k is a JSON-serializable Select driving BOTH
+# backends — sql_adt.rs:744-754 analogue, capability ≥ reference)
+_adt(
+    "adt_window_topk",
+    Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            Col("o_orderkey"),
+            Col("o_totalprice"),
+            WinCol(
+                "row_number",
+                partition_by=("o_custkey",),
+                order=(Order("o_totalprice", desc=True), Order("o_orderkey")),
+                alias="rn",
+            ),
+            # max, not sum: DuckDB widens sum(BIGINT) to HUGEINT while
+            # Spark keeps long — max is type-preserving on both
+            WinCol(
+                "max",
+                col=Col("o_orderkey"),
+                partition_by=("o_custkey",),
+                order=(Order("o_totalprice", desc=True), Order("o_orderkey")),
+                frame=("rows", "unbounded_preceding", "current"),
+                alias="run_max_key",
+            ),
+        ],
+        qualify=[Cond("rn", "le", 3)],
+    ),
+)
+
+# r8: IN-subquery predicate — the serializable form of the reference's
+# existing-ids probe generalized to a live subquery
+# (query_dml.rs:14-28); NOT pushes through with exact SQL three-valued
+# semantics on both backends
+_adt(
+    "adt_in_subquery",
+    Select(
+        table="customer",
+        columns=[Col("c_custkey"), Col("c_name"), Col("c_acctbal")],
+        filter=[
+            Cond(
+                "c_custkey",
+                "in_select",
+                Select(
+                    table="orders",
+                    columns=[Col("o_custkey")],
+                    filter=[Cond("o_totalprice", "gt", 250000.0)],
+                ),
+            ),
+            AND,
+            Cond("c_acctbal", "gt", 0.0),
+        ],
+    ),
+)
+
+# r8: correlated NOT EXISTS — customers with no urgent order (compiled
+# as a broadcast found-flag join on Spark, native EXISTS in SQL)
+_adt(
+    "adt_exists",
+    Select(
+        table="customer",
+        columns=[Col("c_custkey"), Col("c_mktsegment")],
+        filter=[
+            NOT,
+            Exists(
+                Select(
+                    table="orders",
+                    columns=[Col("o_orderkey")],
+                    filter=[Cond("o_orderpriority", "eq", "1-URGENT")],
+                ),
+                on=(("c_custkey", "o_custkey"),),
+            ),
+        ],
     ),
 )
 

@@ -352,11 +352,14 @@ def _adt_may_match(
     (unprunable ops → True), and NOT x is always True (knowing x MAY
     match never proves NOT x can't). So OR trees prune per-disjunct —
     a file must be refutable on EVERY disjunct to be skipped."""
-    from ..plans.adt import AND, NOT, OR, Cond, Nest
+    from ..plans.adt import AND, NOT, OR, Cond, Exists, Nest
 
     def leaf(t) -> bool:
         if isinstance(t, Nest):
             return _adt_may_match(t.tokens, stats, part_vals, scan_table)
+        if isinstance(t, Exists):
+            # subquery predicates can never refute from footer stats
+            return True
         if isinstance(t, Cond):
             term = _adt_cond_term(t, scan_table)
             if term is None:

@@ -35,7 +35,7 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..frame import FxFrame
-from ..plans.adt import Delete, FnCol, Select, with_primary_key
+from ..plans.adt import Col, Delete, FnCol, Select, with_primary_key
 from ..plans.sqlgen import (
     render_alter_modify_column,
     render_constraints_query,
@@ -286,7 +286,7 @@ class SqlExecutor:
         schema = None
         declared = dict(self.table_schema(sel.table))
         if sel.columns and all(
-            not isinstance(c, FnCol) and c.name in declared for c in sel.columns
+            isinstance(c, Col) and c.name in declared for c in sel.columns
         ):
             schema = ", ".join(
                 f"`{c.display_name()}` {self._spark_type_of(declared[c.name])}"

@@ -276,3 +276,198 @@ def test_grouped_select_aliased_key_and_scalar_fn(spark, sf_dir):
     assert df2.columns == ["seg_lower", "max_bal"]
     got = {r["seg_lower"] for r in df2.collect()}
     assert got and all(s == s.lower() for s in got)
+
+
+# ---------------------------------------------------------------------------
+# r8: window columns + QUALIFY, IN-subquery, EXISTS
+# ---------------------------------------------------------------------------
+
+from fabrix_spark.plans import Exists, WinCol  # noqa: E402
+
+
+def test_wincol_validation():
+    with pytest.raises(ValueError):
+        WinCol("row_number")  # no order
+    with pytest.raises(ValueError):
+        WinCol("row_number", col=Col("x"), order=(Order("x"),))  # operand illegal
+    with pytest.raises(ValueError):
+        WinCol("sum")  # operand required
+    with pytest.raises(ValueError):
+        WinCol("ntile", order=(Order("x"),), args=(0,))
+    with pytest.raises(ValueError):
+        WinCol("sum", col=Col("x"), frame=("rows", -1, "current"))  # frame needs order
+    with pytest.raises(ValueError):
+        WinCol("rank", order=(Order("x"),), frame=("rows", -1, 0))  # frame on ranking fn
+    with pytest.raises(ValueError):
+        # windows cannot mix with group_by
+        Select(
+            table="orders",
+            columns=[WinCol("row_number", order=(Order("o_orderkey"),), alias="rn")],
+            group_by=["o_custkey"],
+        )
+    with pytest.raises(ValueError):
+        # qualify requires a window column
+        Select(table="orders", columns=[Col("o_orderkey")], qualify=[Cond("rn", "le", 2)])
+
+
+def test_window_qualify_topk_vs_oracle(spark, sf_dir):
+    """Serializable per-group top-k: row_number window + QUALIFY,
+    identical rows from the Spark compiler and the rendered SQL."""
+    sel = Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            Col("o_orderkey"),
+            Col("o_totalprice"),
+            WinCol(
+                "row_number",
+                partition_by=("o_custkey",),
+                order=(Order("o_totalprice", desc=True), Order("o_orderkey")),
+                alias="rn",
+            ),
+        ],
+        qualify=[Cond("rn", "le", 2)],
+        order=[Order("o_custkey"), Order("rn")],
+    )
+    sel = Select.from_json(sel.to_json())  # serde round-trip before compiling
+    df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(sel, "duckdb"), ordered=False)
+
+
+def test_window_lag_frame_vs_oracle(spark, sf_dir):
+    """lag + framed running sum over one serialized ADT."""
+    sel = Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            Col("o_orderkey"),
+            WinCol(
+                "lag",
+                col=Col("o_totalprice"),
+                partition_by=("o_custkey",),
+                order=(Order("o_orderkey"),),
+                args=(1, 0.0),
+                alias="prev_price",
+            ),
+            WinCol(
+                "sum",
+                col=Col("o_totalprice"),
+                partition_by=("o_custkey",),
+                order=(Order("o_orderkey"),),
+                frame=("rows", "unbounded_preceding", "current"),
+                alias="run_total",
+            ),
+        ],
+    )
+    sel = Select.from_json(sel.to_json())
+    df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(sel, "duckdb"))
+
+
+def test_in_subquery_vs_oracle(spark, sf_dir):
+    """The reference's existing-ids-probe shape as a serializable ADT
+    (query_dml.rs:14-28): WHERE id IN (SELECT id FROM ...)."""
+    sub = Select(
+        table="orders",
+        columns=[Col("o_custkey")],
+        filter=[Cond("o_orderstatus", "eq", "O")],
+    )
+    sel = Select(
+        table="customer",
+        columns=[Col("c_custkey"), Col("c_name")],
+        filter=[Cond("c_custkey", "in_select", sub), AND, Cond("c_acctbal", "gt", 0.0)],
+    )
+    sel = Select.from_json(sel.to_json())
+    df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(sel, "duckdb"))
+
+
+def test_not_in_subquery_null_semantics(spark, tmp_path):
+    """SQL three-valued NOT IN: a NULL in the subquery result makes
+    NOT IN yield NO rows — the join-based compilation must reproduce
+    this, not the naive anti-join answer."""
+    import duckdb as _dd
+
+    spark.createDataFrame([(1,), (2,), (3,)], "k long").write.parquet(
+        str(tmp_path / "outer.parquet")
+    )
+    spark.createDataFrame([(2, None), (9, 5)], "v long, w long").write.parquet(
+        str(tmp_path / "inner.parquet")
+    )
+    sub_null = Select(table="inner", columns=[Col("w")])  # contains NULL
+    sub_clean = Select(table="inner", columns=[Col("v")])  # no NULL
+    prov = ParquetDirProvider(spark, str(tmp_path))
+    con = _dd.connect()
+    for t in ("outer", "inner"):
+        # Spark writes a directory of part files
+        con.execute(
+            f'CREATE VIEW "{t}" AS SELECT * FROM \'{tmp_path}/{t}.parquet/*.parquet\''
+        )
+
+    for sub, expect in ((sub_null, 0), (sub_clean, 2)):
+        sel = Select(
+            table="outer", columns=[Col("k")], filter=[NOT, Cond("k", "in_select", sub)]
+        )
+        got = sorted(r["k"] for r in compile_select(sel, prov).collect())
+        want = sorted(
+            r[0] for r in con.execute(render_select(sel, "duckdb")).fetchall()
+        )
+        assert got == want and len(got) == expect
+
+
+def test_exists_correlated_vs_oracle(spark, sf_dir):
+    sub = Select(
+        table="orders",
+        columns=[Col("o_orderkey")],
+        filter=[Cond("o_orderpriority", "eq", "1-URGENT")],
+    )
+    for tokens in (
+        [Exists(sub, on=(("c_custkey", "o_custkey"),))],
+        [NOT, Exists(sub, on=(("c_custkey", "o_custkey"),))],
+    ):
+        sel = Select(table="customer", columns=[Col("c_custkey")], filter=tokens)
+        sel = Select.from_json(sel.to_json())
+        df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+        _assert_same(df, sf_dir, render_select(sel, "duckdb"))
+
+
+def test_exists_uncorrelated(spark, sf_dir):
+    """Uncorrelated EXISTS is a global boolean gate."""
+    nonempty = Select(
+        table="orders", columns=[Col("o_orderkey")], filter=[Cond("o_totalprice", "gt", 0.0)]
+    )
+    empty = Select(
+        table="orders", columns=[Col("o_orderkey")], filter=[Cond("o_totalprice", "lt", -1.0)]
+    )
+    prov = ParquetDirProvider(spark, sf_dir)
+    n_customers = compile_select(Select(table="customer"), prov).count()
+    sel_t = Select(table="customer", columns=[Col("c_custkey")], filter=[Exists(nonempty)])
+    sel_f = Select(table="customer", columns=[Col("c_custkey")], filter=[Exists(empty)])
+    assert compile_select(sel_t, prov).count() == n_customers
+    assert compile_select(sel_f, prov).count() == 0
+    _assert_same(compile_select(sel_t, prov), sf_dir, render_select(sel_t, "duckdb"))
+    _assert_same(compile_select(sel_f, prov), sf_dir, render_select(sel_f, "duckdb"))
+
+
+def test_subquery_in_or_branch_vs_oracle(spark, sf_dir):
+    """Subquery predicates are ordinary grammar operands — usable
+    under OR/NOT/Nest, not just as top-level conjuncts (the join-based
+    compilation attaches a helper flag instead of rewriting the plan,
+    so boolean structure is preserved)."""
+    sub = Select(
+        table="orders",
+        columns=[Col("o_custkey")],
+        filter=[Cond("o_totalprice", "gt", 200000.0)],
+    )
+    sel = Select(
+        table="customer",
+        columns=[Col("c_custkey")],
+        filter=[
+            Cond("c_acctbal", "lt", -900.0),
+            OR,
+            Nest([Cond("c_custkey", "in_select", sub), AND, Cond("c_acctbal", "gt", 9000.0)]),
+        ],
+    )
+    sel = Select.from_json(sel.to_json())
+    df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(sel, "duckdb"))

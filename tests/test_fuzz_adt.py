@@ -11,7 +11,20 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from fabrix_spark.plans import ParquetDirProvider, compile_select, render_select
-from fabrix_spark.plans.adt import AND, Col, Cond, FnCol, Join, Nest, NOT, OR, Order, Select
+from fabrix_spark.plans.adt import (
+    AND,
+    Col,
+    Cond,
+    Exists,
+    FnCol,
+    Join,
+    Nest,
+    NOT,
+    OR,
+    Order,
+    Select,
+    WinCol,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -43,7 +56,36 @@ _like_cond = st.builds(
     op=st.just("like"),
     value=st.sampled_from(["%1%", "%a%", "B%", "%G"]),
 )
-_cond = st.one_of(_num_cond, _in_cond, _between_cond, _like_cond)
+# r8: subquery predicates are ordinary grammar operands — fuzz them
+# inside the same AND/OR/NOT/Nest token machinery as plain conds
+_subq_cond = st.builds(
+    lambda op, v: Cond(
+        "c_nationkey",
+        "in_select",
+        Select(
+            table="nation",
+            columns=[Col("n_nationkey")],
+            filter=[Cond("n_regionkey", op, v)],
+        ),
+    ),
+    st.sampled_from(["eq", "ne", "lt", "ge"]),
+    st.integers(0, 4),
+)
+_exists_cond = st.builds(
+    lambda op, v: Exists(
+        Select(
+            table="nation",
+            columns=[Col("n_name")],
+            filter=[Cond("n_regionkey", op, v)],
+        ),
+        on=(("c_nationkey", "n_nationkey"),),
+    ),
+    st.sampled_from(["eq", "lt", "ge"]),
+    st.integers(0, 4),
+)
+_cond = st.one_of(
+    _num_cond, _in_cond, _between_cond, _like_cond, _subq_cond, _exists_cond
+)
 
 # table-qualified conds (Cond.tbl) — both backends must resolve the
 # qualifier identically on joins (ADVICE round 1)
@@ -85,6 +127,46 @@ def _tokens(draw, depth=0, cond=_cond):
 
 @st.composite
 def _selects(draw):
+    if draw(st.integers(0, 4)) == 0:
+        # window variant (r8): one WinCol over a deterministic total
+        # order (unique c_custkey tiebreak), integer operands only so
+        # both engines agree bit-for-bit; ranking windows may QUALIFY
+        part = draw(st.sampled_from(["c_nationkey", "c_mktsegment"]))
+        fn = draw(
+            st.sampled_from(["row_number", "rank", "dense_rank", "sum", "lag", "ntile"])
+        )
+        order_in = (Order("c_acctbal", desc=draw(st.booleans())), Order("c_custkey"))
+        if fn == "sum":
+            w = WinCol(
+                "sum",
+                col=Col("c_custkey"),
+                partition_by=(part,),
+                order=order_in,
+                frame=("rows", "unbounded_preceding", "current"),
+                alias="wv",
+            )
+        elif fn == "lag":
+            w = WinCol(
+                "lag", col=Col("c_custkey"), partition_by=(part,),
+                order=order_in, args=(1, -1), alias="wv",
+            )
+        elif fn == "ntile":
+            w = WinCol(
+                "ntile", partition_by=(part,), order=order_in,
+                args=(draw(st.integers(1, 5)),), alias="wv",
+            )
+        else:
+            w = WinCol(fn, partition_by=(part,), order=order_in, alias="wv")
+        qualify = None
+        if fn in ("row_number", "rank", "dense_rank") and draw(st.booleans()):
+            qualify = [Cond("wv", "le", draw(st.integers(1, 5)))]
+        sel = Select(
+            table="customer",
+            columns=[Col("c_custkey"), Col(part), w],
+            filter=draw(st.none() | _tokens()),
+            qualify=qualify,
+        )
+        return Select.from_json(sel.to_json())  # serde round-trip in the fuzz
     if draw(st.integers(0, 3)) == 0:
         # join variant: customer ⋈ nation, mixed-side projection
         return Select(

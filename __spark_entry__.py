@@ -44,6 +44,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 _VERIFY_FIRST = [
     # new in round 8 (appended as they land)
     "adt_window_topk",
+    "prof_hist_quantiles",
     "adt_in_subquery",
     "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -344,6 +344,73 @@ def sampled_quantiles(
     from .sampling import deterministic_sample
 
     return quantiles(deterministic_sample(df, key, fraction, salt), columns, probs)
+
+
+def hist_sketch(
+    df: DataFrame, col: str, width: int = 1000, scale: int = 100
+) -> DataFrame:
+    """MERGEABLE quantile sketch as a fixed-width integer histogram:
+    values quantize to int64 (``scale`` then F.round — the repo's
+    exactness recipe), bucket = floor(q / width), and the sketch is the
+    (bucket, cnt) table. Complements :func:`sampled_quantiles` (which
+    bounds memory but not error): here the quantile error is bounded by
+    one bucket width, memory by the value range / width, and — unlike
+    KLL/t-digest, whose compactions are randomized or merge-order-
+    dependent — the sketch is fully DETERMINISTIC: build(shard union)
+    == merge(shard sketches) exactly, on any engine or partitioning,
+    so it oracle-checks bit-for-bit. One map-side-combined hash
+    aggregate; the sketch is metadata-sized (the KMV contract: sketch
+    once per partition/day, merge forever)."""
+    q = F.round(F.col(col).cast("double") * scale).cast("long")
+    b = F.floor(q.cast("double") / F.lit(float(width))).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge histogram sketches: union → per-bucket count sum. Exactly
+    equals :func:`hist_sketch` over the concatenated raw data."""
+    if not sketches:
+        raise ValueError("hist_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame, probs: tuple[float, ...], width: int = 1000
+) -> DataFrame:
+    """Quantiles from a histogram sketch: rank = ceil(p·n), answer =
+    lower bound (in quantized units) of the first bucket whose
+    cumulative count reaches the rank — a deterministic integer, within
+    one bucket width of the exact order statistic. All plan-side: the
+    cumulative window and the rank probe run over the SKETCH (bounded
+    by construction), never the data; the inequality join is a
+    broadcast over that tiny table. Returns (prob, n, est_lo)."""
+    from pyspark.sql.window import Window
+
+    spark = sketch.sparkSession
+    cum = sketch.withColumn(
+        "__cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = sketch.agg(F.sum("cnt").alias("n"))
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    ranks = pdf.crossJoin(F.broadcast(total)).withColumn(
+        "__r", F.ceil(F.col("prob") * F.col("n")).cast("long")
+    )
+    return (
+        ranks.join(F.broadcast(cum), F.col("__cum") >= F.col("__r"))
+        .groupBy("prob", "n")
+        .agg((F.min("bucket") * width).alias("est_lo"))
+        .select("prob", "n", "est_lo")
+    )
 
 
 def correlation(

@@ -1258,6 +1258,38 @@ def prof_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "prof_hist_quantiles",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+              / 1000.0) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS prob),
+r AS (SELECT prob, n, CAST(ceil(prob * n) AS BIGINT) AS rk FROM p CROSS JOIN t)
+SELECT r.prob, r.n, CAST(min(c.bucket) * 1000 AS BIGINT) AS est_lo
+FROM r JOIN c ON c.cum >= r.rk
+GROUP BY r.prob, r.n
+""",
+)
+def prof_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the MERGEABLE fixed-width histogram sketch
+    (bucket = floor(price-cents / 1000)): error bounded by one bucket
+    ($10), memory by range/width, and — unlike KLL/t-digest, whose
+    compactions are randomized or merge-order-dependent — the sketch
+    is deterministic, so build(union) == merge(shards) exactly and
+    even the estimate oracle-checks. The profiling shape for 100 TB:
+    per-partition sketches merge into a metadata-sized table."""
+    from .operators.profile import hist_quantiles, hist_sketch
+
+    sk = hist_sketch(_t(spark, sf_dir, "lineitem"), "l_extendedprice", width=1000)
+    return hist_quantiles(sk, (0.25, 0.5, 0.75, 0.9, 0.99), width=1000)
+
+
 @register("prof_quantiles", oracle=_quantile_oracle(_Q_COLS, _Q_PROBS))
 def prof_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantile profile over lineitem measures — Spark's exact

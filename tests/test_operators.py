@@ -1159,6 +1159,37 @@ def test_kmv_sketches_merge_exactly(spark):
     assert merged["n_seen"] == direct["n_seen"]
 
 
+def test_hist_sketch_merge_and_quantiles(spark):
+    """Mergeable histogram quantile sketch: build(shard union) ==
+    merge(shard sketches) EXACTLY (bucket-for-bucket), the quantile
+    answers agree, the estimate is within one bucket width of the
+    exact order statistic, and everything is partition-invariant."""
+    from fabrix_spark.operators import profile as prof
+
+    base = spark.range(5000)
+    shards = [
+        base.filter(F.col("id") % 3 == i).select(((F.col("id") * 37) % 1000 / 10.0).alias("v"))
+        for i in range(3)
+    ]
+    whole = base.select(((F.col("id") * 37) % 1000 / 10.0).alias("v"))
+
+    direct = prof.hist_sketch(whole, "v", width=500)
+    merged = prof.hist_merge([prof.hist_sketch(s, "v", width=500) for s in shards])
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+    probs = (0.25, 0.5, 0.9)
+    qd = {r["prob"]: r["est_lo"] for r in prof.hist_quantiles(direct, probs, width=500).collect()}
+    qm = {r["prob"]: r["est_lo"] for r in prof.hist_quantiles(merged, probs, width=500).collect()}
+    assert qd == qm and len(qd) == 3
+    # error bound: one bucket width (500 quantized units = 5.0 in v)
+    exact = whole.approxQuantile("v", list(probs), 0.0)
+    for p, e in zip(probs, exact):
+        assert abs(qd[p] / 100.0 - e) <= 5.0
+    # partition invariance
+    again = prof.hist_sketch(whole.repartition(13), "v", width=500)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, direct.collect()))
+
+
 def _bmp_from_array(arr) -> bytes:
     """24bpp bottom-up BMP from an HxW grayscale uint8 array."""
     import struct as _struct

@@ -59,19 +59,37 @@ def _all_stopwords():
 
 def synthesize(spark, m: int) -> str:
     out = os.path.join(CACHE, f"x{m}")
-    done = os.path.join(out, "_DONE")
+    done = os.path.join(out, "_DONE_v2")  # v2: adds events.parquet
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    # events: copy c shifts event_id AND user_id by the stride —
+    # disjoint key spaces, so per-key event density (what windowed /
+    # as-of work scales on) stays constant per copy. Read through the
+    # nanos-aware helper; written back as standard µs timestamps.
+    from fabrix_spark.queries import _events
+
+    ev = _events(spark, BASE)
     stop = F.array(*[F.lit(w) for w in _all_stopwords()])
-    d_parts, e_parts = [], []
+    d_parts, e_parts, v_parts = [], [], []
     for c in range(m):
         if c == 0:
             d_parts.append(docs)
             e_parts.append(emb)
+            v_parts.append(ev)
             continue
+        v_parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(c * STRIDE)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(c * STRIDE)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
         suffixed = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
@@ -115,6 +133,12 @@ def synthesize(spark, m: int) -> str:
     e.repartition(max(4, 2 * m)).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
+    v = v_parts[0]
+    for p in v_parts[1:]:
+        v = v.unionByName(p)
+    v.repartition(max(8, 4 * m)).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
     open(done, "w").close()
     return out
 
@@ -133,6 +157,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,3,10")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--ops", default="", help="comma-separated name prefixes to run")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -170,6 +195,67 @@ def main() -> None:
             emb, queries, dim=64, m=4, n_codes=8, k=5, n_centroids=16 * m, n_probe=2
         ).count()
 
+    def op_stream_admission(sf_dir, m):
+        # the per-batch O(delta) claim: 3 sequential admit_batch calls
+        # (probe store -> verify -> fold in), corpus m×, batch m× —
+        # linear total means each batch stayed O(its delta)
+        import atexit
+        import shutil
+        import tempfile
+
+        from fabrix_spark.operators import dedup as _dd
+        from fabrix_spark.sources.lake import LakeTable
+        from fabrix_spark.streaming.ingest import admit_batch
+
+        root = tempfile.mkdtemp(prefix="fabrix_scale_adm_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        store = _dd.SignatureStore(spark, root + "/sigs", buckets=8)
+        admitted = LakeTable(spark, root + "/admitted", index="doc_id", buckets=8)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        for b in range(3):
+            admit_batch(
+                docs.filter(F.col("doc_id") % 3 == b), store, admitted, threshold=0.2
+            )
+        return admitted.read().df.count()
+
+    def op_pagerank(sf_dir, m):
+        # m isomorphic per-copy graphs (3 deterministic out-edges per
+        # doc, targets stay inside the copy's id block): edge count ∝ m
+        # while per-node degree stays constant — the iterative
+        # join+aggregate path measured at growing |E|
+        from fabrix_spark.operators.graph import pagerank
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        base = F.floor(F.col("doc_id") / F.lit(STRIDE)) * F.lit(STRIDE)
+        local = F.col("doc_id") % F.lit(STRIDE)
+        edges = None
+        for a, b in ((37, 11), (101, 3), (7919, 1)):
+            part = docs.select(
+                F.col("doc_id").alias("src"),
+                (base + (local * a + b) % F.lit(5000)).alias("dst"),
+            )
+            edges = part if edges is None else edges.unionByName(part)
+        return pagerank(edges, iters=3, redistribute=True, checkpoint=True).count()
+
+    def op_asof(sf_dir, m):
+        # union + one (by, time) sort-window as-of at m× events; user
+        # keys disjoint per copy so per-key window size is constant
+        from fabrix_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        qs = F.sum(F.round(F.col("value") * 100).cast("long"))
+        n = F.count("*")
+        rates = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("ts")).agg(
+            F.floor((2 * qs + n) / (2.0 * n)).cast("long").alias("hr_avg_cents")
+        )
+        return asof_join(
+            ev.select("event_id", "event_type", "ts"),
+            rates,
+            on="ts",
+            by=["event_type"],
+            right_cols=["hr_avg_cents"],
+        ).count()
+
     ops = [
         ("d_minhash_lsh", run_registry("d_minhash_lsh"), None),
         ("d_incremental_probe", op_incremental_probe, warm_incremental),
@@ -180,7 +266,14 @@ def main() -> None:
         ("d_dup_clusters", run_registry("d_dup_clusters"), None),
         # exact inverted-index + verify — the candidate-bound shape
         ("d_jaccard_pairs", run_registry("d_jaccard_pairs"), None),
+        # r8: the two paths previously argued from plan shape only
+        ("stream_admission (3 batches)", op_stream_admission, None),
+        ("gr_pagerank (|E|=3m·docs)", op_pagerank, None),
+        ("tj_asof (m× events)", op_asof, None),
     ]
+    if args.ops:
+        wanted = {w.strip() for w in args.ops.split(",")}
+        ops = [o for o in ops if any(o[0].startswith(w) for w in wanted)]
 
     results = {}
     for name, op, warm in ops:

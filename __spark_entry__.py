@@ -45,6 +45,7 @@ _VERIFY_FIRST = [
     # new in round 8 (appended as they land)
     "adt_window_topk",
     "prof_hist_quantiles",
+    "prof_heavy_hitters",
     "adt_in_subquery",
     "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)

@@ -10,10 +10,12 @@ deterministic (no sampling), so it oracle-checks — unlike
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "heavy_hitters"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -410,6 +412,62 @@ def hist_quantiles(
         .groupBy("prob", "n")
         .agg((F.min("bucket") * width).alias("est_lo"))
         .select("prob", "n", "est_lo")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, phi: float = 0.005, item_type: str = "string"
+) -> DataFrame:
+    """EXACT heavy hitters (all items with frequency ≥ φ·n) without a
+    full-domain shuffle — the two-pass candidate-and-verify shape that
+    survives 100 TB where ``GROUP BY item`` over a billion-key domain
+    does not:
+
+    1. Per-partition weighted Misra-Gries summaries (k = ⌈1/φ⌉
+       counters, Arrow batches folded via value_counts) run map-only.
+       Standard MG guarantee: any item with partition count
+       > n_p/(k+1) survives partition p's summary, so any GLOBAL
+       φ-heavy item survives in ≥ 1 partition (else its total would be
+       ≤ Σ n_p/(k+1) = n/(k+1) < φ·n). The candidate union is a
+       partition-dependent SUPERSET — never a miss.
+    2. One exact count of candidate rows only: broadcast semi-probe of
+       the candidate set (≤ partitions·k items — metadata-sized), hash
+       aggregate, threshold against a broadcast 1-row total.
+
+    The OUTPUT is exact and partition-invariant even though the
+    intermediate candidates aren't, so it oracle-checks against plain
+    GROUP BY/HAVING SQL. Returns (item, cnt), cnt exact."""
+    import pandas as pd
+
+    k = max(1, int(math.ceil(1.0 / phi)))
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, w in pdf[col].value_counts().items():
+                if item in counters:
+                    counters[item] += int(w)
+                elif len(counters) < k:
+                    counters[item] = int(w)
+                else:
+                    m = min(int(w), min(counters.values()))
+                    counters = {
+                        i: c - m for i, c in counters.items() if c - m > 0
+                    }
+                    if int(w) - m > 0:
+                        counters[item] = int(w) - m
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    base = df.filter(F.col(col).isNotNull())
+    cand = base.select(col).mapInPandas(mg, f"item {item_type}").distinct()
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.join(F.broadcast(cand), F.col(col) == F.col("item"), "left_semi")
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.col("__n") * F.lit(float(phi))))
+        .select("item", "cnt")
     )
 
 

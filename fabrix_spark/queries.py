@@ -4027,6 +4027,36 @@ def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prof_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+  FROM documents
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT item, CAST(count(*) AS BIGINT) AS cnt
+FROM toks CROSS JOIN t
+GROUP BY item, n
+HAVING count(*) >= ceil(n * 0.002)
+""",
+)
+def prof_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency ≥ 0.2%)
+    via per-partition Misra-Gries candidates + one exact verify count
+    — the 100 TB frequent-items shape: the full token domain never
+    shuffles, only the metadata-sized candidate set does. Output is
+    exact and partition-invariant (the oracle is plain GROUP BY /
+    HAVING), even though the intermediate candidate union isn't."""
+    from .operators.profile import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", phi=0.002)
+
+
+@register(
     "d_common_segments",
     oracle=r"""
 WITH t AS (

@@ -1190,6 +1190,34 @@ def test_hist_sketch_merge_and_quantiles(spark):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, direct.collect()))
 
 
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Candidate-and-verify heavy hitters: output equals the exact
+    GROUP BY/HAVING answer (counts exact, no misses — the MG superset
+    guarantee) and is identical under re-partitioning even though the
+    intermediate candidate sets differ."""
+    from fabrix_spark.operators.profile import heavy_hitters
+
+    # skewed domain: item i appears (2000 // (i+1)) times — Zipf-ish
+    rows = [(f"w{i}",) for i in range(200) for _ in range(2000 // (i + 1))]
+    df = spark.createDataFrame(rows, "tok string")
+    n = len(rows)
+    phi = 0.01
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "tok", phi=phi).collect()}
+    import math as _m
+
+    thr = _m.ceil(n * phi)
+    exact = {
+        (r["tok"], r["c"])
+        for r in df.groupBy("tok").agg(F.count("*").alias("c")).filter(F.col("c") >= thr).collect()
+    }
+    assert got == exact and got  # non-trivial and exactly right
+    again = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df.repartition(17), "tok", phi=phi).collect()
+    }
+    assert again == exact
+
+
 def _bmp_from_array(arr) -> bytes:
     """24bpp bottom-up BMP from an HxW grayscale uint8 array."""
     import struct as _struct

@@ -83,7 +83,9 @@ work regardless of data size.
 
 from __future__ import annotations
 
+import base64
 import contextlib
+import hashlib
 import json
 import os
 import re
@@ -192,6 +194,66 @@ def _file_stats(path: str) -> dict:
     }
 
 
+def _bloom_indices(key: str, m: int, k: int) -> list[int]:
+    """k bit positions for a value's string key: consecutive 8-hex-char
+    slices of one md5 digest, mod m. Deterministic (no RNG, no seed),
+    so filters built anywhere verify anywhere; k ≤ 4 by construction
+    (md5 yields four independent 32-bit slices)."""
+    digest = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return [int(digest[8 * i : 8 * i + 8], 16) % m for i in range(k)]
+
+
+def _bloom_build(values, m: int, k: int) -> str:
+    """Base64 bitset over the values' stat-keys (None keys skipped)."""
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        sk = _stat_key(v)
+        if sk is None:
+            continue
+        for i in _bloom_indices(str(sk), m, k):
+            bits[i >> 3] |= 1 << (i & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_may_contain(bf: dict, value) -> bool:
+    """Sound membership test: False ONLY when the filter proves
+    absence (a zero bit); any decode problem degrades to True."""
+    sk = _stat_key(value)
+    if sk is None:
+        return True
+    try:
+        bits = base64.b64decode(bf["bits"])
+        m, k = int(bf["m"]), int(bf["k"])
+    except (KeyError, ValueError, TypeError):
+        return True
+    for i in _bloom_indices(str(sk), m, k):
+        if not (bits[i >> 3] >> (i & 7)) & 1:
+            return False
+    return True
+
+
+def _file_bloom(path: str, cols: list[str], bits_per_value: int = 10, k: int = 3) -> dict:
+    """Per-file bloom filters for the given columns — the
+    high-cardinality equality-pruning complement to min/max footer
+    stats (the Delta/Iceberg bloom-index idea on the manifest layout).
+    Unlike :func:`_file_stats` this reads the indexed COLUMNS' data
+    pages (column-pruned arrow read), but only at write time and only
+    for new files. Filter size scales with the file's distinct count,
+    capped at 2^17 bits (16 KiB → ~22 KiB base64 per column per file;
+    beyond that a sidecar file would be the right home)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    tbl = pq.read_table(path, columns=[c for c in cols])
+    for c in cols:
+        vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+        if not vals:
+            continue
+        m = min(1 << 17, max(64, bits_per_value * len(set(map(str, vals)))))
+        out[c] = {"m": m, "k": k, "bits": _bloom_build(vals, m, k)}
+    return out
+
+
 def _partition_values(rel_path: str) -> dict:
     """Hive-style ``col=val`` directory components of a file's relative
     path, as exact (min == max) pseudo-stats: partition columns never
@@ -233,6 +295,8 @@ def _file_may_match(stats: dict, part_vals: dict, where: list[tuple]) -> bool:
     → yes; non-comparable values → yes. Comparison predicates (=, <,
     between, in) can't match NULL rows, so an all-null column with
     known bounds absent prunes only via its null count."""
+    if stats.get("rows") == 0 and where:
+        return False  # an empty file provably matches nothing
     for term in where:
         col, op = term[0], term[1]
         st = part_vals.get(col) or stats.get("cols", {}).get(col)
@@ -262,6 +326,9 @@ def _file_may_match(stats: dict, part_vals: dict, where: list[tuple]) -> bool:
             v = _stat_key(term[2])
             if v is None:
                 continue
+            bf = stats.get("bloom", {}).get(col)
+            if bf is not None and not _bloom_may_contain(bf, term[2]):
+                return False  # proven absent (no false negatives)
             try:
                 if v < lo or v > hi:
                     return False
@@ -295,6 +362,11 @@ def _file_may_match(stats: dict, part_vals: dict, where: list[tuple]) -> bool:
             vals = [_stat_key(v) for v in term[2]]
             if any(v is None for v in vals) or not vals:
                 continue
+            bf = stats.get("bloom", {}).get(col)
+            if bf is not None and not any(
+                _bloom_may_contain(bf, v) for v in term[2]
+            ):
+                return False  # every candidate proven absent
             try:
                 if all(v < lo or v > hi for v in vals):
                     return False
@@ -441,6 +513,7 @@ class LakeTable:
         lock_timeout: float = 60.0,
         lock_stale: float = 3600.0,
         merge_schema: bool = False,
+        bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -458,6 +531,11 @@ class LakeTable:
         # elsewhere) and upsert/append align by name with missing
         # columns allowed — the Delta/Iceberg mergeSchema behavior
         self.merge_schema = merge_schema
+        # per-file bloom filters on these columns (built at commit for
+        # NEW files only, stored in the manifest): equality/IN pruning
+        # on high-cardinality columns where min/max bounds are too wide
+        # to refute anything — the Delta/Iceberg bloom-index idea
+        self.bloom_cols = bloom_cols or []
 
     # -- advisory writer lock -----------------------------------------------
 
@@ -619,6 +697,13 @@ class LakeTable:
                 files[rel] = _file_stats(os.path.join(vdir, rel))
             except Exception:
                 files[rel] = {"rows": None, "cols": {}}
+            if self.bloom_cols:
+                try:
+                    bf = _file_bloom(os.path.join(vdir, rel), self.bloom_cols)
+                    if bf:
+                        files[rel]["bloom"] = bf
+                except Exception:
+                    pass  # bloom is an optimization, never a gate
         tmp = os.path.join(vdir, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump({"version": 1, "files": files}, f)

@@ -917,6 +917,85 @@ def test_scan_pruning_soundness_fuzz(spark, tmp_path, rows, where, files):
     assert got == want
 
 
+def test_bloom_skipping_prunes_and_stays_sound(spark, tmp_path):
+    """bloom_cols: per-file bloom filters in the manifest prune
+    equality/IN point queries on a high-cardinality string column
+    where min/max bounds are too wide to refute anything; pruning is
+    sound (no false negatives by construction) and append re-stats new
+    files only (hard-linked files keep their bloom entries)."""
+    t = LakeTable(spark, str(tmp_path / "t"), index="id", bloom_cols=["name"])
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.concat(F.lit("u_"), (F.col("id") * 7919 % 100000).cast("string")).alias("name"),
+        (F.col("id") % 4).alias("grp"),
+    )
+    t.save(df.repartition(6, "grp"), SaveStrategy.REPLACE)
+    man = t.manifest()["files"]
+    nonempty = {r: st for r, st in man.items() if st.get("rows")}
+    assert nonempty and all(
+        "bloom" in st and "name" in st["bloom"] for st in nonempty.values()
+    )
+
+    target = "u_" + str(1234 * 7919 % 100000)
+    kept, total = t.pruned_files([("name", "=", target)])
+    assert total >= 3 and len(kept) < total  # bloom actually pruned
+    # min/max alone could NOT have pruned (lexicographic range overlaps)
+    absent_kept, _ = t.pruned_files([("name", "=", "u_nope_xyz")])
+    assert absent_kept == []  # provably-absent value prunes everything
+    # soundness: pruned scan == full read-then-filter
+    got = sorted(r["id"] for r in t.scan([("name", "=", target)]).df
+                 .filter(F.col("name") == target).collect())
+    want = sorted(r["id"] for r in t.read().df
+                  .filter(F.col("name") == target).collect())
+    assert got == want and got
+    # IN pruning: one present + one absent value keeps the present file
+    got_in = sorted(r["id"] for r in t.scan([("name", "in", [target, "u_nope_xyz"])]).df
+                    .filter(F.col("name").isin([target, "u_nope_xyz"])).collect())
+    assert got_in == want
+
+    # append: new file gets a bloom entry; linked files keep theirs
+    extra = spark.createDataFrame([(99999, "brand_new_name", 0)], "id long, name string, grp long")
+    t.save(extra, SaveStrategy.APPEND)
+    man2 = t.manifest()["files"]
+    assert len(man2) > len(man)
+    assert all("bloom" in st for st in man2.values() if st.get("rows"))
+    kept3, total3 = t.pruned_files([("name", "=", "brand_new_name")])
+    assert len(kept3) == 1  # only the appended file survives
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=hyp_st.lists(
+        hyp_st.one_of(hyp_st.none(), hyp_st.text(alphabet="abcde", min_size=0, max_size=4)),
+        min_size=1,
+        max_size=25,
+    ),
+    probe=hyp_st.text(alphabet="abcde", min_size=0, max_size=4),
+    files=hyp_st.integers(min_value=1, max_value=4),
+)
+def test_bloom_pruning_soundness_fuzz(spark, tmp_path, names, probe, files):
+    """For ANY data (nulls included) and ANY equality probe, the
+    bloom-pruned scan equals read-then-filter exactly."""
+    import uuid as _uuid
+
+    data = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(data, "rid int, name string").repartition(files)
+    t = LakeTable(
+        spark, str(tmp_path / f"b{_uuid.uuid4().hex[:8]}"), index="rid",
+        bloom_cols=["name"],
+    )
+    t.save(df, SaveStrategy.REPLACE)
+    got = sorted(r["rid"] for r in t.scan([("name", "=", probe)]).df
+                 .filter(F.col("name") == probe).collect())
+    want = sorted(r["rid"] for r in t.read().df
+                  .filter(F.col("name") == probe).collect())
+    assert got == want
+
+
 def test_history_records_operations(spark, fx, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"), index="id", retain=5)
     t.save(fx, SaveStrategy.REPLACE)

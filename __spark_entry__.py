@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "adt_window_topk",
     "prof_hist_quantiles",
     "prof_heavy_hitters",
+    "lake_bloom_scan",
     "adt_in_subquery",
     "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)

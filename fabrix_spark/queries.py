@@ -5185,6 +5185,82 @@ def lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLAKE_CACHE: dict = {}
+
+
+def _prebuilt_bloom_lake(spark: SparkSession, sf_dir: str):
+    """A lake copy of customer split into multiple files HASH-
+    partitioned on the key, with bloom filters on c_name — a
+    high-cardinality string column whose per-file min/max ranges all
+    overlap under key-hash placement, so ONLY the bloom index can
+    prune a point query. Built once per sf_dir, disk-cached like the
+    Z-order fixture."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.sql import SaveStrategy
+
+    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    t = _BLAKE_CACHE.get(key)
+    if t is None:
+        root = os.path.join(tempfile.gettempdir(), "fabrix_bloomlake_cache", key)
+        t = LakeTable(
+            spark, os.path.join(root, "t"), index="c_custkey", retain=1,
+            bloom_cols=["c_name"],
+        )
+        _BLAKE_CACHE[key] = t
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    if not t.exists():
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        # hash-partitioned on the KEY, not the name: name values
+        # spread across every file, so min/max never prunes
+        t.save(c.repartition(8, "c_custkey"), SaveStrategy.REPLACE)
+    return t
+
+
+def _bloom_probe_names(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two real customer names, chosen deterministically (min and max)
+    — present in the data so the result set is non-empty."""
+    c = _t(spark, sf_dir, "customer")
+    row = c.agg(F.min("c_name").alias("lo"), F.max("c_name").alias("hi")).first()
+    return [row["lo"], row["hi"]]
+
+
+@register(
+    "lake_bloom_scan",
+    oracle="""
+WITH probe AS (
+  SELECT min(c_name) AS lo, max(c_name) AS hi FROM customer
+)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer, probe
+WHERE c_name IN (probe.lo, probe.hi)
+""",
+)
+def lake_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a high-cardinality string column through the
+    manifest's per-file BLOOM index: the table is hash-partitioned on
+    the key so every file's name min/max overlaps (range stats prune
+    nothing); the bloom filters prove absence per file before Spark
+    opens anything, then the predicate re-applies to survivors. The
+    oracle runs the same IN over the raw table — data skipping must
+    lose and invent no rows."""
+    t = _prebuilt_bloom_lake(spark, sf_dir)
+    names = _bloom_probe_names(spark, sf_dir)
+    fx = t.scan([("c_name", "in", names)])
+    return fx.df.filter(F.col("c_name").isin(names)).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
 # the SAME ADT drives the Spark scan (predicate + file pruning) and the
 # oracle SQL — the executable-golden pattern the adt_* family uses,
 # extended to the lake's data-skipping path

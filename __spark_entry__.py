@@ -44,6 +44,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 _VERIFY_FIRST = [
     # new in round 8 (appended as they land)
     "adt_window_topk",
+    "adt_agg_window_subquery",
     "prof_hist_quantiles",
     "prof_heavy_hitters",
     "lake_bloom_scan",

@@ -459,9 +459,16 @@ class Select:
     over display names (DuckDB's QUALIFY; rendered portably as a
     wrapping subquery, compiled on Spark as a filter after the window
     projection). SQL order: WHERE → window SELECT → QUALIFY →
-    DISTINCT → ORDER → LIMIT."""
+    DISTINCT → ORDER → LIMIT.
 
-    table: str
+    r8: ``table`` may itself be a Select (a FROM-subquery), exposed
+    under ``table_alias`` — this is what composes aggregate-then-
+    window (or any staged query) into ONE serializable object:
+    ``Select(table=Select(...group_by...), columns=[..., WinCol(...)],
+    qualify=[...])``. Joins/qualified conds in the outer query
+    reference the alias."""
+
+    table: "str | Select"
     columns: list[ColumnLike] = field(default_factory=list)
     filter: list[Expression] | None = None
     joins: list[Join] = field(default_factory=list)
@@ -473,6 +480,12 @@ class Select:
     distinct: bool = False
     having: list[Expression] | None = None
     qualify: list[Expression] | None = None
+    table_alias: str = "__sub"
+
+    def table_name(self) -> str:
+        """The name the FROM source is addressable by: the table name
+        itself, or ``table_alias`` for a FROM-subquery."""
+        return self.table_alias if isinstance(self.table, Select) else self.table
 
     def __post_init__(self) -> None:
         self.columns = [Col(c) if isinstance(c, str) else c for c in self.columns]
@@ -498,7 +511,12 @@ class Select:
         return [c.display_name() for c in self.columns]
 
     def to_json(self) -> dict:
-        d: dict[str, Any] = {"table": self.table, "columns": [c.to_json() for c in self.columns]}
+        d: dict[str, Any] = {
+            "table": self.table.to_json() if isinstance(self.table, Select) else self.table,
+            "columns": [c.to_json() for c in self.columns],
+        }
+        if isinstance(self.table, Select) and self.table_alias != "__sub":
+            d["table_alias"] = self.table_alias
         if self.filter:
             d["filter"] = [expression_to_json(t) for t in self.filter]
         if self.joins:
@@ -524,7 +542,8 @@ class Select:
     @classmethod
     def from_json(cls, d: dict) -> "Select":
         return cls(
-            table=d["table"],
+            table=cls.from_json(d["table"]) if isinstance(d["table"], dict) else d["table"],
+            table_alias=d.get("table_alias", "__sub"),
             columns=[column_from_json(c) for c in d.get("columns", [])],
             filter=expressions_from_json(d["filter"]) if d.get("filter") else None,
             joins=[Join(j["right"], j["on"], j.get("how", "inner")) for j in d.get("join", [])],
@@ -566,7 +585,8 @@ def with_primary_key(sel: Select, pk: str) -> Select:
         return sel
     return Select(
         table=sel.table,
-        columns=[Col(pk, tbl=sel.table if sel.joins else None), *sel.columns],
+        table_alias=sel.table_alias,
+        columns=[Col(pk, tbl=sel.table_name() if sel.joins else None), *sel.columns],
         filter=sel.filter,
         joins=sel.joins,
         group_by=sel.group_by,

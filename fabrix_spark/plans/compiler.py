@@ -386,20 +386,27 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     GROUP BY/agg -> ORDER BY -> OFFSET/LIMIT. Catalyst reorders
     physically (filter pushdown through joins, etc.) — we only declare.
     """
-    # a provider exposing .scan(name, filter_tokens) (e.g. the lake's
-    # LakeProvider) gets the Select's filter at scan time so file-level
-    # pruning happens before the plan is built; the filter is still
-    # compiled and applied below — pruning only shrinks the file list
-    if sel.filter and hasattr(provider, "scan"):
-        df = provider.scan(sel.table, sel.filter).alias(sel.table)
+    base = sel.table_name()
+    if isinstance(sel.table, Select):
+        # FROM-subquery (r8): the inner Select compiles first and is
+        # addressable under the alias — aggregate-then-window and any
+        # other staged query compose into one serializable object
+        df = compile_select(sel.table, provider).alias(base)
+    elif sel.filter and hasattr(provider, "scan"):
+        # a provider exposing .scan(name, filter_tokens) (e.g. the
+        # lake's LakeProvider) gets the Select's filter at scan time so
+        # file-level pruning happens before the plan is built; the
+        # filter is still compiled and applied below — pruning only
+        # shrinks the file list
+        df = provider.scan(sel.table, sel.filter).alias(base)
     else:
-        df = provider(sel.table).alias(sel.table)
+        df = provider(sel.table).alias(base)
 
     for j in sel.joins:
         right = provider(j.right).alias(j.right)
         on = None
         for lc, rc in j.on:
-            clause = F.col(f"{sel.table}.{lc}") == F.col(f"{j.right}.{rc}")
+            clause = F.col(f"{base}.{lc}") == F.col(f"{j.right}.{rc}")
             on = clause if on is None else (on & clause)
         how = "inner" if j.how == "join" else j.how
         df = df.join(right, on=on, how=how)

@@ -272,6 +272,7 @@ def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str
         # DISTINCT -> ORDER -> LIMIT).
         inner = Select(
             table=sel.table,
+            table_alias=sel.table_alias,
             columns=sel.columns,
             filter=sel.filter,
             joins=sel.joins,
@@ -294,18 +295,23 @@ def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str
         return sql
     cols = ", ".join(_render_column(c, quote) for c in sel.columns) if sel.columns else "*"
     dkw = "DISTINCT " if sel.distinct else ""
-    sql = f"SELECT {dkw}{cols} FROM {quote(sel.table)}"
+    base = sel.table_name()
+    if isinstance(sel.table, Select):
+        src = f"({render_select(sel.table, dialect)}) AS {quote(base)}"
+    else:
+        src = quote(sel.table)
+    sql = f"SELECT {dkw}{cols} FROM {src}"
     for j in sel.joins:
         how = {"join": "JOIN", "inner": "INNER JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
                "full": "FULL JOIN", "cross": "CROSS JOIN", "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[j.how]
         on = " AND ".join(
-            f"{quote(sel.table)}.{quote(l)} = {quote(j.right)}.{quote(r)}"
+            f"{quote(base)}.{quote(l)} = {quote(j.right)}.{quote(r)}"
             for l, r in j.on
         )
         sql += f" {how} {quote(j.right)} ON {on}"
     where_parts: list[str] = []
     if sel.filter:
-        f = _render_filter(sel.filter, quote, dialect=dialect, outer_tbl=sel.table)
+        f = _render_filter(sel.filter, quote, dialect=dialect, outer_tbl=base)
         where_parts.append(f"({f})" if _extra_where else f)
     where_parts.extend(_extra_where)
     if where_parts:

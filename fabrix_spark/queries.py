@@ -269,6 +269,34 @@ _adt(
     ),
 )
 
+# r8: FROM-subquery — aggregate-then-window in ONE serializable
+# Select: inner per-customer aggregate, outer rank + QUALIFY top-25
+_adt(
+    "adt_agg_window_subquery",
+    Select(
+        table=Select(
+            table="orders",
+            columns=[
+                Col("o_custkey"),
+                FnCol("count", Col("o_orderkey"), alias="n_orders"),
+                FnCol("max", Col("o_orderkey"), alias="max_key"),
+            ],
+            group_by=["o_custkey"],
+        ),
+        columns=[
+            Col("o_custkey"),
+            Col("n_orders"),
+            Col("max_key"),
+            WinCol(
+                "rank",
+                order=(Order("n_orders", desc=True), Order("o_custkey")),
+                alias="rnk",
+            ),
+        ],
+        qualify=[Cond("rnk", "le", 25)],
+    ),
+)
+
 # r8: IN-subquery predicate — the serializable form of the reference's
 # existing-ids probe generalized to a live subquery
 # (query_dml.rs:14-28); NOT pushes through with exact SQL three-valued

@@ -276,7 +276,7 @@ class SqlExecutor:
         return self._SQL_TO_SPARK.get(base, "string")
 
     def select(self, sel: Select, index: str | None = None) -> FxFrame:
-        if sel.include_primary_key and index is None:
+        if sel.include_primary_key and index is None and isinstance(sel.table, str):
             index = self.get_primary_key(sel.table)
             if index is not None:
                 sel = with_primary_key(sel, index)
@@ -284,7 +284,9 @@ class SqlExecutor:
         # derive the typed schema from the catalog so empty results
         # round-trip with real dtypes, not all-string fabrications
         schema = None
-        declared = dict(self.table_schema(sel.table))
+        declared = (
+            {} if isinstance(sel.table, Select) else dict(self.table_schema(sel.table))
+        )
         if sel.columns and all(
             isinstance(c, Col) and c.name in declared for c in sel.columns
         ):

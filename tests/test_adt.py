@@ -471,3 +471,59 @@ def test_subquery_in_or_branch_vs_oracle(spark, sf_dir):
     sel = Select.from_json(sel.to_json())
     df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
     _assert_same(df, sf_dir, render_select(sel, "duckdb"))
+
+
+def test_from_subquery_agg_then_window(spark, sf_dir):
+    """r8 FROM-subquery: aggregate-then-window composed in ONE
+    serializable Select (the staged query the flat grammar previously
+    could not express)."""
+    inner = Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            FnCol("count", Col("o_orderkey"), alias="n_orders"),
+        ],
+        group_by=["o_custkey"],
+    )
+    outer = Select(
+        table=inner,
+        columns=[
+            Col("o_custkey"),
+            Col("n_orders"),
+            WinCol(
+                "rank",
+                order=(Order("n_orders", desc=True), Order("o_custkey")),
+                alias="rnk",
+            ),
+        ],
+        qualify=[Cond("rnk", "le", 10)],
+        order=[Order("rnk"), Order("o_custkey")],
+    )
+    outer = Select.from_json(outer.to_json())  # serde round-trip
+    df = compile_select(outer, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(outer, "duckdb"), ordered=True)
+
+
+def test_from_subquery_join_and_alias(spark, sf_dir):
+    """A FROM-subquery joins to a real table under its alias; filter
+    conds qualify with the alias on both backends."""
+    from fabrix_spark.plans import Join
+
+    inner = Select(
+        table="orders",
+        columns=[
+            Col("o_custkey"),
+            FnCol("count", Col("o_orderkey"), alias="n_orders"),
+        ],
+        group_by=["o_custkey"],
+    )
+    outer = Select(
+        table=inner,
+        table_alias="ag",
+        columns=[Col("c_name", tbl="customer"), Col("n_orders", tbl="ag")],
+        joins=[Join("customer", [("o_custkey", "c_custkey")])],
+        filter=[Cond("n_orders", "ge", 15, tbl="ag")],
+    )
+    outer = Select.from_json(outer.to_json())
+    df = compile_select(outer, ParquetDirProvider(spark, sf_dir))
+    _assert_same(df, sf_dir, render_select(outer, "duckdb"))

@@ -160,12 +160,32 @@ def _selects(draw):
         qualify = None
         if fn in ("row_number", "rank", "dense_rank") and draw(st.booleans()):
             qualify = [Cond("wv", "le", draw(st.integers(1, 5)))]
-        sel = Select(
-            table="customer",
-            columns=[Col("c_custkey"), Col(part), w],
-            filter=draw(st.none() | _tokens()),
-            qualify=qualify,
-        )
+        # half the window draws run over a FROM-subquery (r8): an
+        # inner per-key aggregate feeds the outer window — the
+        # aggregate-then-window composition
+        if draw(st.booleans()):
+            inner = Select(
+                table="customer",
+                columns=[
+                    Col(part),
+                    FnCol("count", Col("c_custkey"), alias="c_acctbal"),
+                    FnCol("min", Col("c_custkey"), alias="c_custkey"),
+                ],
+                group_by=[part],
+                filter=draw(st.none() | _tokens()),
+            )
+            sel = Select(
+                table=inner,
+                columns=[Col("c_custkey"), Col(part), w],
+                qualify=qualify,
+            )
+        else:
+            sel = Select(
+                table="customer",
+                columns=[Col("c_custkey"), Col(part), w],
+                filter=draw(st.none() | _tokens()),
+                qualify=qualify,
+            )
         return Select.from_json(sel.to_json())  # serde round-trip in the fuzz
     if draw(st.integers(0, 3)) == 0:
         # join variant: customer ⋈ nation, mixed-side projection

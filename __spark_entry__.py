@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "prof_hist_quantiles",
     "prof_heavy_hitters",
     "lake_bloom_scan",
+    "t_lm_score",
     "adt_in_subquery",
     "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)

@@ -24,6 +24,7 @@ __all__ = [
     "quality_score",
     "repetition_scores",
     "unigram_entropy",
+    "ngram_lm_score",
     "top_ngrams",
     "lang_id",
     "fingerprint",
@@ -170,6 +171,88 @@ def unigram_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.round(F.log("__n") - F.col("__clogc") / F.col("__n"), 6).alias("entropy"),
             F.round(F.col("__distinct") / F.col("__n"), 6).alias("type_token_ratio"),
         )
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet/Gopher
+    perplexity-style quality filter: score each document by the mean
+    log-probability of its bigrams under an add-one-smoothed bigram LM
+    estimated from ``ref`` (default: the corpus itself). Documents far
+    below the corpus mean are templated/garbled; far above are
+    boilerplate-repetitive.
+
+        P(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V)
+
+    Determinism recipe: each bigram's ln P quantizes to int64
+    micro-nats (round(ln·1e6)) BEFORE summing, so the per-doc sum is
+    an order-free integer — the final mean is one division rounded to
+    6 dp, identical on any engine/partitioning (the float-sum-order
+    trap that plain avg(ln) has).
+
+    Scale shape: explode bigrams (map) → one hash aggregate for the
+    LM counts → shuffle join doc-bigrams × counts on the gram (the
+    big-side join a real LM scorer does) → per-doc aggregate. A 1-row
+    (V, total) frame broadcasts. No UDF, no window, no collect."""
+    t = tokens(F.lower(F.col(text_col)))
+    base = spread(df).select(F.col(id_col), t.alias("__w")).withColumn(
+        "__n", F.size("__w")
+    )
+    # doc bigrams with position (duplicates per doc count separately)
+    big = base.filter(F.col("__n") >= 2).select(
+        id_col,
+        F.expr(
+            "transform(sequence(1, __n - 1), i -> struct(element_at(__w, i) as w1,"
+            " element_at(__w, i + 1) as w2))"
+        ).alias("__bs"),
+    ).select(id_col, F.explode("__bs").alias("__b")).select(
+        id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    )
+    src = big
+    if ref is not None:
+        rt = tokens(F.lower(F.col(text_col)))
+        rbase = spread(ref).select(F.col(id_col), rt.alias("__w")).withColumn(
+            "__n", F.size("__w")
+        )
+        src = rbase.filter(F.col("__n") >= 2).select(
+            id_col,
+            F.expr(
+                "transform(sequence(1, __n - 1), i -> struct(element_at(__w, i) as w1,"
+                " element_at(__w, i + 1) as w2))"
+            ).alias("__bs"),
+        ).select(F.explode("__bs").alias("__b")).select(
+            F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+        )
+    big_counts = src.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    uni_counts = src.groupBy("w1").agg(F.count("*").alias("__c1"))
+    vocab = uni_counts.agg(F.count("*").alias("__v"))
+    scored = (
+        big.join(big_counts, ["w1", "w2"], "left")
+        .join(uni_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__c12"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("__c1"), F.lit(0)) + F.col("__v")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__lp_u"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("__lp_u") / (1_000_000.0 * F.count("*")), 6
+        ).alias("avg_logprob"),
     )
 
 

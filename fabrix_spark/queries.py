@@ -4032,6 +4032,37 @@ def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_lm_score",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+),
+b AS (
+  SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+  FROM t, UNNEST(range(1, CAST(len(w) AS BIGINT))) AS i(i)
+  WHERE len(w) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(sum(CAST(round(ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))
+                            * 1000000) AS BIGINT))
+             / (1000000.0 * count(*)), 6) AS avg_logprob
+FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+""",
+)
+def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram LM score (add-one smoothing, corpus-trained)
+    — the CCNet/Gopher perplexity-style quality filter. Per-bigram
+    log-probs quantize to int64 micro-nats before summing, so the doc
+    mean is exactly order-free and hash-verifies."""
+    return text.ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "t_top_ngrams",
     oracle=r"""
 WITH t AS (

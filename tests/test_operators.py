@@ -1218,6 +1218,35 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
     assert again == exact
 
 
+def test_ngram_lm_score_ref_mode_and_unseen(spark):
+    """ref= mode trains the LM on a reference corpus; bigrams unseen
+    in the reference get the add-one floor ln(1/(0+V)); scores are
+    partition-invariant (integer micro-nat sums)."""
+    import math as _m
+
+    from fabrix_spark.operators.text import ngram_lm_score
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c d")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame([(10, "z z z")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_lm_score(probe, ref=ref).collect()}
+    # ref bigrams: (a,b)x3 (b,a) (b,c)x2 (c,d); V = distinct w1 = {a,b,c} = 3
+    # probe: (z,z)x2, each unseen: C12=0, C1=0 -> ln(1/3)
+    r = out[10]
+    assert r["n_bigrams"] == 2
+    expect = round(round(_m.log(1 / 3) * 1e6) / 1e6, 6)
+    assert abs(r["avg_logprob"] - expect) < 1e-9
+    # self-mode partition invariance
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, ngram_lm_score(docs).collect()))
+    b = sorted(map(tuple, ngram_lm_score(docs.repartition(11)).collect()))
+    assert a == b
+
+
 def _bmp_from_array(arr) -> bytes:
     """24bpp bottom-up BMP from an HxW grayscale uint8 array."""
     import struct as _struct

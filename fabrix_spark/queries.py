@@ -2360,6 +2360,97 @@ def e_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tj_ohlc_bars",
+    oracle="""
+WITH q AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM q
+)
+SELECT event_type, hr,
+       max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o GROUP BY 1, 2
+""",
+)
+def tj_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the time-series downsample
+    every market/telemetry pipeline runs. Open/close are min_by/max_by
+    over a (ts, event_id) struct (deterministic tie-break the oracle
+    re-derives via mirrored row_numbers); values quantize to integer
+    cents. ONE hash aggregate on (type, hour) — no window on the Spark
+    side, no self-join."""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr"),
+            cents.alias("__c"),
+            key.alias("__k"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.min_by("__c", "__k").alias("open_cents"),
+            F.max("__c").alias("high_cents"),
+            F.min("__c").alias("low_cents"),
+            F.max_by("__c", "__k").alias("close_cents"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "e_cohort_retention",
+    oracle="""
+WITH w AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events GROUP BY 1, 2
+),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+SELECT f.cohort,
+       CAST((epoch(w.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted in each subsequent active week — THE product-
+    analytics query. Two hash aggregates + one equi-join on user_id
+    (the first-seen side is a per-user 1-row table; at 100 TB both
+    sides partition on user_id and the join co-locates). UTC weeks, so
+    the epoch arithmetic is exact."""
+    e = _events(spark, sf_dir)
+    w = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("timestamp_ntz").alias("wk")
+    ).distinct()
+    f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        w.join(f, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
     "e_gap_islands",
     oracle="""
 WITH d AS (

@@ -50,7 +50,6 @@ _VERIFY_FIRST = [
     "lake_bloom_scan",
     "t_lm_score",
     "tj_ohlc_bars",
-    "e_cohort_retention",
     "adt_in_subquery",
     "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)

@@ -65,6 +65,10 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
             tune_session(spark)
             return fn(spark, sf_dir)
 
+        # silent overwrite would shadow an existing query (and its
+        # driver CORRECTNESS history) — refuse loudly
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QueryDef(wrapped, oracle, headline)
         return fn
 
@@ -96,6 +100,8 @@ def _adt(name: str, sel: Select, headline: bool = False) -> None:
         tune_session(spark)
         return compile_select(sel, ParquetDirProvider(spark, sf_dir))
 
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query registration: {name!r}")
     REGISTRY[name] = QueryDef(fn, render_select(sel), headline)
 
 
@@ -2409,44 +2415,6 @@ def tj_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("__c", "__k").alias("close_cents"),
             F.count("*").alias("n_events"),
         )
-    )
-
-
-@register(
-    "e_cohort_retention",
-    oracle="""
-WITH w AS (
-  SELECT user_id, date_trunc('week', ts) AS wk FROM events GROUP BY 1, 2
-),
-f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
-SELECT f.cohort,
-       CAST((epoch(w.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM w JOIN f USING (user_id)
-GROUP BY 1, 2
-""",
-)
-def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention triangle: users bucketed by first-seen
-    week, counted in each subsequent active week — THE product-
-    analytics query. Two hash aggregates + one equi-join on user_id
-    (the first-seen side is a per-user 1-row table; at 100 TB both
-    sides partition on user_id and the join co-locates). UTC weeks, so
-    the epoch arithmetic is exact."""
-    e = _events(spark, sf_dir)
-    w = e.select(
-        "user_id", F.date_trunc("week", "ts").cast("timestamp_ntz").alias("wk")
-    ).distinct()
-    f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
-    return (
-        w.join(f, "user_id")
-        .groupBy(
-            "cohort",
-            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count("*").alias("n_users"))
     )
 
 

@@ -2419,6 +2419,101 @@ def tj_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ohlc_replay",
+    oracle="""
+WITH q AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM q
+)
+SELECT event_type, hr,
+       max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o GROUP BY 1, 2
+""",
+)
+def stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC downsample executed through Structured Streaming: the
+    events table streams in as parquet micro-batches, a watermarked
+    1-hour tumbling window per event_type aggregates
+    min_by/max_by/min/max/count, and the final window table must equal
+    the BATCH oracle row for row — the stream==batch contract for
+    windowed aggregation with order-sensitive (open/close) semantics.
+    Complete-mode memory sink here because the replay needs every
+    window emitted for comparison; a production deployment uses append
+    mode + an idempotent sink and lets the watermark finalize windows."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .streaming.ingest import read_stream_parquet, tumbling_window
+
+    root = tempfile.mkdtemp(prefix="fabrix_ohlc_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _events(spark, sf_dir).select("event_id", "ts", "event_type", "value").coalesce(
+        4
+    ).write.mode("overwrite").parquet(src)
+
+    stream = read_stream_parquet(
+        spark, src,
+        schema="event_id long, ts timestamp_ntz, event_type string, value double",
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    # watermarks require TIMESTAMP (tz) event time; session tz is UTC
+    # so the cast is instant-preserving, and hr casts back to NTZ below
+    prepared = stream.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        cents.alias("__c"),
+        key.alias("__k"),
+    )
+    win = tumbling_window(
+        prepared,
+        window_len="1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.min_by("__c", "__k").alias("open_cents"),
+            F.max("__c").alias("high_cents"),
+            F.min("__c").alias("low_cents"),
+            F.max_by("__c", "__k").alias("close_cents"),
+            F.count("*").alias("n_events"),
+        ],
+    )
+    name = f"ohlc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type",
+        F.col("win.start").cast("timestamp_ntz").alias("hr"),
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n_events",
+    )
+
+
+@register(
     "e_gap_islands",
     oracle="""
 WITH d AS (

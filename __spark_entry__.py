@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "adt_window_topk",
     "adt_agg_window_subquery",
     "prof_hist_quantiles",
+    "prof_hist_quantiles_grouped",
     "prof_heavy_hitters",
     "lake_bloom_scan",
     "t_lm_score",

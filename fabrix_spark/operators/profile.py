@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "heavy_hitters"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -369,6 +369,57 @@ def hist_sketch(
         df.filter(F.col(col).isNotNull())
         .groupBy(b.alias("bucket"))
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_sketch_grouped(
+    df: DataFrame, col: str, by: str, width: int = 1000, scale: int = 100
+) -> DataFrame:
+    """Per-group histogram sketch: (by, bucket, cnt) — the grouped
+    form of :func:`hist_sketch`; each group's sketch is independently
+    mergeable (sum cnt on (by, bucket))."""
+    q = F.round(F.col(col).cast("double") * scale).cast("long")
+    b = F.floor(q.cast("double") / F.lit(float(width))).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(by), b.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles_grouped(
+    sketch: DataFrame, probs: tuple[float, ...], by: str, width: int = 1000
+) -> DataFrame:
+    """Per-group quantiles from grouped histogram sketches: the same
+    rank = ceil(p·n) / first-bucket-reaching-rank rule as
+    :func:`hist_quantiles`, with the cumulative window and totals
+    partitioned by the group — one shuffle on the group key over
+    sketch-sized data. Returns (by, prob, n, est_lo)."""
+    from pyspark.sql.window import Window
+
+    spark = sketch.sparkSession
+    cum = sketch.withColumn(
+        "__cum",
+        F.sum("cnt").over(
+            Window.partitionBy(by)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = sketch.groupBy(by).agg(F.sum("cnt").alias("n"))
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    ranks = totals.crossJoin(F.broadcast(pdf)).withColumn(
+        "__r", F.ceil(F.col("prob") * F.col("n")).cast("long")
+    )
+    return (
+        ranks.alias("r")
+        .join(
+            cum.alias("c"),
+            (F.col(f"r.{by}") == F.col(f"c.{by}")) & (F.col("__cum") >= F.col("__r")),
+        )
+        .groupBy(F.col(f"r.{by}").alias(by), "prob", "n")
+        .agg((F.min("bucket") * width).alias("est_lo"))
+        .select(by, "prob", "n", "est_lo")
     )
 
 

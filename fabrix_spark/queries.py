@@ -1324,6 +1324,43 @@ def prof_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(sk, (0.25, 0.5, 0.75, 0.9, 0.99), width=1000)
 
 
+@register(
+    "prof_hist_quantiles_grouped",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(floor(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+              / 1000.0) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+),
+c AS (SELECT l_returnflag, bucket,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
+      FROM b),
+t AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+p AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS prob),
+r AS (SELECT t.l_returnflag, prob, n, CAST(ceil(prob * n) AS BIGINT) AS rk
+      FROM p CROSS JOIN t)
+SELECT r.l_returnflag, r.prob, r.n,
+       CAST(min(c.bucket) * 1000 AS BIGINT) AS est_lo
+FROM r JOIN c ON c.l_returnflag = r.l_returnflag AND c.cum >= r.rk
+GROUP BY r.l_returnflag, r.prob, r.n
+""",
+)
+def prof_hist_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from grouped mergeable histogram sketches
+    (median and p90 price per return flag): the cumulative window and
+    rank probe partition by the group — one shuffle on the group key
+    over sketch-sized data, with the same determinism/mergeability
+    contract as the global form."""
+    from .operators.profile import hist_quantiles_grouped, hist_sketch_grouped
+
+    sk = hist_sketch_grouped(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", by="l_returnflag", width=1000
+    )
+    return hist_quantiles_grouped(sk, (0.5, 0.9), by="l_returnflag", width=1000)
+
+
 @register("prof_quantiles", oracle=_quantile_oracle(_Q_COLS, _Q_PROBS))
 def prof_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantile profile over lineitem measures — Spark's exact

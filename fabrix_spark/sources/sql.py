@@ -375,7 +375,7 @@ class SqlExecutor:
 
     def delete(self, d: Delete) -> int:
         cur = self._cursor()
-        cur.execute(render_delete(d))
+        cur.execute(render_delete(d, self.dialect))
         n = cur.rowcount
         if n == -1:
             # DuckDB reports -1 via PEP-249 rowcount; the statement's

@@ -257,3 +257,58 @@ def test_duckdb_typed_roundtrip(spark, ex):
     assert [f.dataType.simpleString() for f in out.df.schema.fields] == [
         "bigint", "date", "timestamp", "binary", "double", "boolean",
     ]
+
+
+def test_duckdb_subquery_predicates_live(spark, ex, fx):
+    """r8 grammar live on the second engine: SELECT with IN-subquery /
+    correlated EXISTS, and DELETE with an IN-subquery filter — the
+    same ADT objects the Spark compiler executes, rendered in the
+    executor's dialect and run end-to-end on DuckDB."""
+    from fabrix_spark.plans.adt import Exists, NOT
+
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    other = FxFrame.from_series(
+        spark, {"ref_id": [2, 4, 9], "tag": ["x", "y", "z"]}, index="ref_id"
+    )
+    ex.save("refs", other, SaveStrategy.REPLACE)
+
+    sub = Select(table="refs", columns=[Col("ref_id")], filter=[Cond("tag", "ne", "z")])
+    sel = Select(table="t", columns=[Col("id")], filter=[Cond("id", "in_select", sub)])
+    assert sorted(r[0] for r in ex.select(sel).data()) == [2, 4]
+
+    sel_not = Select(
+        table="t", columns=[Col("id")], filter=[NOT, Cond("id", "in_select", sub)]
+    )
+    assert sorted(r[0] for r in ex.select(sel_not).data()) == [1, 3]
+
+    sel_ex = Select(
+        table="t",
+        columns=[Col("id")],
+        filter=[Exists(Select(table="refs", columns=[Col("tag")]),
+                       on=(("id", "ref_id"),))],
+    )
+    assert sorted(r[0] for r in ex.select(sel_ex).data()) == [2, 4]
+
+    # DELETE WHERE id IN (SELECT ...) — live, counted
+    n = ex.delete(Delete(table="t", filter=[Cond("id", "in_select", sub)]))
+    assert n == 2
+    assert sorted(r[0] for r in ex.raw_select('SELECT id FROM "t"').data()) == [1, 3]
+
+
+def test_duckdb_window_qualify_live(spark, ex, fx):
+    """r8 window grammar live: WinCol + QUALIFY rendered in the
+    executor's dialect and executed by DuckDB."""
+    from fabrix_spark.plans.adt import Order, WinCol
+
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    sel = Select(
+        table="t",
+        columns=[
+            Col("id"),
+            WinCol("row_number", order=(Order("val", desc=True),), alias="rn"),
+        ],
+        qualify=[Cond("rn", "le", 2)],
+        order=[Order("rn")],
+    )
+    got = ex.select(sel).data()
+    assert [r[0] for r in got] == [4, 3]  # two highest vals

@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "adt_agg_window_subquery",
     "prof_hist_quantiles",
     "prof_hist_quantiles_grouped",
+    "prof_mad_outliers",
     "prof_heavy_hitters",
     "lake_bloom_scan",
     "t_lm_score",

@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters", "mad_outliers"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -463,6 +463,48 @@ def hist_quantiles(
         .groupBy("prob", "n")
         .agg((F.min("bucket") * width).alias("est_lo"))
         .select("prob", "n", "est_lo")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+    k: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust outlier profile per group: median absolute deviation
+    (the robust dispersion measure a mean/stddev z-score lacks — one
+    extreme value corrupts the stddev but not the MAD). Values
+    quantize to int64 (``scale`` + F.round), medians are EXACT
+    percentile interpolation over those integers (half/quarter-grid
+    doubles, exactly representable — the a_stats recipe, so both
+    engines agree bit-for-bit), and a row is an outlier when
+    |x − median| > k·MAD.
+
+    Two exact-percentile passes + one broadcast join of the per-group
+    (median, MAD) table — the group-stats side is |groups| rows, the
+    data never shuffles beyond the percentile aggregates. Returns
+    (by, n_rows, n_outliers, med, mad) with med/mad in quantized
+    units rounded to 6 dp."""
+    gcols = [by] if by else []
+    q = df.filter(F.col(col).isNotNull()).select(
+        *gcols, F.round(F.col(col).cast("double") * scale).cast("long").alias("__c")
+    )
+    med = q.groupBy(*gcols).agg(F.expr("percentile(__c, 0.5)").alias("__med"))
+    dev = q.join(F.broadcast(med), gcols) if gcols else q.crossJoin(F.broadcast(med))
+    dev = dev.withColumn("__dev", F.abs(F.col("__c") - F.col("__med")))
+    mad = dev.groupBy(*gcols).agg(F.expr("percentile(__dev, 0.5)").alias("__mad"))
+    scored = (
+        dev.join(F.broadcast(mad), gcols) if gcols else dev.crossJoin(F.broadcast(mad))
+    )
+    return scored.groupBy(*gcols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("__dev") > F.lit(float(k)) * F.col("__mad")).cast("long")
+        ).alias("n_outliers"),
+        F.round(F.first("__med"), 6).alias("med"),
+        F.round(F.first("__mad"), 6).alias("mad"),
     )
 
 

@@ -1361,6 +1361,38 @@ def prof_hist_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles_grouped(sk, (0.5, 0.9), by="l_returnflag", width=1000)
 
 
+@register(
+    "prof_mad_outliers",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+m AS (SELECT l_returnflag, quantile_cont(c, 0.5) AS med FROM q GROUP BY 1),
+d AS (SELECT q.l_returnflag, c, abs(c - m.med) AS dev, m.med
+      FROM q JOIN m USING (l_returnflag)),
+md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE dev > 3.0 * md.mad) AS BIGINT) AS n_outliers,
+       round(min(d.med), 6) AS med,
+       round(min(md.mad), 6) AS mad
+FROM d JOIN md USING (l_returnflag)
+GROUP BY 1
+""",
+)
+def prof_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation
+    (|x - median| > 3 MAD): exact integer-cent percentiles, so the
+    robust statistic itself hash-verifies cross-engine where a
+    stddev-based z-score could not even be compared safely."""
+    from .operators.profile import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", by="l_returnflag", k=3.0
+    )
+
+
 @register("prof_quantiles", oracle=_quantile_oracle(_Q_COLS, _Q_PROBS))
 def prof_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantile profile over lineitem measures — Spark's exact

@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "t_lm_score",
     "tj_ohlc_bars",
     "stream_ohlc_replay",
+    "stream_enrich_replay",
     "adt_in_subquery",
     "adt_exists",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)

@@ -2583,6 +2583,76 @@ def stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_enrich_replay",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       date_trunc('hour', e.ts) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+""",
+)
+def stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment: the events stream joins a static
+    customer dimension (broadcast per micro-batch — the standard
+    enrich-at-ingest shape) and aggregates hourly value per market
+    segment; the final table must equal the batch oracle. This
+    exercises the stream-static join path, which none of the other
+    streaming replays touch."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .streaming.ingest import read_stream_parquet, tumbling_window
+
+    root = tempfile.mkdtemp(prefix="fabrix_enrich_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _events(spark, sf_dir).select("event_id", "ts", "user_id", "value").coalesce(
+        4
+    ).write.mode("overwrite").parquet(src)
+
+    dim = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = read_stream_parquet(
+        spark, src, schema="event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    enriched = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .join(F.broadcast(dim), "user_id")
+        .select(
+            "ts", "segment", F.round(F.col("value") * 100).cast("long").alias("__c")
+        )
+    )
+    win = tumbling_window(
+        enriched,
+        window_len="1 hour",
+        keys=["segment"],
+        aggs=[F.count("*").alias("n"), F.sum("__c").alias("total_cents")],
+    )
+    name = f"enrich_{_uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "segment",
+        F.col("win.start").cast("timestamp_ntz").alias("hr"),
+        "n",
+        "total_cents",
+    )
+
+
+@register(
     "e_gap_islands",
     oracle="""
 WITH d AS (

@@ -1273,8 +1273,9 @@ def pq_encode(
                     )
                 yield pd.concat(frames, ignore_index=True)
 
+        # no spread(): vectorized-matmul stage — see kmeans_train_rows
         return (
-            spread(corpus)
+            corpus
             .select(
                 F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__dv")
             )

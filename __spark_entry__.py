@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "prof_mad_outliers",
     "prof_heavy_hitters",
     "lake_bloom_scan",
+    "lake_adt_delete",
     "t_lm_score",
     "tj_ohlc_bars",
     "stream_ohlc_replay",

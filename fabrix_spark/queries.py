@@ -5613,6 +5613,49 @@ def lake_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADT_DELETE_FILTER = [
+    Cond("o_totalprice", "between", (100000.0, 200000.0)),
+    AND,
+    Cond("o_orderstatus", "eq", "F"),
+]
+
+
+@register(
+    "lake_adt_delete",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders WHERE NOT ({render_filter(_ADT_DELETE_FILTER)})
+""",
+)
+def lake_adt_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-PRUNED ADT delete end to end: a lake copy of orders
+    (range-laid-out on o_totalprice so footer stats can refute) takes
+    a ``delete_adt`` with the same serializable filter the oracle
+    renders — refuted files hard-link untouched, candidates rewrite,
+    and the surviving table must equal ``WHERE NOT(pred)`` over the
+    raw source. The O(candidate-files) delete shape a 100 TB table
+    needs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.sql import SaveStrategy
+
+    root = tempfile.mkdtemp(prefix="fabrix_adtdel_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "t"), index="o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    t.save(o.repartitionByRange(8, "o_totalprice"), SaveStrategy.REPLACE)
+    removed = t.delete_adt(_ADT_DELETE_FILTER)
+    assert removed > 0 and t.history()[-1]["pruned_files"] > 0
+    return t.read().df.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 # the SAME ADT drives the Spark scan (predicate + file pruning) and the
 # oracle SQL — the executable-golden pattern the adt_* family uses,
 # extended to the lake's data-skipping path

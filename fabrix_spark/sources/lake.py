@@ -1314,6 +1314,71 @@ class LakeTable:
 
         return self.delete_where(compile_filter(d.filter))
 
+    def delete_adt(self, filter_tokens, table_name: str | None = None) -> int:
+        """MANIFEST-PRUNED filtered delete (the Delta/Iceberg partial-
+        rewrite optimization on the pointer-commit layout): files whose
+        footer stats / partition values / bloom filters REFUTE the ADT
+        predicate cannot contain a matching row, so they hard-link into
+        the new version untouched — only candidate files re-read and
+        rewrite. A selective delete against a 100 TB table costs
+        O(candidate files), not O(table). Same NULL semantics as
+        :meth:`delete_where` (predicate-NULL rows are kept); returns
+        rows removed. No-op (no new version) when pruning proves
+        nothing can match."""
+        from ..plans.compiler import compile_filter
+
+        scan_table = table_name if table_name is not None else self._default_scan_table()
+        with self._maybe_lock():
+            self._check_bucket_layout()
+            cur = self.current_dir()
+            man = self._load_manifest(cur).get("files", {})
+            all_files = self._data_files(cur)
+            cands, untouched = [], []
+            for rel in all_files:
+                st = man.get(rel) or {"rows": None, "cols": {}}
+                if _adt_may_match(
+                    filter_tokens, st, _partition_values(rel), scan_table
+                ):
+                    cands.append(rel)
+                else:
+                    untouched.append(rel)
+            if not cands:
+                return 0
+            reader = self.spark.read.option("basePath", cur)
+            if self.merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            cdf = reader.parquet(*[os.path.join(cur, rel) for rel in cands])
+            before = cdf.count()
+            cond = compile_filter(filter_tokens)
+            remaining = cdf.filter(~F.coalesce(cond, F.lit(False)))
+            # the bucket column came back as a partition dir value;
+            # _write_version re-derives it, so drop the read-side copy
+            if _BUCKET_COL in remaining.columns and self.buckets is not None:
+                remaining = remaining.drop(_BUCKET_COL)
+            ver = self._write_version(remaining)
+            dst = os.path.join(self.path, ver)
+            after = self.spark.read.parquet(dst).count()
+            for rel in untouched:
+                sp = os.path.join(cur, rel)
+                dp = os.path.join(dst, rel)
+                os.makedirs(os.path.dirname(dp), exist_ok=True)
+                try:
+                    os.link(sp, dp)
+                except FileExistsError:
+                    pass
+                except OSError:
+                    shutil.copy2(sp, dp)
+            self._commit_version(
+                ver, op="delete", extra={"pruned_files": len(untouched)}
+            )
+            return before - after
+
+    def _default_scan_table(self) -> str | None:
+        """Unqualified Conds always apply; a ``tbl``-qualified Cond can
+        only prune when the caller names the scanned table — mirrored
+        from LakeProvider.scan's guard."""
+        return None
+
     def delete_where(self, condition) -> int:
         """Filtered delete (the Delete ADT's lake analogue): rewrite
         keeping only non-matching rows; returns rows removed.

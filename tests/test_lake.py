@@ -996,6 +996,57 @@ def test_bloom_pruning_soundness_fuzz(spark, tmp_path, names, probe, files):
     assert got == want
 
 
+def test_delete_adt_partial_rewrite(spark, tmp_path):
+    """Manifest-pruned delete: refuted files hard-link untouched into
+    the new version (same inodes), only candidates rewrite, results
+    match read-then-filter, and a provably-absent predicate is a
+    no-op commit-wise."""
+    import glob
+    import os as _os
+
+    from fabrix_spark.plans.adt import Cond
+
+    t = LakeTable(spark, str(tmp_path / "t"), index="id")
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    t.save(df.repartitionByRange(6, "id"), SaveStrategy.REPLACE)
+    cur = t.current_dir()
+    inodes = {
+        _os.stat(p).st_ino
+        for p in glob.glob(cur + "/**/*.parquet", recursive=True)
+    }
+    versions_before = len(t.versions())
+
+    n = t.delete_adt([Cond("id", "between", (1000, 1100))])
+    assert n == 101
+    cur2 = t.current_dir()
+    after = [
+        _os.stat(p).st_ino
+        for p in glob.glob(cur2 + "/**/*.parquet", recursive=True)
+    ]
+    linked = sum(1 for ino in after if ino in inodes)
+    assert linked >= 4  # most range-partitioned files refuted + linked
+    assert t.history()[-1]["op"] == "delete"
+    assert t.history()[-1]["pruned_files"] == linked
+    got = sorted(r["id"] for r in t.read().df.collect())
+    assert got == [i for i in range(5000) if not (1000 <= i <= 1100)]
+
+    # NULL semantics: predicate-NULL rows are kept
+    t2 = LakeTable(spark, str(tmp_path / "t2"), index="id")
+    t2.save(
+        spark.createDataFrame([(1, 5), (2, None), (3, 20)], "id long, x long"),
+        SaveStrategy.REPLACE,
+    )
+    assert t2.delete_adt([Cond("x", "lt", 10)]) == 1
+    assert sorted(r["id"] for r in t2.read().df.collect()) == [2, 3]
+
+    # provably-absent predicate: no-op, no new version
+    nv = len(t2.versions())
+    assert t2.delete_adt([Cond("x", "gt", 10_000)]) == 0
+    assert len(t2.versions()) == nv
+
+
 def test_history_records_operations(spark, fx, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"), index="id", retain=5)
     t.save(fx, SaveStrategy.REPLACE)

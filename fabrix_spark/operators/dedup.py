@@ -45,6 +45,7 @@ __all__ = [
     "decontaminate",
     "remove_common_segments",
     "keep_canonical",
+    "keep_canonical_by",
     "overlap_pairs",
 ]
 
@@ -975,6 +976,36 @@ def keep_canonical(
     """Keep one representative per cluster — the minimum-id member
     (== the cluster id itself under min-label clustering)."""
     reps = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(reps, id_col, "left_semi")
+
+
+def keep_canonical_by(
+    df: DataFrame,
+    clusters: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the HIGHEST-priority member of each duplicate cluster
+    (ties → lowest id) — source-preference dedup: when a curated
+    source and a scraped mirror collide in one cluster, keep the
+    curated copy regardless of which id is smaller. ``priority_col``
+    is a numeric rank on ``df`` (higher wins). One per-cluster
+    aggregate (min_by over a (−priority, id) struct) + a semi-join —
+    same shuffle ledger as :func:`keep_canonical` plus one aggregate
+    on cluster_id."""
+    j = df.select(id_col, priority_col).join(clusters, id_col)
+    reps = (
+        j.groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                id_col,
+                F.struct(
+                    (-F.col(priority_col)).alias("np"), F.col(id_col).alias("i")
+                ),
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
     return df.join(reps, id_col, "left_semi")
 
 

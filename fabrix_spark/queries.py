@@ -3416,6 +3416,40 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(docs, pairs)
 
 
+@register(
+    "d_canonical_by_source",
+    oracle=f"""
+WITH clusters AS ({_clusters_oracle().strip()}),
+pr AS (
+  SELECT d.doc_id, c.cluster_id,
+         CAST(replace(d.source, 'src', '') AS BIGINT) AS prio
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+),
+reps AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+           ORDER BY prio DESC, doc_id ASC) AS rn
+    FROM pr) WHERE rn = 1
+)
+SELECT d.doc_id, d.source FROM documents d SEMI JOIN reps USING (doc_id)
+""",
+)
+def d_canonical_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-preference dedup: within each MinHash-LSH duplicate
+    cluster keep the member from the highest-ranked source (numeric
+    suffix of `source`, ties -> lowest id) — the curated-beats-mirror
+    rule real corpus merges apply, where plain min-id canonicalization
+    would keep whichever copy happened to be crawled first."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2)
+    clusters = dedup.dup_clusters(docs, pairs)
+    ranked = docs.withColumn(
+        "prio", F.regexp_replace("source", "src", "").cast("long")
+    )
+    kept = dedup.keep_canonical_by(ranked, clusters, "prio")
+    return kept.select("doc_id", "source")
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bs_{j}" for j in range(bits)

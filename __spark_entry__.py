@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "prof_heavy_hitters",
     "lake_bloom_scan",
     "lake_adt_delete",
+    "lake_ivm_maintain",
     "t_lm_score",
     "tj_ohlc_bars",
     "stream_ohlc_replay",

@@ -5690,6 +5690,66 @@ def lake_adt_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_ivm_maintain",
+    oracle="""
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 10 = 4 THEN 'X' ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 10 = 4
+              THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 10 <> 3
+)
+SELECT st AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY 1
+""",
+)
+def lake_ivm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end to end: seed a per-status
+    count/sum aggregate from the base lake, mutate the base (delete
+    keys %10==3; update keys %10==4 — doubled price AND migrated to a
+    NEW status group), take the CDC diff between the two versions, and
+    maintain the aggregate from the DIFF ALONE. The returned table
+    must equal a full recompute over the final state (the oracle) —
+    count/int-sum self-maintainability, group migration included,
+    with the base never re-aggregated."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable, init_aggregate, maintain_aggregate
+    from .sources.sql import SaveStrategy
+
+    root = tempfile.mkdtemp(prefix="fabrix_ivm_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = LakeTable(spark, os.path.join(root, "base"), index="o_orderkey", retain=2)
+    agg = LakeTable(spark, os.path.join(root, "agg"), index="o_orderstatus")
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base.save(o, SaveStrategy.REPLACE)
+    v1 = base.versions()[-1]
+    init_aggregate(base.read().df, agg, "o_orderstatus", {"sum_cents": "cents"})
+
+    base.delete_where(F.col("o_orderkey") % 10 == 3)
+    upd = o.filter(F.col("o_orderkey") % 10 == 4).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("cents") * 2).alias("cents"),
+    )
+    base.upsert(upd)
+
+    maintain_aggregate(
+        agg, base.diff(v1), "o_orderstatus", {"sum_cents": "cents"}
+    )
+    return agg.read().df.select("o_orderstatus", "n_rows", "sum_cents")
+
+
 # the SAME ADT drives the Spark scan (predicate + file pruning) and the
 # oracle SQL — the executable-golden pattern the adt_* family uses,
 # extended to the lake's data-skipping path

@@ -99,7 +99,7 @@ from pyspark.sql import functions as F
 from ..frame import FxFrame
 from .sql import SaveStrategy
 
-__all__ = ["LakeTable", "LakeProvider", "save_lake", "compact"]
+__all__ = ["LakeTable", "LakeProvider", "save_lake", "compact", "init_aggregate", "maintain_aggregate"]
 
 _POINTER = "_current"
 # strict version-dir pattern: a bare "v_" prefix would also swallow a
@@ -1396,6 +1396,88 @@ class LakeTable:
             after = self.spark.read.parquet(os.path.join(self.path, ver)).count()
             self._commit_version(ver, op="delete")
             return before - after
+
+
+def init_aggregate(
+    base: DataFrame,
+    agg: LakeTable,
+    group_col: str,
+    sum_cols: dict[str, str],
+) -> None:
+    """Seed a maintained aggregate table: per-group row count + sums
+    over the given (integer-valued) columns. The companion of
+    :func:`maintain_aggregate`."""
+    out = base.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(src).alias(out_name) for out_name, src in sum_cols.items()],
+    )
+    agg.save(out, SaveStrategy.REPLACE)
+
+
+def maintain_aggregate(
+    agg: LakeTable,
+    diff: DataFrame,
+    group_col: str,
+    sum_cols: dict[str, str],
+) -> None:
+    """INCREMENTAL VIEW MAINTENANCE of a per-group count/sum aggregate
+    from a CDC change feed (:meth:`LakeTable.diff` shape: key, change,
+    before, after): inserts add (+1, +after.col) to the after-row's
+    group, deletes subtract from the before-row's group, and updates
+    do both — so GROUP MIGRATION (an update that moves a row between
+    groups) maintains exactly. Count/int-sum aggregates are
+    self-maintainable, so maintained == recomputed bit-for-bit; groups
+    whose count reaches zero drop.
+
+    The 100 TB shape: the base table never re-aggregates — the work is
+    O(|diff|) plus a merge over the |groups|-row aggregate table (the
+    metadata-sized side), committed atomically through the pointer.
+    ``sum_cols`` maps output column → integer-valued source column
+    (quantize floats to cents upstream — the repo's exactness
+    recipe)."""
+    minus = diff.filter(F.col("change").isin("delete", "update")).select(
+        F.col(f"before.{group_col}").alias(group_col),
+        F.lit(-1).cast("long").alias("__w"),
+        *[
+            (-F.col(f"before.{src}")).cast("long").alias(out_name)
+            for out_name, src in sum_cols.items()
+        ],
+    )
+    plus = diff.filter(F.col("change").isin("insert", "update")).select(
+        F.col(f"after.{group_col}").alias(group_col),
+        F.lit(1).cast("long").alias("__w"),
+        *[
+            F.col(f"after.{src}").cast("long").alias(out_name)
+            for out_name, src in sum_cols.items()
+        ],
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(group_col)
+        .agg(
+            F.sum("__w").alias("__dn"),
+            *[F.sum(out_name).alias(f"__d_{out_name}") for out_name in sum_cols],
+        )
+    )
+    cur = agg.read().df
+    merged = (
+        cur.join(delta, group_col, "full_outer")
+        .select(
+            group_col,
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias(
+                "n_rows"
+            ),
+            *[
+                (
+                    F.coalesce(F.col(out_name), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{out_name}"), F.lit(0))
+                ).alias(out_name)
+                for out_name in sum_cols
+            ],
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    agg.save(merged, SaveStrategy.REPLACE)
 
 
 def _compact_plan(df: DataFrame, target_file_mb: int, approx_bytes: int) -> DataFrame:

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_undirected", "pagerank"]
+__all__ = ["to_undirected", "pagerank", "triangle_counts"]
 
 
 def to_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -169,3 +169,61 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts (the clustering-coefficient /
+    community-density primitive) via DEGREE-ORIENTED wedge closing —
+    the standard scalable formulation (compact-forward / node-iterator
+    with orientation, public literature): orient each undirected edge
+    from its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges from each source's oriented out-edges, and keep wedges
+    closed by an oriented edge. Every node's oriented OUT-degree is
+    O(sqrt(|E|)), so wedge count is bounded by Σ outdeg² ≤ O(|E|^1.5)
+    REGARDLESS of hub degree — the naive per-node wedge join would be
+    quadratic in the hub degree and die on power-law graphs.
+
+    Deterministic integers; 3 shuffles (degree agg, wedge self-join on
+    the source, closing semi-join on the wedge endpoints). Returns
+    (node, n_triangles) for nodes in at least one triangle; each
+    triangle contributes 1 to each of its three corners."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orientation key: (degree, id) — total order, so each edge gets
+    # exactly one direction
+    withdeg = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    oriented = withdeg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("kv").alias("kx"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = o1.join(o2, "u").filter(F.col("kx") < F.col("ky"))
+    closer = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closer, ["x", "y"], "inner").select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

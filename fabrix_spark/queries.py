@@ -5829,6 +5829,50 @@ SELECT node, rank, pos FROM (
 """
 
 
+@register(
+    "gr_triangle_counts",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+n AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY 1
+""",
+)
+def gr_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-purchase graph
+    (suppliers adjacent when they share an order) — the community-
+    density primitive, computed with degree-oriented wedge closing so
+    wedge work is bounded O(|E|^1.5) independent of hub degree. The
+    oracle enumerates each x<y<z triangle once by plain 3-way join
+    (fine at test scale; the ORIENTATION is the scale contract)."""
+    from .operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.o2)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(pairs)
+
+
 @register("gr_pagerank_purchases", oracle=_pagerank_oracle())
 def gr_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-walk centrality of the undirected customer–supplier

@@ -1733,3 +1733,24 @@ def test_mmr_rerank_matches_python_model(spark):
     for q_id in (0, 1, 2):
         want = [(s + 1, c) for s, c in enumerate(model(q_id))]
         assert sorted(got[q_id]) == want, (q_id, sorted(got[q_id]), want)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from fabrix_spark.operators.graph import triangle_counts
+
+    # K4 + disjoint edge: every K4 node in 3 triangles; edge nodes in none
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(k4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # star graph: no triangles at all, any hub degree
+    star = spark.createDataFrame([(0, i) for i in range(1, 30)], "src long, dst long")
+    assert triangle_counts(star).count() == 0
+    # duplicate + reversed edges collapse before counting
+    dup = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    out2 = {r["node"]: r["n_triangles"] for r in triangle_counts(dup).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 1}

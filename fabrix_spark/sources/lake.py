@@ -672,7 +672,7 @@ class LakeTable:
                     out.append(os.path.relpath(os.path.join(root, n), vdir))
         return sorted(out)
 
-    def _write_manifest(self, ver: str) -> None:
+    def _write_manifest(self, ver: str, carry: dict | None = None) -> None:
         """Collect per-file footer statistics into ``_manifest.json``
         inside the (still-uncommitted) version tree — the Iceberg/Delta
         file-skipping idea on the pointer-commit layout. Metadata-only:
@@ -684,9 +684,9 @@ class LakeTable:
         file is simply never pruned) — the manifest is an optimization,
         never a correctness gate."""
         vdir = os.path.join(self.path, ver)
-        prev: dict = {}
+        prev: dict = carry if carry is not None else {}
         pv = self._current_version()
-        if pv is not None:
+        if not prev and pv is not None:
             prev = self._load_manifest(os.path.join(self.path, pv)).get("files", {})
         files = {}
         for rel in self._data_files(vdir):
@@ -1050,7 +1050,13 @@ class LakeTable:
                 except OSError:
                     shutil.copy2(sp, dp)
 
-    def _commit_version(self, ver: str, op: str = "write", extra: dict | None = None) -> None:
+    def _commit_version(
+        self,
+        ver: str,
+        op: str = "write",
+        extra: dict | None = None,
+        _carry_stats: dict | None = None,
+    ) -> None:
         """Atomically make ``ver`` the live tree.
 
         Order matters: (1) prove the new tree readable — a failure here
@@ -1069,7 +1075,7 @@ class LakeTable:
                 f"new table version at {new_dir!r} is unreadable; live table "
                 f"unchanged (pointer not moved), bad output kept for inspection"
             ) from e
-        self._write_manifest(ver)
+        self._write_manifest(ver, carry=_carry_stats)
         self._write_commit_info(ver, op, extra)
         prev = self._current_version()
         legacy = self._legacy_entries() if prev is None else []
@@ -1313,6 +1319,43 @@ class LakeTable:
         from ..plans.compiler import compile_filter
 
         return self.delete_where(compile_filter(d.filter))
+
+    def clone(self, dst_path: str, **overrides) -> "LakeTable":
+        """ZERO-COPY shallow clone (the Delta SHALLOW CLONE idea on
+        the pointer-commit layout): the live tree hard-links into the
+        clone's first version — O(#files) metadata ops, no bytes
+        copied — and the source manifest carries over by relative path
+        so the clone pays no re-stat either. Version files are
+        immutable (every mutation commits a NEW tree), so shared
+        inodes are safe: source and clone then evolve independently.
+        The dev/test-against-prod-data primitive at 100 TB cost ~0.
+        ``overrides`` replace constructor settings (index, buckets,
+        ...) which default to the source's."""
+        cfg = dict(
+            index=self.index,
+            partition_by=self.partition_by or None,
+            buckets=self.buckets,
+            retain=self.retain,
+            lock=self.lock,
+            merge_schema=self.merge_schema,
+            bloom_cols=self.bloom_cols or None,
+        )
+        cfg.update(overrides)
+        out = LakeTable(self.spark, dst_path, **cfg)
+        if out.exists():
+            raise ValueError(f"clone target {dst_path!r} already exists")
+        cur = self.current_dir()
+        ver = out._new_version()
+        dst = os.path.join(out.path, ver)
+        os.makedirs(dst, exist_ok=True)
+        self._link_tree(cur, dst)
+        out._commit_version(
+            ver,
+            op="clone",
+            extra={"source": self.path},
+            _carry_stats=self._load_manifest(cur).get("files", {}),
+        )
+        return out
 
     def delete_adt(self, filter_tokens, table_name: str | None = None) -> int:
         """MANIFEST-PRUNED filtered delete (the Delta/Iceberg partial-

@@ -1047,6 +1047,95 @@ def test_delete_adt_partial_rewrite(spark, tmp_path):
     assert len(t2.versions()) == nv
 
 
+def test_maintain_aggregate_chained_batches(spark, tmp_path):
+    """IVM invariant across CHAINED diffs: maintaining from each
+    version-to-version diff in sequence equals a full recompute after
+    every step — inserts, deletes, value updates, and group-migrating
+    updates included."""
+    from fabrix_spark.sources.lake import LakeTable, init_aggregate, maintain_aggregate
+
+    base = LakeTable(spark, str(tmp_path / "b"), index="id", retain=5)
+    agg = LakeTable(spark, str(tmp_path / "a"), index="g")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, g string, v long")
+
+    def recompute():
+        return {
+            (r["g"], r["n_rows"], r["sum_v"])
+            for r in base.read()
+            .df.groupBy("g")
+            .agg(F.count("*").alias("n_rows"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+
+    def maintained():
+        return {
+            (r["g"], r["n_rows"], r["sum_v"]) for r in agg.read().df.collect()
+        }
+
+    base.save(mk([(1, "x", 10), (2, "x", 20), (3, "y", 5)]), SaveStrategy.REPLACE)
+    init_aggregate(base.read().df, agg, "g", {"sum_v": "v"})
+    v = base.versions()[-1]
+
+    # batch 1: insert + value update
+    base.upsert(mk([(4, "y", 7), (2, "x", 25)]))
+    maintain_aggregate(agg, base.diff(v), "g", {"sum_v": "v"})
+    v = base.versions()[-1]
+    assert maintained() == recompute()
+
+    # batch 2: delete + group migration (3 moves y -> z)
+    base.delete_where(F.col("id") == 1)
+    v2 = base.versions()[-1]
+    base.upsert(mk([(3, "z", 5)]))
+    maintain_aggregate(agg, base.diff(v), "g", {"sum_v": "v"})
+    assert maintained() == recompute()
+
+    # batch 3: empty the x group entirely — the group row must drop
+    v = base.versions()[-1]
+    base.delete_where(F.col("g") == "x")
+    maintain_aggregate(agg, base.diff(v), "g", {"sum_v": "v"})
+    assert maintained() == recompute()
+    assert "x" not in {g for g, _, _ in maintained()}
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """clone(): hard-linked first version (shared inodes, no data
+    copied), manifest carried over without re-stat, then source and
+    clone diverge independently."""
+    import glob
+    import os as _os
+
+    t = LakeTable(spark, str(tmp_path / "src"), index="id")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t.save(df.repartition(4), SaveStrategy.REPLACE)
+    src_inodes = {
+        _os.stat(p).st_ino
+        for p in glob.glob(t.current_dir() + "/**/*.parquet", recursive=True)
+    }
+    c = t.clone(str(tmp_path / "dst"))
+    clone_inodes = {
+        _os.stat(p).st_ino
+        for p in glob.glob(c.current_dir() + "/**/*.parquet", recursive=True)
+    }
+    assert clone_inodes == src_inodes  # zero bytes copied
+    assert c.manifest()["files"]  # manifest carried, not empty
+    assert c.history()[-1]["op"] == "clone"
+    assert c.read().df.count() == 1000
+
+    # divergence: mutate the clone; the source is untouched
+    c.delete_where(F.col("id") < 500)
+    assert c.read().df.count() == 500
+    assert t.read().df.count() == 1000
+    # and vice versa
+    t.upsert(spark.createDataFrame([(5000, 1)], "id long, v long"))
+    assert t.read().df.count() == 1001
+    assert c.read().df.count() == 500
+
+    with pytest.raises(ValueError, match="already exists"):
+        t.clone(str(tmp_path / "dst"))
+
+
 def test_history_records_operations(spark, fx, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"), index="id", retain=5)
     t.save(fx, SaveStrategy.REPLACE)

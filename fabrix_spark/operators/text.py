@@ -199,37 +199,30 @@ def ngram_lm_score(
     LM counts → shuffle join doc-bigrams × counts on the gram (the
     big-side join a real LM scorer does) → per-doc aggregate. A 1-row
     (V, total) frame broadcasts. No UDF, no window, no collect."""
-    t = tokens(F.lower(F.col(text_col)))
-    base = spread(df).select(F.col(id_col), t.alias("__w")).withColumn(
-        "__n", F.size("__w")
-    )
-    # doc bigrams with position (duplicates per doc count separately)
-    big = base.filter(F.col("__n") >= 2).select(
-        id_col,
-        F.expr(
-            "transform(sequence(1, __n - 1), i -> struct(element_at(__w, i) as w1,"
-            " element_at(__w, i + 1) as w2))"
-        ).alias("__bs"),
-    ).select(id_col, F.explode("__bs").alias("__b")).select(
-        id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
-    )
-    src = big
-    if ref is not None:
-        rt = tokens(F.lower(F.col(text_col)))
-        rbase = spread(ref).select(F.col(id_col), rt.alias("__w")).withColumn(
-            "__n", F.size("__w")
+    from pyspark.sql.window import Window
+
+    def bigrams(src_df: DataFrame) -> DataFrame:
+        # posexplode + lead window, NOT a transform/element_at HOF
+        # chain: higher-order functions evaluate interpreted per
+        # element (the d_semdedup lesson) — this form stays inside
+        # whole-stage codegen and costs one shuffle on the doc id
+        t = tokens(F.lower(F.col(text_col)))
+        toks = spread(src_df).select(
+            F.col(id_col), F.posexplode(t).alias("__p", "w1")
         )
-        src = rbase.filter(F.col("__n") >= 2).select(
-            id_col,
-            F.expr(
-                "transform(sequence(1, __n - 1), i -> struct(element_at(__w, i) as w1,"
-                " element_at(__w, i + 1) as w2))"
-            ).alias("__bs"),
-        ).select(F.explode("__bs").alias("__b")).select(
-            F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+        w = Window.partitionBy(id_col).orderBy("__p")
+        return (
+            toks.withColumn("w2", F.lead("w1").over(w))
+            .filter(F.col("w2").isNotNull())
+            .select(id_col, "w1", "w2")
         )
+
+    big = bigrams(df)
+    src = big if ref is None else bigrams(ref).select("w1", "w2")
     big_counts = src.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
-    uni_counts = src.groupBy("w1").agg(F.count("*").alias("__c1"))
+    # C(w1) = Σ_w2 C(w1 w2): re-aggregate the ALREADY-REDUCED bigram
+    # table instead of shuffling the raw bigram stream a second time
+    uni_counts = big_counts.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = uni_counts.agg(F.count("*").alias("__v"))
     scored = (
         big.join(big_counts, ["w1", "w2"], "left")

@@ -270,6 +270,11 @@ def main() -> None:
         ("stream_admission (3 batches)", op_stream_admission, None),
         ("gr_pagerank (|E|=3m·docs)", op_pagerank, None),
         ("tj_asof (m× events)", op_asof, None),
+        # r8 late additions: bigram LM scoring (two count shuffles +
+        # gram join) and MG heavy hitters (map-only candidates +
+        # candidate-bounded verify)
+        ("t_lm_score", run_registry("t_lm_score"), None),
+        ("prof_heavy_hitters", run_registry("prof_heavy_hitters"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -45,6 +45,8 @@ _VERIFY_FIRST = [
     # new in round 8 (appended as they land)
     "adt_window_topk",
     "adt_agg_window_subquery",
+    "adt_compound_union",
+    "adt_compound_except_all",
     "prof_hist_quantiles",
     "prof_hist_quantiles_grouped",
     "prof_mad_outliers",

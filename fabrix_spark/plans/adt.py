@@ -28,6 +28,7 @@ __all__ = [
     "Order",
     "Join",
     "Select",
+    "Compound",
     "Delete",
     "AGGREGATE_FNS",
     "SCALAR_FNS",
@@ -555,6 +556,63 @@ class Select:
             distinct=bool(d.get("distinct", False)),
             having=expressions_from_json(d["having"]) if d.get("having") else None,
             qualify=expressions_from_json(d["qualify"]) if d.get("qualify") else None,
+        )
+
+
+_COMPOUND_OPS = {"union", "union_all", "intersect", "intersect_all", "except", "except_all"}
+
+
+@dataclass
+class Compound:
+    """Set operation over two or more Selects (r8 extension; the
+    reference ADT stops at single Selects — SURVEY.md §2.11's s_*
+    family gets its serializable form). ``op`` applies left-fold
+    across ``selects`` (SQL's left-associative chain); ORDER BY /
+    LIMIT / OFFSET apply to the combined result. Operand projections
+    must agree in arity; names follow the FIRST operand (SQL rule,
+    and what both backends produce)."""
+
+    op: str
+    selects: list
+    order: list = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.op not in _COMPOUND_OPS:
+            raise ValueError(f"unknown compound op {self.op!r}")
+        if len(self.selects) < 2:
+            raise ValueError("a compound needs at least two selects")
+        arity = {len(s.columns) for s in self.selects}
+        if len(arity) != 1 or 0 in arity:
+            raise ValueError(
+                "compound operands must project the same non-zero column count"
+            )
+
+    def columns_name(self) -> list[str]:
+        return self.selects[0].columns_name()
+
+    def to_json(self) -> dict:
+        d: dict[str, Any] = {
+            "compound": self.op,
+            "selects": [s.to_json() for s in self.selects],
+        }
+        if self.order:
+            d["order"] = [o.to_json() for o in self.order]
+        if self.limit is not None:
+            d["limit"] = self.limit
+        if self.offset is not None:
+            d["offset"] = self.offset
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Compound":
+        return cls(
+            op=d["compound"],
+            selects=[Select.from_json(s) for s in d["selects"]],
+            order=[Order(o["col"], o.get("order") == "desc") for o in d.get("order", [])],
+            limit=d.get("limit"),
+            offset=d.get("offset"),
         )
 
 

@@ -469,6 +469,42 @@ def compile_select(sel: Select, provider: TableProvider) -> DataFrame:
     return df
 
 
+def compile_compound(cp, provider: TableProvider) -> DataFrame:
+    """Compound (set-op) ADT -> DataFrame: left-fold the operands with
+    the matching Spark set operation (positional alignment, SQL rule —
+    names follow the first operand), then ORDER/OFFSET/LIMIT over the
+    combined result."""
+    from .adt import Compound
+
+    assert isinstance(cp, Compound)
+    parts = [compile_select(s, provider) for s in cp.selects]
+    first_cols = parts[0].columns
+    out = parts[0]
+    for p in parts[1:]:
+        p = p.toDF(*first_cols)  # positional alignment
+        if cp.op == "union":
+            out = out.unionAll(p).distinct()
+        elif cp.op == "union_all":
+            out = out.unionAll(p)
+        elif cp.op == "intersect":
+            out = out.intersect(p)
+        elif cp.op == "intersect_all":
+            out = out.intersectAll(p)
+        elif cp.op == "except":
+            out = out.subtract(p)  # EXCEPT DISTINCT semantics
+        else:  # except_all
+            out = out.exceptAll(p)
+    if cp.order:
+        out = out.orderBy(
+            *[F.col(o.col).desc() if o.desc else F.col(o.col).asc() for o in cp.order]
+        )
+    if cp.offset is not None:
+        out = out.offset(cp.offset)
+    if cp.limit is not None:
+        out = out.limit(cp.limit)
+    return out
+
+
 def compile_select_fx(
     sel: Select,
     provider: TableProvider,

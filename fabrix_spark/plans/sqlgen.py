@@ -336,6 +336,33 @@ def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str
     return sql
 
 
+_COMPOUND_SQL = {
+    "union": "UNION",
+    "union_all": "UNION ALL",
+    "intersect": "INTERSECT",
+    "intersect_all": "INTERSECT ALL",
+    "except": "EXCEPT",
+    "except_all": "EXCEPT ALL",
+}
+
+
+def render_compound(cp, dialect: str = "ansi") -> str:
+    """Compound -> SQL: parenthesized operands chained with the set-op
+    keyword (left-assoc), ORDER/LIMIT/OFFSET on the whole."""
+    quote = _quoter(dialect)
+    kw = _COMPOUND_SQL[cp.op]
+    sql = f" {kw} ".join(f"({render_select(s, dialect)})" for s in cp.selects)
+    if cp.order:
+        sql += " ORDER BY " + ", ".join(
+            f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in cp.order
+        )
+    if cp.limit is not None:
+        sql += f" LIMIT {cp.limit}"
+    if cp.offset is not None:
+        sql += f" OFFSET {cp.offset}"
+    return sql
+
+
 def render_delete(d: Delete, dialect: str = "ansi") -> str:
     """DELETE with filter (mutation_dml.rs:87-94)."""
     quote = _quoter(dialect)

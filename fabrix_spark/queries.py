@@ -275,6 +275,63 @@ _adt(
     ),
 )
 
+# r8: Compound (set-op) ADT — the s_* family's serializable form; the
+# SAME object drives the Spark fold and the rendered SQL
+def _adt_compound(name: str, cp, headline: bool = False) -> None:
+    from .plans import compile_compound, render_compound
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        return compile_compound(cp, ParquetDirProvider(spark, sf_dir))
+
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query registration: {name!r}")
+    REGISTRY[name] = QueryDef(fn, render_compound(cp), headline)
+
+
+from .plans import Compound  # noqa: E402
+
+_adt_compound(
+    "adt_compound_union",
+    Compound(
+        op="union",
+        selects=[
+            Select(
+                table="orders",
+                columns=[Col("o_custkey", alias="k")],
+                filter=[Cond("o_orderstatus", "eq", "O")],
+            ),
+            Select(
+                table="orders",
+                columns=[Col("o_custkey", alias="k")],
+                filter=[Cond("o_totalprice", "gt", 250000.0)],
+            ),
+            Select(
+                table="customer",
+                columns=[Col("c_custkey", alias="k")],
+                filter=[Cond("c_acctbal", "lt", 0.0)],
+            ),
+        ],
+        order=[Order("k")],
+    ),
+)
+
+_adt_compound(
+    "adt_compound_except_all",
+    Compound(
+        op="except_all",
+        selects=[
+            Select(table="orders", columns=[Col("o_custkey", alias="k")]),
+            Select(
+                table="orders",
+                columns=[Col("o_custkey", alias="k")],
+                filter=[Cond("o_orderstatus", "eq", "F")],
+            ),
+        ],
+    ),
+)
+
+
 # r8: FROM-subquery — aggregate-then-window in ONE serializable
 # Select: inner per-customer aggregate, outer rank + QUALIFY top-25
 _adt(

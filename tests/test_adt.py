@@ -527,3 +527,43 @@ def test_from_subquery_join_and_alias(spark, sf_dir):
     outer = Select.from_json(outer.to_json())
     df = compile_select(outer, ParquetDirProvider(spark, sf_dir))
     _assert_same(df, sf_dir, render_select(outer, "duckdb"))
+
+
+def test_compound_set_ops_vs_oracle(spark, sf_dir):
+    """All six Compound ops over three operands (left-assoc fold),
+    serde round-tripped, equal to the rendered SQL on DuckDB."""
+    from fabrix_spark.plans import Compound, compile_compound, render_compound
+
+    a = Select(
+        table="orders",
+        columns=[Col("o_custkey", alias="k")],
+        filter=[Cond("o_orderstatus", "eq", "O")],
+    )
+    b = Select(
+        table="orders",
+        columns=[Col("o_custkey", alias="k")],
+        filter=[Cond("o_totalprice", "gt", 150000.0)],
+    )
+    c = Select(
+        table="customer",
+        columns=[Col("c_custkey", alias="k")],
+        filter=[Cond("c_acctbal", "lt", 0.0)],
+    )
+    for op in ("union", "union_all", "intersect", "intersect_all", "except", "except_all"):
+        cp = Compound(op=op, selects=[a, b, c], order=[Order("k")])
+        cp = Compound.from_json(cp.to_json())
+        df = compile_compound(cp, ParquetDirProvider(spark, sf_dir))
+        _assert_same(df, sf_dir, render_compound(cp, "duckdb"))
+
+
+def test_compound_validation():
+    from fabrix_spark.plans import Compound
+
+    one = Select(table="orders", columns=[Col("o_custkey")])
+    two = Select(table="orders", columns=[Col("o_custkey"), Col("o_orderkey")])
+    with pytest.raises(ValueError, match="at least two"):
+        Compound(op="union", selects=[one])
+    with pytest.raises(ValueError, match="column count"):
+        Compound(op="union", selects=[one, two])
+    with pytest.raises(ValueError, match="unknown compound"):
+        Compound(op="minus", selects=[one, one])

@@ -35,9 +35,10 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..frame import FxFrame
-from ..plans.adt import Col, Delete, FnCol, Select, with_primary_key
+from ..plans.adt import Col, Compound, Delete, FnCol, Select, with_primary_key
 from ..plans.sqlgen import (
     render_alter_modify_column,
+    render_compound,
     render_constraints_query,
     render_create_foreign_key,
     render_create_index,
@@ -275,7 +276,11 @@ class SqlExecutor:
         base = declared.split("(")[0].strip().upper()
         return self._SQL_TO_SPARK.get(base, "string")
 
-    def select(self, sel: Select, index: str | None = None) -> FxFrame:
+    def select(self, sel: "Select | Compound", index: str | None = None) -> FxFrame:
+        if isinstance(sel, Compound):
+            # set-op queries execute whole (no catalog schema to
+            # derive — operand names follow the first Select)
+            return self.raw_select(render_compound(sel, self.dialect), index)
         if sel.include_primary_key and index is None and isinstance(sel.table, str):
             index = self.get_primary_key(sel.table)
             if index is not None:

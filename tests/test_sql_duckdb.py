@@ -312,3 +312,18 @@ def test_duckdb_window_qualify_live(spark, ex, fx):
     )
     got = ex.select(sel).data()
     assert [r[0] for r in got] == [4, 3]  # two highest vals
+
+
+def test_duckdb_compound_live(spark, ex, fx):
+    """Compound (set-op) ADT executes live through the executor."""
+    from fabrix_spark.plans.adt import Compound, Order
+
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    lo = Select(table="t", columns=[Col("id")], filter=[Cond("val", "lt", 3.0)])
+    hi = Select(table="t", columns=[Col("id")], filter=[Cond("val", "gt", 2.0)])
+    got = ex.select(
+        Compound(op="intersect", selects=[lo, hi], order=[Order("id")])
+    ).data()
+    assert [r[0] for r in got] == [2]  # val=2.5 is in both
+    got2 = ex.select(Compound(op="union_all", selects=[lo, hi])).data()
+    assert sorted(r[0] for r in got2) == [1, 2, 2, 3, 4]

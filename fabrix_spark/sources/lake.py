@@ -390,7 +390,7 @@ _ADT_PRUNE_OPS = {
 }
 
 
-def _adt_cond_term(c, scan_table: str | None = None) -> tuple | None:
+def _adt_cond_term(c, scan_table: str | None = None, col_map: dict | None = None) -> tuple | None:
     """Cond → prune term, or None for ops min/max stats can't refute
     (ne, like). A Cond qualified with a table name (``c.tbl``) that is
     not the table being scanned must NEVER prune: compile_select hands
@@ -404,17 +404,22 @@ def _adt_cond_term(c, scan_table: str | None = None) -> tuple | None:
     op = _ADT_PRUNE_OPS.get(c.op)
     if op is None:
         return None
+    col = (col_map or {}).get(c.col, c.col)
     if op == "between":
-        return (c.col, op, c.value[0], c.value[1])
+        return (col, op, c.value[0], c.value[1])
     if op == "in":
-        return (c.col, op, list(c.value))
+        return (col, op, list(c.value))
     if op in ("is_null", "not_null"):
-        return (c.col, op)
-    return (c.col, op, c.value)
+        return (col, op)
+    return (col, op, c.value)
 
 
 def _adt_may_match(
-    tokens, stats: dict, part_vals: dict, scan_table: str | None = None
+    tokens,
+    stats: dict,
+    part_vals: dict,
+    scan_table: str | None = None,
+    col_map: dict | None = None,
 ) -> bool:
     """Could a file with these footer stats contain a row satisfying
     the ADT filter tree? Mirrors ``plans.compiler.compile_filter``'s
@@ -428,12 +433,12 @@ def _adt_may_match(
 
     def leaf(t) -> bool:
         if isinstance(t, Nest):
-            return _adt_may_match(t.tokens, stats, part_vals, scan_table)
+            return _adt_may_match(t.tokens, stats, part_vals, scan_table, col_map)
         if isinstance(t, Exists):
             # subquery predicates can never refute from footer stats
             return True
         if isinstance(t, Cond):
-            term = _adt_cond_term(t, scan_table)
+            term = _adt_cond_term(t, scan_table, col_map)
             if term is None:
                 return True
             return _file_may_match(stats, part_vals, [term])
@@ -627,11 +632,14 @@ class LakeTable:
             return os.path.isdir(os.path.join(self.path, v))
         return bool(self._legacy_entries())
 
-    def _read_raw(self) -> DataFrame:
+    def _read_raw_physical(self) -> DataFrame:
         r = self.spark.read
         if self.merge_schema:
             r = r.option("mergeSchema", "true")
         return r.parquet(self.current_dir())
+
+    def _read_raw(self) -> DataFrame:
+        return self._apply_schema_map(self._read_raw_physical())
 
     def versions(self) -> list[str]:
         """Version directories on disk, oldest → newest. The live one
@@ -655,7 +663,7 @@ class LakeTable:
                     f"unknown version {version!r} for lake table {self.path!r} "
                     f"(on disk: {self.versions()})"
                 )
-            df = self.spark.read.parquet(vdir)
+            df = self._apply_schema_map(self.spark.read.parquet(vdir), vdir)
         if _BUCKET_COL in df.columns:
             df = df.drop(_BUCKET_COL)
         return FxFrame(df, self.index)
@@ -699,7 +707,10 @@ class LakeTable:
                 files[rel] = {"rows": None, "cols": {}}
             if self.bloom_cols:
                 try:
-                    bf = _file_bloom(os.path.join(vdir, rel), self.bloom_cols)
+                    bf = _file_bloom(
+                        os.path.join(vdir, rel),
+                        [self._to_physical_name(c) for c in self.bloom_cols],
+                    )
                     if bf:
                         files[rel]["bloom"] = bf
                 except Exception:
@@ -766,6 +777,9 @@ class LakeTable:
         never required."""
         cur = self.current_dir()
         man = self._load_manifest(cur).get("files", {})
+        # predicate names are LOGICAL; manifest/partition-dir keys are
+        # PHYSICAL (files never rewrite on rename) — translate terms
+        where = [(self._to_physical_name(t[0]), *t[1:]) for t in where]
         all_files = self._data_files(cur)
         kept = []
         for rel in all_files:
@@ -824,6 +838,9 @@ class LakeTable:
                 continue
             for c in seen - set(st.get("cols", {})):
                 cols[c] = None
+        mapping = self._schema_map()
+        if mapping:
+            cols = {mapping.get(c, c): v for c, v in cols.items()}
         return {"rows": rows, "files": len(man), "cols": cols}
 
     def scan_adt(self, filter_tokens, table_name: str | None = None) -> FxFrame:
@@ -839,6 +856,7 @@ class LakeTable:
         cond = compile_filter(filter_tokens)
         cur = self.current_dir()
         man = self._load_manifest(cur).get("files", {})
+        col_map = {l: p for p, l in self._schema_map(cur).items()}
         kept = [
             rel
             for rel in self._data_files(cur)
@@ -847,6 +865,7 @@ class LakeTable:
                 man.get(rel) or {"rows": None, "cols": {}},
                 _partition_values(rel),
                 table_name,
+                col_map,
             )
         ]
         return self._read_pruned(kept, cond)
@@ -876,7 +895,9 @@ class LakeTable:
             r = self.spark.read.option("basePath", cur)
             if self.merge_schema:  # match _read_raw's footer merging
                 r = r.option("mergeSchema", "true")
-            df = r.parquet(*[os.path.join(cur, rel) for rel in kept]).filter(cond)
+            df = self._apply_schema_map(
+                r.parquet(*[os.path.join(cur, rel) for rel in kept])
+            ).filter(cond)
         if _BUCKET_COL in df.columns:
             df = df.drop(_BUCKET_COL)
         return FxFrame(df, self.index)
@@ -1005,6 +1026,84 @@ class LakeTable:
             ),
         )
 
+    # -- column mapping (rename without rewrite) ----------------------------
+
+    _SCHEMA = "_schema.json"
+
+    def _schema_map(self, vdir: str | None = None) -> dict:
+        """physical → logical column renames for a version tree
+        (empty = identity). Files ALWAYS store the original physical
+        names — renames are metadata only."""
+        vdir = vdir or self.current_dir()
+        try:
+            with open(os.path.join(vdir, self._SCHEMA)) as f:
+                return json.load(f).get("renames", {})
+        except (OSError, ValueError):
+            return {}
+
+    def _apply_schema_map(self, df: DataFrame, vdir: str | None = None) -> DataFrame:
+        for phys, logical in self._schema_map(vdir).items():
+            if phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        return df
+
+    def _to_physical_df(self, df: DataFrame) -> DataFrame:
+        """Inverse mapping for WRITES: callers supply logical names;
+        files keep physical names forever, so every file in the tree
+        stays schema-uniform across renames."""
+        for phys, logical in self._schema_map().items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, phys)
+        return df
+
+    def _to_physical_name(self, name: str) -> str:
+        for phys, logical in self._schema_map().items():
+            if logical == name:
+                return phys
+        return name
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME WITHOUT REWRITE (the Delta column-mapping idea):
+        commit a new version whose data files are all hard-links of
+        the live tree and whose ``_schema.json`` maps the column's
+        PHYSICAL name (as stored in parquet, stable forever) to the
+        new logical name. Reads apply the mapping after load; writes
+        apply the inverse before writing; manifest/bloom pruning
+        translates predicate names to physical — so a rename on a
+        100 TB table is O(#files) metadata. Chained renames collapse
+        onto the original physical name."""
+        with self._maybe_lock():
+            cur = self.current_dir()
+            mapping = self._schema_map(cur)
+            logical_now = [mapping.get(c, c) for c in self._read_raw_physical().columns]
+            if old not in logical_now:
+                raise ValueError(f"no column {old!r} (have {logical_now})")
+            if new in logical_now:
+                raise ValueError(f"column {new!r} already exists")
+            if old in self.partition_by:
+                raise ValueError(
+                    "cannot rename a hive partition column without rewrite "
+                    "(directory names are physical)"
+                )
+            phys = self._to_physical_name(old)
+            mapping = {p: l for p, l in mapping.items() if p != phys}
+            if phys != new:
+                mapping[phys] = new
+            ver = self._new_version()
+            dst = os.path.join(self.path, ver)
+            os.makedirs(dst, exist_ok=True)
+            self._link_tree(cur, dst)
+            with open(os.path.join(dst, self._SCHEMA), "w") as f:
+                json.dump({"renames": mapping}, f)
+            if self.index == old:
+                self.index = new
+            self._commit_version(
+                ver,
+                op="rename_column",
+                extra={"from": old, "to": new},
+                _carry_stats=self._load_manifest(cur).get("files", {}),
+            )
+
     # -- versioned commit ---------------------------------------------------
 
     def _new_version(self) -> str:
@@ -1018,12 +1117,21 @@ class LakeTable:
         return f"v_{seq:06d}_{uuid.uuid4().hex[:8]}"
 
     def _write_version(self, df: DataFrame) -> str:
-        """Write ``df`` as a fresh immutable version tree (uncommitted)."""
+        """Write ``df`` as a fresh immutable version tree
+        (uncommitted). Buckets hash the LOGICAL index column, then the
+        frame renames to physical so files stay schema-uniform across
+        column renames; the live schema map carries into the new
+        tree."""
         ver = self._new_version()
-        w = self._with_bucket(df).write.mode("errorifexists")
+        w = self._to_physical_df(self._with_bucket(df)).write.mode("errorifexists")
         if self._part_cols():
             w = w.partitionBy(*self._part_cols())
-        w.parquet(os.path.join(self.path, ver))
+        vdir = os.path.join(self.path, ver)
+        w.parquet(vdir)
+        mapping = self._schema_map() if self.exists() else {}
+        if mapping:
+            with open(os.path.join(vdir, self._SCHEMA), "w") as f:
+                json.dump({"renames": mapping}, f)
         return ver
 
     @staticmethod
@@ -1349,6 +1457,9 @@ class LakeTable:
         dst = os.path.join(out.path, ver)
         os.makedirs(dst, exist_ok=True)
         self._link_tree(cur, dst)
+        sp = os.path.join(cur, self._SCHEMA)
+        if os.path.exists(sp):  # column-mapping metadata travels too
+            shutil.copy2(sp, os.path.join(dst, self._SCHEMA))
         out._commit_version(
             ver,
             op="clone",
@@ -1375,12 +1486,13 @@ class LakeTable:
             self._check_bucket_layout()
             cur = self.current_dir()
             man = self._load_manifest(cur).get("files", {})
+            col_map = {l: p for p, l in self._schema_map(cur).items()}
             all_files = self._data_files(cur)
             cands, untouched = [], []
             for rel in all_files:
                 st = man.get(rel) or {"rows": None, "cols": {}}
                 if _adt_may_match(
-                    filter_tokens, st, _partition_values(rel), scan_table
+                    filter_tokens, st, _partition_values(rel), scan_table, col_map
                 ):
                     cands.append(rel)
                 else:
@@ -1390,7 +1502,9 @@ class LakeTable:
             reader = self.spark.read.option("basePath", cur)
             if self.merge_schema:
                 reader = reader.option("mergeSchema", "true")
-            cdf = reader.parquet(*[os.path.join(cur, rel) for rel in cands])
+            cdf = self._apply_schema_map(
+                reader.parquet(*[os.path.join(cur, rel) for rel in cands])
+            )
             before = cdf.count()
             cond = compile_filter(filter_tokens)
             remaining = cdf.filter(~F.coalesce(cond, F.lit(False)))
@@ -1614,6 +1728,7 @@ class LakeProvider:
         t = self.table(name)
         cur = t.current_dir()
         man = t._load_manifest(cur).get("files", {})
+        col_map = {l: p for p, l in t._schema_map(cur).items()}
         kept = [
             rel
             for rel in t._data_files(cur)
@@ -1622,6 +1737,7 @@ class LakeProvider:
                 man.get(rel) or {"rows": None, "cols": {}},
                 _partition_values(rel),
                 name,
+                col_map,
             )
         ]
         # prune only — the Select plan applies the compiled filter

@@ -1368,3 +1368,91 @@ def test_zorder_bits_clamped_to_long_range(spark, tmp_path):
     t.optimize(cluster_by=cols, bits=12, n_files=4)  # 12*6=72 > 63 pre-clamp
     got = sorted(r["k"] for r in t.read().df.collect())
     assert got == list(range(64))
+
+
+def test_rename_column_without_rewrite(spark, tmp_path):
+    """Column mapping: rename commits hard-linked files + metadata
+    only; reads see the new name, pruning (min/max AND bloom) still
+    works through the translation, writes after the rename keep files
+    physically uniform, time travel shows era-correct names, and
+    clones carry the mapping."""
+    import glob
+    import os as _os
+
+    t = LakeTable(
+        spark, str(tmp_path / "t"), index="id", retain=3, bloom_cols=["name"]
+    )
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.concat(F.lit("n_"), (F.col("id") * 31 % 7919).cast("string")).alias("name"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.save(df.repartitionByRange(4, "id"), SaveStrategy.REPLACE)
+    inodes = {
+        _os.stat(p).st_ino
+        for p in glob.glob(t.current_dir() + "/**/*.parquet", recursive=True)
+    }
+    v1 = t.versions()[-1]
+
+    t.rename_column("v", "value")
+    t.rename_column("name", "label")
+    after = {
+        _os.stat(p).st_ino
+        for p in glob.glob(t.current_dir() + "/**/*.parquet", recursive=True)
+    }
+    assert after == inodes  # zero-copy rename
+    assert set(t.read().df.columns) == {"id", "label", "value"}
+    assert t.history()[-1]["op"] == "rename_column"
+
+    # stats translate to logical names
+    st = t.stats()
+    assert "value" in st["cols"] and "v" not in st["cols"]
+
+    # min/max pruning through the mapping (id untouched; value renamed)
+    kept, total = t.pruned_files([("id", "between", 0, 10)])
+    assert len(kept) < total
+    got = sorted(r["id"] for r in t.scan([("value", "between", 100, 120)]).df.collect())
+    assert got == list(range(50, 61))
+
+    # bloom pruning through the mapping on the renamed column
+    target = "n_" + str(123 * 31 % 7919)
+    got2 = sorted(
+        r["id"] for r in t.scan([("label", "=", target)]).df
+        .filter(F.col("label") == target).collect()
+    )
+    want2 = sorted(
+        r["id"] for r in t.read().df.filter(F.col("label") == target).collect()
+    )
+    assert got2 == want2 and got2
+
+    # writes after the rename: logical-name frames, files stay uniform
+    t.upsert(
+        spark.createDataFrame([(99999, "brand_new", 42)], "id long, label string, value long")
+    )
+    assert t.read().df.filter(F.col("id") == 99999).first()["value"] == 42
+    # physical file schema still uses the ORIGINAL names
+    import pyarrow.parquet as pq
+
+    anyfile = glob.glob(t.current_dir() + "/**/*.parquet", recursive=True)[0]
+    phys = set(pq.ParquetFile(anyfile).schema_arrow.names)
+    assert {"name", "v"} <= phys and "label" not in phys
+
+    # time travel: the pre-rename snapshot shows the old names
+    assert set(t.read(version=v1).df.columns) == {"id", "name", "v"}
+
+    # delete_adt through the mapping (prunes on the renamed column)
+    n = t.delete_adt([Cond_("value", "between", (100, 120))])
+    assert n == 11
+
+    # clone carries the mapping
+    c = t.clone(str(tmp_path / "c"))
+    assert set(c.read().df.columns) == {"id", "label", "value"}
+
+    # rename chains collapse; conflicts are loud
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("label", "value")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("name", "x")  # old physical name is gone logically
+
+
+from fabrix_spark.plans.adt import Cond as Cond_  # noqa: E402

@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "lake_bloom_scan",
     "lake_adt_delete",
     "lake_ivm_maintain",
+    "lake_rename_scan",
     "t_lm_score",
     "tj_ohlc_bars",
     "stream_ohlc_replay",

@@ -5807,6 +5807,45 @@ def lake_ivm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.read().df.select("o_orderstatus", "n_rows", "sum_cents")
 
 
+@register(
+    "lake_rename_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 10000000 AND 20000000
+""",
+)
+def lake_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping end to end: a lake copy of orders renames its
+    price column WITHOUT rewriting a file (hard-linked commit +
+    metadata map), then a manifest-pruned scan filters on the NEW
+    logical name — pruning translates to the physical footer stats,
+    and the result must equal the raw-table oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .sources.sql import SaveStrategy
+
+    root = tempfile.mkdtemp(prefix="fabrix_rename_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "t"), index="o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t.save(o.repartitionByRange(6, "cents"), SaveStrategy.REPLACE)
+    t.rename_column("cents", "price_cents")
+    kept, total = t.pruned_files([("price_cents", "between", 10_000_000, 20_000_000)])
+    assert len(kept) < total  # pruning worked THROUGH the rename
+    return t.scan([("price_cents", "between", 10_000_000, 20_000_000)]).df.select(
+        "o_orderkey", "o_custkey", "price_cents"
+    )
+
+
 # the SAME ADT drives the Spark scan (predicate + file pruning) and the
 # oracle SQL — the executable-golden pattern the adt_* family uses,
 # extended to the lake's data-skipping path

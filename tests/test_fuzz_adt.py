@@ -269,6 +269,42 @@ def duck():
     return con
 
 
+@st.composite
+def _compounds(draw):
+    from fabrix_spark.plans import Compound
+
+    def operand():
+        return Select(
+            table="customer",
+            columns=[Col("c_custkey"), Col("c_nationkey")],
+            filter=draw(st.none() | _tokens()),
+        )
+
+    cp = Compound(
+        op=draw(
+            st.sampled_from(
+                ["union", "union_all", "intersect", "intersect_all", "except", "except_all"]
+            )
+        ),
+        selects=[operand() for _ in range(draw(st.integers(2, 3)))],
+    )
+    return Compound.from_json(cp.to_json())  # serde round-trip in the fuzz
+
+
+@given(cp=_compounds())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_compound_compiler_and_sqlgen_agree(spark, duck, cp):
+    from fabrix_spark.plans import compile_compound, render_compound
+
+    spark_rows = sorted(
+        map(repr, (tuple(r) for r in compile_compound(cp, ParquetDirProvider(spark, SF)).collect()))
+    )
+    duck_rows = sorted(
+        map(repr, (tuple(r) for r in duck.execute(render_compound(cp)).fetchall()))
+    )
+    assert spark_rows == duck_rows
+
+
 @given(sel=_selects())
 @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_compiler_and_sqlgen_agree(spark, duck, sel):

@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "tj_ohlc_bars",
     "stream_ohlc_replay",
     "stream_enrich_replay",
+    "stream_ivm_replay",
     "adt_in_subquery",
     "adt_exists",
     "d_canonical_by_source",

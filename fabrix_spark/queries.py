@@ -2710,6 +2710,47 @@ def stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ivm_replay",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+)
+def stream_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance end to end: documents
+    stream in as JSON micro-batches and a per-language (count,
+    sum_chars) aggregate table is maintained by per-batch delta merges
+    (batch-id-stamped commits, retry-idempotent) — the final table
+    must equal a full recompute over the source. The aggregate never
+    re-reads the stream history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_json, stream_maintain_aggregate
+
+    root = tempfile.mkdtemp(prefix="fabrix_sivm_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").coalesce(
+        3
+    ).write.mode("overwrite").json(src)
+    agg = LakeTable(spark, os.path.join(root, "agg"), index="lang", retain=3)
+    q = stream_maintain_aggregate(
+        read_stream_json(spark, src, schema="doc_id long, lang string, n_chars long"),
+        agg,
+        "lang",
+        {"sum_chars": "n_chars"},
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return agg.read().df.select("lang", "n_rows", "sum_chars")
+
+
+@register(
     "e_gap_islands",
     oracle="""
 WITH d AS (

@@ -41,6 +41,7 @@ __all__ = [
     "session_window",
     "stream_interval_join",
     "run_available_now",
+    "stream_maintain_aggregate",
 ]
 
 # the driver's events table shape (TESTDATA.md), ts as NTZ micros
@@ -480,6 +481,77 @@ def stream_validated_ingest(
         if bad.limit(1).count() > 0 and not _already_committed(quarantine, bid):
             q_strategy = "append" if quarantine.exists() else "replace"
             quarantine.save(bad, q_strategy, commit_extra=extra)
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_maintain_aggregate(
+    stream: DataFrame,
+    agg,
+    group_col: str,
+    sum_cols: dict[str, str],
+    checkpoint: str,
+) -> StreamingQuery:
+    """STREAMING incremental view maintenance: each micro-batch's
+    per-group (count, int-sum) deltas merge into the maintained
+    aggregate lake table — the always-on form of
+    :func:`fabrix_spark.sources.lake.maintain_aggregate` for
+    insert-only streams (CDC streams go through
+    ``stream_apply_changes`` + batch ``maintain_aggregate``). Work per
+    batch is O(|batch|) + a merge over the metadata-sized aggregate;
+    the stream itself never re-aggregates.
+
+    Exactly-once under at-least-once delivery: every merge commit
+    stamps the micro-batch id and a retried batch whose id is already
+    in the table history is skipped, so the delta can never
+    double-apply."""
+    from pyspark.sql import functions as F
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        if agg.exists() and any(
+            h.get("batch_id") == bid for h in agg.history()
+        ):
+            return
+        delta = batch.groupBy(group_col).agg(
+            F.count("*").alias("__dn"),
+            *[
+                F.sum(src).cast("long").alias(f"__d_{out}")
+                for out, src in sum_cols.items()
+            ],
+        )
+        extra = {"batch_id": bid}
+        if not agg.exists():
+            init = delta.select(
+                group_col,
+                F.col("__dn").alias("n_rows"),
+                *[F.col(f"__d_{out}").alias(out) for out in sum_cols],
+            )
+            agg.save(init, "replace", commit_extra=extra)
+            return
+        cur = agg.read().df
+        merged = (
+            cur.join(delta, group_col, "full_outer")
+            .select(
+                group_col,
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("__dn"), F.lit(0))
+                ).alias("n_rows"),
+                *[
+                    (
+                        F.coalesce(F.col(out), F.lit(0))
+                        + F.coalesce(F.col(f"__d_{out}"), F.lit(0))
+                    ).alias(out)
+                    for out in sum_cols
+                ],
+            )
+        )
+        agg.save(merged, "replace", commit_extra=extra)
 
     return (
         stream.writeStream.foreachBatch(_consume)

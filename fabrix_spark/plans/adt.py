@@ -50,9 +50,13 @@ WINDOW_FNS = {
     "row_number",
     "rank",
     "dense_rank",
+    "percent_rank",
+    "cume_dist",
     "ntile",
     "lag",
     "lead",
+    "first_value",
+    "last_value",
     "sum",
     "avg",
     "count",
@@ -150,13 +154,15 @@ class WinCol:
     ):
         if fn not in WINDOW_FNS:
             raise ValueError(f"unknown window function {fn!r}")
-        if fn in ("row_number", "rank", "dense_rank", "ntile"):
+        if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile"):
             if col is not None:
                 raise ValueError(f"{fn} takes no column operand")
             if not order:
                 raise ValueError(f"{fn} requires an ORDER BY")
         elif col is None:
             raise ValueError(f"{fn} requires a column operand")
+        if fn in ("first_value", "last_value") and not order:
+            raise ValueError(f"{fn} requires an ORDER BY")
         if fn == "ntile" and (len(args) != 1 or int(args[0]) < 1):
             raise ValueError("ntile takes one positive bucket count")
         if fn in ("lag", "lead"):
@@ -174,7 +180,7 @@ class WinCol:
                     or b in ("unbounded_preceding", "unbounded_following", "current")
                 ):
                     raise ValueError(f"bad frame bound {b!r}")
-            if fn not in ("sum", "avg", "count", "min", "max"):
+            if fn not in ("sum", "avg", "count", "min", "max", "first_value", "last_value"):
                 raise ValueError("frames apply to aggregate window functions only")
             if not order:
                 raise ValueError("a frame requires an ORDER BY")

@@ -228,6 +228,12 @@ def _win_expr(c: WinCol) -> Column:
         e = F.dense_rank()
     elif fn == "ntile":
         e = F.ntile(int(c.args[0]))
+    elif fn == "percent_rank":
+        e = F.percent_rank()
+    elif fn == "cume_dist":
+        e = F.cume_dist()
+    elif fn in ("first_value", "last_value"):
+        e = (F.first if fn == "first_value" else F.last)(inner)
     elif fn in ("lag", "lead"):
         offset = int(c.args[0]) if c.args else 1
         default = c.args[1] if len(c.args) > 1 else None

@@ -133,7 +133,10 @@ def _selects(draw):
         # both engines agree bit-for-bit; ranking windows may QUALIFY
         part = draw(st.sampled_from(["c_nationkey", "c_mktsegment"]))
         fn = draw(
-            st.sampled_from(["row_number", "rank", "dense_rank", "sum", "lag", "ntile"])
+            st.sampled_from(
+                ["row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+                 "sum", "lag", "ntile", "first_value", "last_value"]
+            )
         )
         order_in = (Order("c_acctbal", desc=draw(st.booleans())), Order("c_custkey"))
         if fn == "sum":
@@ -154,6 +157,11 @@ def _selects(draw):
             w = WinCol(
                 "ntile", partition_by=(part,), order=order_in,
                 args=(draw(st.integers(1, 5)),), alias="wv",
+            )
+        elif fn in ("first_value", "last_value"):
+            w = WinCol(
+                fn, col=Col("c_custkey"), partition_by=(part,), order=order_in,
+                alias="wv",
             )
         else:
             w = WinCol(fn, partition_by=(part,), order=order_in, alias="wv")

@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "adt_exists",
     "d_canonical_by_source",
     "gr_triangle_counts",
+    "gr_clustering_coefficient",
     "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",

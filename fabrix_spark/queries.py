@@ -6010,6 +6010,82 @@ def gr_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs)
 
 
+@register(
+    "gr_clustering_coefficient",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tc AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node, coalesce(tc.t, 0) AS n_triangles, deg.d AS degree,
+       CASE WHEN deg.d >= 2
+            THEN 2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS coefficient
+FROM deg LEFT JOIN tc USING (node)
+""",
+)
+def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (2T / d(d-1)) over the
+    supplier co-purchase graph — triangle counts joined to degrees,
+    emitted as one unrounded division (identical IEEE both engines).
+    Zero-triangle nodes report 0; degree-1 nodes report 0 (no possible
+    wedge)."""
+    from .operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.o2)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    e = pairs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tc = triangle_counts(pairs)
+    j = deg.join(tc, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        "degree",
+    )
+    return j.select(
+        "node",
+        "n_triangles",
+        "degree",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coefficient"),
+    )
+
+
 @register("gr_pagerank_purchases", oracle=_pagerank_oracle())
 def gr_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-walk centrality of the undirected customer–supplier

@@ -35,37 +35,17 @@ sys.path.insert(0, str(_HERE))
 
 from fabrix_spark import queries as _q  # noqa: E402
 
-# Queries with no driver CORRECTNESS row yet come first (new round-8
+# Queries with no driver CORRECTNESS row yet come first (new round-9
 # additions appended as they land), then three long-green canaries.
-# Kept deliberately SHORT this round (r7 judge instruction) so the
-# staleness-ordered tail — the 26 queries whose newest driver row is
-# still round 2 (t_*, smp_*, pipeline_*, d_embedding_neardup,
-# d_decontaminate, d_common_segments, sim_*, m_*) — fills the window.
+# Trimmed to new-entries + canaries per the r8 judge instruction so the
+# staleness-ordered tail fronts the 15 queries whose newest driver row
+# predates round 5 (pipeline_llm_prep/embedding_prep/pack_corpus at r2;
+# s_right/cross/union_all, g_grouping_sets/having/case_when,
+# sim_cosine_topk_blocked/lsh_topk/ivf_trained, t_token_rarity,
+# t_prune_rare, smp_weighted at r4) and drains the whole tail this
+# round — no registry entry's last-green round < 6 afterward.
 _VERIFY_FIRST = [
-    # new in round 8 (appended as they land)
-    "adt_window_topk",
-    "adt_agg_window_subquery",
-    "adt_compound_union",
-    "adt_compound_except_all",
-    "prof_hist_quantiles",
-    "prof_hist_quantiles_grouped",
-    "prof_mad_outliers",
-    "prof_heavy_hitters",
-    "lake_bloom_scan",
-    "lake_adt_delete",
-    "lake_ivm_maintain",
-    "lake_rename_scan",
-    "t_lm_score",
-    "tj_ohlc_bars",
-    "stream_ohlc_replay",
-    "stream_enrich_replay",
-    "stream_ivm_replay",
-    "adt_in_subquery",
-    "adt_exists",
-    "d_canonical_by_source",
-    "gr_triangle_counts",
-    "gr_clustering_coefficient",
-    "d_overlap_pairs",  # oracle changed this round (max_df guard modeled)
+    # new in round 9 (appended as they land)
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -53,8 +53,32 @@ def main() -> None:
     except Exception as e:
         print(f"# sigstore prebuild failed: {e}", file=sys.stderr)
 
+    # Quiet-box gate (r9): round-over-round comparisons were polluted
+    # by ambient co-tenant load (r8 showed a phantom +3.5% traceable to
+    # loadavg ~3 at capture time). Before the timed region, wait for the
+    # 1-minute load average to drop below the threshold; if it never
+    # does within the budget, proceed but record the waiver in the JSON
+    # so the artifact is self-explaining instead of needing forensics.
+    quiet_threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "90"))
+    waited = 0.0
+    while os.getloadavg()[0] >= quiet_threshold and waited < quiet_budget:
+        time.sleep(5.0)
+        waited += 5.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     load_before = os.getloadavg()
+    quiet_gate = {
+        "threshold": quiet_threshold,
+        "waited_sec": round(waited, 1),
+        "passed": load_before[0] < quiet_threshold,
+    }
+    if not quiet_gate["passed"]:
+        print(
+            f"# WAIVER: box never went quiet (load {load_before[0]:.2f} >= "
+            f"{quiet_threshold} after {waited:.0f}s) — timings include "
+            "ambient load; compare medians with caution",
+            file=sys.stderr,
+        )
     per_query: dict[str, float] = {}
     per_query_median: dict[str, float] = {}
     total = total_median = 0.0
@@ -86,6 +110,7 @@ def main() -> None:
                 "estimator": "best_of_runs",
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "quiet_gate": quiet_gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

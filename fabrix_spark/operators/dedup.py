@@ -197,27 +197,30 @@ def jaccard_pairs(
     elif candidates is None and method == "prefix":
         candidates = _prefix_candidates(sh_sets, threshold)
     elif candidates is None:
-        sizes = sh_sets.select("__id", F.size("__set").alias("__sz"))
+        # Each exploded shingle row carries its doc's set size, so the
+        # Jaccard upper bound falls out of the pair aggregate itself —
+        # sizes are functionally dependent on the ids, so widening the
+        # grouping key by two ints is free, and no per-document side
+        # table needs joining back in. (r9: this replaces two forced
+        # broadcasts of an O(N-docs) frame — the one shape that would
+        # OOM the driver at 100 TB; now the plan has ONE shuffle and
+        # zero driver-sized structures regardless of corpus size.)
         ds_h = sh_sets.select(
-            "__id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h")
+            "__id",
+            F.size("__set").alias("__sz"),
+            F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h"),
         )
         a = ds_h.alias("a")
         b = ds_h.alias("b")
-        common_h = (
-            a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
-            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .agg(F.count("*").alias("__ch"))
-        )
-        # upper-bound filter (sizes is one int per doc → broadcast)
         bound = (
-            common_h.join(
-                F.broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza")),
-                "id_a",
+            a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.col("a.__sz").alias("__sza"),
+                F.col("b.__sz").alias("__szb"),
             )
-            .join(
-                F.broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb")),
-                "id_b",
-            )
+            .agg(F.count("*").alias("__ch"))
             .filter(
                 F.round(F.col("__ch") / (F.col("__sza") + F.col("__szb") - F.col("__ch")), 6)
                 >= threshold
@@ -249,25 +252,23 @@ def containment_pairs(
     string-set verification of candidates only. Both directions are
     emitted independently; scores are exact integer arithmetic."""
     sh_sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
-    sizes = sh_sets.select("__id", F.size("__set").alias("__sz"))
+    # sizes ride the exploded rows into the pair aggregate (see
+    # jaccard_pairs — r9: no broadcast of a per-document side table)
     ds_h = sh_sets.select(
-        "__id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h")
+        "__id",
+        F.size("__set").alias("__sz"),
+        F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h"),
     )
     a, b = ds_h.alias("a"), ds_h.alias("b")
-    common_h = (
-        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__ch"))
-    )
     bound = (
-        common_h.join(
-            F.broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__ba")),
-            "id_a",
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sz").alias("__ba"),
+            F.col("b.__sz").alias("__bb"),
         )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__bb")),
-            "id_b",
-        )
+        .agg(F.count("*").alias("__ch"))
         .filter(
             (F.col("__ch") / F.col("__ba") >= threshold)
             | (F.col("__ch") / F.col("__bb") >= threshold)

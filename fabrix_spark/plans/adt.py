@@ -311,6 +311,18 @@ class Exists:
     def __init__(self, select: "Select", on: Sequence = ()):
         object.__setattr__(self, "select", select)
         object.__setattr__(self, "on", tuple((o, i) for o, i in on))
+        # Correlated EXISTS compiles on Spark as an equi-join found-flag,
+        # which cannot honor a per-outer-row LIMIT/OFFSET on the inner
+        # query; SQL rendering would honor it, so the two backends would
+        # disagree (e.g. LIMIT 0). Reject loudly and backend-consistently
+        # at construction. ORDER/DISTINCT are semantically inert inside
+        # EXISTS and stay legal; group_by is rejected at compile time.
+        if self.on and (select.limit is not None or select.offset is not None):
+            raise ValueError(
+                "correlated Exists subqueries cannot use limit/offset "
+                "(EXISTS is per-outer-row; a row cap on the inner query "
+                "is not expressible as the join the Spark backend plans)"
+            )
 
     def to_json(self) -> dict:
         d: dict[str, Any] = {"exists": {"select": self.select.to_json()}}

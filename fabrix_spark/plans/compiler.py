@@ -288,12 +288,16 @@ def _attach_subqueries(
                     )
                 # EXISTS ignores the subquery's projection — compile it
                 # projecting the correlation keys instead (semantically
-                # identical, and the keys may not be in the projection)
+                # identical, and the keys may not be in the projection).
+                # limit/offset are rejected at Exists construction;
+                # order/distinct are inert under EXISTS, so dropping
+                # them here cannot diverge from the SQL rendering.
                 inner = Select(
                     table=t.select.table,
                     columns=[Col(ic) for _, ic in t.on],
                     filter=t.select.filter,
                     joins=t.select.joins,
+                    table_alias=t.select.table_alias,
                 )
                 sub = compile_select(inner, provider)
                 keys = [f"__sq{i}_k{j}" for j in range(len(t.on))]

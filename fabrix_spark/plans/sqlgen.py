@@ -225,8 +225,10 @@ def _render_exists(t: Exists, quote: Quoter, dialect: str, outer_tbl: str | None
             ot, oname = outer_tbl, oc
         else:
             raise ValueError("correlated Exists needs the outer table context")
+        # table_name(), not table: the subquery's FROM may itself be a
+        # Select (FROM-subquery), addressable only via its alias.
         corr.append(
-            f"{quote(t.select.table)}.{quote(ic)} = {quote(ot)}.{quote(oname)}"
+            f"{quote(t.select.table_name())}.{quote(ic)} = {quote(ot)}.{quote(oname)}"
         )
     sub = render_select(t.select, dialect, _extra_where=corr)
     return f"EXISTS ({sub})"

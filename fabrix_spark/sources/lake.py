@@ -203,30 +203,60 @@ def _bloom_indices(key: str, m: int, k: int) -> list[int]:
     return [int(digest[8 * i : 8 * i + 8], 16) % m for i in range(k)]
 
 
+def _bloom_key(v) -> "str | None":
+    """Canonical STRING key for bloom build/probe. Unlike min/max
+    pruning (which compares `5 == 5.0` numerically), a bloom filter
+    hashes strings — so numerically-equal values of different Python
+    types MUST normalize to the same key or a present value probes
+    absent (false negative = silently dropped files). Integral floats
+    therefore collapse to their exact int (`float.is_integer` →
+    `int(v)` is exact for any such float, at any magnitude); only
+    genuinely fractional values keep a float rendering (`repr`, the
+    shortest round-trip form). None → no key (nulls never match
+    equality predicates)."""
+    sk = _stat_key(v)
+    if sk is None:
+        return None
+    if isinstance(sk, float):
+        return str(int(sk)) if sk.is_integer() else repr(sk)
+    return str(sk)
+
+
 def _bloom_build(values, m: int, k: int) -> str:
-    """Base64 bitset over the values' stat-keys (None keys skipped)."""
+    """Base64 bitset over the values' bloom-keys (None keys skipped)."""
     bits = bytearray((m + 7) // 8)
     for v in values:
-        sk = _stat_key(v)
-        if sk is None:
+        bk = _bloom_key(v)
+        if bk is None:
             continue
-        for i in _bloom_indices(str(sk), m, k):
+        for i in _bloom_indices(bk, m, k):
             bits[i >> 3] |= 1 << (i & 7)
     return base64.b64encode(bytes(bits)).decode("ascii")
 
 
 def _bloom_may_contain(bf: dict, value) -> bool:
     """Sound membership test: False ONLY when the filter proves
-    absence (a zero bit); any decode problem degrades to True."""
-    sk = _stat_key(value)
-    if sk is None:
+    absence (a zero bit); any decode problem degrades to True.
+
+    Filters carry a key-scheme version: v2 filters were built with
+    :func:`_bloom_key` (type-normalized). A legacy (unversioned) filter
+    was built with raw ``str(_stat_key(v))``, under which `5` and `5.0`
+    hash differently — probing one with a numeric value is only sound
+    when the stored column happened to share the literal's type, which
+    the manifest doesn't record, so numeric probes against legacy
+    filters degrade to True (no pruning) rather than risk a false
+    negative. String/date keys are identical across schemes."""
+    bk = _bloom_key(value)
+    if bk is None:
         return True
     try:
         bits = base64.b64decode(bf["bits"])
         m, k = int(bf["m"]), int(bf["k"])
     except (KeyError, ValueError, TypeError):
         return True
-    for i in _bloom_indices(str(sk), m, k):
+    if int(bf.get("v", 1)) < 2 and isinstance(_stat_key(value), (int, float)):
+        return True  # legacy filter, numeric probe: key scheme unknown
+    for i in _bloom_indices(bk, m, k):
         if not (bits[i >> 3] >> (i & 7)) & 1:
             return False
     return True
@@ -244,13 +274,25 @@ def _file_bloom(path: str, cols: list[str], bits_per_value: int = 10, k: int = 3
     import pyarrow.parquet as pq
 
     out = {}
-    tbl = pq.read_table(path, columns=[c for c in cols])
-    for c in cols:
-        vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-        if not vals:
-            continue
-        m = min(1 << 17, max(64, bits_per_value * len(set(map(str, vals)))))
-        out[c] = {"m": m, "k": k, "bits": _bloom_build(vals, m, k)}
+    # Only columns physically present in THIS file's pages: a requested
+    # column that lives elsewhere (e.g. a hive partition directory) must
+    # not fail the read — and must not take down the other columns'
+    # filters with it, so each column builds independently.
+    present = set(pq.read_schema(path).names)
+    wanted = [c for c in cols if c in present]
+    if not wanted:
+        return out
+    tbl = pq.read_table(path, columns=wanted)
+    for c in wanted:
+        try:
+            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+            if not vals:
+                continue
+            keys = {_bloom_key(v) for v in vals} - {None}
+            m = min(1 << 17, max(64, bits_per_value * len(keys)))
+            out[c] = {"m": m, "k": k, "v": 2, "bits": _bloom_build(vals, m, k)}
+        except Exception:
+            continue  # per-column: one bad column never drops the rest
     return out
 
 

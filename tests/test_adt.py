@@ -449,6 +449,45 @@ def test_exists_uncorrelated(spark, sf_dir):
     _assert_same(compile_select(sel_f, prov), sf_dir, render_select(sel_f, "duckdb"))
 
 
+def test_exists_over_from_subquery_vs_oracle(spark, sf_dir):
+    """Correlated EXISTS whose inner FROM is itself a Select (r9 fix):
+    the SQL rendering must qualify the correlation with the subquery's
+    ALIAS, not the Select object — previously an AttributeError."""
+    inner = Select(
+        table=Select(
+            table="orders",
+            columns=[Col("o_custkey"), Col("o_totalprice")],
+            filter=[Cond("o_orderpriority", "eq", "1-URGENT")],
+        ),
+        columns=[Col("o_custkey")],
+        filter=[Cond("o_totalprice", "gt", 150000.0)],
+        table_alias="urgent",
+    )
+    for tokens in (
+        [Exists(inner, on=(("c_custkey", "o_custkey"),))],
+        [NOT, Exists(inner, on=(("c_custkey", "o_custkey"),))],
+    ):
+        sel = Select(table="customer", columns=[Col("c_custkey")], filter=tokens)
+        sel = Select.from_json(sel.to_json())
+        df = compile_select(sel, ParquetDirProvider(spark, sf_dir))
+        _assert_same(df, sf_dir, render_select(sel, "duckdb"))
+
+
+def test_correlated_exists_rejects_limit_offset():
+    """Spark compiles correlated EXISTS as an equi-join found-flag,
+    which cannot honor a per-outer-row LIMIT; the SQL rendering would,
+    so the combination is rejected at construction (backend-consistent
+    instead of silently divergent, e.g. LIMIT 0)."""
+    limited = Select(table="orders", columns=[Col("o_orderkey")], limit=1)
+    offsetted = Select(table="orders", columns=[Col("o_orderkey")], offset=1)
+    for sub in (limited, offsetted):
+        with pytest.raises(ValueError, match="limit/offset"):
+            Exists(sub, on=(("c_custkey", "o_custkey"),))
+    # uncorrelated EXISTS may keep limit (global gate; EXISTS(LIMIT 1)
+    # ≡ EXISTS, and both backends render/compile the same answer)
+    Exists(limited)
+
+
 def test_subquery_in_or_branch_vs_oracle(spark, sf_dir):
     """Subquery predicates are ordinary grammar operands — usable
     under OR/NOT/Nest, not just as top-level conjuncts (the join-based

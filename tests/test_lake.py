@@ -996,6 +996,58 @@ def test_bloom_pruning_soundness_fuzz(spark, tmp_path, names, probe, files):
     assert got == want
 
 
+def test_bloom_numeric_key_type_soundness(spark, tmp_path):
+    """r9 fix: bloom keys are type-normalized — a parquet DOUBLE value
+    5.0 and an int predicate literal 5 must hash to the SAME key, or a
+    present value silently prunes its file (false negative = data
+    loss). Covers build-float/probe-int, build-int/probe-float, the
+    genuinely-fractional path, and legacy-filter degradation."""
+    from fabrix_spark.sources.lake import _bloom_build, _bloom_key, _bloom_may_contain
+
+    # unit: key normalization collapses numerically-equal values
+    assert _bloom_key(5) == _bloom_key(5.0) == "5"
+    assert _bloom_key(7.5) == "7.5" and _bloom_key(7.5) != _bloom_key(7)
+    assert _bloom_key(2**60) == _bloom_key(float(2**60))
+    bf = {"m": 256, "k": 3, "v": 2, "bits": _bloom_build([5.0, 7.5], 256, 3)}
+    assert _bloom_may_contain(bf, 5) and _bloom_may_contain(bf, 5.0)
+    assert _bloom_may_contain(bf, 7.5)
+    bf_int = {"m": 256, "k": 3, "v": 2, "bits": _bloom_build([5, 8], 256, 3)}
+    assert _bloom_may_contain(bf_int, 5.0) and _bloom_may_contain(bf_int, 8.0)
+    # legacy (unversioned) filters were built with raw str() keys whose
+    # numeric scheme is unrecoverable: numeric probes must degrade to
+    # True (no pruning) instead of risking a false negative
+    legacy = {"m": 256, "k": 3, "bits": _bloom_build([], 256, 3)}
+    assert _bloom_may_contain(legacy, 5) and _bloom_may_contain(legacy, 5.0)
+    assert not _bloom_may_contain({**legacy, "v": 2}, 5)  # v2 empty refutes
+
+    # end-to-end: double column, int literals in eq/IN predicates
+    t = LakeTable(spark, str(tmp_path / "t"), index="id", bloom_cols=["price"])
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * F.lit(1.0)).alias("price"), (F.col("id") % 4).alias("g")
+    )
+    t.save(df.repartition(4, "g"), SaveStrategy.REPLACE)
+    for where in ([("price", "=", 123)], [("price", "in", [123, 999999])]):
+        got = sorted(r["id"] for r in t.scan(where).df.collect())
+        assert got == [123], where  # int literal finds the 123.0 row
+
+
+def test_file_bloom_missing_column_isolated(spark, tmp_path):
+    """r9 fix: a bloom_col absent from a file's pages (e.g. a hive
+    partition column) must neither fail the build nor drop the OTHER
+    columns' filters for that file."""
+    from fabrix_spark.sources.lake import _file_bloom
+
+    p = str(tmp_path / "one.parquet")
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({"name": ["a", "b"], "n": [1, 2]})), p)
+    bf = _file_bloom(p, ["name", "ghost_partition_col", "n"])
+    assert "name" in bf and "n" in bf and "ghost_partition_col" not in bf
+    assert all(f.get("v") == 2 for f in bf.values())
+
+
 def test_delete_adt_partial_rewrite(spark, tmp_path):
     """Manifest-pruned delete: refuted files hard-link untouched into
     the new version (same inodes), only candidates rewrite, results

@@ -245,6 +245,31 @@ def test_jaccard_lsh_matches_exact(spark):
     assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_jaccard_containment_no_forced_doc_broadcast(spark):
+    """r9: the Jaccard/containment upper-bound no longer joins back a
+    per-document sizes table under a forced broadcast hint (driver OOM
+    at 100 TB) — sizes ride the exploded rows into the pair aggregate.
+    With auto-broadcast disabled, any BroadcastHashJoin left in the
+    plan could only come from an explicit hint, so its absence proves
+    no broadcast is FORCED; at real thresholds AQE may still choose
+    one when a side measures small, which is the desired behavior."""
+    from fabrix_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (
+            dedup.jaccard_pairs(docs, threshold=0.3),
+            dedup.containment_pairs(docs, threshold=0.5),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, plan
+            assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_embedding_lsh_subset_of_exact(spark):
     """LSH-verified pairs are exactly the true pairs that collide in
     ≥1 bucket table — always a subset of the brute-force result, with

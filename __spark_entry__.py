@@ -46,6 +46,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 # round — no registry entry's last-green round < 6 afterward.
 _VERIFY_FIRST = [
     # new in round 9 (appended as they land)
+    "stream_profile_replay",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -2751,6 +2751,83 @@ def stream_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_profile_replay",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(CAST(CAST(round(n_chars * 1) AS BIGINT) AS DOUBLE)
+              / 50.0) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+),
+c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM b),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+p AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS prob),
+r AS (SELECT prob, n, CAST(ceil(prob * n) AS BIGINT) AS rk FROM p CROSS JOIN t),
+hq AS (
+  SELECT r.prob, r.n, CAST(min(c.bucket) * 50 AS BIGINT) AS est_lo
+  FROM r JOIN c ON c.cum >= r.rk GROUP BY r.prob, r.n
+),
+h AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+  FROM documents WHERE doc_id IS NOT NULL
+),
+mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+top AS (SELECT CAST(count(*) AS BIGINT) AS n_seen, max(h) AS hk FROM mins)
+SELECT hq.prob, hq.n, hq.est_lo, top.n_seen,
+       CASE WHEN top.n_seen < 256 THEN CAST(top.n_seen AS DOUBLE)
+            ELSE 255.0 * 1152921504606846976 / CAST(top.hk AS DOUBLE)
+       END AS est_distinct
+FROM hq, top
+""",
+)
+def stream_profile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming profile maintenance end to end: documents stream in
+    as JSON micro-batches (one file per batch, so the fold across
+    batches is actually exercised) and two lake-persisted sketch
+    tables are maintained incrementally — a fixed-width histogram of
+    n_chars and a KMV distinct sketch of doc_id. Both sketches are
+    mergeable BY CONSTRUCTION, so the maintained tables must equal the
+    batch sketches over all the data, and the final quantile/distinct
+    estimates oracle-check bit-for-bit; the stream history is never
+    re-aggregated (at 100 TB, profiling is incremental or it doesn't
+    happen)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.profile import hist_quantiles, kmv_merge_estimate
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_json, stream_maintain_profile
+
+    root = tempfile.mkdtemp(prefix="fabrix_sprof_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _t(spark, sf_dir, "documents").select("doc_id", "n_chars").coalesce(
+        3
+    ).write.mode("overwrite").json(src)
+    hist = LakeTable(spark, os.path.join(root, "hist"), index="bucket", retain=3)
+    kmv = LakeTable(spark, os.path.join(root, "kmv"), index="h", retain=3)
+    q = stream_maintain_profile(
+        read_stream_json(
+            spark, src, schema="doc_id long, n_chars long", max_files_per_trigger=1
+        ),
+        hist,
+        kmv,
+        value_col="n_chars",
+        distinct_col="doc_id",
+        checkpoint=os.path.join(root, "ckpt"),
+        width=50,
+        scale=1,
+        k=256,
+    )
+    q.awaitTermination(300)
+    hq = hist_quantiles(hist.read().df, (0.5, 0.9), width=50)
+    est = kmv_merge_estimate([kmv.read().df], k=256)
+    return hq.crossJoin(est)
+
+
+@register(
     "e_gap_islands",
     oracle="""
 WITH d AS (

@@ -42,6 +42,7 @@ __all__ = [
     "stream_interval_join",
     "run_available_now",
     "stream_maintain_aggregate",
+    "stream_maintain_profile",
 ]
 
 # the driver's events table shape (TESTDATA.md), ts as NTZ micros
@@ -552,6 +553,82 @@ def stream_maintain_aggregate(
             )
         )
         agg.save(merged, "replace", commit_extra=extra)
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_maintain_profile(
+    stream: DataFrame,
+    hist_table,
+    kmv_table,
+    value_col: str,
+    distinct_col: str,
+    checkpoint: str,
+    width: int = 1000,
+    scale: int = 100,
+    k: int = 256,
+) -> StreamingQuery:
+    """STREAMING profile maintenance: each micro-batch folds its
+    sketch PARTIALS into two lake-persisted, metadata-sized sketch
+    tables — the always-on form of the batch profiling sketches, which
+    are mergeable BY CONSTRUCTION (profile.py):
+
+    * histogram sketch of ``value_col`` (bucket, cnt): per-batch
+      partial is one hash aggregate over the batch; the fold is a
+      per-bucket count sum — merge(batches) == build(union) exactly.
+    * KMV distinct sketch of ``distinct_col`` (h): per-batch partial
+      is the batch's k smallest distinct hashes; the fold keeps the k
+      smallest of (table ∪ partial) — "k smallest of a union == k
+      smallest of the union of k-smallest sets", so the maintained
+      sketch equals the one built over all data ever streamed.
+
+    Work per batch is O(|batch|) plus merges over two sketch-sized
+    tables; the stream history is never re-read — at 100 TB profiling
+    is incremental or it doesn't happen. Exactly-once under
+    at-least-once delivery: both saves stamp the micro-batch id and a
+    retried batch skips any table whose history already holds it
+    (each table checks independently, so a crash between the two
+    commits re-applies only the missing one)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import hist_sketch, kmv_sketch
+
+    def _committed(table, bid: int) -> bool:
+        return table.exists() and any(
+            h.get("batch_id") == bid for h in table.history()
+        )
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        batch = batch.localCheckpoint()
+        extra = {"batch_id": bid}
+        if not _committed(hist_table, bid):
+            delta = hist_sketch(batch, value_col, width=width, scale=scale)
+            if hist_table.exists():
+                merged = (
+                    hist_table.read().df.unionByName(delta)
+                    .groupBy("bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+                hist_table.save(merged, "replace", commit_extra=extra)
+            else:
+                hist_table.save(delta, "replace", commit_extra=extra)
+        if not _committed(kmv_table, bid):
+            partial = kmv_sketch(batch, distinct_col, k=k)
+            if kmv_table.exists():
+                folded = (
+                    kmv_table.read().df.unionByName(partial)
+                    .distinct()
+                    .orderBy("h")
+                    .limit(k)
+                )
+                kmv_table.save(folded, "replace", commit_extra=extra)
+            else:
+                kmv_table.save(partial, "replace", commit_extra=extra)
 
     return (
         stream.writeStream.foreachBatch(_consume)

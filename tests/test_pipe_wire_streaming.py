@@ -1051,3 +1051,45 @@ def test_stream_validated_ingest_retry_is_idempotent(spark, tmp_path):
     # both sinks carry the replayed batch id in their commit info
     assert any("batch_id" in h for h in good.history())
     assert any("batch_id" in h for h in quar.history())
+
+
+def test_stream_maintain_profile_fold_matches_batch_and_replay_noop(spark, tmp_path):
+    """Streaming sketch maintenance: per-batch histogram/KMV partials
+    folded across micro-batches must equal the batch sketches over the
+    union (both sketches are mergeable by construction), and replaying
+    the same batch ids (fresh checkpoint, same source) must be a
+    commit-skipped no-op — the maintained tables keep their version."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.profile import hist_sketch, kmv_sketch
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_maintain_profile
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 997).alias("v")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(3).write.mode("overwrite").json(src)
+    hist = LakeTable(spark, str(tmp_path / "hist"), index="bucket", retain=6)
+    kmv = LakeTable(spark, str(tmp_path / "kmv"), index="h", retain=6)
+
+    def run(ckpt: str):
+        q = stream_maintain_profile(
+            read_stream_json(spark, src, schema="k long, v long", max_files_per_trigger=1),
+            hist, kmv, value_col="v", distinct_col="k",
+            checkpoint=str(tmp_path / ckpt), width=100, scale=1, k=64,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    want_hist = sorted(map(tuple, hist_sketch(df, "v", width=100, scale=1).collect()))
+    got_hist = sorted(map(tuple, hist.read().df.collect()))
+    assert got_hist == want_hist
+    want_kmv = sorted(r["h"] for r in kmv_sketch(df, "k", k=64).collect())
+    got_kmv = sorted(r["h"] for r in kmv.read().df.collect())
+    assert got_kmv == want_kmv
+
+    v_hist, v_kmv = hist.current_dir(), kmv.current_dir()
+    run("ckpt2")  # same batch ids 0..2 — every commit must be skipped
+    assert hist.current_dir() == v_hist and kmv.current_dir() == v_kmv
+    assert sorted(map(tuple, hist.read().df.collect())) == want_hist

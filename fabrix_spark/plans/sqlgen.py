@@ -60,7 +60,27 @@ Quoter = Callable[[str], str]
 # dialect -> identifier quote char (the reference's statement! macro
 # switches sea-query backends per dialect the same way; MySQL quotes
 # with backticks, Postgres/SQLite with double quotes)
-_QUOTE = {"ansi": '"', "postgres": '"', "sqlite": '"', "mysql": "`", "duckdb": '"'}
+_QUOTE = {"ansi": '"', "postgres": '"', "sqlite": '"', "mysql": "`", "duckdb": '"', "derby": '"'}
+
+
+def _render_limit_offset(limit: "int | None", offset: "int | None", dialect: str) -> str:
+    """Row-limit clause per dialect. Derby (and the actual SQL
+    standard) has no LIMIT keyword — it takes ``OFFSET n ROWS FETCH
+    NEXT m ROWS ONLY``, in that order; everything else takes
+    ``LIMIT m OFFSET n``. Centralized so every rendering site (plain
+    Select, QUALIFY wrap, Compound) agrees."""
+    s = ""
+    if dialect == "derby":
+        if offset is not None:
+            s += f" OFFSET {offset} ROWS"
+        if limit is not None:
+            s += f" FETCH NEXT {limit} ROWS ONLY"
+        return s
+    if limit is not None:
+        s += f" LIMIT {limit}"
+    if offset is not None:
+        s += f" OFFSET {offset}"
+    return s
 
 
 def _quoter(dialect: str) -> Quoter:
@@ -290,10 +310,7 @@ def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str
             sql += " ORDER BY " + ", ".join(
                 f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order
             )
-        if sel.limit is not None:
-            sql += f" LIMIT {sel.limit}"
-        if sel.offset is not None:
-            sql += f" OFFSET {sel.offset}"
+        sql += _render_limit_offset(sel.limit, sel.offset, dialect)
         return sql
     cols = ", ".join(_render_column(c, quote) for c in sel.columns) if sel.columns else "*"
     dkw = "DISTINCT " if sel.distinct else ""
@@ -331,10 +348,7 @@ def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str
         sql += " ORDER BY " + ", ".join(
             f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in sel.order
         )
-    if sel.limit is not None:
-        sql += f" LIMIT {sel.limit}"
-    if sel.offset is not None:
-        sql += f" OFFSET {sel.offset}"
+    sql += _render_limit_offset(sel.limit, sel.offset, dialect)
     return sql
 
 
@@ -350,18 +364,26 @@ _COMPOUND_SQL = {
 
 def render_compound(cp, dialect: str = "ansi") -> str:
     """Compound -> SQL: parenthesized operands chained with the set-op
-    keyword (left-assoc), ORDER/LIMIT/OFFSET on the whole."""
+    keyword (left-assoc), ORDER/LIMIT/OFFSET on the whole. Derby does
+    not accept parenthesized set-op operands, and also forbids
+    ORDER BY / row limits inside them — bare chaining is unambiguous
+    there, so its operands render unwrapped."""
     quote = _quoter(dialect)
     kw = _COMPOUND_SQL[cp.op]
-    sql = f" {kw} ".join(f"({render_select(s, dialect)})" for s in cp.selects)
+    if dialect == "derby":
+        for s in cp.selects:
+            if s.order or s.limit is not None or s.offset is not None:
+                raise ValueError(
+                    "derby compound operands cannot carry order/limit/offset"
+                )
+        sql = f" {kw} ".join(render_select(s, dialect) for s in cp.selects)
+    else:
+        sql = f" {kw} ".join(f"({render_select(s, dialect)})" for s in cp.selects)
     if cp.order:
         sql += " ORDER BY " + ", ".join(
             f"{quote(o.col)} {'DESC' if o.desc else 'ASC'}" for o in cp.order
         )
-    if cp.limit is not None:
-        sql += f" LIMIT {cp.limit}"
-    if cp.offset is not None:
-        sql += f" OFFSET {cp.offset}"
+    sql += _render_limit_offset(cp.limit, cp.offset, dialect)
     return sql
 
 

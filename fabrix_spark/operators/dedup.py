@@ -431,21 +431,56 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
+    salt: int | None = None,
 ) -> DataFrame:
     """Band the signature (``bands`` bands of ``n_hashes/bands`` rows),
     bucket-join docs sharing a band. This is THE scale move: the
     shuffle is on (band_idx, band_key) and only same-bucket docs pair
-    up. Returns distinct (id_a < id_b)."""
+    up. Returns distinct (id_a < id_b).
+
+    ``salt`` (opt-in) hardens the one adversarial shape the bucket
+    join has: a pathologically hot bucket (a near-identical corpus
+    collapses whole copies into ONE (band, key)), whose B² pair
+    generation lands on a single task. AQE's skew-join CANNOT split it
+    — a self-join's hot bucket is skewed on BOTH sides, which
+    OptimizeSkewedJoin explicitly refuses — so the fix is a salted
+    self-join: each row gets a deterministic chunk ``hash(id) % salt``;
+    the probe side replicates once per chunk value and the join key
+    becomes (band, key, chunk), so the hot bucket's work spreads over
+    ``salt`` tasks (each B·B/salt comparisons) while every qualifying
+    pair still meets exactly once. Cost on benign corpora: a
+    ``salt``-way replication of one side of the (narrow) banded rows —
+    leave it None unless bucket-size skew is expected or measured."""
     banded = _banded(signatures, n_hashes, bands, id_col)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
+    if salt is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cond = (
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
         )
+    else:
+        if salt < 2:
+            raise ValueError("salt must be >= 2 (or None to disable)")
+        chunked = banded.withColumn(
+            "__c", F.pmod(F.xxhash64(F.col("__id")), F.lit(salt)).cast("int")
+        )
+        probes = chunked.crossJoin(
+            F.broadcast(
+                signatures.sparkSession.range(salt).select(F.col("id").cast("int").alias("__t"))
+            )
+        )
+        a = probes.alias("a")
+        b = chunked.alias("b")
+        cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__t") == F.col("b.__c"))
+            & (F.col("a.__id") < F.col("b.__id"))
+        )
+    return (
+        a.join(b, cond)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
@@ -459,9 +494,12 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
-    candidates → exact-Jaccard verification of candidates only."""
+    candidates → exact-Jaccard verification of candidates only.
+    ``salt`` passes through to :func:`lsh_candidate_pairs` (hot-bucket
+    hardening for near-identical corpora)."""
     sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
     # materialize the (narrow) signature table too: the banded
     # self-join otherwise recomputes the signature expressions on both
@@ -470,7 +508,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(
         df, n_hashes, shingle_size, text_col, id_col, sets=sets
     ).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col, salt=salt)
     return _verify_jaccard(sets, cands, threshold)
 
 

@@ -408,3 +408,35 @@ def test_semantic_prune_plan_shape(spark):
     assert len(re.findall(r"hashpartitioning\(centroid_id", plan)) == 1
     assert "Join" not in plan                       # fully fused: no join
     assert plan.count("Exchange") == 1              # the one required shuffle
+
+
+def test_lsh_salted_hot_bucket(spark):
+    """r9 hot-bucket hardening: a near-identical corpus collapses into
+    one LSH bucket per band, and AQE's skew-join cannot split it (a
+    self-join's hot partition is skewed on BOTH sides, which
+    OptimizeSkewedJoin refuses). lsh_candidate_pairs(salt=s) spreads
+    the bucket's B^2 pair generation over s tasks via a chunked salted
+    self-join. Pins: (a) the salted pair set is IDENTICAL to the
+    unsalted one on a hot corpus, (b) the join's shuffle key carries
+    the chunk column, so the hot bucket keys are actually split."""
+    from fabrix_spark.operators import dedup
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog again and again "),
+            (F.col("id") % 2).cast("string"),
+        ).alias("text"),
+    )
+    sigs = dedup.minhash_signatures(docs, 16, 3, "text", "doc_id").localCheckpoint()
+    plain = dedup.lsh_candidate_pairs(sigs, 16, 4, "doc_id")
+    salted = dedup.lsh_candidate_pairs(sigs, 16, 4, "doc_id", salt=8)
+    got = sorted(map(tuple, salted.collect()))
+    assert got == sorted(map(tuple, plain.collect()))
+    assert len(got) == 2 * (200 * 199 // 2)  # two all-pairs groups
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__c" in plan and "__t" in plan  # chunk is part of the join key
+    # end-to-end parity through the full pipeline
+    a = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    b = dedup.minhash_dedup_pairs(docs, threshold=0.5, salt=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -152,9 +152,15 @@ def jaccard_pairs(
       on the common-hash count (obtained free from the pair aggregate)
       prunes candidates to near-final pairs before the string-set
       verify. Fastest exact path on ordinary corpora (measured 4-5×
-      faster than 'prefix' at sf0.1); its weakness is a quadratic
-      blowup on pathologically hot shingles — switch to 'prefix' when
-      shingle document-frequency is heavy-tailed.
+      faster than 'prefix' at sf0.1, and still ~3.4× faster at 30×
+      with tail exponent 0.88 — BENCH_NOTES r9); its weakness is a
+      quadratic blowup on pathologically hot shingles. Default-switch
+      rule (measured, not scale-dependent: the crossover is governed
+      by shingle document-frequency, never corpus size): stay
+      'inverted' unless max_df² > 10 · Σ|set| — i.e. the single
+      hottest shingle's pair term exceeds 10× the linear scan term
+      (one cheap aggregate over the exploded shingles to check) —
+      then switch to 'prefix'.
     * ``method='prefix'`` (EXACT, hot-shingle-robust): AllPairs-style
       prefix filtering (public algorithm: Bayardo et al., WWW'07).
       Each doc's shingle hashes are sorted by global rarity

@@ -47,6 +47,9 @@ from fabrix_spark import queries as _q  # noqa: E402
 _VERIFY_FIRST = [
     # new in round 9 (appended as they land)
     "stream_profile_replay",
+    "prof_psi_drift",
+    "gr_label_propagation",
+    "sim_range_search",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_undirected", "pagerank", "triangle_counts"]
+__all__ = ["to_undirected", "pagerank", "triangle_counts", "min_label_propagation"]
 
 
 def to_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -227,3 +227,42 @@ def triangle_counts(
         .unionAll(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def min_label_propagation(
+    edges: DataFrame, iters: int = 3, checkpoint: bool = True
+) -> DataFrame:
+    """Synchronous min-label propagation over an undirected graph:
+    every node starts labeled with its own id, and each round sets
+    label(v) = min(label(v), min over neighbors of their previous
+    label). Run to convergence this is connected components; a FIXED
+    iteration count is the community/cluster seeding pass (labels have
+    traveled at most ``iters`` hops, so it is also a deterministic,
+    oracle-able intermediate — the same reason the PageRank query pins
+    its iteration count).
+
+    Per round: ONE shuffle (the message aggregate on the receiving
+    node); the edge list is reused unchanged so its partitioning is
+    stable, and ``checkpoint`` truncates the growing lineage each
+    round (the iterative-algorithm hygiene every Pregel-style loop on
+    Spark needs). Returns (node, label)."""
+    sym = to_undirected(edges).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    for _ in range(iters):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -602,3 +602,56 @@ def correlation(
         * (d("n") * d("syy") - d("sy") * d("sy"))
     )
     return agg.select(*by, "n", (num / den).alias("pearson_r"))
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, bin_col: str) -> DataFrame:
+    """Population Stability Index between two cohorts over a shared
+    binning — THE production drift check (did this feature's
+    distribution move between training and serving / yesterday and
+    today?). Standard rule of thumb: PSI < 0.1 stable, 0.1–0.25
+    drifting, > 0.25 shifted.
+
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over add-one-smoothed
+    proportions (smoothing makes empty bins finite AND deterministic —
+    no epsilon tuning). Per-bin terms quantize to int64 micro-nats
+    (the t_lm_score recipe): ln over exactly-representable integer
+    products, one rounding per bin, so the sum is order-free and the
+    result hash-verifies cross-engine.
+
+    Plan: one count aggregate per cohort (map-side combined), a
+    full-outer join of two bin-sized tables, one broadcast of the
+    2-value totals row — everything after the first aggregates is
+    metadata-sized, at any corpus scale. Returns one row per bin:
+    (bin, n_a, n_b, psi_term_micro); the index itself is
+    sum(psi_term_micro)/1e6."""
+    a = df_a.filter(F.col(bin_col).isNotNull()).groupBy(
+        F.col(bin_col).alias("bin")
+    ).agg(F.count("*").alias("n_a"))
+    b = df_b.filter(F.col(bin_col).isNotNull()).groupBy(
+        F.col(bin_col).alias("bin")
+    ).agg(F.count("*").alias("n_b"))
+    j = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        )
+    )
+    totals = j.agg(
+        F.sum(F.col("n_a") + 1).alias("__ta"), F.sum(F.col("n_b") + 1).alias("__tb")
+    )
+    sa = (F.col("n_a") + 1).cast("double")
+    sb = (F.col("n_b") + 1).cast("double")
+    ta = F.col("__ta").cast("double")
+    tb = F.col("__tb").cast("double")
+    term = (sa / ta - sb / tb) * (F.log(sa * tb) - F.log(sb * ta))
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(term * F.lit(1000000.0)).cast("long").alias("psi_term_micro"),
+        )
+    )

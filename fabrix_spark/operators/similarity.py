@@ -20,6 +20,7 @@ from .util import spread
 
 __all__ = [
     "cosine_topk",
+    "cosine_range_search",
     "cosine_topk_blocked",
     "plane_sign",
     "plane_signs",
@@ -109,6 +110,62 @@ def cosine_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    quantize: int | None = 1_000_000,
+) -> DataFrame:
+    """Cosine RANGE search: every corpus vector within ``threshold``
+    of each query — the radius-query complement of :func:`cosine_topk`
+    (recall-critical jobs want "everything at least this similar", not
+    a fixed k: decontamination sweeps, near-dup audits, RAG retrieval
+    cutoffs).
+
+    Scale shape: strictly better than top-k — the broadcast-hash join
+    against the (small) query side plus a per-row threshold filter is
+    MAP-ONLY: no window, no shuffle, nothing ranked, so the corpus
+    scan parallelizes perfectly and output size is bounded by how much
+    actually matches. With ``quantize`` set, dots/norms are exact
+    int64 so results reproduce bitwise on any engine."""
+    query_id_col = query_id_col or id_col
+    if quantize:
+        cvec = _quantized(F.col(vec_col), quantize)
+        integer = True
+    else:
+        cvec = _as_double(F.col(vec_col))
+        integer = False
+    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    c = (
+        spread(corpus)
+        .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
+        .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
+        .withColumn("__one", one("c_id"))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
+        .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
+        .withColumn("__one", one("q_id"))
+    )
+    return (
+        c.join(F.broadcast(q), "__one")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"), integer)
+                / F.sqrt(F.col("c_n2").cast("double") * F.col("q_n2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def cosine_topk_blocked(

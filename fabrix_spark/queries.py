@@ -6679,6 +6679,133 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
 
 
+@register(
+    "prof_psi_drift",
+    oracle="""
+WITH a AS (
+  SELECT lang AS bin, count(*) AS n_a FROM documents
+  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT lang AS bin, count(*) AS n_b FROM documents
+  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.bin, b.bin) AS bin,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.bin = b.bin
+),
+t AS (SELECT sum(n_a + 1) AS ta, sum(n_b + 1) AS tb FROM j)
+SELECT j.bin, CAST(j.n_a AS BIGINT) AS n_a, CAST(j.n_b AS BIGINT) AS n_b,
+       CAST(round((( (j.n_a + 1) / CAST(t.ta AS DOUBLE))
+                   - ((j.n_b + 1) / CAST(t.tb AS DOUBLE)))
+                  * (ln((j.n_a + 1) * CAST(t.tb AS DOUBLE))
+                     - ln((j.n_b + 1) * CAST(t.ta AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS psi_term_micro
+FROM j CROSS JOIN t
+""",
+)
+def prof_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two document cohorts (even
+    vs odd doc_id) over the language binning — the production drift
+    check (training-vs-serving / day-over-day distribution movement).
+    Add-one smoothing keeps empty bins finite and deterministic;
+    per-bin terms quantize to int64 micro-nats (the t_lm_score
+    recipe) so the index hash-verifies cross-engine. Plan: one count
+    aggregate per cohort, then metadata-sized joins only."""
+    from .operators.profile import psi_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return psi_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+@register(
+    "gr_label_propagation",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+n AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS label FROM n),
+l1 AS (
+  SELECT m.node, min(m.label) AS label FROM (
+    SELECT node, label FROM l0
+    UNION ALL
+    SELECT sym.src AS node, l.label FROM sym JOIN l0 l ON l.node = sym.dst
+  ) m GROUP BY m.node
+),
+l2 AS (
+  SELECT m.node, min(m.label) AS label FROM (
+    SELECT node, label FROM l1
+    UNION ALL
+    SELECT sym.src AS node, l.label FROM sym JOIN l1 l ON l.node = sym.dst
+  ) m GROUP BY m.node
+),
+l3 AS (
+  SELECT m.node, min(m.label) AS label FROM (
+    SELECT node, label FROM l2
+    UNION ALL
+    SELECT sym.src AS node, l.label FROM sym JOIN l2 l ON l.node = sym.dst
+  ) m GROUP BY m.node
+)
+SELECT node, label FROM l3
+""",
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation (3 rounds) over the supplier
+    co-purchase graph — the Pregel-style community/component seeding
+    pass: every node adopts the smallest label within 3 hops. One
+    shuffle per round over (node, label) pairs; lineage truncated per
+    round. The fixed iteration count makes the intermediate exactly
+    oracle-able (the gr_pagerank_* contract)."""
+    from .operators.graph import min_label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.o2)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return min_label_propagation(pairs, iters=3)
+
+
+@register(
+    "sim_range_search",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q)
+SELECT qs.vec_id AS q_id, cs.vec_id AS c_id,
+       round(list_sum(list_transform(range(1, len(cs.v) + 1), i -> cs.v[i] * qs.v[i]))
+             / sqrt(CAST(cs.n2 AS DOUBLE) * CAST(qs.n2 AS DOUBLE)), 6) AS cosine
+FROM n cs, n qs
+WHERE qs.vec_id < 8 AND cs.vec_id <> qs.vec_id
+  AND round(list_sum(list_transform(range(1, len(cs.v) + 1), i -> cs.v[i] * qs.v[i]))
+            / sqrt(CAST(cs.n2 AS DOUBLE) * CAST(qs.n2 AS DOUBLE)), 6) >= 0.2
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: everything within the similarity radius of
+    each query — the recall-critical complement of top-k
+    (decontamination sweeps, near-dup audits, retrieval cutoffs).
+    Map-only plan: broadcast the query side, threshold-filter per row —
+    no window, no shuffle, perfectly parallel corpus scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_range_search(emb, queries, threshold=0.2)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

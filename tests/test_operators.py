@@ -1754,3 +1754,61 @@ def test_triangle_counts_known_graphs(spark):
     )
     out2 = {r["node"]: r["n_triangles"] for r in triangle_counts(dup).collect()}
     assert out2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """PSI over identical cohorts is exactly 0 in every bin; a shifted
+    cohort produces a positive index; empty bins stay finite via
+    add-one smoothing (both directions)."""
+    from fabrix_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "bin string")
+    same = psi_drift(a, a, "bin").collect()
+    assert all(r["psi_term_micro"] == 0 for r in same)
+
+    b = spark.createDataFrame([("x",)] * 90 + [("z",)] * 10, "bin string")
+    rows = {r["bin"]: r for r in psi_drift(a, b, "bin").collect()}
+    assert set(rows) == {"x", "y", "z"}  # union of bins, zero-filled
+    assert rows["y"]["n_b"] == 0 and rows["z"]["n_a"] == 0
+    psi = sum(r["psi_term_micro"] for r in rows.values()) / 1e6
+    assert psi > 0.25  # a half-mass swap is a major shift
+
+
+def test_min_label_propagation_converges_to_components(spark):
+    """With enough rounds min-label propagation IS connected
+    components (every node gets its component's min id); fewer rounds
+    bound label travel to that many hops."""
+    from fabrix_spark.operators.graph import min_label_propagation
+
+    # two components: a 4-chain {1-2-3-4} and a triangle {10,11,12}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    done = {r["node"]: r["label"] for r in min_label_propagation(edges, iters=3).collect()}
+    assert done == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # one round: label 1 has only reached node 2 (one hop)
+    one = {r["node"]: r["label"] for r in min_label_propagation(edges, iters=1).collect()}
+    assert one[2] == 1 and one[3] == 2 and one[4] == 3
+
+
+def test_cosine_range_search_matches_topk_scores(spark):
+    """Range search returns exactly the pairs cosine_topk scores at or
+    above the radius (same quantized math), with a shuffle-free plan."""
+    from fabrix_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 4)
+    rng = similarity.cosine_range_search(emb, qs, threshold=0.3)
+    got = sorted(map(tuple, rng.collect()))
+    big_k = similarity.cosine_topk(emb, qs, k=10**6).drop("rank")
+    want = sorted(
+        map(tuple, big_k.filter(F.col("cosine") >= 0.3).collect())
+    )
+    assert got == want and got
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    # no ranking window and no keyed shuffle — the only exchanges are
+    # the broadcast of the query side and spread()'s round-robin
+    # re-split of the small scan (parallelism, not data movement by key)
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan

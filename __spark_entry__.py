@@ -50,6 +50,8 @@ _VERIFY_FIRST = [
     "prof_psi_drift",
     "gr_label_propagation",
     "sim_range_search",
+    "e_markov_transitions",
+    "prof_entropy",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

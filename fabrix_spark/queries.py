@@ -6806,6 +6806,82 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_range_search(emb, queries, threshold=0.2)
 
 
+@register(
+    "e_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+FROM c JOIN t USING (from_type)
+""",
+)
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model of user behavior: per-user
+    event sequences (ordered by ts, tie-broken by event_id for
+    determinism) → (from_type, to_type) counts and row-normalized
+    transition probabilities. One window shuffle on user_id + one
+    count aggregate over a |types|²-sized table; the probability is a
+    single int/int division, emitted UNROUNDED (identical IEEE doubles
+    both engines — the rank-ratio lesson)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    s = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type", "to_type", "n", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+
+
+@register(
+    "prof_entropy",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+SELECT c.lang, c.cnt,
+       CAST(round((c.cnt / CAST(t.n AS DOUBLE))
+                  * (ln(CAST(t.n AS DOUBLE)) - ln(CAST(c.cnt AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS entropy_term_micro
+FROM c CROSS JOIN t
+""",
+)
+def prof_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of a categorical column (documents.lang) —
+    column-profiling's concentration measure (is this column all one
+    value, or uniform?). Per-value terms p·ln(1/p) quantize to int64
+    micro-nats over exactly-representable integer inputs, so the
+    entropy (sum of terms / 1e6) hash-verifies cross-engine. One
+    map-side-combined count aggregate; everything after is
+    value-cardinality-sized."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    c = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("__n"))
+    p = F.col("cnt").cast("double") / F.col("__n").cast("double")
+    term = p * (F.log(F.col("__n").cast("double")) - F.log(F.col("cnt").cast("double")))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "cnt",
+        F.round(term * F.lit(1000000.0)).cast("long").alias("entropy_term_micro"),
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

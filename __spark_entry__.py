@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "sim_range_search",
     "e_markov_transitions",
     "prof_entropy",
+    "stream_hh_replay",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

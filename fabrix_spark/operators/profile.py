@@ -655,3 +655,29 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, bin_col: str) -> DataFrame:
             F.round(term * F.lit(1000000.0)).cast("long").alias("psi_term_micro"),
         )
     )
+
+
+def mg_compress(counters: DataFrame, k: int) -> DataFrame:
+    """Compress an (item, cnt) counter table to ≤ k counters by the
+    Misra-Gries MERGE rule (public mergeable-summaries result, Agarwal
+    et al.): subtract the (k+1)-th largest count from every counter
+    and drop the non-positive ones. The output is a valid MG summary
+    of whatever the input summarized — counts only ever UNDER-count,
+    and the total subtraction across any merge sequence is bounded by
+    n/(k+1). Deterministic: rank ties break on item. The input is
+    summary-sized by contract (≤ 2k rows in the streaming fold), so
+    the single-partition ranking window is metadata-sized."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    ranked = counters.withColumn("__r", F.row_number().over(w))
+    t = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__r") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("__t")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .filter(F.col("cnt") - F.col("__t") > 0)
+        .select("item", (F.col("cnt") - F.col("__t")).alias("cnt"))
+    )

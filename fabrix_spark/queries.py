@@ -6882,6 +6882,69 @@ def prof_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_hh_replay",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+  FROM documents
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT item, CAST(count(*) AS BIGINT) AS cnt
+FROM toks CROSS JOIN t
+GROUP BY item, n
+HAVING count(*) >= ceil(n * 0.002)
+""",
+)
+def stream_hh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters end to end: document token streams fold
+    per micro-batch into a lake-persisted k-counter Misra-Gries
+    summary (k = 500 = 1/φ, so every φ-heavy item of ALL streamed data
+    survives the merge sequence — the mergeable-summaries guarantee),
+    then ONE exact verify pass counts only the ≤ k candidates and
+    thresholds against the maintained running total. The output is
+    exact and identical to the batch heavy-hitter query, so it
+    oracle-checks against plain GROUP BY/HAVING — the summary is never
+    more than k rows and the stream history is never re-aggregated."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_json, stream_maintain_heavy_hitters
+
+    root = tempfile.mkdtemp(prefix="fabrix_shh_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _t(spark, sf_dir, "documents").select("doc_id", "text").coalesce(3).write.mode(
+        "overwrite"
+    ).json(src)
+    summary = LakeTable(spark, os.path.join(root, "hh"), index="item", retain=3)
+    docs_stream = read_stream_json(spark, src, schema="doc_id long, text string",
+                                   max_files_per_trigger=1)
+    toks = docs_stream.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("item")
+    )
+    q = stream_maintain_heavy_hitters(
+        toks, summary, "item", checkpoint=os.path.join(root, "ckpt"), k=500
+    )
+    q.awaitTermination(300)
+    n_total = next(
+        int(h["n_total"]) for h in summary.history() if h.get("live")
+    )
+    cand = summary.read().df.select("item")
+    all_toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return (
+        all_toks.join(F.broadcast(cand), F.col("tok") == F.col("item"), "left_semi")
+        .groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.ceil(F.lit(n_total) * F.lit(0.002)))
+        .select("item", "cnt")
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -43,6 +43,7 @@ __all__ = [
     "run_available_now",
     "stream_maintain_aggregate",
     "stream_maintain_profile",
+    "stream_maintain_heavy_hitters",
 ]
 
 # the driver's events table shape (TESTDATA.md), ts as NTZ micros
@@ -629,6 +630,74 @@ def stream_maintain_profile(
                 kmv_table.save(folded, "replace", commit_extra=extra)
             else:
                 kmv_table.save(partial, "replace", commit_extra=extra)
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_maintain_heavy_hitters(
+    stream: DataFrame,
+    summary_table,
+    item_col: str,
+    checkpoint: str,
+    k: int = 500,
+) -> StreamingQuery:
+    """STREAMING Misra-Gries maintenance — the third mergeable sketch
+    fold (with :func:`stream_maintain_profile`'s histogram and KMV):
+    each micro-batch's exact item counts compress to a k-counter MG
+    summary, merge into the lake-persisted summary by count sum, and
+    re-compress to k (the mergeable-summaries MERGE — see
+    ``profile.mg_compress``). The maintained table is therefore ≤ k
+    rows forever, per-batch work is one count aggregate over the batch
+    plus metadata-sized merges, and the MG guarantee survives merging:
+    counts only under-count, total error ≤ n/(k+1), so every item with
+    frequency > n/(k+1) of ALL data ever streamed is present — the
+    candidate superset an exact verify pass needs.
+
+    Exactly-once under at-least-once delivery: commits stamp the
+    micro-batch id (replays skip) AND carry the running total row
+    count ``n_total`` in the commit info, so the threshold for a
+    φ-heavy query needs no re-scan of the stream history."""
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import mg_compress
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        hist = summary_table.history() if summary_table.exists() else []
+        if any(h.get("batch_id") == bid for h in hist):
+            return
+        # history is oldest -> newest; the LIVE version carries the
+        # running total
+        prev_total = 0
+        for h in hist:
+            if h.get("live") and h.get("n_total") is not None:
+                prev_total = int(h["n_total"])
+        rows = batch.filter(F.col(item_col).isNotNull())
+        n_batch = rows.count()
+        partial = mg_compress(
+            rows.groupBy(F.col(item_col).alias("item")).agg(
+                F.count("*").alias("cnt")
+            ),
+            k,
+        )
+        if summary_table.exists():
+            merged = mg_compress(
+                summary_table.read().df.unionByName(partial)
+                .groupBy("item")
+                .agg(F.sum("cnt").alias("cnt")),
+                k,
+            )
+        else:
+            merged = partial
+        summary_table.save(
+            merged,
+            "replace",
+            commit_extra={"batch_id": bid, "n_total": prev_total + n_batch},
+        )
 
     return (
         stream.writeStream.foreachBatch(_consume)

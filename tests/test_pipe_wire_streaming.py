@@ -1093,3 +1093,49 @@ def test_stream_maintain_profile_fold_matches_batch_and_replay_noop(spark, tmp_p
     run("ckpt2")  # same batch ids 0..2 — every commit must be skipped
     assert hist.current_dir() == v_hist and kmv.current_dir() == v_kmv
     assert sorted(map(tuple, hist.read().df.collect())) == want_hist
+
+
+def test_stream_maintain_heavy_hitters_guarantee_and_replay(spark, tmp_path):
+    """Streamed MG maintenance holds the mergeable-summaries contract
+    regardless of batching: summary ≤ k rows, counts only UNDER-count
+    the truth, total undercount ≤ n/(k+1), every item with true
+    frequency > n/(k+1) present; running total is carried in commit
+    info; replaying the same batch ids is a no-op."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_maintain_heavy_hitters
+
+    # skewed domain: item 'h0' hot, long tail
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("h0"))
+        .when(F.col("id") % 3 == 1, F.concat(F.lit("m"), (F.col("id") % 20).cast("string")))
+        .otherwise(F.concat(F.lit("t"), F.col("id").cast("string")))
+        .alias("item")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(4).write.mode("overwrite").json(src)
+    hh = LakeTable(spark, str(tmp_path / "hh"), index="item", retain=8)
+    k = 25
+
+    def run(ckpt):
+        q = stream_maintain_heavy_hitters(
+            read_stream_json(spark, src, schema="item string", max_files_per_trigger=1),
+            hh, "item", checkpoint=str(tmp_path / ckpt), k=k,
+        )
+        q.awaitTermination(120)
+
+    run("c1")
+    got = {r["item"]: r["cnt"] for r in hh.read().df.collect()}
+    true = {r["item"]: r["cnt"] for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(true.values())
+    assert len(got) <= k
+    assert all(got[i] <= true[i] for i in got)  # never over-counts
+    assert all(true[i] - got[i] <= n / (k + 1) for i in got)
+    heavy = {i for i, c in true.items() if c > n / (k + 1)}
+    assert heavy <= set(got)  # no heavy item ever lost
+    n_total = next(int(h["n_total"]) for h in hh.history() if h.get("live"))
+    assert n_total == n == 3000
+    cur = hh.current_dir()
+    run("c2")  # same batch ids — all commits skipped
+    assert hh.current_dir() == cur

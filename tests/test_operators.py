@@ -1812,3 +1812,42 @@ def test_cosine_range_search_matches_topk_scores(spark):
     assert "Window" not in plan
     assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_psi_drift_quantization_parity_fuzz(spark):
+    """Differential fuzz of the micro-nat quantization recipe: for
+    random count tables, psi_drift's per-bin int64 terms equal DuckDB
+    computing the identical expression — pinning that round(x*1e6)
+    and ln() over exactly-representable integer products agree
+    cross-engine (the recipe every micro-nat query relies on)."""
+    import random
+
+    import duckdb
+
+    from fabrix_spark.operators.profile import psi_drift
+
+    rng = random.Random(7)
+    for _ in range(6):
+        nb = rng.randint(1, 6)
+        bins = [f"b{i}" for i in range(nb)]
+        rows_a = [(b,) for b in bins for _ in range(rng.randint(0, 40))] or [("b0",)]
+        rows_b = [(b,) for b in bins for _ in range(rng.randint(0, 40))] or [("b0",)]
+        a = spark.createDataFrame(rows_a, "bin string")
+        b = spark.createDataFrame(rows_b, "bin string")
+        got = {r["bin"]: (r["n_a"], r["n_b"], r["psi_term_micro"])
+               for r in psi_drift(a, b, "bin").collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ta(bin VARCHAR); CREATE TABLE tb(bin VARCHAR)")
+        con.executemany("INSERT INTO ta VALUES (?)", rows_a)
+        con.executemany("INSERT INTO tb VALUES (?)", rows_b)
+        want = {r[0]: (r[1], r[2], r[3]) for r in con.execute("""
+WITH a AS (SELECT bin, count(*) AS n_a FROM ta GROUP BY 1),
+b AS (SELECT bin, count(*) AS n_b FROM tb GROUP BY 1),
+j AS (SELECT coalesce(a.bin, b.bin) AS bin, coalesce(n_a,0) AS n_a, coalesce(n_b,0) AS n_b
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+t AS (SELECT sum(n_a+1) AS ta, sum(n_b+1) AS tb FROM j)
+SELECT j.bin, CAST(j.n_a AS BIGINT), CAST(j.n_b AS BIGINT),
+       CAST(round((((j.n_a+1)/CAST(t.ta AS DOUBLE)) - ((j.n_b+1)/CAST(t.tb AS DOUBLE)))
+            * (ln((j.n_a+1)*CAST(t.tb AS DOUBLE)) - ln((j.n_b+1)*CAST(t.ta AS DOUBLE))) * 1000000) AS BIGINT)
+FROM j CROSS JOIN t""").fetchall()}
+        assert got == want

@@ -160,7 +160,8 @@ def jaccard_pairs(
       'inverted' unless max_df² > 10 · Σ|set| — i.e. the single
       hottest shingle's pair term exceeds 10× the linear scan term
       (one cheap aggregate over the exploded shingles to check) —
-      then switch to 'prefix'.
+      then switch to 'prefix'. ``method='auto'`` applies exactly this
+      rule (costs the one aggregate job up front).
     * ``method='prefix'`` (EXACT, hot-shingle-robust): AllPairs-style
       prefix filtering (public algorithm: Bayardo et al., WWW'07).
       Each doc's shingle hashes are sorted by global rarity
@@ -197,6 +198,8 @@ def jaccard_pairs(
     # (measured at sf0.1)
     sh_sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
 
+    if candidates is None and method == "auto":
+        method = _choose_exact_method(sh_sets)
     if candidates is None and method == "lsh":
         sigs = minhash_signatures(df, n_hashes, shingle_size, text_col, id_col, sets=sh_sets)
         candidates = lsh_candidate_pairs(sigs, n_hashes, bands, id_col)
@@ -348,6 +351,26 @@ def _prefix_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+
+
+def _choose_exact_method(sh_sets: DataFrame) -> str:
+    """The documented inverted-vs-prefix switch rule, operationalized
+    (BENCH_NOTES r9: the crossover is governed by shingle document
+    frequency, never corpus size): one cheap aggregate over the
+    already-materialized shingle sets computes the hot-shingle mass;
+    'prefix' wins when the single hottest shingle's quadratic
+    candidate term max_df² exceeds 10× the linear scan term Σ|set|.
+    Costs one metadata-result Spark job."""
+    stats = (
+        sh_sets.select(F.explode("__set").alias("__s"))
+        .groupBy("__s")
+        .agg(F.count("*").alias("__df"))
+        .agg(F.max("__df").alias("max_df"), F.sum("__df").alias("total"))
+        .collect()[0]
+    )
+    hot = stats["max_df"] or 0
+    total = stats["total"] or 0
+    return "prefix" if hot * hot > 10 * total else "inverted"
 
 
 def _verify_jaccard(sh_sets: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:

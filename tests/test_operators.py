@@ -1851,3 +1851,37 @@ SELECT j.bin, CAST(j.n_a AS BIGINT), CAST(j.n_b AS BIGINT),
             * (ln((j.n_a+1)*CAST(t.tb AS DOUBLE)) - ln((j.n_b+1)*CAST(t.ta AS DOUBLE))) * 1000000) AS BIGINT)
 FROM j CROSS JOIN t""").fetchall()}
         assert got == want
+
+
+def test_jaccard_auto_method_selection(spark):
+    """method='auto' applies the measured df-based switch rule: a
+    benign corpus picks the inverted index; a corpus dominated by one
+    hot shingle (every doc shares a boilerplate preamble) picks prefix
+    filtering. Both produce the exact pair set either way."""
+    from fabrix_spark.operators import dedup
+
+    benign = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    got_auto = sorted(map(tuple, dedup.jaccard_pairs(benign, threshold=0.2, method="auto").collect()))
+    got_inv = sorted(map(tuple, dedup.jaccard_pairs(benign, threshold=0.2).collect()))
+    assert got_auto == got_inv
+
+    # hot corpus: identical 6-token preamble in every doc -> the
+    # preamble shingles have df == n_docs, so max_df^2 >> 10 * sum(|set|)
+    hot = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service apply to everything here "),
+            F.col("id").cast("string"), F.lit(" unique tail "),
+            (F.col("id") * 7 % 13).cast("string"),
+        ).alias("text"),
+    )
+    a = sorted(map(tuple, dedup.jaccard_pairs(hot, threshold=0.5, method="auto").collect()))
+    b = sorted(map(tuple, dedup.jaccard_pairs(hot, threshold=0.5, method="prefix").collect()))
+    c = sorted(map(tuple, dedup.jaccard_pairs(hot, threshold=0.5).collect()))
+    assert a == b == c  # exact recall regardless of chosen path
+
+    # the decision itself, on each corpus's shingle sets
+    from fabrix_spark.operators.dedup import _choose_exact_method, _shingle_sets
+
+    assert _choose_exact_method(_shingle_sets(benign, "text", "doc_id", 3)) == "inverted"
+    assert _choose_exact_method(_shingle_sets(hot, "text", "doc_id", 3)) == "prefix"

@@ -237,6 +237,24 @@ def main() -> None:
             edges = part if edges is None else edges.unionByName(part)
         return pagerank(edges, iters=3, redistribute=True, checkpoint=True).count()
 
+    def op_label_prop(sf_dir, m):
+        # same m-isomorphic-copies graph as op_pagerank: |E| ∝ m,
+        # per-node degree constant — measures the per-round
+        # join+min-aggregate of the Pregel-style min-label loop
+        from fabrix_spark.operators.graph import min_label_propagation
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        base = F.floor(F.col("doc_id") / F.lit(STRIDE)) * F.lit(STRIDE)
+        local = F.col("doc_id") % F.lit(STRIDE)
+        edges = None
+        for a, b in ((37, 11), (101, 3), (7919, 1)):
+            part = docs.select(
+                F.col("doc_id").alias("src"),
+                (base + (local * a + b) % F.lit(5000)).alias("dst"),
+            )
+            edges = part if edges is None else edges.unionByName(part)
+        return min_label_propagation(edges, iters=3).count()
+
     def op_asof(sf_dir, m):
         # union + one (by, time) sort-window as-of at m× events; user
         # keys disjoint per copy so per-key window size is constant
@@ -281,6 +299,7 @@ def main() -> None:
         # r8: the two paths previously argued from plan shape only
         ("stream_admission (3 batches)", op_stream_admission, None),
         ("gr_pagerank (|E|=3m·docs)", op_pagerank, None),
+        ("gr_label_prop (|E|=3m·docs)", op_label_prop, None),
         ("tj_asof (m× events)", op_asof, None),
         # r8 late additions: bigram LM scoring (two count shuffles +
         # gram join) and MG heavy hitters (map-only candidates +

@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "e_markov_transitions",
     "prof_entropy",
     "stream_hh_replay",
+    "lake_compact_scan",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -6945,6 +6945,45 @@ def stream_hh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_compact_scan",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+)
+def lake_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end to end: documents land as a
+    many-small-files lake table (the streaming-append pathology —
+    40 splits), ``compact`` rewrites it into ~target-sized files
+    through the same atomic pointer commit as every other write, and
+    the compacted table must read back EXACTLY the source (the oracle
+    is plain SQL over the original parquet). Asserts the file count
+    actually shrank — a no-op rewrite would also pass the content
+    check."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable, compact
+
+    root = tempfile.mkdtemp(prefix="fabrix_cmp_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "t"), index="doc_id")
+    t.save(_t(spark, sf_dir, "documents").repartition(40), "replace")
+    before, after = compact(spark, t.path, target_file_mb=128)
+    assert after < before, (before, after)
+    return (
+        t.read()
+        .df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "prof_entropy",
     "stream_hh_replay",
     "lake_compact_scan",
+    "e_rfm_segments",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -6984,6 +6984,69 @@ def lake_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e_rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT max(ts) AS t_max FROM events),
+u AS (
+  SELECT user_id,
+         CAST(date_diff('second', max(ts), (SELECT t_max FROM anchor)) AS BIGINT)
+           AS recency_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_s, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_s ASC, user_id ASC) AS INTEGER) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS INTEGER) AS m_score
+FROM u
+""",
+)
+def e_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value scoring: per user
+    recency (seconds since their last event, anchored to the corpus
+    max timestamp so it is deterministic), frequency, monetary (value
+    summed in exact int cents), each quintile-scored with ntile(5)
+    under a fully deterministic (metric, user_id) order so the scores
+    hash-verify. One aggregate shuffle on user_id; the three ranking
+    windows run over the user-sized aggregate, not the event stream."""
+    e = _events(spark, sf_dir)
+    anchor = e.agg(F.max("ts").alias("__tmax"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp(F.col("__tmax")) - F.unix_timestamp(F.col("__last"))
+            ).alias("recency_s"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return u.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc()))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc()))
+        .alias("m_score"),
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "stream_hh_replay",
     "lake_compact_scan",
     "e_rfm_segments",
+    "pipeline_drift_monitor",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -7047,6 +7047,71 @@ def e_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_drift_monitor",
+    oracle="""
+WITH j AS (
+  SELECT lang AS bin,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS ch_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS ch_b
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+t AS (SELECT sum(n_a + 1) AS ta, sum(n_b + 1) AS tb FROM j)
+SELECT j.bin, j.n_a, j.n_b,
+       CAST(round((( (j.n_a + 1) / CAST(t.ta AS DOUBLE))
+                   - ((j.n_b + 1) / CAST(t.tb AS DOUBLE)))
+                  * (ln((j.n_a + 1) * CAST(t.tb AS DOUBLE))
+                     - ln((j.n_b + 1) * CAST(t.ta AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS psi_term_micro,
+       CASE WHEN j.n_a > 0 THEN CAST(j.ch_a AS DOUBLE) / j.n_a END AS mean_chars_a,
+       CASE WHEN j.n_b > 0 THEN CAST(j.ch_b AS DOUBLE) / j.n_b END AS mean_chars_b
+FROM j CROSS JOIN t
+""",
+)
+def pipeline_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort drift monitor as ONE fused plan: a single conditional
+    aggregate over the corpus computes per-language counts AND exact
+    int char sums for both cohorts simultaneously (one scan, one
+    shuffle), then metadata-sized arithmetic derives the PSI term
+    (micro-nat quantized) and per-cohort mean lengths (single int/int
+    divisions, unrounded). The composed form of prof_psi_drift + the
+    length profile — what a production data-quality dashboard
+    materializes per ingestion batch."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    even = F.col("doc_id") % 2 == 0
+    j = d.groupBy(F.col("lang").alias("bin")).agg(
+        F.sum(F.when(even, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(even, F.col("n_chars")).otherwise(0)).alias("ch_a"),
+        F.sum(F.when(~even, F.col("n_chars")).otherwise(0)).alias("ch_b"),
+    )
+    t = j.agg(
+        F.sum(F.col("n_a") + 1).alias("__ta"), F.sum(F.col("n_b") + 1).alias("__tb")
+    )
+    sa = (F.col("n_a") + 1).cast("double")
+    sb = (F.col("n_b") + 1).cast("double")
+    ta = F.col("__ta").cast("double")
+    tb = F.col("__tb").cast("double")
+    term = (sa / ta - sb / tb) * (F.log(sa * tb) - F.log(sb * ta))
+    return (
+        j.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(term * F.lit(1000000.0)).cast("long").alias("psi_term_micro"),
+            F.when(
+                F.col("n_a") > 0, F.col("ch_a").cast("double") / F.col("n_a")
+            ).alias("mean_chars_a"),
+            F.when(
+                F.col("n_b") > 0, F.col("ch_b").cast("double") / F.col("n_b")
+            ).alias("mean_chars_b"),
+        )
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "lake_compact_scan",
     "e_rfm_segments",
     "pipeline_drift_monitor",
+    "adt_string_fns",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -41,7 +41,11 @@ __all__ = [
 # Function names (sql_adt.rs:220-246). Aggregates fold under group_by;
 # scalars compile to row expressions.
 AGGREGATE_FNS = {"max", "min", "sum", "avg", "count", "count_distinct"}
-SCALAR_FNS = {"abs", "ifnull", "cast", "coalesce", "char_length", "lower", "upper", "round"}
+SCALAR_FNS = {
+    "abs", "ifnull", "cast", "coalesce", "char_length", "lower", "upper", "round",
+    # r9 extension — capability ≥ reference: portable string scalars
+    "trim", "substr", "replace",
+}
 # Window functions (r8, capability ≥ reference — its ADT stops at
 # aggregates; the engine's w_* query family gets a serializable form):
 # ranking fns take no operand; lag/lead take (offset[, default]);

@@ -186,6 +186,18 @@ def _column_expr(c: Col | FnCol, alias: bool = True) -> Column:
         expr = F.upper(inner)
     elif fn == "round":
         expr = F.round(inner, int(c.args[0]) if c.args else 0)
+    elif fn == "trim":
+        expr = F.trim(inner)
+    elif fn == "substr":
+        # SQL substr semantics: 1-based start, optional length
+        start = int(c.args[0])
+        expr = (
+            F.substring(inner, start, int(c.args[1]))
+            if len(c.args) > 1
+            else inner.substr(F.lit(start), F.length(inner))
+        )
+    elif fn == "replace":
+        expr = F.replace(inner, F.lit(str(c.args[0])), F.lit(str(c.args[1])))
     else:  # pragma: no cover
         raise ValueError(f"unhandled function {fn!r}")
     return expr.alias(c.display_name()) if alias else expr

@@ -186,6 +186,15 @@ def _render_column(c: Col | FnCol, quote: Quoter, with_alias: bool = True) -> st
         s = f"CAST({inner} AS {c.args[0]})"
     elif fn == "round":
         s = f"round({inner}, {int(c.args[0]) if c.args else 0})"
+    elif fn == "trim":
+        s = f"trim({inner})"
+    elif fn == "substr":
+        if len(c.args) > 1:
+            s = f"substr({inner}, {int(c.args[0])}, {int(c.args[1])})"
+        else:
+            s = f"substr({inner}, {int(c.args[0])})"
+    elif fn == "replace":
+        s = f"replace({inner}, {render_value(str(c.args[0]))}, {render_value(str(c.args[1]))})"
     else:  # pragma: no cover
         raise ValueError(f"unhandled function {fn!r}")
     if with_alias:

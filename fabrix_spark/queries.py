@@ -7112,6 +7112,39 @@ def pipeline_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "adt_string_fns",
+    oracle="""
+SELECT c_custkey,
+       trim(c_mktsegment) AS seg,
+       substr(c_name, 1, 8) AS name8,
+       replace(c_name, '#', '-') AS name_dash,
+       substr(c_name, 10) AS name_tail
+FROM customer WHERE c_custkey <= 50
+""",
+)
+def adt_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 ADT scalar extension — trim / substr(start[, len]) /
+    replace as serializable FnCols, compiled on the Spark backend here
+    and rendered to the executed oracle SQL from the SAME Select
+    object (the executable-golden contract every adt_* query holds)."""
+    from .plans import Col, Cond, FnCol, ParquetDirProvider, Select, compile_select
+
+    sel = Select(
+        table="customer",
+        columns=[
+            Col("c_custkey"),
+            FnCol("trim", Col("c_mktsegment"), alias="seg"),
+            FnCol("substr", Col("c_name"), args=(1, 8), alias="name8"),
+            FnCol("replace", Col("c_name"), args=("#", "-"), alias="name_dash"),
+            FnCol("substr", Col("c_name"), args=(10,), alias="name_tail"),
+        ],
+        filter=[Cond("c_custkey", "le", 50)],
+    )
+    sel = Select.from_json(sel.to_json())
+    return compile_select(sel, ParquetDirProvider(spark, sf_dir))
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -254,6 +254,10 @@ def _selects(draw):
     columns = [Col(c) for c in draw(
         st.lists(st.sampled_from(NUM_COLS + STR_COLS), min_size=1, max_size=4, unique=True)
     )]
+    # r9: scalar-fn projections join the fuzz — trim/substr/replace/
+    # lower/upper/char_length/abs over the same corpus, each an
+    # executable golden test of compiler ⇄ sqlgen fn parity
+    columns += draw(st.lists(_scalar_fncols, max_size=2, unique_by=lambda f: f.alias))
     # deterministic total order so limit/offset slices agree
     order = [Order("c_custkey")] if draw(st.booleans()) else []
     return Select(
@@ -268,6 +272,25 @@ def _selects(draw):
         distinct=draw(st.booleans()) if not order else False,
     )
 
+
+
+# r9: scalar FnCol projection strategies (aliased so display names are
+# deterministic and unique per draw)
+_scalar_fncols = st.one_of(
+    st.builds(lambda c: FnCol("trim", Col(c), alias=f"tr_{c}"), st.sampled_from(STR_COLS)),
+    st.builds(lambda c: FnCol("lower", Col(c), alias=f"lo_{c}"), st.sampled_from(STR_COLS)),
+    st.builds(lambda c: FnCol("upper", Col(c), alias=f"up_{c}"), st.sampled_from(STR_COLS)),
+    st.builds(
+        lambda c, a, n: FnCol("substr", Col(c), args=(a, n), alias=f"su_{c}_{a}_{n}"),
+        st.sampled_from(STR_COLS), st.integers(1, 5), st.integers(1, 8),
+    ),
+    st.builds(
+        lambda c, f: FnCol("replace", Col(c), args=(f, "_"), alias=f"re_{c}_{ord(f)}"),
+        st.sampled_from(STR_COLS), st.sampled_from(["a", "e", "#", "0"]),
+    ),
+    st.builds(lambda c: FnCol("char_length", Col(c), alias=f"cl_{c}"), st.sampled_from(STR_COLS)),
+    st.builds(lambda: FnCol("abs", Col("c_acctbal"), alias="ab_bal")),
+)
 
 @pytest.fixture(scope="module")
 def duck():

@@ -57,6 +57,8 @@ _VERIFY_FIRST = [
     "e_rfm_segments",
     "pipeline_drift_monitor",
     "adt_string_fns",
+    "smp_fixed_size",
+    "tj_time_weighted_avg",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -28,6 +28,7 @@ __all__ = [
     "interleave_sources",
     "poisson_cdf_thresholds",
     "bootstrap_metrics",
+    "fixed_size_sample",
 ]
 
 _BUCKETS = 10_000
@@ -411,4 +412,31 @@ def bootstrap_metrics(
                 / (F.col("n_samples").cast("double") * value_scale)
             ).alias("mean_value"),
         )
+    )
+
+
+def fixed_size_sample(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
+    """EXACTLY ``n`` rows (fewer only if the input is smaller), chosen
+    as the n smallest md5 hashes of the key — the deterministic
+    replacement for reservoir sampling: stable across runs, engines,
+    and partitionings (same contract as :func:`deterministic_sample`,
+    but a fixed COUNT instead of a fraction — what an eval-set carve-
+    out or a labeling batch needs). Ties cannot occur for distinct
+    keys (the full 15-hex-digit hash is the rank).
+
+    Plan: one narrow hash projection + global top-n
+    (TakeOrderedAndProject — per-partition heaps then a merge of n·P
+    rows, never a full sort of the corpus)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.withColumn("__rank_h", h)
+        .orderBy(F.col("__rank_h").asc(), F.col(key).asc())
+        .limit(n)
+        .drop("__rank_h")
     )

@@ -7145,6 +7145,78 @@ def adt_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_select(sel, ParquetDirProvider(spark, sf_dir))
 
 
+@register(
+    "smp_fixed_size",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+) ORDER BY h ASC, doc_id ASC LIMIT 100
+""",
+)
+def smp_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n deterministic sample (the reservoir-sampling
+    replacement): the 100 smallest md5 key-hashes win — stable across
+    runs, engines, and partitionings, which true reservoir sampling
+    (RNG + order-dependence) cannot be on a distributed engine. Global
+    top-n plans as TakeOrderedAndProject: per-partition heaps, merge
+    of n·P rows, never a full sort."""
+    from .operators.sampling import fixed_size_sample
+
+    return fixed_size_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id", 100
+    )
+
+
+@register(
+    "tj_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(date_diff('second', ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              AS BIGINT) AS dur_s
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * dur_s) AS BIGINT) AS weighted_cents_s,
+       CAST(sum(dur_s) AS BIGINT) AS total_s,
+       CAST(sum(cents * dur_s) AS DOUBLE) / sum(dur_s) AS twa_cents
+FROM s WHERE dur_s IS NOT NULL AND dur_s > 0
+GROUP BY user_id
+""",
+)
+def tj_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the telemetry/billing
+    aggregate where each observation holds until the next one
+    (last-observation-carried-forward integral / total time). Exact
+    integer arithmetic end to end: values quantize to cents, holding
+    durations to whole seconds via a lead window (ties broken on
+    event_id), the weighted sum accumulates as int64 (bounded ~1e13
+    here — cents ≤ 1e6 × seconds ≤ 1e7), and the average is one final
+    int/int division emitted unrounded. One window + one aggregate,
+    both shuffling only on user_id."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    s = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp(F.col("ts"))
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return s.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_s")).alias("weighted_cents_s"),
+        F.sum("dur_s").alias("total_s"),
+        (
+            F.sum(F.col("cents") * F.col("dur_s")).cast("double") / F.sum("dur_s")
+        ).alias("twa_cents"),
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

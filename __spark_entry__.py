@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "adt_string_fns",
     "smp_fixed_size",
     "tj_time_weighted_avg",
+    "d_semantic_decontaminate",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

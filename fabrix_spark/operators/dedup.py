@@ -1640,3 +1640,46 @@ def overlap_pairs(
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", "overlap")
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic companion to the
+    n-gram :func:`decontaminate` pass: a training item is contaminated
+    when ANY benchmark embedding sits within ``threshold`` cosine of
+    it (paraphrased eval questions share no n-grams but sit next to
+    each other in embedding space). Returns every corpus row's id with
+    ``max_benchmark_cosine`` (rounded 6dp; null → -1 when nothing is
+    in radius) and the ``contaminated`` flag.
+
+    Plan: the radius probe is :func:`similarity.cosine_range_search`
+    (benchmark side broadcast, map-only threshold filter — the
+    benchmark is metadata-sized by contract), one max-aggregate on the
+    corpus id, one left join back to the id spine. The corpus never
+    self-joins and never shuffles on anything but its own id."""
+    from .similarity import cosine_range_search
+
+    hits = cosine_range_search(
+        corpus,
+        benchmark,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    worst = hits.groupBy(F.col("c_id").alias("__id")).agg(
+        F.max("cosine").alias("max_benchmark_cosine")
+    )
+    spine = corpus.select(F.col(id_col).alias("__id"))
+    return (
+        spine.join(worst, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("max_benchmark_cosine", F.lit(-1.0)).alias("max_benchmark_cosine"),
+            F.col("max_benchmark_cosine").isNotNull().alias("contaminated"),
+        )
+    )

@@ -7217,6 +7217,43 @@ def tj_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_semantic_decontaminate",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2 FROM q),
+hits AS (
+  SELECT cs.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, len(cs.v) + 1), i -> cs.v[i] * qs.v[i]))
+               / sqrt(CAST(cs.n2 AS DOUBLE) * CAST(qs.n2 AS DOUBLE)), 6) AS cosine
+  FROM n cs, n qs
+  WHERE qs.vec_id < 8 AND cs.vec_id >= 8
+),
+worst AS (
+  SELECT c_id, max(cosine) AS mx FROM hits WHERE cosine >= 0.2 GROUP BY c_id
+)
+SELECT e.vec_id, coalesce(worst.mx, -1.0) AS max_benchmark_cosine,
+       worst.mx IS NOT NULL AS contaminated
+FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 8) e
+LEFT JOIN worst ON worst.c_id = e.vec_id
+""",
+)
+def d_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors within
+    cosine radius of ANY benchmark vector (paraphrased eval items
+    share no n-grams but sit together in embedding space — the gap
+    the n-gram d_decontaminate pass cannot see). Benchmark side
+    broadcast, map-only radius filter, one max-aggregate + id-spine
+    join — the corpus never self-joins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return dedup.decontaminate_semantic(corpus, bench, threshold=0.2)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -599,6 +599,11 @@ def test_jdbc_adt_pushdown_derby_matrix(spark, tmp_path):
     )
     assert push(render_select(sel, "derby")).collect()[0]["n"] == 7
 
+    # whole-compound ORDER BY + OFFSET/FETCH (Derby's row-limit syntax)
+    cp = Compound("union_all", [lo, hi], order=[Order("id", desc=True)], limit=4, offset=1)
+    got = [r["id"] for r in push(render_compound(cp, "derby")).collect()]
+    assert got == [18, 17, 16, 15]  # OFFSET 1 skips 19, FETCH NEXT 4
+
     # PINNED: Derby rejects any non-empty OVER () — ROW_NUMBER with
     # ORDER BY (which our ranking WinCols require) cannot push down.
     win = Select(

@@ -1139,3 +1139,66 @@ def test_stream_maintain_heavy_hitters_guarantee_and_replay(spark, tmp_path):
     cur = hh.current_dir()
     run("c2")  # same batch ids — all commits skipped
     assert hh.current_dir() == cur
+
+
+def test_stream_maintain_profile_partial_commit_retry(spark, tmp_path):
+    """Crash between the two sketch commits: the histogram table
+    commits, then the KMV save dies mid-batch. The availableNow retry
+    on the same checkpoint must re-run the batch and apply ONLY the
+    missing KMV write — the histogram's batch-id guard skips its
+    already-committed merge, so nothing double-applies."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.profile import hist_sketch, kmv_sketch
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_maintain_profile
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 311).alias("v")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("overwrite").json(src)  # one batch
+    hist = LakeTable(spark, str(tmp_path / "hist"), index="bucket", retain=6)
+    kmv = LakeTable(spark, str(tmp_path / "kmv"), index="h", retain=6)
+
+    class FailingOnce:
+        """kmv-table proxy whose first save dies AFTER hist committed."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.fails = 1
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def save(self, *a, **kw):
+            if self.fails:
+                self.fails = 0
+                raise RuntimeError("injected crash")
+            return self._inner.save(*a, **kw)
+
+    flaky = FailingOnce(kmv)
+    q = stream_maintain_profile(
+        read_stream_json(spark, src, schema="k long, v long"),
+        hist, flaky, value_col="v", distinct_col="k",
+        checkpoint=str(tmp_path / "ckpt"), width=50, scale=1, k=32,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert hist.exists() and not kmv.exists()  # crashed between commits
+    v_hist = hist.current_dir()
+
+    # retry: same checkpoint replays the batch; hist skips, kmv applies
+    q2 = stream_maintain_profile(
+        read_stream_json(spark, src, schema="k long, v long"),
+        hist, kmv, value_col="v", distinct_col="k",
+        checkpoint=str(tmp_path / "ckpt"), width=50, scale=1, k=32,
+    )
+    q2.awaitTermination(120)
+    assert hist.current_dir() == v_hist  # NOT double-applied
+    assert sorted(map(tuple, hist.read().df.collect())) == sorted(
+        map(tuple, hist_sketch(df, "v", width=50, scale=1).collect())
+    )
+    assert sorted(r["h"] for r in kmv.read().df.collect()) == sorted(
+        r["h"] for r in kmv_sketch(df, "k", k=32).collect()
+    )

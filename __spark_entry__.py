@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "smp_fixed_size",
     "tj_time_weighted_avg",
     "d_semantic_decontaminate",
+    "e_dau_mau",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

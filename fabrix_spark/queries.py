@@ -7254,6 +7254,44 @@ def d_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate_semantic(corpus, bench, threshold=0.2)
 
 
+@register(
+    "e_dau_mau",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+m AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM d GROUP BY 1
+)
+SELECT dau.day, dau.dau, m.mau,
+       CAST(dau.dau AS DOUBLE) / m.mau AS stickiness
+FROM dau JOIN m ON CAST(date_trunc('month', dau.day) AS DATE) = m.month
+""",
+)
+def e_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the engagement ratio every product
+    analytics stack reports: distinct daily actives over the month's
+    distinct actives, per day. Two distinct-aggregates (both map-side
+    combined after one (day, user) dedup) and a broadcast join of the
+    month-sized MAU table; the ratio is a single int/int division
+    emitted unrounded."""
+    e = _events(spark, sf_dir)
+    d = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    m = d.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(m), F.trunc(F.col("day"), "month") == F.col("month"))
+        .select(
+            "day", "dau", "mau", (F.col("dau").cast("double") / F.col("mau")).alias("stickiness")
+        )
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -440,3 +440,17 @@ def test_lsh_salted_hot_bucket(spark):
     a = dedup.minhash_dedup_pairs(docs, threshold=0.5)
     b = dedup.minhash_dedup_pairs(docs, threshold=0.5, salt=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_round9_query_plan_shapes(spark):
+    """Plan pins for the round-9 additions: the drift monitor is one
+    aggregate + metadata-sized arithmetic (single shuffle); the Markov
+    model shuffles only on user_id (window + aggregate, no extra
+    exchange family); DAU/MAU broadcasts its month-sized MAU side."""
+    plan = _plan(spark, "pipeline_drift_monitor")
+    assert plan.count("hashpartitioning") <= 2  # agg + the 1-row total
+    plan = _plan(spark, "e_markov_transitions")
+    assert "BroadcastHashJoin" in plan  # per-from totals broadcast back
+    plan = _plan(spark, "e_dau_mau")
+    assert "BroadcastHashJoin" in plan  # month-sized MAU side
+    assert "SortMergeJoin" not in plan

@@ -1658,6 +1658,9 @@ def decontaminate_semantic(
     in radius) and the ``contaminated`` flag.
 
     Plan: the radius probe is :func:`similarity.cosine_range_search`
+    with ``exclude_self=False`` — corpus and benchmark are INDEPENDENT
+    tables, so an id collision between them (both zero-based, say) is
+    a real pair that must be probed, not a self-pair to skip
     (benchmark side broadcast, map-only threshold filter — the
     benchmark is metadata-sized by contract), one max-aggregate on the
     corpus id, one left join back to the id spine. The corpus never
@@ -1670,6 +1673,7 @@ def decontaminate_semantic(
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,
+        exclude_self=False,
     )
     worst = hits.groupBy(F.col("c_id").alias("__id")).agg(
         F.max("cosine").alias("max_benchmark_cosine")

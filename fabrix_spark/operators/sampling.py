@@ -424,6 +424,13 @@ def fixed_size_sample(df: DataFrame, key: str, n: int, salt: str = "") -> DataFr
     out or a labeling batch needs). Ties cannot occur for distinct
     keys (the full 15-hex-digit hash is the rank).
 
+    NULL keys are excluded: a NULL key hashes to NULL, which Spark's
+    default ASC order puts FIRST but DuckDB's puts LAST — null rows
+    would both preferentially fill the n slots and break cross-engine
+    determinism (they all tie, so the pick among them is arbitrary).
+    Requiring non-null keys keeps the contract exact; filter or
+    coalesce upstream if null-key rows must be sampleable.
+
     Plan: one narrow hash projection + global top-n
     (TakeOrderedAndProject — per-partition heaps then a merge of n·P
     rows, never a full sort of the corpus)."""
@@ -435,7 +442,8 @@ def fixed_size_sample(df: DataFrame, key: str, n: int, salt: str = "") -> DataFr
         10,
     ).cast("long")
     return (
-        df.withColumn("__rank_h", h)
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__rank_h", h)
         .orderBy(F.col("__rank_h").asc(), F.col(key).asc())
         .limit(n)
         .drop("__rank_h")

@@ -54,6 +54,14 @@ def _dot(a: Column, b: Column, integer: bool) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x)
 
 
+def _pair_key(col: str) -> Column:
+    """Single-valued non-foldable join key so corpus × broadcast-queries
+    runs as a broadcast HASH join rather than a nested-loop node.
+    Coalesced so NULL ids still pair (a bare ``length(cast(...))``
+    would be NULL and silently drop null-id rows from the join)."""
+    return F.length(F.coalesce(F.col(col).cast("string"), F.lit(""))) * 0
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,7 +90,7 @@ def cosine_topk(
     # single-valued non-foldable key (see ivf_assign): the corpus ×
     # broadcast-queries pairing runs as a broadcast HASH join rather
     # than a nested-loop node
-    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    one = _pair_key
     c = (
         spread(corpus)
         .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
@@ -120,12 +128,19 @@ def cosine_range_search(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     quantize: int | None = 1_000_000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Cosine RANGE search: every corpus vector within ``threshold``
     of each query — the radius-query complement of :func:`cosine_topk`
     (recall-critical jobs want "everything at least this similar", not
     a fixed k: decontamination sweeps, near-dup audits, RAG retrieval
     cutoffs).
+
+    ``exclude_self`` (default True, the self-search contract) drops
+    pairs where the corpus id equals the query id. Set it False when
+    corpus and queries are INDEPENDENT tables whose id spaces may
+    collide — e.g. decontamination, where a zero-based benchmark id
+    colliding with a zero-based corpus id must still be probed.
 
     Scale shape: strictly better than top-k — the broadcast-hash join
     against the (small) query side plus a per-row threshold filter is
@@ -140,21 +155,22 @@ def cosine_range_search(
     else:
         cvec = _as_double(F.col(vec_col))
         integer = False
-    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
     c = (
         spread(corpus)
         .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
         .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
-        .withColumn("__one", one("c_id"))
+        .withColumn("__one", _pair_key("c_id"))
     )
     q = (
         queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
         .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
-        .withColumn("__one", one("q_id"))
+        .withColumn("__one", _pair_key("q_id"))
     )
+    joined = c.join(F.broadcast(q), "__one")
+    if exclude_self:
+        joined = joined.filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
     return (
-        c.join(F.broadcast(q), "__one")
-        .filter(F.col("c_id") != F.col("q_id"))
+        joined
         .select(
             "q_id",
             "c_id",

@@ -7152,7 +7152,7 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
               AS BIGINT) AS h
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ) ORDER BY h ASC, doc_id ASC LIMIT 100
 """,
 )

@@ -594,15 +594,47 @@ def stream_maintain_profile(
     at-least-once delivery: both saves stamp the micro-batch id and a
     retried batch skips any table whose history already holds it
     (each table checks independently, so a crash between the two
-    commits re-applies only the missing one)."""
+    commits re-applies only the missing one). The per-batch fold is
+    :func:`profile_fold_consumer` — exposed so tests can drive
+    arbitrary delivery orders (mid-stream duplicates, out-of-order
+    event time) without a streaming query."""
+    return (
+        stream.writeStream.foreachBatch(
+            profile_fold_consumer(
+                hist_table, kmv_table, value_col, distinct_col,
+                width=width, scale=scale, k=k,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _committed(table, bid: int) -> bool:
+    return table.exists() and any(
+        h.get("batch_id") == bid for h in table.history()
+    )
+
+
+def profile_fold_consumer(
+    hist_table,
+    kmv_table,
+    value_col: str,
+    distinct_col: str,
+    width: int = 1000,
+    scale: int = 100,
+    k: int = 256,
+):
+    """The (batch_df, batch_id) fold behind
+    :func:`stream_maintain_profile` — duplicate batch ids are skipped
+    per-table (idempotent under at-least-once delivery, including a
+    duplicate arriving MID-stream after later batches moved the live
+    version on), and the folds are order-free so out-of-event-time
+    delivery still converges to the batch-recomputed sketches."""
     from pyspark.sql import functions as F
 
     from ..operators.profile import hist_sketch, kmv_sketch
-
-    def _committed(table, bid: int) -> bool:
-        return table.exists() and any(
-            h.get("batch_id") == bid for h in table.history()
-        )
 
     def _consume(batch: DataFrame, bid: int) -> None:
         batch = batch.localCheckpoint()
@@ -631,12 +663,7 @@ def stream_maintain_profile(
             else:
                 kmv_table.save(partial, "replace", commit_extra=extra)
 
-    return (
-        stream.writeStream.foreachBatch(_consume)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _consume
 
 
 def stream_maintain_heavy_hitters(
@@ -661,7 +688,23 @@ def stream_maintain_heavy_hitters(
     Exactly-once under at-least-once delivery: commits stamp the
     micro-batch id (replays skip) AND carry the running total row
     count ``n_total`` in the commit info, so the threshold for a
-    φ-heavy query needs no re-scan of the stream history."""
+    φ-heavy query needs no re-scan of the stream history. The
+    per-batch fold is :func:`heavy_hitter_consumer` (exposed for
+    delivery-order tests)."""
+    return (
+        stream.writeStream.foreachBatch(
+            heavy_hitter_consumer(summary_table, item_col, k=k)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitter_consumer(summary_table, item_col: str, k: int = 500):
+    """The (batch_df, batch_id) MG fold behind
+    :func:`stream_maintain_heavy_hitters` — idempotent on duplicate
+    batch ids (including mid-stream redelivery) and order-free."""
     from pyspark.sql import functions as F
 
     from ..operators.profile import mg_compress
@@ -671,11 +714,22 @@ def stream_maintain_heavy_hitters(
         if any(h.get("batch_id") == bid for h in hist):
             return
         # history is oldest -> newest; the LIVE version carries the
-        # running total
+        # running total. A live commit WITHOUT n_total means the table
+        # was created or last written by something other than this
+        # maintainer — silently resetting the running total to 0 would
+        # corrupt every later φ-threshold (ceil(n_total·φ)), so refuse.
         prev_total = 0
-        for h in hist:
-            if h.get("live") and h.get("n_total") is not None:
-                prev_total = int(h["n_total"])
+        if hist:
+            live = [h for h in hist if h.get("live")]
+            if live and live[-1].get("n_total") is None:
+                raise ValueError(
+                    "stream_maintain_heavy_hitters: summary table exists but "
+                    "its live commit carries no n_total — it was not written "
+                    "by this maintainer; refusing to reset the running total "
+                    "(start from a fresh summary table instead)"
+                )
+            if live:
+                prev_total = int(live[-1]["n_total"])
         rows = batch.filter(F.col(item_col).isNotNull())
         n_batch = rows.count()
         partial = mg_compress(
@@ -699,9 +753,4 @@ def stream_maintain_heavy_hitters(
             commit_extra={"batch_id": bid, "n_total": prev_total + n_batch},
         )
 
-    return (
-        stream.writeStream.foreachBatch(_consume)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _consume

@@ -1885,3 +1885,61 @@ def test_jaccard_auto_method_selection(spark):
 
     assert _choose_exact_method(_shingle_sets(benign, "text", "doc_id", 3)) == "inverted"
     assert _choose_exact_method(_shingle_sets(hot, "text", "doc_id", 3)) == "prefix"
+
+
+def test_decontaminate_semantic_overlapping_id_spaces(spark):
+    """Corpus and benchmark are INDEPENDENT tables, so an id collision
+    between them (both zero-based) is a real pair that must still be
+    probed — the r9 implementation inherited cosine_range_search's
+    self-pair exclusion and silently reported contaminated=false for
+    colliding ids. Corpus id 0 here is an exact copy of benchmark id 0
+    and MUST flag."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["contaminated"], r["max_benchmark_cosine"])
+        for r in dedup.decontaminate_semantic(corpus, benchmark, threshold=0.9).collect()
+    }
+    assert got[0] == (True, 1.0)  # the colliding id IS probed
+    assert got[1] == (False, -1.0)
+
+
+def test_cosine_range_search_exclude_self_and_null_ids(spark):
+    """exclude_self=True (self-search) drops only true self-pairs;
+    exclude_self=False probes id collisions. NULL-id rows must not be
+    silently dropped from the broadcast pairing (the old join key was
+    NULL for NULL ids)."""
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (None, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+
+    self_search = similarity.cosine_range_search(vecs, q, threshold=0.5)
+    got = {r["c_id"] for r in self_search.collect()}
+    assert got == {1, None}  # 0 excluded as self; NULL-id row kept
+
+    both = similarity.cosine_range_search(vecs, q, threshold=0.5, exclude_self=False)
+    assert {r["c_id"] for r in both.collect()} == {0, 1, None}
+
+
+def test_fixed_size_sample_null_keys_excluded(spark):
+    """NULL keys hash to NULL and would sort FIRST on Spark but LAST
+    on DuckDB (and tie arbitrarily among themselves) — the contract
+    excludes them so the sample is deterministic and cross-engine."""
+    from fabrix_spark.operators.sampling import fixed_size_sample
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)] * 10, "k long"
+    )
+    got = fixed_size_sample(df, "k", 20)
+    rows = [r["k"] for r in got.collect()]
+    assert len(rows) == 20 and None not in rows
+    # deterministic: same pick every run
+    again = [r["k"] for r in fixed_size_sample(df, "k", 20).collect()]
+    assert sorted(rows) == sorted(again)

@@ -1202,3 +1202,106 @@ def test_stream_maintain_profile_partial_commit_retry(spark, tmp_path):
     assert sorted(r["h"] for r in kmv.read().df.collect()) == sorted(
         r["h"] for r in kmv_sketch(df, "k", k=32).collect()
     )
+
+
+def test_stream_maintain_heavy_hitters_refuses_foreign_table(spark, tmp_path):
+    """A summary table whose live commit carries no n_total was not
+    written by the maintainer (pre-created, or last written by other
+    code). Silently treating the running total as 0 would corrupt every
+    later φ-threshold (ceil(n_total·φ)), so the maintainer must REFUSE
+    loudly rather than produce silently-wrong heavy hitters."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import (
+        read_stream_json,
+        stream_maintain_heavy_hitters,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 50).select(
+        F.concat(F.lit("i"), (F.col("id") % 5).cast("string")).alias("item")
+    ).coalesce(1).write.mode("overwrite").json(src)
+
+    # foreign table: valid MG-shaped rows but NO n_total in commit info
+    hh = LakeTable(spark, str(tmp_path / "hh"), index="item", retain=8)
+    hh.save(
+        spark.createDataFrame([("x", 3)], "item string, cnt long"), "replace"
+    )
+
+    q = stream_maintain_heavy_hitters(
+        read_stream_json(spark, src, schema="item string"),
+        hh, "item", checkpoint=str(tmp_path / "ckpt"), k=10,
+    )
+    with pytest.raises(Exception, match="no n_total"):
+        q.awaitTermination(120)
+    # the foreign table was left untouched
+    assert [tuple(r) for r in hh.read().df.collect()] == [("x", 3)]
+
+
+def test_stream_maintain_profile_midstream_duplicate_and_out_of_order(spark, tmp_path):
+    """Mid-stream duplicate delivery against a LIVE table that has
+    moved on: batch 0 is redelivered AFTER batches 1 and 2 already
+    advanced the live version (at-least-once delivery, not just the
+    tail-retry case) — the ``_committed`` guard must skip it against
+    the moved-on history, not re-apply it. Batches also arrive out of
+    event-time order (batch 2 holds the OLDEST values) — the folds are
+    order-free, so the maintained tables must equal the batch
+    recompute over the union. Drives the exposed fold consumer
+    directly so the delivery order is exact."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.profile import hist_sketch, kmv_sketch, mg_compress  # noqa: F401
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import heavy_hitter_consumer, profile_fold_consumer
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 37 % 997).alias("v")
+    )
+    b0, b1, b2 = mk(200, 350), mk(350, 500), mk(0, 200)  # b2 = oldest events, last
+    hist = LakeTable(spark, str(tmp_path / "hist"), index="bucket", retain=10)
+    kmv = LakeTable(spark, str(tmp_path / "kmv"), index="h", retain=10)
+    consume = profile_fold_consumer(
+        hist, kmv, value_col="v", distinct_col="k", width=100, scale=1, k=64
+    )
+
+    consume(b0, 0)
+    consume(b1, 1)
+    consume(b0, 0)  # duplicate MID-stream: live version has moved past it
+    v_hist, v_kmv = hist.current_dir(), kmv.current_dir()
+    consume(b0, 0)  # and again — still a no-op
+    assert hist.current_dir() == v_hist and kmv.current_dir() == v_kmv
+    consume(b2, 2)  # late, out-of-event-time batch
+
+    union = b0.unionByName(b1).unionByName(b2)
+    assert sorted(map(tuple, hist.read().df.collect())) == sorted(
+        map(tuple, hist_sketch(union, "v", width=100, scale=1).collect())
+    )
+    assert sorted(r["h"] for r in kmv.read().df.collect()) == sorted(
+        r["h"] for r in kmv_sketch(union, "k", k=64).collect()
+    )
+    # batch-id guard held: exactly one commit per distinct batch id
+    hist_bids = [h.get("batch_id") for h in hist.history() if "batch_id" in h]
+    assert sorted(hist_bids) == [0, 1, 2]
+
+    # same delivery pattern through the MG fold: summary still equals
+    # a tail-retry-free maintenance pass and n_total counts each batch once
+    items = lambda df: df.select(  # noqa: E731
+        F.concat(F.lit("i"), (F.col("k") % 40).cast("string")).alias("item")
+    )
+    hh = LakeTable(spark, str(tmp_path / "hh"), index="item", retain=10)
+    hh_consume = heavy_hitter_consumer(hh, "item", k=15)
+    hh_consume(items(b0), 0)
+    hh_consume(items(b1), 1)
+    hh_consume(items(b0), 0)  # mid-stream duplicate
+    hh_consume(items(b2), 2)
+    n_total = next(int(h["n_total"]) for h in hh.history() if h.get("live"))
+    assert n_total == union.count()  # duplicate batch counted exactly once
+    got = {r["item"]: r["cnt"] for r in hh.read().df.collect()}
+    true = {
+        r["item"]: r["cnt"]
+        for r in items(union).groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(got) <= 15
+    assert all(got[i] <= true[i] for i in got)
+    assert all(true[i] - got[i] <= n_total / 16 for i in got)

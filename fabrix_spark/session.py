@@ -16,13 +16,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
 
-def get_spark(app_name: str = "fabrix_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "fabrix_spark",
+    master: str | None = None,
+    ui: bool = False,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     Settings that matter at 100 TB and are harmless locally:
     AQE + skew-join handling, partition coalescing, broadcast join
     threshold left to Spark's default (AQE converts eligible joins at
-    runtime based on observed sizes).
+    runtime based on observed sizes). ``ui=True`` keeps the Spark UI
+    (and its REST API) up for diagnostics that need per-task metrics —
+    tools/scaling_curve.py's straggler measurement; off by default
+    (tests/bench don't want the port + history overhead).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -33,7 +40,7 @@ def get_spark(app_name: str = "fabrix_spark", master: str | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.driver.memory", os.environ.get("FABRIX_DRIVER_MEM", "8g"))
     )
     if master is not None:

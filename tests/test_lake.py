@@ -1508,3 +1508,21 @@ def test_rename_column_without_rewrite(spark, tmp_path):
 
 
 from fabrix_spark.plans.adt import Cond as Cond_  # noqa: E402
+
+
+def test_compact_shrinks_file_count(spark, tmp_path):
+    """Twin of the lake_compact_scan registry query's (removed) inline
+    assert: a 40-split LakeTable compacts to strictly fewer files and
+    reads back content-identical — verification lives here, not in the
+    query body."""
+    from fabrix_spark.sources.lake import compact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = LakeTable(spark, str(tmp_path / "docs"), index="doc_id")
+    t.save(docs.repartition(40), "replace")
+    before, after = compact(spark, t.path, target_file_mb=128)
+    assert after < before and before >= 40
+    assert t.read().df.count() == docs.count()
+    got = t.read().df.groupBy("lang").count()
+    want = docs.groupBy("lang").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -454,3 +454,47 @@ def test_round9_query_plan_shapes(spark):
     plan = _plan(spark, "e_dau_mau")
     assert "BroadcastHashJoin" in plan  # month-sized MAU side
     assert "SortMergeJoin" not in plan
+
+
+def test_global_ntile_matches_window_exactly(spark):
+    """global_ntile must be bit-identical to the single-reducer
+    NTILE(k) window under a total order — including duplicate metric
+    values straddling bucket boundaries and n not divisible by k."""
+    from pyspark.sql.window import Window
+
+    from fabrix_spark.operators.rank import global_ntile, global_rank
+
+    # 47 rows (47 = 5*9+2 -> first 2 buckets get 10), heavy ties in v
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 4) for i in range(47)], "id long, v long"
+    ).repartition(7)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["nt"]
+        for r in global_ntile(df, 5, order, "nt", num_partitions=6).collect()
+    }
+    want = {
+        r["id"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(5).over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
+
+    # ranks themselves are the exact global sequence
+    ranked, total = global_rank(df, order, rank_col="r", num_partitions=6)
+    assert total == 47
+    rs = [r["r"] for r in ranked.orderBy("v", "id").collect()]
+    assert rs == list(range(1, 48))
+
+    # fewer rows than buckets: bucket i gets row i
+    tiny = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    got = {r["id"]: r["nt"] for r in global_ntile(tiny, 5, [F.col("id").asc()], "nt").collect()}
+    assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_rfm_no_unpartitioned_window(spark):
+    """e_rfm_segments (r10) must carry NO window at all — every ntile
+    is the distributed global-rank recipe, so the single-reducer
+    'Window [ntile(...)]' node of the r9 plan is gone."""
+    df = REGISTRY["e_rfm_segments"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

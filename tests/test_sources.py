@@ -612,3 +612,29 @@ def test_jdbc_adt_pushdown_derby_matrix(spark, tmp_path):
     )
     with pytest.raises(Py4JJavaError):
         push(render_select(win, "derby")).collect()
+
+    # r9 string FnCols: TRIM and SUBSTR are live on Derby...
+    write_jdbc(
+        spark.createDataFrame([(1, "  padded  "), (2, "abcdef")], "id long, s string"),
+        url, "t3", mode="overwrite", driver=drv,
+    )
+    sel = Select(
+        table="T3",
+        columns=[
+            Col("id"),
+            FnCol("trim", Col("s"), alias="t"),
+            FnCol("substr", Col("s"), args=(2, 3), alias="mid"),
+        ],
+        order=[Order("id")],
+    )
+    got = [(r["id"], r["t"], r["mid"]) for r in push(render_select(sel, "derby")).collect()]
+    assert got == [(1, "padded", " pa"), (2, "abcdef", "bcd")]
+
+    # ...REPLACE is PINNED: Derby ships no REPLACE built-in (its string
+    # surface is SUBSTR/TRIM/LOCATE/LCASE/UCASE), so the rendering is
+    # rejected by the engine, loudly — same contract as WinCol above.
+    rep = Select(
+        table="T3", columns=[FnCol("replace", Col("s"), args=("abc", "x"), alias="r")]
+    )
+    with pytest.raises(Py4JJavaError):
+        push(render_select(rep, "derby")).collect()

@@ -143,6 +143,38 @@ def synthesize(spark, m: int) -> str:
     return out
 
 
+def _with_straggler(spark, job_fn):
+    """Run ``job_fn`` and return (result, max_task_duration_seconds)
+    across the stages the job completed — the straggler metric that a
+    skew-splitting salt is supposed to shrink even when total work
+    (and thus wall-time) is unchanged. Uses the Spark UI REST API."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def _get(path):
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+            return json.load(r)
+
+    try:
+        before = {s["stageId"] for s in _get("/stages?status=complete")}
+    except Exception:
+        return job_fn(), float("nan")
+    result = job_fn()
+    mx = 0.0
+    try:
+        for s in _get("/stages?status=complete"):
+            if s["stageId"] in before:
+                continue
+            sid, att = s["stageId"], s["attemptId"]
+            ts = _get(f"/stages/{sid}/{att}/taskSummary?quantiles=1.0")
+            mx = max(mx, float(ts["duration"][0]) / 1000.0)
+    except Exception:
+        return result, float("nan")
+    return result, mx
+
+
 def fit_exponent(ms, ts) -> float:
     xs = [math.log(m) for m in ms]
     ys = [math.log(t) for t in ts]
@@ -165,7 +197,7 @@ def main() -> None:
     from fabrix_spark.queries import REGISTRY, _prebuilt_sigstore
     from fabrix_spark.session import get_spark
 
-    spark = get_spark("scaling_curve", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    spark = get_spark("scaling_curve", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]", ui=True)
     dirs = {m: synthesize(spark, m) for m in factors}
 
     def run_registry(name):
@@ -280,6 +312,75 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         return dedup.jaccard_pairs(docs, threshold=0.2, method="prefix").count()
 
+    # r10: the hot-LSH-bucket salt, MEASURED (r9 pinned pair-set
+    # equality only). Pathological corpus: every doc identical, so all
+    # 500m docs collapse into ONE bucket per band and pair generation
+    # is C(500m, 2) comparisons. Unsalted, that lands on a single task
+    # (AQE refuses both-sides-skewed self-joins); salt=8 spreads it
+    # over 8 chunks. Total work is identical — the contrast isolates
+    # the straggler: unsalted wall-time should grow ~m² on one task
+    # while salted divides the same m² by the chunk fan-out.
+    _hot_sigs: dict[int, object] = {}
+
+    def warm_hot_sigs(sf_dir, m):
+        if m not in _hot_sigs:
+            from fabrix_spark.operators import dedup
+
+            docs = spark.range(500 * m).select(
+                F.col("id").alias("doc_id"),
+                F.lit(
+                    "the quick brown fox jumps over the lazy dog again and again"
+                ).alias("text"),
+            )
+            _hot_sigs[m] = dedup.minhash_signatures(
+                docs, 16, 3, "text", "doc_id"
+            ).localCheckpoint(eager=True)
+
+    def op_lsh_hot(salt):
+        # Broadcast OFF for this op: at bench scale the banded table
+        # broadcasts and the probe side's pair generation is already
+        # spread across input splits — no straggler, salt irrelevant.
+        # At 100 TB the banded table CANNOT broadcast: the join is
+        # sort-merge, the hot (band,key) lands on ONE reducer per
+        # band, and that is the straggler the salt exists to split.
+        # Forcing SMJ here measures the at-scale plan shape.
+        # AQE partition coalescing must be off too: it merges by
+        # shuffle INPUT bytes, and the banded rows are narrow — it
+        # happily folds all 32 salted chunks back into one partition,
+        # blind to the join-output explosion. (Production note: on a
+        # salted hot-bucket join, tune coalescePartitions.minPartition
+        # Size or disable coalescing for the stage — the salt is
+        # useless if AQE re-merges the chunks.)
+        # Wall-time alone also hides the effect at this scale (the
+        # pair-DISTINCT shuffle, identical in both paths, dominates),
+        # so the op additionally reports the STRAGGLER — the max task
+        # duration across the query's stages, via the UI REST API.
+        def op(sf_dir, m):
+            from fabrix_spark.operators import dedup
+
+            prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            prev_c = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            try:
+                n, straggler = _with_straggler(
+                    spark,
+                    lambda: dedup.lsh_candidate_pairs(
+                        _hot_sigs[m], 16, 4, "doc_id", salt=salt
+                    ).count(),
+                )
+                tag = f"salt={salt}" if salt else "unsalted"
+                print(
+                    f"#   lsh_hot {tag} m={m}: straggler_task={straggler:.2f}s",
+                    file=sys.stderr,
+                )
+                return n
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+                spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_c)
+
+        return op
+
     ops = [
         ("d_minhash_lsh", run_registry("d_minhash_lsh"), None),
         ("d_incremental_probe", op_incremental_probe, warm_incremental),
@@ -306,6 +407,9 @@ def main() -> None:
         # candidate-bounded verify)
         ("t_lm_score", run_registry("t_lm_score"), None),
         ("prof_heavy_hitters", run_registry("prof_heavy_hitters"), None),
+        # r10: hot-bucket salt measurement (see warm_hot_sigs comment)
+        ("lsh_hot_unsalted (B=500m)", op_lsh_hot(None), warm_hot_sigs),
+        ("lsh_hot_salted8 (B=500m)", op_lsh_hot(8), warm_hot_sigs),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -35,32 +35,29 @@ sys.path.insert(0, str(_HERE))
 
 from fabrix_spark import queries as _q  # noqa: E402
 
-# Queries with no driver CORRECTNESS row yet come first (new round-9
-# additions appended as they land), then three long-green canaries.
-# Trimmed to new-entries + canaries per the r8 judge instruction so the
-# staleness-ordered tail fronts the 15 queries whose newest driver row
-# predates round 5 (pipeline_llm_prep/embedding_prep/pack_corpus at r2;
-# s_right/cross/union_all, g_grouping_sets/having/case_when,
-# sim_cosine_topk_blocked/lsh_topk/ivf_trained, t_token_rarity,
-# t_prune_rare, smp_weighted at r4) and drains the whole tail this
-# round — no registry entry's last-green round < 6 afterward.
+# Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
+# this round) come first, then three long-green canaries, then the
+# staleness-ordered tail. Round-10 state: 4 new queries + 2 whose
+# implementation/contract changed (a_approx gained a real oracle after
+# 9 rounds of rows-only — the error-bound boolean contract;
+# e_rfm_segments' ntile is now the distributed global-rank recipe,
+# same result contract). The r8-flagged pre-r5 evidence tail was
+# drained in round 9; the oldest remaining evidence is the 10-query
+# round-5 cohort (f_json/conditional/math_fns, w_first_last_nth,
+# w_topk_orders_per_customer, a_stats, smp_temperature,
+# d_incremental_dedup, d_containment, m_frame_sample), which the
+# staleness ordering fronts automatically — 9 head entries + 3
+# canaries leave 38 tail slots in a 50-window, so the whole r5 cohort
+# refreshes this round.
 _VERIFY_FIRST = [
-    # new in round 9 (appended as they land)
-    "stream_profile_replay",
-    "prof_psi_drift",
-    "gr_label_propagation",
-    "sim_range_search",
-    "e_markov_transitions",
-    "prof_entropy",
-    "stream_hh_replay",
-    "lake_compact_scan",
+    # new in round 10 (appended as they land)
+    "w_global_rank",
+    "sim_knn_graph",
+    "d_minhash_lsh_salted",
+    "stream_asof_replay",
+    # changed in round 10 (re-verify under the new contract/plan)
+    "a_approx",
     "e_rfm_segments",
-    "pipeline_drift_monitor",
-    "adt_string_fns",
-    "smp_fixed_size",
-    "tj_time_weighted_avg",
-    "d_semantic_decontaminate",
-    "e_dau_mau",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

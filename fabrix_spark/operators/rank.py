@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "global_ntile"]
+__all__ = ["global_rank", "global_ntile", "ntile_from_rank"]
 
 _MONO = "__fx_mono__"
 _LOW33 = (1 << 33) - 1
@@ -85,7 +85,7 @@ def global_rank(
     )
 
 
-def _ntile_bucket(rank: Column, n: int, k: int) -> Column:
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """ANSI NTILE(k) bucket for 1-based global ``rank`` over ``n``
     rows: the first ``n mod k`` buckets hold ``n div k + 1`` rows."""
     q, rem = divmod(n, k)
@@ -109,5 +109,5 @@ def global_ntile(
     total ``order``."""
     ranked, total = global_rank(df, order, rank_col="__fx_rank__", num_partitions=num_partitions)
     return ranked.withColumn(
-        ntile_col, _ntile_bucket(F.col("__fx_rank__"), total, k)
+        ntile_col, ntile_from_rank(F.col("__fx_rank__"), total, k)
     ).drop("__fx_rank__")

@@ -26,6 +26,7 @@ __all__ = [
     "plane_signs",
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
+    "knn_graph",
     "ivf_assign",
     "ivf_assign_expr",
     "ivf_assign_blocked",
@@ -57,9 +58,15 @@ def _dot(a: Column, b: Column, integer: bool) -> Column:
 def _pair_key(col: str) -> Column:
     """Single-valued non-foldable join key so corpus × broadcast-queries
     runs as a broadcast HASH join rather than a nested-loop node.
-    Coalesced so NULL ids still pair (a bare ``length(cast(...))``
-    would be NULL and silently drop null-id rows from the join)."""
-    return F.length(F.coalesce(F.col(col).cast("string"), F.lit(""))) * 0
+
+    ``pmod(xxhash64(id), 1)`` is always 0, never NULL (xxhash64 hashes
+    a NULL input to the seed — so NULL-id rows still pair; the old
+    ``length(cast(id as string)) * 0`` was NULL for NULL ids and
+    silently dropped those rows from the join), and Catalyst cannot
+    constant-fold it (a coalesce/* 0 form gets simplified to a literal
+    once the input is provably non-null, which collapses the equi-key
+    and degrades the join to BroadcastNestedLoopJoin)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(1))
 
 
 def cosine_topk(
@@ -1023,6 +1030,72 @@ def lsh_cosine_topk(
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Approximate k-NN GRAPH: every corpus vector gets edges to its k
+    most-cosine-similar LSH-candidate neighbors — the all-nodes-are-
+    queries companion to :func:`lsh_cosine_topk` (which broadcasts a
+    small query side and therefore cannot express a graph over the
+    whole corpus). kNN graphs feed SemDeDup-style clustering, label
+    propagation over embedding neighborhoods, and graph-based ANN
+    indexes.
+
+    Scale shape: NOTHING broadcasts — candidates come from the bucket
+    SELF-join on (table, bucket) (same shape as the MinHash banded
+    join: only same-bucket vectors pair up), exact integer cosine is
+    computed on candidates only via two keyed joins back to the
+    vectors, and the final rank is a window PARTITIONED by source node
+    (never global). Deterministic md5-derived hyperplanes make the
+    candidate set — and thus the whole "approximate" graph —
+    reproducible on any engine, so it oracles exactly.
+
+    Returns (src, dst, cosine, rank), rank 1..k per src; nodes whose
+    buckets contain no other vector emit no edges (standard LSH recall
+    contract — raise n_tables / lower n_planes for denser graphs)."""
+    b = hyperplane_lsh_buckets(
+        corpus, n_planes, id_col, vec_col, quantize=quantize, n_tables=n_tables, dim=dim
+    )
+    cand = (
+        b.withColumnRenamed(id_col, "src")
+        .join(b.withColumnRenamed(id_col, "dst"), ["table", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vec = corpus.select(
+        F.col(id_col).alias("__id"), _quantized(F.col(vec_col), quantize).alias("__v")
+    ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    s = vec.select(
+        F.col("__id").alias("src"), F.col("__v").alias("s_v"), F.col("__n2").alias("s_n2")
+    )
+    d = vec.select(
+        F.col("__id").alias("dst"), F.col("__v").alias("d_v"), F.col("__n2").alias("d_n2")
+    )
+    scored = (
+        cand.join(s, "src")
+        .join(d, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("s_v"), F.col("d_v"), True)
+                / F.sqrt(F.col("s_n2").cast("double") * F.col("d_n2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 

@@ -7338,6 +7338,150 @@ def e_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# round 10: distributed global rank, kNN graph, salted LSH evidence,
+# streaming as-of enrichment
+# ===========================================================================
+
+
+@register(
+    "w_global_rank",
+    oracle="""
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk,
+       CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS decile
+FROM documents
+""",
+)
+def w_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide rank + decile WITHOUT an unpartitioned window
+    (operators/rank.py): range-repartitioned distributed sort +
+    per-partition sequence ids + broadcast cumulative offsets —
+    bit-identical to ``row_number()/ntile(10) OVER (ORDER BY ...)``
+    while every stage stays parallel (the oracle runs the
+    single-reducer window form; DuckDB can afford it at test scale).
+    The decile derives from the already-computed rank in one
+    expression — no second ranking pass."""
+    from .operators.rank import global_rank, ntile_from_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ranked, total = global_rank(d, order, rank_col="rnk")
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        "rnk",
+        ntile_from_rank(F.col("rnk"), total, 10).alias("decile"),
+    )
+
+
+def _knn_graph_oracle(n_planes: int = 6, n_tables: int = 4, dim: int = 64, k: int = 3) -> str:
+    """Oracle for the LSH kNN graph: identical md5-derived hyperplane
+    buckets (see _lsh_topk_oracle) make the candidate set — and thus
+    the whole approximate graph — deterministic and hash-checkable."""
+    return f"""
+WITH {_emb_buckets_cte(n_planes, n_tables, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT cand.src, cand.dst,
+         round(list_sum(list_transform(range(1, len(s.v) + 1), i -> s.v[i] * d.v[i]))
+               / sqrt(CAST(s.n2 AS DOUBLE) * CAST(d.n2 AS DOUBLE)), 6) AS cosine
+  FROM cand JOIN n s ON s.vec_id = cand.src JOIN n d ON d.vec_id = cand.dst
+)
+SELECT src, dst, cosine, rank FROM (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register("sim_knn_graph", oracle=_knn_graph_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE embeddings table — every
+    vector is a query, so nothing can broadcast: candidates come from
+    the hyperplane-LSH bucket self-join, exact integer cosine scores
+    candidates only, and the rank window partitions by source node
+    (similarity.knn_graph). The graph that SemDeDup-style clustering,
+    embedding label propagation, and graph-ANN indexes build on."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=3, n_planes=6, n_tables=4, dim=64)
+
+
+@register(
+    "d_minhash_lsh_salted",
+    # same result contract as d_minhash_lsh — the salt only changes the
+    # PHYSICAL plan (chunked self-join for hot buckets); identical
+    # oracle makes the driver pin the equality every round
+    oracle=REGISTRY["d_minhash_lsh"].oracle,
+)
+def d_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-salted MinHash-LSH path (lsh_candidate_pairs
+    salt=4): each banded row gets a deterministic chunk, the probe side
+    replicates per chunk, and a pathological bucket's B² pair
+    generation spreads over salt tasks (AQE cannot split a both-sides-
+    skewed self-join). Results are identical to the unsalted path by
+    construction — this entry makes that equality driver-hard at every
+    round instead of pytest-only. Measured behavior: BENCH_NOTES r10."""
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, salt=4
+    )
+
+
+@register("stream_asof_replay", oracle=REGISTRY["tj_asof_rates"].oracle)
+def stream_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment (streaming/ingest.stream_asof_enrich):
+    events stream in as 4 micro-batches and each batch as-of joins the
+    static hourly-rate dimension (most recent rate at-or-before the
+    event, per type) — the feature-store attach at ingest time, which
+    Structured Streaming has no built-in join for (foreachBatch + the
+    batch as-of). Appends are batch-id idempotent. The final table
+    must equal the batch as-of over all events (same oracle as
+    tj_asof_rates): an as-of row depends only on itself and the static
+    dimension, so batching cannot change it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_parquet, stream_asof_enrich
+
+    root = tempfile.mkdtemp(prefix="fabrix_sasof_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    e = _events(spark, sf_dir)
+    e.select("event_id", "event_type", "ts").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    qs = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count("*")
+    rates = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("ts")).agg(
+        F.floor((2 * qs + n) / (2.0 * n)).cast("long").alias("hr_avg_cents")
+    )
+    out = LakeTable(spark, os.path.join(root, "out"), index="event_id", retain=8)
+    stream = read_stream_parquet(
+        spark,
+        src,
+        schema="event_id long, event_type string, ts timestamp_ntz",
+        max_files_per_trigger=1,
+    )
+    q = stream_asof_enrich(
+        stream,
+        rates,
+        out,
+        checkpoint=os.path.join(root, "ckpt"),
+        on="ts",
+        by=["event_type"],
+        right_cols=["hr_avg_cents"],
+    )
+    q.awaitTermination(300)
+    return out.read().df.select("event_id", "event_type", "hr_avg_cents")
+
+
+# ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================
 

@@ -44,6 +44,9 @@ __all__ = [
     "stream_maintain_aggregate",
     "stream_maintain_profile",
     "stream_maintain_heavy_hitters",
+    "profile_fold_consumer",
+    "heavy_hitter_consumer",
+    "stream_asof_enrich",
 ]
 
 # the driver's events table shape (TESTDATA.md), ts as NTZ micros
@@ -754,3 +757,48 @@ def heavy_hitter_consumer(summary_table, item_col: str, k: int = 500):
         )
 
     return _consume
+
+
+def stream_asof_enrich(
+    stream: DataFrame,
+    rates: DataFrame,
+    out_table,
+    checkpoint: str,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """STREAMING as-of enrichment — the feature-store attach at ingest
+    time: each micro-batch as-of joins a static ``rates`` dimension
+    (most recent rate at-or-before the event's time, per ``by`` key)
+    and appends to a lake table. Structured Streaming has no built-in
+    as-of join, so this is foreachBatch + the batch
+    :func:`operators.temporal.asof_join` — per-batch cost is the
+    batch-sized union+window, the stream history is never re-read, and
+    results equal the batch as-of over the union because the as-of of
+    a row depends only on that row and the static dimension.
+
+    Exactly-once under at-least-once delivery: appends stamp the
+    micro-batch id; a replayed batch whose id is already in the
+    table's history is skipped (same commit protocol as
+    stream_validated_ingest). NOTE the history is the RETAINED commit
+    log: standard same-checkpoint recovery only ever replays the last
+    in-flight batch (whose id the live commit carries), so any
+    ``retain`` works there — but a full from-scratch replay (fresh
+    checkpoint over the same source) is only a no-op when
+    ``out_table.retain`` covers the batch count."""
+    from ..operators.temporal import asof_join
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        if _committed(out_table, bid):
+            return
+        enriched = asof_join(batch, rates, on=on, by=by, right_cols=right_cols)
+        strategy = "append" if out_table.exists() else "replace"
+        out_table.save(enriched, strategy, commit_extra={"batch_id": bid})
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1943,3 +1943,29 @@ def test_fixed_size_sample_null_keys_excluded(spark):
     # deterministic: same pick every run
     again = [r["k"] for r in fixed_size_sample(df, "k", 20).collect()]
     assert sorted(rows) == sorted(again)
+
+
+def test_knn_graph_contract(spark):
+    """knn_graph: ≤ k edges per node with contiguous ranks and
+    non-increasing cosine; a planted exact-duplicate pair must be each
+    other's rank-1 neighbor in BOTH directions (nothing broadcasts, so
+    the graph covers every node that shares a bucket)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    # plant a duplicate of vec 0 with a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).alias("vec_id"), "embedding", "label"
+    )
+    g = similarity.knn_graph(emb.unionByName(dup), k=3, n_planes=4, n_tables=4, dim=64)
+    rows = g.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["rank"], r["cosine"], r["dst"]))
+    for src, es in by_src.items():
+        es.sort()
+        assert [e[0] for e in es] == list(range(1, len(es) + 1))
+        assert len(es) <= 3
+        cos = [e[1] for e in es]
+        assert cos == sorted(cos, reverse=True)
+    # identical vectors find each other at rank 1 with cosine 1.0
+    assert by_src[0][0][1:] == (1.0, 999999)
+    assert by_src[999999][0][1:] == (1.0, 0)

@@ -1305,3 +1305,48 @@ def test_stream_maintain_profile_midstream_duplicate_and_out_of_order(spark, tmp
     assert len(got) <= 15
     assert all(got[i] <= true[i] for i in got)
     assert all(true[i] - got[i] <= n_total / 16 for i in got)
+
+
+def test_stream_asof_enrich_batch_parity_and_replay(spark, tmp_path):
+    """Streaming as-of enrichment equals the batch as-of over the
+    union (an as-of row depends only on itself and the static
+    dimension), and replaying committed batch ids is a no-op."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.temporal import asof_join
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_parquet, stream_asof_enrich
+
+    ev = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", f"2024-01-01 0{i % 8}:15:00") for i in range(40)],
+        "event_id long, typ string, ts_s string",
+    ).select("event_id", "typ", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    rates = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 100), ("a", "2024-01-01 04:00:00", 140),
+         ("b", "2024-01-01 01:00:00", 210), ("b", "2024-01-01 06:00:00", 260)],
+        "typ string, ts_s string, rate long",
+    ).select("typ", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "rate")
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    out = LakeTable(spark, str(tmp_path / "out"), index="event_id", retain=10)
+
+    def run(ckpt):
+        q = stream_asof_enrich(
+            read_stream_parquet(
+                spark, src, schema="event_id long, typ string, ts timestamp_ntz",
+                max_files_per_trigger=1,
+            ),
+            rates, out, checkpoint=str(tmp_path / ckpt),
+            on="ts", by=["typ"], right_cols=["rate"],
+        )
+        q.awaitTermination(120)
+
+    run("c1")
+    got = sorted(map(tuple, out.read().df.select("event_id", "rate").collect()))
+    want = sorted(map(tuple, asof_join(
+        ev, rates, on="ts", by=["typ"], right_cols=["rate"]
+    ).select("event_id", "rate").collect()))
+    assert got == want and got
+    v = out.current_dir()
+    run("c2")  # fresh checkpoint, same batch ids -> every commit skipped
+    assert out.current_dir() == v

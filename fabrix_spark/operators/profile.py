@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters", "mad_outliers"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters", "mad_outliers", "skew_report"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -681,3 +681,51 @@ def mg_compress(counters: DataFrame, k: int) -> DataFrame:
         .filter(F.col("cnt") - F.col("__t") > 0)
         .select("item", (F.col("cnt") - F.col("__t")).alias("cnt"))
     )
+
+
+def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-skew diagnostic — the profile a join/aggregation plan wants
+    BEFORE choosing a strategy (salt? broadcast? AQE skew thresholds?):
+    for each candidate key column, total rows, distinct keys, the
+    hottest key and its count, and ``skew_ratio`` = hottest count /
+    mean count (1.0 = perfectly uniform; the AQE skew-join default
+    fires near 5×).
+
+    One hash aggregate per column (partial map-side combine) + one
+    metadata-sized fold. The hottest key rides the fold as a
+    zero-padded ``(count, key)`` string so a plain ``max`` is the
+    deterministic arg-max (ties → lexicographically larger key) — the
+    same trick works in any engine, which keeps the oracle exact.
+    ``skew_ratio`` is a single int-derived division, bit-identical
+    everywhere. NULL keys count as the key "" (they skew joins too)."""
+    parts = []
+    for c in cols:
+        freq = df.groupBy(
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias("__k")
+        ).agg(F.count("*").alias("__cnt"))
+        packed = F.concat(
+            F.lpad(F.col("__cnt").cast("string"), 12, "0"), F.lit("|"), F.col("__k")
+        )
+        parts.append(
+            freq.agg(
+                F.lit(c).alias("column"),
+                F.sum("__cnt").alias("n_total"),
+                F.count("*").alias("n_distinct"),
+                F.max("__cnt").alias("max_cnt"),
+                F.substring(F.max(packed), 14, 1_000_000).alias("top_key"),
+            ).select(
+                "column",
+                "n_total",
+                "n_distinct",
+                "max_cnt",
+                "top_key",
+                (
+                    (F.col("max_cnt") * F.col("n_distinct")).cast("double")
+                    / F.col("n_total")
+                ).alias("skew_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -29,6 +29,7 @@ __all__ = [
     "poisson_cdf_thresholds",
     "bootstrap_metrics",
     "fixed_size_sample",
+    "negative_pairs",
 ]
 
 _BUCKETS = 10_000
@@ -448,3 +449,53 @@ def fixed_size_sample(df: DataFrame, key: str, n: int, salt: str = "") -> DataFr
         .limit(n)
         .drop("__rank_h")
     )
+
+
+def negative_pairs(df: DataFrame, key: str, salt: str = "") -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training:
+    every row is paired with one pseudo-random OTHER row — a fixed-
+    point-free permutation, not a cross join. Rows are ranked by the
+    md5 hash of their key (a deterministic shuffle — same recipe as
+    :func:`deterministic_sample`), then rank r pairs with rank
+    ``(r - 1 + n//2) mod n + 1``: adding a constant shift modulo n is
+    a derangement whenever ``n >= 2``, the pairing is uniform w.r.t.
+    the hash order, and the whole construction replays identically on
+    any engine (the property a training pipeline needs to regenerate
+    the same negatives).
+
+    Plan: one :func:`operators.rank.global_rank` (range shuffle +
+    metadata offsets — no single-reducer window) + one equi-join of
+    the ranked table with its shifted self on the rank key. NULL keys
+    are excluded (same contract as fixed_size_sample). Returns
+    (anchor_id, negative_id), one row per input row."""
+    from .rank import global_rank
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = (
+        df.select(key)
+        .filter(F.col(key).isNotNull())
+        .distinct()
+        .withColumn("__h", h)
+    )
+    ranked, n = global_rank(
+        base, [F.col("__h").asc(), F.col(key).asc()], rank_col="__r"
+    )
+    if n < 2:
+        return ranked.sparkSession.createDataFrame(
+            [], f"anchor_id {df.schema[key].dataType.simpleString()}, negative_id {df.schema[key].dataType.simpleString()}"
+        )
+    shift = n // 2
+    a = ranked.select(
+        F.col(key).alias("anchor_id"),
+        ((F.col("__r") - 1 + F.lit(shift)) % F.lit(n) + 1).alias("__p"),
+    )
+    b = ranked.select(F.col(key).alias("negative_id"), F.col("__r").alias("__p"))
+    return a.join(b, "__p").select("anchor_id", "negative_id")

@@ -7431,6 +7431,179 @@ def d_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "prof_skew_report",
+    oracle="""
+WITH f1 AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), '') AS k, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+f2 AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), '') AS k, count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT 'user_id' AS "column", CAST(sum(cnt) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt,
+       substr(max(concat(lpad(CAST(cnt AS VARCHAR), 12, '0'), '|', k)), 14) AS top_key,
+       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
+FROM f1
+UNION ALL
+SELECT 'event_type', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(max(cnt) AS BIGINT),
+       substr(max(concat(lpad(CAST(cnt AS VARCHAR), 12, '0'), '|', k)), 14),
+       CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+FROM f2
+""",
+)
+def prof_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over candidate join/aggregation keys
+    (profile.skew_report): rows, distinct keys, hottest key + count,
+    and skew_ratio = hottest/mean — the number that decides salt vs
+    broadcast vs AQE defaults BEFORE a join runs. One partial-combined
+    hash aggregate per column + a metadata fold; the deterministic
+    arg-max rides the fold as a zero-padded (count, key) string."""
+    from .operators.profile import skew_report
+
+    return skew_report(_events(spark, sf_dir), ["user_id", "event_type"])
+
+
+@register(
+    "smp_negative_pairs",
+    oracle="""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) ASC, doc_id ASC) AS rk
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL)
+),
+n AS (SELECT count(*) AS n FROM r)
+SELECT a.doc_id AS anchor_id, b.doc_id AS negative_id
+FROM r a, n, r b
+WHERE ((a.rk - 1 + n.n // 2) % n.n) + 1 = b.rk
+""",
+)
+def smp_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training
+    (sampling.negative_pairs): rank docs by key-hash (a reproducible
+    shuffle), pair rank r with rank (r-1+n/2) mod n + 1 — a fixed-
+    point-free permutation, so every doc gets one pseudo-random
+    negative with NO cross join and no RNG: the same negatives
+    regenerate on any engine or partitioning. Plan: one distributed
+    global rank + one equi-join on the shifted rank."""
+    from .operators.sampling import negative_pairs
+
+    return negative_pairs(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def _ewma_oracle(window: int = 8, num: int = 9, den: int = 10) -> str:
+    ws = [(num**j) * (den ** (window - 1 - j)) for j in range(window)]
+    lags = ",\n         ".join(
+        f"lag(cents, {j}) OVER w AS c{j}" for j in range(window)
+    )
+    numer = " + ".join(f"coalesce(c{j} * {ws[j]}, 0)" for j in range(window))
+    denom = " + ".join(
+        f"(CASE WHEN c{j} IS NOT NULL THEN {ws[j]} ELSE 0 END)" for j in range(window)
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id,
+         {lags}
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST({numer} AS DOUBLE) / ({denom}) AS ewma_cents
+FROM l
+"""
+
+
+@register("tj_ewma", oracle=_ewma_oracle())
+def tj_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user value feature
+    (temporal.ewma_decayed): truncated-window EWMA (last 8 events,
+    decay 0.9) in EXACT integer arithmetic — rational weights
+    9^j·10^(7-j) scaled through, int64 sums, one final int/int
+    division — so the decayed feature reproduces bit-for-bit on any
+    engine (true recursive EWMA's float accumulation order does not).
+    One shuffle on user_id."""
+    from .operators.temporal import ewma_decayed
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return ewma_decayed(
+        e, by="user_id", on="ts", value_cents="cents", tie_col="event_id"
+    ).select("user_id", "event_id", "ewma_cents")
+
+
+_TINDEX_CACHE: dict = {}
+
+
+def _prebuilt_token_index(spark: SparkSession, sf_dir: str):
+    """Inverted (token, doc_id) posting lake table CLUSTERED BY token
+    (operators/search.py), built at most once per sf_dir and
+    disk-cached under a source fingerprint (same lifecycle as the
+    Z-order fixture): repeated invocations pay only the manifest-pruned
+    posting read — the steady-state cost an index exists to deliver."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .operators.search import build_token_index
+    from .sources.lake import LakeTable
+    from .sources.sql import SaveStrategy
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"tindex:{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    t = _TINDEX_CACHE.get(key)
+    if t is None:
+        root = os.path.join(tempfile.gettempdir(), "fabrix_tindex_cache", key)
+        t = LakeTable(spark, os.path.join(root, "t"), retain=1)
+        _TINDEX_CACHE[key] = t
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    if not t.exists():
+        idx = build_token_index(_t(spark, sf_dir, "documents"))
+        t.save(idx, SaveStrategy.REPLACE)
+        t.optimize(cluster_by=["token"], n_files=16)
+    return t
+
+
+@register(
+    "lake_text_search",
+    oracle=r"""
+SELECT d.doc_id, d.lang FROM documents d
+WHERE list_contains(string_split_regex(lower(trim(d.text)), '\s+'), 'spark')
+  AND list_contains(string_split_regex(lower(trim(d.text)), '\s+'), 'filter')
+  AND list_contains(string_split_regex(lower(trim(d.text)), '\s+'), 'window')
+""",
+)
+def lake_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated conjunctive keyword search: docs containing
+    ALL of {spark, filter, window}, answered from a persisted inverted
+    posting table clustered by token — the manifest's per-file token
+    min/max prunes the posting read to the query terms' byte ranges
+    (the parquet analogue of a posting-list seek), then one broadcast
+    term join + one doc_id aggregate implement AND semantics. Work ∝
+    postings of the query terms, never the corpus. The oracle answers
+    the same question the brute-force way (tokenize-and-scan every
+    document), so the driver proves the index invents and loses
+    nothing."""
+    from .operators.search import search_all_terms
+
+    terms = ["spark", "filter", "window"]
+    postings = _prebuilt_token_index(spark, sf_dir).scan([("token", "in", terms)]).df
+    ids = search_all_terms(postings, terms)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ids.join(docs, "doc_id").select("doc_id", "lang")
+
+
 @register("stream_asof_replay", oracle=REGISTRY["tj_asof_rates"].oracle)
 def stream_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING as-of enrichment (streaming/ingest.stream_asof_enrich):

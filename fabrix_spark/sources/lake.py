@@ -960,7 +960,13 @@ class LakeTable:
         of the clustered space instead of full-range stripes, so the
         manifest prunes on ANY clustered column, not just a sort
         leader — the Delta OPTIMIZE ZORDER BY semantics. One full
-        rewrite (range shuffle); run it at the cadence of compaction."""
+        rewrite (range shuffle); run it at the cadence of compaction.
+
+        A SINGLE cluster column takes the direct range-sort path (a
+        one-dimensional Z-order IS a range sort) — which also makes
+        string columns clusterable (the posting-table / inverted-index
+        layout); the grid interleave needs numeric/temporal columns
+        and stays the multi-column path."""
         if not cluster_by:
             raise ValueError("optimize requires at least one cluster_by column")
         if self.buckets:
@@ -973,6 +979,19 @@ class LakeTable:
         with self._maybe_lock():
             cur = self.current_dir()
             df = self._read_raw()
+            if len(cluster_by) == 1:
+                if n_files is None:
+                    files = _glob.glob(
+                        os.path.join(cur, "**", "*.parquet"), recursive=True
+                    )
+                    total_bytes = sum(os.path.getsize(f) for f in files)
+                    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+                col = F.col(cluster_by[0])
+                clustered = df.repartitionByRange(n_files, col).sortWithinPartitions(
+                    col
+                )
+                self._commit_version(self._write_version(clustered), op="optimize")
+                return
             from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
             temporal = (DateType, TimestampType, TimestampNTZType)

@@ -1969,3 +1969,106 @@ def test_knn_graph_contract(spark):
     # identical vectors find each other at rank 1 with cosine 1.0
     assert by_src[0][0][1:] == (1.0, 999999)
     assert by_src[999999][0][1:] == (1.0, 0)
+
+
+def test_token_index_search_and_pruning(spark, tmp_path):
+    """Inverted-index search (operators/search.py): AND/OR semantics
+    match a brute-force tokenize-and-scan, and the token-clustered
+    lake layout actually PRUNES the posting read (manifest min/max on
+    the sorted token column skips files)."""
+    from fabrix_spark.operators.search import (
+        build_token_index,
+        search_all_terms,
+        search_any_terms,
+        tokens_expr,
+    )
+    from fabrix_spark.sources.lake import LakeTable
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_token_index(docs)
+    t = LakeTable(spark, str(tmp_path / "tindex"))
+    t.save(idx, "replace")
+    t.optimize(cluster_by=["token"], n_files=8)
+
+    terms = ["spark", "window"]
+    kept, total = t.pruned_files([("token", "in", terms)])
+    assert total == 8 and len(kept) < total  # the seek actually skips
+
+    postings = t.scan([("token", "in", terms)]).df
+    got_all = sorted(r["doc_id"] for r in search_all_terms(postings, terms).collect())
+    toks = docs.select("doc_id", tokens_expr("text").alias("__t"))
+    want_all = sorted(
+        r["doc_id"]
+        for r in toks.filter(
+            F.array_contains("__t", "spark") & F.array_contains("__t", "window")
+        ).collect()
+    )
+    assert got_all == want_all and got_all
+
+    got_any = {
+        r["doc_id"]: r["n_terms"]
+        for r in search_any_terms(postings, terms).collect()
+    }
+    want_any = {
+        r["doc_id"]: r["n"]
+        for r in toks.select(
+            "doc_id",
+            (
+                F.array_contains("__t", "spark").cast("int")
+                + F.array_contains("__t", "window").cast("int")
+            ).alias("n"),
+        ).filter(F.col("n") > 0).collect()
+    }
+    assert got_any == want_any
+
+
+def test_skew_report_values(spark):
+    """skew_report: exact counts, deterministic tie-break on the top
+    key (lexicographically larger wins), NULLs counted as ''."""
+    from fabrix_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 6 + [("c",)] * 2 + [(None,)] * 2, "k string"
+    )
+    r = {x["column"]: x for x in skew_report(df, ["k"]).collect()}["k"]
+    assert (r["n_total"], r["n_distinct"], r["max_cnt"]) == (16, 4, 6)
+    assert r["top_key"] == "b"  # a/b tie at 6 -> larger key
+    assert r["skew_ratio"] == 6 * 4 / 16
+
+
+def test_negative_pairs_derangement(spark):
+    """negative_pairs: a fixed-point-free permutation — every key
+    appears exactly once as anchor and once as negative, never paired
+    with itself; deterministic across invocations."""
+    from fabrix_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(37)], "doc_id long")
+    got = [(r["anchor_id"], r["negative_id"]) for r in negative_pairs(df, "doc_id").collect()]
+    assert len(got) == 37
+    anchors = sorted(a for a, _ in got)
+    negs = sorted(b for _, b in got)
+    assert anchors == list(range(37)) == negs
+    assert all(a != b for a, b in got)
+    again = [(r["anchor_id"], r["negative_id"]) for r in negative_pairs(df, "doc_id").collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_ewma_decayed_exact(spark):
+    """ewma_decayed equals the hand-computed truncated-window decayed
+    average (rational weights, renormalized over present lags)."""
+    from fabrix_spark.operators.temporal import ewma_decayed
+
+    vals = [100, 200, 400, 800]
+    df = spark.createDataFrame(
+        [(1, i, f"2024-01-01 00:0{i}:00", vals[i]) for i in range(4)],
+        "u long, eid long, ts_s string, cents long",
+    ).select("u", "eid", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "cents")
+    got = {
+        r["eid"]: r["ewma_cents"]
+        for r in ewma_decayed(df, by="u", on="ts", value_cents="cents", tie_col="eid", window=3).collect()
+    }
+    # window=3, decay 9/10 -> weights (current, lag1, lag2) = (100, 90, 81)
+    assert got[0] == 100.0  # only itself
+    assert got[1] == (200 * 100 + 100 * 90) / 190
+    assert got[2] == (400 * 100 + 200 * 90 + 100 * 81) / 271
+    assert got[3] == (800 * 100 + 400 * 90 + 200 * 81) / 271

@@ -498,3 +498,25 @@ def test_rfm_no_unpartitioned_window(spark):
     df = REGISTRY["e_rfm_segments"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_round10_query_plan_shapes(spark):
+    """Plan pins for the round-10 additions: the kNN graph must pair
+    via the bucket equi-join (no cartesian/nested-loop on data
+    tables) and rank per-node (partitioned window only); global-rank
+    shapes carry no Window node at all."""
+    plan = _plan(spark, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the ranking window is PARTITIONED by the source node
+    assert "Window" in plan and "windowspecdefinition(src" in plan
+
+    for name in ("w_global_rank", "smp_negative_pairs"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    # EWMA: one keyed window partitioned by user, no extra exchanges
+    plan = _plan(spark, "tj_ewma")
+    assert "windowspecdefinition(user_id" in plan
+    assert plan.count("hashpartitioning") <= 1

@@ -15,7 +15,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters", "mad_outliers", "skew_report"]
+__all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters", "mad_outliers", "skew_report", "winsorize"]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -729,3 +729,41 @@ def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def winsorize(
+    df: DataFrame, col: str, lower_pct: int = 1, upper_pct: int = 1
+) -> DataFrame:
+    """Rank-based winsorization — clamp ``col`` to its [p_lower,
+    p_upper] tail boundaries, the standard outlier treatment before
+    training statistics. Boundaries are defined by EXACT RANK (the
+    k-th smallest / k-th largest value with k = ceil(n·pct/100)), not
+    by interpolated percentiles: engines disagree on percentile
+    interpolation index formulas, but "max of the k smallest" is a
+    total-order fact any engine reproduces bit-for-bit.
+
+    Plan: one count, then each boundary is a sort-free global top-k
+    (TakeOrderedAndProject: per-partition heaps, merge of k·P rows) +
+    a 1-row aggregate — the two boundary scalars are the only
+    driver-side data. The clamp itself is a narrow expression. NULLs
+    are ignored for boundary ranks and pass through unclamped.
+
+    Returns df + ``{col}_winsorized`` + ``was_clipped``."""
+    vals = df.select(col).filter(F.col(col).isNotNull())
+    n = vals.count()
+    if n == 0:
+        return df.withColumn(f"{col}_winsorized", F.col(col)).withColumn(
+            "was_clipped", F.lit(False)
+        )
+    k_lo = max(1, -(-(n * lower_pct) // 100))
+    k_hi = max(1, -(-(n * upper_pct) // 100))
+    lo = vals.orderBy(F.col(col).asc()).limit(k_lo).agg(F.max(col)).first()[0]
+    hi = vals.orderBy(F.col(col).desc()).limit(k_hi).agg(F.min(col)).first()[0]
+    # least/greatest SKIP nulls (both here and in ANSI engines), which
+    # would silently clamp a NULL to a boundary — gate explicitly
+    clamp = F.when(
+        F.col(col).isNotNull(), F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col)))
+    )
+    return df.withColumn(f"{col}_winsorized", clamp).withColumn(
+        "was_clipped", (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+    )

@@ -1042,6 +1042,7 @@ def knn_graph(
     vec_col: str = "embedding",
     dim: int | None = None,
     quantize: int = 1_000_000,
+    mutual: bool = False,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every corpus vector gets edges to its k
     most-cosine-similar LSH-candidate neighbors — the all-nodes-are-
@@ -1062,7 +1063,19 @@ def knn_graph(
 
     Returns (src, dst, cosine, rank), rank 1..k per src; nodes whose
     buckets contain no other vector emit no edges (standard LSH recall
-    contract — raise n_tables / lower n_planes for denser graphs)."""
+    contract — raise n_tables / lower n_planes for denser graphs).
+
+    ``mutual=True`` keeps an edge only when BOTH endpoints rank each
+    other in their top-k — the standard symmetrization that fragments
+    the hub-dominated kNN digraph into meaningful neighborhoods before
+    graph clustering. One extra self-semi-join on the edge key.
+
+    Candidate scoring runs as an Arrow-batched numpy kernel when numpy
+    is available (one ``einsum`` row-wise dot per batch instead of an
+    interpreted per-element ``aggregate`` chain — the t_lm_score HOF
+    lesson); the kernel emits ONLY the exact int64 dot, and the
+    rounding/division stays a JVM expression, so both paths are
+    bit-identical (pinned in tests and by the shared oracle)."""
     b = hyperplane_lsh_buckets(
         corpus, n_planes, id_col, vec_col, quantize=quantize, n_tables=n_tables, dim=dim
     )
@@ -1082,21 +1095,53 @@ def knn_graph(
     d = vec.select(
         F.col("__id").alias("dst"), F.col("__v").alias("d_v"), F.col("__n2").alias("d_n2")
     )
-    scored = (
-        cand.join(s, "src")
-        .join(d, "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(
-                _dot(F.col("s_v"), F.col("d_v"), True)
-                / F.sqrt(F.col("s_n2").cast("double") * F.col("d_n2").cast("double")),
-                6,
-            ).alias("cosine"),
+    paired = cand.join(s, "src").join(d, "dst")
+    try:
+        import numpy as np  # noqa: F401
+
+        have_np = True
+    except ImportError:  # pragma: no cover - numpy is baked in here
+        have_np = False
+    if have_np:
+        fields = paired.select("src", "dst", "s_n2", "d_n2").schema.fieldNames()
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in paired.schema.fields
+            if f.name in fields
+        ) + ", dot long"
+
+        def _score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sv = np.stack(pdf["s_v"].to_numpy()).astype(np.int64)
+                dv = np.stack(pdf["d_v"].to_numpy()).astype(np.int64)
+                out = pdf[["src", "dst", "s_n2", "d_n2"]].copy()
+                out["dot"] = np.einsum("ij,ij->i", sv, dv)
+                yield pd.DataFrame(out)
+
+        with_dot = paired.mapInPandas(_score, schema=out_schema)
+    else:
+        with_dot = paired.select(
+            "src", "dst", "s_n2", "d_n2", _dot(F.col("s_v"), F.col("d_v"), True).alias("dot")
         )
+    scored = with_dot.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("s_n2").cast("double") * F.col("d_n2").cast("double")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    g = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if mutual:
+        rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        g = g.join(rev, ["src", "dst"], "left_semi")
+    return g
 
 
 # ---------------------------------------------------------------------------

@@ -7540,6 +7540,44 @@ def tj_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ewma_cents")
 
 
+@register(
+    "prof_winsorize",
+    oracle="""
+WITH vals AS (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL),
+cnt AS (SELECT count(*) AS n FROM vals),
+lo AS (
+  SELECT max(n_chars) AS v FROM (
+    SELECT n_chars, row_number() OVER (ORDER BY n_chars ASC) AS r FROM vals
+  ) t, cnt WHERE t.r <= greatest(1, CAST(ceil(cnt.n * 1 / 100.0) AS BIGINT))
+),
+hi AS (
+  SELECT min(n_chars) AS v FROM (
+    SELECT n_chars, row_number() OVER (ORDER BY n_chars DESC) AS r FROM vals
+  ) t, cnt WHERE t.r <= greatest(1, CAST(ceil(cnt.n * 1 / 100.0) AS BIGINT))
+)
+SELECT d.doc_id, d.n_chars,
+       CAST(CASE WHEN d.n_chars IS NULL THEN NULL
+            ELSE greatest(lo.v, least(hi.v, d.n_chars)) END AS BIGINT)
+         AS n_chars_winsorized,
+       (d.n_chars < lo.v OR d.n_chars > hi.v) AS was_clipped
+FROM documents d, lo, hi
+""",
+)
+def prof_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorization of document lengths
+    (profile.winsorize): clamp n_chars to its exact p01/p99 RANK
+    boundaries — "max of the k smallest", a total-order fact, instead
+    of interpolated percentiles whose index formulas differ per engine.
+    Boundaries come from two global top-k heaps (TakeOrderedAndProject)
+    + 1-row aggregates; the clamp is a narrow expression. (The oracle
+    affords a single-reducer row_number window at test scale; the
+    Spark side never ranks globally.)"""
+    from .operators.profile import winsorize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return winsorize(d, "n_chars", lower_pct=1, upper_pct=1)
+
+
 _TINDEX_CACHE: dict = {}
 
 

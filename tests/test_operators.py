@@ -2072,3 +2072,66 @@ def test_ewma_decayed_exact(spark):
     assert got[1] == (200 * 100 + 100 * 90) / 190
     assert got[2] == (400 * 100 + 200 * 90 + 100 * 81) / 271
     assert got[3] == (800 * 100 + 400 * 90 + 200 * 81) / 271
+
+
+def test_knn_graph_mutual_and_scorer_parity(spark):
+    """mutual=True keeps exactly the symmetric edge subset, and the
+    Arrow-batched int64 dot kernel is bit-identical to the expression
+    scorer (the kernel emits only integers; rounding stays JVM-side)."""
+    from pyspark.sql.window import Window
+
+    from fabrix_spark.operators.similarity import (
+        _dot,
+        _quantized,
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    g = similarity.knn_graph(emb, k=3, n_planes=4, n_tables=4, dim=64)
+    edges = {(r["src"], r["dst"]) for r in g.collect()}
+    m = similarity.knn_graph(emb, k=3, n_planes=4, n_tables=4, dim=64, mutual=True)
+    mutual_edges = {(r["src"], r["dst"]) for r in m.collect()}
+    assert mutual_edges == {(a, b) for (a, b) in edges if (b, a) in edges}
+    assert mutual_edges and mutual_edges < edges
+
+    # expression-path twin (the pre-Arrow scorer), must match exactly
+    b = hyperplane_lsh_buckets(emb, 4, "vec_id", "embedding", n_tables=4, dim=64)
+    cand = (
+        b.withColumnRenamed("vec_id", "src")
+        .join(b.withColumnRenamed("vec_id", "dst"), ["table", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vec = emb.select(
+        F.col("vec_id").alias("__id"), _quantized(F.col("embedding"), 1_000_000).alias("__v")
+    ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    s = vec.select(F.col("__id").alias("src"), F.col("__v").alias("s_v"), F.col("__n2").alias("s_n2"))
+    d = vec.select(F.col("__id").alias("dst"), F.col("__v").alias("d_v"), F.col("__n2").alias("d_n2"))
+    scored = cand.join(s, "src").join(d, "dst").select(
+        "src", "dst",
+        F.round(
+            _dot(F.col("s_v"), F.col("d_v"), True)
+            / F.sqrt(F.col("s_n2").cast("double") * F.col("d_n2").cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+    want = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    assert sorted(map(tuple, g.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_winsorize_rank_boundaries(spark):
+    """winsorize clamps at the exact k-th-smallest/largest boundaries
+    (k = ceil(n·pct/100)), ignores NULLs for ranks, and passes NULLs
+    through."""
+    from fabrix_spark.operators.profile import winsorize
+
+    # 100 non-null values 1..100 + nulls -> p05 boundaries: k=5 -> lo=5, hi=96
+    df = spark.createDataFrame([(i,) for i in range(1, 101)] + [(None,)] * 3, "v long")
+    out = winsorize(df, "v", lower_pct=5, upper_pct=5).collect()
+    got = {r["v"]: (r["v_winsorized"], r["was_clipped"]) for r in out}
+    assert got[1] == (5, True) and got[4] == (5, True) and got[5] == (5, False)
+    assert got[100] == (96, True) and got[97] == (96, True) and got[96] == (96, False)
+    assert got[50] == (50, False)
+    assert got[None][0] is None  # null passes through unclamped

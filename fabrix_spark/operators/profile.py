@@ -732,7 +732,13 @@ def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def winsorize(
-    df: DataFrame, col: str, lower_pct: int = 1, upper_pct: int = 1
+    df: DataFrame,
+    col: str,
+    lower_pct: int = 1,
+    upper_pct: int = 1,
+    method: str = "exact",
+    sketch_width: int = 1000,
+    sketch_scale: int = 100,
 ) -> DataFrame:
     """Rank-based winsorization — clamp ``col`` to its [p_lower,
     p_upper] tail boundaries, the standard outlier treatment before
@@ -742,11 +748,20 @@ def winsorize(
     interpolation index formulas, but "max of the k smallest" is a
     total-order fact any engine reproduces bit-for-bit.
 
-    Plan: one count, then each boundary is a sort-free global top-k
-    (TakeOrderedAndProject: per-partition heaps, merge of k·P rows) +
-    a 1-row aggregate — the two boundary scalars are the only
-    driver-side data. The clamp itself is a narrow expression. NULLs
-    are ignored for boundary ranks and pass through unclamped.
+    ``method='exact'``: each boundary is a global top-k
+    (TakeOrderedAndProject: per-partition heaps, then ONE node merges
+    k rows) + a 1-row aggregate. The single-node k-row merge means
+    exact is for k up to the ~10⁷ range — fine for percent-tails of
+    bench-scale tables, NOT for 1% of 10¹¹ rows. At that scale use
+    ``method='sketch'``: boundaries from the deterministic mergeable
+    histogram sketch (:func:`hist_sketch` — one map-combined pass,
+    sketch-sized driver traffic, boundary within one bucket width of
+    the exact order statistic, still engine-reproducible).
+
+    The clamp itself is a narrow expression. NULLs are ignored for
+    boundary ranks and pass through unclamped (explicitly —
+    least/greatest SKIP nulls in every ANSI engine and would silently
+    clamp them).
 
     Returns df + ``{col}_winsorized`` + ``was_clipped``."""
     vals = df.select(col).filter(F.col(col).isNotNull())
@@ -757,8 +772,26 @@ def winsorize(
         )
     k_lo = max(1, -(-(n * lower_pct) // 100))
     k_hi = max(1, -(-(n * upper_pct) // 100))
-    lo = vals.orderBy(F.col(col).asc()).limit(k_lo).agg(F.max(col)).first()[0]
-    hi = vals.orderBy(F.col(col).desc()).limit(k_hi).agg(F.min(col)).first()[0]
+    if method == "sketch":
+        # boundaries from the mergeable histogram sketch; est_lo is in
+        # quantized units (round(v·scale)), so divide back out. For
+        # integer columns, sketch_width=1/sketch_scale=1 makes the
+        # sketch exact (one bucket per value) when the domain is small.
+        # Target ranks are k_lo and n-k_hi+1 (same order statistics as
+        # the exact path); the half-offset probs make hist_quantiles'
+        # ceil(p·n) land on exactly those ranks despite float fuzz.
+        p_lo = (k_lo - 0.5) / n
+        p_hi = (n - k_hi + 1 - 0.5) / n
+        sk = hist_sketch(vals, col, width=sketch_width, scale=sketch_scale)
+        qs = hist_quantiles(sk, (p_lo, p_hi), width=sketch_width).collect()
+        by_p = {round(r["prob"], 9): r["est_lo"] for r in qs}
+        lo = by_p[round(p_lo, 9)] / sketch_scale
+        hi = by_p[round(p_hi, 9)] / sketch_scale
+    elif method == "exact":
+        lo = vals.orderBy(F.col(col).asc()).limit(k_lo).agg(F.max(col)).first()[0]
+        hi = vals.orderBy(F.col(col).desc()).limit(k_hi).agg(F.min(col)).first()[0]
+    else:
+        raise ValueError(f"unknown winsorize method {method!r}")
     # least/greatest SKIP nulls (both here and in ANSI engines), which
     # would silently clamp a NULL to a boundary — gate explicitly
     clamp = F.when(

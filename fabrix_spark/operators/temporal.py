@@ -331,7 +331,22 @@ def ewma_decayed(
     than ``window`` priors renormalize over the weights present
     (standard adjusted EWMA).
 
-    Returns df columns + ``ewma_cents`` (double)."""
+    Returns df columns + ``ewma_cents`` (double).
+
+    Overflow contract: the weighted sum accumulates as int64, so
+    ``window · |value| · max(num, den)^(window-1)`` must stay below
+    2^63. With the defaults (9/10, window 8) that allows |value| up to
+    ~10^11; the constructor REFUSES configurations whose headroom
+    drops below ±10^7 (typical cent magnitudes) rather than silently
+    wrapping — widen ``window`` only with a smaller decay base."""
+    max_weight = max(decay_num, decay_den) ** (window - 1)
+    if window * max_weight > (1 << 63) // 10**7:
+        raise ValueError(
+            f"ewma_decayed: window={window} with decay {decay_num}/{decay_den} "
+            f"leaves int64 headroom below ±1e7 per value "
+            f"(window·base^(window-1) = {window * max_weight:.3g}); "
+            "shrink the window or the decay base"
+        )
     v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
     order = [F.col(on).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
     w = Window.partitionBy(by).orderBy(*order)

@@ -2135,3 +2135,26 @@ def test_winsorize_rank_boundaries(spark):
     assert got[100] == (96, True) and got[97] == (96, True) and got[96] == (96, False)
     assert got[50] == (50, False)
     assert got[None][0] is None  # null passes through unclamped
+
+
+def test_winsorize_sketch_path_and_ewma_guard(spark):
+    """winsorize(method='sketch') with unit buckets equals the exact
+    path on an integer column; ewma_decayed refuses configurations
+    whose int64 headroom drops below cent magnitudes."""
+    import pytest as _pytest
+
+    from fabrix_spark.operators.profile import winsorize
+    from fabrix_spark.operators.temporal import ewma_decayed
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    exact = sorted(map(tuple, winsorize(df, "v", 5, 5).collect()))
+    sk = sorted(
+        map(
+            tuple,
+            winsorize(df, "v", 5, 5, method="sketch", sketch_width=1, sketch_scale=1).collect(),
+        )
+    )
+    assert [(a, int(b), c) for a, b, c in sk] == exact
+
+    with _pytest.raises(ValueError, match="headroom"):
+        ewma_decayed(df, by="v", on="v", value_cents="v", window=20)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .util import spread
 
-__all__ = ["build_token_index", "search_all_terms", "search_any_terms"]
+__all__ = ["build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores"]
 
 
 def tokens_expr(text_col: str):
@@ -89,3 +89,99 @@ def search_any_terms(
     uniq = sorted({t.lower() for t in terms})
     hits = index.join(F.broadcast(_terms_df(index, uniq)), "token")
     return hits.groupBy(id_col).agg(F.count_distinct("token").alias("n_terms"))
+
+
+def doc_token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, tf) term-frequency postings — the ranked-
+    retrieval index (:func:`build_token_index` is its boolean-search
+    projection). One explode + one (doc, token) hash aggregate."""
+    return (
+        spread(docs)
+        .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_scores(
+    tf_index: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval over a (doc_id, token, tf) index —
+    Robertson/Sparck-Jones BM25 with the +1 idf floor (public
+    formula):
+
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      w(t, d) = tf·(k1+1) / (tf + k1·(1 - b + b·len/avgdl))
+      score   = Σ_t idf(t) · w(t, d)
+
+    Exactness recipe (the t_lm_score lesson): idf and w each quantize
+    to int64 MICRO units immediately (round(x·1e6)); the score is the
+    int64 sum of their products (≤ ~4.4e13 per term — no overflow), so
+    accumulation order cannot drift and the result hash-matches any
+    engine whose ln/division agree at 1e-6 — emitted as
+    ``score_micro2`` (units of 1e-12).
+
+    Scale shape: hits = postings of the query terms only (broadcast
+    term join); per-doc lengths are one aggregate over the index (at
+    100 TB persist them next to the index instead of recomputing);
+    document frequencies and corpus stats are term-count-sized and
+    broadcast back; the final score is one doc-keyed aggregate over
+    the hits. Nothing scans text at query time."""
+    uniq = sorted({t.lower() for t in terms})
+    lens = tf_index.groupBy(id_col).agg(F.sum("tf").alias("__len"))
+    stats = lens.agg(
+        F.count("*").alias("__n"), F.sum("__len").alias("__sumlen")
+    )
+    hits = tf_index.join(F.broadcast(_terms_df(tf_index, uniq)), "token")
+    dfreq = hits.groupBy("token").agg(F.count("*").alias("__df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__idf_u"),
+        )
+    )
+    scored = (
+        hits.join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "token")
+        .select(
+            id_col,
+            (
+                F.round(
+                    (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1
+                            - b
+                            + b
+                            * F.col("__len")
+                            / (F.col("__sumlen").cast("double") / F.col("__n"))
+                        )
+                    )
+                    * 1_000_000
+                ).cast("long")
+                * F.col("__idf_u")
+            ).alias("__term_score"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__term_score").alias("score_micro2"),
+        F.count("*").alias("n_terms"),
+    )

@@ -7578,6 +7578,57 @@ def prof_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(d, "n_chars", lower_pct=1, upper_pct=1)
 
 
+@register(
+    "t_bm25_search",
+    # float literals are spelled as the SAME source expressions the
+    # Spark side builds ((1.2 + 1), (1 - 0.75 + 0.75·x)) so both
+    # engines round the identical IEEE ops — never pre-evaluated
+    # constants that might round differently
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(len) AS sumlen FROM lens),
+terms(token) AS (VALUES ('filter'), ('spark'), ('window')),
+hits AS (SELECT tf.* FROM tf JOIN terms USING (token)),
+dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+idf AS (
+  SELECT token,
+         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT) AS idf_u
+  FROM dfq, stats
+),
+sc AS (
+  SELECT h.doc_id,
+         CAST(round((h.tf * (1.2 + 1))
+              / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.len
+                 / (CAST(stats.sumlen AS DOUBLE) / stats.n)))
+              * 1000000) AS BIGINT) * i.idf_u AS ts
+  FROM hits h JOIN lens l USING (doc_id) JOIN idf i USING (token), stats
+)
+SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score_micro2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM sc GROUP BY doc_id
+""",
+)
+def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (search.bm25_scores) for {spark, filter,
+    window} over the (doc, token, tf) index: idf and per-term weights
+    quantize to int64 micro units immediately, the score is an exact
+    integer sum of their products — accumulation order cannot drift,
+    so the ranked scores hash-verify cross-engine (the t_lm_score
+    micro-nat recipe). Query-time work ∝ the query terms' postings:
+    broadcast term join, doc-keyed aggregate; no text is scanned."""
+    from .operators.search import bm25_scores, doc_token_counts
+
+    tf = doc_token_counts(_t(spark, sf_dir, "documents"))
+    return bm25_scores(tf, ["spark", "filter", "window"])
+
+
 _TINDEX_CACHE: dict = {}
 
 

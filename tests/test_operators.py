@@ -2158,3 +2158,26 @@ def test_winsorize_sketch_path_and_ewma_guard(spark):
 
     with _pytest.raises(ValueError, match="headroom"):
         ewma_decayed(df, by="v", on="v", value_cents="v", window=20)
+
+
+def test_bm25_ranking_sanity(spark):
+    """BM25: only docs containing a query term score; a document
+    stuffed with a rare term outranks one with a single common term;
+    rarer terms carry higher idf weight."""
+    from fabrix_spark.operators.search import bm25_scores, doc_token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare rare pad pad pad"),
+            (2, "common pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad"),
+        ]
+        + [(10 + i, "common pad pad pad pad pad") for i in range(8)],
+        "doc_id long, text string",
+    )
+    tf = doc_token_counts(docs)
+    got = {r["doc_id"]: r["score_micro2"] for r in bm25_scores(tf, ["rare", "common"]).collect()}
+    assert 3 not in got  # no query term, no row
+    assert set(got) == {1, 2} | {10 + i for i in range(8)}
+    assert got[1] > got[2]  # rare term + higher tf dominates
+    assert all(v > 0 for v in got.values())

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .util import spread
 
-__all__ = ["build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores"]
+__all__ = ["build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores", "positional_index", "search_phrase"]
 
 
 def tokens_expr(text_col: str):
@@ -185,3 +185,40 @@ def bm25_scores(
         F.sum("__term_score").alias("score_micro2"),
         F.count("*").alias("n_terms"),
     )
+
+
+def positional_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, pos) positional postings — phrase-query support.
+    ``pos`` is the 0-based position within the FILTERED token stream
+    (same tokenization as the boolean/tf indexes), so an external
+    engine reproducing the tokenization reproduces the positions."""
+    return spread(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "token"),
+    )
+
+
+def search_phrase(
+    pindex: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase search: documents where ``phrase``'s tokens occur
+    CONSECUTIVELY, with the match count — the classic positional-index
+    intersection (public shape: each term i's postings shifted by -i,
+    equi-joined on (doc, start)). Work ∝ the phrase terms' postings:
+    k-1 keyed joins, no text scanned; a selective lead term prunes the
+    chain early. Returns (id, n_occurrences)."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("search_phrase needs at least one token")
+    cur = (
+        pindex.filter(F.col("token") == terms[0])
+        .select(F.col(id_col), F.col("pos").alias("__start"))
+    )
+    for i, t in enumerate(terms[1:], 1):
+        nxt = pindex.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("__start")
+        )
+        cur = cur.join(nxt, [id_col, "__start"])
+    return cur.groupBy(id_col).agg(F.count("*").alias("n_occurrences"))

@@ -7629,6 +7629,38 @@ def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(tf, ["spark", "filter", "window"])
 
 
+@register(
+    "t_phrase_search",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token,
+         unnest(range(0, len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                         t -> t <> '')))) AS pos
+  FROM documents
+),
+a AS (SELECT doc_id, pos AS start FROM toks WHERE token = 'table'),
+b AS (SELECT doc_id, pos - 1 AS start FROM toks WHERE token = 'scan')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM a JOIN b USING (doc_id, start)
+GROUP BY 1
+""",
+)
+def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table scan") from the positional index
+    (search.positional_index + search_phrase): each term's postings
+    shift by its phrase offset and equi-join on (doc, start) — the
+    classic positional intersection, work ∝ the phrase terms' postings
+    with no text scanned at query time. The oracle rebuilds identical
+    filtered-stream positions (DuckDB's parallel unnest zips token and
+    ordinal), so occurrence counts hash-match."""
+    from .operators.search import positional_index, search_phrase
+
+    p = positional_index(_t(spark, sf_dir, "documents"))
+    return search_phrase(p, ["table", "scan"])
+
+
 _TINDEX_CACHE: dict = {}
 
 

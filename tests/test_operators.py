@@ -2181,3 +2181,26 @@ def test_bm25_ranking_sanity(spark):
     assert set(got) == {1, 2} | {10 + i for i in range(8)}
     assert got[1] > got[2]  # rare term + higher tf dominates
     assert all(v > 0 for v in got.values())
+
+
+def test_phrase_search_consecutive_only(spark):
+    """Phrase search matches CONSECUTIVE tokens only, counts multiple
+    and overlapping occurrences, and longer phrases chain correctly."""
+    from fabrix_spark.operators.search import positional_index, search_phrase
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick the brown fox"),          # words present, not consecutive
+            (3, "quick brown x quick brown"),    # two occurrences
+            (4, "quick quick quick"),            # overlapping repeats
+        ],
+        "doc_id long, text string",
+    )
+    p = positional_index(docs)
+    got = {r["doc_id"]: r["n_occurrences"] for r in search_phrase(p, ["quick", "brown"]).collect()}
+    assert got == {1: 1, 3: 2}
+    got3 = {r["doc_id"]: r["n_occurrences"] for r in search_phrase(p, ["the", "quick", "brown"]).collect()}
+    assert got3 == {1: 1}
+    rep = {r["doc_id"]: r["n_occurrences"] for r in search_phrase(p, ["quick", "quick"]).collect()}
+    assert rep == {4: 2}  # overlapping starts 0 and 1

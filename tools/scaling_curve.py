@@ -381,6 +381,15 @@ def main() -> None:
 
         return op
 
+    def op_knn_graph(sf_dir, m):
+        import math as _math
+
+        from fabrix_spark.operators import similarity as _sim
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        planes = 6 + int(_math.log2(m)) if m > 1 else 6
+        return _sim.knn_graph(emb, k=3, n_planes=planes, n_tables=4, dim=64).count()
+
     ops = [
         ("d_minhash_lsh", run_registry("d_minhash_lsh"), None),
         ("d_incremental_probe", op_incremental_probe, warm_incremental),
@@ -410,6 +419,16 @@ def main() -> None:
         # r10: hot-bucket salt measurement (see warm_hot_sigs comment)
         ("lsh_hot_unsalted (B=500m)", op_lsh_hot(None), warm_hot_sigs),
         ("lsh_hot_salted8 (B=500m)", op_lsh_hot(8), warm_hot_sigs),
+        # r10 additions. knn_graph's scale contract (docstring): bucket
+        # count must grow with the corpus or candidates go quadratic —
+        # n_planes += log2(m) doubles buckets per corpus doubling, the
+        # same contract as IVF nlist ∝ m.
+        ("sim_knn_graph (planes=6+log2m)", op_knn_graph, None),
+        ("t_bm25_search", run_registry("t_bm25_search"), None),
+        ("t_phrase_search", run_registry("t_phrase_search"), None),
+        ("w_global_rank", run_registry("w_global_rank"), None),
+        ("smp_negative_pairs", run_registry("smp_negative_pairs"), None),
+        ("tj_ewma (m x events)", run_registry("tj_ewma"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -7725,6 +7725,43 @@ def lake_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.join(docs, "doc_id").select("doc_id", "lang")
 
 
+@register("stream_index_replay", oracle=REGISTRY["lake_text_search"].oracle)
+def stream_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING inverted-index maintenance
+    (streaming/ingest.stream_maintain_index): documents stream in as 3
+    micro-batches, each appending its (token, doc_id) postings to the
+    lake index — per-batch work ∝ the batch's tokens, corpus and
+    existing index never re-read. The conjunctive search over the
+    maintained index must equal the brute-force tokenize-and-scan
+    oracle (same oracle as lake_text_search): an index maintained
+    incrementally answers exactly like one built from scratch."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.search import search_all_terms
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_json, stream_maintain_index
+
+    root = tempfile.mkdtemp(prefix="fabrix_sidx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").coalesce(3).write.mode("overwrite").json(src)
+    idx = LakeTable(spark, os.path.join(root, "idx"), retain=8)
+    q = stream_maintain_index(
+        read_stream_json(
+            spark, src, schema="doc_id long, text string", max_files_per_trigger=1
+        ),
+        idx,
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    terms = ["spark", "filter", "window"]
+    ids = search_all_terms(idx.read().df, terms)
+    return ids.join(docs.select("doc_id", "lang"), "doc_id").select("doc_id", "lang")
+
+
 @register("stream_asof_replay", oracle=REGISTRY["tj_asof_rates"].oracle)
 def stream_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING as-of enrichment (streaming/ingest.stream_asof_enrich):

@@ -47,6 +47,7 @@ __all__ = [
     "profile_fold_consumer",
     "heavy_hitter_consumer",
     "stream_asof_enrich",
+    "stream_maintain_index",
 ]
 
 # the driver's events table shape (TESTDATA.md), ts as NTZ micros
@@ -795,6 +796,45 @@ def stream_asof_enrich(
         enriched = asof_join(batch, rates, on=on, by=by, right_cols=right_cols)
         strategy = "append" if out_table.exists() else "replace"
         out_table.save(enriched, strategy, commit_extra={"batch_id": bid})
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_maintain_index(
+    stream: DataFrame,
+    index_table,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """STREAMING inverted-index maintenance: each micro-batch of new
+    documents tokenizes (operators/search.py's exact tokenization) and
+    APPENDS its (token, doc_id) postings to the lake posting table —
+    at 100 TB the index is maintained incrementally or it doesn't
+    exist. Per-batch work is one explode + distinct over the batch;
+    the corpus and the existing index are never re-read (documents are
+    new-by-contract — route updates through dedup/admission first).
+    Appended postings land unsorted; run ``optimize(cluster_by=
+    ['token'])`` at compaction cadence to restore the range-sorted
+    file layout that makes term seeks manifest-prunable — queries stay
+    CORRECT meanwhile (pruning is conservative), just less pruned.
+
+    Exactly-once under at-least-once delivery: appends stamp the
+    micro-batch id; replayed ids found in the retained history are
+    skipped (same retention contract as stream_asof_enrich)."""
+    from ..operators.search import build_token_index
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        if _committed(index_table, bid):
+            return
+        postings = build_token_index(batch, text_col=text_col, id_col=id_col)
+        strategy = "append" if index_table.exists() else "replace"
+        index_table.save(postings, strategy, commit_extra={"batch_id": bid})
 
     return (
         stream.writeStream.foreachBatch(_consume)

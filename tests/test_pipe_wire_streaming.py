@@ -1350,3 +1350,47 @@ def test_stream_asof_enrich_batch_parity_and_replay(spark, tmp_path):
     v = out.current_dir()
     run("c2")  # fresh checkpoint, same batch ids -> every commit skipped
     assert out.current_dir() == v
+
+
+def test_stream_maintain_index_replay_noop_and_search_parity(spark, tmp_path):
+    """Incrementally-maintained posting index == batch-built index
+    (same search answers); replaying committed batch ids is a no-op;
+    a post-stream optimize(cluster_by=['token']) restores the
+    range-sorted pruneable layout without changing answers."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.search import build_token_index, search_all_terms
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_maintain_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").coalesce(2).write.mode("overwrite").json(src)
+    idx = LakeTable(spark, str(tmp_path / "idx"), retain=8)
+
+    def run(ckpt):
+        q = stream_maintain_index(
+            read_stream_json(
+                spark, src, schema="doc_id long, text string", max_files_per_trigger=1
+            ),
+            idx, checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("c1")
+    want = sorted(map(tuple, build_token_index(docs).collect()))
+    assert sorted(map(tuple, idx.read().df.collect())) == want
+    v = idx.current_dir()
+    run("c2")  # same batch ids, fresh checkpoint -> all skipped
+    assert idx.current_dir() == v
+
+    terms = ["spark", "window"]
+    got = sorted(r["doc_id"] for r in search_all_terms(idx.read().df, terms).collect())
+    idx.optimize(cluster_by=["token"], n_files=4)
+    kept, total = idx.pruned_files([("token", "in", terms)])
+    assert len(kept) < total  # clustered layout prunes again
+    after = sorted(
+        r["doc_id"]
+        for r in search_all_terms(idx.scan([("token", "in", terms)]).df, terms).collect()
+    )
+    assert after == got and got

@@ -231,3 +231,71 @@ def test_np_quant_matches_decimal_round_on_float32_products():
         for sign in (1.0, -1.0):
             v = float(np.float32(sign * (k + 0.5) / 1e6))
             assert np_quant(v) == dec_round(v), v
+
+
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    k=st.integers(2, 7),
+    parts=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_global_ntile_fuzz_matches_window(spark, vals, k, parts):
+    """global_rank/global_ntile == the single-reducer window forms for
+    ANY data (heavy ties included), bucket counts, and input
+    partitionings — the total order (v, idx) makes both exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fabrix_spark.operators.rank import global_ntile, global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, v long"
+    ).repartition(parts)
+    order = [F.col("v").asc(), F.col("idx").asc()]
+    got_nt = {
+        r["idx"]: r["nt"]
+        for r in global_ntile(df, k, order, "nt", num_partitions=3).collect()
+    }
+    want_nt = {
+        r["idx"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(k).over(Window.orderBy(*order))).collect()
+    }
+    assert got_nt == want_nt
+    ranked, total = global_rank(df, order, rank_col="r", num_partitions=3)
+    got_r = {r["idx"]: r["r"] for r in ranked.collect()}
+    want_r = {
+        r["idx"]: r["r"]
+        for r in df.withColumn("r", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    assert got_r == want_r and total == len(vals)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=8), min_size=1, max_size=6
+    ),
+    phrase=st.lists(st.sampled_from("ab"), min_size=1, max_size=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_phrase_search_fuzz_matches_bruteforce(spark, docs, phrase):
+    """search_phrase over the positional index == a Python sliding-
+    window scan, for arbitrary tiny corpora and phrases (overlap,
+    repeats, absences)."""
+    from fabrix_spark.operators.search import positional_index, search_phrase
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in search_phrase(positional_index(df), list(phrase)).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        n = sum(
+            1
+            for s in range(len(toks) - len(phrase) + 1)
+            if toks[s : s + len(phrase)] == list(phrase)
+        )
+        if n:
+            want[i] = n
+    assert got == want

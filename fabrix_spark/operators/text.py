@@ -38,6 +38,7 @@ __all__ = [
     "keyword_in_context",
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
+    "feature_hash",
 ]
 
 # token split on runs of whitespace, after trim (empty-string tokens
@@ -640,4 +641,41 @@ def keyword_in_context(
             pos.cast("long").alias("pos"),
             F.substring(F.col(text_col), start, F.lit(width)).alias("snippet"),
         )
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Feature hashing (the hashing trick, public methodology behind
+    hashingTF/fastText input features): every token maps to
+    ``md5-hash(token) mod dim`` and the document becomes the sparse
+    count triple (id, feature, cnt) — the fixed-width featurization a
+    quality/topic classifier trains on without a vocabulary build or
+    a driver-side dictionary.
+
+    The hash is the repo's engine-independent md5 recipe (identical in
+    any system with md5 — the oracle computes the same buckets), NOT a
+    JVM-internal hash. One explode + one (id, feature) map-combined
+    aggregate; output size ≤ min(doc tokens, dim) rows per doc. Feed
+    a dense assembler downstream if the trainer wants arrays."""
+    from .search import tokens_expr
+
+    tok = F.explode(tokens_expr(text_col)).alias("__t")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("__t"), F.lit(salt)).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), tok)
+        .select(id_col, (h % dim).cast("int").alias("feature"))
+        .groupBy(id_col, "feature")
+        .agg(F.count("*").alias("cnt"))
     )

@@ -7661,6 +7661,34 @@ def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_phrase(p, ["table", "scan"])
 
 
+@register(
+    "t_feature_hash",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS INTEGER)
+         AS feature,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1, 2
+""",
+)
+def t_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (text.feature_hash): tokens map to
+    md5-hash mod 1024 and each document becomes sparse (feature, cnt)
+    triples — fixed-width classifier features with no vocabulary build
+    and no driver-side dictionary. The hash is the repo's
+    engine-independent md5 recipe, so the oracle computes identical
+    buckets. One explode + one map-combined aggregate."""
+    from .operators.text import feature_hash
+
+    return feature_hash(_t(spark, sf_dir, "documents"), dim=1024)
+
+
 _TINDEX_CACHE: dict = {}
 
 

@@ -2204,3 +2204,23 @@ def test_phrase_search_consecutive_only(spark):
     assert got3 == {1: 1}
     rep = {r["doc_id"]: r["n_occurrences"] for r in search_phrase(p, ["quick", "quick"]).collect()}
     assert rep == {4: 2}  # overlapping starts 0 and 1
+
+
+def test_feature_hash_shape(spark):
+    """feature_hash: buckets in [0, dim); per-doc cnt sums equal the
+    doc's token count; salt changes the mapping deterministically."""
+    from fabrix_spark.operators.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, ""), (3, "x x x x x")], "doc_id long, text string"
+    )
+    out = feature_hash(docs, dim=16).collect()
+    assert all(0 <= r["feature"] < 16 for r in out)
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+    assert per_doc == {1: 4, 3: 5}  # empty doc emits nothing
+    a = sorted(map(tuple, feature_hash(docs, dim=16).collect()))
+    b = sorted(map(tuple, feature_hash(docs, dim=16, salt="s").collect()))
+    assert a == sorted(map(tuple, feature_hash(docs, dim=16).collect()))  # stable
+    assert a != b  # salt perturbs

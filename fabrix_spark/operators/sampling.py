@@ -30,6 +30,8 @@ __all__ = [
     "bootstrap_metrics",
     "fixed_size_sample",
     "negative_pairs",
+    "waterfill_caps",
+    "token_budget_sample",
 ]
 
 _BUCKETS = 10_000
@@ -499,3 +501,90 @@ def negative_pairs(df: DataFrame, key: str, salt: str = "") -> DataFrame:
     )
     b = ranked.select(F.col(key).alias("negative_id"), F.col("__r").alias("__p"))
     return a.join(b, "__p").select("anchor_id", "negative_id")
+
+
+def waterfill_caps(group_tokens: DataFrame, budget: int, group_col: str = "grp") -> DataFrame:
+    """Water-filling cap solver: given per-group token totals, find the
+    single cap ``c`` such that Σ_g min(tokens_g, c) ≤ budget with c
+    maximal — the standard way to hit an EXACT corpus token budget
+    while flattening over-represented groups (small groups keep
+    everything, big groups truncate to the common water level).
+
+    Closed form over the sorted group table: with groups sorted by
+    total ascending and S_k the prefix sum, the water level sits after
+    the largest k where S_k + (G-k)·t_k ≤ budget isn't yet exceeded;
+    c = (budget - S_k) // (G - k) (integer division → never over
+    budget). All windows run over the GROUP table — metadata-sized by
+    construction — so the single-partition sort is bounded, not a
+    corpus sort. Returns (group, tokens, cap) with cap = min(tokens,
+    c); caps sum to ≤ budget, within one token·G of it."""
+    from pyspark.sql.window import Window
+
+    t = group_tokens.select(F.col(group_col).alias("grp"), F.col("tokens").cast("long"))
+    w = Window.orderBy(F.col("tokens").asc(), F.col("grp").asc())
+    ranked = (
+        t.withColumn("__i", F.row_number().over(w))
+        .withColumn("__prefix", F.sum("tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    g_total = t.count()
+    # feasible rows: groups small enough to keep whole at their level
+    feas = ranked.filter(
+        F.col("__prefix") + (F.lit(g_total) - F.col("__i")) * F.col("tokens")
+        <= budget
+    ).agg(F.max("__i").alias("k"), F.max("__prefix").alias("s_k"))
+    row = feas.first()
+    k, s_k = (row["k"] or 0), (row["s_k"] or 0)
+    if k >= g_total:
+        level = None  # everything fits
+    else:
+        level = (budget - s_k) // (g_total - k)
+    cap = (
+        F.col("tokens") if level is None
+        else F.least(F.col("tokens"), F.lit(int(level)))
+    )
+    return ranked.select("grp", "tokens", cap.alias("cap"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    length_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Select documents to an EXACT total token budget with
+    water-filled per-group caps: per-group token totals → one
+    water-fill solve (:func:`waterfill_caps` — metadata-sized) → each
+    group keeps its documents in deterministic key-hash order while
+    the running token sum stays within its cap. The LLM-mixture
+    primitive: over-represented sources flatten to the water level,
+    small sources keep everything, the selection replays identically
+    on any engine.
+
+    Plan: one group aggregate, the tiny solver, one broadcast of the
+    caps, one per-group window (partitioned — scalable) for the
+    running sum. Returns the kept rows + ``grp_cap``."""
+    totals = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(length_col).alias("tokens")
+    )
+    caps = waterfill_caps(totals, budget)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(F.col(key), salt=salt).asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum", F.sum(length_col).over(w))
+        .join(
+            F.broadcast(caps.select(F.col("grp").alias(group_col), F.col("cap"))),
+            group_col,
+        )
+        .filter(F.col("__cum") <= F.col("cap"))
+        .drop("__cum")
+        .withColumnRenamed("cap", "grp_cap")
+    )

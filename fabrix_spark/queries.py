@@ -7689,6 +7689,67 @@ def t_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash(_t(spark, sf_dir, "documents"), dim=1024)
 
 
+@register(
+    "smp_token_budget",
+    oracle="""
+WITH totals AS (
+  SELECT source AS grp, sum(n_chars) AS tokens FROM documents GROUP BY 1
+),
+g AS (SELECT count(*) AS gt FROM totals),
+ranked AS (
+  SELECT grp, tokens,
+         row_number() OVER (ORDER BY tokens ASC, grp ASC) AS i,
+         sum(tokens) OVER (ORDER BY tokens ASC, grp ASC
+                           ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM totals
+),
+feas AS (
+  SELECT coalesce(max(i), 0) AS k, coalesce(max(prefix), 0) AS s_k
+  FROM ranked, g WHERE prefix + (gt - i) * tokens <= 100000
+),
+lvl AS (
+  SELECT CASE WHEN k >= gt THEN NULL
+         ELSE (100000 - s_k) // (gt - k) END AS level
+  FROM feas, g
+),
+caps AS (
+  SELECT grp, CASE WHEN level IS NULL THEN tokens
+              ELSE least(tokens, level) END AS cap
+  FROM ranked, lvl
+),
+cum AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000 AS INTEGER) ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT c.doc_id, c.source, c.n_chars, CAST(caps.cap AS BIGINT) AS grp_cap
+FROM cum c JOIN caps ON caps.grp = c.source
+WHERE c.cum <= caps.cap
+""",
+)
+def smp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-token-budget corpus selection with water-filled per-group
+    caps (sampling.token_budget_sample): per-source token totals → one
+    closed-form water-fill solve over the metadata-sized group table
+    (sorted prefix sums; cap = the level where Σ min(tokens_g, c)
+    meets the budget) → each source keeps documents in deterministic
+    hash order while its running token sum stays under its cap. The
+    LLM-mixture primitive: over-represented sources flatten to the
+    water level, small sources keep everything, and the selection
+    replays identically anywhere. Budget 100k chars here — every SF
+    exercises the truncation branch."""
+    from .operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return token_budget_sample(
+        d, key="doc_id", group_col="source", length_col="n_chars", budget=100_000
+    )
+
+
 _TINDEX_CACHE: dict = {}
 
 

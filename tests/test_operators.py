@@ -2224,3 +2224,43 @@ def test_feature_hash_shape(spark):
     b = sorted(map(tuple, feature_hash(docs, dim=16, salt="s").collect()))
     assert a == sorted(map(tuple, feature_hash(docs, dim=16).collect()))  # stable
     assert a != b  # salt perturbs
+
+
+def test_token_budget_waterfill(spark):
+    """Water-fill caps: small groups keep everything, big groups
+    truncate to the common level; kept token total never exceeds the
+    budget; an oversized budget keeps the whole corpus."""
+    from fabrix_spark.operators.sampling import token_budget_sample, waterfill_caps
+
+    rows = (
+        [(f"a{i}", "small", 10) for i in range(3)]          # 30 tokens
+        + [(f"b{i}", "big", 100) for i in range(50)]        # 5000 tokens
+        + [(f"c{i}", "mid", 50) for i in range(10)]         # 500 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_chars long")
+
+    caps = {
+        r["grp"]: r["cap"]
+        for r in waterfill_caps(
+            df.groupBy(F.col("source").alias("grp")).agg(F.sum("n_chars").alias("tokens")),
+            budget=1000,
+        ).collect()
+    }
+    # true water level: 30 + min(500, c) + min(5000, c) = 1000 -> c = 485
+    # (mid is NOT feasible whole: 530 + 1*500 = 1030 > 1000)
+    assert caps == {"small": 30, "mid": 485, "big": 485}
+
+    kept = token_budget_sample(df, "doc_id", "source", "n_chars", budget=1000)
+    tot = kept.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    by_src = {r["source"]: r["t"] for r in tot}
+    assert by_src["small"] == 30
+    assert by_src["mid"] <= 485 and by_src["big"] <= 485  # whole docs only
+    assert sum(by_src.values()) <= 1000
+
+    # oversized budget: everything kept (level is None branch)
+    assert token_budget_sample(df, "doc_id", "source", "n_chars", budget=10**9).count() == len(rows)
+
+    # determinism
+    a = sorted(r["doc_id"] for r in token_budget_sample(df, "doc_id", "source", "n_chars", 1000).collect())
+    b = sorted(r["doc_id"] for r in token_budget_sample(df, "doc_id", "source", "n_chars", 1000).collect())
+    assert a == b

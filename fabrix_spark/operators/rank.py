@@ -57,6 +57,11 @@ def global_rank(
     #partitions-sized aggregate. Use on aggregated/ranking-sized
     inputs (per-user, per-key tables); raw-corpus global ranks are an
     anti-pattern at any engine.
+
+    The cumulative offsets inline as a literal map (2 entries per
+    range partition) — fine through thousands of partitions; for a
+    rank over 100k+ partitions swap the map for a broadcast join on
+    the partition id (same shape, one more exchange-free join).
     """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     s = (

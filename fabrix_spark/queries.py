@@ -2170,6 +2170,32 @@ def g_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g_unpivot",
+    oracle="""
+WITH w AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+UNION ALL
+SELECT lang, 'sum_chars' AS metric, sum_chars AS value FROM w
+""",
+)
+def g_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of g_pivot: a wide per-language
+    aggregate folds into long (lang, metric, value) rows via Spark's
+    native ``DataFrame.unpivot`` (Expand node: each input row emits
+    one row per value column, no shuffle beyond the aggregate)."""
+    w = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+    return w.unpivot("lang", ["n_docs", "sum_chars"], "metric", "value")
+
+
+@register(
     "g_pivot",
     oracle="""
 SELECT l_returnflag,

@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "t_feature_hash",
     "smp_token_budget",
     "g_unpivot",
+    "t_bpe_merges",
     # changed in round 10 (re-verify under the new contract/plan)
     "a_approx",
     "e_rfm_segments",

@@ -39,6 +39,7 @@ __all__ = [
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
     "feature_hash",
+    "bpe_pair_counts",
 ]
 
 # token split on runs of whitespace, after trim (empty-string tokens
@@ -678,4 +679,51 @@ def feature_hash(
         .select(id_col, (h % dim).cast("int").alias("feature"))
         .groupBy(id_col, "feature")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """One BPE merge iteration (Sennrich et al. 2016, the public
+    byte-pair-encoding algorithm): the corpus collapses to a
+    word-frequency table, every word contributes its adjacent
+    character pairs weighted by word frequency, and the top pairs by
+    weighted count are the next merges a tokenizer trainer would take.
+
+    The scale shape is the one production BPE trainers use: the ONLY
+    corpus-sized pass is the word-count aggregate (map-side combined,
+    output ∝ |vocab| not |corpus|); pair explosion and counting run
+    over the vocab-sized table (≤ |vocab| · max word length rows), and
+    the final ranking window orders a table bounded by the pair
+    alphabet (≤ 26² rows for [a-z] words) — metadata-sized by
+    construction, so the unpartitioned row_number is not a scale
+    concern. Words are restricted to ``^[a-z]{2,}$`` so the symbol
+    inventory (and the oracle's substring semantics) stay
+    engine-independent."""
+    from pyspark.sql.window import Window
+
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("merge_count"))
+    w = Window.orderBy(F.col("merge_count").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "merge_count", "rank")
     )

@@ -7927,6 +7927,44 @@ def stream_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.read().df.select("event_id", "event_type", "hr_avg_cents")
 
 
+@register(
+    "t_bpe_merges",
+    oracle=r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> regexp_matches(t, '^[a-z]{2,}$'))) AS word
+  FROM documents
+),
+wf AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 2))) AS pair,
+         freq
+  FROM wf
+),
+agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
+        FROM pairs GROUP BY 1)
+SELECT pair, merge_count,
+       CAST(row_number() OVER (ORDER BY merge_count DESC, pair ASC) AS INTEGER)
+         AS rank
+FROM agg
+QUALIFY rank <= 20
+""",
+)
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration (text.bpe_pair_counts): tokenizer
+    vocabulary induction the way production BPE trainers run it — the
+    only corpus-sized pass is the word-frequency aggregate (map-side
+    combined, output ∝ |vocab|); adjacent character pairs explode from
+    the vocab-sized table weighted by word frequency, and the top-20
+    weighted pairs are the next merges. The ranking window orders a
+    table bounded by the pair alphabet (≤ 26² rows), so the
+    unpartitioned row_number is metadata-sized by construction."""
+    from .operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=20)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -2264,3 +2264,22 @@ def test_token_budget_waterfill(spark):
     a = sorted(r["doc_id"] for r in token_budget_sample(df, "doc_id", "source", "n_chars", 1000).collect())
     b = sorted(r["doc_id"] for r in token_budget_sample(df, "doc_id", "source", "n_chars", 1000).collect())
     assert a == b
+
+
+def test_bpe_pair_counts(spark):
+    """One BPE merge iteration: pair counts are word-frequency
+    weighted, non-[a-z]{2,} tokens are excluded, ranking is
+    (count desc, pair asc) deterministic."""
+    from fabrix_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab x 42 CD cd")],
+        "doc_id long, text string",
+    )
+    out = {r["pair"]: (r["merge_count"], r["rank"]) for r in bpe_pair_counts(docs).collect()}
+    # "abab" freq 3 -> ab:2/word, ba:1/word; "cd" freq 3 (CD lowercased
+    # counts too); "x" and "42" excluded by ^[a-z]{2,}$
+    assert out["ab"] == (6, 1)
+    assert out["ba"] == (3, 2)
+    assert out["cd"] == (3, 3)
+    assert len(out) == 3

@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "smp_token_budget",
     "g_unpivot",
     "t_bpe_merges",
+    "sim_rp_topk",
     # changed in round 10 (re-verify under the new contract/plan)
     "a_approx",
     "e_rfm_segments",

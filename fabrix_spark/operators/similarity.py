@@ -39,6 +39,8 @@ __all__ = [
     "pq_cosine_topk",
     "ivfpq_topk",
     "PQStore",
+    "signed_projection",
+    "rp_topk",
 ]
 
 
@@ -296,6 +298,123 @@ def _cosine(a: Column, b: Column, a_n2: Column, b_n2: Column, integer: bool) -> 
     return F.round(
         _dot(a, b, integer) / F.sqrt(a_n2.cast("double") * b_n2.cast("double")), 6
     )
+
+
+def signed_projection(
+    vec: Column, out_dim: int = 16, quantize: int = 10_000
+) -> Column:
+    """Signed (Rademacher ±1) random projection to ``out_dim`` integer
+    components — the Johnson-Lindenstrauss / Achlioptas (2003)
+    database-friendly projection, the standard way to shrink an
+    embedding before distance work at corpus scale.
+
+    The sign matrix is derived per (i, j) from a fixed modular mix
+    (``((i·2654435761 + j·40499) mod 1000003) mod 2``), so no matrix
+    is stored, broadcast, or collected — any engine rebuilds the
+    identical projection from the formula (the oracle does). Inputs
+    quantize to int64 at ``quantize`` (1e4 keeps every downstream
+    16-dim dot ≤ ~1.6e12, inside exact-double range), so projected
+    vectors and their dot products are exact integers — bit-identical
+    across engines and partitionings. Map-only: one expression per
+    row, no shuffle, no state."""
+    v = _quantized(vec, quantize)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(out_dim)),
+        lambda j: F.aggregate(
+            F.transform(
+                v,
+                lambda x, i0: x
+                * F.when(
+                    ((i0 + 1) * F.lit(2654435761) + j * F.lit(40499))
+                    % F.lit(1000003)
+                    % 2
+                    == 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Random-projection-accelerated cosine top-k: candidates are
+    ranked in the ``out_dim``-dimensional projected space (dots cost
+    ``out_dim/dim`` of the full-width ones), the per-query top
+    ``k·oversample`` survivors are re-ranked by the exact full-width
+    integer-cosine recipe, and the final top-k is emitted in
+    :func:`cosine_topk`'s (q_id, c_id, cosine, rank) contract.
+
+    Both stages are deterministic (projection and candidate ranking
+    are exact int64 with (score desc, id asc) tie-breaks), so the
+    whole approximate pipeline — including which candidates survive —
+    is oracle-able, same as the LSH/IVF families.
+
+    Scale shape: projection is a map-only pass over the corpus; the
+    query side (projected + full-width) broadcasts; candidate scoring
+    touches ``out_dim``-wide vectors only, and the full-width vectors
+    are re-read for just ``k·oversample`` rows per query. The
+    per-query ranking window has the same shape as cosine_topk —
+    compose with the blocked/LSH/IVF candidate structures when the
+    query side grows."""
+    query_id_col = query_id_col or id_col
+    proj = signed_projection(F.col(vec_col), out_dim)
+    full = _quantized(F.col(vec_col), quantize)
+
+    def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc).alias(f"{tag}_id"),
+                proj.alias(f"{tag}_p"),
+                full.alias(f"{tag}_vec"),
+            )
+            .withColumn(f"{tag}_pn2", _dot(F.col(f"{tag}_p"), F.col(f"{tag}_p"), True))
+            .withColumn(f"{tag}_n2", _dot(F.col(f"{tag}_vec"), F.col(f"{tag}_vec"), True))
+            .withColumn("__one", _pair_key(f"{tag}_id"))
+        )
+
+    c = side(spread(corpus), id_col, "c")
+    q = side(queries, query_id_col, "q")
+    cand = (
+        c.join(F.broadcast(q), "__one")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_vec",
+            "q_vec",
+            "c_n2",
+            "q_n2",
+            _cosine(
+                F.col("c_p"), F.col("q_p"), F.col("c_pn2"), F.col("q_pn2"), True
+            ).alias("__pcos"),
+        )
+    )
+    cw = Window.partitionBy("q_id").orderBy(F.col("__pcos").desc(), F.col("c_id").asc())
+    kept = (
+        cand.withColumn("__crank", F.row_number().over(cw))
+        .filter(F.col("__crank") <= k * oversample)
+        .select(
+            "q_id",
+            "c_id",
+            _cosine(
+                F.col("c_vec"), F.col("q_vec"), F.col("c_n2"), F.col("q_n2"), True
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return kept.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_assign(

@@ -7928,6 +7928,72 @@ def stream_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_rp_topk",
+    oracle="""
+WITH q0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v4,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v6
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, v6,
+         list_transform(range(1, 17), j ->
+           list_sum(list_transform(range(1, len(v4) + 1), i ->
+             v4[i] * (CASE WHEN ((i * 2654435761 + j * 40499) % 1000003) % 2 = 0
+                           THEN 1 ELSE -1 END)))) AS proj
+  FROM q0
+),
+n AS (
+  SELECT vec_id, v6, proj,
+         list_sum(list_transform(range(1, len(proj) + 1), j -> proj[j] * proj[j])) AS pn2,
+         list_sum(list_transform(range(1, len(v6) + 1), i -> v6[i] * v6[i])) AS n2
+  FROM p
+),
+cand AS (
+  SELECT qs.vec_id AS q_id, cs.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, len(cs.proj) + 1), j -> cs.proj[j] * qs.proj[j]))
+               / sqrt(CAST(cs.pn2 AS DOUBLE) * CAST(qs.pn2 AS DOUBLE)), 6) AS pcos,
+         cs.v6 AS cv, qs.v6 AS qv, cs.n2 AS cn2, qs.n2 AS qn2
+  FROM n cs, n qs
+  WHERE qs.vec_id < 8 AND cs.vec_id <> qs.vec_id
+),
+kept AS (
+  SELECT q_id, c_id, cv, qv, cn2, qn2
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, c_id) AS crank
+        FROM cand)
+  WHERE crank <= 20
+),
+exact AS (
+  SELECT q_id, c_id,
+         round(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * qv[i]))
+               / sqrt(CAST(cn2 AS DOUBLE) * CAST(qn2 AS DOUBLE)), 6) AS cosine
+  FROM kept
+)
+SELECT q_id, c_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+FROM exact
+QUALIFY rank <= 5
+""",
+)
+def sim_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (similarity.rp_topk): corpus vectors
+    shrink 64→16 dims through a formula-derived Rademacher ±1
+    projection (Achlioptas 2003 — no matrix stored or broadcast;
+    int64-exact so every engine rebuilds it bit-identically),
+    candidates rank in the cheap projected space, and the per-query
+    top-20 re-rank by the exact full-width integer cosine. The
+    dimension-reduction primitive for embedding pipelines: the
+    corpus-sized pass reads 1/4 the vector width; full vectors are
+    touched for only k·oversample rows per query. Deterministic
+    end-to-end, so even the approximate candidate choice is
+    hash-checked against the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.rp_topk(emb, q, k=5, out_dim=16, oversample=4)
+
+
+@register(
     "t_bpe_merges",
     oracle=r"""
 WITH words AS (

@@ -2283,3 +2283,32 @@ def test_bpe_pair_counts(spark):
     assert out["ba"] == (3, 2)
     assert out["cd"] == (3, 3)
     assert len(out) == 3
+
+
+def test_signed_projection_formula(spark):
+    """signed_projection: components equal the hand-derived Rademacher
+    sum; rp_topk ranks by exact full-width cosine among survivors and
+    agrees with brute-force cosine_topk on an easy corpus."""
+    from fabrix_spark.operators.similarity import cosine_topk, rp_topk, signed_projection
+
+    df = spark.createDataFrame([(0, [1.0, -0.5, 0.25])], "vec_id long, embedding array<double>")
+    out = df.select(signed_projection(F.col("embedding"), out_dim=4, quantize=100).alias("p")).head()["p"]
+
+    def sign(i, j):
+        return 1 if ((i * 2654435761 + j * 40499) % 1000003) % 2 == 0 else -1
+
+    v = [100, -50, 25]
+    expect = [sum(v[i - 1] * sign(i, j) for i in (1, 2, 3)) for j in (1, 2, 3, 4)]
+    assert list(out) == expect
+
+    # oversample >= corpus: candidates = everything, so rp_topk must
+    # equal brute force exactly
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, rp_topk(emb, q, k=4, out_dim=4, oversample=30).collect()))
+    b = sorted(map(tuple, cosine_topk(emb, q, k=4).collect()))
+    assert a == b

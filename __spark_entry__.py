@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "g_unpivot",
     "t_bpe_merges",
     "sim_rp_topk",
+    "stream_session_replay",
     # changed in round 10 (re-verify under the new contract/plan)
     "a_approx",
     "e_rfm_segments",

@@ -7928,6 +7928,108 @@ def stream_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_replay",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+g AS (
+  SELECT user_id, tms,
+         CASE WHEN lag(tms) OVER w IS NULL
+                   OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+),
+s AS (
+  SELECT user_id, tms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       make_timestamp(min(tms) * 1000) AS session_start,
+       make_timestamp(max(tms) * 1000) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap sessionization with explicit state
+    (streaming/stateful.stateful_sessionize, applyInPandasWithState +
+    event-time timeout): events stream in as 4 time-bucketed
+    micro-batches — disjoint, ascending ranges, so the watermark only
+    moves forward — each batch folds into per-user open-session state,
+    sessions close inline on an in-batch gap or via watermark timeout,
+    and two far-future sentinel batches (user_id −1, filtered out)
+    push the watermark past every real session's timeout so the tail
+    sessions flush. Per-batch work ∝ |batch| + |open sessions|;
+    history is never re-read — the always-on sessionization shape.
+    Gap comparisons and session bounds use ms-truncated integer time
+    on BOTH sides (the state store keeps int64 ms), so the emitted
+    sessions must equal the batch lag/cumsum recompute exactly."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+    from datetime import timedelta
+
+    from .streaming.ingest import read_stream_parquet, run_available_now
+    from .streaming.stateful import stateful_sessionize
+
+    gap_s = 1800
+    root = tempfile.mkdtemp(prefix="fabrix_ssess_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).head()
+    # any disjoint ascending split is correct; quartiles balance batches
+    splits = [lo + (hi - lo) * frac for frac in (0.25, 0.5, 0.75)]
+    edges = [None, *splits, None]
+    schema = "user_id long, ts timestamp_ntz"
+    sent1 = hi + timedelta(seconds=2 * gap_s + 60)
+    sent2 = sent1 + timedelta(seconds=2 * gap_s)
+    batches = []
+    for i in range(4):
+        b = e
+        if edges[i] is not None:
+            b = b.filter(F.col("ts") > F.lit(edges[i]))
+        if edges[i + 1] is not None:
+            b = b.filter(F.col("ts") <= F.lit(edges[i + 1]))
+        batches.append(b)
+    batches.append(spark.createDataFrame([(-1, sent1)], schema))
+    batches.append(spark.createDataFrame([(-1, sent2)], schema))
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        # FileStreamSource orders by modification time — pin the
+        # arrival order explicitly so bucket i IS micro-batch i
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    sess = stateful_sessionize(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        gap_seconds=gap_s,
+        watermark="0 seconds",
+    )
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        sess, os.path.join(root, "ckpt"), memory_table=name, output_mode="append"
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
     "sim_rp_topk",
     oracle="""
 WITH q0 AS (

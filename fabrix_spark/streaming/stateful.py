@@ -112,26 +112,34 @@ def stateful_sessionize(
             )
             return
         start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
-        for pdf in pdfs:
-            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
-            for t in ts_ms:
-                if last_ms is not None and t - last_ms > gap_seconds * 1000:
-                    # gap inside the batch: close the old session inline
-                    yield pd.DataFrame(
-                        {
-                            key_col: [key[0]],
-                            "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                            "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                            "n_events": [n],
-                        }
-                    )
-                    start_ms, n = t, 0
-                if start_ms is None:
-                    start_ms = t
-                last_ms = max(t, last_ms or t)
-                n += 1
+        # row order within a micro-batch group is arbitrary — gap
+        # detection is only meaningful over time-sorted events
+        ts_ms = sorted(
+            t for pdf in pdfs for t in (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+        )
+        for t in ts_ms:
+            if last_ms is not None and t - last_ms > gap_seconds * 1000:
+                # gap inside the batch: close the old session inline
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                        "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                        "n_events": [n],
+                    }
+                )
+                start_ms, n = t, 0
+            if start_ms is None:
+                start_ms = t
+            last_ms = max(t, last_ms or t)
+            n += 1
         state.update((start_ms, last_ms, n))
-        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        # a timeout at-or-before the current watermark is rejected by
+        # Spark; if this key's events already trail the watermark the
+        # session is expired as-of now — fire on the next trigger
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+        )
 
     return (
         stream.withWatermark(ts_col, watermark)

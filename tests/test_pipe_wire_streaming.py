@@ -1394,3 +1394,48 @@ def test_stream_maintain_index_replay_noop_and_search_parity(spark, tmp_path):
         for r in search_all_terms(idx.scan([("token", "in", terms)]).df, terms).collect()
     )
     assert after == got and got
+
+
+def test_stateful_sessionize_unsorted_batch(spark, tmp_path):
+    """Rows inside one micro-batch arrive in arbitrary order — the
+    update fn must time-sort before gap detection. One file holds two
+    sessions for one user written in SHUFFLED order; a later file
+    advances the watermark so both sessions flush."""
+    import json as _json
+    import os
+
+    from fabrix_spark.streaming import stateful_sessionize
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # session A: 10:00, 10:05, 10:10; session B: 12:00, 12:01 — written
+    # interleaved/descending inside the single file
+    times = ["12:01", "10:05", "12:00", "10:10", "10:00"]
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps({"user_id": 1, "ts": f"2024-01-01T{t}:00.000Z"}) for t in times
+        )
+    )
+    (src / "b1.json").write_text(
+        _json.dumps({"user_id": 99, "ts": "2024-01-02T00:00:00.000Z"})
+    )
+    os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b1.json", (1_700_000_060, 1_700_000_060))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sess = stateful_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+    q = run_available_now(
+        sess, str(tmp_path / "ckpt_us"), memory_table="unsorted_sessions",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["session_start"].strftime("%H:%M"), r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM unsorted_sessions WHERE user_id = 1"
+        ).collect()
+    }
+    assert rows == {("10:00", 3), ("12:00", 2)}

@@ -520,3 +520,21 @@ def test_round10_query_plan_shapes(spark):
     plan = _plan(spark, "tj_ewma")
     assert "windowspecdefinition(user_id" in plan
     assert plan.count("hashpartitioning") <= 1
+
+
+def test_round10_late_query_plan_shapes(spark):
+    """Plan pins for the late round-10 additions: rp_topk broadcasts
+    the query side and hash-joins on the constant pair key (never a
+    nested loop over the corpus); its windows are per-query
+    partitioned. BPE merge counting is two map-combined aggregates —
+    the only window orders the pair-alphabet-sized table."""
+    plan = _plan(spark, "sim_rp_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(q_id" in plan
+
+    plan = _plan(spark, "t_bpe_merges")
+    assert "CartesianProduct" not in plan
+    # word-count agg + pair agg, each with partial (map-side) combine
+    assert plan.count("hashpartitioning") <= 2

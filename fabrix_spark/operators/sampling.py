@@ -32,6 +32,7 @@ __all__ = [
     "negative_pairs",
     "waterfill_caps",
     "token_budget_sample",
+    "cluster_balanced_sample",
 ]
 
 _BUCKETS = 10_000
@@ -587,4 +588,57 @@ def token_budget_sample(
         .filter(F.col("__cum") <= F.col("cap"))
         .drop("__cum")
         .withColumnRenamed("cap", "grp_cap")
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling over an embedding column:
+    assign every vector to its nearest centroid (broadcast quantizer —
+    the corpus never shuffles for assignment), then keep at most
+    ``cap`` vectors per cluster by the deterministic md5 rank of the
+    id — the embedding-space analogue of per-source capping, used to
+    flatten over-represented semantic regions before training (the
+    cluster-then-balance recipe behind diversity/DoReMi-style corpus
+    mixing).
+
+    Output: (id, cluster_id, cluster_n) for kept rows — cluster_n is
+    the PRE-cap cluster population, so the balancing is auditable.
+
+    Scale shape: one broadcast-join assignment pass + one shuffle on
+    cluster_id for the capped rank. Parallelism within the rank is
+    bounded by the number of clusters — at corpus scale train enough
+    centroids (k ≫ cores; k ~ √N is the usual IVF sizing) so the
+    per-cluster rank partitions stay balanced; the md5 rank makes the
+    kept set independent of partitioning, so results never change
+    when k's layout does."""
+    from .similarity import ivf_assign
+
+    a = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("centroid_id")
+    wr = w.orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        a.withColumn("__rk", F.row_number().over(wr))
+        .withColumn("cluster_n", F.count("*").over(w))
+        .filter(F.col("__rk") <= cap)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("cluster_n"),
+        )
     )

@@ -3998,7 +3998,12 @@ SELECT q_id, c_id, cosine, rank FROM (
 """
 
 
-_IVF_TRAINED_ORACLE = """
+# Shared oracle prefix: one deterministic Lloyd iteration (8 lowest-id
+# seeds, exact int64 centroid means) ending in c_assign = (c_id,
+# centroid_id) nearest-centroid assignment for every vector. Reused by
+# sim_ivf_trained (probe + rank tail) and smp_cluster_balanced
+# (per-cluster cap tail).
+_IVF_ASSIGN_CTES = """
 WITH q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
   FROM embeddings
@@ -4046,7 +4051,10 @@ c_assign AS (
     SELECT vec_id, centroid_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id ASC) AS r
     FROM c_scored) WHERE r <= 1
-),
+)
+"""
+
+_IVF_TRAINED_ORACLE = _IVF_ASSIGN_CTES + """,
 q_assign AS (
   SELECT vec_id AS q_id, centroid_id FROM (
     SELECT vec_id, centroid_id,
@@ -4069,6 +4077,36 @@ SELECT q_id, c_id, cosine, rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
   FROM scored) WHERE rank <= 5
 """
+
+
+_CLUSTER_BALANCED_ORACLE = _IVF_ASSIGN_CTES + """,
+ranked AS (
+  SELECT c_id AS vec_id, centroid_id AS cluster_id,
+         row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY CAST(concat('0x', substr(md5(CAST(c_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    c_id ASC) AS rk,
+         count(*) OVER (PARTITION BY centroid_id) AS cluster_n
+  FROM c_assign
+)
+SELECT vec_id, cluster_id, CAST(cluster_n AS BIGINT) AS cluster_n
+FROM ranked WHERE rk <= 40
+"""
+
+
+@register("smp_cluster_balanced", oracle=_CLUSTER_BALANCED_ORACLE)
+def smp_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (sampling.cluster_balanced_sample): vectors assign to the same
+    1-iteration deterministic-Lloyd centroids sim_ivf_trained trains
+    (shared oracle prefix), then each cluster keeps at most 40 members
+    by md5-rank — flattening over-represented embedding-space regions
+    before training, with the pre-cap cluster population emitted so
+    the balancing is auditable. Broadcast assignment + one cluster_id
+    shuffle; the kept set is partitioning-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_train(emb, k=8, iters=1)
+    return sampling.cluster_balanced_sample(emb, cents, cap=40)
 
 
 @register("sim_ivf_trained", oracle=_IVF_TRAINED_ORACLE)

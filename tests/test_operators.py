@@ -2312,3 +2312,28 @@ def test_signed_projection_formula(spark):
     a = sorted(map(tuple, rp_topk(emb, q, k=4, out_dim=4, oversample=30).collect()))
     b = sorted(map(tuple, cosine_topk(emb, q, k=4).collect()))
     assert a == b
+
+
+def test_cluster_balanced_sample(spark):
+    """cluster_balanced_sample: every vector lands in exactly one
+    cluster, no cluster exceeds the cap, cluster_n reports the PRE-cap
+    population, and the kept set is partitioning-independent."""
+    from fabrix_spark.operators.sampling import cluster_balanced_sample
+
+    # two obvious clusters around (1,0) and (0,1); ids 0/1 are the seeds
+    rows = [(0, [1.0, 0.05]), (1, [0.05, 1.0])]
+    rows += [(i, [1.0, 0.1 + i * 1e-3]) for i in range(2, 12)]     # near seed 0
+    rows += [(i, [0.1 + i * 1e-3, 1.0]) for i in range(12, 17)]    # near seed 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") < 2)
+
+    out = cluster_balanced_sample(emb, cents, cap=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert {len(v) for v in by_cluster.values()} == {4}          # both capped
+    assert {r["cluster_n"] for r in by_cluster[0]} == {11}       # pre-cap size
+    assert {r["cluster_n"] for r in by_cluster[1]} == {6}
+
+    again = cluster_balanced_sample(emb.repartition(7), cents, cap=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

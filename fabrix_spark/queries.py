@@ -1660,6 +1660,120 @@ def f_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_map_fns",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         map(['lang', 'src'], [lang, source]) AS m
+  FROM documents
+)
+SELECT doc_id,
+       map_extract(m, 'lang')[1] AS lang_val,
+       array_to_string(map_keys(m), ',') AS keys_csv,
+       array_to_string(map_values(m), ',') AS vals_csv,
+       CAST(cardinality(m) AS INTEGER) AS n_entries,
+       map_extract(map_concat(m, map(['n'], [CAST(n_chars AS VARCHAR)])), 'n')[1] AS n_val,
+       map_extract(m, 'missing')[1] AS absent_val
+FROM m
+""",
+)
+def f_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family (fabrix-core value types include nested maps —
+    fabrix/fabrix-core/src/value.rs ValueType::Map analogue): construct,
+    key lookup, keys/values enumeration, size, merge, and missing-key
+    NULL semantics. All JVM-side builtins; insertion order preserved on
+    both engines so the CSV projections hash-match."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source"))
+    merged = F.map_concat(m, F.create_map(F.lit("n"), F.col("n_chars").cast("string")))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("vals_csv"),
+        F.size(m).alias("n_entries"),
+        F.element_at(merged, "n").alias("n_val"),
+        F.element_at(m, "missing").alias("absent_val"),
+    )
+
+
+@register(
+    "f_struct_fns",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         struct_pack(lang := lang, n := n_chars) AS doc_s,
+         struct_pack(lang := 'en', n := CAST(1000 AS BIGINT)) AS ref_s
+  FROM documents
+)
+SELECT doc_id,
+       doc_s.lang AS s_lang,
+       doc_s.n AS s_n,
+       CAST(doc_s < ref_s AS INT) AS before_ref,
+       list_sort([doc_s, ref_s])[1].n AS first_n,
+       to_json(doc_s) AS s_json
+FROM s
+""",
+)
+def f_struct_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct scalar family (fabrix-core nested row values): construct,
+    field access, lexicographic struct comparison (field-order, both
+    engines), struct sort inside an array, and JSON rendering. The
+    to_json projection is safe here because documents has no NULL
+    lang/n_chars (Spark omits null fields, DuckDB keeps them)."""
+    d = _t(spark, sf_dir, "documents")
+    doc_s = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n"))
+    ref_s = F.struct(F.lit("en").alias("lang"), F.lit(1000).cast("long").alias("n"))
+    return d.select(
+        "doc_id",
+        doc_s.getField("lang").alias("s_lang"),
+        doc_s.getField("n").alias("s_n"),
+        (doc_s < ref_s).cast("int").alias("before_ref"),
+        F.element_at(F.sort_array(F.array(doc_s, ref_s)), 1).getField("n").alias("first_n"),
+        F.to_json(doc_s).alias("s_json"),
+    )
+
+
+@register(
+    "f_url_fns",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/' || doc_id
+           || '?q=' || n_chars || '&lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param
+FROM u
+""",
+)
+def f_url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing scalar family — the host/path/query split every
+    web-crawl curation pipeline needs for domain filtering and URL
+    dedup. Spark's parse_url is JVM-side; the oracle re-derives each
+    component with anchored regexes (DuckDB has no parse_url)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("n_chars").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )
+
+
+@register(
     "w_first_last_nth",
     oracle="""
 SELECT o_custkey, o_orderkey,

@@ -1,0 +1,130 @@
+"""Feature engineering for training pipelines — exact, hash-checkable
+transforms of the kind every large-scale ML data pipeline runs before
+a trainer sees a row: scaling, equi-depth discretization, and
+leave-one-out target encoding (Micci-Barreca, "A Preprocessing Scheme
+for High-Cardinality Categorical Attributes", SIGKDD Explorations
+2001).
+
+Every transform follows the repo's exact-moment discipline (see
+profile.correlation): aggregates stay in integer/decimal space, each
+CAST to DOUBLE happens once at a pinned point in an expression tree
+mirrored verbatim by the SQL oracle, so results hash-match any ANSI
+engine bit for bit. At scale each transform is one metadata-sized
+aggregate broadcast back over a map-only scan — no per-row Python,
+no unpartitioned windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rank import global_cumsum
+
+__all__ = ["standardize", "quantile_bins", "target_encode_loo"]
+
+
+def standardize(df: DataFrame, col: str, out_prefix: str = "") -> DataFrame:
+    """Append z-score and min-max scalings of integer column ``col``.
+
+    Moments are exact int64 sums (one aggregate, map-side partials);
+    the single-row stats frame broadcast-joins back, so the transform
+    is one reduce + one map-only pass however wide the table. The
+    sample standard deviation comes from the exact integer numerator
+    ``n·Σx² − (Σx)²`` — native ``stddev`` accumulates engine-specific
+    float partials and can NOT be hash-verified across engines.
+
+    z is NULL when the column is constant (zero variance); minmax is
+    NULL when max == min.
+    """
+    c = F.col(col)
+    stats = df.agg(
+        F.count(c).alias("__n"),
+        F.sum(c).alias("__s"),
+        F.sum(c * c).alias("__ss"),
+        F.min(c).alias("__mn"),
+        F.max(c).alias("__mx"),
+    )
+    joined = df.join(F.broadcast(stats))
+    n_d = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n_d
+    var_num = (
+        F.col("__n").cast("double") * F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+    )
+    std = F.sqrt(var_num / (n_d * (n_d - F.lit(1.0))))
+    z = F.when(std > 0, (c.cast("double") - mean) / std)
+    rng = (F.col("__mx") - F.col("__mn")).cast("double")
+    mm = F.when(
+        F.col("__mx") > F.col("__mn"), (c - F.col("__mn")).cast("double") / rng
+    )
+    return joined.withColumn(f"{out_prefix}z", z).withColumn(
+        f"{out_prefix}minmax", mm
+    ).drop("__n", "__s", "__ss", "__mn", "__mx")
+
+
+def quantile_bins(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Append an exact equi-depth bin id (1..k) for integer column
+    ``col``: boundary ``j`` is the value at global rank
+    ``ceil(j·n/k)`` (the exact order statistic), and
+    ``bin = 1 + Σ_j [x > b_j]`` — so equal values always share a bin
+    (unlike NTILE, which splits ties across buckets).
+
+    Shape: one value-grouped count (shuffle on the value), a
+    distributed running count over value order (:func:`global_cumsum`
+    — range partitions, no single-reducer window), ONE aggregate that
+    reduces the cum table to k−1 boundary scalars, then a broadcast of
+    that single row over the data scan. Value cardinality only ever
+    flows through the cumsum; raw rows never re-shuffle.
+    """
+    c = F.col(col)
+    counts = df.where(c.isNotNull()).groupBy(c.alias("__v")).agg(
+        F.count("*").alias("__cnt")
+    )
+    cum = global_cumsum(counts, [F.col("__v").asc()], ["__cnt"])
+    n = df.where(c.isNotNull()).count()
+    targets = [-(-(j * n) // k) for j in range(1, k)]  # ceil(j*n/k)
+    bounds = cum.agg(
+        *[
+            F.min(F.when(F.col("cum___cnt") >= F.lit(t), F.col("__v"))).alias(
+                f"__b{j}"
+            )
+            for j, t in enumerate(targets, start=1)
+        ]
+    )
+    joined = df.join(F.broadcast(bounds))
+    bin_expr: Column = F.lit(1)
+    for j in range(1, k):
+        bin_expr = bin_expr + F.when(c > F.col(f"__b{j}"), 1).otherwise(0)
+    return joined.withColumn("bin", bin_expr.cast("int")).drop(
+        *[f"__b{j}" for j in range(1, k)]
+    )
+
+
+def target_encode_loo(
+    df: DataFrame, cat_col: str, target: Column, out_col: str = "loo_enc"
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean of
+    ``target`` over the OTHER rows of its category —
+    ``(Σ_cat − y) / (cnt_cat − 1)`` — the leakage-free form of mean
+    encoding (encoding a row with a statistic that includes its own
+    label leaks the label into the feature). NULL for singleton
+    categories.
+
+    ``target`` must be an integer expression (pre-quantize money to
+    cents) so the category sums are exact and the one division is the
+    only float op. One hash aggregate + one join of the category-sized
+    aggregate back to the rows (AQE broadcasts it when small) — the
+    canonical two-pass shape at any scale.
+    """
+    with_y = df.withColumn("__y", target)
+    agg = with_y.groupBy(cat_col).agg(
+        F.sum("__y").alias("__cat_sum"), F.count("*").alias("__cat_cnt")
+    )
+    joined = with_y.join(agg, on=cat_col)
+    enc = F.when(
+        F.col("__cat_cnt") > 1,
+        (F.col("__cat_sum") - F.col("__y")).cast("double")
+        / (F.col("__cat_cnt") - F.lit(1)).cast("double"),
+    )
+    return joined.withColumn(out_col, enc).drop("__cat_sum", "__cat_cnt")

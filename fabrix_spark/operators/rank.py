@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "global_ntile", "ntile_from_rank"]
+__all__ = ["global_rank", "global_ntile", "ntile_from_rank", "global_cumsum"]
 
 _MONO = "__fx_mono__"
 _LOW33 = (1 << 33) - 1
@@ -88,6 +88,69 @@ def global_rank(
         s.withColumn(rank_col, (offset + local + 1).cast("long")).drop(_MONO),
         total,
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Exact running ``SUM(v) OVER (ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` for each of ``value_cols`` — without the
+    single-reducer window, by the same recipe as :func:`global_rank`:
+
+    1. range-repartition on ``order`` (distributed sort, sampled
+       balanced boundaries);
+    2. ``localCheckpoint`` barrier so the per-partition totals job and
+       the cumsum job see the SAME partitioning;
+    3. one metadata-sized aggregate — per-partition totals (at most
+       ``#partitions × #cols`` longs reach the driver);
+    4. per-partition local running sum (a window PARTITIONED by the
+       range-partition id — every partition evaluates in parallel)
+       plus the broadcast cumulative offset of the partitions before.
+
+    ``order`` must be a total order for row-level determinism (for
+    value-grouped inputs the group key itself suffices). Sums are
+    computed in int64 — callers with 100 TB-scale magnitudes should
+    pre-quantize so per-partition totals stay in range."""
+    from pyspark.sql import Window
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .localCheckpoint()
+        .withColumn("__fx_pid__", F.spark_partition_id())
+    )
+    totals = sorted(
+        (r["__fx_pid__"], tuple(r[f"__t_{c}"] for c in value_cols))
+        for r in s.groupBy("__fx_pid__")
+        .agg(*[F.sum(c).alias(f"__t_{c}") for c in value_cols])
+        .collect()
+    )
+    offset_maps: list[Column] = []
+    for ci in range(len(value_cols)):
+        entries: list[Column] = []
+        run = 0
+        for p, tot in totals:
+            entries.extend((F.lit(int(p)), F.lit(run)))
+            run += int(tot[ci] or 0)
+        offset_maps.append(
+            F.create_map(*entries)[F.col("__fx_pid__")] if totals else F.lit(0)
+        )
+    w = (
+        Window.partitionBy("__fx_pid__")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = s
+    for ci, c in enumerate(value_cols):
+        out = out.withColumn(
+            f"{prefix}{c}", (offset_maps[ci] + F.sum(c).over(w)).cast("long")
+        )
+    return out.drop("__fx_pid__")
 
 
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:

@@ -8286,6 +8286,202 @@ def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Feature engineering + distributed evaluation metrics
+# ===========================================================================
+
+
+@register(
+    "fe_standardize",
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(n_chars) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss,
+         min(n_chars) AS mn, max(n_chars) AS mx
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
+            THEN (CAST(n_chars AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       END AS z,
+       CASE WHEN mx > mn
+            THEN CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+       END AS minmax
+FROM documents CROSS JOIN s
+""",
+)
+def fe_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling for trainer input: z-score + min-max from EXACT
+    int64 moments (one aggregate, map-side partials, single-row
+    broadcast back — native stddev's float partials can't be
+    hash-verified across engines). Same exact-moment discipline as
+    prof_correlation."""
+    from .operators.features import standardize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return standardize(d, "n_chars")
+
+
+@register(
+    "fe_quantile_bins",
+    oracle="""
+WITH c AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1),
+cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+n AS (SELECT CAST(count(n_chars) AS BIGINT) AS n FROM documents),
+b AS (SELECT
+  (SELECT min(v) FROM cum WHERE cum >= (SELECT (1 * n + 4) // 5 FROM n)) AS b1,
+  (SELECT min(v) FROM cum WHERE cum >= (SELECT (2 * n + 4) // 5 FROM n)) AS b2,
+  (SELECT min(v) FROM cum WHERE cum >= (SELECT (3 * n + 4) // 5 FROM n)) AS b3,
+  (SELECT min(v) FROM cum WHERE cum >= (SELECT (4 * n + 4) // 5 FROM n)) AS b4)
+SELECT doc_id, n_chars,
+       CAST(1 + (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b4 THEN 1 ELSE 0 END) AS INTEGER) AS bin
+FROM documents CROSS JOIN b
+""",
+)
+def fe_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth discretization into 5 bins: boundaries are the
+    TRUE order statistics at ranks ceil(j·n/5), found by a value-grouped
+    count + distributed running count (rank.global_cumsum — range
+    partitions, no single-reducer window), reduced to 4 scalars in one
+    aggregate and broadcast over the scan. Equal values share a bin —
+    the property NTILE can't give a feature pipeline."""
+    from .operators.features import quantile_bins
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_bins(d, "n_chars", 5)
+
+
+@register(
+    "fe_target_encode_loo",
+    oracle="""
+WITH q AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+a AS (
+  SELECT o_orderpriority, CAST(sum(y) AS BIGINT) AS cat_sum,
+         CAST(count(*) AS BIGINT) AS cat_cnt
+  FROM q GROUP BY 1
+)
+SELECT q.o_orderkey, q.o_orderpriority,
+       CASE WHEN cat_cnt > 1
+            THEN CAST(cat_sum - y AS DOUBLE) / CAST(cat_cnt - 1 AS DOUBLE)
+       END AS loo_enc
+FROM q JOIN a USING (o_orderpriority)
+""",
+)
+def fe_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (cents-quantized so category sums are exact): each row's
+    feature is the mean target of the OTHER rows in its category —
+    the leakage-free mean encoding (Micci-Barreca 2001). One hash
+    aggregate + one category-sized join back."""
+    from .operators.features import target_encode_loo
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(
+        o, "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long")
+    ).select("o_orderkey", "o_orderpriority", "loo_enc")
+
+
+@register(
+    "ml_auc",
+    oracle="""
+WITH sc AS (SELECT CAST(embedding[1] AS DOUBLE) AS score, label FROM embeddings),
+cl AS (SELECT unnest(range(0, 10)) AS cls),
+g AS (
+  SELECT cls, score,
+         CAST(sum(CASE WHEN label = cls THEN 1 ELSE 0 END) AS BIGINT) AS pos_at,
+         CAST(count(*) AS BIGINT) AS tot
+  FROM sc CROSS JOIN cl GROUP BY cls, score
+),
+c AS (
+  SELECT cls, pos_at, tot,
+         CAST(sum(tot) OVER (PARTITION BY cls ORDER BY score) AS BIGINT) AS cum_tot,
+         CAST(sum(pos_at) OVER (PARTITION BY cls ORDER BY score) AS BIGINT) AS cum_pos
+  FROM g
+),
+u AS (
+  SELECT cls,
+         CAST(sum(pos_at * (2 * ((cum_tot - tot) - (cum_pos - pos_at))
+                            + (tot - pos_at))) AS DOUBLE) AS u2,
+         CAST(sum(pos_at) AS BIGINT) AS n_pos
+  FROM c GROUP BY cls
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc)
+SELECT CAST(cls AS INTEGER) AS cls, n_pos, n - n_pos AS n_neg,
+       u2 / ((2.0 * CAST(n_pos AS DOUBLE)) * CAST(n - n_pos AS DOUBLE)) AS auc
+FROM u CROSS JOIN n
+""",
+)
+def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC for all 10 embedding classes via the
+    rank-sum (Mann-Whitney U) identity with exact tie handling — the
+    shape that evaluates a scorer over billions of rows where
+    driver-side metrics can't run. One score-grouped count + ONE
+    shared distributed cumulative pass (rank.global_cumsum) serves
+    every class; the doubled U numerator stays integer so the single
+    division hash-matches any ANSI engine."""
+    from .operators.metrics import auc_one_vs_rest
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"), "label"
+    )
+    return auc_one_vs_rest(e, "score", "label", list(range(10)))
+
+
+@register(
+    "ml_threshold_metrics",
+    oracle="""
+WITH t AS (SELECT CAST(x AS DOUBLE) AS threshold
+           FROM (VALUES (5.0), (25.0), (100.0), (250.0)) v(x)),
+a AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN value >= threshold AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN value >= threshold AND event_type <> 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events CROSS JOIN t GROUP BY threshold
+)
+SELECT threshold, tp, fp, pos - tp AS fn, n - pos - fp AS tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+       CASE WHEN pos > 0
+            THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + (pos - tp) > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (pos - tp) AS DOUBLE)
+       END AS f1
+FROM a
+""",
+)
+def ml_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix metrics (tp/fp/fn/tn, precision/recall/F1) at
+    four score thresholds in ONE aggregate with map-side partials —
+    per-threshold conditional counts stacked to rows, no row
+    expansion, no second shuffle. Positive class: purchase events."""
+    from .operators.metrics import threshold_metrics
+
+    ev = _events(spark, sf_dir).select("value", "event_type")
+    return threshold_metrics(
+        ev, "value", F.col("event_type") == "purchase", [5.0, 25.0, 100.0, 250.0]
+    )
+
+
+# ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================
 

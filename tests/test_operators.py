@@ -2337,3 +2337,127 @@ def test_cluster_balanced_sample(spark):
 
     again = cluster_balanced_sample(emb.repartition(7), cents, cap=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# feature engineering (operators/features.py)
+# ---------------------------------------------------------------------------
+
+
+def test_standardize_matches_numpy(spark):
+    import math
+
+    from fabrix_spark.operators.features import standardize
+
+    xs = [3, 7, 7, 11, 20, 1, 9]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "id long, x long")
+    rows = {r["id"]: r for r in standardize(df, "x").collect()}
+    n = len(xs)
+    mean = sum(xs) / n
+    std = math.sqrt((n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1)))
+    mn, mx = min(xs), max(xs)
+    for i, x in enumerate(xs):
+        assert abs(rows[i]["z"] - (x - mean) / std) < 1e-12
+        assert abs(rows[i]["minmax"] - (x - mn) / (mx - mn)) < 1e-12
+
+
+def test_standardize_constant_column_is_null(spark):
+    from fabrix_spark.operators.features import standardize
+
+    df = spark.createDataFrame([(i, 5) for i in range(4)], "id long, x long")
+    for r in standardize(df, "x").collect():
+        assert r["z"] is None and r["minmax"] is None
+
+
+def test_quantile_bins_equi_depth_and_tie_consistency(spark):
+    from collections import Counter
+
+    from fabrix_spark.operators.features import quantile_bins
+
+    # 100 rows with heavy ties: equal values must always share a bin
+    xs = [i // 7 for i in range(100)]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "id long, x long")
+    rows = quantile_bins(df, "x", 4).collect()
+    by_val = {}
+    for r in rows:
+        by_val.setdefault(r["x"], set()).add(r["bin"])
+    assert all(len(bins) == 1 for bins in by_val.values())
+    # bins are ordered with the values
+    order = sorted((v, next(iter(b))) for v, b in by_val.items())
+    bins_in_value_order = [b for _, b in order]
+    assert bins_in_value_order == sorted(bins_in_value_order)
+    # roughly equi-depth (exact up to tie spill)
+    sizes = Counter(r["bin"] for r in rows)
+    assert set(sizes) <= {1, 2, 3, 4} and max(sizes.values()) <= 100
+
+
+def test_quantile_bins_distinct_values_are_exact_quartiles(spark):
+    from collections import Counter
+
+    from fabrix_spark.operators.features import quantile_bins
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id long, x long")
+    sizes = Counter(r["bin"] for r in quantile_bins(df, "x", 4).collect())
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+
+
+def test_target_encode_loo_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.features import target_encode_loo
+
+    data = [(0, "a", 10), (1, "a", 20), (2, "a", 30), (3, "b", 7), (4, "c", 1), (5, "c", 3)]
+    df = spark.createDataFrame(data, "id long, cat string, y long")
+    got = {
+        r["id"]: r["loo_enc"]
+        for r in target_encode_loo(df, "cat", F.col("y")).collect()
+    }
+    assert got[0] == 25.0 and got[1] == 20.0 and got[2] == 15.0
+    assert got[3] is None  # singleton category leaks nothing
+    assert got[4] == 3.0 and got[5] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics (operators/metrics.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc(pairs, cls):
+    pos = [s for s, c in pairs if c == cls]
+    neg = [s for s, c in pairs if c != cls]
+    num = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    return num / (len(pos) * len(neg))
+
+
+def test_auc_one_vs_rest_matches_pairwise(spark):
+    from fabrix_spark.operators.metrics import auc_one_vs_rest
+
+    # ties across and within classes to exercise the half-count
+    pairs = [
+        (0.1, 0), (0.4, 0), (0.4, 1), (0.7, 1), (0.2, 2), (0.4, 2),
+        (0.9, 0), (0.9, 2), (0.3, 1), (0.1, 1),
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    got = {r["cls"]: r for r in auc_one_vs_rest(df, "score", "label", [0, 1, 2]).collect()}
+    for c in (0, 1, 2):
+        assert abs(got[c]["auc"] - _brute_auc(pairs, c)) < 1e-12
+        assert got[c]["n_pos"] + got[c]["n_neg"] == len(pairs)
+
+
+def test_threshold_metrics_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.metrics import threshold_metrics
+
+    rows = [(0.2, True), (0.6, True), (0.8, False), (0.5, False), (0.9, True)]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    got = {
+        r["threshold"]: r
+        for r in threshold_metrics(df, "score", F.col("pos"), [0.5, 0.95]).collect()
+    }
+    r = got[0.5]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 2, 1, 0)
+    assert r["precision"] == 0.5 and r["recall"] == 2 / 3
+    r = got[0.95]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 3, 2)
+    assert r["precision"] is None and r["recall"] == 0.0

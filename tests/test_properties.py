@@ -299,3 +299,30 @@ def test_phrase_search_fuzz_matches_bruteforce(spark, docs, phrase):
         if n:
             want[i] = n
     assert got == want
+
+
+@given(
+    vals=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)), min_size=1, max_size=60),
+    parts=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_global_cumsum_fuzz_matches_window(spark, vals, parts):
+    """global_cumsum == the single-reducer running-sum window for ANY
+    data (ties included — (v, idx) is a total order), value signs,
+    and input partitionings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fabrix_spark.operators.rank import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, v, x) for i, (v, x) in enumerate(vals)], "idx long, v long, x long"
+    ).repartition(parts)
+    order = [F.col("v").asc(), F.col("idx").asc()]
+    got = {
+        r["idx"]: r["cum_x"]
+        for r in global_cumsum(df, order, ["x"], num_partitions=3).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["idx"]: r["cx"] for r in df.withColumn("cx", F.sum("x").over(w)).collect()}
+    assert got == want

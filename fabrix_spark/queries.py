@@ -8481,6 +8481,127 @@ def ml_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_web_curation",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         regexp_extract('https://' || source || '.example.com/docs/' || lang
+                        || '/' || doc_id || '?q=' || n_chars || '&lang=' || lang,
+                        '^https?://([^/?#]+)', 1) AS domain
+  FROM documents
+),
+a AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM u GROUP BY 1
+),
+g AS (SELECT domain, n_docs FROM a
+      WHERE n_docs >= 5 AND sum_chars >= 290 * n_docs),
+r AS (
+  SELECT u.doc_id, u.domain, g.n_docs,
+         row_number() OVER (PARTITION BY u.domain
+                            ORDER BY {_BUCKET_SQL} ASC, u.doc_id ASC) AS rk
+  FROM u JOIN g USING (domain)
+)
+SELECT doc_id, domain, n_docs FROM r WHERE rk <= 15
+""",
+)
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style domain curation in one plan: URL host
+    extraction (JVM parse_url), per-domain volume + quality stats (one
+    hash aggregate; the gate compares integer sums — no division),
+    domain admission (≥5 docs, mean length ≥290 chars), then a
+    deterministic per-domain cap of 15 docs by key-hash rank. The
+    domain-stats join stays a plain equi-join (web-scale domain counts
+    are NOT broadcastable; AQE broadcasts when the admitted set is
+    small), and the cap window partitions by domain — parallel across
+    domains, the standard per-host quota shape."""
+    from .operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("n_chars").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    dom = d.withColumn("domain", F.parse_url(url, F.lit("HOST")))
+    ag = dom.groupBy("domain").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    good = ag.where(
+        (F.col("n_docs") >= 5) & (F.col("sum_chars") >= 290 * F.col("n_docs"))
+    ).select("domain", "n_docs")
+    kept = dom.join(good, "domain").select("doc_id", "domain", "n_docs")
+    return cap_per_group(kept, "doc_id", "domain", 15)
+
+
+@register(
+    "e_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 2, 3]) AS lag),
+p AS (
+  SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + CAST(l.lag AS INTEGER)
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, lag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       AS pearson_r
+FROM m
+""",
+)
+def e_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the per-type daily event-count
+    series — the seasonality probe over activity telemetry. The raw
+    scan reduces once to the (type × day)-bounded daily table; pairs
+    come from a CALENDAR self-join (day + lag, not row-lag, so gap
+    days never misalign series), and the correlation is
+    profile.correlation's exact-integer-moment Pearson — counts are
+    already int64, so every sum is exact and the one double expression
+    hash-matches any engine."""
+    from .operators.profile import correlation
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag"))),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+    )
+    return correlation(paired, "x", "y", by=["event_type", "lag"])
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

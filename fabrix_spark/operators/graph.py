@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_undirected", "pagerank", "triangle_counts", "min_label_propagation"]
+__all__ = [
+    "to_undirected",
+    "pagerank",
+    "triangle_counts",
+    "min_label_propagation",
+    "bfs_distances",
+]
 
 
 def to_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -227,6 +233,50 @@ def triangle_counts(
         .unionAll(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: the minimum hop distance (0..max_hops) from
+    any seed node, following ``edges`` (src → dst) as given —
+    symmetrize with :func:`to_undirected` first for undirected reach.
+    Returns (node, dist) for every node within ``max_hops``.
+
+    FRONTIER-based, the at-scale shape: each round joins the edge list
+    against only the nodes discovered LAST round (not the whole
+    visited set), then anti-joins the visited set — so per-round cost
+    tracks the frontier size and total cost is O(Σ frontier ⋈ edges),
+    the same contract as Pregel BFS. Equal, by induction, to
+    ``max_hops`` rounds of Bellman-Ford relaxation — which is how the
+    SQL oracle unrolls it. Lineage is truncated per round
+    (``localCheckpoint``), the iterative hygiene every loop here uses.
+
+    ``seeds`` must expose a ``node`` column; seed rows not present in
+    the graph still report dist 0 (reachability is defined on the seed
+    set, not the edge list).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    dist = seeds.select("node").distinct().withColumn("dist", F.lit(0))
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+        dist = dist.unionByName(nxt)
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 
 def min_label_propagation(

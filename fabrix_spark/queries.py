@@ -6995,6 +6995,65 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gr_bfs_reach",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+d0 AS (SELECT s_suppkey AS node, 0 AS dist FROM supplier WHERE s_suppkey < 3),
+d1 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT sym.dst AS node, d0.dist + 1 FROM sym JOIN d0 ON d0.node = sym.src
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT sym.dst AS node, d1.dist + 1 FROM sym JOIN d1 ON d1.node = sym.src
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT sym.dst AS node, d2.dist + 1 FROM sym JOIN d2 ON d2.node = sym.src
+  ) GROUP BY node
+)
+SELECT node, CAST(dist AS INTEGER) AS dist FROM d3
+""",
+)
+def gr_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (3 hops) over the supplier co-purchase graph
+    from seed suppliers 0-2 — k-hop neighborhood expansion, the
+    reach/blast-radius primitive. Frontier-based (each round joins
+    edges against only the newly discovered nodes, then anti-joins the
+    visited set), equal by induction to the oracle's 3 unrolled
+    Bellman-Ford relaxations."""
+    from .operators.graph import bfs_distances, to_undirected
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.o2)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_distances(to_undirected(pairs), seeds, max_hops=3)
+
+
+@register(
     "sim_range_search",
     oracle="""
 WITH q AS (

@@ -2461,3 +2461,26 @@ def test_threshold_metrics_brute_force(spark):
     r = got[0.95]
     assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 3, 2)
     assert r["precision"] is None and r["recall"] == 0.0
+
+
+def test_bfs_distances_frontier_semantics(spark):
+    from fabrix_spark.operators.graph import bfs_distances, to_undirected
+
+    # path 1-2-3-4-5, triangle 10-11-12 hanging off 2, isolate 99
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (42,)], "node long")  # 42 not in graph
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(to_undirected(e), seeds, max_hops=3).collect()
+    }
+    # dist 0 seeds (incl. the off-graph seed), min-hop distances, cutoff at 3
+    assert got == {1: 0, 42: 0, 2: 1, 3: 2, 10: 2, 4: 3, 11: 3, 12: 3}
+    # directed edges: reachability follows edge direction only
+    got_dir = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            e, spark.createDataFrame([(3,)], "node long"), max_hops=2
+        ).collect()
+    }
+    assert got_dir == {3: 0, 4: 1, 5: 2}

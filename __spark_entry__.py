@@ -37,7 +37,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-10 state: 30 new queries + 2 whose
+# staleness-ordered tail. Round-10 state: 31 new queries + 2 whose
 # implementation/contract changed (a_approx gained a real oracle after
 # 9 rounds of rows-only — the error-bound boolean contract;
 # e_rfm_segments' ntile is now the distributed global-rank recipe,
@@ -46,7 +46,7 @@ from fabrix_spark import queries as _q  # noqa: E402
 # round-5 cohort (f_json/conditional/math_fns, w_first_last_nth,
 # w_topk_orders_per_customer, a_stats, smp_temperature,
 # d_incremental_dedup, d_containment, m_frame_sample), which the
-# staleness ordering fronts automatically — 35 head entries leave 15
+# staleness ordering fronts automatically — 36 head entries leave 14
 # tail slots in a 50-window, so the whole r5 cohort refreshes this
 # round with room for the oldest of the r6 cohort behind it.
 _VERIFY_FIRST = [
@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "pipeline_web_curation",
     "e_autocorrelation",
     "gr_bfs_reach",
+    "prof_cms_freq",
     # changed in round 10 (re-verify under the new contract/plan)
     "a_approx",
     "e_rfm_segments",

@@ -800,3 +800,75 @@ def winsorize(
     return df.withColumn(f"{col}_winsorized", clamp).withColumn(
         "was_clipped", (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(key, row, width: int):
+    """Engine-independent CMS bucket: first 8 md5 hex chars of
+    ``key|r<row>``, mod width — the same md5 recipe every
+    deterministic-sampling oracle in this repo reproduces in SQL."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    key.cast("string"), F.lit("|r"), row.cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    )
+    return (h.cast("long") % width).cast("long")
+
+
+def cms_sketch(df: DataFrame, key_col: str, width: int = 256, depth: int = 4) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies: ``depth``
+    hash rows × ``width`` counters, returned as (row, col, cnt).
+
+    The point at 100 TB: the shuffle carries at most
+    ``partitions × depth × width`` partial counters (map-side combine
+    on (row, col)) — INDEPENDENT of both row count and key
+    cardinality, where an exact per-key count shuffles the full key
+    space. Sketches from disjoint shards merge by adding counters —
+    the mergeable-summary contract the profiling family shares. The
+    hash is md5-derived, so estimates are bit-reproducible on any
+    engine (the query oracle rebuilds the identical sketch in SQL).
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    base = df.select(F.col(key_col).alias("__k")).select("__k", rows)
+    return (
+        base.select("row", _cms_col(F.col("__k"), F.col("row"), width).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` (a DataFrame exposing
+    ``key_col``) against a :func:`cms_sketch`: probe the ``depth``
+    cells of each key and take the minimum counter — an upper bound on
+    the true count (``est ≥ true`` always; overshoot bounded by
+    ``e·N/width`` with probability ``1 − e^{-depth}``). The sketch is
+    ``depth × width`` rows — bounded by construction — so it
+    broadcasts; probing is map-only."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    probes = keys.select(F.col(key_col), rows).select(
+        key_col, "row", _cms_col(F.col(key_col), F.col("row"), width).alias("col")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
+    )

@@ -8541,6 +8541,71 @@ def ml_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prof_cms_freq",
+    oracle="""
+WITH r AS (SELECT unnest([0, 1, 2, 3]) AS row),
+sk AS (
+  SELECT row,
+         CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), '|r',
+                                             CAST(row AS VARCHAR))), 1, 8))
+              AS BIGINT) % 256 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN r GROUP BY 1, 2
+),
+k AS (SELECT unnest(range(0, 18)) AS user_id
+      UNION ALL SELECT 9000 UNION ALL SELECT 9001),
+p AS (
+  SELECT k.user_id, r.row,
+         CAST(concat('0x', substr(md5(concat(CAST(k.user_id AS VARCHAR), '|r',
+                                             CAST(r.row AS VARCHAR))), 1, 8))
+              AS BIGINT) % 256 AS col
+  FROM k CROSS JOIN r
+),
+est AS (
+  SELECT p.user_id, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+  GROUP BY 1
+),
+t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt FROM events GROUP BY 1)
+SELECT est.user_id, coalesce(t.true_cnt, CAST(0 AS BIGINT)) AS true_cnt, est.est_cnt,
+       est.est_cnt - coalesce(t.true_cnt, CAST(0 AS BIGINT)) AS overcount
+FROM est LEFT JOIN t USING (user_id)
+""",
+)
+def prof_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates (depth 4 × width 256)
+    for 20 probe users — 18 present, 2 absent — joined against the
+    exact counts so the CMS one-sided error (overcount ≥ 0) is part of
+    the checked result. The shuffle carries ≤ partitions×depth×width
+    partial counters regardless of row count or key cardinality, and
+    shard sketches merge by addition; the md5-derived hash makes even
+    the ESTIMATES bit-reproducible, so the oracle rebuilds the
+    identical sketch in SQL — a fully hash-checked sketch, like the
+    KMV and histogram families."""
+    from .operators.profile import cms_estimate, cms_sketch
+
+    ev = _events(spark, sf_dir).select("user_id")
+    sketch = cms_sketch(ev, "user_id", width=256, depth=4)
+    keys = spark.range(0, 18).union(spark.range(9000, 9002)).select(
+        F.col("id").alias("user_id")
+    )
+    est = cms_estimate(sketch, keys, "user_id", width=256, depth=4)
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return (
+        est.join(true, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias("true_cnt"),
+            "est_cnt",
+            (
+                F.col("est_cnt")
+                - F.coalesce(F.col("true_cnt"), F.lit(0).cast("long"))
+            ).alias("overcount"),
+        )
+    )
+
+
+@register(
     "pipeline_web_curation",
     oracle=f"""
 WITH u AS (

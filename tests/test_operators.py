@@ -2484,3 +2484,30 @@ def test_bfs_distances_frontier_semantics(spark):
         ).collect()
     }
     assert got_dir == {3: 0, 4: 1, 5: 2}
+
+
+def test_cms_sketch_upper_bound_and_mergeability(spark):
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.profile import cms_estimate, cms_sketch
+
+    data = [(i % 13,) for i in range(400)] + [(7,)] * 100  # skewed key 7
+    df = spark.createDataFrame(data, "k long")
+    keys = spark.createDataFrame([(i,) for i in range(15)], "k long")  # 13,14 absent
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in cms_estimate(cms_sketch(df, "k", width=64, depth=4), keys, "k", 64, 4).collect()
+    }
+    true = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    for k in range(15):
+        assert est[k] >= true.get(k, 0)  # CMS error is one-sided
+    # shard sketches merge by ADDING counters == sketch of the union
+    idxd = spark.createDataFrame([(i, k) for i, (k,) in enumerate(data)], "i long, k long")
+    half1 = idxd.where("i < 250").select("k")
+    half2 = idxd.where("i >= 250").select("k")
+    s1, s2 = cms_sketch(half1, "k", 64, 4), cms_sketch(half2, "k", 64, 4)
+    merged = (
+        s1.unionByName(s2).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(df, "k", 64, 4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

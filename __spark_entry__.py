@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "e_autocorrelation",
     "gr_bfs_reach",
     "prof_cms_freq",
+    "m_image_neardup",
     # changed in round 10 (re-verify under the new contract/plan)
     "a_approx",
     "e_rfm_segments",

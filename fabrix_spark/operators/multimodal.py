@@ -42,6 +42,7 @@ __all__ = [
     "decode_audio_features",
     "sample_frames",
     "ahash_bmp",
+    "ahash_bytes",
     "image_ahash",
     "audio_fingerprint_wav",
     "audio_fingerprints",
@@ -274,25 +275,62 @@ def ahash_bmp(blob: bytes, grid: int = 8) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def ahash_bytes(blob: bytes, bits: int = 60) -> int:
+    """Average hash over a raw byte strip: the aHash recipe
+    (:func:`ahash_bmp`) applied to the payload as a 1-D grayscale
+    signal — ``bits`` block means, one bit per block, 1 iff the block
+    mean exceeds the whole-payload mean. LOCALITY-sensitive: payloads
+    differing by a few localized bytes land within a few bits of
+    Hamming distance. The comparison is done in exact integer
+    arithmetic (``block_sum * total_len > total_sum * block_len``) so
+    the signature is bit-reproducible in any engine — no float-tie
+    divergence between numpy and a SQL oracle."""
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    if n == 0:
+        return 0
+    blk = (np.arange(n) * bits) // n
+    block_sum = np.zeros(bits, np.int64)
+    np.add.at(block_sum, blk, arr)
+    block_len = np.bincount(blk, minlength=bits).astype(np.int64)
+    total_sum, total_len = int(arr.sum()), n
+    h = 0
+    for j in range(bits):
+        if int(block_sum[j]) * total_len > total_sum * int(block_len[j]):
+            h |= 1 << j
+    return h
+
+
 def image_ahash(
     df: DataFrame,
     bin_col: str = "content",
     id_col: str = "doc_id",
     grid: int = 8,
+    fake: bool = False,
 ) -> DataFrame:
     """Per-image perceptual hashes via ``mapInPandas`` (Arrow-batched
     decode, the multimodal hot-path shape). Returns (id, ahash long).
     Pair with :func:`fabrix_spark.operators.dedup.hamming_pairs`
     (bits=64) for banded image near-dup at corpus scale: signatures
     are 8 bytes/image, candidates come from a chunk equi-join, and the
-    corpus of image bytes is read exactly once, here."""
+    corpus of image bytes is read exactly once, here.
+
+    ``fake=True`` swaps the 2-D BMP decode for :func:`ahash_bytes` —
+    the same aHash algorithm on the raw byte strip (60 bits). It is
+    still locality-sensitive (near-identical payloads → small Hamming
+    distance) and works on any payload, so it exercises the full
+    signature→banded-join pipeline without codec libraries; a real
+    image decode slots in at ``fake=False``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hs = [], []
             for _id, blob in zip(pdf[id_col], pdf[bin_col]):
                 ids.append(_id)
-                hs.append(ahash_bmp(bytes(blob), grid))
+                if fake:
+                    hs.append(ahash_bytes(bytes(blob)))
+                else:
+                    hs.append(ahash_bmp(bytes(blob), grid))
             yield pd.DataFrame(
                 {"id": pd.Series(ids, dtype="int64"), "ahash": pd.Series(hs, dtype="int64")}
             )

@@ -4929,6 +4929,80 @@ def m_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "n_bytes", "width", "height")
 
 
+@register(
+    "m_image_neardup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id AS id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id,
+         hex(encode(upper(substr(text, 1, 3)) || substr(text, 4))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT id, CAST(concat('0x', substr(hx, CAST(2 * i - 1 AS INTEGER), 2)) AS BIGINT) AS v,
+         ((i - 1) * 60) // n AS blk
+  FROM corpus CROSS JOIN generate_series(1, 2048) AS t(i)
+  WHERE i <= n
+), blocks AS (
+  SELECT id, blk, sum(v) AS bs, count(*) AS bc,
+         sum(sum(v)) OVER (PARTITION BY id) AS ts,
+         sum(count(*)) OVER (PARTITION BY id) AS tn
+  FROM bytes GROUP BY id, blk
+), sigs AS (
+  SELECT id,
+         sum(CASE WHEN bs * tn > ts * bc
+                  THEN CAST(1 AS BIGINT) << CAST(blk AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END) AS ahash
+  FROM blocks GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+""",
+)
+def m_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over a binary media
+    column. The corpus is each document's payload plus a simulated
+    re-encode of it (first 3 bytes case-folded — a deterministic,
+    length-preserving stand-in for the noise a decode→re-encode cycle
+    adds), so every original has one near-identical partner. Pipeline:
+    Arrow-batched signature extraction (multimodal.image_ahash — one
+    pass over the blobs, the only time payload bytes are read) into
+    8-byte locality-sensitive signatures (ahash_bytes, the aHash
+    block-mean recipe on the byte strip, exact-integer comparisons),
+    then dedup.hamming_pairs' pigeonhole-banded equi-join (4 chunks of
+    a 60-bit hash; any pair within Hamming 3 shares >=1 exact chunk) —
+    never all-pairs. The oracle rebuilds the identical signatures in
+    SQL (byte explosion bounded by the testdata's max payload, 577 B
+    << the 2048 series bound) and verifies the END-TO-END pair set
+    with an all-pairs self-join — feasible only at oracle scale; the
+    Spark plan is the banded one that survives 100 TB of blobs. Ref
+    behavior: fabrix has no media near-dup; this composes SURVEY
+    §2.10's multimodal plumbing with the SimHash banding machinery
+    (dedup.py hamming_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    reenc = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 3)), F.expr("substring(text, 4)")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(reenc)
+    sigs = multimodal.image_ahash(
+        multimodal.attach_binary(corpus, "text"), id_col="doc_id", fake=True
+    )
+    pairs = dedup.hamming_pairs(
+        sigs, sig_col="ahash", id_col="id", bits=60, bands=4, max_hamming=3
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # ===========================================================================
 # deterministic sampling / splits (rerun-stable corpus construction)
 # ===========================================================================

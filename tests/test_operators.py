@@ -1302,6 +1302,26 @@ def test_image_ahash_neardup(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_ahash_bytes_locality_and_exactness():
+    """ahash_bytes: locality (small local edit -> small Hamming;
+    unrelated payload -> far), edge cases, and the exact-integer tie
+    rule (a uniform payload has NO block strictly above the mean)."""
+    from fabrix_spark.operators.multimodal import ahash_bytes
+
+    base = bytes(range(256)) * 4
+    near = bytearray(base)
+    near[:3] = b"\xff\xff\xff"  # localized 3-byte edit
+    other = bytes(reversed(base))
+    d = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert d(ahash_bytes(base), ahash_bytes(bytes(near))) <= 3
+    assert d(ahash_bytes(base), ahash_bytes(other)) > 10
+    assert ahash_bytes(b"") == 0
+    assert ahash_bytes(b"\x07" * 1000) == 0  # uniform: no block > mean
+    # shorter than the 60 blocks: empty blocks contribute 0 bits, the
+    # populated ones still compare exactly
+    assert 0 <= ahash_bytes(b"\x00" * 5 + b"\xff" * 5) < (1 << 60)
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     rows=st.lists(

@@ -37,55 +37,23 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-10 state: 31 new queries + 2 whose
-# implementation/contract changed (a_approx gained a real oracle after
-# 9 rounds of rows-only — the error-bound boolean contract;
-# e_rfm_segments' ntile is now the distributed global-rank recipe,
-# same result contract). The r8-flagged pre-r5 evidence tail was
-# drained in round 9; the oldest remaining evidence is the 10-query
-# round-5 cohort (f_json/conditional/math_fns, w_first_last_nth,
-# w_topk_orders_per_customer, a_stats, smp_temperature,
-# d_incremental_dedup, d_containment, m_frame_sample), which the
-# staleness ordering fronts automatically — 36 head entries leave 14
-# tail slots in a 50-window, so the whole r5 cohort refreshes this
-# round with room for the oldest of the r6 cohort behind it.
+# staleness-ordered tail. Round-11 state: ZERO new queries by design —
+# the round-10 verdict's drain plan. The last-green histogram after
+# round 10 is r6×44, r7×45, r8×46, r9×45, r10×50: the 44-query r6
+# cohort sits exactly at the ≤4-round staleness limit, so round 11
+# spends its whole window on it. Head = the 3 queries whose
+# oracle/implementation changed this round (prof_skew_report's
+# arg-max pad widened to full int64 19 digits in both engines;
+# m_image_neardup's oracle now measures the re-encoded row's byte
+# length on the re-encoded bytes; ml_auc's doubled-U product is
+# computed in decimal, not post-cast) + the 3 canaries = 6 slots,
+# leaving 44 — the staleness ordering fronts the entire r6 cohort
+# into them. Expected after this round: no entry's last-green < r7.
 _VERIFY_FIRST = [
-    # new in round 10 (appended as they land)
-    "w_global_rank",
-    "sim_knn_graph",
-    "d_minhash_lsh_salted",
-    "stream_asof_replay",
-    "lake_text_search",
+    # changed in round 11 (re-verify under the new oracle/arithmetic)
     "prof_skew_report",
-    "smp_negative_pairs",
-    "tj_ewma",
-    "prof_winsorize",
-    "t_bm25_search",
-    "t_phrase_search",
-    "stream_index_replay",
-    "t_feature_hash",
-    "smp_token_budget",
-    "g_unpivot",
-    "t_bpe_merges",
-    "sim_rp_topk",
-    "stream_session_replay",
-    "smp_cluster_balanced",
-    "f_map_fns",
-    "f_struct_fns",
-    "f_url_fns",
-    "fe_standardize",
-    "fe_quantile_bins",
-    "fe_target_encode_loo",
-    "ml_auc",
-    "ml_threshold_metrics",
-    "pipeline_web_curation",
-    "e_autocorrelation",
-    "gr_bfs_reach",
-    "prof_cms_freq",
     "m_image_neardup",
-    # changed in round 10 (re-verify under the new contract/plan)
-    "a_approx",
-    "e_rfm_segments",
+    "ml_auc",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

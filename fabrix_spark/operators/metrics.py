@@ -54,8 +54,15 @@ def auc_one_vs_rest(
         neg_below = (F.col("cum___tot") - F.col("__tot")) - (
             F.col(f"cum___c{c}") - pos_at
         )
+        # Cast BEFORE the multiply: pos_at and the 2*neg_below+neg_at
+        # factor are both int64 counts, so on tie-heavy scores at
+        # billions of rows the long product wraps silently if the
+        # decimal cast only happens afterwards.
         contribs.append(
-            (pos_at * (F.lit(2) * neg_below + neg_at))
+            (
+                pos_at.cast("decimal(38,0)")
+                * (F.lit(2) * neg_below + neg_at).cast("decimal(38,0)")
+            )
             .cast("decimal(38,0)")
             .alias(f"__u2_{c}")
         )

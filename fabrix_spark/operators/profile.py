@@ -703,8 +703,12 @@ def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
         freq = df.groupBy(
             F.coalesce(F.col(c).cast("string"), F.lit("")).alias("__k")
         ).agg(F.count("*").alias("__cnt"))
+        # 19 digits = full int64 width. lpad TRUNCATES strings longer
+        # than the target, so a 12-digit pad would cut counts >= 10^12
+        # to their first 12 digits and silently break the arg-max at
+        # exactly the 100 TB scale this diagnostic targets.
         packed = F.concat(
-            F.lpad(F.col("__cnt").cast("string"), 12, "0"), F.lit("|"), F.col("__k")
+            F.lpad(F.col("__cnt").cast("string"), 19, "0"), F.lit("|"), F.col("__k")
         )
         parts.append(
             freq.agg(
@@ -712,7 +716,7 @@ def skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.sum("__cnt").alias("n_total"),
                 F.count("*").alias("n_distinct"),
                 F.max("__cnt").alias("max_cnt"),
-                F.substring(F.max(packed), 14, 1_000_000).alias("top_key"),
+                F.substring(F.max(packed), 21, 1_000_000).alias("top_key"),
             ).select(
                 "column",
                 "n_total",

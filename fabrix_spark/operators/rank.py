@@ -41,12 +41,48 @@ __all__ = ["global_rank", "global_ntile", "ntile_from_rank", "global_cumsum"]
 _MONO = "__fx_mono__"
 _LOW33 = (1 << 33) - 1
 
+# Above this many range partitions the per-partition offsets stop
+# inlining as a literal create_map (2 expressions per partition bloat
+# the plan of EVERY consumer — ntile×3 in RFM triples it) and instead
+# ride a broadcast hash join on the partition id: one metadata-sized
+# broadcast, zero extra exchanges, same values.
+OFFSET_JOIN_THRESHOLD = 4096
+
+
+def _offset_expr_or_join(
+    s: DataFrame, pid_col: Column, offsets: list[tuple[int, int]], mode: str
+) -> tuple[DataFrame, Column]:
+    """Attach the cumulative per-partition ``offsets`` (pid → offset)
+    to ``s`` either as an inlined literal map lookup (``mode='map'``)
+    or a broadcast join on the partition id (``mode='join'``;
+    ``'auto'`` switches on :data:`OFFSET_JOIN_THRESHOLD`). Returns the
+    (possibly joined) frame and the offset Column. Both paths are
+    value-identical; the join path keeps the consumer plan O(1) in the
+    partition count."""
+    if mode == "auto":
+        mode = "join" if len(offsets) > OFFSET_JOIN_THRESHOLD else "map"
+    if not offsets:
+        return s, F.lit(0)
+    if mode == "map":
+        entries: list[Column] = []
+        for p, off in offsets:
+            entries.extend((F.lit(int(p)), F.lit(int(off))))
+        return s, F.create_map(*entries)[pid_col]
+    off_df = s.sparkSession.createDataFrame(
+        [(int(p), int(off)) for p, off in offsets], "__fx_opid__ long, __fx_off__ long"
+    )
+    joined = s.withColumn("__fx_opid__", pid_col.cast("long")).join(
+        F.broadcast(off_df), "__fx_opid__", "left"
+    )
+    return joined, F.coalesce(F.col("__fx_off__"), F.lit(0))
+
 
 def global_rank(
     df: DataFrame,
     order: list[Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    offsets_via: str = "auto",
 ) -> tuple[DataFrame, int]:
     """Exact 1-based global rank under ``order`` (which must be a
     TOTAL order — include a unique tie-break column, or equal rows get
@@ -58,10 +94,13 @@ def global_rank(
     inputs (per-user, per-key tables); raw-corpus global ranks are an
     anti-pattern at any engine.
 
-    The cumulative offsets inline as a literal map (2 entries per
-    range partition) — fine through thousands of partitions; for a
-    rank over 100k+ partitions swap the map for a broadcast join on
-    the partition id (same shape, one more exchange-free join).
+    ``offsets_via``: ``'map'`` inlines the cumulative offsets as a
+    literal map (2 expressions per range partition — cheapest through
+    thousands of partitions), ``'join'`` broadcast-joins them on the
+    partition id (plan stays O(1) in partition count — the 100k+
+    partition shape), ``'auto'`` (default) switches at
+    :data:`OFFSET_JOIN_THRESHOLD`. Both paths are value-identical
+    (pinned by ``test_global_rank_offset_join_path``).
     """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     s = (
@@ -75,17 +114,19 @@ def global_rank(
         (r["__pid"], r["__cnt"])
         for r in s.groupBy(pid).agg(F.count("*").alias("__cnt")).collect()
     )
-    offsets: list[Column] = []
+    offsets: list[tuple[int, int]] = []
     total = 0
     for p, c in counts:
-        offsets.extend((F.lit(int(p)), F.lit(total)))
+        offsets.append((int(p), total))
         total += c
-    offset = (
-        F.create_map(*offsets)[F.shiftright(F.col(_MONO), 33)] if counts else F.lit(0)
+    s, offset = _offset_expr_or_join(
+        s, F.shiftright(F.col(_MONO), 33), offsets, offsets_via
     )
     local = F.col(_MONO).bitwiseAND(F.lit(_LOW33))
     return (
-        s.withColumn(rank_col, (offset + local + 1).cast("long")).drop(_MONO),
+        s.withColumn(rank_col, (offset + local + 1).cast("long")).drop(
+            _MONO, "__fx_opid__", "__fx_off__"
+        ),
         total,
     )
 
@@ -96,6 +137,7 @@ def global_cumsum(
     value_cols: list[str],
     num_partitions: int | None = None,
     prefix: str = "cum_",
+    offsets_via: str = "auto",
 ) -> DataFrame:
     """Exact running ``SUM(v) OVER (ORDER BY order ROWS UNBOUNDED
     PRECEDING)`` for each of ``value_cols`` — without the
@@ -114,7 +156,12 @@ def global_cumsum(
     ``order`` must be a total order for row-level determinism (for
     value-grouped inputs the group key itself suffices). Sums are
     computed in int64 — callers with 100 TB-scale magnitudes should
-    pre-quantize so per-partition totals stay in range."""
+    pre-quantize so per-partition totals stay in range.
+
+    ``offsets_via`` as in :func:`global_rank` — ``'join'`` carries ALL
+    per-column offsets in ONE broadcast row set (#partitions rows ×
+    #cols), so the consumer plan stays O(#cols), not
+    O(#partitions × #cols) literal-map entries."""
     from pyspark.sql import Window
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -130,16 +177,36 @@ def global_cumsum(
         .agg(*[F.sum(c).alias(f"__t_{c}") for c in value_cols])
         .collect()
     )
-    offset_maps: list[Column] = []
-    for ci in range(len(value_cols)):
-        entries: list[Column] = []
-        run = 0
+    mode = offsets_via
+    if mode == "auto":
+        mode = "join" if len(totals) > OFFSET_JOIN_THRESHOLD else "map"
+    offset_exprs: list[Column]
+    if not totals:
+        offset_exprs = [F.lit(0) for _ in value_cols]
+    elif mode == "map":
+        offset_exprs = []
+        for ci in range(len(value_cols)):
+            entries: list[Column] = []
+            run = 0
+            for p, tot in totals:
+                entries.extend((F.lit(int(p)), F.lit(run)))
+                run += int(tot[ci] or 0)
+            offset_exprs.append(F.create_map(*entries)[F.col("__fx_pid__")])
+    else:
+        rows = []
+        runs = [0] * len(value_cols)
         for p, tot in totals:
-            entries.extend((F.lit(int(p)), F.lit(run)))
-            run += int(tot[ci] or 0)
-        offset_maps.append(
-            F.create_map(*entries)[F.col("__fx_pid__")] if totals else F.lit(0)
+            rows.append((int(p), *[int(r) for r in runs]))
+            for ci in range(len(value_cols)):
+                runs[ci] += int(tot[ci] or 0)
+        off_cols = [f"__fx_off_{ci}__" for ci in range(len(value_cols))]
+        off_df = s.sparkSession.createDataFrame(
+            rows, ", ".join(["__fx_pid__ long"] + [f"{c} long" for c in off_cols])
         )
+        s = s.withColumn("__fx_pid__", F.col("__fx_pid__").cast("long")).join(
+            F.broadcast(off_df), "__fx_pid__", "left"
+        )
+        offset_exprs = [F.coalesce(F.col(c), F.lit(0)) for c in off_cols]
     w = (
         Window.partitionBy("__fx_pid__")
         .orderBy(*order)
@@ -148,9 +215,23 @@ def global_cumsum(
     out = s
     for ci, c in enumerate(value_cols):
         out = out.withColumn(
-            f"{prefix}{c}", (offset_maps[ci] + F.sum(c).over(w)).cast("long")
+            f"{prefix}{c}", (offset_exprs[ci] + F.sum(c).over(w)).cast("long")
         )
-    return out.drop("__fx_pid__")
+    return out.drop(
+        "__fx_pid__", *[f"__fx_off_{ci}__" for ci in range(len(value_cols))]
+    )
+
+
+def _iceil(r: Column, m: int) -> Column:
+    """Exact ``ceil(r / m)`` for positive int64 ``r`` and positive int
+    ``m`` — computed as ``floor((r-1)/m) + 1`` over decimal(19,0)
+    operands. The decimal quotient carries scale 19, so the floor is
+    bit-exact for every int64 input; a double quotient misrounds
+    bucket boundaries once ranks pass 2^53."""
+    num = (r - F.lit(1)).cast("decimal(19,0)")
+    return (F.floor(num / F.lit(int(m)).cast("decimal(19,0)")) + F.lit(1)).cast(
+        "long"
+    )
 
 
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
@@ -158,10 +239,10 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     rows: the first ``n mod k`` buckets hold ``n div k + 1`` rows."""
     q, rem = divmod(n, k)
     pivot = rem * (q + 1)
-    big = F.ceil(rank / F.lit(q + 1))
     if q == 0:  # fewer rows than buckets: bucket i gets row i
         return rank.cast("int")
-    small = F.lit(rem) + F.ceil((rank - F.lit(pivot)) / F.lit(q))
+    big = _iceil(rank, q + 1)
+    small = F.lit(rem) + _iceil(rank - F.lit(pivot), q)
     return F.when(rank <= pivot, big).otherwise(small).cast("int")
 
 

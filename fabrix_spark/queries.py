@@ -4939,7 +4939,7 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 100000 AS id,
          hex(encode(upper(substr(text, 1, 3)) || substr(text, 4))) AS hx,
-         octet_length(encode(text)) AS n
+         octet_length(encode(upper(substr(text, 1, 3)) || substr(text, 4))) AS n
   FROM documents
 ), bytes AS (
   SELECT id, CAST(concat('0x', substr(hx, CAST(2 * i - 1 AS INTEGER), 2)) AS BIGINT) AS v,
@@ -7755,13 +7755,13 @@ f2 AS (
 )
 SELECT 'user_id' AS "column", CAST(sum(cnt) AS BIGINT) AS n_total,
        CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt,
-       substr(max(concat(lpad(CAST(cnt AS VARCHAR), 12, '0'), '|', k)), 14) AS top_key,
+       substr(max(concat(lpad(CAST(cnt AS VARCHAR), 19, '0'), '|', k)), 21) AS top_key,
        CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
 FROM f1
 UNION ALL
 SELECT 'event_type', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(max(cnt) AS BIGINT),
-       substr(max(concat(lpad(CAST(cnt AS VARCHAR), 12, '0'), '|', k)), 14),
+       substr(max(concat(lpad(CAST(cnt AS VARCHAR), 19, '0'), '|', k)), 21),
        CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
 FROM f2
 """,

@@ -326,3 +326,36 @@ def test_global_cumsum_fuzz_matches_window(spark, vals, parts):
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = {r["idx"]: r["cx"] for r in df.withColumn("cx", F.sum("x").over(w)).collect()}
     assert got == want
+
+
+def test_global_rank_offset_join_path(spark):
+    """The broadcast-join offsets path (the 100k+ partition shape) is
+    value-identical to the inlined-map path, for both global_rank and
+    global_cumsum, including the multi-column cumsum and a forced
+    low threshold via offsets_via='join'."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.rank import global_cumsum, global_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11, (i * 13) % 7 - 3) for i in range(200)],
+        "idx long, v long, x long",
+    ).repartition(5)
+    order = [F.col("v").asc(), F.col("idx").asc()]
+
+    via_map, n_map = global_rank(df, order, "r", num_partitions=4, offsets_via="map")
+    via_join, n_join = global_rank(df, order, "r", num_partitions=4, offsets_via="join")
+    assert n_map == n_join == 200
+    rm = {r["idx"]: r["r"] for r in via_map.collect()}
+    rj = {r["idx"]: r["r"] for r in via_join.collect()}
+    assert rm == rj
+    assert sorted(rm.values()) == list(range(1, 201))
+    # the join path must not leak helper columns
+    assert set(via_join.columns) == {"idx", "v", "x", "r"}
+
+    cm = global_cumsum(df, order, ["x", "v"], num_partitions=4, offsets_via="map")
+    cj = global_cumsum(df, order, ["x", "v"], num_partitions=4, offsets_via="join")
+    m = {r["idx"]: (r["cum_x"], r["cum_v"]) for r in cm.collect()}
+    j = {r["idx"]: (r["cum_x"], r["cum_v"]) for r in cj.collect()}
+    assert m == j
+    assert set(cj.columns) == {"idx", "v", "x", "cum_x", "cum_v"}

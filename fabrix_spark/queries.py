@@ -7891,6 +7891,7 @@ def prof_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_bm25_search",
+    headline=True,
     # float literals are spelled as the SAME source expressions the
     # Spark side builds ((1.2 + 1), (1 - 0.75 + 0.75·x)) so both
     # engines round the identical IEEE ops — never pre-evaluated
@@ -8495,6 +8496,7 @@ def fe_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fe_target_encode_loo",
+    headline=True,
     oracle="""
 WITH q AS (
   SELECT o_orderkey, o_orderpriority,

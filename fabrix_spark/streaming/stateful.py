@@ -81,7 +81,16 @@ def stateful_sessionize(
 
     This is the hand-rolled equivalent of ``session_window`` — kept as
     the template for stateful logic session_window cannot express
-    (e.g. carrying custom per-session aggregates)."""
+    (e.g. carrying custom per-session aggregates).
+
+    LATE-DATA CONTRACT: events whose time is older than the current
+    watermark are DROPPED (same as the built-in ``session_window``
+    aggregation). ``applyInPandasWithState`` does NOT filter late
+    input itself — the watermark only drives timeouts — so without the
+    explicit filter a late event would merge into (or, worse, reopen
+    after flush as a phantom fragment of) a session the watermark
+    already promised was final. Pinned by
+    ``test_stateful_sessionize_drops_event_older_than_watermark``."""
     out_schema = T.StructType(
         [
             T.StructField(key_col, T.LongType()),
@@ -113,10 +122,23 @@ def stateful_sessionize(
             return
         start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
         # row order within a micro-batch group is arbitrary — gap
-        # detection is only meaningful over time-sorted events
+        # detection is only meaningful over time-sorted events. Rows
+        # older than the watermark are dropped here (late-data
+        # contract above); the engine does not pre-filter them.
+        wm_ms = state.getCurrentWatermarkMs()
         ts_ms = sorted(
-            t for pdf in pdfs for t in (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            t
+            for pdf in pdfs
+            for t in (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            if t >= wm_ms
         )
+        if not ts_ms:
+            if state.exists:
+                # keep the existing session armed; nothing to fold in
+                state.setTimeoutTimestamp(
+                    max(last_ms + gap_seconds * 1000, wm_ms + 1)
+                )
+            return
         for t in ts_ms:
             if last_ms is not None and t - last_ms > gap_seconds * 1000:
                 # gap inside the batch: close the old session inline

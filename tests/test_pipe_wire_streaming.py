@@ -1439,3 +1439,127 @@ def test_stateful_sessionize_unsorted_batch(spark, tmp_path):
         ).collect()
     }
     assert rows == {("10:00", 3), ("12:00", 2)}
+
+
+def test_stateful_sessionize_drops_event_older_than_watermark(spark, tmp_path):
+    """Late-data contract of the sessionizer: an event whose time is
+    OLDER than the current watermark arrives mid-stream and is DROPPED
+    before it reaches the state update — it neither reopens the
+    already-flushed session nor creates a phantom one. (The watermark
+    is what bounds state at scale; late rows are the price, and the
+    contract must be explicit.)"""
+    import json as _json
+    import os
+
+    from fabrix_spark.streaming import stateful_sessionize
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def put(name, rows, mtime):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": f"2024-01-0{d}T{t}:00.000Z"})
+                for u, d, t in rows
+            )
+        )
+        os.utime(src / name, (mtime, mtime))
+
+    put("b0.json", [(1, 1, "10:00"), (1, 1, "10:05")], 1_700_000_000)
+    # advances the watermark to 12:30 (13:00 - 30 min)
+    put("b1.json", [(2, 1, "13:00")], 1_700_000_060)
+    # LATE: 10:20 < watermark 12:30 -> must be dropped
+    put("b2.json", [(1, 1, "10:20")], 1_700_000_120)
+    # far-future sentinel flushes every remaining session
+    put("b3.json", [(99, 2, "00:00")], 1_700_000_180)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sess = stateful_sessionize(stream, gap_seconds=1800, watermark="30 minutes")
+    q = run_available_now(
+        sess, str(tmp_path / "ckpt_late"), memory_table="late_sessions",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    u1 = [
+        (r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM late_sessions WHERE user_id = 1"
+        ).collect()
+    ]
+    # exactly the pre-late session; the 10:20 event left no trace
+    assert u1 == [("10:00", "10:05", 2)]
+    u2 = [
+        r["n_events"]
+        for r in spark.sql(
+            "SELECT * FROM late_sessions WHERE user_id = 2"
+        ).collect()
+    ]
+    assert u2 == [1]
+
+
+def test_stream_asof_enrich_includes_late_arrival(spark, tmp_path):
+    """Late-data contract of the as-of replay: stream_asof_enrich has
+    NO watermark — a row arriving in a later micro-batch with an older
+    event time is still enriched (its as-of depends only on itself and
+    the static dimension) and appended. Explicit INCLUDE, the dual of
+    the sessionizer's drop."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.temporal import asof_join
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import stream_asof_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def put(name, rows, mtime):
+        import json as _json
+
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"event_id": i, "typ": t, "ts": f"2024-01-01T{h}:00.000"})
+                for i, t, h in rows
+            )
+        )
+        os.utime(src / name, (mtime, mtime))
+
+    put("b0.json", [(1, "a", "06:00"), (2, "a", "07:30")], 1_700_000_000)
+    # LATE arrival: event time 00:30 predates everything in b0
+    put("b1.json", [(3, "a", "00:30")], 1_700_000_060)
+
+    rates = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 100), ("a", "2024-01-01 04:00:00", 140)],
+        "typ string, ts_s string, rate long",
+    ).select("typ", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "rate")
+
+    out = LakeTable(spark, str(tmp_path / "out"), index="event_id", retain=10)
+    stream = (
+        spark.readStream.schema("event_id long, typ string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_asof_enrich(
+        stream, rates, out, checkpoint=str(tmp_path / "ckpt"),
+        on="ts", by=["typ"], right_cols=["rate"],
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, out.read().df.select("event_id", "rate").collect()))
+    # the late row IS present, enriched with the rate as-of ITS time
+    assert (3, 100) in got
+    ev = spark.createDataFrame(
+        [(1, "a", "2024-01-01 06:00:00"), (2, "a", "2024-01-01 07:30:00"),
+         (3, "a", "2024-01-01 00:30:00")],
+        "event_id long, typ string, ts_s string",
+    ).select("event_id", "typ", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    want = sorted(map(tuple, asof_join(
+        ev, rates, on="ts", by=["typ"], right_cols=["rate"]
+    ).select("event_id", "rate").collect()))
+    assert got == want

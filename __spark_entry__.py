@@ -45,15 +45,19 @@ from fabrix_spark import queries as _q  # noqa: E402
 # oracle/implementation changed this round (prof_skew_report's
 # arg-max pad widened to full int64 19 digits in both engines;
 # m_image_neardup's oracle now measures the re-encoded row's byte
-# length on the re-encoded bytes; ml_auc's doubled-U product is
-# computed in decimal, not post-cast) + the 3 canaries = 6 slots,
-# leaving 44 — the staleness ordering fronts the entire r6 cohort
-# into them. Expected after this round: no entry's last-green < r7.
+# length on the re-encoded bytes; t_bm25_search rewritten onto the
+# fused one-shuffle BM25 — bit-identical, but a full plan rewrite)
+# + the 3 canaries = 6 slots, leaving 44 — the staleness ordering
+# fronts the entire r6 cohort into them. Expected after this round:
+# no entry's last-green < r7. Two more bit-identical arithmetic
+# fixes (ml_auc's decimal product, ntile's integer division) are
+# covered by local 3-SF verification + pytest equality pins rather
+# than window slots.
 _VERIFY_FIRST = [
-    # changed in round 11 (re-verify under the new oracle/arithmetic)
+    # changed in round 11 (re-verify under the new oracle/plan)
     "prof_skew_report",
     "m_image_neardup",
-    "ml_auc",
+    "t_bm25_search",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

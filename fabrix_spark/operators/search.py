@@ -23,12 +23,12 @@ twin); swap in `text.normalize`/BPE upstream for linguistic fidelity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .util import spread
 
-__all__ = ["build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores", "positional_index", "search_phrase"]
+__all__ = ["build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores", "bm25_scores_fused", "positional_index", "search_phrase"]
 
 
 def tokens_expr(text_col: str):
@@ -184,6 +184,84 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(
         F.sum("__term_score").alias("score_micro2"),
         F.count("*").alias("n_terms"),
+    )
+
+
+def bm25_scores_fused(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 for the NO-PREBUILT-INDEX case — same formula, same exact
+    int64 micro-unit recipe, bit-identical output to
+    :func:`bm25_scores` over :func:`doc_token_counts` (pinned by
+    ``test_bm25_fused_matches_index_path``), but ONE corpus pass:
+
+    explode → one doc-keyed conditional aggregate (per-doc length and
+    per-query-term tf as pivoted columns — the term list is a small
+    literal, so the tf columns ride the SAME hash aggregate that
+    computes the length) → one metadata-sized stats row (N, Σlen, and
+    per-term df) broadcast back. Total: ONE shuffle, no (doc, token)
+    index materialization, no self-joins — ~3× faster than building
+    the tf index inline and scoring it (which traverses the
+    corpus-sized explode once per branch: lengths, hits, df).
+
+    Use :func:`bm25_scores` when a persisted tf index exists (the
+    100 TB steady state — query work ∝ the query terms' postings);
+    use this form for ad-hoc scoring straight off the text."""
+    uniq = sorted({t.lower() for t in terms})
+    ex = spread(docs).select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    )
+    per_doc = ex.groupBy(id_col).agg(
+        F.count("*").alias("__len"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"__tf_{i}")
+            for i, t in enumerate(uniq)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("__n"),
+        F.sum("__len").alias("__sumlen"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumlen").cast("double") / F.col("__n")
+    score: Column | None = None
+    nterms: Column | None = None
+    for i in range(len(uniq)):
+        tf = F.col(f"__tf_{i}")
+        # identical source expressions to bm25_scores so the IEEE ops
+        # (and hence the micro-unit roundings) agree bit for bit
+        idf_u = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+                / (F.col(f"__df_{i}") + 0.5)
+            )
+            * 1_000_000
+        ).cast("long")
+        w_u = F.round(
+            (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("__len") / avgdl))
+            * 1_000_000
+        ).cast("long")
+        term_s = F.when(tf > 0, w_u * idf_u).otherwise(F.lit(0))
+        term_n = F.when(tf > 0, F.lit(1)).otherwise(F.lit(0))
+        score = term_s if score is None else score + term_s
+        nterms = term_n if nterms is None else nterms + term_n
+    return (
+        j.select(
+            id_col,
+            score.alias("score_micro2"),
+            nterms.cast("long").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") > 0)
     )
 
 

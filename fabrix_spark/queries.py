@@ -7928,17 +7928,22 @@ FROM sc GROUP BY doc_id
 """,
 )
 def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (search.bm25_scores) for {spark, filter,
-    window} over the (doc, token, tf) index: idf and per-term weights
-    quantize to int64 micro units immediately, the score is an exact
-    integer sum of their products — accumulation order cannot drift,
-    so the ranked scores hash-verify cross-engine (the t_lm_score
-    micro-nat recipe). Query-time work ∝ the query terms' postings:
-    broadcast term join, doc-keyed aggregate; no text is scanned."""
-    from .operators.search import bm25_scores, doc_token_counts
+    """BM25 ranked retrieval for {spark, filter, window}: idf and
+    per-term weights quantize to int64 micro units immediately, the
+    score is an exact integer sum of their products — accumulation
+    order cannot drift, so the ranked scores hash-verify cross-engine
+    (the t_lm_score micro-nat recipe). This query form has no
+    persisted index, so it uses search.bm25_scores_fused — ONE corpus
+    pass (explode → doc-keyed conditional aggregate), one shuffle,
+    bit-identical to scoring a doc_token_counts index with
+    search.bm25_scores (the 100 TB steady state, where query work is
+    ∝ the query terms' postings — see lake_text_search); equality is
+    pinned by test_bm25_fused_matches_index_path."""
+    from .operators.search import bm25_scores_fused
 
-    tf = doc_token_counts(_t(spark, sf_dir, "documents"))
-    return bm25_scores(tf, ["spark", "filter", "window"])
+    return bm25_scores_fused(
+        _t(spark, sf_dir, "documents"), ["spark", "filter", "window"]
+    )
 
 
 @register(

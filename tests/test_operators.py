@@ -2542,3 +2542,34 @@ def test_cms_sketch_upper_bound_and_mergeability(spark):
     )
     whole = cms_sketch(df, "k", 64, 4)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bm25_fused_matches_index_path(spark):
+    """bm25_scores_fused (one-shuffle, no index materialization) is
+    bit-identical to bm25_scores over doc_token_counts — including
+    tf ties, repeated query terms, terms absent from the corpus, and
+    docs with no query term (excluded in both)."""
+    from fabrix_spark.operators.search import (
+        bm25_scores,
+        bm25_scores_fused,
+        doc_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare rare pad pad pad"),
+            (2, "common pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad"),
+            (4, "rare common rare pad"),
+            (5, "Common COMMON pad"),
+        ]
+        + [(10 + i, "common pad pad pad pad pad") for i in range(8)],
+        "doc_id long, text string",
+    ).repartition(3)
+    terms = ["rare", "Common", "common", "ghost"]  # dup + absent term
+    want = sorted(
+        map(tuple, bm25_scores(doc_token_counts(docs), terms).collect())
+    )
+    got = sorted(map(tuple, bm25_scores_fused(docs, terms).collect()))
+    assert got == want and got
+    assert all(r[2] >= 1 for r in got)  # n_terms counts matched terms

@@ -538,3 +538,22 @@ def test_round10_late_query_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     # word-count agg + pair agg, each with partial (map-side) combine
     assert plan.count("hashpartitioning") <= 2
+
+
+def test_bm25_fused_single_shuffle(spark):
+    """The fused BM25 (t_bm25_search) makes ONE logical data shuffle —
+    the doc-keyed conditional aggregate. The pre-AQE plan prints that
+    same hashpartitioning(doc_id) exchange twice (main branch + the
+    stats subtree); they are byte-identical and AQE's ReuseExchange
+    collapses them at runtime, so the pin allows 2 but they must BOTH
+    be doc_id — a (doc, token) index exchange or a term-join exchange
+    would be a third/different key. The only nested-loop join is the
+    broadcast of the single stats row (build side = 1 row, cost =
+    corpus × 1 — the same shape bm25_scores and sim_* use)."""
+    plan = _plan(spark, "t_bm25_search")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert len(keys) <= 2 and set(keys) <= {"doc_id"}

@@ -359,3 +359,31 @@ def test_global_rank_offset_join_path(spark):
     j = {r["idx"]: (r["cum_x"], r["cum_v"]) for r in cj.collect()}
     assert m == j
     assert set(cj.columns) == {"idx", "v", "x", "cum_x", "cum_v"}
+
+
+def test_global_rank_auto_threshold_switches(spark, monkeypatch):
+    """offsets_via='auto' picks the literal map below
+    OFFSET_JOIN_THRESHOLD and the broadcast join above it — pinned by
+    lowering the threshold so a 4-partition rank crosses it; both
+    sides must stay value-identical."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators import rank as rank_mod
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(100)], "idx long, v long"
+    )
+    order = [F.col("v").asc(), F.col("idx").asc()]
+
+    monkeypatch.setattr(rank_mod, "OFFSET_JOIN_THRESHOLD", 1)
+    joined, _ = rank_mod.global_rank(df, order, "r", num_partitions=4)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # auto chose the join path
+
+    monkeypatch.setattr(rank_mod, "OFFSET_JOIN_THRESHOLD", 4096)
+    mapped, _ = rank_mod.global_rank(df, order, "r", num_partitions=4)
+    plan = mapped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # auto inlined the map
+    assert {(r["idx"], r["r"]) for r in joined.collect()} == {
+        (r["idx"], r["r"]) for r in mapped.collect()
+    }

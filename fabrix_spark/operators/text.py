@@ -40,6 +40,8 @@ __all__ = [
     "LANG_STOPWORDS",
     "feature_hash",
     "bpe_pair_counts",
+    "bpe_train",
+    "bpe_apply_merge",
 ]
 
 # token split on runs of whitespace, after trim (empty-string tokens
@@ -726,4 +728,110 @@ def bpe_pair_counts(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("pair", "merge_count", "rank")
+    )
+
+
+def bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Replace every non-overlapping left-to-right occurrence of the
+    adjacent pair ``(left, right)`` in a symbol array with the merged
+    token ``left+right`` — the in-word step of one BPE merge. A fold
+    (``F.aggregate``) gives the exact greedy semantics: after a merge
+    the accumulator's tail is ``left+right``, which can never equal
+    ``left`` (``right`` is non-empty), so a merged token is never
+    itself consumed as the left half of another merge in the same
+    pass. Interpreted HOF — call only on vocab-sized tables."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> DataFrame:
+    """Multi-iteration BPE tokenizer training (Sennrich et al. 2016 —
+    the public byte-pair-encoding algorithm), the full loop over
+    :func:`bpe_pair_counts`' single step. Returns the learned merge
+    table ``(iteration, left, right, freq)`` in merge order — the
+    artifact a tokenizer ships.
+
+    Scale shape (what production BPE trainers do): the ONLY
+    corpus-sized pass is the initial word-frequency aggregate
+    (map-side combined, output ∝ |vocab|, not |corpus|). Every
+    iteration then runs on the vocab-sized symbol table: one
+    pair-count aggregate (adjacent pairs via posexplode semantics,
+    weighted by word freq — overlapping pairs counted, the classic
+    ``get_stats``), one deterministic arg-max (``orderBy().limit(1)``
+    compiles to TakeOrdered — no global sort shuffle; ties break on
+    (freq desc, left asc, right asc) so results are engine- and
+    partitioning-independent), and one fold applying the merge
+    (:func:`bpe_apply_merge`). Driver traffic is ONE row per
+    iteration; ``localCheckpoint`` per iteration keeps the plan flat
+    (the Pregel hygiene used by PageRank/BFS/CC). Stops early when the
+    best pair's weighted count drops below ``min_freq``.
+
+    Words are restricted to ``^[a-z]{2,}$`` (as bpe_pair_counts) so
+    the symbol inventory stays engine-independent for oracles."""
+    words = (
+        spread(df)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # split(word, regex) keeps trailing empty strings (Java split with
+    # limit -1) — the zero-width split leaves one "" after the last
+    # char, which must not become a symbol
+    syms = words.select(
+        F.array_remove(F.split(F.col("word"), "(?!^)"), "").alias("symbols"),
+        F.col("freq"),
+    ).localCheckpoint()
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(n_merges):
+        # NOTE sequence(1, 0) is DESCENDING [1, 0] in Spark, so words
+        # that collapsed to one symbol must be excluded before the
+        # transform, not left to emit null-field pairs
+        pairs = (
+            syms.filter(F.size("symbols") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(symbols) - 1),"
+                        " i -> struct(symbols[i-1] AS l, symbols[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_freq:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((it, left, right, cnt))
+        syms = syms.select(
+            bpe_apply_merge(F.col("symbols"), left, right).alias("symbols"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "iteration int, left string, right string, freq long"
     )

@@ -2573,3 +2573,85 @@ def test_bm25_fused_matches_index_path(spark):
     got = sorted(map(tuple, bm25_scores_fused(docs, terms).collect()))
     assert got == want and got
     assert all(r[2] >= 1 for r in got)  # n_terms counts matched terms
+
+
+def _bpe_reference(word_freqs, n_merges, min_freq=2):
+    """Pure-Python Sennrich BPE: overlapping pair counts weighted by
+    word freq; deterministic arg-max (count desc, left asc, right
+    asc); greedy left-to-right non-overlapping merge application."""
+    syms = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for it in range(n_merges):
+        counts = {}
+        for s, f in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        # count desc, then pair asc (the operator's deterministic tie-break)
+        top = max(counts.values())
+        cands = sorted(k for k, v in counts.items() if v == top)
+        best = (cands[0], top)
+        if top < min_freq:
+            break
+        (a, b), cnt = best
+        merges.append((it, a, b, cnt))
+        new = {}
+        for s, f in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        syms = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train == the classic Python BPE trainer on a corpus with
+    ties, repeated letters (overlap semantics), words collapsing to a
+    single symbol, and early stopping at min_freq."""
+    from fabrix_spark.operators.text import bpe_train
+
+    docs = [
+        "low low low low low",
+        "lower lower newer newer newer newer",
+        "newest newest widest",
+        "aaa aaab banana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left"], r["right"], r["freq"])
+        for r in bpe_train(df, n_merges=8, min_freq=2).orderBy("iteration").collect()
+    ]
+
+    wf = {}
+    for t in docs:
+        for w in t.split():
+            if w.isalpha() and len(w) >= 2 and w == w.lower():
+                wf[w] = wf.get(w, 0) + 1
+    want = _bpe_reference(wf, 8, min_freq=2)
+    assert got == want and len(got) >= 5
+
+
+def test_bpe_apply_merge_greedy_nonoverlap(spark):
+    """The fold merge is greedy left-to-right and non-overlapping:
+    (a,a) over aaaa -> [aa, aa]; over aaa -> [aa, a]; a merged token
+    never re-merges as the left half within the same pass."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.text import bpe_apply_merge
+
+    df = spark.createDataFrame(
+        [(1, list("aaaa")), (2, list("aaa")), (3, list("ab")), (4, ["x"])],
+        "id long, symbols array<string>",
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", bpe_apply_merge(F.col("symbols"), "a", "a").alias("m")).collect()
+    }
+    assert got == {1: ["aa", "aa"], 2: ["aa", "a"], 3: ["a", "b"], 4: ["x"]}

@@ -2655,3 +2655,67 @@ def test_bpe_apply_merge_greedy_nonoverlap(spark):
         for r in df.select("id", bpe_apply_merge(F.col("symbols"), "a", "a").alias("m")).collect()
     }
     assert got == {1: ["aa", "aa"], 2: ["aa", "a"], 3: ["a", "b"], 4: ["x"]}
+
+
+def test_audio_fingerprint_sql_twin_duckdb(spark):
+    """The WAV energy-delta fingerprint is SQL-expressible byte for
+    byte (the r12 oracle recipe, mirroring m_image_neardup's aHash
+    twin): hex-decode int16 LE samples past the 44-byte canonical PCM
+    header, window them with numpy's array_split boundaries (first
+    l%f windows take one extra sample), integer energies, one bit per
+    adjacent-window energy increase. Exactness: energies are integer
+    sums < 2^53, so numpy's float64 accumulation and BIGINT agree."""
+    import duckdb
+
+    from fabrix_spark.operators.multimodal import audio_fingerprints
+
+    # 2050 samples exercises the ragged split (q=32, r=2); 2048 the even one
+    clips = [
+        (1, _mk_wav([220, 440, 330, 550], n=2048, rate=8000)),
+        (2, _mk_wav([550, 262, 494, 220], n=2050, rate=8000)),
+        (3, _mk_wav([392, 494], n=2048, rate=8000, amp=9000, noise=80)),
+    ]
+    for _id, blob in clips:
+        assert len(blob) % 2 == 0 and blob[:4] == b"RIFF"
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in clips], "doc_id long, content binary"
+    )
+    got = {r["id"]: r["afp"] for r in audio_fingerprints(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE clips(id BIGINT, hx VARCHAR, nb BIGINT)")
+    for i, b in clips:
+        con.execute("INSERT INTO clips VALUES (?, ?, ?)", [i, b.hex(), len(b)])
+    twin = con.execute("""
+WITH par AS (
+  SELECT id, hx, (nb - 44) // 2 AS l, ((nb - 44) // 2) // 64 AS q,
+         ((nb - 44) // 2) % 64 AS r
+  FROM clips
+),
+samples AS (
+  SELECT id, i,
+         CAST(concat('0x', substr(hx, 2 * (44 + 2 * i + 1) + 1, 2),
+                            substr(hx, 2 * (44 + 2 * i) + 1, 2)) AS BIGINT) AS u,
+         CASE WHEN i < r * (q + 1) THEN i // (q + 1)
+              ELSE r + (i - r * (q + 1)) // q END AS blk
+  FROM par CROSS JOIN generate_series(0, 2100) AS t(i)
+  WHERE i < l
+),
+energies AS (
+  SELECT id, blk,
+         sum((CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+             * (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+  FROM samples GROUP BY 1, 2
+),
+bits AS (
+  SELECT id, blk - 1 AS k,
+         CASE WHEN e > lag(e) OVER (PARTITION BY id ORDER BY blk)
+              THEN 1 ELSE 0 END AS b
+  FROM energies
+)
+SELECT id, CAST(sum(CASE WHEN b = 1 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS afp
+FROM bits WHERE k >= 0 GROUP BY id
+""").fetchall()
+    assert {i: v for i, v in twin} == got and len(got) == 3

@@ -2719,3 +2719,107 @@ SELECT id, CAST(sum(CASE WHEN b = 1 THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER
 FROM bits WHERE k >= 0 GROUP BY id
 """).fetchall()
     assert {i: v for i, v in twin} == got and len(got) == 3
+
+
+def _bpe_twin_sql(n_merges: int, min_freq: int = 2) -> str:
+    """Unrolled DuckDB twin of bpe_train (the r12 oracle recipe):
+    per iteration, one pair-count + deterministic arg-max CTE and one
+    window-based greedy merge application — merged positions are the
+    even-parity members of each run of consecutive matches (runs only
+    arise for self-pairs), and the row after a merged position is
+    consumed. Emits (iteration, left, right, freq). Every
+    per-iteration CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+    default, re-evaluating the whole cur-chain once per reference —
+    exponential in n_merges (measured: 0.3 s at 3 iters, 9 s at 4);
+    materialized it is linear (0.12 s at 6)."""
+    sql = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, count(*) AS freq FROM toks
+  WHERE regexp_full_match(word, '[a-z]{2,}') GROUP BY 1
+),
+cur0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS sym
+  FROM wf
+)"""
+    for k in range(n_merges):
+        sql += f""",
+pc{k} AS MATERIALIZED (
+  SELECT sym[CAST(i AS INTEGER)] AS l, sym[CAST(i AS INTEGER) + 1] AS r,
+         sum(freq) AS cnt
+  FROM cur{k} CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(sym) - 1
+  GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{k}
+  WHERE cnt >= {min_freq}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+pos{k} AS MATERIALIZED (
+  SELECT word, freq, CAST(i AS INTEGER) AS p, sym[CAST(i AS INTEGER)] AS s,
+         (sym[CAST(i AS INTEGER)] = (SELECT l FROM best{k})
+          AND sym[CAST(i AS INTEGER) + 1] IS NOT DISTINCT FROM (SELECT r FROM best{k})) AS m
+  FROM cur{k} CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(sym) AND EXISTS (SELECT 1 FROM best{k})
+),
+runs{k} AS (
+  SELECT *, p - row_number() OVER (PARTITION BY word, m ORDER BY p) AS grp
+  FROM pos{k}
+),
+mk{k} AS (
+  SELECT *, m AND (p - min(p) OVER (PARTITION BY word, m, grp)) % 2 = 0 AS merged
+  FROM runs{k}
+),
+keep{k} AS MATERIALIZED (
+  SELECT word, freq, p,
+         CASE WHEN merged
+              THEN (SELECT l FROM best{k}) || (SELECT r FROM best{k})
+              ELSE s END AS s2,
+         coalesce(lag(merged) OVER (PARTITION BY word ORDER BY p), false) AS consumed
+  FROM mk{k}
+),
+cur{k + 1} AS MATERIALIZED (
+  SELECT word, freq, list(s2 ORDER BY p) AS sym
+  FROM keep{k} WHERE NOT consumed GROUP BY word, freq
+  UNION ALL
+  SELECT word, freq, sym FROM cur{k}
+  WHERE NOT EXISTS (SELECT 1 FROM best{k})
+)"""
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS iteration, l AS left, r AS right, CAST(cnt AS BIGINT) AS freq FROM best{k}"
+        for k in range(n_merges)
+    )
+    return sql + f"\n{selects}\nORDER BY iteration"
+
+
+def test_bpe_train_duckdb_twin(spark):
+    """bpe_train == the unrolled DuckDB SQL twin (the r12 oracle
+    recipe) on a corpus with ties, self-pair runs, and words that
+    fully collapse — proving the merge table is SQL-oracleable."""
+    import duckdb
+
+    from fabrix_spark.operators.text import bpe_train
+
+    docs = [
+        "low low low low low",
+        "lower lower newer newer newer newer",
+        "newest newest widest",
+        "aaaa aaaa banana banana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left"], r["right"], r["freq"])
+        for r in bpe_train(df, n_merges=6, min_freq=2).orderBy("iteration").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(docs):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = [tuple(r) for r in con.execute(_bpe_twin_sql(6)).fetchall()]
+    assert got == [(it, l, r, f) for it, l, r, f in want] and len(got) == 6

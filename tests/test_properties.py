@@ -387,3 +387,29 @@ def test_global_rank_auto_threshold_switches(spark, monkeypatch):
     assert {(r["idx"], r["r"]) for r in joined.collect()} == {
         (r["idx"], r["r"]) for r in mapped.collect()
     }
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(st.sampled_from(["aa", "bb", "cc", "zz"]), min_size=1, max_size=3),
+)
+@settings(max_examples=12, deadline=None)
+def test_bm25_fused_fuzz_matches_index_path(spark, docs, terms):
+    """bm25_scores_fused == bm25_scores(doc_token_counts(...)) for
+    arbitrary tiny corpora: empty docs, absent terms, duplicate query
+    terms, every-doc-matches, tf ties."""
+    from fabrix_spark.operators.search import (
+        bm25_scores,
+        bm25_scores_fused,
+        doc_token_counts,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(map(tuple, bm25_scores(doc_token_counts(df), terms).collect()))
+    got = sorted(map(tuple, bm25_scores_fused(df, terms).collect()))
+    assert got == want

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .rank import global_cumsum
 
-__all__ = ["auc_one_vs_rest", "threshold_metrics"]
+__all__ = ["auc_one_vs_rest", "calibration_bins", "roc_points", "threshold_metrics"]
 
 
 def auc_one_vs_rest(
@@ -90,6 +90,92 @@ def auc_one_vs_rest(
         F.col("n_pos").cast("long").alias("n_pos"),
         n_neg.cast("long").alias("n_neg"),
         auc.alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    positive: Column,
+    n_bins: int = 10,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-diagram bins over probability scores in [0, 1] —
+    the calibration check run after :func:`auc_one_vs_rest`. ONE
+    aggregate with map-side partials (scores land in
+    ``least(floor(score·B), B−1)`` equal-width bins, clamped at both
+    ends so boundary/out-of-range scores never drop rows).
+
+    ``mean_score`` is computed from quantized integer score sums
+    (``round(score·quantize)`` summed as DECIMAL(38,0) — float
+    summation order varies by engine/partitioning, exact integers
+    don't), so the two final divisions are the only float ops and the
+    result hash-verifies. Returns one row per non-empty bin:
+    (bin, bin_lo, bin_hi, n, n_pos, mean_score, frac_pos)."""
+    s = F.col(score_col).cast("double")
+    b = F.greatest(
+        F.lit(0), F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    )
+    out = (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(positive.cast("long")).alias("n_pos"),
+            F.sum(F.round(s * quantize).cast("decimal(38,0)")).alias("__sq"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / n_bins).alias("bin_lo"),
+            ((F.col("bin") + 1).cast("double") / n_bins).alias("bin_hi"),
+            "n",
+            "n_pos",
+            (
+                F.col("__sq").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(quantize)))
+            ).alias("mean_score"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+        )
+    )
+    return out
+
+
+def roc_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
+    """Exact ROC-curve points, one per distinct score — the curve
+    behind :func:`auc_one_vs_rest`'s scalar. At threshold ``s``
+    (predict positive when score ≥ s): ``tp = P − pos_strictly_below``
+    and ``fp = N − neg_strictly_below``, with the strictly-below
+    running counts from the same score-grouped
+    :func:`~fabrix_spark.operators.rank.global_cumsum` pass AUC uses
+    (range-partitioned — no single-reducer window), and (P, N) as a
+    broadcast one-row aggregate. All counts are exact integers; tpr and
+    fpr are single divisions of two longs (IEEE-deterministic on any
+    engine). Returns (score, tp, fp, tpr, fpr) — plot-ready after an
+    ORDER BY score DESC."""
+    s = F.col(score_col)
+    g = df.groupBy(s.alias("score")).agg(
+        F.count("*").alias("__tot"),
+        F.sum(positive.cast("long")).alias("__pos"),
+    )
+    cum = global_cumsum(g, [F.col("score").asc()], ["__tot", "__pos"])
+    totals = df.agg(
+        F.count("*").alias("__n_all"),
+        F.sum(positive.cast("long")).alias("__p_all"),
+    )
+    pos_below = F.col("cum___pos") - F.col("__pos")
+    neg_below = (F.col("cum___tot") - F.col("__tot")) - pos_below
+    tp = F.col("__p_all") - pos_below
+    fp = (F.col("__n_all") - F.col("__p_all")) - neg_below
+    n_neg = F.col("__n_all") - F.col("__p_all")
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "score",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        F.when(
+            F.col("__p_all") > 0, tp.cast("double") / F.col("__p_all").cast("double")
+        ).alias("tpr"),
+        F.when(n_neg > 0, fp.cast("double") / n_neg.cast("double")).alias("fpr"),
     )
 
 

@@ -21,7 +21,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join", "resample_ffill", "rolling_zscore", "ewma_decayed"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "resample_ffill",
+    "resample_interpolate",
+    "rolling_zscore",
+    "ewma_decayed",
+]
 
 
 def asof_join(
@@ -242,6 +249,102 @@ def resample_ffill(
     return (
         filled.filter(F.col("__grid") == 1)
         .select(k, ts.alias("grid_ts"), F.col("__filled").alias(value_col))
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample each key's irregular observations onto a regular
+    ``unit`` grid with LINEAR interpolation between the bracketing
+    observations — the gap-fill step for charting/feature grids where
+    forward fill (:func:`resample_ffill`) would bias values stale.
+
+    Semantics: at each grid instant ``t`` in floor(min ts)..floor(max
+    ts), the value is the exact observation when one exists at ``t``
+    (no float ops), NULL before the first / after the last observation
+    (extrapolation is a policy choice — compose with ffill if wanted),
+    otherwise ``v0 + (v1 − v0) · (t − t0)/(t1 − t0)`` from the nearest
+    observations around ``t``. Coincident observations at one (key,
+    ts) are collapsed with ``max`` (order-free, so results are
+    engine-deterministic; float ``avg`` would be summation-order
+    dependent). Time deltas use integer epoch-milliseconds so the one
+    division is the only float op and the result hash-verifies against
+    any ANSI engine.
+
+    Plan (same scale shape as resample_ffill): per-key bounds
+    aggregate → sequence/explode grid → union with the deduplicated
+    observations → TWO window passes over the same (key, ts)
+    partitioning (last-before carrying (v0, t0) forward, first-after
+    carrying (v1, t1) backward) — one shuffle on the key total, no
+    self-join, no range join, no driver loop.
+
+    Returns (key_col, grid_ts, value_col)."""
+    k, ts = F.col(key_col), F.col(ts_col)
+    ts_type = df.schema[ts_col].dataType
+    obs = (
+        df.groupBy(key_col, ts_col)
+        .agg(F.max(F.col(value_col).cast("double")).alias(value_col))
+        .withColumn("__grid", F.lit(0))
+    )
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts)).cast(ts_type).alias("__t0"),
+        F.date_trunc(unit, F.max(ts)).cast(ts_type).alias("__t1"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"interval 1 {unit}"))
+        ).alias(ts_col),
+    ).select(
+        key_col,
+        F.col(ts_col).cast(ts_type).alias(ts_col),
+        F.lit(None).cast("double").alias(value_col),
+        F.lit(1).alias("__grid"),
+    )
+    # observation sorts BEFORE a coincident grid instant, so the
+    # backward (at-or-before) pass sees it; the forward pass then
+    # starts past it, but t == t0 short-circuits to the exact value
+    order = [ts.asc(), F.col("__grid").asc()]
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pair = F.when(
+        F.col("__grid") == 0,
+        F.struct(F.col(value_col).alias("v"), F.unix_millis(ts).alias("t")),
+    )
+    both = (
+        obs.unionByName(grid)
+        .withColumn("__prev", F.last(pair, ignorenulls=True).over(w_prev))
+        .withColumn("__next", F.first(pair, ignorenulls=True).over(w_next))
+    )
+    t_ms = F.unix_millis(ts)
+    v0, t0 = F.col("__prev.v"), F.col("__prev.t")
+    v1, t1 = F.col("__next.v"), F.col("__next.t")
+    interp = (
+        F.when(F.col("__prev").isNull(), F.lit(None).cast("double"))
+        .when(t_ms == t0, v0)
+        .when(F.col("__next").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            v0
+            + (v1 - v0)
+            * ((t_ms - t0).cast("double") / (t1 - t0).cast("double"))
+        )
+    )
+    return (
+        both.filter(F.col("__grid") == 1)
+        .select(k, ts.alias("grid_ts"), interp.alias(value_col))
     )
 
 

@@ -2823,3 +2823,183 @@ def test_bpe_train_duckdb_twin(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
     want = [tuple(r) for r in con.execute(_bpe_twin_sql(6)).fetchall()]
     assert got == [(it, l, r, f) for it, l, r, f in want] and len(got) == 6
+
+
+def test_calibration_bins_duckdb_twin(spark):
+    """calibration_bins == the DuckDB twin (the r12 oracle recipe) on
+    scores hitting every edge: exact bin boundaries (0.0, 0.5, 1.0),
+    out-of-range clamps (-0.1, 1.3), a singleton bin, and mixed
+    labels. Quantized-integer mean sums make the match exact."""
+    import duckdb
+
+    from fabrix_spark.operators.metrics import calibration_bins
+
+    rows = [
+        (0.0, False), (0.05, False), (0.12, True), (0.5, True),
+        (0.55, False), (0.9999, True), (1.0, True), (-0.1, False),
+        (1.3, True), (0.123456, False), (0.51, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    got = sorted(
+        map(tuple, calibration_bins(df, "score", F.col("pos"), n_bins=10).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE scored(score DOUBLE, pos BOOLEAN)")
+    for s, p in rows:
+        con.execute("INSERT INTO scored VALUES (?, ?)", [s, p])
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+WITH binned AS (
+  SELECT greatest(0, least(CAST(floor(score * 10) AS INTEGER), 9)) AS bin,
+         score, pos
+  FROM scored
+),
+agg AS (
+  SELECT bin, count(*) AS n,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         sum(CAST(round(score * 1000000) AS DECIMAL(38,0))) AS sq
+  FROM binned GROUP BY 1
+)
+SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+       CAST(bin + 1 AS DOUBLE) / 10 AS bin_hi,
+       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+FROM agg
+""").fetchall()
+    )
+    # bins 0 (0.0, 0.05, clamped -0.1), 1, 5, 9 (0.9999, 1.0, clamped 1.3)
+    assert got == want and len(got) == 4
+    by_bin = {r[0]: r for r in got}
+    assert by_bin[0][3] == 3 and by_bin[9][3] == 3  # clamps kept the rows
+
+
+def test_roc_points_duckdb_twin(spark):
+    """roc_points == the DuckDB window-sum twin (the r12 oracle
+    recipe) on tied scores; also pins the curve contract: tp/fp are
+    non-increasing in score and hit (P, N) at the minimum score."""
+    import duckdb
+
+    from fabrix_spark.operators.metrics import roc_points
+
+    rows = [
+        (0.1, False), (0.4, False), (0.4, True), (0.7, True), (0.2, False),
+        (0.4, False), (0.9, True), (0.9, False), (0.3, True), (0.1, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    out = roc_points(df, "score", F.col("pos")).orderBy("score").collect()
+    got = [tuple(r) for r in out]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE scored(score DOUBLE, pos BOOLEAN)")
+    for s, p in rows:
+        con.execute("INSERT INTO scored VALUES (?, ?)", [s, p])
+    want = [
+        tuple(r)
+        for r in con.execute("""
+WITH g AS (
+  SELECT score, count(*) AS tot,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT score, tot, pos,
+         sum(tot) OVER (ORDER BY score) AS cum_tot,
+         sum(pos) OVER (ORDER BY score) AS cum_pos,
+         (SELECT count(*) FROM scored) AS n_all,
+         (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) FROM scored) AS p_all
+  FROM g
+)
+SELECT score,
+       CAST(p_all - (cum_pos - pos) AS BIGINT) AS tp,
+       CAST((n_all - p_all) - ((cum_tot - tot) - (cum_pos - pos)) AS BIGINT) AS fp,
+       CASE WHEN p_all > 0 THEN CAST(p_all - (cum_pos - pos) AS DOUBLE) / CAST(p_all AS DOUBLE) END AS tpr,
+       CASE WHEN n_all - p_all > 0 THEN CAST((n_all - p_all) - ((cum_tot - tot) - (cum_pos - pos)) AS DOUBLE) / CAST(n_all - p_all AS DOUBLE) END AS fpr
+FROM cum ORDER BY score
+""").fetchall()
+    ]
+    assert got == want and len(got) == 6
+    # curve contract: descending thresholds sweep tp 0→P, fp 0→N
+    tps = [r["tp"] for r in out]
+    fps = [r["fp"] for r in out]
+    assert tps == sorted(tps, reverse=True) and fps == sorted(fps, reverse=True)
+    assert tps[0] == 5 and fps[0] == 5  # at min score everything is positive
+
+
+def test_resample_interpolate_duckdb_twin(spark):
+    """resample_interpolate == a DuckDB LATERAL-join twin (the r12
+    oracle recipe) over irregular per-key series: NULL before first /
+    after last observation, exact passthrough at coincident grid
+    instants (no float ops), linear interpolation elsewhere, and
+    max-collapse of duplicate (key, ts) observations."""
+    import datetime as dt
+
+    import duckdb
+
+    from fabrix_spark.operators.temporal import resample_interpolate
+
+    t = lambda h, m=0: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    rows = [
+        ("a", t(1, 30), 10.0),
+        ("a", t(4, 0), 40.0),   # exactly on the grid
+        ("a", t(6, 45), 13.0),
+        ("b", t(2, 0), 5.0),
+        ("b", t(2, 0), 7.0),    # duplicate instant -> max collapses to 7
+        ("b", t(2, 20), 1.0),
+        ("c", t(9, 10), 3.0),   # single observation: grid has no interpolable point
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = sorted(
+        (r["user_id"], r["grid_ts"], r["value"])
+        for r in resample_interpolate(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw(user_id VARCHAR, ts TIMESTAMP, value DOUBLE)")
+    for k, ts, v in rows:
+        con.execute("INSERT INTO raw VALUES (?, ?, ?)", [k, ts, v])
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+WITH obs AS (
+  SELECT user_id, ts, max(value) AS v FROM raw GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM raw GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g
+  FROM bounds
+)
+SELECT grid.user_id, grid.g AS grid_ts,
+       CASE WHEN p.ts IS NULL THEN NULL
+            WHEN p.ts = grid.g THEN p.v
+            WHEN n.ts IS NULL THEN NULL
+            ELSE p.v + (n.v - p.v)
+                 * (CAST(epoch_ms(grid.g) - epoch_ms(p.ts) AS DOUBLE)
+                    / CAST(epoch_ms(n.ts) - epoch_ms(p.ts) AS DOUBLE))
+       END AS value
+FROM grid
+LEFT JOIN LATERAL (
+  SELECT ts, v FROM obs o
+  WHERE o.user_id = grid.user_id AND o.ts <= grid.g
+  ORDER BY ts DESC LIMIT 1
+) p ON true
+LEFT JOIN LATERAL (
+  SELECT ts, v FROM obs o
+  WHERE o.user_id = grid.user_id AND o.ts > grid.g
+  ORDER BY ts ASC LIMIT 1
+) n ON true
+""").fetchall()
+    )
+    assert got == want
+    by_key = {(k, ts): v for k, ts, v in got}
+    # a: grid 01..06; 01 precedes the first obs -> NULL; 04 is exact
+    assert by_key[("a", t(1))] is None and by_key[("a", t(4))] == 40.0
+    # 02:00 sits 30min into the 150min span 01:30 -> 04:00
+    assert abs(by_key[("a", t(2))] - (10 + 30 * (40 - 10) / 150)) < 1e-12
+    # b: duplicate-instant max wins at 02:00 (grid-coincident)
+    assert by_key[("b", t(2))] == 7.0
+    # c: the lone grid instant 09:00 precedes the only obs -> NULL
+    assert by_key[("c", t(9))] is None

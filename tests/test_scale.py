@@ -557,3 +557,46 @@ def test_bm25_fused_single_shuffle(spark):
 
     keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert len(keys) <= 2 and set(keys) <= {"doc_id"}
+
+
+def test_staged_r12_operator_plan_shapes(spark):
+    """Plan pins for the r12-staged operators (not yet registered):
+    calibration_bins is ONE map-side-combined aggregate exchange;
+    resample_interpolate's forward and backward passes are TWO Window
+    nodes stacked over ONE sort (no second key shuffle, no self-join,
+    no range join); roc_points' only nested-loop is the 1-row totals
+    broadcast and its cumsum runs on the checkpointed range partitions
+    (window partitioned by the partition id — never unpartitioned)."""
+    import datetime as dt
+
+    from fabrix_spark.operators.metrics import calibration_bins, roc_points
+    from fabrix_spark.operators.temporal import resample_interpolate
+
+    scored = spark.createDataFrame(
+        [(0.4, True), (0.7, False), (0.4, False)], "score double, pos boolean"
+    )
+    p = (
+        calibration_bins(scored, "score", F.col("pos"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange") == 1 and "Window" not in p and "Join" not in p
+
+    rows = [
+        ("a", dt.datetime(2024, 3, 1, 1, 30), 10.0),
+        ("a", dt.datetime(2024, 3, 1, 4, 0), 40.0),
+        ("b", dt.datetime(2024, 3, 1, 2, 0), 5.0),
+    ]
+    ts = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    p = (
+        resample_interpolate(ts)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Window") == 2 and p.count("Sort ") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+
+    p = (
+        roc_points(scored, "score", F.col("pos"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
+    assert "windowspecdefinition(__fx_pid__" in p  # cumsum stays partition-local

@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 from .rank import global_cumsum
 
-__all__ = ["auc_one_vs_rest", "calibration_bins", "roc_points", "threshold_metrics"]
+__all__ = [
+    "auc_one_vs_rest",
+    "average_precision",
+    "calibration_bins",
+    "pr_points",
+    "roc_points",
+    "threshold_metrics",
+]
 
 
 def auc_one_vs_rest(
@@ -176,6 +183,113 @@ def roc_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
             F.col("__p_all") > 0, tp.cast("double") / F.col("__p_all").cast("double")
         ).alias("tpr"),
         F.when(n_neg > 0, fp.cast("double") / n_neg.cast("double")).alias("fpr"),
+    )
+
+
+def pr_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
+    """Exact precision-recall curve points, one per distinct score —
+    :func:`roc_points`' sibling off the same score-grouped
+    range-partitioned cumulative pass. At threshold ``s`` (predict
+    positive when score ≥ s): ``precision = tp/(tp+fp)``,
+    ``recall = tp/P`` — each a single division of exact int64 counts
+    (IEEE-deterministic on any engine). ``tp + fp > 0`` always holds
+    (s is an observed score), so precision never divides by zero.
+    Returns (score, tp, fp, precision, recall)."""
+    s = F.col(score_col)
+    g = df.groupBy(s.alias("score")).agg(
+        F.count("*").alias("__tot"),
+        F.sum(positive.cast("long")).alias("__pos"),
+    )
+    cum = global_cumsum(g, [F.col("score").asc()], ["__tot", "__pos"])
+    totals = df.agg(
+        F.count("*").alias("__n_all"),
+        F.sum(positive.cast("long")).alias("__p_all"),
+    )
+    pos_below = F.col("cum___pos") - F.col("__pos")
+    tp = F.col("__p_all") - pos_below
+    fp = (F.col("__n_all") - F.col("__p_all")) - (
+        (F.col("cum___tot") - F.col("__tot")) - pos_below
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "score",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        (tp.cast("double") / (tp + fp).cast("double")).alias("precision"),
+        F.when(
+            F.col("__p_all") > 0, tp.cast("double") / F.col("__p_all").cast("double")
+        ).alias("recall"),
+    )
+
+
+#: quantization scale for average_precision's per-threshold terms —
+#: 1e12 keeps 12 significant digits of each precision value while the
+#: decimal(38,0) numerator pos_at·tp·SCALE stays far inside 38 digits
+#: even at 100 TB row counts (10^19 · 10^19 would overflow; counts are
+#: bounded by total rows, so pos_at·tp ≤ N² ≈ 10^26 at N = 10^13).
+_AP_SCALE = 1_000_000_000_000
+
+
+def average_precision(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
+    """Exact average precision (area under the PR curve by the
+    step-wise sum used by scikit-learn: ``AP = Σ_k (R_k − R_{k−1}) ·
+    P_k`` over descending thresholds, which reduces to
+    ``Σ_s pos_at(s) · tp(s)/(tp(s)+fp(s)) / P`` over distinct scores).
+
+    Float sums are summation-order-dependent across engines, so each
+    term is quantized FIRST — ``⌊pos_at·tp·1e12/(tp+fp)⌋`` — and the
+    exact integer sum is divided once at the end: the result is
+    bit-identical on any ANSI engine (the micro-nat recipe
+    ngram_lm_score uses). The quantization is SPLIT division
+    (``q = prod DIV den``; ``frac = (prod % den)·1e12 DIV den``;
+    term = q·1e12 + frac) because a direct decimal(38,0)/decimal(38,0)
+    quotient in Spark falls back to scale 6 under allowPrecisionLoss —
+    NOT exact (the r11 ntile lesson) — while DIV and % on decimals are
+    exact integers in both Spark and DuckDB. Returns one row
+    (n, n_pos, ap)."""
+    s = F.col(score_col)
+    g = df.groupBy(s.alias("score")).agg(
+        F.count("*").alias("__tot"),
+        F.sum(positive.cast("long")).alias("__pos"),
+    )
+    cum = global_cumsum(g, [F.col("score").asc()], ["__tot", "__pos"])
+    totals = df.agg(
+        F.count("*").alias("__n_all"),
+        F.sum(positive.cast("long")).alias("__p_all"),
+    )
+    pos_below = F.col("cum___pos") - F.col("__pos")
+    tp = F.col("__p_all") - pos_below
+    fp = (F.col("__n_all") - F.col("__p_all")) - (
+        (F.col("cum___tot") - F.col("__tot")) - pos_below
+    )
+    prod = "CAST(__pos AS DECIMAL(38,0)) * CAST(__tp AS DECIMAL(38,0))"
+    den = "CAST(__tp + __fp AS DECIMAL(38,0))"
+    term = F.expr(
+        f"CAST(({prod}) DIV ({den}) AS DECIMAL(38,0)) * {_AP_SCALE}"
+        f" + (CAST(({prod}) % ({den}) AS DECIMAL(38,0)) * {_AP_SCALE}) DIV ({den})"
+    )
+    per_score = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "__pos",
+            tp.cast("long").alias("__tp"),
+            fp.cast("long").alias("__fp"),
+            F.col("__p_all"),
+            F.col("__n_all"),
+        )
+        .select("__p_all", "__n_all", term.cast("decimal(38,0)").alias("__term"))
+    )
+    agg = per_score.groupBy("__n_all", "__p_all").agg(
+        F.sum("__term").alias("__sum_q")
+    )
+    ap = F.when(
+        F.col("__p_all") > 0,
+        F.col("__sum_q").cast("double")
+        / (F.col("__p_all").cast("double") * F.lit(float(_AP_SCALE))),
+    )
+    return agg.select(
+        F.col("__n_all").cast("long").alias("n"),
+        F.col("__p_all").cast("long").alias("n_pos"),
+        ap.alias("ap"),
     )
 
 

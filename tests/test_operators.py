@@ -3003,3 +3003,88 @@ LEFT JOIN LATERAL (
     assert by_key[("b", t(2))] == 7.0
     # c: the lone grid instant 09:00 precedes the only obs -> NULL
     assert by_key[("c", t(9))] is None
+
+
+def test_pr_points_and_average_precision_duckdb_twin(spark):
+    """pr_points and average_precision == their DuckDB twins (split
+    integer division — Spark DIV/% on decimals are exact where the
+    plain decimal quotient falls to scale 6), and AP == the sklearn
+    step-sum computed brute-force in Python."""
+    import duckdb
+
+    from fabrix_spark.operators.metrics import average_precision, pr_points
+
+    rows = [
+        (0.1, False), (0.4, False), (0.4, True), (0.7, True), (0.2, False),
+        (0.4, False), (0.9, True), (0.9, False), (0.3, True), (0.1, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    got_pr = [tuple(r) for r in pr_points(df, "score", F.col("pos")).orderBy("score").collect()]
+    got_ap = average_precision(df, "score", F.col("pos")).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE scored(score DOUBLE, pos BOOLEAN)")
+    for s, p in rows:
+        con.execute("INSERT INTO scored VALUES (?, ?)", [s, p])
+    base = """
+WITH g AS (
+  SELECT score, count(*) AS tot,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT score, tot, pos,
+         sum(tot) OVER (ORDER BY score) AS cum_tot,
+         sum(pos) OVER (ORDER BY score) AS cum_pos,
+         (SELECT count(*) FROM scored) AS n_all,
+         (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) FROM scored) AS p_all
+  FROM g
+),
+pts AS (
+  SELECT score, pos,
+         p_all - (cum_pos - pos) AS tp,
+         (n_all - p_all) - ((cum_tot - tot) - (cum_pos - pos)) AS fp,
+         n_all, p_all
+  FROM cum
+)
+"""
+    want_pr = [
+        tuple(r)
+        for r in con.execute(base + """
+SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CASE WHEN p_all > 0 THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) END AS recall
+FROM pts ORDER BY score
+""").fetchall()
+    ]
+    assert got_pr == want_pr and len(got_pr) == 6
+
+    want_ap = con.execute(base + """
+, terms AS (
+  SELECT p_all, n_all,
+         (CAST(pos AS HUGEINT) * tp) // (tp + fp) * 1000000000000
+         + ((CAST(pos AS HUGEINT) * tp) % (tp + fp)) * 1000000000000 // (tp + fp)
+         AS term
+  FROM pts
+)
+SELECT CAST(n_all AS BIGINT) AS n, CAST(p_all AS BIGINT) AS n_pos,
+       CAST(sum(term) AS DOUBLE) / (CAST(p_all AS DOUBLE) * 1000000000000.0) AS ap
+FROM terms GROUP BY n_all, p_all
+""").fetchall()[0]
+    assert (got_ap["n"], got_ap["n_pos"], got_ap["ap"]) == want_ap
+
+    # sklearn step-sum brute force: AP = sum over descending distinct
+    # thresholds of (R_k - R_{k-1}) * P_k
+    P = sum(1 for _, p in rows if p)
+    pts = sorted(
+        {s for s, _ in rows},
+        reverse=True,
+    )
+    ap, prev_r = 0.0, 0.0
+    for t in pts:
+        tp = sum(1 for s, p in rows if p and s >= t)
+        fp = sum(1 for s, p in rows if not p and s >= t)
+        r, pr = tp / P, tp / (tp + fp)
+        ap += (r - prev_r) * pr
+        prev_r = r
+    assert abs(got_ap["ap"] - ap) < 1e-9

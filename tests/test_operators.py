@@ -3088,3 +3088,61 @@ FROM terms GROUP BY n_all, p_all
         ap += (r - prev_r) * pr
         prev_r = r
     assert abs(got_ap["ap"] - ap) < 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),           # key
+            st.integers(min_value=0, max_value=10_800),      # seconds offset (3h)
+            st.integers(min_value=-1000, max_value=1000),    # value (int → exact)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_resample_interpolate_matches_python_model(spark, rows):
+    """Differential check of the linear gap-fill against a direct
+    python model over random irregular multi-key series: NULL outside
+    the observation span, exact passthrough on coincident instants,
+    the same IEEE expression shape for interpolated points."""
+    import datetime as dt
+
+    from fabrix_spark.operators.temporal import resample_interpolate
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["grid_ts"]): r["value"]
+        for r in resample_interpolate(df).collect()
+    }
+
+    want = {}
+    bykey = {}
+    for k, ts, v in data:
+        bykey.setdefault(k, []).append((ts, v))
+    for k, obs in bykey.items():
+        obs.sort()
+        t0 = obs[0][0].replace(minute=0, second=0, microsecond=0)
+        t1 = obs[-1][0].replace(minute=0, second=0, microsecond=0)
+        g = t0
+        while g <= t1:
+            prev = next_ = None
+            for ts, v in obs:
+                if ts <= g:
+                    prev = (ts, v)
+                elif next_ is None:
+                    next_ = (ts, v)
+            if prev is None or (prev[0] != g and next_ is None):
+                want[(k, g)] = None
+            elif prev[0] == g:
+                want[(k, g)] = prev[1]
+            else:
+                dt_num = (g - prev[0]) / dt.timedelta(milliseconds=1)
+                dt_den = (next_[0] - prev[0]) / dt.timedelta(milliseconds=1)
+                want[(k, g)] = prev[1] + (next_[1] - prev[1]) * (dt_num / dt_den)
+            g += dt.timedelta(hours=1)
+    assert got == want

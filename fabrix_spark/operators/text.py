@@ -40,6 +40,7 @@ __all__ = [
     "LANG_STOPWORDS",
     "feature_hash",
     "bpe_pair_counts",
+    "bpe_encode",
     "bpe_train",
     "bpe_apply_merge",
 ]
@@ -752,6 +753,57 @@ def bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
                 F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
             ),
         ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Encode a corpus with a trained BPE merge table
+    (:func:`bpe_train`'s artifact) — the inference half of the
+    tokenizer story. Returns one row per emitted subword token:
+    ``(id_col, word_pos, sym_pos, token)`` with deterministic
+    positions (word order within the document, symbol order within
+    the word), so downstream counts/arrays rebuild without ties.
+
+    Scale shape (how production encoders run): the merge loop never
+    touches the corpus — merges apply to the DISTINCT-WORD VOCAB
+    (``k`` vocab-sized passes of :func:`bpe_apply_merge`, plan kept
+    flat by a ``localCheckpoint`` every ``checkpoint_every`` merges),
+    and the corpus meets the result once, via a word equi-join.
+    ``broadcast_vocab=True`` broadcasts the encoded vocab (a
+    word→symbols map is typically ≪ executor memory even for
+    billion-word corpora — it is bounded by the vocabulary, not the
+    corpus); set False to let the optimizer pick a shuffle join when
+    the vocabulary itself is huge. Words are restricted to
+    ``^[a-z]{2,}$`` exactly as :func:`bpe_train` — the trainer and
+    encoder must agree on the pre-tokenizer."""
+    corpus = df.select(
+        id_col,
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("word_pos", "word"),
+    ).filter(F.col("word").rlike("^[a-z]{2,}$"))
+    vocab = corpus.select("word").distinct()
+    syms = vocab.select(
+        "word",
+        F.array_remove(F.split(F.col("word"), "(?!^)"), "").alias("symbols"),
+    )
+    for i, (left, right) in enumerate(merges):
+        syms = syms.withColumn(
+            "symbols", bpe_apply_merge(F.col("symbols"), left, right)
+        )
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+    if broadcast_vocab:
+        syms = F.broadcast(syms)
+    return corpus.join(syms, "word").select(
+        id_col,
+        "word_pos",
+        F.posexplode("symbols").alias("sym_pos", "token"),
     )
 
 

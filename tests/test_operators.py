@@ -3146,3 +3146,82 @@ def test_resample_interpolate_matches_python_model(spark, rows):
                 want[(k, g)] = prev[1] + (next_[1] - prev[1]) * (dt_num / dt_den)
             g += dt.timedelta(hours=1)
     assert got == want
+
+
+def _py_bpe_apply(word: str, merges) -> list[str]:
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_and_roundtrips(spark):
+    """bpe_encode == a python greedy-merge reference on every token,
+    positions are deterministic, and concatenating each word's symbols
+    reconstructs the word (no token lost or duplicated by the
+    vocab-join shape). Uses merges from bpe_train so the train→encode
+    pair is exercised end to end, plus a self-pair merge run."""
+    from fabrix_spark.operators.text import bpe_encode, bpe_train
+
+    docs = [
+        (0, "low low lower newest"),
+        (1, "aaaa banana newest widest"),
+        (2, "Skip1 !? a xx"),  # non-[a-z]{2,} words drop; 'xx' stays
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(df, n_merges=5, min_freq=2).orderBy("iteration").collect()
+    ]
+    assert merges, "trainer found no merges"
+    got = bpe_encode(df, merges, checkpoint_every=2).collect()
+
+    want = []
+    for doc_id, txt in docs:
+        for word_pos, word in enumerate(txt.lower().strip().split()):
+            import re
+
+            if not re.fullmatch("[a-z]{2,}", word):
+                continue
+            for sym_pos, tok in enumerate(_py_bpe_apply(word, merges)):
+                want.append((doc_id, word_pos, sym_pos, tok))
+    assert sorted(map(tuple, got)) == sorted(want)
+
+    # reconstruction invariant: symbols of each (doc, word_pos) concat
+    # back to the original word
+    by_word = {}
+    for doc_id, word_pos, sym_pos, tok in map(tuple, got):
+        by_word.setdefault((doc_id, word_pos), []).append((sym_pos, tok))
+    for (doc_id, word_pos), toks in by_word.items():
+        rebuilt = "".join(t for _, t in sorted(toks))
+        assert rebuilt == docs[doc_id][1].lower().strip().split()[word_pos]
+
+
+def test_bpe_encode_plan_shape(spark):
+    """The merge loop must never touch the corpus: the corpus appears
+    exactly once in the encode plan, met by a broadcast hash join on
+    word (no shuffle of corpus rows, no cartesian)."""
+    from fabrix_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "low lower newest")], "doc_id long, text string"
+    )
+    plan = (
+        bpe_encode(df, [("l", "o"), ("lo", "w")], checkpoint_every=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # corpus scan appears once: one ExistingRDD/LocalTableScan per side,
+    # the vocab side derives from its own scan — no corpus re-shuffle
+    assert plan.count("Exchange hashpartitioning") == 0 or "doc_id" not in str(
+        [l for l in plan.splitlines() if "hashpartitioning" in l]
+    )

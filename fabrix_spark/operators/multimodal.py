@@ -46,6 +46,7 @@ __all__ = [
     "image_ahash",
     "audio_fingerprint_wav",
     "audio_fingerprints",
+    "synthesize_wav",
 ]
 
 
@@ -375,6 +376,42 @@ def audio_fingerprint_wav(blob: bytes, frames: int = 64) -> int:
     for i, b in enumerate(bits):
         h |= int(b) << i
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def synthesize_wav(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    rate: int = 8000,
+) -> DataFrame:
+    """Wrap a raw-bytes column as canonical mono 16-bit PCM WAV blobs
+    (``wave``-module header, payload truncated to even length so every
+    byte pair is one little-endian int16 sample) — the synthetic-audio
+    path for exercising the audio operators against deterministic
+    bytes, mirroring :func:`attach_binary` for images. Arrow-batched
+    ``mapInPandas``; returns (id_col, content binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _id, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                raw = raw[: len(raw) // 2 * 2]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(raw)
+                ids.append(_id)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "content": blobs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, content binary"
+    )
 
 
 def audio_fingerprints(

@@ -3225,3 +3225,35 @@ def test_bpe_encode_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 0 or "doc_id" not in str(
         [l for l in plan.splitlines() if "hashpartitioning" in l]
     )
+
+
+def test_staged_queries_oracle_parity(spark, sf_dir):
+    """Every STAGED query (the r12 promotion candidates in queries.py)
+    passes the EXACT verify_local compare against its DuckDB oracle at
+    sf0.001 — same column-name, type-family, and canonical-value
+    semantics the driver gate uses — so promotion to the live registry
+    is a decorator swap, not new verification work."""
+    import importlib.util
+
+    import duckdb
+
+    from fabrix_spark.queries import STAGED
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_local", "/root/repo/tools/verify_local.py"
+    )
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+
+    con = duckdb.connect()
+    for t in vl.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    assert STAGED, "no staged queries found"
+    for name, qd in STAGED.items():
+        s_tbl = qd.fn(spark, sf_dir).toArrow()
+        assert qd.oracle is not None, f"{name} has no oracle"
+        o_tbl = con.execute(qd.oracle).arrow()
+        err = vl.compare(s_tbl, o_tbl)
+        assert err is None, f"{name}: {err}"
+        assert s_tbl.num_rows > 0, f"{name}: empty result"

@@ -269,12 +269,16 @@ def resample_interpolate(
     (no float ops), NULL before the first / after the last observation
     (extrapolation is a policy choice — compose with ffill if wanted),
     otherwise ``v0 + (v1 − v0) · (t − t0)/(t1 − t0)`` from the nearest
-    observations around ``t``. Coincident observations at one (key,
-    ts) are collapsed with ``max`` (order-free, so results are
-    engine-deterministic; float ``avg`` would be summation-order
-    dependent). Time deltas use integer epoch-milliseconds so the one
-    division is the only float op and the result hash-verifies against
-    any ANSI engine.
+    observations around ``t``. NULL-valued observations are dropped
+    (nothing to interpolate through), and coincident observations at
+    one (key, ts) are collapsed with ``max`` (order-free, so results
+    are engine-deterministic; float ``avg`` would be summation-order
+    dependent). Time deltas use integer epoch-MICROseconds — full
+    timestamp precision, so two distinct bracketing observations can
+    never collapse to a zero denominator (at ms precision a pair
+    straddling a grid instant inside one millisecond would divide
+    0/0) — and the one division is the only float op, so the result
+    hash-verifies against any ANSI engine.
 
     Plan (same scale shape as resample_ffill): per-key bounds
     aggregate → sequence/explode grid → union with the deduplicated
@@ -287,7 +291,8 @@ def resample_interpolate(
     k, ts = F.col(key_col), F.col(ts_col)
     ts_type = df.schema[ts_col].dataType
     obs = (
-        df.groupBy(key_col, ts_col)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, ts_col)
         .agg(F.max(F.col(value_col).cast("double")).alias(value_col))
         .withColumn("__grid", F.lit(0))
     )
@@ -322,14 +327,14 @@ def resample_interpolate(
     )
     pair = F.when(
         F.col("__grid") == 0,
-        F.struct(F.col(value_col).alias("v"), F.unix_millis(ts).alias("t")),
+        F.struct(F.col(value_col).alias("v"), F.unix_micros(ts).alias("t")),
     )
     both = (
         obs.unionByName(grid)
         .withColumn("__prev", F.last(pair, ignorenulls=True).over(w_prev))
         .withColumn("__next", F.first(pair, ignorenulls=True).over(w_next))
     )
-    t_ms = F.unix_millis(ts)
+    t_ms = F.unix_micros(ts)
     v0, t0 = F.col("__prev.v"), F.col("__prev.t")
     v1, t1 = F.col("__next.v"), F.col("__next.t")
     interp = (

@@ -8892,6 +8892,194 @@ def m_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_fingerprints(wavs)
 
 
+@stage(
+    "tj_resample_interp",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, ts, max(CAST(value AS DOUBLE)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+  FROM b
+),
+allrows AS (
+  SELECT user_id, ts, v, 0 AS g FROM obs
+  UNION ALL SELECT user_id, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+),
+f AS (
+  SELECT user_id, ts, g,
+    last_value(CASE WHEN g = 0 THEN v END IGNORE NULLS) OVER w_prev AS v0,
+    last_value(CASE WHEN g = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w_prev AS t0,
+    first_value(CASE WHEN g = 0 THEN v END IGNORE NULLS) OVER w_next AS v1,
+    first_value(CASE WHEN g = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w_next AS t1
+  FROM allrows
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts ASC, g ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY user_id ORDER BY ts ASC, g ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts AS grid_ts,
+       CASE WHEN t0 IS NULL THEN NULL
+            WHEN epoch_us(ts) = t0 THEN v0
+            WHEN t1 IS NULL THEN NULL
+            ELSE v0 + (v1 - v0) * (CAST(epoch_us(ts) - t0 AS DOUBLE)
+                                   / CAST(t1 - t0 AS DOUBLE))
+       END AS value
+FROM f WHERE g = 1
+""",
+)
+def tj_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid with LINEAR interpolation between each user's
+    bracketing events (temporal.resample_interpolate) — the gap-fill
+    twin of tj_resample_hourly's forward fill. Exact epoch-µs deltas
+    make the single division the only float op; the oracle mirrors the
+    two IGNORE-NULLS window passes (never a LATERAL per grid row)."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = temporal.resample_interpolate(
+        e, ts_col="ts", key_col="user_id", value_col="value", unit="hour"
+    )
+    return out.select(
+        "user_id",
+        F.col("grid_ts").cast("timestamp_ntz").alias("grid_ts"),
+        "value",
+    )
+
+
+_ML_SCORED = """
+SELECT CAST(embedding[1] AS DOUBLE) AS score, (label = 0) AS pos
+FROM embeddings
+"""
+
+
+@stage(
+    "ml_calibration",
+    oracle=f"""
+WITH sc AS ({_ML_SCORED}),
+binned AS (
+  SELECT greatest(0, least(CAST(floor((score + 0.5) * 10) AS INTEGER), 9)) AS bin,
+         score + 0.5 AS score, pos
+  FROM sc
+),
+agg AS (
+  SELECT bin, count(*) AS n,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         sum(CAST(round(score * 1000000) AS DECIMAL(38,0))) AS sq
+  FROM binned GROUP BY 1
+)
+SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+       CAST(bin + 1 AS DOUBLE) / 10 AS bin_hi,
+       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+FROM agg
+""",
+)
+def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (metrics.calibration_bins) for the
+    class-0 one-vs-rest scorer ml_auc evaluates, scores shifted +0.5
+    into [0, 1] (an exact float add — a sigmoid would not be IEEE-
+    reproducible across engines). One map-side aggregate; integer
+    quantized mean sums."""
+    from .operators.metrics import calibration_bins
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("embedding")[0].cast("double") + F.lit(0.5)).alias("score"),
+        "label",
+    )
+    return calibration_bins(e, "score", F.col("label") == 0, n_bins=10)
+
+
+_ML_CUM = f"""
+WITH sc AS ({_ML_SCORED}),
+g AS (
+  SELECT score, count(*) AS tot,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos
+  FROM sc GROUP BY 1
+),
+cum AS (
+  SELECT score, tot, pos,
+         sum(tot) OVER (ORDER BY score) AS cum_tot,
+         sum(pos) OVER (ORDER BY score) AS cum_pos,
+         (SELECT count(*) FROM sc) AS n_all,
+         (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) FROM sc) AS p_all
+  FROM g
+),
+pts AS (
+  SELECT score, pos,
+         p_all - (cum_pos - pos) AS tp,
+         (n_all - p_all) - ((cum_tot - tot) - (cum_pos - pos)) AS fp,
+         n_all, p_all
+  FROM cum
+)
+"""
+
+
+@stage(
+    "ml_roc_points",
+    oracle=_ML_CUM
+    + """
+SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CASE WHEN p_all > 0
+            THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) END AS tpr,
+       CASE WHEN n_all - p_all > 0
+            THEN CAST(fp AS DOUBLE) / CAST(n_all - p_all AS DOUBLE) END AS fpr
+FROM pts
+""",
+)
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-curve points for the class-0 scorer
+    (metrics.roc_points): one row per distinct score off the same
+    range-partitioned cumulative pass ml_auc uses; tpr/fpr are single
+    divisions of exact counts."""
+    from .operators.metrics import roc_points
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"), "label"
+    )
+    return roc_points(e, "score", F.col("label") == 0)
+
+
+@stage(
+    "ml_average_precision",
+    oracle=_ML_CUM
+    + """
+, terms AS (
+  SELECT p_all, n_all,
+         (CAST(pos AS HUGEINT) * tp) // (tp + fp) * 1000000000000
+         + ((CAST(pos AS HUGEINT) * tp) % (tp + fp)) * 1000000000000 // (tp + fp)
+         AS term
+  FROM pts
+)
+SELECT CAST(n_all AS BIGINT) AS n, CAST(p_all AS BIGINT) AS n_pos,
+       CAST(sum(term) AS DOUBLE) / (CAST(p_all AS DOUBLE) * 1000000000000.0) AS ap
+FROM terms GROUP BY n_all, p_all
+""",
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision for the class-0 scorer
+    (metrics.average_precision): every per-threshold term quantized to
+    integer 1e-12 units by split decimal division (DIV/% are exact in
+    both engines where the plain decimal quotient is not), summed
+    exactly, divided once — a float sum would be summation-order
+    dependent and never hash-match."""
+    from .operators.metrics import average_precision
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"), "label"
+    )
+    return average_precision(e, "score", F.col("label") == 0)
+
+
 def _bpe_train_oracle(n_merges: int, min_freq: int = 2) -> str:
     """Unrolled DuckDB twin of text.bpe_train: per iteration one
     pair-count + deterministic arg-max CTE, then a window-based greedy

@@ -2977,8 +2977,8 @@ SELECT grid.user_id, grid.g AS grid_ts,
             WHEN p.ts = grid.g THEN p.v
             WHEN n.ts IS NULL THEN NULL
             ELSE p.v + (n.v - p.v)
-                 * (CAST(epoch_ms(grid.g) - epoch_ms(p.ts) AS DOUBLE)
-                    / CAST(epoch_ms(n.ts) - epoch_ms(p.ts) AS DOUBLE))
+                 * (CAST(epoch_us(grid.g) - epoch_us(p.ts) AS DOUBLE)
+                    / CAST(epoch_us(n.ts) - epoch_us(p.ts) AS DOUBLE))
        END AS value
 FROM grid
 LEFT JOIN LATERAL (
@@ -3141,8 +3141,8 @@ def test_resample_interpolate_matches_python_model(spark, rows):
             elif prev[0] == g:
                 want[(k, g)] = prev[1]
             else:
-                dt_num = (g - prev[0]) / dt.timedelta(milliseconds=1)
-                dt_den = (next_[0] - prev[0]) / dt.timedelta(milliseconds=1)
+                dt_num = (g - prev[0]) / dt.timedelta(microseconds=1)
+                dt_den = (next_[0] - prev[0]) / dt.timedelta(microseconds=1)
                 want[(k, g)] = prev[1] + (next_[1] - prev[1]) * (dt_num / dt_den)
             g += dt.timedelta(hours=1)
     assert got == want

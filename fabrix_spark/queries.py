@@ -9173,6 +9173,90 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed merge table for the staged encode query — the first four
+#: merges bpe_train learns on this corpus, pinned as literals so the
+#: query is deterministic at every SF independent of the trainer
+_ENC_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("o", "w")]
+
+
+def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
+    """Unrolled DuckDB twin of text.bpe_encode for a FIXED merge list:
+    the same window-based run-parity merge application as
+    :func:`_bpe_train_oracle` (no arg-max — the merges are given),
+    applied to the distinct-word vocab, then the corpus joins the
+    encoded vocab and indexes symbols by generate_series (this DuckDB
+    has no WITH ORDINALITY). MATERIALIZED per-level CTEs for the same
+    inlining reason."""
+    sql = """
+WITH split AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+corpus AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos,
+         arr[CAST(i AS INTEGER)] AS word
+  FROM split CROSS JOIN generate_series(1, 512) AS t(i)
+  WHERE i <= len(arr)
+    AND regexp_full_match(arr[CAST(i AS INTEGER)], '[a-z]{2,}')
+),
+cur0 AS MATERIALIZED (
+  SELECT word,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS sym
+  FROM (SELECT DISTINCT word FROM corpus)
+)"""
+    for k, (left, right) in enumerate(merges):
+        l_lit = left.replace("'", "''")
+        r_lit = right.replace("'", "''")
+        sql += f""",
+pos{k} AS MATERIALIZED (
+  SELECT word, CAST(i AS INTEGER) AS p, sym[CAST(i AS INTEGER)] AS s,
+         (sym[CAST(i AS INTEGER)] = '{l_lit}'
+          AND sym[CAST(i AS INTEGER) + 1] IS NOT DISTINCT FROM '{r_lit}') AS m
+  FROM cur{k} CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(sym)
+),
+runs{k} AS MATERIALIZED (
+  SELECT *, p - row_number() OVER (PARTITION BY word, m ORDER BY p) AS grp
+  FROM pos{k}
+),
+mk{k} AS MATERIALIZED (
+  SELECT *, m AND (p - min(p) OVER (PARTITION BY word, m, grp)) % 2 = 0 AS merged
+  FROM runs{k}
+),
+keep{k} AS MATERIALIZED (
+  SELECT word, p,
+         CASE WHEN merged THEN '{l_lit}' || '{r_lit}' ELSE s END AS s2,
+         coalesce(lag(merged) OVER (PARTITION BY word ORDER BY p), false) AS consumed
+  FROM mk{k}
+),
+cur{k + 1} AS MATERIALIZED (
+  SELECT word, list(s2 ORDER BY p) AS sym
+  FROM keep{k} WHERE NOT consumed GROUP BY word
+)"""
+    n = len(merges)
+    return sql + f"""
+SELECT c.doc_id, c.word_pos, CAST(i - 1 AS INTEGER) AS sym_pos,
+       v.sym[CAST(i AS INTEGER)] AS token
+FROM corpus c
+JOIN cur{n} v ON c.word = v.word
+CROSS JOIN generate_series(1, 64) AS t(i)
+WHERE i <= len(v.sym)
+"""
+
+
+@stage("t_bpe_encode", oracle=_bpe_encode_oracle(_ENC_MERGES))
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a fixed BPE merge table
+    (text.bpe_encode — the inference half of t_bpe_train): merges
+    apply to the distinct-word vocab only and the corpus meets the
+    encoded vocab once through a broadcast word join, emitting
+    deterministic (doc_id, word_pos, sym_pos, token) rows. The oracle
+    replays the fixed merges with the proven run-parity SQL recipe and
+    joins/unnests WITH ORDINALITY."""
+    return text.bpe_encode(_t(spark, sf_dir, "documents"), _ENC_MERGES)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

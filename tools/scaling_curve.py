@@ -430,6 +430,31 @@ def main() -> None:
         ("smp_negative_pairs", run_registry("smp_negative_pairs"), None),
         ("tj_ewma (m x events)", run_registry("tj_ewma"), None),
     ]
+
+    # r11-staged queries (fabrix_spark.queries.STAGED — full oracles,
+    # not yet driver-visible): measured here so their promotion lands
+    # with scaling evidence already on file. Notes on the synthesized
+    # corpora: the `_c` token suffixes fail the BPE [a-z]{2,} word
+    # filter, so bpe encode/train see copy-0's vocab at every m — the
+    # curve measures the corpus-sized pass (posexplode / word-freq
+    # agg), which is exactly the component that scales; the embedding
+    # sign-isometry flips scores per copy, so distinct scores ∝ m and
+    # the ml curves measure the range-partitioned cumulative pass.
+    def run_staged(name):
+        from fabrix_spark.queries import STAGED
+
+        def op(sf_dir, m):
+            return STAGED[name].fn(spark, sf_dir).count()
+
+        return op
+
+    ops += [
+        ("tj_resample_interp (m× events)", run_staged("tj_resample_interp"), None),
+        ("ml_roc_points (m× scores)", run_staged("ml_roc_points"), None),
+        ("ml_average_precision", run_staged("ml_average_precision"), None),
+        ("t_bpe_encode", run_staged("t_bpe_encode"), None),
+        ("m_audio_fingerprint", run_staged("m_audio_fingerprint"), None),
+    ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}
         ops = [o for o in ops if any(o[0].startswith(w) for w in wanted)]

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .rank import global_cumsum
 
 __all__ = [
+    "auc_by_group",
     "auc_one_vs_rest",
     "average_precision",
     "calibration_bins",
@@ -95,6 +96,67 @@ def auc_one_vs_rest(
     return stacked.select(
         F.col("cls").cast("int").alias("cls"),
         F.col("n_pos").cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+def auc_by_group(
+    df: DataFrame, score_col: str, positive: Column, group_cols: list[str]
+) -> DataFrame:
+    """Exact ROC AUC per segment — the sliced-evaluation pass that
+    catches a model scoring well globally while failing a cohort. Same
+    rank-sum identity as :func:`auc_one_vs_rest`, but the cumulative
+    pass is a window PARTITIONED BY the group (every segment evaluates
+    in parallel on its own partition — the global query's
+    single-reducer concern does not arise, so no global_cumsum
+    machinery is needed), over one score-grouped aggregate. The
+    doubled-U numerator multiplies in decimal(38,0) (tie-heavy
+    billion-row segments wrap int64 silently). Returns one row per
+    group: (group_cols..., n, n_pos, n_neg, auc; auc NULL for
+    single-class segments)."""
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col)
+    g = df.groupBy(*group_cols, s.alias("__score")).agg(
+        F.count("*").alias("__tot"),
+        F.sum(positive.cast("long")).alias("__pos"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__score").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        *group_cols,
+        "__tot",
+        "__pos",
+        F.sum("__tot").over(w).alias("__cum_tot"),
+        F.sum("__pos").over(w).alias("__cum_pos"),
+    )
+    neg_below = (F.col("__cum_tot") - F.col("__tot")) - (
+        F.col("__cum_pos") - F.col("__pos")
+    )
+    neg_at = F.col("__tot") - F.col("__pos")
+    u2 = (
+        F.col("__pos").cast("decimal(38,0)")
+        * (F.lit(2) * neg_below + neg_at).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("__tot").alias("__n"),
+        F.sum("__pos").alias("__p"),
+        F.sum(u2).alias("__u2"),
+    )
+    n_neg = F.col("__n") - F.col("__p")
+    auc = F.when(
+        (F.col("__p") > 0) & (n_neg > 0),
+        F.col("__u2").cast("double")
+        / (F.lit(2.0) * F.col("__p").cast("double") * n_neg.cast("double")),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__p").cast("long").alias("n_pos"),
         n_neg.cast("long").alias("n_neg"),
         auc.alias("auc"),
     )

@@ -9173,6 +9173,57 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "ml_auc_by_segment",
+    oracle="""
+WITH sc AS (
+  SELECT vec_id % 4 AS segment, CAST(embedding[1] AS DOUBLE) AS score,
+         (label = 0) AS pos
+  FROM embeddings
+),
+g AS (
+  SELECT segment, score, count(*) AS tot,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos
+  FROM sc GROUP BY 1, 2
+),
+c AS (
+  SELECT segment, tot, pos,
+         sum(tot) OVER (PARTITION BY segment ORDER BY score) AS cum_tot,
+         sum(pos) OVER (PARTITION BY segment ORDER BY score) AS cum_pos
+  FROM g
+),
+u AS (
+  SELECT segment,
+         CAST(sum(tot) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         sum(pos * (2 * ((cum_tot - tot) - (cum_pos - pos))
+                    + (tot - pos))) AS u2
+  FROM c GROUP BY 1
+)
+SELECT segment, n, n_pos, n - n_pos AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0
+            THEN CAST(u2 AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+       END AS auc
+FROM u
+""",
+)
+def ml_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact ROC AUC (metrics.auc_by_group) — the sliced
+    evaluation that catches a cohort the global ml_auc number hides.
+    The cumulative pass is a window PARTITIONED BY segment (parallel
+    per segment — no single-reducer window, no global machinery
+    needed); the doubled-U numerator multiplies in decimal(38,0)."""
+    from .operators.metrics import auc_by_group
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 4).alias("segment"),
+        F.col("embedding")[0].cast("double").alias("score"),
+        "label",
+    )
+    return auc_by_group(e, "score", F.col("label") == 0, ["segment"])
+
+
 #: fixed merge table for the staged encode query — the first four
 #: merges bpe_train learns on this corpus, pinned as literals so the
 #: query is deterministic at every SF independent of the trainer

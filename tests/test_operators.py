@@ -3257,3 +3257,29 @@ def test_staged_queries_oracle_parity(spark, sf_dir):
         err = vl.compare(s_tbl, o_tbl)
         assert err is None, f"{name}: {err}"
         assert s_tbl.num_rows > 0, f"{name}: empty result"
+
+
+def test_auc_by_group_matches_pairwise(spark):
+    """auc_by_group == the brute-force pairwise AUC within each group,
+    with ties half-counted; single-class groups emit NULL auc."""
+    from fabrix_spark.operators.metrics import auc_by_group
+
+    rows = [
+        ("a", 0.1, True), ("a", 0.4, False), ("a", 0.4, True), ("a", 0.9, False),
+        ("b", 0.2, True), ("b", 0.3, True), ("b", 0.1, False),
+        ("c", 0.5, True), ("c", 0.7, True),          # single-class
+    ]
+    df = spark.createDataFrame(rows, "seg string, score double, pos boolean")
+    got = {
+        r["seg"]: r
+        for r in auc_by_group(df, "score", F.col("pos"), ["seg"]).collect()
+    }
+    for seg in ("a", "b"):
+        pos = [s for g, s, p in rows if g == seg and p]
+        neg = [s for g, s, p in rows if g == seg and not p]
+        want = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg) / (
+            len(pos) * len(neg)
+        )
+        assert abs(got[seg]["auc"] - want) < 1e-12, seg
+        assert got[seg]["n_pos"] == len(pos) and got[seg]["n_neg"] == len(neg)
+    assert got["c"]["auc"] is None and got["c"]["n_neg"] == 0

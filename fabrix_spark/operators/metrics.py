@@ -90,8 +90,13 @@ def auc_one_vs_rest(
         ),
     )
     n_neg = F.col("__n") - F.col("n_pos")
-    auc = F.col("__u2").cast("double") / (
-        F.lit(2.0) * F.col("n_pos").cast("double") * n_neg.cast("double")
+    # degenerate single-class inputs (P or N = 0) have no defined AUC —
+    # emit NULL; the unguarded division is a DIVIDE_BY_ZERO under ANSI
+    # (found by test_auc_by_group_consistent_with_global's fuzz)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        F.col("__u2").cast("double")
+        / (F.lit(2.0) * F.col("n_pos").cast("double") * n_neg.cast("double")),
     )
     return stacked.select(
         F.col("cls").cast("int").alias("cls"),

@@ -413,3 +413,57 @@ def test_bm25_fused_fuzz_matches_index_path(spark, docs, terms):
     want = sorted(map(tuple, bm25_scores(doc_token_counts(df), terms).collect()))
     got = sorted(map(tuple, bm25_scores_fused(df, terms).collect()))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.1, 0.2, 0.4, 0.4, 0.7, 0.9]),  # scores with ties
+            st.booleans(),
+            st.sampled_from(["x", "y"]),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_auc_by_group_consistent_with_global(spark, rows):
+    """Two consistency contracts under fuzz: (1) with a CONSTANT group,
+    auc_by_group equals auc_one_vs_rest's class-0 row on the same data;
+    (2) with real groups, each group's AUC equals auc_by_group run on
+    that group's rows alone (no cross-group leakage through the shared
+    window pass)."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.metrics import auc_by_group, auc_one_vs_rest
+
+    df = spark.createDataFrame(rows, "score double, pos boolean, seg string")
+    const = auc_by_group(
+        df.withColumn("g", F.lit(1)), "score", F.col("pos"), ["g"]
+    ).collect()[0]
+    glob = {
+        r["cls"]: r
+        for r in auc_one_vs_rest(
+            df.select("score", F.when(F.col("pos"), 0).otherwise(1).alias("label")),
+            "score",
+            "label",
+            [0],
+        ).collect()
+    }[0]
+    if glob["n_pos"] > 0 and glob["n_neg"] > 0:
+        assert abs(const["auc"] - glob["auc"]) < 1e-12
+    else:
+        assert const["auc"] is None
+
+    by = {
+        r["seg"]: r["auc"]
+        for r in auc_by_group(df, "score", F.col("pos"), ["seg"]).collect()
+    }
+    for seg in {r[2] for r in rows}:
+        alone = auc_by_group(
+            df.filter(F.col("seg") == seg), "score", F.col("pos"), ["seg"]
+        ).collect()[0]["auc"]
+        if alone is None:
+            assert by[seg] is None
+        else:
+            assert abs(by[seg] - alone) < 1e-12

@@ -9050,6 +9050,29 @@ def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "ml_pr_points",
+    oracle=_ML_CUM
+    + """
+SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CASE WHEN p_all > 0
+            THEN CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) END AS recall
+FROM pts
+""",
+)
+def ml_pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve points for the class-0 scorer
+    (metrics.pr_points) — roc's sibling off the same cumulative pass;
+    precision and recall are single divisions of exact counts."""
+    from .operators.metrics import pr_points
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"), "label"
+    )
+    return pr_points(e, "score", F.col("label") == 0)
+
+
+@stage(
     "ml_average_precision",
     oracle=_ML_CUM
     + """

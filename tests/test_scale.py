@@ -600,3 +600,16 @@ def test_staged_r12_operator_plan_shapes(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
     assert "windowspecdefinition(__fx_pid__" in p  # cumsum stays partition-local
+
+    from fabrix_spark.operators.metrics import auc_by_group
+
+    grouped = spark.createDataFrame(
+        [("a", 0.4, True), ("a", 0.7, False), ("b", 0.4, False)],
+        "seg string, score double, pos boolean",
+    )
+    p = (
+        auc_by_group(grouped, "score", F.col("pos"), ["seg"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the cumulative window is PARTITIONED by the group — never global
+    assert "windowspecdefinition(seg" in p and "Join" not in p

@@ -24,28 +24,40 @@ from .rank import global_cumsum
 __all__ = ["standardize", "quantile_bins", "target_encode_loo"]
 
 
-def standardize(df: DataFrame, col: str, out_prefix: str = "") -> DataFrame:
-    """Append z-score and min-max scalings of integer column ``col``.
+def standardize(
+    df: DataFrame,
+    col: str,
+    out_prefix: str = "",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Append z-score and min-max scalings of integer column ``col``,
+    globally or — with ``by`` — within each group (per-domain /
+    per-language normalization, the usual shape before mixing corpora
+    into one trainer input).
 
     Moments are exact int64 sums (one aggregate, map-side partials);
-    the single-row stats frame broadcast-joins back, so the transform
-    is one reduce + one map-only pass however wide the table. The
-    sample standard deviation comes from the exact integer numerator
+    the stats frame — one row, or group-cardinality-sized with ``by``
+    (still metadata next to the data, for any realistic segment
+    column) — broadcast-joins back, so the transform is one reduce +
+    one map-only pass however wide the table. The sample standard
+    deviation comes from the exact integer numerator
     ``n·Σx² − (Σx)²`` — native ``stddev`` accumulates engine-specific
     float partials and can NOT be hash-verified across engines.
 
     z is NULL when the column is constant (zero variance); minmax is
     NULL when max == min.
     """
+    by = by or []
     c = F.col(col)
-    stats = df.agg(
+    aggs = [
         F.count(c).alias("__n"),
         F.sum(c).alias("__s"),
         F.sum(c * c).alias("__ss"),
         F.min(c).alias("__mn"),
         F.max(c).alias("__mx"),
-    )
-    joined = df.join(F.broadcast(stats))
+    ]
+    stats = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+    joined = df.join(F.broadcast(stats), on=by) if by else df.join(F.broadcast(stats))
     n_d = F.col("__n").cast("double")
     mean = F.col("__s").cast("double") / n_d
     var_num = (

@@ -9197,6 +9197,45 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "fe_standardize_by_lang",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CAST(count(n_chars) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss,
+         min(n_chars) AS mn, max(n_chars) AS mx
+  FROM documents GROUP BY 1
+)
+SELECT doc_id, d.lang, n_chars,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
+            THEN (CAST(n_chars AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       END AS z,
+       CASE WHEN mx > mn
+            THEN CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+       END AS minmax
+FROM documents d JOIN s ON d.lang = s.lang
+""",
+)
+def fe_standardize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score + min-max scaling (features.standardize
+    with by=['lang']) — the per-segment normalization a multi-corpus
+    mix runs before training so one language's length distribution
+    doesn't dominate the scaled feature. Group stats stay a
+    metadata-sized broadcast; the same exact-integer-moment discipline
+    as fe_standardize."""
+    from .operators.features import standardize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return standardize(d, "n_chars", by=["lang"])
+
+
+@stage(
     "ml_auc_by_segment",
     oracle="""
 WITH sc AS (

@@ -3283,3 +3283,29 @@ def test_auc_by_group_matches_pairwise(spark):
         assert abs(got[seg]["auc"] - want) < 1e-12, seg
         assert got[seg]["n_pos"] == len(pos) and got[seg]["n_neg"] == len(neg)
     assert got["c"]["auc"] is None and got["c"]["n_neg"] == 0
+
+
+def test_standardize_by_group_matches_global_per_slice(spark):
+    """standardize(by=[g]) on the union == standardize() run on each
+    group's rows alone — the group mode must not leak moments across
+    groups; constant groups emit NULL z."""
+    from fabrix_spark.operators.features import standardize
+
+    rows = [
+        ("en", 1, 10), ("en", 2, 20), ("en", 3, 60),
+        ("fr", 4, 5), ("fr", 5, 7),
+        ("zh", 6, 9), ("zh", 7, 9),   # constant -> z NULL, minmax NULL
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+    got = {
+        r["doc_id"]: (r["z"], r["minmax"])
+        for r in standardize(df, "n", by=["lang"]).collect()
+    }
+    for lang in ("en", "fr", "zh"):
+        alone = {
+            r["doc_id"]: (r["z"], r["minmax"])
+            for r in standardize(df.filter(F.col("lang") == lang), "n").collect()
+        }
+        for k, v in alone.items():
+            assert got[k] == v, (lang, k)
+    assert got[6] == (None, None) and got[7] == (None, None)

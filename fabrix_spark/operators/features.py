@@ -75,7 +75,9 @@ def standardize(
     ).drop("__n", "__s", "__ss", "__mn", "__mx")
 
 
-def quantile_bins(df: DataFrame, col: str, k: int) -> DataFrame:
+def quantile_bins(
+    df: DataFrame, col: str, k: int, by: list[str] | None = None
+) -> DataFrame:
     """Append an exact equi-depth bin id (1..k) for integer column
     ``col``: boundary ``j`` is the value at global rank
     ``ceil(j·n/k)`` (the exact order statistic), and
@@ -88,7 +90,50 @@ def quantile_bins(df: DataFrame, col: str, k: int) -> DataFrame:
     reduces the cum table to k−1 boundary scalars, then a broadcast of
     that single row over the data scan. Value cardinality only ever
     flows through the cumsum; raw rows never re-shuffle.
+
+    With ``by``, boundaries are computed WITHIN each group (per-domain
+    equi-depth discretization): the running count becomes a window
+    PARTITIONED BY the group (parallel per group — the global path's
+    single-reducer concern does not arise), per-group targets
+    ``ceil(j·n_g/k)`` are exact integer expressions (never driver
+    scalars), and the group-cardinality-sized bounds table broadcasts
+    back.
     """
+    if by:
+        from pyspark.sql.window import Window
+
+        c = F.col(col)
+        counts = (
+            df.where(c.isNotNull())
+            .groupBy(*by, c.alias("__v"))
+            .agg(F.count("*").alias("__cnt"))
+        )
+        w_cum = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = counts.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+            "__n", F.sum("__cnt").over(Window.partitionBy(*by))
+        )
+        bounds = cum.groupBy(*by).agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("__cum") >= F.expr(f"({j} * __n + {k - 1}) DIV {k}"),
+                        F.col("__v"),
+                    )
+                ).alias(f"__b{j}")
+                for j in range(1, k)
+            ]
+        )
+        joined = df.join(F.broadcast(bounds), on=by)
+        bin_expr: Column = F.lit(1)
+        for j in range(1, k):
+            bin_expr = bin_expr + F.when(c > F.col(f"__b{j}"), 1).otherwise(0)
+        return joined.withColumn("bin", bin_expr.cast("int")).drop(
+            *[f"__b{j}" for j in range(1, k)]
+        )
     c = F.col(col)
     counts = df.where(c.isNotNull()).groupBy(c.alias("__v")).agg(
         F.count("*").alias("__cnt")

@@ -9236,6 +9236,46 @@ def fe_standardize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "fe_quantile_bins_by_lang",
+    oracle="""
+WITH counts AS (
+  SELECT lang, n_chars AS v, count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, v, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS c,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM counts
+),
+bounds AS (
+  SELECT lang,
+         min(CASE WHEN c >= (1 * n + 3) // 4 THEN v END) AS b1,
+         min(CASE WHEN c >= (2 * n + 3) // 4 THEN v END) AS b2,
+         min(CASE WHEN c >= (3 * n + 3) // 4 THEN v END) AS b3
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, d.lang, n_chars,
+       CAST(1 + (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) AS INTEGER) AS bin
+FROM documents d JOIN bounds ON d.lang = bounds.lang
+""",
+)
+def fe_quantile_bins_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact equi-depth quartiles (features.quantile_bins
+    with by=['lang']): boundaries are each language's exact order
+    statistics at ceil(j·n_g/4), computed from integer expressions —
+    no driver scalars — over a group-partitioned running count, with
+    the group-sized bounds table broadcast back. Ties always share a
+    bin, per-group."""
+    from .operators.features import quantile_bins
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_bins(d, "n_chars", 4, by=["lang"])
+
+
+@stage(
     "ml_auc_by_segment",
     oracle="""
 WITH sc AS (

@@ -3309,3 +3309,28 @@ def test_standardize_by_group_matches_global_per_slice(spark):
         for k, v in alone.items():
             assert got[k] == v, (lang, k)
     assert got[6] == (None, None) and got[7] == (None, None)
+
+
+def test_quantile_bins_by_group_matches_global_per_slice(spark):
+    """quantile_bins(by=[g]) == quantile_bins() run on each group's
+    rows alone — per-group boundaries must not leak across groups;
+    ties share a bin within their group."""
+    from fabrix_spark.operators.features import quantile_bins
+
+    rows = [("en", i, v) for i, v in enumerate([1, 2, 2, 3, 50, 60, 70, 80])] + [
+        ("fr", 100 + i, v) for i, v in enumerate([5, 5, 5, 9])
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in quantile_bins(df, "n", 4, by=["lang"]).collect()
+    }
+    for lang in ("en", "fr"):
+        alone = {
+            r["doc_id"]: r["bin"]
+            for r in quantile_bins(df.filter(F.col("lang") == lang), "n", 4).collect()
+        }
+        for k, v in alone.items():
+            assert got[k] == v, (lang, k)
+    # fr ties on 5 share one bin; 9 lands in the top bin
+    assert got[100] == got[101] == got[102] and got[103] == 4

@@ -3334,3 +3334,17 @@ def test_quantile_bins_by_group_matches_global_per_slice(spark):
             assert got[k] == v, (lang, k)
     # fr ties on 5 share one bin; 9 lands in the top bin
     assert got[100] == got[101] == got[102] and got[103] == 4
+
+
+def test_bpe_encode_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_vocab=False (the huge-vocab escape hatch) produces the
+    identical token stream through an optimizer-chosen join."""
+    from fabrix_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, "low lower newest"), (1, "aaaa low")], "doc_id long, text string"
+    )
+    merges = [("l", "o"), ("lo", "w"), ("a", "a")]
+    a = sorted(map(tuple, bpe_encode(df, merges).collect()))
+    b = sorted(map(tuple, bpe_encode(df, merges, broadcast_vocab=False).collect()))
+    assert a == b and len(a) > 0

@@ -467,3 +467,58 @@ def test_auc_by_group_consistent_with_global(spark, rows):
             assert by[seg] is None
         else:
             assert abs(by[seg] - alone) < 1e-12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0.05, 0.2, 0.2, 0.5, 0.8, 0.8, 0.95]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_roc_pr_ap_fuzz_brute_force(spark, rows):
+    """roc_points / pr_points / average_precision against plain-python
+    counting over random tied scores — tp/fp exact per distinct score,
+    AP within the 1e-12-unit quantization of its term sum."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.metrics import (
+        average_precision,
+        pr_points,
+        roc_points,
+    )
+
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    P = sum(1 for _, p in rows if p)
+    N = len(rows) - P
+
+    def brute(t):
+        tp = sum(1 for s, p in rows if p and s >= t)
+        fp = sum(1 for s, p in rows if not p and s >= t)
+        return tp, fp
+
+    for r in roc_points(df, "score", F.col("pos")).collect():
+        tp, fp = brute(r["score"])
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert r["tpr"] == (tp / P if P else None)
+        assert r["fpr"] == (fp / N if N else None)
+    for r in pr_points(df, "score", F.col("pos")).collect():
+        tp, fp = brute(r["score"])
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert r["precision"] == tp / (tp + fp)
+
+    got = average_precision(df, "score", F.col("pos")).collect()[0]
+    assert (got["n"], got["n_pos"]) == (len(rows), P)
+    if P == 0:
+        assert got["ap"] is None
+    else:
+        want, prev_r = 0.0, 0.0
+        for t in sorted({s for s, _ in rows}, reverse=True):
+            tp, fp = brute(t)
+            want += (tp / P - prev_r) * (tp / (tp + fp))
+            prev_r = tp / P
+        assert abs(got["ap"] - want) < 1e-9

@@ -613,3 +613,15 @@ def test_staged_r12_operator_plan_shapes(spark):
     )
     # the cumulative window is PARTITIONED by the group — never global
     assert "windowspecdefinition(seg" in p and "Join" not in p
+
+
+def test_staged_queries_no_cartesian(spark):
+    """Blanket plan gate over every STAGED query: no CartesianProduct
+    on data tables anywhere (the 1-row totals crossJoins compile to
+    BroadcastNestedLoopJoin with a single-row build side, which is the
+    accepted shape)."""
+    from fabrix_spark.queries import STAGED
+
+    for name, qd in STAGED.items():
+        plan = qd.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name

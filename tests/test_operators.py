@@ -3348,3 +3348,27 @@ def test_bpe_encode_shuffle_join_path_matches_broadcast(spark):
     a = sorted(map(tuple, bpe_encode(df, merges).collect()))
     b = sorted(map(tuple, bpe_encode(df, merges, broadcast_vocab=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_bpe_train_early_stop_matches_twin(spark):
+    """When merges exhaust before n_merges (best pair drops under
+    min_freq), the trainer's break and the oracle's empty-best
+    fallback branches agree: both emit exactly the found merges."""
+    import duckdb
+
+    from fabrix_spark.operators.text import bpe_train
+
+    docs = ["low low", "ab ab"]  # exhausts after 3 merges at min_freq=2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        (r["iteration"], r["left"], r["right"], r["freq"])
+        for r in bpe_train(df, n_merges=8, min_freq=2).orderBy("iteration").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(docs):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = [tuple(r) for r in con.execute(_bpe_twin_sql(8)).fetchall()]
+    assert got == want and len(got) == 3

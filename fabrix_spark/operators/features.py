@@ -24,6 +24,22 @@ from .rank import global_cumsum
 __all__ = ["standardize", "quantile_bins", "target_encode_loo"]
 
 
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join on ``keys`` with NULL-safe equality (``eqNullSafe``) —
+    NULL group keys match each other instead of silently dropping —
+    keeping only the left side's key columns (like ``on=keys``)."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__rk_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[f"__rk_{k}"])
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how).drop(*[f"__rk_{k}" for k in keys])
+
+
 def standardize(
     df: DataFrame,
     col: str,
@@ -45,7 +61,10 @@ def standardize(
     float partials and can NOT be hash-verified across engines.
 
     z is NULL when the column is constant (zero variance); minmax is
-    NULL when max == min.
+    NULL when max == min. With ``by``, the stats join is NULL-SAFE on
+    the group keys — a plain ``on=by`` equi-join would silently DELETE
+    every row whose group key is NULL (NULL never equals NULL), turning
+    a column-append transform into a row filter.
     """
     by = by or []
     c = F.col(col)
@@ -56,8 +75,12 @@ def standardize(
         F.min(c).alias("__mn"),
         F.max(c).alias("__mx"),
     ]
-    stats = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
-    joined = df.join(F.broadcast(stats), on=by) if by else df.join(F.broadcast(stats))
+    if by:
+        stats = df.groupBy(*by).agg(*aggs)
+        joined = _join_null_safe(df, F.broadcast(stats), by)
+    else:
+        stats = df.agg(*aggs)
+        joined = df.join(F.broadcast(stats))
     n_d = F.col("__n").cast("double")
     mean = F.col("__s").cast("double") / n_d
     var_num = (
@@ -97,7 +120,10 @@ def quantile_bins(
     single-reducer concern does not arise), per-group targets
     ``ceil(j·n_g/k)`` are exact integer expressions (never driver
     scalars), and the group-cardinality-sized bounds table broadcasts
-    back.
+    back through a NULL-SAFE LEFT join — NULL group keys match their
+    own stats row instead of being dropped, and groups with no
+    non-NULL values (absent from bounds) keep their rows with bin 1,
+    exactly as the global path treats NULL values.
     """
     if by:
         from pyspark.sql.window import Window
@@ -127,7 +153,7 @@ def quantile_bins(
                 for j in range(1, k)
             ]
         )
-        joined = df.join(F.broadcast(bounds), on=by)
+        joined = _join_null_safe(df, F.broadcast(bounds), by, how="left")
         bin_expr: Column = F.lit(1)
         for j in range(1, k):
             bin_expr = bin_expr + F.when(c > F.col(f"__b{j}"), 1).otherwise(0)

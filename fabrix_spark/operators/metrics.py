@@ -10,6 +10,12 @@ count comes from :func:`rank.global_cumsum` — range-partitioned, no
 single-reducer window. The numerator is an exact integer (doubled to
 absorb the tie half), so the final single division is the only float
 op and the result hash-matches any ANSI engine.
+
+NULL scores are EXCLUDED from every ranking metric here (an unscored
+row has no rank): without the explicit filter, Spark's ascending sort
+places NULLs first while DuckDB's window ORDER BY places them last, so
+a single unscored row would silently shift every cumulative count and
+break cross-engine parity.
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ def auc_one_vs_rest(
     ``count × count`` products cannot overflow int64.
     """
     s = F.col(score_col)
-    g = df.groupBy(s.alias("__score")).agg(
+    g = df.where(s.isNotNull()).groupBy(s.alias("__score")).agg(
         F.count("*").alias("__tot"),
         *[
             F.sum((F.col(label_col) == F.lit(c)).cast("long")).alias(f"__c{c}")
@@ -117,13 +123,14 @@ def auc_by_group(
     single-reducer concern does not arise, so no global_cumsum
     machinery is needed), over one score-grouped aggregate. The
     doubled-U numerator multiplies in decimal(38,0) (tie-heavy
-    billion-row segments wrap int64 silently). Returns one row per
+    billion-row segments wrap int64 silently). NULL scores are
+    excluded (see the module docstring). Returns one row per
     group: (group_cols..., n, n_pos, n_neg, auc; auc NULL for
     single-class segments)."""
     from pyspark.sql.window import Window
 
     s = F.col(score_col)
-    g = df.groupBy(*group_cols, s.alias("__score")).agg(
+    g = df.where(s.isNotNull()).groupBy(*group_cols, s.alias("__score")).agg(
         F.count("*").alias("__tot"),
         F.sum(positive.cast("long")).alias("__pos"),
     )
@@ -184,14 +191,18 @@ def calibration_bins(
     (``round(score·quantize)`` summed as DECIMAL(38,0) — float
     summation order varies by engine/partitioning, exact integers
     don't), so the two final divisions are the only float ops and the
-    result hash-verifies. Returns one row per non-empty bin:
+    result hash-verifies. NULL scores are EXCLUDED — without the
+    filter, Spark's least/greatest SKIP null arguments, so an unscored
+    row would silently land in the TOP bin and corrupt its mean and
+    positive rate. Returns one row per non-empty bin:
     (bin, bin_lo, bin_hi, n, n_pos, mean_score, frac_pos)."""
     s = F.col(score_col).cast("double")
     b = F.greatest(
         F.lit(0), F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
     )
     out = (
-        df.groupBy(b.alias("bin"))
+        df.where(s.isNotNull())
+        .groupBy(b.alias("bin"))
         .agg(
             F.count("*").alias("n"),
             F.sum(positive.cast("long")).alias("n_pos"),
@@ -215,25 +226,22 @@ def calibration_bins(
     return out
 
 
-def roc_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
-    """Exact ROC-curve points, one per distinct score — the curve
-    behind :func:`auc_one_vs_rest`'s scalar. At threshold ``s``
-    (predict positive when score ≥ s): ``tp = P − pos_strictly_below``
-    and ``fp = N − neg_strictly_below``, with the strictly-below
-    running counts from the same score-grouped
-    :func:`~fabrix_spark.operators.rank.global_cumsum` pass AUC uses
-    (range-partitioned — no single-reducer window), and (P, N) as a
-    broadcast one-row aggregate. All counts are exact integers; tpr and
-    fpr are single divisions of two longs (IEEE-deterministic on any
-    engine). Returns (score, tp, fp, tpr, fpr) — plot-ready after an
-    ORDER BY score DESC."""
+def _curve_counts(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
+    """Shared scaffold of the threshold-curve metrics: score-grouped
+    counts (NULL scores excluded — an unscored row has no rank, and
+    Spark/DuckDB disagree on NULL sort position), the range-partitioned
+    :func:`~fabrix_spark.operators.rank.global_cumsum` pass, the
+    broadcast (N, P) totals row, and the per-threshold confusion
+    counts. One row per distinct score:
+    (score, __pos, __tp, __fp, __n_all, __p_all)."""
     s = F.col(score_col)
-    g = df.groupBy(s.alias("score")).agg(
+    scored = df.where(s.isNotNull())
+    g = scored.groupBy(s.alias("score")).agg(
         F.count("*").alias("__tot"),
         F.sum(positive.cast("long")).alias("__pos"),
     )
     cum = global_cumsum(g, [F.col("score").asc()], ["__tot", "__pos"])
-    totals = df.agg(
+    totals = scored.agg(
         F.count("*").alias("__n_all"),
         F.sum(positive.cast("long")).alias("__p_all"),
     )
@@ -241,49 +249,60 @@ def roc_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
     neg_below = (F.col("cum___tot") - F.col("__tot")) - pos_below
     tp = F.col("__p_all") - pos_below
     fp = (F.col("__n_all") - F.col("__p_all")) - neg_below
-    n_neg = F.col("__n_all") - F.col("__p_all")
     return cum.crossJoin(F.broadcast(totals)).select(
         "score",
-        tp.cast("long").alias("tp"),
-        fp.cast("long").alias("fp"),
+        "__pos",
+        tp.cast("long").alias("__tp"),
+        fp.cast("long").alias("__fp"),
+        "__n_all",
+        "__p_all",
+    )
+
+
+def roc_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
+    """Exact ROC-curve points, one per distinct non-NULL score — the
+    curve behind :func:`auc_one_vs_rest`'s scalar. At threshold ``s``
+    (predict positive when score ≥ s): ``tp = P − pos_strictly_below``
+    and ``fp = N − neg_strictly_below``, from :func:`_curve_counts`'s
+    shared cumulative pass. All counts are exact integers; tpr and
+    fpr are single divisions of two longs (IEEE-deterministic on any
+    engine). Returns (score, tp, fp, tpr, fpr) — plot-ready after an
+    ORDER BY score DESC."""
+    n_neg = F.col("__n_all") - F.col("__p_all")
+    return _curve_counts(df, score_col, positive).select(
+        "score",
+        F.col("__tp").alias("tp"),
+        F.col("__fp").alias("fp"),
         F.when(
-            F.col("__p_all") > 0, tp.cast("double") / F.col("__p_all").cast("double")
+            F.col("__p_all") > 0,
+            F.col("__tp").cast("double") / F.col("__p_all").cast("double"),
         ).alias("tpr"),
-        F.when(n_neg > 0, fp.cast("double") / n_neg.cast("double")).alias("fpr"),
+        F.when(
+            n_neg > 0, F.col("__fp").cast("double") / n_neg.cast("double")
+        ).alias("fpr"),
     )
 
 
 def pr_points(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
-    """Exact precision-recall curve points, one per distinct score —
-    :func:`roc_points`' sibling off the same score-grouped
-    range-partitioned cumulative pass. At threshold ``s`` (predict
-    positive when score ≥ s): ``precision = tp/(tp+fp)``,
-    ``recall = tp/P`` — each a single division of exact int64 counts
-    (IEEE-deterministic on any engine). ``tp + fp > 0`` always holds
-    (s is an observed score), so precision never divides by zero.
-    Returns (score, tp, fp, precision, recall)."""
-    s = F.col(score_col)
-    g = df.groupBy(s.alias("score")).agg(
-        F.count("*").alias("__tot"),
-        F.sum(positive.cast("long")).alias("__pos"),
-    )
-    cum = global_cumsum(g, [F.col("score").asc()], ["__tot", "__pos"])
-    totals = df.agg(
-        F.count("*").alias("__n_all"),
-        F.sum(positive.cast("long")).alias("__p_all"),
-    )
-    pos_below = F.col("cum___pos") - F.col("__pos")
-    tp = F.col("__p_all") - pos_below
-    fp = (F.col("__n_all") - F.col("__p_all")) - (
-        (F.col("cum___tot") - F.col("__tot")) - pos_below
-    )
-    return cum.crossJoin(F.broadcast(totals)).select(
+    """Exact precision-recall curve points, one per distinct non-NULL
+    score — :func:`roc_points`' sibling off :func:`_curve_counts`'s
+    shared cumulative pass. At threshold ``s`` (predict positive when
+    score ≥ s): ``precision = tp/(tp+fp)``, ``recall = tp/P`` — each a
+    single division of exact int64 counts (IEEE-deterministic on any
+    engine). ``tp + fp > 0`` always holds (s is an observed score), so
+    precision never divides by zero. Returns
+    (score, tp, fp, precision, recall)."""
+    return _curve_counts(df, score_col, positive).select(
         "score",
-        tp.cast("long").alias("tp"),
-        fp.cast("long").alias("fp"),
-        (tp.cast("double") / (tp + fp).cast("double")).alias("precision"),
+        F.col("__tp").alias("tp"),
+        F.col("__fp").alias("fp"),
+        (
+            F.col("__tp").cast("double")
+            / (F.col("__tp") + F.col("__fp")).cast("double")
+        ).alias("precision"),
         F.when(
-            F.col("__p_all") > 0, tp.cast("double") / F.col("__p_all").cast("double")
+            F.col("__p_all") > 0,
+            F.col("__tp").cast("double") / F.col("__p_all").cast("double"),
         ).alias("recall"),
     )
 
@@ -311,39 +330,17 @@ def average_precision(df: DataFrame, score_col: str, positive: Column) -> DataFr
     term = q·1e12 + frac) because a direct decimal(38,0)/decimal(38,0)
     quotient in Spark falls back to scale 6 under allowPrecisionLoss —
     NOT exact (the r11 ntile lesson) — while DIV and % on decimals are
-    exact integers in both Spark and DuckDB. Returns one row
+    exact integers in both Spark and DuckDB. NULL scores are excluded
+    with the rest of the curve family. Returns one row
     (n, n_pos, ap)."""
-    s = F.col(score_col)
-    g = df.groupBy(s.alias("score")).agg(
-        F.count("*").alias("__tot"),
-        F.sum(positive.cast("long")).alias("__pos"),
-    )
-    cum = global_cumsum(g, [F.col("score").asc()], ["__tot", "__pos"])
-    totals = df.agg(
-        F.count("*").alias("__n_all"),
-        F.sum(positive.cast("long")).alias("__p_all"),
-    )
-    pos_below = F.col("cum___pos") - F.col("__pos")
-    tp = F.col("__p_all") - pos_below
-    fp = (F.col("__n_all") - F.col("__p_all")) - (
-        (F.col("cum___tot") - F.col("__tot")) - pos_below
-    )
     prod = "CAST(__pos AS DECIMAL(38,0)) * CAST(__tp AS DECIMAL(38,0))"
     den = "CAST(__tp + __fp AS DECIMAL(38,0))"
     term = F.expr(
         f"CAST(({prod}) DIV ({den}) AS DECIMAL(38,0)) * {_AP_SCALE}"
         f" + (CAST(({prod}) % ({den}) AS DECIMAL(38,0)) * {_AP_SCALE}) DIV ({den})"
     )
-    per_score = (
-        cum.crossJoin(F.broadcast(totals))
-        .select(
-            "__pos",
-            tp.cast("long").alias("__tp"),
-            fp.cast("long").alias("__fp"),
-            F.col("__p_all"),
-            F.col("__n_all"),
-        )
-        .select("__p_all", "__n_all", term.cast("decimal(38,0)").alias("__term"))
+    per_score = _curve_counts(df, score_col, positive).select(
+        "__p_all", "__n_all", term.cast("decimal(38,0)").alias("__term")
     )
     agg = per_score.groupBy("__n_all", "__p_all").agg(
         F.sum("__term").alias("__sum_q")

@@ -213,6 +213,10 @@ def bm25_scores_fused(
     100 TB steady state — query work ∝ the query terms' postings);
     use this form for ad-hoc scoring straight off the text."""
     uniq = sorted({t.lower() for t in terms})
+    if not uniq:
+        # same guard as the index path (_terms_df) — without it the
+        # empty per-term loop leaves score=None and dies AttributeError
+        raise ValueError("search needs at least one term")
     ex = spread(docs).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
     )

@@ -9112,7 +9112,9 @@ def _bpe_train_oracle(n_merges: int, min_freq: int = 2) -> str:
     per-iteration CTE is AS MATERIALIZED: DuckDB inlines CTEs by
     default and the reference chain re-evaluates EXPONENTIALLY in
     n_merges otherwise (measured: 0.3 s at 3 iterations, 9 s at 4;
-    linear when materialized)."""
+    linear when materialized). ORACLE-SCALE BOUND: words index to 64
+    symbols (generate_series) — this corpus's max word is 8 chars;
+    raise before pointing the oracle at longer words."""
     sql = """
 WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
@@ -9339,7 +9341,12 @@ def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
     applied to the distinct-word vocab, then the corpus joins the
     encoded vocab and indexes symbols by generate_series (this DuckDB
     has no WITH ORDINALITY). MATERIALIZED per-level CTEs for the same
-    inlining reason."""
+    inlining reason. ORACLE-SCALE BOUNDS (like m_audio_fingerprint's
+    300-sample series): documents are indexed to 512 whitespace tokens
+    and words to 64 symbols — far above this testdata's maxima (≤ ~100
+    tokens, 8-char words) but a bound to RAISE before pointing the
+    oracle at a corpus that exceeds it, or the oracle silently drops
+    tails the Spark side keeps."""
     sql = """
 WITH split AS MATERIALIZED (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS arr
@@ -9406,7 +9413,8 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded vocab once through a broadcast word join, emitting
     deterministic (doc_id, word_pos, sym_pos, token) rows. The oracle
     replays the fixed merges with the proven run-parity SQL recipe and
-    joins/unnests WITH ORDINALITY."""
+    indexes positions via generate_series (bounds documented on
+    :func:`_bpe_encode_oracle`)."""
     return text.bpe_encode(_t(spark, sf_dir, "documents"), _ENC_MERGES)
 
 

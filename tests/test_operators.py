@@ -2622,6 +2622,7 @@ def test_bpe_train_matches_python_reference(spark):
         "lower lower newer newer newer newer",
         "newest newest widest",
         "aaa aaab banana",
+        "LOW Newer",  # uppercase words: the operator lowercases FIRST
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
     got = [
@@ -2629,10 +2630,16 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train(df, n_merges=8, min_freq=2).orderBy("iteration").collect()
     ]
 
+    # mirror the operator's pre-tokenizer exactly: LOWERCASE FIRST,
+    # then the ASCII [a-z]{2,} word filter (isalpha()-then-compare
+    # would drop uppercase words the operator keeps, and admit
+    # non-ASCII letters the operator's regex rejects)
+    import re as _re
+
     wf = {}
     for t in docs:
-        for w in t.split():
-            if w.isalpha() and len(w) >= 2 and w == w.lower():
+        for w in t.lower().split():
+            if _re.fullmatch("[a-z]{2,}", w):
                 wf[w] = wf.get(w, 0) + 1
     want = _bpe_reference(wf, 8, min_freq=2)
     assert got == want and len(got) >= 5
@@ -2828,8 +2835,10 @@ def test_bpe_train_duckdb_twin(spark):
 def test_calibration_bins_duckdb_twin(spark):
     """calibration_bins == the DuckDB twin (the r12 oracle recipe) on
     scores hitting every edge: exact bin boundaries (0.0, 0.5, 1.0),
-    out-of-range clamps (-0.1, 1.3), a singleton bin, and mixed
-    labels. Quantized-integer mean sums make the match exact."""
+    out-of-range clamps (-0.1, 1.3), a singleton bin, mixed labels,
+    and a NULL score — which must be EXCLUDED, not silently clamped
+    into the top bin (least/greatest skip NULL arguments).
+    Quantized-integer mean sums make the match exact."""
     import duckdb
 
     from fabrix_spark.operators.metrics import calibration_bins
@@ -2837,7 +2846,7 @@ def test_calibration_bins_duckdb_twin(spark):
     rows = [
         (0.0, False), (0.05, False), (0.12, True), (0.5, True),
         (0.55, False), (0.9999, True), (1.0, True), (-0.1, False),
-        (1.3, True), (0.123456, False), (0.51, True),
+        (1.3, True), (0.123456, False), (0.51, True), (None, True),
     ]
     df = spark.createDataFrame(rows, "score double, pos boolean")
     got = sorted(
@@ -2853,7 +2862,7 @@ def test_calibration_bins_duckdb_twin(spark):
 WITH binned AS (
   SELECT greatest(0, least(CAST(floor(score * 10) AS INTEGER), 9)) AS bin,
          score, pos
-  FROM scored
+  FROM scored WHERE score IS NOT NULL
 ),
 agg AS (
   SELECT bin, count(*) AS n,
@@ -2886,6 +2895,7 @@ def test_roc_points_duckdb_twin(spark):
     rows = [
         (0.1, False), (0.4, False), (0.4, True), (0.7, True), (0.2, False),
         (0.4, False), (0.9, True), (0.9, False), (0.3, True), (0.1, True),
+        (None, True),  # unscored row: EXCLUDED from the ranking metric
     ]
     df = spark.createDataFrame(rows, "score double, pos boolean")
     out = roc_points(df, "score", F.col("pos")).orderBy("score").collect()
@@ -2897,17 +2907,18 @@ def test_roc_points_duckdb_twin(spark):
     want = [
         tuple(r)
         for r in con.execute("""
-WITH g AS (
+WITH sc AS (SELECT score, pos FROM scored WHERE score IS NOT NULL),
+g AS (
   SELECT score, count(*) AS tot,
          sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos
-  FROM scored GROUP BY 1
+  FROM sc GROUP BY 1
 ),
 cum AS (
   SELECT score, tot, pos,
          sum(tot) OVER (ORDER BY score) AS cum_tot,
          sum(pos) OVER (ORDER BY score) AS cum_pos,
-         (SELECT count(*) FROM scored) AS n_all,
-         (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) FROM scored) AS p_all
+         (SELECT count(*) FROM sc) AS n_all,
+         (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) FROM sc) AS p_all
   FROM g
 )
 SELECT score,
@@ -3017,10 +3028,12 @@ def test_pr_points_and_average_precision_duckdb_twin(spark):
     rows = [
         (0.1, False), (0.4, False), (0.4, True), (0.7, True), (0.2, False),
         (0.4, False), (0.9, True), (0.9, False), (0.3, True), (0.1, True),
+        (None, False),  # unscored row: excluded from both metrics
     ]
     df = spark.createDataFrame(rows, "score double, pos boolean")
     got_pr = [tuple(r) for r in pr_points(df, "score", F.col("pos")).orderBy("score").collect()]
     got_ap = average_precision(df, "score", F.col("pos")).collect()[0]
+    rows = [r for r in rows if r[0] is not None]
 
     con = duckdb.connect()
     con.execute("CREATE TABLE scored(score DOUBLE, pos BOOLEAN)")
@@ -3234,13 +3247,15 @@ def test_staged_queries_oracle_parity(spark, sf_dir):
     semantics the driver gate uses — so promotion to the live registry
     is a decorator swap, not new verification work."""
     import importlib.util
+    import pathlib
 
     import duckdb
 
     from fabrix_spark.queries import STAGED
 
     spec = importlib.util.spec_from_file_location(
-        "verify_local", "/root/repo/tools/verify_local.py"
+        "verify_local",
+        str(pathlib.Path(__file__).resolve().parent.parent / "tools" / "verify_local.py"),
     )
     vl = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(vl)
@@ -3268,6 +3283,7 @@ def test_auc_by_group_matches_pairwise(spark):
         ("a", 0.1, True), ("a", 0.4, False), ("a", 0.4, True), ("a", 0.9, False),
         ("b", 0.2, True), ("b", 0.3, True), ("b", 0.1, False),
         ("c", 0.5, True), ("c", 0.7, True),          # single-class
+        ("a", None, True),                           # unscored: excluded
     ]
     df = spark.createDataFrame(rows, "seg string, score double, pos boolean")
     got = {
@@ -3275,8 +3291,8 @@ def test_auc_by_group_matches_pairwise(spark):
         for r in auc_by_group(df, "score", F.col("pos"), ["seg"]).collect()
     }
     for seg in ("a", "b"):
-        pos = [s for g, s, p in rows if g == seg and p]
-        neg = [s for g, s, p in rows if g == seg and not p]
+        pos = [s for g, s, p in rows if g == seg and p and s is not None]
+        neg = [s for g, s, p in rows if g == seg and not p and s is not None]
         want = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg) / (
             len(pos) * len(neg)
         )
@@ -3295,12 +3311,15 @@ def test_standardize_by_group_matches_global_per_slice(spark):
         ("en", 1, 10), ("en", 2, 20), ("en", 3, 60),
         ("fr", 4, 5), ("fr", 5, 7),
         ("zh", 6, 9), ("zh", 7, 9),   # constant -> z NULL, minmax NULL
+        (None, 8, 100), (None, 9, 300),  # NULL group key: kept, own stats
     ]
     df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
-    got = {
-        r["doc_id"]: (r["z"], r["minmax"])
-        for r in standardize(df, "n", by=["lang"]).collect()
-    }
+    out = standardize(df, "n", by=["lang"]).collect()
+    assert len(out) == len(rows)  # null-safe join: no silent row loss
+    got = {r["doc_id"]: (r["z"], r["minmax"]) for r in out}
+    # the NULL-lang pair standardizes within ITS OWN group
+    assert abs(got[8][0] + 2 ** -0.5) < 1e-12 and got[8][1] == 0.0
+    assert abs(got[9][0] - 2 ** -0.5) < 1e-12 and got[9][1] == 1.0
     for lang in ("en", "fr", "zh"):
         alone = {
             r["doc_id"]: (r["z"], r["minmax"])
@@ -3317,14 +3336,19 @@ def test_quantile_bins_by_group_matches_global_per_slice(spark):
     ties share a bin within their group."""
     from fabrix_spark.operators.features import quantile_bins
 
-    rows = [("en", i, v) for i, v in enumerate([1, 2, 2, 3, 50, 60, 70, 80])] + [
-        ("fr", 100 + i, v) for i, v in enumerate([5, 5, 5, 9])
-    ]
+    rows = (
+        [("en", i, v) for i, v in enumerate([1, 2, 2, 3, 50, 60, 70, 80])]
+        + [("fr", 100 + i, v) for i, v in enumerate([5, 5, 5, 9])]
+        + [(None, 200, 1), (None, 201, 2)]  # NULL group key: kept
+        + [("de", 300, None)]  # all-NULL-value group: kept with bin 1
+    )
     df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
-    got = {
-        r["doc_id"]: r["bin"]
-        for r in quantile_bins(df, "n", 4, by=["lang"]).collect()
-    }
+    out = quantile_bins(df, "n", 4, by=["lang"]).collect()
+    assert len(out) == len(rows)  # null-safe LEFT join: no row loss
+    got = {r["doc_id"]: r["bin"] for r in out}
+    # NULL group bins its own {1,2}: bounds (1,1,2) -> bins 1 and 3
+    assert got[200] == 1 and got[201] == 3
+    assert got[300] == 1  # matches the global path's NULL-value bin
     for lang in ("en", "fr"):
         alone = {
             r["doc_id"]: r["bin"]
@@ -3372,3 +3396,13 @@ def test_bpe_train_early_stop_matches_twin(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
     want = [tuple(r) for r in con.execute(_bpe_twin_sql(8)).fetchall()]
     assert got == want and len(got) == 3
+
+
+def test_bm25_fused_empty_terms_raises(spark):
+    """The fused path keeps the index path's empty-terms guard instead
+    of dying with AttributeError from the never-run term loop."""
+    from fabrix_spark.operators.search import bm25_scores_fused
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_scores_fused(df, [])

@@ -42,6 +42,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_encode",
     "bpe_train",
+    "canonical_url",
     "bpe_apply_merge",
 ]
 
@@ -754,6 +755,59 @@ def bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+#: query parameters that never affect content — the standard crawler
+#: strip list (Google Analytics & click-id trackers)
+_TRACKING_PARAM_PREFIXES = ("utm_", "gclid=", "fbclid=", "msclkid=", "mc_eid=")
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawler-standard URL canonicalization as one JVM expression —
+    the normalize-before-dedup step of every web-curation pipeline:
+
+    - scheme and host lowercased (path/query case preserved);
+    - fragment stripped;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - tracking parameters removed (``utm_*`` and click-ids);
+    - remaining query parameters SORTED (binary order) so
+      ``?b=2&a=1`` and ``?a=1&b=2`` collapse;
+    - empty query dropped entirely; an empty path becomes ``/``.
+
+    Built-in functions only (substring_index / filter / array_sort /
+    array_join) — no UDF, fully pushdown-safe, and every step has an
+    ANSI-SQL twin, so canonicalized keys hash-verify cross-engine."""
+    no_frag = F.substring_index(url, "#", 1)
+    pre = F.substring_index(no_frag, "?", 1)
+    query = F.when(
+        F.instr(no_frag, "?") > 0,
+        no_frag.substr(F.instr(no_frag, "?") + F.lit(1), F.length(no_frag)),
+    )
+    scheme = F.lower(F.substring_index(pre, "://", 1))
+    hostpath = F.substring_index(pre, "://", -1)
+    host = F.lower(F.substring_index(hostpath, "/", 1))
+    path = F.when(
+        F.instr(hostpath, "/") > 0,
+        hostpath.substr(F.instr(hostpath, "/"), F.length(hostpath)),
+    ).otherwise(F.lit("/"))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+
+    def _keep(p: Column) -> Column:
+        dropped = p == ""
+        for pre_ in _TRACKING_PARAM_PREFIXES:
+            dropped = dropped | p.startswith(pre_)
+        return ~dropped
+
+    kept = F.filter(F.split(query, "&"), _keep)
+    cq = F.array_join(F.array_sort(kept), "&")
+    tail = F.when(
+        query.isNotNull() & (F.size(kept) > 0), F.concat(F.lit("?"), cq)
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, tail)
 
 
 def bpe_encode(

@@ -9199,6 +9199,77 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "t_url_canonical",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.COM:443/docs/' || lang
+           || '/' || doc_id || '?utm_source=feed&q=' || n_chars
+           || '&lang=' || lang || '#sec' AS url
+  FROM documents
+),
+s AS (SELECT doc_id, url, split_part(url, '#', 1) AS nf FROM u),
+parts AS (
+  SELECT doc_id, url, nf, split_part(nf, '?', 1) AS pre,
+         CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1) END AS query
+  FROM s
+),
+hp AS (
+  SELECT doc_id, url, query,
+         lower(split_part(pre, '://', 1)) AS scheme,
+         split_part(pre, '://', 2) AS hostpath
+  FROM parts
+),
+comp AS (
+  SELECT doc_id, url, query, scheme,
+         lower(split_part(hostpath, '/', 1)) AS host,
+         CASE WHEN strpos(hostpath, '/') > 0
+              THEN substr(hostpath, strpos(hostpath, '/')) ELSE '/' END AS path
+  FROM hp
+),
+ports AS (
+  SELECT doc_id, url, query, scheme, path,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+              ELSE host END AS host
+  FROM comp
+),
+params AS (
+  SELECT *, list_sort(list_filter(string_split(query, '&'),
+           p -> NOT (p = '' OR p LIKE 'utm_%' OR p LIKE 'gclid=%'
+                     OR p LIKE 'fbclid=%' OR p LIKE 'msclkid=%'
+                     OR p LIKE 'mc_eid=%'))) AS kept
+  FROM ports
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+       CASE WHEN query IS NOT NULL AND len(kept) > 0
+            THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical
+FROM params
+""",
+)
+def t_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-standard URL canonicalization (text.canonical_url) over
+    deliberately messy synthesized URLs — mixed-case scheme/host,
+    default :443 port, a utm_ tracking parameter, unsorted params, and
+    a fragment. The normalize-before-dedup step of web curation; one
+    map-only pass of built-in string/array functions, the oracle
+    rebuilding every step in ANSI SQL."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper(F.col("source")), F.lit(".Example.COM:443/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&q="), F.col("n_chars").cast("string"),
+        F.lit("&lang="), F.col("lang"), F.lit("#sec"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        text.canonical_url(url).alias("canonical"),
+    )
+
+
+@stage(
     "fe_standardize_by_lang",
     oracle="""
 WITH s AS (

@@ -3406,3 +3406,79 @@ def test_bm25_fused_empty_terms_raises(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="at least one term"):
         bm25_scores_fused(df, [])
+
+
+def test_canonical_url_cases_and_duckdb_twin(spark):
+    """canonical_url over the crawler edge cases — mixed-case
+    scheme/host, default ports, fragments, tracking params, unsorted
+    params, empty query, bare host — plus a DuckDB SQL twin of the
+    whole expression (the r12 oracle recipe for URL dedup keys)."""
+    import duckdb
+
+    from fabrix_spark.operators.text import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://Example.COM:443/a/b?b=2&a=1#frag", "https://example.com/a/b?a=1&b=2"),
+        ("http://Example.com:80/", "http://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("https://h.io/p?utm_source=x&a=1&utm_medium=y", "https://h.io/p?a=1"),
+        ("https://h.io/p?gclid=abc&fbclid=def", "https://h.io/p"),
+        ("https://h.io/p?", "https://h.io/p"),
+        ("https://h.io:8443/p?z=1", "https://h.io:8443/p?z=1"),  # non-default port kept
+        ("http://a.b/path/With/Case?Q=V", "http://a.b/path/With/Case?Q=V"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls(i BIGINT, url VARCHAR)")
+    for i, (u, _) in enumerate(cases):
+        con.execute("INSERT INTO urls VALUES (?, ?)", [i, u])
+    twin = {
+        i: c
+        for i, c in con.execute("""
+WITH s AS (
+  SELECT i, split_part(url, '#', 1) AS nf FROM urls
+),
+parts AS (
+  SELECT i, nf, split_part(nf, '?', 1) AS pre,
+         CASE WHEN strpos(nf, '?') > 0 THEN substr(nf, strpos(nf, '?') + 1) END AS query
+  FROM s
+),
+hp AS (
+  SELECT i, query,
+         lower(split_part(pre, '://', 1)) AS scheme,
+         split_part(pre, '://', 2) AS hostpath
+  FROM parts
+),
+comp AS (
+  SELECT i, query, scheme,
+         lower(split_part(hostpath, '/', 1)) AS host,
+         CASE WHEN strpos(hostpath, '/') > 0
+              THEN substr(hostpath, strpos(hostpath, '/')) ELSE '/' END AS path
+  FROM hp
+),
+ports AS (
+  SELECT i, query, scheme, path,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+              ELSE host END AS host
+  FROM comp
+),
+params AS (
+  SELECT *, list_sort(list_filter(string_split(query, '&'),
+           p -> NOT (p = '' OR p LIKE 'utm_%' OR p LIKE 'gclid=%'
+                     OR p LIKE 'fbclid=%' OR p LIKE 'msclkid=%'
+                     OR p LIKE 'mc_eid=%'))) AS kept
+  FROM ports
+)
+SELECT i, scheme || '://' || host || path ||
+       CASE WHEN query IS NOT NULL AND len(kept) > 0
+            THEN '?' || array_to_string(kept, '&') ELSE '' END AS c
+FROM params
+""").fetchall()
+    }
+    assert twin == got

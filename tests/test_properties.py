@@ -522,3 +522,36 @@ def test_roc_pr_ap_fuzz_brute_force(spark, rows):
             want += (tp / P - prev_r) * (tp / (tp + fp))
             prev_r = tp / P
         assert abs(got["ap"] - want) < 1e-9
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    host=st.sampled_from(["Ex.COM", "ex.com", "A.b.C", "ex.com:443", "ex.com:8080"]),
+    path=st.sampled_from(["", "/", "/P/q", "/a//b"]),
+    params=st.lists(
+        st.sampled_from(["a=1", "B=2", "utm_source=x", "gclid=9", "z=", ""]),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#f", "#a?b=1"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_canonical_url_idempotent_fuzz(spark, scheme, host, path, params, frag):
+    """canonical_url is IDEMPOTENT over generated http(s) URLs —
+    canonicalizing a canonical URL is a no-op (the property a dedup
+    key must have), and the output is always non-null and
+    fragment-free."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.text import canonical_url
+
+    url = f"{scheme}://{host}{path}"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    once, twice = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()[0]
+    assert once is not None and once == twice
+    assert "#" not in once and "utm_" not in once and "gclid" not in once

@@ -454,6 +454,10 @@ def main() -> None:
         ("ml_average_precision", run_staged("ml_average_precision"), None),
         ("t_bpe_encode", run_staged("t_bpe_encode"), None),
         ("m_audio_fingerprint", run_staged("m_audio_fingerprint"), None),
+        ("t_url_canonical", run_staged("t_url_canonical"), None),
+        ("ml_auc_by_segment", run_staged("ml_auc_by_segment"), None),
+        ("fe_standardize_by_lang", run_staged("fe_standardize_by_lang"), None),
+        ("fe_quantile_bins_by_lang", run_staged("fe_quantile_bins_by_lang"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -180,6 +180,7 @@ def calibration_bins(
     positive: Column,
     n_bins: int = 10,
     quantize: int = 1_000_000,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Reliability-diagram bins over probability scores in [0, 1] —
     the calibration check run after :func:`auc_one_vs_rest`. ONE
@@ -194,21 +195,26 @@ def calibration_bins(
     result hash-verifies. NULL scores are EXCLUDED — without the
     filter, Spark's least/greatest SKIP null arguments, so an unscored
     row would silently land in the TOP bin and corrupt its mean and
-    positive rate. Returns one row per non-empty bin:
-    (bin, bin_lo, bin_hi, n, n_pos, mean_score, frac_pos)."""
+    positive rate. With ``by``, bins are computed per group — the
+    sliced reliability check that pairs with :func:`auc_by_group`
+    (still ONE aggregate; the shuffle key just widens to
+    (group..., bin)). Returns one row per non-empty bin:
+    (by..., bin, bin_lo, bin_hi, n, n_pos, mean_score, frac_pos)."""
+    by = by or []
     s = F.col(score_col).cast("double")
     b = F.greatest(
         F.lit(0), F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
     )
     out = (
         df.where(s.isNotNull())
-        .groupBy(b.alias("bin"))
+        .groupBy(*by, b.alias("bin"))
         .agg(
             F.count("*").alias("n"),
             F.sum(positive.cast("long")).alias("n_pos"),
             F.sum(F.round(s * quantize).cast("decimal(38,0)")).alias("__sq"),
         )
         .select(
+            *by,
             "bin",
             (F.col("bin").cast("double") / n_bins).alias("bin_lo"),
             ((F.col("bin") + 1).cast("double") / n_bins).alias("bin_hi"),

@@ -3482,3 +3482,29 @@ FROM params
 """).fetchall()
     }
     assert twin == got
+
+
+def test_calibration_bins_by_group_matches_per_slice(spark):
+    """calibration_bins(by=[g]) == calibration_bins() on each group's
+    rows alone — still one aggregate, keyed by (group, bin)."""
+    from fabrix_spark.operators.metrics import calibration_bins
+
+    rows = [
+        ("a", 0.05, False), ("a", 0.12, True), ("a", 0.95, True),
+        ("b", 0.05, True), ("b", 0.55, False), ("b", None, True),
+    ]
+    df = spark.createDataFrame(rows, "seg string, score double, pos boolean")
+    got = {
+        (r["seg"], r["bin"]): tuple(r)[1:]
+        for r in calibration_bins(df, "score", F.col("pos"), n_bins=10, by=["seg"]).collect()
+    }
+    for seg in ("a", "b"):
+        alone = {
+            (seg, r["bin"]): tuple(r)
+            for r in calibration_bins(
+                df.filter(F.col("seg") == seg), "score", F.col("pos"), n_bins=10
+            ).collect()
+        }
+        for k, v in alone.items():
+            assert got[k] == v, k
+    assert len(got) == 5  # b's NULL-score row excluded, not a 6th bin

@@ -49,10 +49,14 @@ from fabrix_spark import queries as _q  # noqa: E402
 # fused one-shuffle BM25 — bit-identical, but a full plan rewrite)
 # + the 3 canaries = 6 slots, leaving 44 — the staleness ordering
 # fronts the entire r6 cohort into them. Expected after this round:
-# no entry's last-green < r7. Two more bit-identical arithmetic
-# fixes (ml_auc's decimal product, ntile's integer division) are
-# covered by local 3-SF verification + pytest equality pins rather
-# than window slots.
+# no entry's last-green < r7. Further bit-identical-on-driver-data
+# fixes (ml_auc's decimal product + NULL-score exclusion, ntile's
+# integer division, the fe_ group-mode refactor of standardize/
+# quantile_bins' shared code paths) are covered by local 3-SF
+# verification + pytest equality pins rather than window slots: the
+# affected registry entries re-verified green against their oracles
+# after each change (none of the driver datasets contain the NULL
+# scores / NULL group keys the fixes address).
 _VERIFY_FIRST = [
     # changed in round 11 (re-verify under the new oracle/plan)
     "prof_skew_report",

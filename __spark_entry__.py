@@ -37,31 +37,29 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-11 state: ZERO new queries by design —
-# the round-10 verdict's drain plan. The last-green histogram after
-# round 10 is r6×44, r7×45, r8×46, r9×45, r10×50: the 44-query r6
-# cohort sits exactly at the ≤4-round staleness limit, so round 11
-# spends its whole window on it. Head = the 3 queries whose
-# oracle/implementation changed this round (prof_skew_report's
-# arg-max pad widened to full int64 19 digits in both engines;
-# m_image_neardup's oracle now measures the re-encoded row's byte
-# length on the re-encoded bytes; t_bm25_search rewritten onto the
-# fused one-shuffle BM25 — bit-identical, but a full plan rewrite)
-# + the 3 canaries = 6 slots, leaving 44 — the staleness ordering
-# fronts the entire r6 cohort into them. Expected after this round:
-# no entry's last-green < r7. Further bit-identical-on-driver-data
-# fixes (ml_auc's decimal product + NULL-score exclusion, ntile's
-# integer division, the fe_ group-mode refactor of standardize/
-# quantile_bins' shared code paths) are covered by local 3-SF
-# verification + pytest equality pins rather than window slots: the
-# affected registry entries re-verified green against their oracles
-# after each change (none of the driver datasets contain the NULL
-# scores / NULL group keys the fixes address).
+# staleness-ordered tail. Round-12 state: the last-green histogram
+# after round 11 is r7×45, r8×46, r9×45, r10×44, r11×50, so the
+# 45-query r7 cohort sits exactly at the staleness limit. Window math:
+# 2 promotions (never driver-checked) + 3 canaries + the 45-query r7
+# cohort = 50 — the whole cohort drains in one window, per the
+# round-11 verdict's plan. Promotions this round: t_bpe_encode (the
+# near-linear corpus-pass tokenizer — the curve that matters at
+# 100 TB) and m_audio_fingerprint (the only mapInPandas binary-codec
+# path with a driver-checkable oracle); both verified locally at all
+# three SFs since r11. One contract change rides on pytest + local
+# 3-SF re-verification instead of a window slot: ml_threshold_metrics
+# now excludes NULL scores on BOTH sides (no driver dataset contains
+# a NULL events.value, so the driver result is bit-identical).
+# Expected after this round: no entry's last-green < r8. Capacity
+# policy at 232 registry queries is documented in COVERAGE.md
+# ("Registry growth policy"): a 50-slot window re-verifies the whole
+# registry in ceil((232-3)/47) = 5 rounds, so the staleness promise is
+# ≤5 rounds (was ≤4 at 230; arithmetic, not drift), with additions
+# capped so cohort drains always fit one window.
 _VERIFY_FIRST = [
-    # changed in round 11 (re-verify under the new oracle/plan)
-    "prof_skew_report",
-    "m_image_neardup",
-    "t_bm25_search",
+    # promoted from STAGED this round (first driver verification)
+    "t_bpe_encode",
+    "m_audio_fingerprint",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -50,31 +50,43 @@ OFFSET_JOIN_THRESHOLD = 4096
 
 
 def _offset_expr_or_join(
-    s: DataFrame, pid_col: Column, offsets: list[tuple[int, int]], mode: str
-) -> tuple[DataFrame, Column]:
-    """Attach the cumulative per-partition ``offsets`` (pid → offset)
-    to ``s`` either as an inlined literal map lookup (``mode='map'``)
-    or a broadcast join on the partition id (``mode='join'``;
-    ``'auto'`` switches on :data:`OFFSET_JOIN_THRESHOLD`). Returns the
-    (possibly joined) frame and the offset Column. Both paths are
-    value-identical; the join path keeps the consumer plan O(1) in the
-    partition count."""
+    s: DataFrame,
+    pid_col: Column,
+    offsets: list[tuple[int, tuple[int, ...]]],
+    n_cols: int,
+    mode: str,
+) -> tuple[DataFrame, list[Column]]:
+    """Attach cumulative per-partition offsets — rows of
+    ``(pid, (off_col0, off_col1, …))`` — to ``s`` either as inlined
+    literal map lookups (``mode='map'``) or ONE broadcast join on the
+    partition id carrying all columns (``mode='join'``; ``'auto'``
+    switches on :data:`OFFSET_JOIN_THRESHOLD`). Returns the (possibly
+    joined) frame and one offset Column per value column. Both paths
+    are value-identical; the join path keeps the consumer plan O(1)
+    in the partition count. This is the SINGLE policy site —
+    :func:`global_rank` (one column) and :func:`global_cumsum` (many)
+    both route through it, so the threshold cannot drift."""
     if mode == "auto":
         mode = "join" if len(offsets) > OFFSET_JOIN_THRESHOLD else "map"
     if not offsets:
-        return s, F.lit(0)
+        return s, [F.lit(0)] * n_cols
     if mode == "map":
-        entries: list[Column] = []
-        for p, off in offsets:
-            entries.extend((F.lit(int(p)), F.lit(int(off))))
-        return s, F.create_map(*entries)[pid_col]
+        exprs: list[Column] = []
+        for ci in range(n_cols):
+            entries: list[Column] = []
+            for p, offs in offsets:
+                entries.extend((F.lit(int(p)), F.lit(int(offs[ci]))))
+            exprs.append(F.create_map(*entries)[pid_col])
+        return s, exprs
+    off_cols = [f"__fx_off_{ci}__" for ci in range(n_cols)]
     off_df = s.sparkSession.createDataFrame(
-        [(int(p), int(off)) for p, off in offsets], "__fx_opid__ long, __fx_off__ long"
+        [(int(p), *[int(o) for o in offs]) for p, offs in offsets],
+        ", ".join(["__fx_opid__ long"] + [f"{c} long" for c in off_cols]),
     )
     joined = s.withColumn("__fx_opid__", pid_col.cast("long")).join(
         F.broadcast(off_df), "__fx_opid__", "left"
     )
-    return joined, F.coalesce(F.col("__fx_off__"), F.lit(0))
+    return joined, [F.coalesce(F.col(c), F.lit(0)) for c in off_cols]
 
 
 def global_rank(
@@ -114,18 +126,18 @@ def global_rank(
         (r["__pid"], r["__cnt"])
         for r in s.groupBy(pid).agg(F.count("*").alias("__cnt")).collect()
     )
-    offsets: list[tuple[int, int]] = []
+    offsets: list[tuple[int, tuple[int, ...]]] = []
     total = 0
     for p, c in counts:
-        offsets.append((int(p), total))
+        offsets.append((int(p), (total,)))
         total += c
-    s, offset = _offset_expr_or_join(
-        s, F.shiftright(F.col(_MONO), 33), offsets, offsets_via
+    s, (offset,) = _offset_expr_or_join(
+        s, F.shiftright(F.col(_MONO), 33), offsets, 1, offsets_via
     )
     local = F.col(_MONO).bitwiseAND(F.lit(_LOW33))
     return (
         s.withColumn(rank_col, (offset + local + 1).cast("long")).drop(
-            _MONO, "__fx_opid__", "__fx_off__"
+            _MONO, "__fx_opid__", "__fx_off_0__"
         ),
         total,
     )
@@ -177,36 +189,15 @@ def global_cumsum(
         .agg(*[F.sum(c).alias(f"__t_{c}") for c in value_cols])
         .collect()
     )
-    mode = offsets_via
-    if mode == "auto":
-        mode = "join" if len(totals) > OFFSET_JOIN_THRESHOLD else "map"
-    offset_exprs: list[Column]
-    if not totals:
-        offset_exprs = [F.lit(0) for _ in value_cols]
-    elif mode == "map":
-        offset_exprs = []
+    offsets: list[tuple[int, tuple[int, ...]]] = []
+    runs = [0] * len(value_cols)
+    for p, tot in totals:
+        offsets.append((int(p), tuple(runs)))
         for ci in range(len(value_cols)):
-            entries: list[Column] = []
-            run = 0
-            for p, tot in totals:
-                entries.extend((F.lit(int(p)), F.lit(run)))
-                run += int(tot[ci] or 0)
-            offset_exprs.append(F.create_map(*entries)[F.col("__fx_pid__")])
-    else:
-        rows = []
-        runs = [0] * len(value_cols)
-        for p, tot in totals:
-            rows.append((int(p), *[int(r) for r in runs]))
-            for ci in range(len(value_cols)):
-                runs[ci] += int(tot[ci] or 0)
-        off_cols = [f"__fx_off_{ci}__" for ci in range(len(value_cols))]
-        off_df = s.sparkSession.createDataFrame(
-            rows, ", ".join(["__fx_pid__ long"] + [f"{c} long" for c in off_cols])
-        )
-        s = s.withColumn("__fx_pid__", F.col("__fx_pid__").cast("long")).join(
-            F.broadcast(off_df), "__fx_pid__", "left"
-        )
-        offset_exprs = [F.coalesce(F.col(c), F.lit(0)) for c in off_cols]
+            runs[ci] += int(tot[ci] or 0)
+    s, offset_exprs = _offset_expr_or_join(
+        s, F.col("__fx_pid__"), offsets, len(value_cols), offsets_via
+    )
     w = (
         Window.partitionBy("__fx_pid__")
         .orderBy(*order)
@@ -218,7 +209,9 @@ def global_cumsum(
             f"{prefix}{c}", (offset_exprs[ci] + F.sum(c).over(w)).cast("long")
         )
     return out.drop(
-        "__fx_pid__", *[f"__fx_off_{ci}__" for ci in range(len(value_cols))]
+        "__fx_pid__",
+        "__fx_opid__",
+        *[f"__fx_off_{ci}__" for ci in range(len(value_cols))],
     )
 
 

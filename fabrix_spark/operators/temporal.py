@@ -334,17 +334,17 @@ def resample_interpolate(
         .withColumn("__prev", F.last(pair, ignorenulls=True).over(w_prev))
         .withColumn("__next", F.first(pair, ignorenulls=True).over(w_next))
     )
-    t_ms = F.unix_micros(ts)
-    v0, t0 = F.col("__prev.v"), F.col("__prev.t")
-    v1, t1 = F.col("__next.v"), F.col("__next.t")
+    t_us = F.unix_micros(ts)
+    v0, t0_us = F.col("__prev.v"), F.col("__prev.t")
+    v1, t1_us = F.col("__next.v"), F.col("__next.t")
     interp = (
         F.when(F.col("__prev").isNull(), F.lit(None).cast("double"))
-        .when(t_ms == t0, v0)
+        .when(t_us == t0_us, v0)
         .when(F.col("__next").isNull(), F.lit(None).cast("double"))
         .otherwise(
             v0
             + (v1 - v0)
-            * ((t_ms - t0).cast("double") / (t1 - t0).cast("double"))
+            * ((t_us - t0_us).cast("double") / (t1_us - t0_us).cast("double"))
         )
     )
     return (

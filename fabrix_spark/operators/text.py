@@ -774,6 +774,15 @@ def canonical_url(url: Column) -> Column:
       ``?b=2&a=1`` and ``?a=1&b=2`` collapse;
     - empty query dropped entirely; an empty path becomes ``/``.
 
+    PRECONDITION: the input must be an absolute URL carrying a
+    ``://`` scheme separator. Schemeless/relative inputs (real crawl
+    tables contain them) pass through UNCHANGED — without the guard,
+    ``substring_index(pre, '://', 1)`` would return the whole string
+    as the "scheme" and emit a corrupted duplicated key, so two
+    spellings of one relative URL would no longer collapse. Callers
+    wanting to canonicalize relative links should resolve them against
+    a base URL first. NULL in → NULL out.
+
     Built-in functions only (substring_index / filter / array_sort /
     array_join) — no UDF, fully pushdown-safe, and every step has an
     ANSI-SQL twin, so canonicalized keys hash-verify cross-engine."""
@@ -807,7 +816,13 @@ def canonical_url(url: Column) -> Column:
     tail = F.when(
         query.isNotNull() & (F.size(kept) > 0), F.concat(F.lit("?"), cq)
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, tail)
+    # schemeless guard: no '://' before the first '?'/'#' → not an
+    # absolute URL → pass through (a '://' inside a query parameter or
+    # fragment, e.g. '/redirect?to=http://x', does not make the input
+    # absolute; see PRECONDITION above; fuzzed in test_properties)
+    return F.when(F.instr(pre, "://") == 0, url).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, tail)
+    )
 
 
 def bpe_encode(

@@ -8595,7 +8595,8 @@ a AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
          CAST(count(*) AS BIGINT) AS n
-  FROM events CROSS JOIN t GROUP BY threshold
+  FROM (SELECT * FROM events WHERE value IS NOT NULL) events
+  CROSS JOIN t GROUP BY threshold
 )
 SELECT threshold, tp, fp, pos - tp AS fn, n - pos - fp AS tn,
        CASE WHEN tp + fp > 0
@@ -8808,15 +8809,18 @@ def e_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# staged queries (r12 candidates — NOT driver-visible)
+# staged queries (promotion candidates — NOT driver-visible)
 # ===========================================================================
 
-# The round-11 verification window is committed to draining the r6
-# evidence cohort (see __spark_entry__.py), so these ride with full
-# oracles but OUTSIDE the driver contract; promoting one to the live
-# registry is a one-line move of its @stage to @register. Parity is
-# pytest-pinned at sf0.001 (tests/test_operators.py staged-parity
-# tests) using tools/verify_local.py's exact compare.
+# The driver verification window is committed to draining the stalest
+# evidence cohort each round (see __spark_entry__.py), so new queries
+# ride here with full oracles but OUTSIDE the driver contract;
+# promoting one to the live registry is a one-line move of its @stage
+# to @register (the promotion schedule lives in COVERAGE.md). Parity
+# is pytest-pinned at sf0.001 (tests/test_operators.py staged-parity
+# tests) using tools/verify_local.py's exact compare. Round 12
+# promoted t_bpe_encode + m_audio_fingerprint out of the r11 batch of
+# twelve; the remaining ten stagger across r13+ per the window math.
 STAGED: dict[str, QueryDef] = {}
 
 
@@ -8837,8 +8841,9 @@ def stage(name: str, oracle: str | None = None, headline: bool = False):
     return deco
 
 
-@stage(
+@register(
     "m_audio_fingerprint",
+    headline=True,
     oracle="""
 WITH par AS (
   SELECT doc_id AS id, hex(encode(text)) AS hx,
@@ -9236,9 +9241,11 @@ ports AS (
 ),
 params AS (
   SELECT *, list_sort(list_filter(string_split(query, '&'),
-           p -> NOT (p = '' OR p LIKE 'utm_%' OR p LIKE 'gclid=%'
-                     OR p LIKE 'fbclid=%' OR p LIKE 'msclkid=%'
-                     OR p LIKE 'mc_eid=%'))) AS kept
+           p -> NOT (p = '' OR starts_with(p, 'utm_')
+                     OR starts_with(p, 'gclid=')
+                     OR starts_with(p, 'fbclid=')
+                     OR starts_with(p, 'msclkid=')
+                     OR starts_with(p, 'mc_eid=')))) AS kept
   FROM ports
 )
 SELECT doc_id, url,
@@ -9476,7 +9483,7 @@ WHERE i <= len(v.sym)
 """
 
 
-@stage("t_bpe_encode", oracle=_bpe_encode_oracle(_ENC_MERGES))
+@register("t_bpe_encode", oracle=_bpe_encode_oracle(_ENC_MERGES), headline=True)
 def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization with a fixed BPE merge table
     (text.bpe_encode — the inference half of t_bpe_train): merges

@@ -2494,6 +2494,35 @@ def test_threshold_metrics_brute_force(spark):
     assert r["precision"] is None and r["recall"] == 0.0
 
 
+def test_threshold_metrics_excludes_null_scores(spark):
+    """NULL-scored rows are excluded from EVERY count (module NULL
+    contract): adding unscored rows — positive and negative — leaves
+    tp/fp/fn/tn and the n implied by their sum unchanged, rather than
+    silently counting them as predicted-negatives in tn/fn."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.metrics import threshold_metrics
+
+    scored = [(0.2, True), (0.6, True), (0.8, False), (0.5, False), (0.9, True)]
+    with_nulls = scored + [(None, True), (None, False), (None, True)]
+    want = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_metrics(
+            spark.createDataFrame(scored, "score double, pos boolean"),
+            "score", F.col("pos"), [0.5, 0.95],
+        ).collect()
+    }
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_metrics(
+            spark.createDataFrame(with_nulls, "score double, pos boolean"),
+            "score", F.col("pos"), [0.5, 0.95],
+        ).collect()
+    }
+    assert got == want
+    assert sum(got[0.5]) == len(scored)
+
+
 def test_bfs_distances_frontier_semantics(spark):
     from fabrix_spark.operators.graph import bfs_distances, to_undirected
 
@@ -3299,6 +3328,44 @@ def test_auc_by_group_matches_pairwise(spark):
         assert abs(got[seg]["auc"] - want) < 1e-12, seg
         assert got[seg]["n_pos"] == len(pos) and got[seg]["n_neg"] == len(neg)
     assert got["c"]["auc"] is None and got["c"]["n_neg"] == 0
+
+
+def test_auc_by_group_global_cumsum_path(spark):
+    """via='global_cumsum' — the wide-segment path for low-cardinality
+    segmentation (2 skewed A/B arms here, one with many distinct raw
+    scores) — returns exactly the window path's rows, including a NULL
+    group key (the prefix-base join is NULL-safe) and a single-class
+    segment. This pins the scale contract in the docstring: same
+    values, no per-segment reducer."""
+    import random
+
+    from fabrix_spark.operators.metrics import auc_by_group
+
+    rnd = random.Random(12)
+    rows = [("A", rnd.random(), rnd.random() < 0.3) for _ in range(400)]
+    rows += [("B", rnd.choice([0.2, 0.5, 0.9]), rnd.random() < 0.7) for _ in range(23)]
+    rows += [(None, rnd.random(), rnd.random() < 0.5) for _ in range(31)]
+    rows += [("C", 0.4, True), ("C", 0.6, True)]     # single-class
+    rows += [("A", None, True)]                      # unscored: excluded
+    df = spark.createDataFrame(rows, "seg string, score double, pos boolean")
+
+    def _key(recs):
+        return sorted(
+            (
+                (r["seg"] or "", r["n"], r["n_pos"], r["n_neg"],
+                 -1.0 if r["auc"] is None else round(r["auc"], 12))
+                for r in recs
+            )
+        )
+
+    via_window = _key(auc_by_group(df, "score", F.col("pos"), ["seg"]).collect())
+    via_gcs = _key(
+        auc_by_group(
+            df, "score", F.col("pos"), ["seg"], via="global_cumsum"
+        ).collect()
+    )
+    assert via_gcs == via_window
+    assert len(via_gcs) == 4  # A, B, C, NULL segment all present
 
 
 def test_standardize_by_group_matches_global_per_slice(spark):

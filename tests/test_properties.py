@@ -555,3 +555,101 @@ def test_canonical_url_idempotent_fuzz(spark, scheme, host, path, params, frag):
     ).collect()[0]
     assert once is not None and once == twice
     assert "#" not in once and "utm_" not in once and "gclid" not in once
+
+
+@given(
+    raw=st.one_of(
+        st.text(
+            alphabet="abzAZ09./?&=#:%-_ ", min_size=0, max_size=30
+        ).filter(lambda s: "://" not in s.split("#", 1)[0].split("?", 1)[0]),
+        st.sampled_from(
+            [
+                "example.com/a",
+                "/relative/path?b=2&a=1",
+                "//protocol-relative.com/x",
+                "mailto:user@example.com",
+                "",
+                "   ",
+                "example.com/a#frag",
+                "/redirect?to=http://evil.example/x",
+                "?only=query",
+                "#only-frag",
+            ]
+        ),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_canonical_url_schemeless_passthrough_fuzz(spark, raw):
+    """Inputs with NO '://' before the first '?'/'#' are not absolute
+    URLs: canonical_url passes them through UNCHANGED (the documented
+    precondition guard) instead of mangling them into duplicated
+    garbage like 'example.com/a://example.com/a'. A '://' that only
+    appears inside the query string or fragment does not make the
+    input absolute. NULL stays NULL."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame([(raw,), (None,)], "url string")
+    rows = df.select(
+        "url", canonical_url(F.col("url")).alias("c")
+    ).collect()
+    by_in = {r["url"]: r["c"] for r in rows}
+    assert by_in[raw] == raw
+    assert by_in[None] is None
+
+
+def _ref_bpe_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python greedy left-to-right NON-OVERLAPPING single merge —
+    the textbook BPE scan bpe_apply_merge's fold must reproduce."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=1, max_size=9),
+        min_size=1,
+        max_size=6,
+    ),
+    merges=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "ab", "bc", "aa", "ba", "abc"]),
+            st.sampled_from(["a", "b", "c", "ab", "bc", "aa", "ba", "abc"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_apply_merge_chain_matches_greedy_scan(spark, words, merges):
+    """A CHAIN of bpe_apply_merge folds over adversarial merge tables
+    (left == right, merged tokens re-entering later merges, symbols
+    that are themselves concatenations) equals the pure-Python greedy
+    non-overlapping scan applied merge-by-merge — the semantics the
+    trainer and encoder both build on (the existing pins are
+    example-based; this covers the space)."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.text import bpe_apply_merge
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i int, symbols array<string>"
+    )
+    col = F.col("symbols")
+    for left, right in merges:
+        col = bpe_apply_merge(col, left, right)
+    got = {r["i"]: r["out"] for r in df.select("i", col.alias("out")).collect()}
+    for i, w in enumerate(words):
+        want = list(w)
+        for left, right in merges:
+            want = _ref_bpe_merge(want, left, right)
+        assert got[i] == want, (w, merges)

@@ -41,6 +41,8 @@ __all__ = [
     "PQStore",
     "signed_projection",
     "rp_topk",
+    "gram_matrix",
+    "power_iteration_top",
 ]
 
 
@@ -1939,3 +1941,84 @@ class PQStore:
             self.codes(), self.codebooks(), queries, corpus,
             self.dim, self.m, k, self.id_col, self.vec_col, self.quantize, refine,
         )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", quantize: int = 1_000_000
+) -> DataFrame:
+    """Exact integer Gram matrix ``G = Σ_rows q·qᵀ`` of the quantized
+    embedding column — the one-corpus-pass reduction behind PCA,
+    covariance analysis, and whitening at 100 TB: the corpus is read
+    ONCE, each Arrow batch contributes a dim×dim partial via a single
+    int64 matmul, and only dim² numbers ever aggregate.
+
+    Exactness/overflow contract: vectors quantize JVM-side with the
+    repo's engine-independent ``round(x·quantize)`` recipe, so Python
+    sees only int64 arrays (no float rounding in the UDF). A per-batch
+    partial is bounded by ``batch_rows · (quantize·max|x|)²`` —
+    ≤ ~1e4 · (1e6)² = 1e16 per Arrow batch at unit-scale embeddings,
+    int64-safe with 100× margin — and partials aggregate as
+    decimal(38,0), exact to ~1e38 total rows·energy (a 1e9-row corpus
+    peaks around 1e21). Returns dim² rows (i, j, g) — metadata-sized
+    by contract, like PQ codebooks.
+
+    Plan: one mapInPandas (Arrow-batched matmul, the one place Python
+    touches data) + one (i, j) hash aggregate with map-side partials.
+    No shuffle of the corpus itself."""
+    q = df.where(F.col(vec_col).isNotNull()).select(
+        _quantized(F.col(vec_col), quantize).alias("__q")
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["__q"].tolist(), dtype=np.int64)
+            g = m.T @ m
+            d = g.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "g": g.ravel(),
+                }
+            )
+
+    parts = q.mapInPandas(_partials, "i int, j int, g long")
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("g")
+    )
+
+
+def power_iteration_top(
+    gram_rows: list[tuple[int, int, int]],
+    dim: int,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> list[int]:
+    """Top principal direction of an integer Gram matrix by a
+    FIXED-iteration integer power method — the driver-side tail of
+    :func:`gram_matrix` (the matrix is dim² metadata; the corpus never
+    moves). Start vector all-ones; each iteration is one exact
+    mat-vec followed by integer renormalization
+    ``v_i ← sign(w_i) · (|w_i|·scale) // max|w|`` (truncating division
+    on non-negative operands — identical to SQL DIV), so every engine
+    replaying the same iterations reproduces the vector bit for bit.
+    Python ints are arbitrary-precision: no overflow at any corpus
+    size. Returns the dim-length component, max-abs-normalized to
+    ``scale``."""
+    G = [[0] * dim for _ in range(dim)]
+    for i, j, g in gram_rows:
+        G[int(i)][int(j)] = int(g)
+    v = [1] * dim
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # zero matrix: direction undefined, report zeros
+            return w
+        v = [(1 if x >= 0 else -1) * ((abs(x) * scale) // m) for x in w]
+    return v

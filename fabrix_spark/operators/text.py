@@ -39,6 +39,7 @@ __all__ = [
     "STOPWORDS_EN",
     "LANG_STOPWORDS",
     "feature_hash",
+    "dsir_weights",
     "bpe_pair_counts",
     "bpe_encode",
     "bpe_train",
@@ -683,6 +684,88 @@ def feature_hash(
         .select(id_col, (h % dim).cast("int").alias("feature"))
         .groupBy(id_col, "feature")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling — Xie et al. 2023, public methodology): score every raw
+    document by how much more likely its hashed token features are
+    under a TARGET corpus (the domain you want more of) than under the
+    raw corpus itself,
+
+        log w(d) = Σ_f c_f(d) · [ln p_tgt(f) − ln p_src(f)]
+
+    over ``dim`` hashed buckets with add-one smoothing
+    (``p(f) = (c_f + 1) / (N + dim)``). Ranking raw documents by this
+    weight and keeping the top mass IS importance resampling's
+    selection step — the pretraining-data curation pass that upsamples
+    target-like documents out of a 100 TB crawl.
+
+    Determinism recipe: each bucket's log-ratio quantizes to int64
+    micro-nats BEFORE the per-document sum (the ngram_lm_score recipe
+    — order-free integer sums, one final division) and buckets come
+    from the engine-independent md5 hash (:func:`feature_hash`), so
+    weights hash-verify cross-engine.
+
+    Scale shape: ONE tokenize pass over the raw corpus and one over
+    the (typically far smaller) target (each is feature_hash's explode
+    + (id, feature) map-combined aggregate); both bucket distributions
+    reduce from the ALREADY-AGGREGATED feature tables to ≤ dim rows;
+    scoring broadcasts the dim-sized log-ratio table back onto the
+    per-document features. No window, no collect, no UDF.
+
+    Returns (id_col, n_tokens, logw_micro, logw_per_token) — the raw
+    integer micro-nat weight plus a length-normalized variant (long
+    documents accumulate more evidence; per-token is the fair rank
+    key across lengths)."""
+    feats = feature_hash(df, dim=dim, text_col=text_col, id_col=id_col)
+    tgt_feats = feature_hash(target, dim=dim, text_col=text_col, id_col=id_col)
+    src_tot = feats.groupBy("feature").agg(F.sum("cnt").alias("__cs"))
+    tgt_tot = tgt_feats.groupBy("feature").agg(F.sum("cnt").alias("__ct"))
+    # bucket tables are ≤ dim rows; full outer keeps buckets that only
+    # one distribution observed (a target that is NOT a subset of df)
+    dists = src_tot.join(tgt_tot, "feature", "full_outer").select(
+        "feature",
+        F.coalesce("__cs", F.lit(0)).alias("__cs"),
+        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+    )
+    totals = dists.agg(F.sum("__cs").alias("__ns"), F.sum("__ct").alias("__nt"))
+    ratio = dists.crossJoin(F.broadcast(totals)).select(
+        "feature",
+        F.round(
+            (
+                F.log(
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.col("__nt") + dim).cast("double")
+                )
+                - F.log(
+                    (F.col("__cs") + 1).cast("double")
+                    / (F.col("__ns") + dim).cast("double")
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("__lr_u"),
+    )
+    scored = feats.join(F.broadcast(ratio), "feature")
+    # logw_per_token stays UNROUNDED: it is one int/int division of
+    # exact integers (identical doubles on any engine), and micro-nat
+    # sums land on exact half-boundaries at 6 dp where engines round
+    # apart (hit at sf0.1: -13965/14 µnats = -997.5·10⁻⁶ per token)
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("__lr_u")).alias("logw_micro"),
+        (
+            F.sum(F.col("cnt") * F.col("__lr_u")) / (1_000_000.0 * F.sum("cnt"))
+        ).alias("logw_per_token"),
     )
 
 

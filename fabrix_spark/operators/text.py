@@ -729,12 +729,19 @@ def dsir_weights(
     tgt_feats = feature_hash(target, dim=dim, text_col=text_col, id_col=id_col)
     src_tot = feats.groupBy("feature").agg(F.sum("cnt").alias("__cs"))
     tgt_tot = tgt_feats.groupBy("feature").agg(F.sum("cnt").alias("__ct"))
-    # bucket tables are ≤ dim rows; full outer keeps buckets that only
-    # one distribution observed (a target that is NOT a subset of df)
-    dists = src_tot.join(tgt_tot, "feature", "full_outer").select(
-        "feature",
-        F.coalesce("__cs", F.lit(0)).alias("__cs"),
-        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+    # bucket tables are ≤ dim rows; the union + re-aggregate keeps
+    # buckets that only one distribution observed (a target that is
+    # NOT a subset of df) without any join — a full-outer here would
+    # compile to a SortMergeJoin, which the plan pin refuses
+    dists = (
+        src_tot.select("feature", "__cs", F.lit(0).cast("long").alias("__ct"))
+        .unionByName(
+            tgt_tot.select(
+                "feature", F.lit(0).cast("long").alias("__cs"), "__ct"
+            )
+        )
+        .groupBy("feature")
+        .agg(F.sum("__cs").alias("__cs"), F.sum("__ct").alias("__ct"))
     )
     totals = dists.agg(F.sum("__cs").alias("__ns"), F.sum("__ct").alias("__nt"))
     ratio = dists.crossJoin(F.broadcast(totals)).select(

@@ -9688,6 +9688,63 @@ def ml_knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "stream_gram_replay",
+    oracle="""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+idx AS (SELECT unnest(range(0, 64)) AS i),
+gram AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(v[CAST(a.i AS INTEGER) + 1] * v[CAST(b.i AS INTEGER) + 1]) AS g
+  FROM q CROSS JOIN idx a CROSS JOIN idx b
+  GROUP BY 1, 2
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, g FROM gram
+""",
+)
+def stream_gram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gram-matrix maintenance end to end
+    (streaming.stream_maintain_gram): the embedding corpus streams in
+    as parquet micro-batches (one file per batch, so the cross-batch
+    fold is actually exercised) and a lake-persisted 64×64 integer
+    Gram table is maintained incrementally. Sums of outer products
+    merge exactly — G(A ∪ B) = G(A) + G(B) in integer arithmetic — so
+    the maintained table must equal the one-shot batch Gram over all
+    streamed vectors bit for bit (the oracle rebuilds it from an
+    unnest cross join), keeping downstream PCA always current without
+    ever re-reading stream history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import read_stream_parquet, stream_maintain_gram
+
+    root = tempfile.mkdtemp(prefix="fabrix_sgram_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _t(spark, sf_dir, "embeddings").select("embedding").coalesce(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    gram = LakeTable(spark, os.path.join(root, "gram"), index="i", retain=4)
+    schema = T.StructType(
+        [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    q = stream_maintain_gram(
+        read_stream_parquet(spark, src, schema=schema, max_files_per_trigger=1),
+        gram,
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return gram.read().df
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -44,8 +44,10 @@ __all__ = [
     "stream_maintain_aggregate",
     "stream_maintain_profile",
     "stream_maintain_heavy_hitters",
+    "stream_maintain_gram",
     "profile_fold_consumer",
     "heavy_hitter_consumer",
+    "gram_fold_consumer",
     "stream_asof_enrich",
     "stream_maintain_index",
 ]
@@ -756,6 +758,64 @@ def heavy_hitter_consumer(summary_table, item_col: str, k: int = 500):
             "replace",
             commit_extra={"batch_id": bid, "n_total": prev_total + n_batch},
         )
+
+    return _consume
+
+
+def stream_maintain_gram(
+    stream: DataFrame,
+    gram_table,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> StreamingQuery:
+    """STREAMING Gram-matrix maintenance — the fourth mergeable fold
+    (after histogram/KMV/Misra-Gries): each micro-batch's exact
+    integer Gram partial (:func:`similarity.gram_matrix` — one
+    Arrow-batched matmul pass over the batch) adds cell-wise into a
+    lake-persisted dim² table. Sums of outer products are mergeable BY
+    CONSTRUCTION — ``G(A ∪ B) = G(A) + G(B)`` exactly in integer
+    arithmetic — so the maintained table equals the Gram matrix built
+    over all vectors ever streamed, bit for bit, and the downstream
+    PCA (:func:`similarity.power_iteration_top`) is always current
+    without re-reading stream history. The maintained state is dim²
+    rows forever; per-batch work is O(|batch|·dim) + a dim²-row merge.
+
+    Exactly-once under at-least-once delivery: commits stamp the
+    micro-batch id and replays skip (the :func:`gram_fold_consumer`
+    fold, exposed for delivery-order tests)."""
+    return (
+        stream.writeStream.foreachBatch(
+            gram_fold_consumer(gram_table, vec_col=vec_col, quantize=quantize)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def gram_fold_consumer(gram_table, vec_col: str = "embedding", quantize: int = 1_000_000):
+    """The (batch_df, batch_id) fold behind
+    :func:`stream_maintain_gram` — idempotent on duplicate batch ids
+    (including mid-stream redelivery) and order-free (cell-wise
+    integer addition commutes)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import gram_matrix
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        if _committed(gram_table, bid):
+            return
+        delta = gram_matrix(batch, vec_col=vec_col, quantize=quantize)
+        if gram_table.exists():
+            merged = (
+                gram_table.read().df.unionByName(delta)
+                .groupBy("i", "j")
+                .agg(F.sum("g").cast("decimal(38,0)").alias("g"))
+            )
+            gram_table.save(merged, "replace", commit_extra={"batch_id": bid})
+        else:
+            gram_table.save(delta, "replace", commit_extra={"batch_id": bid})
 
     return _consume
 

@@ -1307,6 +1307,49 @@ def test_stream_maintain_profile_midstream_duplicate_and_out_of_order(spark, tmp
     assert all(true[i] - got[i] <= n_total / 16 for i in got)
 
 
+def test_gram_fold_midstream_duplicate_and_out_of_order(spark, tmp_path):
+    """The streaming Gram fold under adversarial delivery: a batch
+    redelivered MID-stream after the live version moved on is skipped
+    (batch-id guard), and out-of-order arrival converges to the batch
+    recompute — cell-wise integer addition commutes, so the maintained
+    matrix must equal gram_matrix over the union bit for bit."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.similarity import gram_matrix
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import gram_fold_consumer
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.array(
+            (F.col("id") % 7).cast("float") / 8,
+            (F.col("id") % 5).cast("float") / 4 - 0.5,
+            (F.col("id") % 3).cast("float") / 2,
+        ).alias("embedding")
+    )
+    b0, b1, b2 = mk(100, 160), mk(160, 220), mk(0, 100)  # b2 oldest, last
+    gram = LakeTable(spark, str(tmp_path / "gram"), index="i", retain=10)
+    consume = gram_fold_consumer(gram, quantize=1000)
+
+    consume(b0, 0)
+    consume(b1, 1)
+    v_live = gram.current_dir()
+    consume(b0, 0)  # duplicate MID-stream: live version has moved on
+    assert gram.current_dir() == v_live
+    consume(b2, 2)  # late, out-of-order batch
+
+    union = b0.unionByName(b1).unionByName(b2)
+    want = sorted(
+        (r["i"], r["j"], int(r["g"]))
+        for r in gram_matrix(union, quantize=1000).collect()
+    )
+    got = sorted(
+        (r["i"], r["j"], int(r["g"])) for r in gram.read().df.collect()
+    )
+    assert got == want
+    bids = [h.get("batch_id") for h in gram.history() if "batch_id" in h]
+    assert sorted(bids) == [0, 1, 2]
+
+
 def test_stream_asof_enrich_batch_parity_and_replay(spark, tmp_path):
     """Streaming as-of enrichment equals the batch as-of over the
     union (an as-of row depends only on itself and the static

@@ -615,6 +615,37 @@ def test_staged_r12_operator_plan_shapes(spark):
     assert "windowspecdefinition(seg" in p and "Join" not in p
 
 
+def test_r12_staged_operator_plan_shapes(spark):
+    """Plan pins for the r12-staged operators: dsir_weights scores the
+    corpus-sized feature table through BROADCAST joins only (the
+    log-ratio table is ≤ dim rows; a SortMergeJoin there would shuffle
+    the corpus against metadata), and gram_matrix is one mapInPandas
+    over the scan plus ONE aggregate exchange — the corpus itself
+    never shuffles."""
+    from fabrix_spark.operators.similarity import gram_matrix
+    from fabrix_spark.operators.text import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "x y")], "doc_id int, text string"
+    )
+    tgt = spark.createDataFrame([(9, "c d e")], "doc_id int, text string")
+    p = (
+        dsir_weights(docs, tgt, dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    emb = spark.createDataFrame(
+        [([0.5, 0.25],), ([1.0, -0.5],)], "embedding array<float>"
+    )
+    p = (
+        gram_matrix(emb, quantize=1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange") == 1 and "Join" not in p and "Window" not in p
+
+
 def test_staged_queries_no_cartesian(spark):
     """Blanket plan gate over every STAGED query: no CartesianProduct
     on data tables anywhere (the 1-row totals crossJoins compile to

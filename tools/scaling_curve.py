@@ -441,12 +441,27 @@ def main() -> None:
     # sign-isometry flips scores per copy, so distinct scores ∝ m and
     # the ml curves measure the range-partitioned cumulative pass.
     def run_staged(name):
+        # resolves STAGED first, then REGISTRY — staged queries keep
+        # their curve entries after promotion (t_bpe_encode and
+        # m_audio_fingerprint moved to the registry in r12)
         from fabrix_spark.queries import STAGED
 
         def op(sf_dir, m):
-            return STAGED[name].fn(spark, sf_dir).count()
+            qd = STAGED.get(name) or REGISTRY[name]
+            return qd.fn(spark, sf_dir).count()
 
         return op
+
+    def op_knn_label_fixed_probes(sf_dir, m):
+        # the operator's scale contract: the PROBE set is bounded (the
+        # same bounded-query contract as every sim_* headliner), the
+        # corpus grows — so pin probes to copy 0 (ids < STRIDE) and
+        # measure the probe×corpus scan at growing corpus
+        from fabrix_spark.operators import similarity as _sim
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        probes = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < STRIDE))
+        return _sim.cosine_topk(emb, probes, k=5).count()
 
     ops += [
         ("tj_resample_interp (m× events)", run_staged("tj_resample_interp"), None),
@@ -458,6 +473,12 @@ def main() -> None:
         ("ml_auc_by_segment", run_staged("ml_auc_by_segment"), None),
         ("fe_standardize_by_lang", run_staged("fe_standardize_by_lang"), None),
         ("fe_quantile_bins_by_lang", run_staged("fe_quantile_bins_by_lang"), None),
+        # r12-staged: DSIR (two tokenize passes + dim-sized ratio
+        # broadcast), one-pass integer Gram + driver power iteration,
+        # and the fixed-probe k-NN label screen
+        ("t_dsir_weights", run_staged("t_dsir_weights"), None),
+        ("ml_pca_top_component", run_staged("ml_pca_top_component"), None),
+        ("knn_label_scan (fixed probes)", op_knn_label_fixed_probes, None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -389,7 +389,14 @@ def synthesize_wav(
     byte pair is one little-endian int16 sample) — the synthetic-audio
     path for exercising the audio operators against deterministic
     bytes, mirroring :func:`attach_binary` for images. Arrow-batched
-    ``mapInPandas``; returns (id_col, content binary)."""
+    ``mapInPandas``; returns (id_col, content binary). The input is
+    ``spread()`` first: per-row wave encoding is CPU-bound Python, and
+    a single-row-group parquet input would otherwise pin the whole
+    chain (this + the downstream fingerprint pass) to ONE task — a
+    no-op on real multi-split inputs."""
+    from .util import spread
+
+    df = spread(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -43,6 +43,7 @@ __all__ = [
     "rp_topk",
     "gram_matrix",
     "power_iteration_top",
+    "pca_project",
 ]
 
 
@@ -2022,3 +2023,25 @@ def power_iteration_top(
             return w
         v = [(1 if x >= 0 else -1) * ((abs(x) * scale) // m) for x in w]
     return v
+
+
+def pca_project(
+    df: DataFrame,
+    component: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Project every embedding onto an integer component vector
+    (:func:`power_iteration_top`'s artifact) — the downstream half of
+    the PCA story: top-component scores feed drift monitors, coreset
+    sampling, and 1-D indexes. The component rides as a literal array
+    (≤ dim ints — plan metadata, no join), the dot is exact int64
+    (|q|·|v|·dim ≤ ~3.4e13 at unit-scale embeddings — 5 orders under
+    overflow), and one map-only pass emits (id_col, proj_q). NULL
+    vectors are excluded like :func:`gram_matrix`."""
+    comp = F.array(*[F.lit(int(x)).cast("long") for x in component])
+    q = _quantized(F.col(vec_col), quantize)
+    return df.where(F.col(vec_col).isNotNull()).select(
+        id_col, _dot(q, comp, True).alias("proj_q")
+    )

@@ -9689,6 +9689,38 @@ def ml_knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "ml_pca_project",
+    oracle=_pca_power_oracle(64, 3).replace(
+        "SELECT CAST(idx AS INTEGER) AS idx, CAST(x AS BIGINT) AS v\nFROM v3\n",
+        """, comp AS (SELECT list(CAST(x AS BIGINT) ORDER BY idx) AS c FROM v3)
+SELECT e.vec_id,
+       CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * comp.c[i]))
+            AS BIGINT) AS proj_q
+FROM (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL) q
+JOIN embeddings e ON e.vec_id = q.vec_id
+CROSS JOIN comp
+""",
+    ),
+)
+def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PCA round trip: learn the top component
+    (ml_pca_top_component's gram + power recipe), then project every
+    embedding onto it in one map-only pass (similarity.pca_project —
+    the component is plan-literal metadata, the dot exact int64). The
+    1-D scores are what a drift monitor or coreset sampler consumes;
+    the oracle replays the identical integer iterations and the same
+    list dot."""
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.gram_matrix(e, vec_col="embedding", quantize=1_000_000)
+    rows = [(r["i"], r["j"], int(r["g"])) for r in g.collect()]
+    v = similarity.power_iteration_top(rows, dim=64, iters=3)
+    return similarity.pca_project(e, v)
+
+
+@stage(
     "stream_gram_replay",
     oracle="""
 WITH q AS (

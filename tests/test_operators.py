@@ -3417,6 +3417,25 @@ def test_power_iteration_top_dominant_direction():
     assert power_iteration_top([], dim=4, iters=3) == [0, 0, 0, 0]
 
 
+def test_pca_project_exact_integer_dot(spark):
+    """pca_project == the exact integer dot of the JVM-quantized
+    vector with the literal component; NULL vectors excluded."""
+    from fabrix_spark.operators.similarity import pca_project
+
+    comp = [3, -2, 5]
+    rows = [(1, [0.5, -0.25, 1.0]), (2, [0.125, 0.0, -0.5]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {
+        r["vec_id"]: r["proj_q"]
+        for r in pca_project(df, comp, quantize=1000).collect()
+    }
+    want = {
+        i: sum(round(x * 1000) * c for x, c in zip(v, comp))
+        for i, v in [(1, rows[0][1]), (2, rows[1][1])]
+    }
+    assert got == want
+
+
 def test_knn_label_disagreement_flags_planted_outlier(spark, tmp_path):
     """The staged label-noise screen flags exactly the probe whose
     label disagrees with its 5-NN majority: probe 0 sits inside the

@@ -653,3 +653,109 @@ def test_bpe_apply_merge_chain_matches_greedy_scan(spark, words, merges):
         for left, right in merges:
             want = _ref_bpe_merge(want, left, right)
         assert got[i] == want, (w, merges)
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["cat", "dog", "run", "the", "fish", "sun"]),
+                 min_size=1, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    target=st.lists(
+        st.lists(st.sampled_from(["cat", "fish", "moon", "sun"]),
+                 min_size=1, max_size=4),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_dsir_weights_fuzz_python_reference(spark, corpus, target):
+    """dsir_weights == the pure-Python DSIR replay over RANDOM corpora
+    whose target is independent of the corpus (target-only buckets are
+    generated by 'moon') — the integer weight must match exactly on
+    every draw, not just the example-based pin."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fabrix_spark.operators.similarity import _round_half_up
+    from fabrix_spark.operators.text import dsir_weights
+
+    dim = 16
+
+    def buckets(words):
+        return Counter(
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim for w in words
+        )
+
+    src = Counter()
+    for ws in corpus:
+        src.update(buckets(ws))
+    tgt = Counter()
+    for ws in target:
+        tgt.update(buckets(ws))
+    ns, nt = sum(src.values()), sum(tgt.values())
+    lr = {
+        f: _round_half_up(
+            (
+                math.log((tgt.get(f, 0) + 1) / (nt + dim))
+                - math.log((src.get(f, 0) + 1) / (ns + dim))
+            )
+            * 1_000_000
+        )
+        for f in set(src) | set(tgt)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)], "doc_id int, text string"
+    )
+    tdf = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(target)],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_weights(df, tdf, dim=dim).collect()}
+    for i, ws in enumerate(corpus):
+        b = buckets(ws)
+        assert got[i]["n_tokens"] == sum(b.values())
+        assert got[i]["logw_micro"] == sum(c * lr[f] for f, c in b.items()), (i, ws)
+
+
+@given(data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_power_iteration_fuzz_dominant_direction(data):
+    """power_iteration_top on RANDOM integer PSD matrices (AᵀA for
+    random A) aligns with numpy's dominant eigendirection whenever the
+    spectrum is well-separated — and the renormalized vector always
+    has max|v| == scale (the integer-normalization invariant)."""
+    import numpy as np
+
+    from fabrix_spark.operators.similarity import power_iteration_top
+
+    dim = data.draw(st.integers(min_value=2, max_value=8))
+    n = data.draw(st.integers(min_value=dim + 1, max_value=30))
+    seed = data.draw(st.integers(min_value=0, max_value=10_000))
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-30, 30, size=(n, dim)).astype(np.int64)
+    G = a.T @ a
+    rows = [(i, j, int(G[i, j])) for i in range(dim) for j in range(dim)]
+    v = np.array(power_iteration_top(rows, dim=dim, iters=40), dtype=np.float64)
+    assert int(np.abs(v).max()) == 1_000_000  # normalization invariant
+    w, vecs = np.linalg.eigh(G.astype(np.float64))
+    top = vecs[:, -1]
+    ones = np.ones(dim) / np.sqrt(dim)
+    # convergence needs (a) a spectral gap — error shrinks as
+    # (l2/l1)^k — and (b) a start vector not orthogonal to the top
+    # eigendirection (the fixed all-ones start CAN be exactly
+    # orthogonal, and exact arithmetic then never escapes); both are
+    # properties of the random draw, not of the implementation
+    if w[-1] <= 0 or (len(w) > 1 and w[-2] / w[-1] > 0.85):
+        return
+    if abs(ones @ top) < 0.05:
+        return
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, (seed, dim, n, w[-2:], cos)
+    # the Rayleigh quotient must capture nearly all dominant variance
+    rho = (v @ G.astype(np.float64) @ v) / (v @ v)
+    assert rho > 0.98 * w[-1], (seed, rho, w[-1])

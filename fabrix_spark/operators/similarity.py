@@ -1945,7 +1945,10 @@ class PQStore:
 
 
 def gram_matrix(
-    df: DataFrame, vec_col: str = "embedding", quantize: int = 1_000_000
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+    with_sums: bool = False,
 ) -> DataFrame:
     """Exact integer Gram matrix ``G = Σ_rows q·qᵀ`` of the quantized
     embedding column — the one-corpus-pass reduction behind PCA,
@@ -1962,6 +1965,12 @@ def gram_matrix(
     decimal(38,0), exact to ~1e38 total rows·energy (a 1e9-row corpus
     peaks around 1e21). Returns dim² rows (i, j, g) — metadata-sized
     by contract, like PQ codebooks.
+
+    ``with_sums=True`` additionally emits the exact column sums as
+    sentinel rows ``(i, -1, Σ q_i)`` and the row count as
+    ``(-1, -1, n)`` — produced in the SAME pass (the batch already
+    holds the matrix), so mean-centering (:func:`power_iteration_top`
+    with ``sums``/``n``) costs no extra corpus read.
 
     Plan: one mapInPandas (Arrow-batched matmul, the one place Python
     touches data) + one (i, j) hash aggregate with map-side partials.
@@ -1981,13 +1990,22 @@ def gram_matrix(
             g = m.T @ m
             d = g.shape[0]
             ii, jj = np.indices((d, d))
-            yield pd.DataFrame(
-                {
-                    "i": ii.ravel().astype("int32"),
-                    "j": jj.ravel().astype("int32"),
-                    "g": g.ravel(),
-                }
-            )
+            i_col = ii.ravel().astype("int32")
+            j_col = jj.ravel().astype("int32")
+            g_col = g.ravel()
+            if with_sums:
+                import numpy as _np
+
+                i_col = _np.concatenate(
+                    [i_col, _np.arange(d, dtype="int32"), _np.array([-1], "int32")]
+                )
+                j_col = _np.concatenate(
+                    [j_col, _np.full(d, -1, "int32"), _np.array([-1], "int32")]
+                )
+                g_col = _np.concatenate(
+                    [g_col, m.sum(axis=0), _np.array([len(m)], dtype=np.int64)]
+                )
+            yield pd.DataFrame({"i": i_col, "j": j_col, "g": g_col})
 
     parts = q.mapInPandas(_partials, "i int, j int, g long")
     return parts.groupBy("i", "j").agg(
@@ -2000,24 +2018,45 @@ def power_iteration_top(
     dim: int,
     iters: int = 3,
     scale: int = 1_000_000,
+    sums: list[int] | None = None,
+    n: int | None = None,
 ) -> list[int]:
     """Top principal direction of an integer Gram matrix by a
     FIXED-iteration integer power method — the driver-side tail of
     :func:`gram_matrix` (the matrix is dim² metadata; the corpus never
-    moves). Start vector all-ones; each iteration is one exact
-    mat-vec followed by integer renormalization
+    moves). Start vector ``v0_i = i + 1`` — deliberately NON-uniform:
+    an all-ones start sits exactly in the centered matrix's null space
+    whenever row sums are constant (the centering annihilates it), and
+    a varied start has no such structural orthogonality. Each
+    iteration is one exact mat-vec followed by integer renormalization
     ``v_i ← sign(w_i) · (|w_i|·scale) // max|w|`` (truncating division
     on non-negative operands — identical to SQL DIV), so every engine
     replaying the same iterations reproduces the vector bit for bit.
     Python ints are arbitrary-precision: no overflow at any corpus
     size. Returns the dim-length component, max-abs-normalized to
-    ``scale``."""
+    ``scale``.
+
+    With ``sums``/``n`` (the column sums and row count — gram_matrix's
+    ``with_sums=True`` sentinels), the iteration runs on the CENTERED
+    scatter matrix ``M = n·G − s·sᵀ = n² · Cov`` — the true principal
+    component instead of the mean-dominated uncentered direction — via
+    the factored mat-vec ``M·v = n·(G·v) − s·(sᵀ·v)`` (M itself is
+    never materialized; same exact integers). The positive factor n²
+    leaves the direction unchanged, so no division enters the loop."""
     G = [[0] * dim for _ in range(dim)]
     for i, j, g in gram_rows:
-        G[int(i)][int(j)] = int(g)
-    v = [1] * dim
+        if int(i) >= 0 and int(j) >= 0:
+            G[int(i)][int(j)] = int(g)
+    centered = sums is not None and n is not None
+    s = [int(x) for x in sums] if centered else [0] * dim
+    v = list(range(1, dim + 1))
     for _ in range(iters):
-        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        gv = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        if centered:
+            sv = sum(s[j] * v[j] for j in range(dim))
+            w = [int(n) * gv[i] - s[i] * sv for i in range(dim)]
+        else:
+            w = gv
         m = max(abs(x) for x in w)
         if m == 0:  # zero matrix: direction undefined, report zeros
             return w

@@ -9572,7 +9572,7 @@ gram AS MATERIALIZED (
   FROM q CROSS JOIN idx a CROSS JOIN idx b
   GROUP BY 1, 2
 ),
-v0 AS (SELECT i AS idx, CAST(1 AS HUGEINT) AS x FROM idx)"""
+v0 AS (SELECT i AS idx, CAST(i + 1 AS HUGEINT) AS x FROM idx)"""
     for k in range(1, iters + 1):
         sql += f""",
 w{k} AS MATERIALIZED (
@@ -9590,6 +9590,92 @@ v{k} AS MATERIALIZED (
 SELECT CAST(idx AS INTEGER) AS idx, CAST(x AS BIGINT) AS v
 FROM v{iters}
 """
+
+
+def _pca_centered_oracle(dim: int = 64, iters: int = 3, scale: int = 1_000_000) -> str:
+    """Centered variant of :func:`_pca_power_oracle`: iterates on the
+    scatter matrix ``M = n·G − s·sᵀ`` via the factored mat-vec
+    ``n·(G·v) − s·(sᵀ·v)`` (M never materializes). The renormalization
+    uses the SPLIT integer division
+    ``(a DIV m)·scale + ((a % m)·scale) DIV m`` — the same value as
+    ``(a·scale) DIV m`` by the division identity, but the largest
+    intermediate is ``m·scale`` instead of ``a·scale``; with
+    max-normalized a ≤ m this keeps the oracle inside decimal(38)
+    through ~1e31 of row·energy (oracle-scale bound only — the Spark
+    side runs arbitrary-precision Python ints)."""
+    sql = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+idx AS (SELECT unnest(range(0, {dim})) AS i),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(v[CAST(a.i AS INTEGER) + 1] * v[CAST(b.i AS INTEGER) + 1]) AS g
+  FROM q CROSS JOIN idx a CROSS JOIN idx b
+  GROUP BY 1, 2
+),
+sums AS MATERIALIZED (
+  SELECT a.i AS i, SUM(v[CAST(a.i AS INTEGER) + 1]) AS s
+  FROM q CROSS JOIN idx a GROUP BY 1
+),
+cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+v0 AS (SELECT i AS idx, CAST(i + 1 AS HUGEINT) AS x FROM idx)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+gv{k} AS MATERIALIZED (
+  SELECT g.i AS idx, SUM(g.g * v.x) AS gv
+  FROM gram g JOIN v{k - 1} v ON g.j = v.idx GROUP BY 1
+),
+sv{k} AS (SELECT SUM(s.s * v.x) AS sv FROM sums s JOIN v{k - 1} v ON s.i = v.idx),
+w{k} AS MATERIALIZED (
+  SELECT gv.idx, cnt.n * gv.gv - s.s * sv{k}.sv AS w
+  FROM gv{k} gv JOIN sums s ON s.i = gv.idx CROSS JOIN sv{k} CROSS JOIN cnt
+),
+m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT idx,
+         (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+           * ((abs(w) // m) * {scale} + ((abs(w) % m) * {scale}) // m) AS x
+  FROM w{k}, m{k}
+)"""
+    return sql + f"""
+SELECT CAST(idx AS INTEGER) AS idx, CAST(x AS BIGINT) AS v
+FROM v{iters}
+"""
+
+
+@stage("ml_pca_centered", oracle=_pca_centered_oracle(64, 3))
+def ml_pca_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE (mean-centered) top principal component of the embedding
+    corpus — the honest PCA: the uncentered Gram direction is often
+    dominated by the corpus mean, while the centered scatter
+    ``M = n·G − s·sᵀ = n²·Cov`` gives the maximum-variance direction.
+    Still ONE corpus pass: gram_matrix(with_sums=True) emits the
+    column sums and row count as sentinel rows inside the same
+    Arrow-batched matmul job, and the power iteration runs the
+    factored mat-vec ``n·(G·v) − s·(sᵀ·v)`` on the driver (dim²
+    metadata, exact Python ints). The oracle replays the identical
+    integer iterations with split-division renormalization."""
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.gram_matrix(e, quantize=1_000_000, with_sums=True)
+    sums = [0] * 64
+    n = 0
+    gram_rows = []
+    for r in g.collect():
+        i, j, val = r["i"], r["j"], int(r["g"])
+        if i == -1:
+            n = val
+        elif j == -1:
+            sums[i] = val
+        else:
+            gram_rows.append((i, j, val))
+    v = similarity.power_iteration_top(
+        gram_rows, dim=64, iters=3, sums=sums, n=n
+    )
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "idx int, v long"
+    )
 
 
 @stage("ml_pca_top_component", oracle=_pca_power_oracle(64, 3))

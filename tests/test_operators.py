@@ -3417,6 +3417,59 @@ def test_power_iteration_top_dominant_direction():
     assert power_iteration_top([], dim=4, iters=3) == [0, 0, 0, 0]
 
 
+def test_gram_with_sums_sentinels_and_centered_direction(spark):
+    """gram_matrix(with_sums=True) emits exact column-sum/(−1,−1,n)
+    sentinels from the same pass, and the centered power iteration
+    aligns with numpy's top COVARIANCE eigendirection on data whose
+    mean dominates the uncentered Gram (the case centering exists
+    for)."""
+    import numpy as np
+
+    from fabrix_spark.operators.similarity import gram_matrix, power_iteration_top
+
+    rng = np.random.default_rng(3)
+    # big constant mean + variance concentrated on a different axis
+    base = np.array([8.0, 8.0, 8.0])
+    spread_axis = np.array([1.0, -1.0, 0.0])
+    data = base + np.outer(rng.normal(0, 1, 200), spread_axis) / 4
+    df = spark.createDataFrame(
+        [([float(x) for x in row],) for row in data], "embedding array<float>"
+    )
+    rows = gram_matrix(df, quantize=1000, with_sums=True).collect()
+    q = np.array(
+        [[round(float(np.float32(x)) * 1000) for x in row] for row in data],
+        dtype=np.int64,
+    )
+    sums, n, gram_rows = [0] * 3, 0, []
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["g"])
+        elif r["j"] == -1:
+            sums[r["i"]] = int(r["g"])
+        else:
+            gram_rows.append((r["i"], r["j"], int(r["g"])))
+    assert n == 200
+    assert sums == [int(s) for s in q.sum(axis=0)]
+    assert dict(((i, j), g) for i, j, g in gram_rows) == {
+        (i, j): int((q.T @ q)[i, j]) for i in range(3) for j in range(3)
+    }
+
+    v = np.array(
+        power_iteration_top(gram_rows, dim=3, iters=12, sums=sums, n=n),
+        dtype=np.float64,
+    )
+    cov = np.cov(q.T.astype(np.float64), bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    cos = abs(v @ vecs[:, -1]) / (np.linalg.norm(v) * np.linalg.norm(vecs[:, -1]))
+    assert cos > 0.999
+    # and the UNCENTERED direction is the mean axis, not the variance
+    # axis — the contrast that motivates the centered variant
+    u = np.array(power_iteration_top(gram_rows, dim=3, iters=12), dtype=np.float64)
+    mean_axis = q.mean(axis=0)
+    cos_mean = abs(u @ mean_axis) / (np.linalg.norm(u) * np.linalg.norm(mean_axis))
+    assert cos_mean > 0.999
+
+
 def test_pca_project_exact_integer_dot(spark):
     """pca_project == the exact integer dot of the JVM-quantized
     vector with the literal component; NULL vectors excluded."""

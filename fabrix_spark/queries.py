@@ -9592,6 +9592,80 @@ FROM v{iters}
 """
 
 
+@stage(
+    "pipeline_dsir_curation",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS INTEGER)
+           AS feature,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+src AS MATERIALIZED (SELECT feature, sum(cnt) AS cs FROM feats GROUP BY 1),
+tgt AS MATERIALIZED (
+  SELECT feature, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(cs) FROM src) AS ns, (SELECT sum(ct) FROM tgt) AS nt
+),
+ratio AS MATERIALIZED (
+  SELECT s.feature,
+         CAST(round((ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                        / CAST(nt + 1024 AS DOUBLE))
+                     - ln(CAST(s.cs + 1 AS DOUBLE)
+                          / CAST(ns + 1024 AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lr_u
+  FROM src s LEFT JOIN tgt t ON s.feature = t.feature CROSS JOIN tot
+),
+weights AS MATERIALIZED (
+  SELECT f.doc_id,
+         CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(f.cnt * r.lr_u) AS DOUBLE)
+           / (1000000.0 * CAST(sum(f.cnt) AS BIGINT)) AS logw_per_token
+  FROM (SELECT doc_id, feature, sum(cnt) AS cnt FROM feats GROUP BY 1, 2) f
+  JOIN ratio r ON f.feature = r.feature
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY logw_per_token DESC, doc_id ASC)
+                 AS BIGINT) AS rank,
+         count(*) OVER () AS n
+  FROM weights
+)
+SELECT doc_id, n_tokens, logw_per_token, rank
+FROM ranked WHERE rank <= (3 * n) // 10
+""",
+)
+def pipeline_dsir_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR curation pipeline: importance weights
+    (text.dsir_weights, English-slice target) → deterministic global
+    ranking by per-token weight (operators.rank.global_rank — the
+    doc-level table ranks WITHOUT a single-reducer window) → keep the
+    top 30% of documents. This is exactly what importance resampling
+    ships to pretraining: the target-most-like slice of the raw
+    corpus, selected at corpus scale with one tokenize pass, one
+    doc-level range shuffle, and a metadata-sized offsets broadcast."""
+    from .operators.rank import global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    weights = text.dsir_weights(d, d.filter(F.col("lang") == "en"), dim=1024)
+    ranked, total = global_rank(
+        weights,
+        [F.col("logw_per_token").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
+    )
+    return ranked.filter(F.col("rank") <= (3 * total) // 10).select(
+        "doc_id", "n_tokens", "logw_per_token", "rank"
+    )
+
+
 def _pca_centered_oracle(dim: int = 64, iters: int = 3, scale: int = 1_000_000) -> str:
     """Centered variant of :func:`_pca_power_oracle`: iterates on the
     scatter matrix ``M = n·G − s·sᵀ`` via the factored mat-vec

@@ -479,6 +479,8 @@ def main() -> None:
         ("t_dsir_weights", run_staged("t_dsir_weights"), None),
         ("ml_pca_top_component", run_staged("ml_pca_top_component"), None),
         ("knn_label_scan (fixed probes)", op_knn_label_fixed_probes, None),
+        ("ml_pca_centered", run_staged("ml_pca_centered"), None),
+        ("pipeline_dsir_curation", run_staged("pipeline_dsir_curation"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -33,6 +33,7 @@ __all__ = [
     "waterfill_caps",
     "token_budget_sample",
     "cluster_balanced_sample",
+    "target_mix_sample",
 ]
 
 _BUCKETS = 10_000
@@ -641,4 +642,75 @@ def cluster_balanced_sample(
             F.col("centroid_id").alias("cluster_id"),
             F.col("cluster_n"),
         )
+    )
+
+
+def target_mix_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "lang",
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Sample the corpus DOWN to a target group mix — the domain-mix
+    knob of a pretraining pipeline (so-many-parts web, so-many-parts
+    code, …), expressed as integer ``weights`` per group. The largest
+    achievable mix keeps ``keep_g = floor(w_g · min_h(avail_h / w_h))``
+    rows of group g: the scarcest group relative to its weight is kept
+    WHOLE and every other group scales down to match, so the output
+    proportions are the closest the data allows to the target.
+
+    Exact integer arithmetic throughout: min and floor commute, so
+    ``keep_g = min_h((w_g · avail_h) // w_h)`` — no float ratio, no
+    argmin tie-break, reproducible on any engine. Groups absent from
+    ``weights`` are dropped; a weighted group absent from the data
+    zeroes every quota (the mix is unachievable without it).
+
+    Selection inside each group is the md5-rank recipe
+    (:func:`fixed_size_sample`'s determinism contract). The per-group
+    rank comes from ONE :func:`rank.global_rank` over the
+    (group, hash) total order plus a group-sized min-rank base
+    broadcast back — no per-group single-reducer window, so a 2-group
+    × billions-of-rows mix ranks in parallel. Returns the kept rows
+    with ``grp_rank``."""
+    from .rank import global_rank
+
+    groups = sorted(weights)
+    src = df.filter(
+        F.col(key).isNotNull() & F.col(group_col).isin(list(groups))
+    )
+    avail = {
+        r[group_col]: r["__n"]
+        for r in src.groupBy(group_col).agg(F.count("*").alias("__n")).collect()
+    }
+    keep = {
+        g: min(
+            (weights[g] * avail.get(h, 0)) // weights[h] for h in groups
+        )
+        for g in groups
+    }
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked, _ = global_rank(
+        src.withColumn("__rank_h", h),
+        [F.col(group_col).asc(), F.col("__rank_h").asc(), F.col(key).asc()],
+        rank_col="__grank",
+    )
+    base = ranked.groupBy(group_col).agg(F.min("__grank").alias("__base"))
+    keep_entries: list[Column] = []
+    for g in groups:
+        keep_entries.extend((F.lit(g), F.lit(int(keep[g]))))
+    keep_col = F.create_map(*keep_entries)[F.col(group_col)]
+    return (
+        ranked.join(F.broadcast(base), group_col)
+        .withColumn("grp_rank", (F.col("__grank") - F.col("__base") + 1))
+        .filter(F.col("grp_rank") <= keep_col)
+        .drop("__grank", "__base", "__rank_h")
     )

@@ -9666,6 +9666,123 @@ def pipeline_dsir_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_oracle(k: int = 5, threshold_qid: int = 8) -> str:
+    """Recall@k of the IVFPQ index against the exact quantized-cosine
+    top-k, both rebuilt in SQL: the ANN side is the full
+    :func:`_ivfpq_oracle` embedded as a nested-WITH CTE, the exact
+    side the brute-force ranking."""
+    dot = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    return f"""
+WITH ann AS (
+{_ivfpq_oracle()}
+),
+xq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+xn AS MATERIALIZED (
+  SELECT vec_id, v, {dot.format(a="v", b="v")} AS n2 FROM xq
+),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY round({dot.format(a="p.v", b="c.v")}
+                            / sqrt(CAST(p.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)), 6) DESC,
+                      c.vec_id ASC) AS rk
+    FROM (SELECT * FROM xn WHERE vec_id < {threshold_qid}) p
+    JOIN xn c ON c.vec_id <> p.vec_id
+  ) WHERE rk <= {k}
+)
+SELECT e.q_id,
+       CAST(count(a.c_id) AS BIGINT) AS hits,
+       CAST(count(a.c_id) AS DOUBLE) / {k}.0 AS recall
+FROM exact e
+LEFT JOIN ann a ON a.q_id = e.q_id AND a.c_id = e.c_id
+GROUP BY 1
+"""
+
+
+@stage("sim_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN index: recall@5 of the IVFPQ probe plan
+    (sim_ivfpq_topk's exact configuration) against the exact
+    quantized-cosine top-5 for the same bounded query set — the
+    measurement a production index publishes next to its latency. Both
+    sides are deterministic, so even the APPROXIMATION QUALITY is
+    hash-verified cross-engine (the oracle embeds the full IVFPQ
+    rebuild as a nested-WITH CTE plus the brute-force ranking). The
+    exact side is the corpus×probes broadcast scan; the ANN side
+    touches n_probe/n_centroids of the corpus — at 100 TB this query
+    runs the cheap path and AUDITS it with a sampled exact pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    ann = similarity.ivfpq_topk(
+        emb, queries, dim=64, m=4, n_codes=8, k=5, n_centroids=16, n_probe=2
+    ).select("q_id", "c_id").withColumn("__m", F.lit(1))
+    exact = similarity.cosine_topk(emb, queries, k=5).select("q_id", "c_id")
+    return (
+        exact.join(ann, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).alias("hits"),
+            (F.sum(F.coalesce(F.col("__m"), F.lit(0))) / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
+@stage(
+    "smp_target_mix",
+    oracle="""
+WITH w(grp, wt) AS (VALUES ('en', 50), ('fr', 20), ('de', 15), ('es', 10), ('zh', 5)),
+avail AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM documents
+  WHERE doc_id IS NOT NULL AND lang IN ('en', 'fr', 'de', 'es', 'zh')
+  GROUP BY 1
+),
+keepq AS (
+  SELECT g.grp, min((g.wt * coalesce(a2.n, 0)) // g2.wt) AS keep_n
+  FROM w g CROSS JOIN w g2 LEFT JOIN avail a2 ON a2.grp = g2.grp
+  GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) ASC,
+                    doc_id ASC) AS BIGINT) AS grp_rank
+  FROM documents
+  WHERE doc_id IS NOT NULL AND lang IN ('en', 'fr', 'de', 'es', 'zh')
+)
+SELECT r.doc_id, r.lang, r.grp_rank
+FROM ranked r JOIN keepq k ON k.grp = r.lang
+WHERE r.grp_rank <= k.keep_n
+""",
+)
+def smp_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling (sampling.target_mix_sample): downsample
+    the corpus to target language proportions 50/20/15/10/5 — the
+    pretraining mix knob. The scarcest group relative to its weight is
+    kept whole and every other group scales to match; quotas come from
+    the exact integer identity keep_g = min_h((w_g·avail_h) // w_h)
+    (min and floor commute — no float ratios, no argmin tie-break).
+    Per-group md5-rank selection rides ONE global_rank over the
+    (group, hash) total order plus a group-sized min-rank base — no
+    per-group single-reducer window even at 2 groups × billions of
+    rows."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.target_mix_sample(
+        d, {"en": 50, "fr": 20, "de": 15, "es": 10, "zh": 5},
+        group_col="lang", key="doc_id",
+    )
+    return out.select("doc_id", "lang", "grp_rank")
+
+
 def _pca_centered_oracle(dim: int = 64, iters: int = 3, scale: int = 1_000_000) -> str:
     """Centered variant of :func:`_pca_power_oracle`: iterates on the
     scatter matrix ``M = n·G − s·sᵀ`` via the factored mat-vec

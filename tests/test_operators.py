@@ -3470,6 +3470,37 @@ def test_gram_with_sums_sentinels_and_centered_direction(spark):
     assert cos_mean > 0.999
 
 
+def test_target_mix_sample_quota_semantics(spark):
+    """target_mix_sample: the scarcest-relative-to-weight group is
+    kept WHOLE, other quotas are floor(w_g·a_m/w_m) via the
+    min-of-floors identity, unweighted groups drop, and a weighted
+    group with no rows zeroes every quota."""
+    from fabrix_spark.operators.sampling import target_mix_sample
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(9)]   # binding: 9/10 < 100/50
+        + [(2000 + i, "c") for i in range(50)]
+        + [(3000, "zz")]                         # unweighted: dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {"a": 50, "b": 10, "c": 20}
+    got = target_mix_sample(df, w, group_col="lang", key="doc_id")
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # lambda = 9/10: a -> floor(50*9/10)=45, b -> 9 (whole), c -> floor(20*9/10)=18
+    assert counts == {"a": 45, "b": 9, "c": 18}
+    # per-group ranks are 1..keep_g and stable across reruns
+    again = target_mix_sample(df, w, group_col="lang", key="doc_id")
+    assert sorted(map(tuple, got.select("doc_id", "grp_rank").collect())) == sorted(
+        map(tuple, again.select("doc_id", "grp_rank").collect())
+    )
+    ranks = {r["lang"]: r["m"] for r in got.groupBy("lang").agg(F.max("grp_rank").alias("m")).collect()}
+    assert ranks == {"a": 45, "b": 9, "c": 18}
+    # weighted group absent from the data -> mix unachievable -> empty
+    empty = target_mix_sample(df, {"a": 1, "nope": 1}, group_col="lang", key="doc_id")
+    assert empty.count() == 0
+
+
 def test_pca_project_exact_integer_dot(spark):
     """pca_project == the exact integer dot of the JVM-quantized
     vector with the literal component; NULL vectors excluded."""

@@ -9724,8 +9724,10 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, dim=64, m=4, n_codes=8, k=5, n_centroids=16, n_probe=2
     ).select("q_id", "c_id").withColumn("__m", F.lit(1))
     exact = similarity.cosine_topk(emb, queries, k=5).select("q_id", "c_id")
+    # both sides are k×|probes| rows (bounded by contract) — broadcast
+    # the ANN side so the audit join never sort-merges
     return (
-        exact.join(ann, ["q_id", "c_id"], "left")
+        exact.join(F.broadcast(ann), ["q_id", "c_id"], "left")
         .groupBy("q_id")
         .agg(
             F.sum(F.coalesce(F.col("__m"), F.lit(0))).alias("hits"),

@@ -481,6 +481,8 @@ def main() -> None:
         ("knn_label_scan (fixed probes)", op_knn_label_fixed_probes, None),
         ("ml_pca_centered", run_staged("ml_pca_centered"), None),
         ("pipeline_dsir_curation", run_staged("pipeline_dsir_curation"), None),
+        ("smp_target_mix", run_staged("smp_target_mix"), None),
+        ("sim_ivfpq_recall", run_staged("sim_ivfpq_recall"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

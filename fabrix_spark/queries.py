@@ -9666,6 +9666,131 @@ def pipeline_dsir_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "sim_hybrid_rrf",
+    oracle=r"""
+WITH lex AS (
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+    FROM documents
+  ),
+  tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+  ),
+  lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+  stats AS (SELECT count(*) AS n, sum(len) AS sumlen FROM lens),
+  terms(token) AS (VALUES ('filter'), ('spark'), ('window')),
+  hits AS (SELECT tf.* FROM tf JOIN terms USING (token)),
+  dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+  idf AS (
+    SELECT token,
+           CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT) AS idf_u
+    FROM dfq, stats
+  ),
+  sc AS (
+    SELECT h.doc_id,
+           CAST(round((h.tf * (1.2 + 1))
+                / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.len
+                   / (CAST(stats.sumlen AS DOUBLE) / stats.n)))
+                * 1000000) AS BIGINT) * i.idf_u AS ts
+    FROM hits h JOIN lens l USING (doc_id) JOIN idf i USING (token), stats
+  )
+  SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc GROUP BY doc_id
+),
+lexr AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_lex
+    FROM lex
+  ) WHERE r_lex <= 20
+),
+semr AS (
+  WITH vq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+  ),
+  vn AS (
+    SELECT vec_id, v,
+           list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])) AS n2
+    FROM vq
+  )
+  SELECT doc_id, r_sem FROM (
+    SELECT c.vec_id AS doc_id,
+           CAST(row_number() OVER (
+             ORDER BY round(list_sum(list_transform(range(1, len(p.v) + 1),
+                                                    i -> p.v[i] * c.v[i]))
+                            / sqrt(CAST(p.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)), 6) DESC,
+                      c.vec_id ASC) AS BIGINT) AS r_sem
+    FROM (SELECT * FROM vn WHERE vec_id = 0) p JOIN vn c ON c.vec_id <> 0
+  ) WHERE r_sem <= 20
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         coalesce(1000000000 // (60 + l.r_lex), 0)
+           + coalesce(1000000000 // (60 + s.r_sem), 0) AS rrf_nano
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, r_lex, r_sem, CAST(rrf_nano AS BIGINT) AS rrf_nano,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (the standard RAG
+    stack: fuse a LEXICAL ranking with a SEMANTIC one): BM25 top-20
+    for {spark, filter, window} (search.bm25_scores_fused — one corpus
+    pass) ⊕ exact integer-cosine top-20 around probe vector 0
+    (similarity.cosine_topk — probes broadcast), fused as
+    ``RRF(d) = Σ_rankers 1/(60 + rank_d)`` in exact nano units
+    (``10⁹ DIV (60 + r)`` — integer division, no float accumulation),
+    top-10 by fused score. Both ranked lists are deterministic and
+    k-bounded, so the fusion — windows over ≤ 2k rows — is metadata
+    work and the whole hybrid result hash-verifies cross-engine."""
+    from .operators.search import bm25_scores_fused
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores_fused(docs, ["spark", "filter", "window"])
+    # top-20 via orderBy+limit FIRST (TakeOrdered — parallel per-
+    # partition heaps over the posting-bounded candidate set), THEN a
+    # rank window over exactly those 20 rows; an unpartitioned window
+    # over all candidates would single-reduce millions of rows at
+    # 100 TB for the same answer
+    wl = Window.orderBy(F.col("score_micro2").desc(), F.col("doc_id").asc())
+    lexr = (
+        lex.orderBy(F.col("score_micro2").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("r_lex", F.row_number().over(wl).cast("long"))
+        .select("doc_id", "r_lex")
+    )
+    sem = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    semr = sem.select(
+        F.col("c_id").alias("doc_id"), F.col("rank").cast("long").alias("r_sem")
+    )
+    fused = (
+        lexr.join(semr, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_nano",
+            F.coalesce(
+                F.expr("CAST(1000000000 AS BIGINT) DIV (60 + r_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("CAST(1000000000 AS BIGINT) DIV (60 + r_sem)"), F.lit(0)
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_nano").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "r_lex", "r_sem", "rrf_nano", "rank")
+    )
+
+
 def _ivfpq_recall_oracle(k: int = 5, threshold_qid: int = 8) -> str:
     """Recall@k of the IVFPQ index against the exact quantized-cosine
     top-k, both rebuilt in SQL: the ANN side is the full

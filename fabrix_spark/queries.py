@@ -9771,8 +9771,14 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     semr = sem.select(
         F.col("c_id").alias("doc_id"), F.col("rank").cast("long").alias("r_sem")
     )
+    # union + re-aggregate instead of a full outer join: Spark cannot
+    # broadcast a full outer, so two 20-row lists would sort-merge
+    null_l = F.lit(None).cast("long")
     fused = (
-        lexr.join(semr, "doc_id", "full_outer")
+        lexr.select("doc_id", "r_lex", null_l.alias("r_sem"))
+        .unionByName(semr.select("doc_id", null_l.alias("r_lex"), "r_sem"))
+        .groupBy("doc_id")
+        .agg(F.max("r_lex").alias("r_lex"), F.max("r_sem").alias("r_sem"))
         .withColumn(
             "rrf_nano",
             F.coalesce(

@@ -483,6 +483,7 @@ def main() -> None:
         ("pipeline_dsir_curation", run_staged("pipeline_dsir_curation"), None),
         ("smp_target_mix", run_staged("smp_target_mix"), None),
         ("sim_ivfpq_recall", run_staged("sim_ivfpq_recall"), None),
+        ("sim_hybrid_rrf", run_staged("sim_hybrid_rrf"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -9916,7 +9916,9 @@ def smp_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "grp_rank")
 
 
-def _pca_centered_oracle(dim: int = 64, iters: int = 3, scale: int = 1_000_000) -> str:
+def _pca_centered_oracle(
+    dim: int = 64, iters: int = 3, scale: int = 1_000_000, where: str = ""
+) -> str:
     """Centered variant of :func:`_pca_power_oracle`: iterates on the
     scatter matrix ``M = n·G − s·sᵀ`` via the factored mat-vec
     ``n·(G·v) − s·(sᵀ·v)`` (M never materializes). The renormalization
@@ -9931,7 +9933,7 @@ def _pca_centered_oracle(dim: int = 64, iters: int = 3, scale: int = 1_000_000) 
 WITH q AS (
   SELECT list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL{where}
 ),
 idx AS (SELECT unnest(range(0, {dim})) AS i),
 gram AS MATERIALIZED (
@@ -10128,6 +10130,81 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(r["i"], r["j"], int(r["g"])) for r in g.collect()]
     v = similarity.power_iteration_top(rows, dim=64, iters=3)
     return similarity.pca_project(e, v)
+
+
+@stage(
+    "ml_embedding_drift",
+    oracle=f"""
+WITH comp AS (
+  SELECT list(v ORDER BY idx) AS c FROM (
+{_pca_centered_oracle(64, 3, where=" AND vec_id % 2 = 0")}
+  )
+),
+ev AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+proj AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> ev.v[i] * comp.c[i]))
+              AS BIGINT) // 500000000000 AS bin
+  FROM ev CROSS JOIN comp
+),
+pa AS (SELECT bin, count(*) AS n_a FROM proj WHERE vec_id % 2 = 0 GROUP BY 1),
+pb AS (SELECT bin, count(*) AS n_b FROM proj WHERE vec_id % 2 = 1 GROUP BY 1),
+jj AS (
+  SELECT coalesce(pa.bin, pb.bin) AS bin,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM pa FULL OUTER JOIN pb ON pa.bin = pb.bin
+),
+tt AS (SELECT sum(n_a + 1) AS ta, sum(n_b + 1) AS tb FROM jj)
+SELECT jj.bin, CAST(jj.n_a AS BIGINT) AS n_a, CAST(jj.n_b AS BIGINT) AS n_b,
+       CAST(round((( (jj.n_a + 1) / CAST(tt.ta AS DOUBLE))
+                   - ((jj.n_b + 1) / CAST(tt.tb AS DOUBLE)))
+                  * (ln((jj.n_a + 1) * CAST(tt.tb AS DOUBLE))
+                     - ln((jj.n_b + 1) * CAST(tt.ta AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS psi_term_micro
+FROM jj CROSS JOIN tt
+""",
+)
+def ml_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the production check
+    that a feature/embedding pipeline hasn't shifted between a
+    REFERENCE cohort and a CURRENT one (even vs odd vec_id here):
+    learn the mean-centered top principal component on the REFERENCE
+    cohort only (drift must be measured in a basis fixed by the
+    reference — re-fitting on the union would hide the very movement
+    being measured), project BOTH cohorts onto it (map-only exact
+    int64 dots), bin the 1-D scores by integer division (truncation —
+    identical in both engines), and compute the PSI between the two
+    binned distributions (profile.psi_drift — add-one smoothed,
+    micro-nat quantized terms). Corpus-sized work: one Gram pass over
+    the reference + one projection pass over everything; the PSI part
+    is bin-sized metadata."""
+    from .operators.profile import psi_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cur = e.filter(F.col("vec_id") % 2 == 1)
+    g = similarity.gram_matrix(ref, quantize=1_000_000, with_sums=True)
+    sums = [0] * 64
+    n = 0
+    gram_rows = []
+    for r in g.collect():
+        i, j, val = r["i"], r["j"], int(r["g"])
+        if i == -1:
+            n = val
+        elif j == -1:
+            sums[i] = val
+        else:
+            gram_rows.append((i, j, val))
+    comp = similarity.power_iteration_top(gram_rows, dim=64, iters=3, sums=sums, n=n)
+    bin_expr = F.expr("proj_q DIV 500000000000").alias("bin")
+    pa = similarity.pca_project(ref, comp).select("vec_id", bin_expr)
+    pb = similarity.pca_project(cur, comp).select("vec_id", bin_expr)
+    return psi_drift(pa, pb, "bin")
 
 
 @stage(

@@ -484,6 +484,7 @@ def main() -> None:
         ("smp_target_mix", run_staged("smp_target_mix"), None),
         ("sim_ivfpq_recall", run_staged("sim_ivfpq_recall"), None),
         ("sim_hybrid_rrf", run_staged("sim_hybrid_rrf"), None),
+        ("ml_embedding_drift", run_staged("ml_embedding_drift"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -37,29 +37,25 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-12 state: the last-green histogram
-# after round 11 is r7×45, r8×46, r9×45, r10×44, r11×50, so the
-# 45-query r7 cohort sits exactly at the staleness limit. Window math:
-# 2 promotions (never driver-checked) + 3 canaries + the 45-query r7
+# staleness-ordered tail. Round-13 state: the last-green histogram
+# after round 12 is r8×46, r9×45, r10×44, r11×47, r12×50, so the
+# 46-query r8 cohort sits at the staleness limit. Window math:
+# 1 promotion (never driver-checked) + 3 canaries + the 46-query r8
 # cohort = 50 — the whole cohort drains in one window, per the
-# round-11 verdict's plan. Promotions this round: t_bpe_encode (the
-# near-linear corpus-pass tokenizer — the curve that matters at
-# 100 TB) and m_audio_fingerprint (the only mapInPandas binary-codec
-# path with a driver-checkable oracle); both verified locally at all
-# three SFs since r11. One contract change rides on pytest + local
-# 3-SF re-verification instead of a window slot: ml_threshold_metrics
-# now excludes NULL scores on BOTH sides (no driver dataset contains
-# a NULL events.value, so the driver result is bit-identical).
-# Expected after this round: no entry's last-green < r8. Capacity
-# policy at 232 registry queries is documented in COVERAGE.md
-# ("Registry growth policy"): a 50-slot window re-verifies the whole
-# registry in ceil((232-3)/47) = 5 rounds, so the staleness promise is
-# ≤5 rounds (was ≤4 at 230; arithmetic, not drift), with additions
+# round-12 verdict's plan. Promotion this round: t_bpe_train (the
+# iterative-trainer/driver-loop evidence class the registry lacked —
+# six merges, one vocab-sized arg-max per iteration, the only
+# corpus-sized pass being the word-frequency aggregate); oracle green
+# at all three SFs since r11 and independently re-confirmed by the
+# r12 judge at sf0.01. Expected after this round: no entry's
+# last-green < r9. Capacity policy at 233 registry queries is
+# documented in COVERAGE.md ("Registry growth policy"): a 50-slot
+# window re-verifies the whole registry in ceil((233-3)/47) = 5
+# rounds, so the staleness promise stays ≤5 rounds, with additions
 # capped so cohort drains always fit one window.
 _VERIFY_FIRST = [
     # promoted from STAGED this round (first driver verification)
-    "t_bpe_encode",
-    "m_audio_fingerprint",
+    "t_bpe_train",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -145,6 +145,12 @@ def auc_by_group(
       back, NULL-safe on group keys). Same exact values, pinned by
       ``test_auc_by_group_global_cumsum_path``.
     """
+    if via not in ("window", "global_cumsum"):
+        raise ValueError(
+            f"auc_by_group: via={via!r} — expected 'window' or "
+            "'global_cumsum' (a typo here would silently hand a "
+            "wide-segment workload the single-reducer window plan)"
+        )
     s = F.col(score_col)
     g = df.where(s.isNotNull()).groupBy(*group_cols, s.alias("__score")).agg(
         F.count("*").alias("__tot"),

@@ -1956,12 +1956,18 @@ def gram_matrix(
     ONCE, each Arrow batch contributes a dim×dim partial via a single
     int64 matmul, and only dim² numbers ever aggregate.
 
-    Exactness/overflow contract: vectors quantize JVM-side with the
-    repo's engine-independent ``round(x·quantize)`` recipe, so Python
-    sees only int64 arrays (no float rounding in the UDF). A per-batch
-    partial is bounded by ``batch_rows · (quantize·max|x|)²`` —
-    ≤ ~1e4 · (1e6)² = 1e16 per Arrow batch at unit-scale embeddings,
-    int64-safe with 100× margin — and partials aggregate as
+    Exactness/overflow contract — ENFORCED at runtime (r13): vectors
+    quantize JVM-side with the repo's engine-independent
+    ``round(x·quantize)`` recipe, so Python sees only int64 arrays (no
+    float rounding in the UDF). A per-batch partial is bounded by
+    ``batch_rows · (quantize·max|x|)²``; each Arrow batch measures
+    ``max|q|`` and, when the batch-level bound would exceed int64,
+    splits the matmul into row chunks sized ``(2⁶³−1) // max|q|²`` so
+    every emitted partial stays exact (numpy would otherwise WRAP
+    int64 silently). The one unrepresentable case — a single row with
+    ``max|q|² ≥ 2⁶³``, i.e. |x| ≳ 3000 at quantize=1e6 — raises a
+    clear ValueError instead of corrupting G, as does a ragged
+    embedding column (mixed array lengths). Partials aggregate as
     decimal(38,0), exact to ~1e38 total rows·energy (a 1e9-row corpus
     peaks around 1e21). Returns dim² rows (i, j, g) — metadata-sized
     by contract, like PQ codebooks.
@@ -1983,34 +1989,80 @@ def gram_matrix(
         import numpy as np
         import pandas as pd
 
+        i64_max = (1 << 63) - 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.array(pdf["__q"].tolist(), dtype=np.int64)
-            g = m.T @ m
-            d = g.shape[0]
-            ii, jj = np.indices((d, d))
-            i_col = ii.ravel().astype("int32")
-            j_col = jj.ravel().astype("int32")
-            g_col = g.ravel()
-            if with_sums:
-                import numpy as _np
-
-                i_col = _np.concatenate(
-                    [i_col, _np.arange(d, dtype="int32"), _np.array([-1], "int32")]
+            rows = pdf["__q"].tolist()
+            lens = {len(r) for r in rows}
+            if len(lens) != 1:
+                raise ValueError(
+                    "gram_matrix: ragged embedding column — array lengths "
+                    f"{sorted(lens)[:8]} in one batch; a Gram matrix needs a "
+                    "fixed dimension (filter or pad upstream)"
                 )
-                j_col = _np.concatenate(
-                    [j_col, _np.full(d, -1, "int32"), _np.array([-1], "int32")]
+            m = np.array(rows, dtype=np.int64)
+            amax = int(np.abs(m).max())
+            if amax * amax > i64_max:
+                raise ValueError(
+                    f"gram_matrix: max|q| = {amax} makes even a single-row "
+                    "partial exceed int64 (max|q|^2 >= 2^63); lower `quantize` "
+                    "or rescale the embeddings (|x|*quantize must stay below "
+                    "~3.04e9)"
                 )
-                g_col = _np.concatenate(
-                    [g_col, m.sum(axis=0), _np.array([len(m)], dtype=np.int64)]
-                )
-            yield pd.DataFrame({"i": i_col, "j": j_col, "g": g_col})
+            # Chunk so every partial obeys rows_in_chunk * amax^2 <= int64
+            # max — numpy int64 matmul wraps SILENTLY past that, and the
+            # docstring bound is a promise, not a hope.
+            step = len(m) if amax == 0 else max(1, i64_max // (amax * amax))
+            for lo in range(0, len(m), step):
+                c = m[lo : lo + step]
+                g = c.T @ c
+                d = g.shape[0]
+                ii, jj = np.indices((d, d))
+                i_col = ii.ravel().astype("int32")
+                j_col = jj.ravel().astype("int32")
+                g_col = g.ravel()
+                if with_sums:
+                    i_col = np.concatenate(
+                        [i_col, np.arange(d, dtype="int32"), np.array([-1], "int32")]
+                    )
+                    j_col = np.concatenate(
+                        [j_col, np.full(d, -1, "int32"), np.array([-1], "int32")]
+                    )
+                    g_col = np.concatenate(
+                        [g_col, c.sum(axis=0), np.array([len(c)], dtype=np.int64)]
+                    )
+                yield pd.DataFrame({"i": i_col, "j": j_col, "g": g_col})
 
     parts = q.mapInPandas(_partials, "i int, j int, g long")
     return parts.groupBy("i", "j").agg(
         F.sum(F.col("g").cast("decimal(38,0)")).alias("g")
     )
+
+
+def collect_gram(gram_df: DataFrame) -> tuple[list[tuple[int, int, int]], list[int], int, int]:
+    """Collect a :func:`gram_matrix` result (dim² metadata rows by
+    contract) into ``(gram_rows, sums, n, dim)`` with ``dim`` DERIVED
+    from the max index + 1 — callers stay dim-agnostic instead of
+    hard-coding the corpus dimension (r12 verdict). ``sums``/``n``
+    come from the ``with_sums=True`` sentinel rows and are zeros/0
+    when the matrix was built without them."""
+    rows: list[tuple[int, int, int]] = []
+    sums_map: dict[int, int] = {}
+    n = 0
+    dim = 0
+    for r in gram_df.collect():
+        i, j, val = int(r["i"]), int(r["j"]), int(r["g"])
+        if i == -1:
+            n = val
+        elif j == -1:
+            sums_map[i] = val
+            dim = max(dim, i + 1)
+        else:
+            rows.append((i, j, val))
+            dim = max(dim, i + 1, j + 1)
+    sums = [sums_map.get(i, 0) for i in range(dim)]
+    return rows, sums, n, dim
 
 
 def power_iteration_top(

@@ -9187,7 +9187,7 @@ cur{k + 1} AS MATERIALIZED (
     return sql + f"\n{selects}\nORDER BY iteration"
 
 
-@stage("t_bpe_train", oracle=_bpe_train_oracle(6, 2))
+@register("t_bpe_train", oracle=_bpe_train_oracle(6, 2))
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration BPE tokenizer training over the documents
     corpus (text.bpe_train — Sennrich et al. 2016): six merges with
@@ -9985,19 +9985,9 @@ def ml_pca_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer iterations with split-division renormalization."""
     e = _t(spark, sf_dir, "embeddings")
     g = similarity.gram_matrix(e, quantize=1_000_000, with_sums=True)
-    sums = [0] * 64
-    n = 0
-    gram_rows = []
-    for r in g.collect():
-        i, j, val = r["i"], r["j"], int(r["g"])
-        if i == -1:
-            n = val
-        elif j == -1:
-            sums[i] = val
-        else:
-            gram_rows.append((i, j, val))
+    gram_rows, sums, n, dim = similarity.collect_gram(g)
     v = similarity.power_iteration_top(
-        gram_rows, dim=64, iters=3, sums=sums, n=n
+        gram_rows, dim=dim, iters=3, sums=sums, n=n
     )
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], "idx int, v long"
@@ -10017,8 +10007,8 @@ def ml_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer iterations as MATERIALIZED CTEs."""
     e = _t(spark, sf_dir, "embeddings")
     g = similarity.gram_matrix(e, vec_col="embedding", quantize=1_000_000)
-    rows = [(r["i"], r["j"], int(r["g"])) for r in g.collect()]
-    v = similarity.power_iteration_top(rows, dim=64, iters=3)
+    rows, _, _, dim = similarity.collect_gram(g)
+    v = similarity.power_iteration_top(rows, dim=dim, iters=3)
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], "idx int, v long"
     )
@@ -10127,8 +10117,8 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     list dot."""
     e = _t(spark, sf_dir, "embeddings")
     g = similarity.gram_matrix(e, vec_col="embedding", quantize=1_000_000)
-    rows = [(r["i"], r["j"], int(r["g"])) for r in g.collect()]
-    v = similarity.power_iteration_top(rows, dim=64, iters=3)
+    rows, _, _, dim = similarity.collect_gram(g)
+    v = similarity.power_iteration_top(rows, dim=dim, iters=3)
     return similarity.pca_project(e, v)
 
 
@@ -10189,18 +10179,10 @@ def ml_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = e.filter(F.col("vec_id") % 2 == 0)
     cur = e.filter(F.col("vec_id") % 2 == 1)
     g = similarity.gram_matrix(ref, quantize=1_000_000, with_sums=True)
-    sums = [0] * 64
-    n = 0
-    gram_rows = []
-    for r in g.collect():
-        i, j, val = r["i"], r["j"], int(r["g"])
-        if i == -1:
-            n = val
-        elif j == -1:
-            sums[i] = val
-        else:
-            gram_rows.append((i, j, val))
-    comp = similarity.power_iteration_top(gram_rows, dim=64, iters=3, sums=sums, n=n)
+    gram_rows, sums, n, dim = similarity.collect_gram(g)
+    comp = similarity.power_iteration_top(
+        gram_rows, dim=dim, iters=3, sums=sums, n=n
+    )
     bin_expr = F.expr("proj_q DIV 500000000000").alias("bin")
     pa = similarity.pca_project(ref, comp).select("vec_id", bin_expr)
     pb = similarity.pca_project(cur, comp).select("vec_id", bin_expr)

@@ -466,29 +466,25 @@ def stream_validated_ingest(
     driver dies after ``good`` committed but before ``quarantine`` did,
     the availableNow retry re-runs the batch and appends ONLY the
     missing quarantine write instead of double-appending good rows.
-    (The guard reads :meth:`LakeTable.history`, which spans the
-    ``retain`` most recent versions — far more than the single
-    immediately-retried batch it needs to cover.)"""
+    (The guard is retention-INDEPENDENT: every commit carries the
+    cumulative applied-batch-id ranges, so the live version alone
+    recognizes any replayed id — see ``_applied_ids``.)"""
     from ..operators.profile import row_constraints
 
     pred, reason = row_constraints(rules)
-
-    def _already_committed(table, bid: int) -> bool:
-        return table.exists() and any(
-            h.get("batch_id") == bid for h in table.history()
-        )
 
     def _consume(batch: DataFrame, bid: int) -> None:
         batch = batch.localCheckpoint()
         ok = batch.filter(pred)
         bad = batch.filter(~pred).withColumn("_fx_reason", reason)
-        extra = {"batch_id": bid}
-        if not _already_committed(good, bid):
+        if not _committed(good, bid):
             strategy = "append" if good.exists() else "replace"
-            good.save(ok, strategy, commit_extra=extra)
-        if bad.limit(1).count() > 0 and not _already_committed(quarantine, bid):
+            good.save(ok, strategy, commit_extra=_commit_meta(good, bid))
+        if bad.limit(1).count() > 0 and not _committed(quarantine, bid):
             q_strategy = "append" if quarantine.exists() else "replace"
-            quarantine.save(bad, q_strategy, commit_extra=extra)
+            quarantine.save(
+                bad, q_strategy, commit_extra=_commit_meta(quarantine, bid)
+            )
 
     return (
         stream.writeStream.foreachBatch(_consume)
@@ -617,10 +613,55 @@ def stream_maintain_profile(
     )
 
 
+def _applied_ids(table) -> set[int]:
+    """Every micro-batch id ever applied to ``table``, INDEPENDENT of
+    version retention: each fold commit stamps the cumulative id set
+    (compressed to ``[lo, hi]`` ranges — contiguous for streaming
+    epochs, so usually one pair) into its commit metadata, and the
+    live version alone remembers all predecessors even after their
+    trees were vacuumed. A batch redelivered arbitrarily late is still
+    recognized (r12 ADVICE: the old guard scanned only the retained
+    history, so a duplicate older than ``retain`` commits re-applied
+    and double-counted). Tables written before this record existed
+    fall back to the retained history's per-commit stamps."""
+    if not table.exists():
+        return set()
+    hist = table.history()
+    live = next((h for h in reversed(hist) if h.get("live")), None)
+    if live is not None and live.get("applied_batch_ids") is not None:
+        return {
+            i
+            for lo, hi in live["applied_batch_ids"]
+            for i in range(int(lo), int(hi) + 1)
+        }
+    return {int(h["batch_id"]) for h in hist if h.get("batch_id") is not None}
+
+
+def _id_ranges(ids: set[int]) -> list[list[int]]:
+    out: list[list[int]] = []
+    for i in sorted(ids):
+        if out and i == out[-1][1] + 1:
+            out[-1][1] = i
+        else:
+            out.append([i, i])
+    return out
+
+
 def _committed(table, bid: int) -> bool:
-    return table.exists() and any(
-        h.get("batch_id") == bid for h in table.history()
-    )
+    return bid in _applied_ids(table)
+
+
+def _commit_meta(table, bid: int, **extra) -> dict:
+    """Commit metadata for a fold save: this batch's id plus the
+    cumulative applied-id ranges (``_applied_ids`` of the CURRENT live
+    version, plus ``bid``). Compute BEFORE the save moves the live
+    pointer."""
+    meta = {
+        "batch_id": bid,
+        "applied_batch_ids": _id_ranges(_applied_ids(table) | {bid}),
+    }
+    meta.update(extra)
+    return meta
 
 
 def profile_fold_consumer(
@@ -644,8 +685,8 @@ def profile_fold_consumer(
 
     def _consume(batch: DataFrame, bid: int) -> None:
         batch = batch.localCheckpoint()
-        extra = {"batch_id": bid}
         if not _committed(hist_table, bid):
+            extra = _commit_meta(hist_table, bid)
             delta = hist_sketch(batch, value_col, width=width, scale=scale)
             if hist_table.exists():
                 merged = (
@@ -657,6 +698,7 @@ def profile_fold_consumer(
             else:
                 hist_table.save(delta, "replace", commit_extra=extra)
         if not _committed(kmv_table, bid):
+            extra = _commit_meta(kmv_table, bid)
             partial = kmv_sketch(batch, distinct_col, k=k)
             if kmv_table.exists():
                 folded = (
@@ -756,7 +798,9 @@ def heavy_hitter_consumer(summary_table, item_col: str, k: int = 500):
         summary_table.save(
             merged,
             "replace",
-            commit_extra={"batch_id": bid, "n_total": prev_total + n_batch},
+            commit_extra=_commit_meta(
+                summary_table, bid, n_total=prev_total + n_batch
+            ),
         )
 
     return _consume
@@ -797,8 +841,10 @@ def stream_maintain_gram(
 def gram_fold_consumer(gram_table, vec_col: str = "embedding", quantize: int = 1_000_000):
     """The (batch_df, batch_id) fold behind
     :func:`stream_maintain_gram` — idempotent on duplicate batch ids
-    (including mid-stream redelivery) and order-free (cell-wise
-    integer addition commutes)."""
+    (including mid-stream redelivery arbitrarily later than the
+    version-retention window: commits carry the cumulative
+    applied-id ranges, see ``_applied_ids``) and order-free
+    (cell-wise integer addition commutes)."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import gram_matrix
@@ -813,9 +859,13 @@ def gram_fold_consumer(gram_table, vec_col: str = "embedding", quantize: int = 1
                 .groupBy("i", "j")
                 .agg(F.sum("g").cast("decimal(38,0)").alias("g"))
             )
-            gram_table.save(merged, "replace", commit_extra={"batch_id": bid})
+            gram_table.save(
+                merged, "replace", commit_extra=_commit_meta(gram_table, bid)
+            )
         else:
-            gram_table.save(delta, "replace", commit_extra={"batch_id": bid})
+            gram_table.save(
+                delta, "replace", commit_extra=_commit_meta(gram_table, bid)
+            )
 
     return _consume
 
@@ -839,15 +889,11 @@ def stream_asof_enrich(
     results equal the batch as-of over the union because the as-of of
     a row depends only on that row and the static dimension.
 
-    Exactly-once under at-least-once delivery: appends stamp the
-    micro-batch id; a replayed batch whose id is already in the
-    table's history is skipped (same commit protocol as
-    stream_validated_ingest). NOTE the history is the RETAINED commit
-    log: standard same-checkpoint recovery only ever replays the last
-    in-flight batch (whose id the live commit carries), so any
-    ``retain`` works there — but a full from-scratch replay (fresh
-    checkpoint over the same source) is only a no-op when
-    ``out_table.retain`` covers the batch count."""
+    Exactly-once under at-least-once delivery: every commit carries
+    the CUMULATIVE applied-batch-id ranges (``_applied_ids``), so a
+    replayed id is recognized from the live version alone — any
+    ``retain`` works, for same-checkpoint recovery AND a full
+    from-scratch replay (fresh checkpoint over the same source)."""
     from ..operators.temporal import asof_join
 
     def _consume(batch: DataFrame, bid: int) -> None:
@@ -855,7 +901,9 @@ def stream_asof_enrich(
             return
         enriched = asof_join(batch, rates, on=on, by=by, right_cols=right_cols)
         strategy = "append" if out_table.exists() else "replace"
-        out_table.save(enriched, strategy, commit_extra={"batch_id": bid})
+        out_table.save(
+            enriched, strategy, commit_extra=_commit_meta(out_table, bid)
+        )
 
     return (
         stream.writeStream.foreachBatch(_consume)
@@ -884,9 +932,10 @@ def stream_maintain_index(
     file layout that makes term seeks manifest-prunable — queries stay
     CORRECT meanwhile (pruning is conservative), just less pruned.
 
-    Exactly-once under at-least-once delivery: appends stamp the
-    micro-batch id; replayed ids found in the retained history are
-    skipped (same retention contract as stream_asof_enrich)."""
+    Exactly-once under at-least-once delivery: every commit carries
+    the cumulative applied-batch-id ranges, so replayed ids are
+    skipped regardless of retention (same retention-independent
+    protocol as stream_asof_enrich)."""
     from ..operators.search import build_token_index
 
     def _consume(batch: DataFrame, bid: int) -> None:
@@ -894,7 +943,9 @@ def stream_maintain_index(
             return
         postings = build_token_index(batch, text_col=text_col, id_col=id_col)
         strategy = "append" if index_table.exists() else "replace"
-        index_table.save(postings, strategy, commit_extra={"batch_id": bid})
+        index_table.save(
+            postings, strategy, commit_extra=_commit_meta(index_table, bid)
+        )
 
     return (
         stream.writeStream.foreachBatch(_consume)

@@ -3396,6 +3396,85 @@ def test_gram_matrix_exact_and_null_safe(spark):
     }
 
 
+def test_gram_matrix_overflow_guard_chunks_and_raises(spark):
+    """The r12 verdict's one silent-failure risk, closed: a batch
+    whose rows·max|q|² exceeds int64 is CHUNKED into exact partials
+    (unguarded numpy int64 matmul WRAPS silently — 1000 rows at
+    |q| = 1e8 put g₀₀ at 1e19 > 2⁶³), a single row with
+    max|q|² ≥ 2⁶³ raises a clear error instead of corrupting G, and
+    a ragged embedding column raises instead of an object-dtype
+    crash."""
+    import pytest
+
+    from fabrix_spark.operators.similarity import gram_matrix
+
+    n = 1000
+    df = spark.createDataFrame(
+        [([100.0, -50.0],) for _ in range(n)], "embedding array<float>"
+    ).coalesce(1)
+    got = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in gram_matrix(df, quantize=1_000_000).collect()
+    }
+    q0, q1 = 100 * 1_000_000, -50 * 1_000_000
+    want = {
+        (0, 0): n * q0 * q0,
+        (0, 1): n * q0 * q1,
+        (1, 0): n * q0 * q1,
+        (1, 1): n * q1 * q1,
+    }
+    assert want[(0, 0)] > (1 << 63) - 1  # the partial that used to wrap
+    assert got == want  # exact Python-int reference — a wrap would differ
+
+    big = spark.createDataFrame([([4000.0],)], "embedding array<float>")
+    with pytest.raises(Exception, match="single-row"):
+        gram_matrix(big, quantize=1_000_000).collect()
+
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],)], "embedding array<float>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        gram_matrix(ragged, quantize=1000).collect()
+
+
+def test_collect_gram_derives_dim(spark):
+    """collect_gram derives dim from the matrix itself (max index + 1)
+    — the PCA/drift wrappers run unchanged on a non-64-dim corpus (r12
+    verdict #3), sentinels and all."""
+    from fabrix_spark.operators.similarity import (
+        collect_gram,
+        gram_matrix,
+        power_iteration_top,
+    )
+
+    vecs = [[0.5, -0.25, 1.0, 0.125, 0.0], [0.125, 0.0, -0.5, 1.0, 0.25]]
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<float>")
+    rows, sums, n, dim = collect_gram(
+        gram_matrix(df, quantize=1000, with_sums=True)
+    )
+    assert dim == 5 and n == 2 and len(rows) == 25
+    assert sums == [
+        round(a * 1000) + round(b * 1000) for a, b in zip(*vecs)
+    ]
+    v = power_iteration_top(rows, dim=dim, iters=3, sums=sums, n=n)
+    assert len(v) == 5
+
+
+def test_auc_by_group_via_validated(spark):
+    """A typo'd ``via`` raises instead of silently handing a
+    wide-segment workload the single-reducer window plan (r12
+    ADVICE)."""
+    import pytest
+
+    from fabrix_spark.operators.metrics import auc_by_group
+
+    df = spark.createDataFrame(
+        [("a", 0.5, True)], "seg string, score double, pos boolean"
+    )
+    with pytest.raises(ValueError, match="global_cumsum"):
+        auc_by_group(df, "score", F.col("pos"), ["seg"], via="global-cumsum")
+
+
 def test_power_iteration_top_dominant_direction():
     """power_iteration_top converges to the dominant eigendirection of
     an integer PSD matrix (|cos| vs numpy's eigenvector > 0.999 after

@@ -1350,6 +1350,47 @@ def test_gram_fold_midstream_duplicate_and_out_of_order(spark, tmp_path):
     assert sorted(bids) == [0, 1, 2]
 
 
+def test_gram_fold_redelivery_beyond_retention_window(spark, tmp_path):
+    """A batch redelivered after MORE than ``retain`` newer commits is
+    still skipped: the dedup guard reads the cumulative
+    applied-batch-id ranges the live commit carries, not the retained
+    version history (r12 ADVICE — with retain=1 the old guard forgot
+    batch 0 after two newer commits and double-counted it into G)."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.similarity import gram_matrix
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import gram_fold_consumer
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.array(
+            (F.col("id") % 7).cast("float") / 8,
+            (F.col("id") % 5).cast("float") / 4 - 0.5,
+        ).alias("embedding")
+    )
+    batches = [mk(i * 30, (i + 1) * 30) for i in range(4)]
+    gram = LakeTable(spark, str(tmp_path / "gram"), index="i", retain=1)
+    consume = gram_fold_consumer(gram, quantize=1000)
+    for bid, b in enumerate(batches):
+        consume(b, bid)
+    v_live = gram.current_dir()
+    consume(batches[0], 0)  # redelivered 3 commits late — outside retain=1
+    assert gram.current_dir() == v_live
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    want = sorted(
+        (r["i"], r["j"], int(r["g"]))
+        for r in gram_matrix(union, quantize=1000).collect()
+    )
+    got = sorted(
+        (r["i"], r["j"], int(r["g"])) for r in gram.read().df.collect()
+    )
+    assert got == want
+    live = [h for h in gram.history() if h.get("live")][0]
+    assert live["applied_batch_ids"] == [[0, 3]]  # compressed to one range
+
+
 def test_stream_asof_enrich_batch_parity_and_replay(spark, tmp_path):
     """Streaming as-of enrichment equals the batch as-of over the
     union (an as-of row depends only on itself and the static

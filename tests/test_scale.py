@@ -559,8 +559,10 @@ def test_bm25_fused_single_shuffle(spark):
     assert len(keys) <= 2 and set(keys) <= {"doc_id"}
 
 
-def test_staged_r12_operator_plan_shapes(spark):
-    """Plan pins for the r12-staged operators (not yet registered):
+def test_metrics_curve_and_resample_plan_shapes(spark):
+    """Plan pins for the metrics-curve / resample operator family
+    (staged in r11; renamed from test_staged_r12_operator_plan_shapes
+    per r12 ADVICE — it collided with the r12-staged pin below):
     calibration_bins is ONE map-side-combined aggregate exchange;
     resample_interpolate's forward and backward passes are TWO Window
     nodes stacked over ONE sort (no second key shuffle, no self-join,
@@ -615,8 +617,10 @@ def test_staged_r12_operator_plan_shapes(spark):
     assert "windowspecdefinition(seg" in p and "Join" not in p
 
 
-def test_r12_staged_operator_plan_shapes(spark):
-    """Plan pins for the r12-staged operators: dsir_weights scores the
+def test_dsir_and_gram_plan_shapes(spark):
+    """Plan pins for the DSIR / Gram operator family (staged r12;
+    renamed per r12 ADVICE to keep test ids distinct):
+    dsir_weights scores the
     corpus-sized feature table through BROADCAST joins only (the
     log-ratio table is ≤ dim rows; a SortMergeJoin there would shuffle
     the corpus against metadata), and gram_matrix is one mapInPandas

@@ -760,3 +760,34 @@ def test_power_iteration_fuzz_dominant_direction(data):
     # the Rayleigh quotient must capture nearly all dominant variance
     rho = (v @ G.astype(np.float64) @ v) / (v @ v)
     assert rho > 0.98 * w[-1], (seed, rho, w[-1])
+
+
+@given(data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_target_mix_quota_identity_fuzz(data):
+    """target_mix_sample's quota formula ``keep_g = min_h((w_g ·
+    avail_h) // w_h)`` ships on the claim that min and floor commute —
+    previously proof-by-comment, example-tested only (r12 verdict).
+    Fuzz it against EXACT rational arithmetic (Fraction — a float
+    argmin reference could itself misround near ties): keep_g must
+    equal floor(w_g · min_h(avail_h / w_h)), never exceed any group's
+    availability, and keep the scarcest-relative-to-weight group
+    WHOLE."""
+    import math
+    from fractions import Fraction
+
+    groups = data.draw(st.integers(min_value=1, max_value=6))
+    w = [data.draw(st.integers(min_value=1, max_value=60)) for _ in range(groups)]
+    avail = [
+        data.draw(st.integers(min_value=0, max_value=10**6)) for _ in range(groups)
+    ]
+    keep = [
+        min((w[g] * avail[h]) // w[h] for h in range(groups))
+        for g in range(groups)
+    ]
+    m = min(Fraction(avail[h], w[h]) for h in range(groups))
+    for g in range(groups):
+        assert keep[g] == math.floor(w[g] * m), (w, avail, g)
+        assert keep[g] <= avail[g]
+    h_star = min(range(groups), key=lambda h: Fraction(avail[h], w[h]))
+    assert keep[h_star] == avail[h_star], (w, avail, h_star)

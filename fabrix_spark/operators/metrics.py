@@ -30,6 +30,7 @@ __all__ = [
     "auc_one_vs_rest",
     "average_precision",
     "calibration_bins",
+    "ks_statistic",
     "pr_points",
     "roc_points",
     "threshold_metrics",
@@ -476,4 +477,65 @@ def threshold_metrics(
         precision.alias("precision"),
         recall.alias("recall"),
         f1.alias("f1"),
+    )
+
+
+def ks_statistic(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    cohorts' value distributions — the rank-based drift test that
+    complements :func:`~fabrix_spark.operators.profile.psi_drift`
+    (PSI needs a binning choice; KS is binning-free and sensitive to
+    any CDF separation anywhere in the range).
+
+    The empirical-CDF supremum is attained at data points, so the
+    union's DISTINCT VALUES are the only evaluation grid needed:
+    ``D = max_v |F_a(v) − F_b(v)| = max_v |ca(v)·Nb − cb(v)·Na| /
+    (Na·Nb)`` with ca/cb the cumulative counts at v. The numerator is
+    an EXACT cross-multiplied integer (no float CDF subtraction, no
+    tie ambiguity — counts of a 1e10-row cohort pair multiply to 1e20,
+    inside decimal(38,0) with 18 digits of headroom), and the reported
+    ``d_micro = (d_num·10⁶) DIV (Na·Nb)`` is a truncating integer
+    division — identical on any engine. NULL values are excluded on
+    both sides (module contract: an unvalued row has no rank).
+
+    Plan: one tagged union + one (value) hash aggregate (map-side
+    combined), the range-partitioned
+    :func:`~fabrix_spark.operators.rank.global_cumsum` pass over
+    |distinct values| rows (no single-reducer window), one broadcast
+    2-value totals row, one final max-aggregate. Returns ONE row:
+    (n_a, n_b, d_num, d_micro); empty inputs return NULLs."""
+    v = F.col(value_col)
+    a = df_a.where(v.isNotNull()).select(
+        v.alias("val"), F.lit(1).alias("__ta"), F.lit(0).alias("__tb")
+    )
+    b = df_b.where(v.isNotNull()).select(
+        v.alias("val"), F.lit(0).alias("__ta"), F.lit(1).alias("__tb")
+    )
+    g = a.unionByName(b).groupBy("val").agg(
+        F.sum("__ta").alias("__da"), F.sum("__tb").alias("__db")
+    )
+    cum = global_cumsum(g, [F.col("val").asc()], ["__da", "__db"])
+    totals = g.agg(F.sum("__da").alias("__na"), F.sum("__db").alias("__nb"))
+    dnum = F.abs(
+        F.col("cum___da").cast("decimal(19,0)") * F.col("__nb").cast("decimal(19,0)")
+        - F.col("cum___db").cast("decimal(19,0)") * F.col("__na").cast("decimal(19,0)")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.max(dnum).cast("decimal(38,0)").alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.expr(
+                "CAST((d_num * 1000000) DIV (CAST(n_a AS DECIMAL(19,0))"
+                " * CAST(n_b AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("d_micro"),
+        )
     )

@@ -10246,6 +10246,200 @@ def stream_gram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram.read().df
 
 
+@stage(
+    "ml_ks_test",
+    oracle="""
+WITH u AS (
+  SELECT value AS val,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ta,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS tb
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+g AS (SELECT val, sum(ta) AS da, sum(tb) AS db FROM u GROUP BY val),
+c AS (
+  SELECT val,
+         sum(da) OVER (ORDER BY val) AS ca,
+         sum(db) OVER (ORDER BY val) AS cb
+  FROM g
+),
+t AS (SELECT sum(da) AS na, sum(db) AS nb FROM g)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(max(abs(c.ca * t.nb - c.cb * t.na)) AS DECIMAL(38,0)) AS d_num,
+       CAST((max(abs(c.ca * t.nb - c.cb * t.na)) * 1000000)
+            // (t.na * t.nb) AS BIGINT) AS d_micro
+FROM c CROSS JOIN t
+GROUP BY t.na, t.nb
+""",
+)
+def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the click and
+    view cohorts' value distributions (metrics.ks_statistic) — the
+    binning-free complement to the PSI drift monitor: D is the
+    supremum of the empirical-CDF gap, computed as an exact
+    cross-multiplied integer max over the union's distinct values
+    (|ca·Nb − cb·Na|), with the reported d_micro a truncating integer
+    division — no float CDF arithmetic anywhere, so the statistic
+    hash-matches any engine. The cumulative pass is the
+    range-partitioned global_cumsum (no single-reducer window)."""
+    from .operators.metrics import ks_statistic
+
+    ev = _events(spark, sf_dir)
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def _logreg_oracle(iters: int, lr_num: int, lr_den: int) -> str:
+    """Unrolled full-batch GD oracle (the _bpe_train_oracle /
+    _pca_centered_oracle pattern: one MATERIALIZED CTE chain per
+    iteration — DuckDB inlines plain CTEs, which goes exponential in
+    iteration count). HUGEINT weights/gradients; ``//`` truncates
+    toward zero exactly like Spark's DIV (verified on negatives in
+    both engines)."""
+    sql = """
+WITH f AS MATERIALIZED (
+  SELECT CAST(1000 AS BIGINT) AS x0,
+         CAST(least(n_chars, 5000) // 5 AS BIGINT) AS x1,
+         CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)
+              // greatest(length(text), 1) AS BIGINT) AS x2,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM f),
+w0 AS MATERIALIZED (
+  SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+         CAST(0 AS HUGEINT) AS w2
+)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+z{k} AS MATERIALIZED (
+  SELECT x0, x1, x2, y, (w.w0 * x0 + w.w1 * x1 + w.w2 * x2) AS z
+  FROM f CROSS JOIN w{k - 1} w
+),
+g{k} AS MATERIALIZED (
+  SELECT sum(x0 * r) AS g0, sum(x1 * r) AS g1, sum(x2 * r) AS g2
+  FROM (SELECT x0, x1, x2,
+               (500000 + (z * 500000) // (1000000 + abs(z)))
+                 - y * 1000000 AS r
+        FROM z{k})
+),
+w{k} AS MATERIALIZED (
+  SELECT w.w0 - (g.g0 * {lr_num}) // (nn.n * {lr_den}) AS w0,
+         w.w1 - (g.g1 * {lr_num}) // (nn.n * {lr_den}) AS w1,
+         w.w2 - (g.g2 * {lr_num}) // (nn.n * {lr_den}) AS w2
+  FROM w{k - 1} w CROSS JOIN g{k} g CROSS JOIN nn
+)"""
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS iteration, {j} AS j, CAST(w{j} AS BIGINT) AS w"
+        f" FROM w{k}"
+        for k in range(1, iters + 1)
+        for j in range(3)
+    )
+    return (
+        sql
+        + f"\nSELECT CAST(iteration AS INTEGER) AS iteration,"
+        f" CAST(j AS INTEGER) AS j, w FROM ({selects})\nORDER BY iteration, j"
+    )
+
+
+@stage("ml_logreg_gd", oracle=_logreg_oracle(3, 1, 1000))
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch gradient descent (train.logreg_gd) — the
+    training step itself as a query workload: learn a logistic-style
+    linear classifier predicting lang='en' from integer document
+    features (bias, capped length, space-density milli), three
+    iterations, each ONE corpus aggregate with map-side partials while
+    the weight vector rides as plan-literal metadata (the supervised
+    sibling of the power-iteration driver loop). The link is the
+    rational fast sigmoid in integer micro-units — one truncating DIV,
+    no transcendental — so the oracle's unrolled MATERIALIZED
+    iterations reproduce the weight trajectory bit for bit."""
+    from .operators.train import logreg_gd
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    return logreg_gd(
+        d,
+        [
+            F.lit(1000),
+            F.expr("CAST(least(n_chars, 5000) DIV 5 AS LONG)"),
+            F.expr(
+                "CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)"
+                " DIV greatest(length(text), 1) AS LONG)"
+            ),
+        ],
+        (F.col("lang") == "en").cast("int"),
+        iters=3,
+        lr_num=1,
+        lr_den=1000,
+    )
+
+
+@stage(
+    "pipeline_coreset_select",
+    oracle=f"""
+WITH comp AS (
+  SELECT list(v ORDER BY idx) AS c FROM (
+{_pca_centered_oracle(64, 3)}
+  )
+),
+ev AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+proj AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> ev.v[i] * comp.c[i]))
+              AS BIGINT) // 500000000000 AS bin
+  FROM ev CROSS JOIN comp
+),
+r AS (
+  SELECT vec_id, bin,
+         row_number() OVER (PARTITION BY bin ORDER BY
+           CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000 ASC,
+           vec_id ASC) AS r
+  FROM proj
+)
+SELECT vec_id, CAST(bin AS BIGINT) AS bin FROM r WHERE r <= 8
+""",
+)
+def pipeline_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-stratified coreset selection — the 1-D coreset a
+    learned component exists to produce: learn the mean-centered top
+    principal component (one Gram pass with sum sentinels + driver
+    power iteration), project every embedding map-only, stratify the
+    scores by truncating-DIV bins (the drift monitor's binning), and
+    keep a deterministic md5-rank cap of 8 per stratum
+    (sampling.cap_per_group). The result covers the corpus's principal
+    direction uniformly instead of oversampling its mode — the shape
+    of coreset the curation literature builds on 1-D sensitivity
+    scores. Corpus-sized work: one Gram pass + one projection pass +
+    one per-bin window over bin-grouped rows (bins are metadata-sized
+    strata, but each stratum's rows rank in its own reducer — cap
+    strata at the quantized-score bin width, the documented
+    contract)."""
+    e = _t(spark, sf_dir, "embeddings")
+    g = similarity.gram_matrix(e, quantize=1_000_000, with_sums=True)
+    gram_rows, sums, n, dim = similarity.collect_gram(g)
+    comp = similarity.power_iteration_top(
+        gram_rows, dim=dim, iters=3, sums=sums, n=n
+    )
+    binned = similarity.pca_project(e, comp).select(
+        "vec_id", F.expr("proj_q DIV 500000000000").alias("bin")
+    )
+    return sampling.cap_per_group(binned, "vec_id", "bin", 8)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

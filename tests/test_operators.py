@@ -3520,6 +3520,107 @@ def test_auc_by_group_via_validated(spark):
         auc_by_group(df, "score", F.col("pos"), ["seg"], via="global-cumsum")
 
 
+def test_ks_statistic_matches_bruteforce(spark):
+    """ks_statistic == the O(n·m) brute-force empirical-CDF supremum
+    on random integer-valued cohorts — ties within and across cohorts,
+    disjoint supports, and NULL exclusion all covered. The exact
+    cross-multiplied numerator means no tolerance is needed."""
+    import random
+
+    from fabrix_spark.operators.metrics import ks_statistic
+
+    rng = random.Random(29)
+    for trial in range(5):
+        av = [rng.randint(0, 12) for _ in range(rng.randint(1, 60))]
+        bv = [rng.randint(6, 18) for _ in range(rng.randint(1, 60))]
+        a = spark.createDataFrame(
+            [(float(x),) for x in av] + [(None,)], "v double"
+        )
+        b = spark.createDataFrame(
+            [(float(x),) for x in bv] + [(None,)], "v double"
+        )
+        row = ks_statistic(a, b, "v").collect()[0]
+        na, nb = len(av), len(bv)
+        dn = max(
+            abs(
+                sum(1 for x in av if x <= t) * nb
+                - sum(1 for x in bv if x <= t) * na
+            )
+            for t in set(av + bv)
+        )
+        assert (row["n_a"], row["n_b"], int(row["d_num"]), row["d_micro"]) == (
+            na,
+            nb,
+            dn,
+            dn * 1_000_000 // (na * nb),
+        ), trial
+
+
+def test_ks_statistic_plan_no_single_reducer(spark):
+    """The KS cumulative pass is the range-partitioned global_cumsum —
+    the window is PARTITIONED by the range-partition id, never global,
+    and the only nested-loop is the 1-row totals broadcast."""
+    from fabrix_spark.operators.metrics import ks_statistic
+
+    a = spark.createDataFrame([(float(i % 7),) for i in range(40)], "v double")
+    b = spark.createDataFrame([(float(i % 5),) for i in range(40)], "v double")
+    p = (
+        ks_statistic(a, b, "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(__fx_pid__" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # the totals row
+
+
+def test_logreg_gd_matches_python_replay(spark):
+    """train.logreg_gd's weight trajectory equals an exact Python-int
+    replay of the same integer recipe (fast-sigmoid link via
+    truncation-toward-zero division) on random integer features —
+    the bit-for-bit contract its SQL oracle relies on. Also pins the
+    NULL-row exclusion and the empty/zero-dim errors."""
+    import random
+
+    import pytest
+
+    from fabrix_spark.operators.train import _div_trunc, logreg_gd
+
+    rng = random.Random(41)
+    data = [
+        (rng.randint(-500, 1500), rng.randint(0, 1)) for _ in range(80)
+    ]
+    df = spark.createDataFrame(data + [(None, 1)], "x long, y int")
+    out = logreg_gd(
+        df, [F.lit(1000), F.col("x")], F.col("y"), iters=4, lr_num=1, lr_den=50
+    ).collect()
+    got = {(r["iteration"], r["j"]): r["w"] for r in out}
+
+    def link(z: int) -> int:
+        return 500000 + _div_trunc(z * 500000, 1_000_000 + abs(z))
+
+    w = [0, 0]
+    n = len(data)
+    want = {}
+    for it in range(1, 5):
+        g = [0, 0]
+        for x, y in data:
+            xs = [1000, x]
+            z = sum(wj * xj for wj, xj in zip(w, xs))
+            r = link(z) - y * 1_000_000
+            for j in range(2):
+                g[j] += xs[j] * r
+        for j in range(2):
+            w[j] = w[j] - _div_trunc(g[j], n * 50)
+            want[(it, j)] = w[j]
+    assert got == want
+
+    with pytest.raises(ValueError, match="at least one feature"):
+        logreg_gd(df, [], F.col("y"))
+    empty = spark.createDataFrame([], "x long, y int")
+    with pytest.raises(ValueError, match="empty training set"):
+        logreg_gd(empty, [F.col("x")], F.col("y"))
+
+
 def test_power_iteration_top_dominant_direction():
     """power_iteration_top converges to the dominant eigendirection of
     an integer PSD matrix (|cos| vs numpy's eigenvector > 0.999 after

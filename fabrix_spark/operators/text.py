@@ -656,6 +656,7 @@ def feature_hash(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Feature hashing (the hashing trick, public methodology behind
     hashingTF/fastText input features): every token maps to
@@ -668,9 +669,15 @@ def feature_hash(
     any system with md5 — the oracle computes the same buckets), NOT a
     JVM-internal hash. One explode + one (id, feature) map-combined
     aggregate; output size ≤ min(doc tokens, dim) rows per doc. Feed
-    a dense assembler downstream if the trainer wants arrays."""
+    a dense assembler downstream if the trainer wants arrays.
+
+    ``carry`` rides extra per-document columns (a class label, a
+    split tag) through the tokenize pass — functionally dependent on
+    the id by contract, so grouping by them costs nothing and saves
+    the doc-keyed join a supervised trainer would otherwise pay."""
     from .search import tokens_expr
 
+    extra = list(carry or [])
     tok = F.explode(tokens_expr(text_col)).alias("__t")
     h = F.conv(
         F.substring(
@@ -680,9 +687,9 @@ def feature_hash(
         10,
     ).cast("long")
     return (
-        df.select(F.col(id_col), tok)
-        .select(id_col, (h % dim).cast("int").alias("feature"))
-        .groupBy(id_col, "feature")
+        df.select(F.col(id_col), *extra, tok)
+        .select(id_col, *extra, (h % dim).cast("int").alias("feature"))
+        .groupBy(id_col, *extra, "feature")
         .agg(F.count("*").alias("cnt"))
     )
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_gd"]
+__all__ = ["gini_best_split", "logreg_gd", "nb_train_predict"]
 
 
 def _div_trunc(a: int, b: int) -> int:
@@ -112,4 +112,215 @@ def logreg_gd(
             rows.append((it, j, int(w[j])))
     return df.sparkSession.createDataFrame(
         rows, "iteration int, j int, w long"
+    )
+
+
+def gini_best_split(
+    df: DataFrame,
+    features: list[tuple[str, Column]],
+    label: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact best decision-stump split per feature — the tree-model
+    training primitive (the inner loop of every GBDT/random-forest
+    trainer): for each candidate threshold t of each feature, score
+    the binary split ``x ≤ t`` by weighted Gini purity and return each
+    feature's best threshold. One row per feature, metadata-sized.
+
+    Exactness: minimizing weighted Gini impurity is maximizing
+    ``S = (pL² + qL²)/nL + (pR² + qR²)/nR`` (p/q = positive/negative
+    counts left/right — all integers). S is rational with denominator
+    ``nL·nR``; the reported ``score_q = (num·scale) DIV (nL·nR)`` is a
+    truncating integral division of exact decimal(38,0) integers
+    (num ≤ 2n³ ≈ 2e27 at 1e9 rows — far inside decimal(38)), so the
+    per-feature arg-max over (score_q DESC, threshold ASC) is
+    deterministic and engine-identical. Near-ties that quantize equal
+    resolve by the threshold tie-break — a defined contract, not an
+    instability.
+
+    Plan: ONE corpus pass — the features explode to (feature, value)
+    pairs that hash-aggregate with map-side combine (the k× row
+    blow-up collapses to k × |distinct values| before any shuffle),
+    then the cumulative pass is a window PARTITIONED BY feature.
+    SCALE CONTRACT (same as auc_by_group's window path): each
+    feature's DISTINCT VALUES evaluate in one reducer — quantize
+    features upstream (integer features already are) so a feature is
+    bounded at its value-domain size regardless of row count. Rows
+    with a NULL label are excluded; a NULL feature value drops that
+    row from THAT feature's histogram only."""
+    from pyspark.sql import Window
+
+    if not features:
+        raise ValueError("gini_best_split: at least one (name, column) feature")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), col.cast("long").alias("val")
+            )
+            for name, col in features
+        ]
+    )
+    lf = (
+        df.where(label.isNotNull())
+        .select(F.explode(pairs).alias("fv"), label.cast("long").alias("__y"))
+        .select("fv.feature", "fv.val", "__y")
+        .where(F.col("val").isNotNull())
+    )
+    g = lf.groupBy("feature", "val").agg(
+        F.count("*").alias("cnt"), F.sum("__y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "val",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("cnt").over(wf).alias("n"),
+        F.sum("pos").over(wf).alias("p"),
+    ).where(F.col("n") > F.col("nl"))  # the max value splits nothing right
+
+    def d(name: str) -> Column:
+        return F.col(name).cast("decimal(38,0)")
+
+    nr = d("n") - d("nl")
+    pr = d("p") - d("pl")
+    ql = d("nl") - d("pl")
+    qr = nr - pr
+    num = (d("pl") * d("pl") + ql * ql) * nr + (pr * pr + qr * qr) * d("nl")
+    s = c.withColumn("__num", num.cast("decimal(38,0)")).selectExpr(
+        "feature",
+        "val",
+        "nl",
+        "pl",
+        "n",
+        "p",
+        f"CAST((__num * {scale}) DIV (CAST(nl AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) - nl)) AS BIGINT) AS score_q",
+    )
+    best = Window.partitionBy("feature").orderBy(
+        F.col("score_q").desc(), F.col("val").asc()
+    )
+    return (
+        s.withColumn("__rn", F.row_number().over(best))
+        .where(F.col("__rn") == 1)
+        .select(
+            "feature",
+            F.col("val").alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            (F.col("p") - F.col("pl")).cast("long").alias("pos_right"),
+            "score_q",
+        )
+    )
+
+
+def nb_train_predict(
+    df: DataFrame,
+    class_col: str,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes over hashed token features — train AND
+    score in one plan (the generative classifier every lang-id /
+    topic-routing pipeline starts from; fastText-lite without the
+    embedding). Training is pure counting: per-class bucket counts
+    reduce to ≤ classes·dim metadata rows, smoothed per-bucket
+    log-likelihoods and class priors quantize to int64 micro-nats
+    (the dsir_weights / ngram_lm_score recipe — ln over exact integer
+    ratios, ONE rounding per table cell, so per-document sums are
+    order-free integers and hash-verify cross-engine).
+
+    Scoring: the dense (class × bucket) log-likelihood table
+    broadcasts onto the per-document feature counts (one tokenize
+    pass, map-side combined); per-(doc, class) scores aggregate and
+    the arg-max is ``min(struct(−score, class))`` — one aggregate, no
+    per-doc window, deterministic class-ASC tie-break. Returns
+    (id_col, pred, score_micro) for every document with ≥1 token
+    (token-free documents have no features and are absent — route
+    them through a quality gate first).
+
+    Scale shape: one tokenize pass + one broadcast join + two
+    metadata-sized aggregates; the corpus shuffles once, on
+    (id, class, feature) hash-aggregation. Scoring the TRAINING corpus
+    is deliberate (the training-fit diagnostic); to score a held-out
+    set, split upstream and pass the train half here."""
+    from .text import feature_hash
+
+    feats = feature_hash(
+        df, dim=dim, text_col=text_col, id_col=id_col, carry=[class_col]
+    )
+    cb = feats.groupBy(class_col, "feature").agg(F.sum("cnt").alias("__n"))
+    # dense class × bucket grid: absent buckets still carry the
+    # add-one-smoothed log-likelihood (a scored doc may hit a bucket
+    # its class never produced in training)
+    classes = df.select(F.col(class_col)).where(
+        F.col(class_col).isNotNull()
+    ).distinct()
+    grid = classes.crossJoin(
+        df.sparkSession.range(dim).select(F.col("id").cast("int").alias("feature"))
+    )
+    tc = cb.groupBy(class_col).agg(F.sum("__n").alias("__tc"))
+    # cb/tc are classes×dim / classes rows — metadata by contract, but
+    # they derive from the corpus so the planner has no size stats and
+    # would sort-merge these left joins without the explicit broadcast
+    lp = (
+        grid.join(F.broadcast(cb), [class_col, "feature"], "left")
+        .join(F.broadcast(tc), class_col, "left")
+        .select(
+            class_col,
+            "feature",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__n"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("__tc"), F.lit(0)) + dim).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__lp_u"),
+        )
+    )
+    nd = df.where(F.col(class_col).isNotNull()).groupBy(class_col).agg(
+        F.count("*").alias("__nc")
+    )
+    ntot = df.where(F.col(class_col).isNotNull()).count()
+    prior = nd.select(
+        class_col,
+        F.round(
+            F.log(F.col("__nc").cast("double") / F.lit(float(ntot))) * 1_000_000
+        )
+        .cast("long")
+        .alias("__pr_u"),
+    )
+    doc_feats = feats.groupBy(id_col, "feature").agg(F.sum("cnt").alias("cnt"))
+    scored = (
+        doc_feats.join(
+            F.broadcast(lp.withColumnRenamed(class_col, "__cls")), "feature"
+        )
+        .groupBy(id_col, "__cls")
+        .agg(F.sum(F.col("cnt") * F.col("__lp_u")).alias("__ll_u"))
+        .join(
+            F.broadcast(prior.withColumnRenamed(class_col, "__cls")), "__cls"
+        )
+        .select(
+            id_col,
+            "__cls",
+            (F.col("__ll_u") + F.col("__pr_u")).alias("__score"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("__score")).alias("n"), F.col("__cls").alias("c")))
+        .alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.c").alias("pred"),
+        (-F.col("__b.n")).cast("long").alias("score_micro"),
     )

@@ -10440,6 +10440,168 @@ def pipeline_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.cap_per_group(binned, "vec_id", "bin", 8)
 
 
+@stage(
+    "ml_gini_split",
+    oracle="""
+WITH lf AS (
+  SELECT fv.feature, fv.val,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents,
+       (VALUES (1), (2), (3)) AS k(i),
+       LATERAL (
+         SELECT CASE k.i WHEN 1 THEN 'len' WHEN 2 THEN 'space'
+                         ELSE 'mod97' END AS feature,
+                CASE k.i
+                  WHEN 1 THEN CAST(least(n_chars, 5000) // 5 AS BIGINT)
+                  WHEN 2 THEN CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)
+                                   // greatest(length(text), 1) AS BIGINT)
+                  ELSE CAST(n_chars % 97 AS BIGINT)
+                END AS val
+       ) fv
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+        AND fv.val IS NOT NULL
+),
+g AS (
+  SELECT feature, val, count(*) AS cnt, sum(y) AS pos
+  FROM lf GROUP BY 1, 2
+),
+c AS (
+  SELECT feature, val,
+         CAST(sum(cnt) OVER w AS HUGEINT) AS nl,
+         CAST(sum(pos) OVER w AS HUGEINT) AS pl,
+         CAST(sum(cnt) OVER (PARTITION BY feature) AS HUGEINT) AS n,
+         CAST(sum(pos) OVER (PARTITION BY feature) AS HUGEINT) AS p
+  FROM g
+  WINDOW w AS (PARTITION BY feature ORDER BY val ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT feature, val, nl, pl, n, p,
+         ((pl * pl + (nl - pl) * (nl - pl)) * (n - nl)
+          + ((p - pl) * (p - pl) + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))) * nl)
+           AS num
+  FROM c WHERE n > nl
+)
+SELECT feature, CAST(val AS BIGINT) AS threshold,
+       CAST(nl AS BIGINT) AS n_left, CAST(n - nl AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left, CAST(p - pl AS BIGINT) AS pos_right,
+       CAST((num * 1000000) // (nl * (n - nl)) AS BIGINT) AS score_q
+FROM s
+QUALIFY row_number() OVER (PARTITION BY feature
+                           ORDER BY (num * 1000000) // (nl * (n - nl)) DESC,
+                                    val ASC) = 1
+""",
+)
+def ml_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split per feature (train.gini_best_split) —
+    the tree-model training primitive: score every candidate threshold
+    of three integer document features (capped length, space-density
+    milli, and a deliberately uninformative n_chars%97 control) by
+    weighted Gini purity against the lang='en' label, in ONE corpus
+    pass (features explode then hash-aggregate with map-side combine
+    to feature × distinct-value rows; the cumulative pass windows per
+    feature over value-domain-bounded strata). The purity criterion is
+    an exact rational compared via its decimal(38,0) numerator and a
+    truncating-DIV quantization, so the per-feature arg-max is
+    deterministic and the oracle matches bit for bit."""
+    from .operators.train import gini_best_split
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    return gini_best_split(
+        d,
+        [
+            ("len", F.expr("CAST(least(n_chars, 5000) DIV 5 AS LONG)")),
+            (
+                "space",
+                F.expr(
+                    "CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)"
+                    " DIV greatest(length(text), 1) AS LONG)"
+                ),
+            ),
+            ("mod97", F.expr("CAST(n_chars % 97 AS LONG)")),
+        ],
+        (F.col("lang") == "en").cast("int"),
+    )
+
+
+@stage(
+    "ml_nb_lang_predict",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024
+              AS INTEGER) AS feature,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+),
+cb AS MATERIALIZED (
+  SELECT lang, feature, sum(cnt) AS n FROM feats
+  WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+tc AS (SELECT lang, sum(n) AS tc FROM cb GROUP BY 1),
+classes AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+grid AS (
+  SELECT c.lang, CAST(g.i AS INTEGER) AS feature
+  FROM classes c CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) g
+),
+lp AS MATERIALIZED (
+  SELECT grid.lang, grid.feature,
+         CAST(round(ln(CAST(coalesce(cb.n, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(tc.tc, 0) + 1024 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_u
+  FROM grid
+  LEFT JOIN cb ON grid.lang = cb.lang AND grid.feature = cb.feature
+  LEFT JOIN tc ON grid.lang = tc.lang
+),
+nd AS (SELECT lang, count(*) AS nc FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+ntot AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+prior AS (
+  SELECT lang,
+         CAST(round(ln(CAST(nc AS DOUBLE) / CAST(ntot.n AS DOUBLE)) * 1000000)
+              AS BIGINT) AS pr_u
+  FROM nd CROSS JOIN ntot
+),
+dfeat AS (SELECT doc_id, feature, sum(cnt) AS cnt FROM feats GROUP BY 1, 2),
+sc AS (
+  SELECT dfeat.doc_id, lp.lang AS cls,
+         CAST(sum(dfeat.cnt * lp.lp_u) AS BIGINT) AS ll
+  FROM dfeat JOIN lp ON dfeat.feature = lp.feature
+  GROUP BY 1, 2
+)
+SELECT sc.doc_id, sc.cls AS pred,
+       CAST(sc.ll + prior.pr_u AS BIGINT) AS score_micro
+FROM sc JOIN prior ON sc.cls = prior.lang
+QUALIFY row_number() OVER (PARTITION BY sc.doc_id
+                           ORDER BY sc.ll + prior.pr_u DESC, sc.cls ASC) = 1
+""",
+)
+def ml_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND scored
+    in one plan (train.nb_train_predict over hashed token features) —
+    the trainable sibling of the heuristic t_lang_id: per-class bucket
+    counts reduce to classes×1024 metadata rows, add-one-smoothed
+    log-likelihoods and priors quantize to int64 micro-nats (the
+    dsir/ngram-LM recipe), and the dense likelihood table broadcasts
+    back onto per-document features; the arg-max is one
+    min(struct(−score, class)) aggregate — no per-document window.
+    The oracle rebuilds the identical model from the identical md5
+    buckets and replays the same quantized sums."""
+    from .operators.train import nb_train_predict
+
+    return nb_train_predict(
+        _t(spark, sf_dir, "documents"), class_col="lang", dim=1024
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -3621,6 +3621,120 @@ def test_logreg_gd_matches_python_replay(spark):
         logreg_gd(empty, [F.col("x")], F.col("y"))
 
 
+def test_gini_best_split_matches_bruteforce(spark):
+    """gini_best_split == the O(values·n) brute-force scorer on random
+    integer features: same per-feature best threshold under the
+    (score_q DESC, threshold ASC) tie-break, same exact counts, and a
+    perfectly separable feature scores exactly n·scale (pure split).
+    NULL labels drop rows; NULL feature values drop only that
+    feature's histogram rows."""
+    import random
+
+    from fabrix_spark.operators.train import _div_trunc, gini_best_split
+
+    rng = random.Random(53)
+    data = [
+        (rng.randint(0, 8), rng.randint(0, 3), rng.randint(0, 1))
+        for _ in range(120)
+    ]
+    rows = [
+        (a, b, y, y) for a, b, y in data
+    ]  # 'sep' mirrors the label -> perfectly separable at threshold 0
+    df = spark.createDataFrame(
+        rows + [(None, 0, 1, None), (0, None, 1, 1)],
+        "a long, b long, sep long, y int",
+    )
+    got = {
+        r["feature"]: r
+        for r in gini_best_split(
+            df,
+            [("a", F.col("a")), ("b", F.col("b")), ("sep", F.col("sep"))],
+            F.col("y"),
+        ).collect()
+    }
+
+    def brute(vals_y):
+        n, p = len(vals_y), sum(y for _, y in vals_y)
+        best = None
+        for t in sorted({v for v, _ in vals_y})[:-1]:
+            nl = sum(1 for v, _ in vals_y if v <= t)
+            pl = sum(y for v, y in vals_y if v <= t)
+            nr, pr = n - nl, p - pl
+            num = (pl * pl + (nl - pl) ** 2) * nr + (
+                pr * pr + (nr - pr) ** 2
+            ) * nl
+            sq = _div_trunc(num * 1_000_000, nl * nr)
+            key = (-sq, t)
+            if best is None or key < best[0]:
+                best = (key, (t, nl, nr, pl, pr, sq))
+        return best[1]
+
+    # the label column y survives NULL-label exclusion only
+    clean = [(a, b, s, y) for a, b, s, y in rows]
+    for fname, idx in (("a", 0), ("b", 1), ("sep", 2)):
+        vals_y = [(r[idx], r[3]) for r in clean if r[idx] is not None]
+        # the NULL-b extra row (a=0, sep=1, y=1) feeds a and sep only;
+        # the NULL-label extra row feeds nothing
+        if fname == "a":
+            vals_y += [(0, 1)]
+        if fname == "sep":
+            vals_y += [(1, 1)]
+        t, nl, nr, pl, pr, sq = brute(vals_y)
+        r = got[fname]
+        assert (
+            r["threshold"],
+            r["n_left"],
+            r["n_right"],
+            r["pos_left"],
+            r["pos_right"],
+            r["score_q"],
+        ) == (t, nl, nr, pl, pr, sq), fname
+    # separable feature: its own label split is pure -> S = n exactly
+    n_sep = len(clean) + 1
+    assert got["sep"]["score_q"] == n_sep * 1_000_000
+
+
+def test_nb_train_predict_recovers_classes(spark):
+    """nb_train_predict on a corpus with disjoint class vocabularies
+    recovers every training label (the training-fit sanity every NB
+    implementation must pass), scores strictly beat the runner-up, and
+    a token-free document is absent from the output."""
+    from fabrix_spark.operators.train import nb_train_predict
+
+    rows = []
+    vocab = {"aa": "red red rouge crimson", "bb": "blue azure navy blue"}
+    for i in range(20):
+        cls = "aa" if i % 2 == 0 else "bb"
+        rows.append((i, vocab[cls], cls))
+    rows.append((99, "   ", "aa"))  # token-free: absent from output
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_predict(df, "lang", dim=64).collect()}
+    assert 99 not in out and len(out) == 20
+    for i in range(20):
+        assert out[i]["pred"] == ("aa" if i % 2 == 0 else "bb"), i
+        assert out[i]["score_micro"] < 0  # log-probs are negative
+
+
+def test_nb_train_predict_plan_broadcasts_model(spark):
+    """The likelihood and prior tables (classes×dim metadata) reach
+    the per-document features through BROADCAST joins only — a
+    SortMergeJoin there would shuffle the corpus against metadata."""
+    from fabrix_spark.operators.train import nb_train_predict
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma", "x" if i % 2 else "y") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    p = (
+        nb_train_predict(df, "lang", dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the corpus-side join on feature must not sort-merge
+    assert "SortMergeJoin" not in p
+
+
 def test_power_iteration_top_dominant_direction():
     """power_iteration_top converges to the dominant eigendirection of
     an integer PSD matrix (|cos| vs numpy's eigenvector > 0.999 after

@@ -485,6 +485,14 @@ def main() -> None:
         ("sim_ivfpq_recall", run_staged("sim_ivfpq_recall"), None),
         ("sim_hybrid_rrf", run_staged("sim_hybrid_rrf"), None),
         ("ml_embedding_drift", run_staged("ml_embedding_drift"), None),
+        # r13-staged: KS over m× events (distinct values grow with the
+        # union), 3-pass integer GD over m× documents, and the
+        # Gram+project+cap coreset over m× embeddings
+        ("ml_ks_test (m× events)", run_staged("ml_ks_test"), None),
+        ("ml_logreg_gd (m× documents)", run_staged("ml_logreg_gd"), None),
+        ("pipeline_coreset_select", run_staged("pipeline_coreset_select"), None),
+        ("ml_gini_split (m× documents)", run_staged("ml_gini_split"), None),
+        ("ml_nb_lang_predict", run_staged("ml_nb_lang_predict"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

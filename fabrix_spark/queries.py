@@ -10602,6 +10602,69 @@ def ml_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "stream_nb_replay",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+)
+SELECT lang,
+       CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024
+            AS INTEGER) AS feature,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE lang IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def stream_nb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Naive-Bayes model maintenance end to end
+    (streaming.stream_maintain_class_counts — the fifth mergeable
+    fold): the documents corpus streams in as parquet micro-batches
+    (one file per batch, so the cross-batch merge is actually
+    exercised) and a lake-persisted class×bucket token-count model is
+    maintained incrementally. Counts merge exactly — C(A ∪ B) =
+    C(A) + C(B) — so the maintained model must equal the one-shot
+    batch count over everything streamed bit for bit (the oracle
+    recomputes it from the same md5 buckets), which is what lets the
+    NB classifier retrain online without re-reading stream history."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import (
+        read_stream_parquet,
+        stream_maintain_class_counts,
+    )
+
+    root = tempfile.mkdtemp(prefix="fabrix_snb_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).coalesce(3).write.mode("overwrite").parquet(src)
+    counts = LakeTable(spark, os.path.join(root, "counts"), index="feature", retain=4)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    q = stream_maintain_class_counts(
+        read_stream_parquet(spark, src, schema=schema, max_files_per_trigger=1),
+        counts,
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return counts.read().df
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -870,6 +870,89 @@ def gram_fold_consumer(gram_table, vec_col: str = "embedding", quantize: int = 1
     return _consume
 
 
+def stream_maintain_class_counts(
+    stream: DataFrame,
+    counts_table,
+    checkpoint: str,
+    class_col: str = "lang",
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """STREAMING Naive-Bayes model maintenance — the FIFTH mergeable
+    fold (histogram / KMV / Misra-Gries / Gram / this): each
+    micro-batch tokenizes (text.feature_hash — one explode + map-side
+    combine) and its class×bucket token counts add cell-wise into a
+    lake-persisted model table. Counts are mergeable BY CONSTRUCTION
+    (``C(A ∪ B) = C(A) + C(B)`` exactly), so the maintained table
+    equals the batch rebuild over everything ever streamed bit for
+    bit, and the classifier (:func:`~fabrix_spark.operators.train
+    .nb_train_predict`'s scoring half) retrains online — new domains
+    enter the model at stream latency without re-reading history. The
+    maintained state is ≤ classes·dim rows forever; per-batch work is
+    one tokenize pass over the batch + a model-sized merge.
+
+    Exactly-once under at-least-once delivery: the retention-
+    independent cumulative applied-batch-id protocol
+    (``_applied_ids``)."""
+    return (
+        stream.writeStream.foreachBatch(
+            class_count_fold_consumer(
+                counts_table, class_col=class_col, dim=dim,
+                text_col=text_col, id_col=id_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def class_count_fold_consumer(
+    counts_table,
+    class_col: str = "lang",
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The (batch_df, batch_id) fold behind
+    :func:`stream_maintain_class_counts` — idempotent on duplicate
+    batch ids regardless of version retention and order-free
+    (cell-wise integer addition commutes). Exposed for delivery-order
+    tests."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import feature_hash
+
+    def _consume(batch: DataFrame, bid: int) -> None:
+        if _committed(counts_table, bid):
+            return
+        delta = (
+            feature_hash(
+                batch, dim=dim, text_col=text_col, id_col=id_col,
+                carry=[class_col],
+            )
+            .where(F.col(class_col).isNotNull())
+            .groupBy(class_col, "feature")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        if counts_table.exists():
+            merged = (
+                counts_table.read().df.unionByName(delta)
+                .groupBy(class_col, "feature")
+                .agg(F.sum("n").alias("n"))
+            )
+            counts_table.save(
+                merged, "replace", commit_extra=_commit_meta(counts_table, bid)
+            )
+        else:
+            counts_table.save(
+                delta, "replace", commit_extra=_commit_meta(counts_table, bid)
+            )
+
+    return _consume
+
+
 def stream_asof_enrich(
     stream: DataFrame,
     rates: DataFrame,

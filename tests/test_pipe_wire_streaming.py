@@ -1391,6 +1391,50 @@ def test_gram_fold_redelivery_beyond_retention_window(spark, tmp_path):
     assert live["applied_batch_ids"] == [[0, 3]]  # compressed to one range
 
 
+def test_class_count_fold_duplicate_and_out_of_order(spark, tmp_path):
+    """The streaming NB-model fold (fifth mergeable fold) under
+    adversarial delivery: mid-stream duplicates are skipped (including
+    beyond the retention window — cumulative applied-id protocol) and
+    out-of-order arrival converges to the batch recompute, because
+    class×bucket counts add cell-wise."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.text import feature_hash
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import class_count_fold_consumer
+
+    docs = [
+        (i, ["alpha beta", "gamma delta", "beta beta epsilon"][i % 3],
+         ["aa", "bb"][i % 2])
+        for i in range(30)
+    ]
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        docs[lo:hi], "doc_id long, text string, lang string"
+    )
+    batches = [mk(0, 10), mk(10, 20), mk(20, 30)]
+    tbl = LakeTable(spark, str(tmp_path / "cc"), index="feature", retain=1)
+    consume = class_count_fold_consumer(tbl, class_col="lang", dim=16)
+    consume(batches[1], 1)  # out of order
+    consume(batches[0], 0)
+    v_live = tbl.current_dir()
+    consume(batches[0], 0)  # duplicate beyond retain=1's window
+    assert tbl.current_dir() == v_live
+    consume(batches[2], 2)
+
+    union = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    want = sorted(
+        (r["lang"], r["feature"], int(r["n"]))
+        for r in feature_hash(union, dim=16, carry=["lang"])
+        .groupBy("lang", "feature")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    got = sorted(
+        (r["lang"], r["feature"], int(r["n"])) for r in tbl.read().df.collect()
+    )
+    assert got == want
+
+
 def test_stream_asof_enrich_batch_parity_and_replay(spark, tmp_path):
     """Streaming as-of enrichment equals the batch as-of over the
     union (an as-of row depends only on itself and the static

@@ -657,6 +657,64 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, bin_col: str) -> DataFrame:
     )
 
 
+def chi2_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square association between two categorical columns
+    — the profiling check for "are these two fields independent?"
+    (label leakage into a metadata column, source↔language coupling,
+    stratification sanity). Returns one row per contingency cell:
+    (a, b, observed, term_q) with ``Σ term_q / 10⁶`` the chi-square
+    statistic.
+
+    EXACT integer arithmetic: with row/col totals r, c and grand total
+    n, the per-cell term ``(O − rc/n)²/(rc/n) = (On − rc)²/(n·r·c)``
+    quantizes by the SPLIT integral division
+    ``(d² DIV m)·10⁶ + ((d² % m)·10⁶) DIV m`` (the same value as
+    ``(d²·10⁶) DIV m`` by the division identity, without the 10⁶-fold
+    intermediate) — every operand exact decimal(38,0), truncation
+    identical on any engine, one defined truncation per cell.
+    OVERFLOW CONTRACT: ``d² ≤ n⁴`` must stay inside decimal(38), so n
+    is bounded at ~3·10⁹ rows — beyond that, pre-aggregate or sample
+    upstream (documented, not silent: decimal overflow raises under
+    ANSI).
+
+    Plan: one (a, b) count aggregate (map-side combined), then the
+    DENSE |A|×|B| grid — ZERO cells contribute ``(0−e)²/e = e`` and
+    omitting them silently understates the statistic (a perfectly
+    associated k-class pair reads 8/12 of its true χ² without them;
+    caught by the unit test) — with broadcast row/col/grand totals
+    joined back. Everything after the first aggregate is
+    metadata-sized. NULL categories are excluded on both columns."""
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("__r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("__c"))
+    tot = cells.agg(F.sum("o").alias("__n"))
+    grid = ra.crossJoin(F.broadcast(cb))
+    dense = grid.join(F.broadcast(cells), ["a", "b"], "left").select(
+        "a", "b", "__r", "__c", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "a",
+            "b",
+            "CAST(o AS BIGINT) AS observed",
+            "CAST(("
+            "  ((CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
+            "   * (CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
+            "   DIV (CAST(__n AS DECIMAL(38,0)) * __r * __c)) * 1000000"
+            "  + (((CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
+            "      * (CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
+            "      % (CAST(__n AS DECIMAL(38,0)) * __r * __c)) * 1000000)"
+            "    DIV (CAST(__n AS DECIMAL(38,0)) * __r * __c)"
+            ") AS BIGINT) AS term_q",
+        )
+    )
+
+
 def mg_compress(counters: DataFrame, k: int) -> DataFrame:
     """Compress an (item, cnt) counter table to ≤ k counters by the
     Misra-Gries MERGE rule (public mergeable-summaries result, Agarwal

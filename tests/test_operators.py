@@ -3787,6 +3787,70 @@ def test_nb_train_predict_plan_broadcasts_model(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_logreg_gd_extreme_magnitudes_no_wrap(spark):
+    """The link evaluates in decimal(38,0): with |x| ~ 1e9 and an
+    aggressive learning rate, |z| grows far past the int64 product
+    bound (z·500000 would wrap a long), yet the weight trajectory
+    still equals the arbitrary-precision Python replay — the same
+    silent-wrap class the gram_matrix guard closes, closed here by
+    construction."""
+    from fabrix_spark.operators.train import _div_trunc, logreg_gd
+
+    data = [(10**9, 1), (-(10**9), 0), (999_999_999, 1), (-999_999_998, 0)]
+    df = spark.createDataFrame(data, "x long, y int")
+    out = logreg_gd(df, [F.col("x")], F.col("y"), iters=3, lr_num=1, lr_den=1)
+    got = {(r["iteration"], r["j"]): r["w"] for r in out.collect()}
+
+    def link(z: int) -> int:
+        return 500000 + _div_trunc(z * 500000, 1_000_000 + abs(z))
+
+    w = [0]
+    n = len(data)
+    want = {}
+    for it in range(1, 4):
+        g = [0]
+        for x, y in data:
+            z = w[0] * x
+            assert it == 1 or abs(z) * 500000 > (1 << 63)  # long WOULD wrap
+            g[0] += x * (link(z) - y * 1_000_000)
+        w[0] = w[0] - _div_trunc(g[0], n * 1)
+        want[(it, 0)] = w[0]
+    assert got == want
+
+
+def test_ks_statistic_float_ties_fuzz(spark):
+    """KS over FLOAT values whose cohorts share exact tie points
+    (quantized doubles — the production case): still equals the
+    brute-force supremum, because the grid is the union's distinct
+    values and the counts are exact integers regardless of the value
+    type."""
+    import random
+
+    from fabrix_spark.operators.metrics import ks_statistic
+
+    rng = random.Random(67)
+    vals = [round(rng.uniform(-2, 2), 2) for _ in range(25)]  # shared pool
+    av = [rng.choice(vals) for _ in range(50)]
+    bv = [rng.choice(vals) for _ in range(70)]
+    a = spark.createDataFrame([(x,) for x in av], "v double")
+    b = spark.createDataFrame([(x,) for x in bv], "v double")
+    row = ks_statistic(a, b, "v").collect()[0]
+    na, nb = len(av), len(bv)
+    dn = max(
+        abs(
+            sum(1 for x in av if x <= t) * nb
+            - sum(1 for x in bv if x <= t) * na
+        )
+        for t in set(av + bv)
+    )
+    assert (row["n_a"], row["n_b"], int(row["d_num"]), row["d_micro"]) == (
+        na,
+        nb,
+        dn,
+        dn * 1_000_000 // (na * nb),
+    )
+
+
 def test_power_iteration_top_dominant_direction():
     """power_iteration_top converges to the dominant eigendirection of
     an integer PSD matrix (|cos| vs numpy's eigenvector > 0.999 after

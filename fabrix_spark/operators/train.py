@@ -114,6 +114,16 @@ def logreg_gd(
                 )
         for j in range(dim):
             w[j] = w[j] - _div_trunc(int(g[f"__g{j}"]) * lr_num, n * lr_den)
+            if abs(w[j]) >= 1 << 62:
+                # the plan-literal weight and the output schema are
+                # int64; a diverging run must fail loudly, not wrap
+                raise ValueError(
+                    f"logreg_gd: weight w[{j}] = {w[j]} left the int64 "
+                    "range at iteration "
+                    f"{it} — the learning rate is too aggressive for "
+                    "these feature magnitudes (lower lr_num/lr_den or "
+                    "rescale features)"
+                )
             rows.append((it, j, int(w[j])))
     return df.sparkSession.createDataFrame(
         rows, "iteration int, j int, w long"
@@ -157,6 +167,12 @@ def gini_best_split(
 
     if not features:
         raise ValueError("gini_best_split: at least one (name, column) feature")
+    names = [name for name, _ in features]
+    if len(set(names)) != len(names):
+        # duplicate names silently MERGE histograms and score garbage
+        raise ValueError(
+            f"gini_best_split: duplicate feature names {sorted(names)}"
+        )
     pairs = F.array(
         *[
             F.struct(

@@ -3818,6 +3818,24 @@ def test_logreg_gd_extreme_magnitudes_no_wrap(spark):
     assert got == want
 
 
+def test_train_guards_fire_loudly(spark):
+    """A diverging GD run (weight leaving int64) and duplicate gini
+    feature names raise clear errors instead of wrapping / silently
+    merging histograms."""
+    import pytest
+
+    from fabrix_spark.operators.train import gini_best_split, logreg_gd
+
+    df = spark.createDataFrame(
+        [(10**9, 1), (-(10**9), 0)] * 4, "x long, y int"
+    )
+    with pytest.raises(ValueError, match="int64"):
+        # lr multiplies the ~1e15 gradient straight past 2^62
+        logreg_gd(df, [F.col("x")], F.col("y"), iters=8, lr_num=10**6, lr_den=1)
+    with pytest.raises(ValueError, match="duplicate feature names"):
+        gini_best_split(df, [("x", F.col("x")), ("x", F.col("y"))], F.col("y"))
+
+
 def test_ks_statistic_float_ties_fuzz(spark):
     """KS over FLOAT values whose cohorts share exact tie points
     (quantized doubles — the production case): still equals the

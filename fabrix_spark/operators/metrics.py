@@ -517,7 +517,14 @@ def ks_statistic(
         F.sum("__ta").alias("__da"), F.sum("__tb").alias("__db")
     )
     cum = global_cumsum(g, [F.col("val").asc()], ["__da", "__db"])
-    totals = g.agg(F.sum("__da").alias("__na"), F.sum("__db").alias("__nb"))
+    # totals come from the CHECKPOINTED cumsum output (the running
+    # sums' maxima — both are nondecreasing), not from re-aggregating
+    # g: global_cumsum's localCheckpoint already materialized the
+    # distinct-value table, and aggregating g would re-scan both
+    # cohorts end to end for a 1-row result
+    totals = cum.agg(
+        F.max("cum___da").alias("__na"), F.max("cum___db").alias("__nb")
+    )
     dnum = F.abs(
         F.col("cum___da").cast("decimal(19,0)") * F.col("__nb").cast("decimal(19,0)")
         - F.col("cum___db").cast("decimal(19,0)") * F.col("__na").cast("decimal(19,0)")

@@ -696,22 +696,21 @@ def chi2_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     dense = grid.join(F.broadcast(cells), ["a", "b"], "left").select(
         "a", "b", "__r", "__c", F.coalesce(F.col("o"), F.lit(0)).alias("o")
     )
-    return (
-        dense.crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "a",
-            "b",
-            "CAST(o AS BIGINT) AS observed",
-            "CAST(("
-            "  ((CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
-            "   * (CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
-            "   DIV (CAST(__n AS DECIMAL(38,0)) * __r * __c)) * 1000000"
-            "  + (((CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
-            "      * (CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)"
-            "      % (CAST(__n AS DECIMAL(38,0)) * __r * __c)) * 1000000)"
-            "    DIV (CAST(__n AS DECIMAL(38,0)) * __r * __c)"
-            ") AS BIGINT) AS term_q",
-        )
+    # d and m defined ONCE each; the split-division identity
+    # (d² DIV m)·10⁶ + ((d² % m)·10⁶) DIV m then reads as written
+    staged = dense.crossJoin(F.broadcast(tot)).selectExpr(
+        "a",
+        "b",
+        "o",
+        "CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c AS __d",
+        "CAST(__n AS DECIMAL(38,0)) * __r * __c AS __m",
+    )
+    return staged.selectExpr(
+        "a",
+        "b",
+        "CAST(o AS BIGINT) AS observed",
+        "CAST((__d * __d DIV __m) * 1000000"
+        " + ((__d * __d % __m) * 1000000) DIV __m AS BIGINT) AS term_q",
     )
 
 

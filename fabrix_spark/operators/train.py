@@ -99,8 +99,11 @@ def logreg_gd(
             " (CAST(1000000 AS DECIMAL(38,0)) + abs(__z)) AS BIGINT) AS __p",
         )
         r = F.col("__p") - F.col("__y") * F.lit(1_000_000)
+        # cast x to decimal BEFORE the multiply: |x_j·r| can pass 2^63
+        # at |x| ≳ 9.3e12 and Spark's long multiply wraps silently —
+        # the same silent-wrap class the z path above already avoids
         aggs = [
-            F.sum((F.col(f"__x{j}") * r).cast("decimal(38,0)")).alias(f"__g{j}")
+            F.sum(F.col(f"__x{j}").cast("decimal(38,0)") * r).alias(f"__g{j}")
             for j in range(dim)
         ]
         if it == 1:
@@ -140,7 +143,11 @@ def gini_best_split(
     training primitive (the inner loop of every GBDT/random-forest
     trainer): for each candidate threshold t of each feature, score
     the binary split ``x ≤ t`` by weighted Gini purity and return each
-    feature's best threshold. One row per feature, metadata-sized.
+    feature's best threshold. One row per SPLITTABLE feature,
+    metadata-sized — a feature with a single distinct value admits no
+    split (its only candidate sends every row left) and is absent
+    from the output, so callers indexing by feature name must treat
+    a missing key as "unsplittable", not as an error.
 
     Exactness: minimizing weighted Gini impurity is maximizing
     ``S = (pL² + qL²)/nL + (pR² + qR²)/nR`` (p/q = positive/negative
@@ -315,6 +322,11 @@ def nb_train_predict(
         )
     )
     ntot = nd.agg(F.sum("__nc")).collect()[0][0]
+    if not ntot:
+        raise ValueError(
+            "nb_train_predict: empty training set (no rows with a "
+            f"non-NULL {class_col!r})"
+        )
     prior = nd.select(
         class_col,
         F.round(

@@ -510,16 +510,15 @@ def stream_maintain_aggregate(
     batch is O(|batch|) + a merge over the metadata-sized aggregate;
     the stream itself never re-aggregates.
 
-    Exactly-once under at-least-once delivery: every merge commit
-    stamps the micro-batch id and a retried batch whose id is already
-    in the table history is skipped, so the delta can never
-    double-apply."""
+    Exactly-once under at-least-once delivery: the retention-
+    independent cumulative applied-batch-id protocol
+    (``_applied_ids``), so the delta can never double-apply — even
+    when the duplicate arrives after more than ``retain`` newer
+    commits."""
     from pyspark.sql import functions as F
 
     def _consume(batch: DataFrame, bid: int) -> None:
-        if agg.exists() and any(
-            h.get("batch_id") == bid for h in agg.history()
-        ):
+        if _committed(agg, bid):
             return
         delta = batch.groupBy(group_col).agg(
             F.count("*").alias("__dn"),
@@ -528,7 +527,7 @@ def stream_maintain_aggregate(
                 for out, src in sum_cols.items()
             ],
         )
-        extra = {"batch_id": bid}
+        extra = _commit_meta(agg, bid)
         if not agg.exists():
             init = delta.select(
                 group_col,
@@ -634,7 +633,19 @@ def _applied_ids(table) -> set[int]:
             for lo, hi in live["applied_batch_ids"]
             for i in range(int(lo), int(hi) + 1)
         }
-    return {int(h["batch_id"]) for h in hist if h.get("batch_id") is not None}
+    # Legacy fallback: count only versions UP TO the live one. The
+    # lake writes a version's _commit.json before flipping the live
+    # pointer, so a crash in between leaves an orphan NEWER than live
+    # whose batch was never actually applied — counting it would skip
+    # the retry and silently lose the batch.
+    live_idx = next(
+        (i for i in range(len(hist) - 1, -1, -1) if hist[i].get("live")), -1
+    )
+    return {
+        int(h["batch_id"])
+        for h in hist[: live_idx + 1]
+        if h.get("batch_id") is not None
+    }
 
 
 def _id_ranges(ids: set[int]) -> list[list[int]]:
@@ -752,15 +763,17 @@ def stream_maintain_heavy_hitters(
 def heavy_hitter_consumer(summary_table, item_col: str, k: int = 500):
     """The (batch_df, batch_id) MG fold behind
     :func:`stream_maintain_heavy_hitters` — idempotent on duplicate
-    batch ids (including mid-stream redelivery) and order-free."""
+    batch ids (including redelivery beyond the retention window — the
+    cumulative applied-id protocol, same as every other fold) and
+    order-free."""
     from pyspark.sql import functions as F
 
     from ..operators.profile import mg_compress
 
     def _consume(batch: DataFrame, bid: int) -> None:
-        hist = summary_table.history() if summary_table.exists() else []
-        if any(h.get("batch_id") == bid for h in hist):
+        if _committed(summary_table, bid):
             return
+        hist = summary_table.history() if summary_table.exists() else []
         # history is oldest -> newest; the LIVE version carries the
         # running total. A live commit WITHOUT n_total means the table
         # was created or last written by something other than this

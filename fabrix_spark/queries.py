@@ -10292,13 +10292,14 @@ def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_oracle(iters: int, lr_num: int, lr_den: int) -> str:
-    """Unrolled full-batch GD oracle (the _bpe_train_oracle /
-    _pca_centered_oracle pattern: one MATERIALIZED CTE chain per
-    iteration — DuckDB inlines plain CTEs, which goes exponential in
-    iteration count). HUGEINT weights/gradients; ``//`` truncates
-    toward zero exactly like Spark's DIV (verified on negatives in
-    both engines)."""
+def _logreg_chain(iters: int, lr_num: int, lr_den: int) -> str:
+    """The shared WITH-chain of the unrolled full-batch GD oracle
+    (the _bpe_train_oracle / _pca_centered_oracle pattern: one
+    MATERIALIZED CTE per iteration — DuckDB inlines plain CTEs, which
+    goes exponential in iteration count). HUGEINT weights/gradients;
+    ``//`` truncates toward zero exactly like Spark's DIV (verified
+    on negatives in both engines). Ends at CTE ``w{iters}`` so both
+    the trajectory oracle and the scoring pipeline build on it."""
     sql = """
 WITH f AS MATERIALIZED (
   SELECT CAST(1000 AS BIGINT) AS x0,
@@ -10333,6 +10334,12 @@ w{k} AS MATERIALIZED (
          w.w2 - (g.g2 * {lr_num}) // (nn.n * {lr_den}) AS w2
   FROM w{k - 1} w CROSS JOIN g{k} g CROSS JOIN nn
 )"""
+    return sql
+
+
+def _logreg_oracle(iters: int, lr_num: int, lr_den: int) -> str:
+    """The weight-trajectory oracle: :func:`_logreg_chain` + one
+    UNION-ALL unpivot of every iteration's weight vector."""
     selects = " UNION ALL ".join(
         f"SELECT {k} AS iteration, {j} AS j, CAST(w{j} AS BIGINT) AS w"
         f" FROM w{k}"
@@ -10340,7 +10347,7 @@ w{k} AS MATERIALIZED (
         for j in range(3)
     )
     return (
-        sql
+        _logreg_chain(iters, lr_num, lr_den)
         + f"\nSELECT CAST(iteration AS INTEGER) AS iteration,"
         f" CAST(j AS INTEGER) AS j, w FROM ({selects})\nORDER BY iteration, j"
     )
@@ -10708,6 +10715,78 @@ def prof_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import chi2_contingency
 
     return chi2_contingency(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+@stage(
+    "pipeline_quality_filter",
+    oracle=_logreg_chain(3, 1, 1000)
+    + """,
+sc AS (
+  SELECT d.doc_id,
+         (w.w0 * 1000
+          + w.w1 * CAST(least(d.n_chars, 5000) // 5 AS BIGINT)
+          + w.w2 * CAST(((length(d.text) - length(replace(d.text, ' ', ''))) * 1000)
+                        // greatest(length(d.text), 1) AS BIGINT)) AS z
+  FROM documents d CROSS JOIN w3 w
+  WHERE d.text IS NOT NULL AND d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+),
+rk AS (
+  SELECT doc_id, CAST(z AS BIGINT) AS z,
+         row_number() OVER (ORDER BY z DESC, doc_id ASC) AS rank,
+         count(*) OVER () AS n
+  FROM sc
+)
+SELECT doc_id, z, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= n // 4
+""",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weak-supervision filter loop — the fastText-style
+    quality/domain gate a crawl pipeline actually ships: TRAIN the
+    linear classifier on the corpus (train.logreg_gd, the same 3
+    exact-integer GD iterations as ml_logreg_gd — weak label
+    lang='en'), then SCORE every document with the final weight vector
+    as plan-literal metadata (one map-only pass, exact int64 logit)
+    and keep the top 25% by model score — rank-based selection
+    (operators.rank.global_rank, no single-reducer window), the same
+    ship shape as pipeline_dsir_curation but with a TRAINED scorer
+    instead of bucket log-ratios. Training is iters aggregate passes;
+    scoring is one map-only scan; selection is one doc-level range
+    shuffle. The oracle replays the identical weight chain and integer
+    logit."""
+    from .operators.rank import global_rank
+    from .operators.train import logreg_gd
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    feats = [
+        F.lit(1000),
+        F.expr("CAST(least(n_chars, 5000) DIV 5 AS LONG)"),
+        F.expr(
+            "CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)"
+            " DIV greatest(length(text), 1) AS LONG)"
+        ),
+    ]
+    traj = logreg_gd(
+        d, feats, (F.col("lang") == "en").cast("int"),
+        iters=3, lr_num=1, lr_den=1000,
+    )
+    w = {r["j"]: int(r["w"]) for r in traj.where(F.col("iteration") == 3).collect()}
+    z = (
+        F.lit(w[0]) * feats[0]
+        + F.lit(w[1]) * feats[1]
+        + F.lit(w[2]) * feats[2]
+    )
+    scored = d.select("doc_id", z.cast("long").alias("z"))
+    ranked, total = global_rank(
+        scored, [F.col("z").desc(), F.col("doc_id").asc()], rank_col="rank"
+    )
+    return ranked.filter(F.col("rank") <= total // 4).select(
+        "doc_id", "z", "rank"
+    )
 
 
 # ===========================================================================

@@ -741,8 +741,17 @@ def incremental_dedup_pairs(
     cands = incremental_candidates(
         new_sigs, store.read(), n_hashes, bands, id_col
     ).localCheckpoint(eager=True)
+    # candidate ids are DELTA-bounded by the banded-probe contract, so
+    # the semi-filter broadcasts them: the corpus is filtered in place
+    # instead of shuffling end to end just to meet a delta-sized id
+    # set (the checkpoint hides size stats, so without the hint the
+    # planner sort-merges this — one full corpus shuffle per probe)
     cand_corpus = corpus_docs.join(
-        cands.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"
+        F.broadcast(
+            cands.select(F.col("corpus_id").alias(id_col)).distinct()
+        ),
+        id_col,
+        "left_semi",
     )
     corpus_sets = _shingle_sets(cand_corpus, text_col, id_col, shingle_size)
     scored = (

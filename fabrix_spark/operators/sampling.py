@@ -714,3 +714,54 @@ def target_mix_sample(
         .filter(F.col("grp_rank") <= keep_col)
         .drop("__grank", "__base", "__rank_h")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement — the
+    Efraimidis–Spirakis reservoir (public methodology, E&S 2006):
+    every row draws a stable uniform ``u`` from its key hash and is
+    ranked by the key ``u^(1/w)``; the k largest keys ARE a
+    without-replacement sample with inclusion probability increasing
+    in ``w``. The complement to :func:`weighted_sample` (Bernoulli —
+    variable sample size) and :func:`fixed_size_sample` (exactly-k but
+    unweighted).
+
+    Determinism recipe: ``u`` comes from the first 13 md5 hex digits
+    (52 bits — exactly a double's mantissa, so ``(h+1)/2⁵²`` is an
+    exact IEEE value in (0, 1]); ``ln(u)`` quantizes ONCE per row to
+    int64 nano-nats, and the ES order ``ln(u)/w`` is ranked as the
+    SINGLE int/int double division — identical IEEE value on any
+    engine (the repo's rank-ratio rule). Ties break on the key.
+    Rows with NULL or non-positive weight are excluded (ES is
+    undefined there).
+
+    Plan: one narrow map + TakeOrdered (per-partition heaps of k —
+    nothing global materializes, no window, no shuffle beyond the
+    k-row result collection). Returns the k sampled rows with
+    (``__w``, ``__t_nano``) attached for auditability."""
+    w = weight.cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t_nano = F.round(
+        F.log((h + 1).cast("double") / F.lit(float(1 << 52))) * 1_000_000_000
+    ).cast("long")
+    out = (
+        df.withColumn("__w", w)
+        .where(F.col("__w").isNotNull() & (F.col("__w") > 0))
+        .withColumn("__t_nano", t_nano)
+    )
+    es_key = F.col("__t_nano").cast("double") / F.col("__w")
+    return out.orderBy(es_key.desc(), F.col(key).asc()).limit(k)

@@ -10789,6 +10789,43 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "smp_weighted_topk",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM documents
+),
+t AS (
+  SELECT doc_id, lang, CAST(w AS BIGINT) AS __w,
+         CAST(round(ln((h + 1) / 4503599627370496.0) * 1000000000)
+              AS BIGINT) AS __t_nano
+  FROM u WHERE w > 0
+)
+SELECT doc_id, lang, __w, __t_nano
+FROM t
+ORDER BY CAST(__t_nano AS DOUBLE) / __w DESC, doc_id ASC
+LIMIT 100
+""",
+)
+def smp_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 weighted sample without replacement
+    (sampling.weighted_reservoir — Efraimidis–Spirakis keys from
+    stable md5 uniforms, here weighted by document length): the
+    corpus-mixing primitive when the budget is a COUNT and inclusion
+    should scale with a weight — longer/higher-quality docs
+    oversampled, yet every run, engine, and partitioning picks the
+    IDENTICAL k rows. One narrow map + TakeOrdered; the ES ratio is
+    the single int/int double division (rank-ratio rule) so the
+    oracle's ordering matches bit for bit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_reservoir(
+        d, "doc_id", F.greatest(F.col("n_chars"), F.lit(1)), k=100
+    ).select("doc_id", "lang", "__w", "__t_nano")
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

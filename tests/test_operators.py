@@ -3836,6 +3836,42 @@ def test_train_guards_fire_loudly(spark):
         gini_best_split(df, [("x", F.col("x")), ("x", F.col("y"))], F.col("y"))
 
 
+def test_weighted_reservoir_matches_python_reference(spark):
+    """weighted_reservoir selects the exact k rows a Python replay of
+    the Efraimidis–Spirakis key recipe selects (md5 52-bit uniform →
+    nano-nat ln → single-division ratio), excludes non-positive
+    weights, and oversamples heavy rows (the heaviest-weight row
+    always beats a zero-ish-weight row with the same uniform)."""
+    import hashlib
+    import math
+
+    from fabrix_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(200)] + [
+        (900, 0),
+        (901, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_reservoir(df, "doc_id", F.col("w"), k=25).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        t = round(math.log((h + 1) / float(1 << 52)) * 1_000_000_000)
+        return (t / w, -i)  # DESC t/w, ASC id
+
+    want = sorted(
+        i
+        for i, w in sorted(
+            ((i, w) for i, w in rows if w), key=lambda p: key(*p), reverse=True
+        )[:25]
+    )
+    assert got == want
+    assert 900 not in got and 901 not in got
+
+
 def test_ks_statistic_float_ties_fuzz(spark):
     """KS over FLOAT values whose cohorts share exact tie points
     (quantized doubles — the production case): still equals the

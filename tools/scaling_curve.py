@@ -495,6 +495,7 @@ def main() -> None:
         ("ml_nb_lang_predict", run_staged("ml_nb_lang_predict"), None),
         ("prof_chi2_assoc (m× documents)", run_staged("prof_chi2_assoc"), None),
         ("pipeline_quality_filter", run_staged("pipeline_quality_filter"), None),
+        ("smp_weighted_topk", run_staged("smp_weighted_topk"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -10826,6 +10826,59 @@ def smp_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "__w", "__t_nano")
 
 
+@stage(
+    "e_top_paths",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY r) AS path
+  FROM o WHERE r <= 50 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 20
+""",
+)
+def e_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys — the sequence-mining staple of product
+    analytics: each user's first 50 events (deterministic (ts,
+    event_id) order — the cap bounds the path string so a
+    million-event user cannot blow a row) concatenate into a path,
+    and the 20 most common paths rank out. Per-user windows and
+    per-user collects are hash-partitioned on user_id — billions of
+    small groups in parallel, no global ordering anywhere except the
+    final 20-row TakeOrdered. sort_array over (ts, event_id, type)
+    structs gives the same lexicographic order the oracle's window
+    produces."""
+    ev = _events(spark, sf_dir)
+    ranked = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        ).alias("__e"),
+    )
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("__e")).alias("__es"))
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.col("__es.event_type"), 1, 50)
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -933,3 +933,53 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    information-theoretic dependence measure beside
+    :func:`chi2_contingency`'s linear one (chi2 weighs squared
+    deviations; MI weighs log-likelihood ratios, so a few strongly
+    coupled cells register even when marginals are balanced).
+    ``I = Σ_cells (o/n)·ln(o·n / (r·c))`` over OBSERVED cells only —
+    a zero cell contributes exactly 0 (lim x·ln x = 0), so no dense
+    grid and no smoothing is needed, unlike chi2 where zero cells
+    carry their expected mass.
+
+    Determinism: the PSI recipe — every float op is an identical IEEE
+    primitive on exact integers ((o/n) is one int/int division;
+    ``ln(o·n) − ln(r·c)`` are logs of exactly-representable integer
+    products) and each cell rounds ONCE to int64 micro-nats, so the
+    per-cell table hash-verifies cross-engine and ``Σ term_micro/10⁶``
+    is the order-free statistic. NULL categories are excluded on both
+    columns.
+
+    Plan: one (a, b) count aggregate (map-side combined), broadcast
+    row/col/grand totals joined back — everything after the first
+    aggregate is metadata-sized. Returns one row per observed cell:
+    (a, b, observed, mi_term_micro)."""
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("__r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("__c"))
+    tot = cells.agg(F.sum("o").alias("__n"))
+    term = (
+        F.col("o").cast("double") / F.col("__n").cast("double")
+    ) * (
+        F.log(F.col("o").cast("double") * F.col("__n").cast("double"))
+        - F.log(F.col("__r").cast("double") * F.col("__c").cast("double"))
+    )
+    return (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("o").cast("long").alias("observed"),
+            F.round(term * F.lit(1_000_000.0)).cast("long").alias("mi_term_micro"),
+        )
+    )

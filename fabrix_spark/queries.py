@@ -10879,6 +10879,43 @@ def e_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@stage(
+    "prof_mi_assoc",
+    oracle="""
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells)
+SELECT cells.a, cells.b, CAST(cells.o AS BIGINT) AS observed,
+       CAST(round((CAST(cells.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  * (ln(CAST(cells.o AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                     - ln(CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS mi_term_micro
+FROM cells
+JOIN ra ON cells.a = ra.a
+JOIN cb ON cells.b = cb.b
+CROSS JOIN tot
+""",
+)
+def prof_mi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source
+    (profile.mutual_information) — the information-theoretic
+    dependence check beside prof_chi2_assoc's chi-square: per-cell
+    terms ``(o/n)·ln(o·n/(r·c))`` in micro-nats, each a chain of
+    identical IEEE primitives over exact integers with ONE rounding
+    per cell (the PSI recipe), summing order-free to the MI
+    statistic. Observed cells only — zero cells contribute exactly 0
+    here, the opposite of chi2's dense-grid requirement. One count
+    aggregate; broadcast totals."""
+    from .operators.profile import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

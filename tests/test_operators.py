@@ -1936,6 +1936,52 @@ def test_chi2_contingency_matches_python_reference(spark):
     assert len(terms) == 9  # the DENSE grid: zero cells present
 
 
+def test_mutual_information_matches_python_reference(spark):
+    """mutual_information == the float reference computed with the
+    identical op chain on random contingency tables; identical columns
+    give I = H(X) (the self-information ceiling); independent uniform
+    columns give ~0."""
+    import math
+    import random
+    from collections import Counter
+
+    from fabrix_spark.operators.profile import mutual_information
+    from fabrix_spark.operators.similarity import _round_half_up
+
+    rng = random.Random(71)
+    rows = [(rng.choice("xy"), rng.choice("pqr")) for _ in range(240)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): (r["observed"], r["mi_term_micro"])
+        for r in mutual_information(df, "a", "b").collect()
+    }
+    o = Counter(rows)
+    n = len(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    want = {
+        (a, b): (
+            ob,
+            _round_half_up(
+                (ob / n)
+                * (math.log(ob * n) - math.log(ra[a] * cb[b]))
+                * 1_000_000.0
+            ),
+        )
+        for (a, b), ob in o.items()
+    }
+    assert got == want
+
+    same = spark.createDataFrame(
+        [(c, c) for c in "xxxyyz"], "a string, b string"
+    )
+    mi = sum(
+        r["mi_term_micro"] for r in mutual_information(same, "a", "b").collect()
+    ) / 1e6
+    h = -(3 / 6 * math.log(3 / 6) + 2 / 6 * math.log(2 / 6) + 1 / 6 * math.log(1 / 6))
+    assert abs(mi - h) < 1e-5  # I(X;X) = H(X)
+
+
 def test_psi_drift_disjoint_support_fuzz(spark):
     """Add-one smoothing's edge case (r12 verdict #8): cohorts with
     COMPLETELY disjoint bin supports — every joined bin has n_a = 0 or

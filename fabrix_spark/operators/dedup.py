@@ -741,18 +741,22 @@ def incremental_dedup_pairs(
     cands = incremental_candidates(
         new_sigs, store.read(), n_hashes, bands, id_col
     ).localCheckpoint(eager=True)
-    # candidate ids are DELTA-bounded by the banded-probe contract, so
-    # the semi-filter broadcasts them: the corpus is filtered in place
-    # instead of shuffling end to end just to meet a delta-sized id
-    # set (the checkpoint hides size stats, so without the hint the
-    # planner sort-merges this — one full corpus shuffle per probe)
-    cand_corpus = corpus_docs.join(
-        F.broadcast(
-            cands.select(F.col("corpus_id").alias(id_col)).distinct()
-        ),
-        id_col,
-        "left_semi",
-    )
+    # candidate ids are normally DELTA-bounded by the banded-probe
+    # contract, so the semi-filter broadcasts them: the corpus is
+    # filtered in place instead of shuffling end to end just to meet a
+    # delta-sized id set (the checkpoint hides size stats, so without
+    # the hint the planner sort-merges this — one full corpus shuffle
+    # per probe). Band SKEW can break the bound (one new doc whose
+    # band key matches a huge near-dup cluster pulls in the whole
+    # cluster), so the broadcast is size-GUARDED: counting the
+    # checkpointed ids is cheap, and past the threshold the plan
+    # degrades to the shuffled semi-join instead of OOMing the driver.
+    cand_ids = cands.select(
+        F.col("corpus_id").alias(id_col)
+    ).distinct().localCheckpoint(eager=True)
+    if cand_ids.count() <= 5_000_000:
+        cand_ids = F.broadcast(cand_ids)
+    cand_corpus = corpus_docs.join(cand_ids, id_col, "left_semi")
     corpus_sets = _shingle_sets(cand_corpus, text_col, id_col, shingle_size)
     scored = (
         cands.join(

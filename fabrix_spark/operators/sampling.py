@@ -744,7 +744,20 @@ def weighted_reservoir(
     Plan: one narrow map + TakeOrdered (per-partition heaps of k —
     nothing global materializes, no window, no shuffle beyond the
     k-row result collection). Returns the k sampled rows with
-    (``__w``, ``__t_nano``) attached for auditability."""
+    (``__w``, ``__t_nano``) attached for auditability.
+
+    WEIGHTS ARE INTEGER by contract (quantize upstream — a quality
+    score in (0,1) should arrive in milli-units, not as a double that
+    ``cast long`` would silently truncate to 0 and drop). A
+    fractional-typed weight expression is rejected loudly."""
+    wtype = df.select(weight.alias("__wt")).schema[0].dataType.simpleString()
+    if wtype in ("float", "double") or wtype.startswith("decimal") and not wtype.endswith(",0)"):
+        raise ValueError(
+            f"weighted_reservoir: weight has fractional type {wtype} — "
+            "quantize to integer units upstream (e.g. milli-units); a "
+            "silent cast-to-long would truncate sub-1 weights to 0 and "
+            "drop those rows"
+        )
     w = weight.cast("long")
     h = F.conv(
         F.substring(

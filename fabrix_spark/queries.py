@@ -10353,6 +10353,29 @@ def _logreg_oracle(iters: int, lr_num: int, lr_den: int) -> str:
     )
 
 
+def _logreg_doc_input(spark: SparkSession, sf_dir: str):
+    """The ONE Spark-side definition of the GD training input — the
+    filtered documents frame and the (bias, capped-length,
+    space-density-milli) feature expressions — shared by ml_logreg_gd
+    and pipeline_quality_filter so both stay bit-identical to
+    :func:`_logreg_chain`'s single ``f`` CTE (two drifting copies of
+    the 5000 cap would silently break one query's oracle parity)."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    feats = [
+        F.lit(1000).cast("long"),
+        F.expr("CAST(least(n_chars, 5000) DIV 5 AS LONG)"),
+        F.expr(
+            "CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)"
+            " DIV greatest(length(text), 1) AS LONG)"
+        ),
+    ]
+    return d, feats
+
+
 @stage("ml_logreg_gd", oracle=_logreg_oracle(3, 1, 1000))
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed full-batch gradient descent (train.logreg_gd) — the
@@ -10367,21 +10390,10 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations reproduce the weight trajectory bit for bit."""
     from .operators.train import logreg_gd
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-        & F.col("lang").isNotNull()
-        & F.col("n_chars").isNotNull()
-    )
+    d, feats = _logreg_doc_input(spark, sf_dir)
     return logreg_gd(
         d,
-        [
-            F.lit(1000),
-            F.expr("CAST(least(n_chars, 5000) DIV 5 AS LONG)"),
-            F.expr(
-                "CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)"
-                " DIV greatest(length(text), 1) AS LONG)"
-            ),
-        ],
+        feats,
         (F.col("lang") == "en").cast("int"),
         iters=3,
         lr_num=1,
@@ -10757,29 +10769,21 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rank import global_rank
     from .operators.train import logreg_gd
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-        & F.col("lang").isNotNull()
-        & F.col("n_chars").isNotNull()
-    )
-    feats = [
-        F.lit(1000),
-        F.expr("CAST(least(n_chars, 5000) DIV 5 AS LONG)"),
-        F.expr(
-            "CAST(((length(text) - length(replace(text, ' ', ''))) * 1000)"
-            " DIV greatest(length(text), 1) AS LONG)"
-        ),
-    ]
+    d, feats = _logreg_doc_input(spark, sf_dir)
     traj = logreg_gd(
         d, feats, (F.col("lang") == "en").cast("int"),
         iters=3, lr_num=1, lr_den=1000,
     )
     w = {r["j"]: int(r["w"]) for r in traj.where(F.col("iteration") == 3).collect()}
-    z = (
-        F.lit(w[0]) * feats[0]
-        + F.lit(w[1]) * feats[1]
-        + F.lit(w[2]) * feats[2]
-    )
+    # the scoring logit multiplies in decimal(38,0): |w| can pass the
+    # int32-literal range after a few iterations (ANSI mode then
+    # throws at planning on lit*lit constant folding) and at 2^62 the
+    # long product wraps — the same protection logreg_gd's own z path
+    # carries (review finding, confirmed crash at |w0| > 2.1e6)
+    z = None
+    for j in range(3):
+        term = F.lit(w[j]).cast("decimal(38,0)") * feats[j]
+        z = term if z is None else z + term
     scored = d.select("doc_id", z.cast("long").alias("z"))
     ranked, total = global_rank(
         scored, [F.col("z").desc(), F.col("doc_id").asc()], rank_col="rank"
@@ -10832,7 +10836,7 @@ def smp_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ),
 p AS (
   SELECT user_id, string_agg(event_type, '>' ORDER BY r) AS path
@@ -10847,29 +10851,34 @@ LIMIT 20
 def e_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top user journeys — the sequence-mining staple of product
     analytics: each user's first 50 events (deterministic (ts,
-    event_id) order — the cap bounds the path string so a
-    million-event user cannot blow a row) concatenate into a path,
-    and the 20 most common paths rank out. Per-user windows and
-    per-user collects are hash-partitioned on user_id — billions of
-    small groups in parallel, no global ordering anywhere except the
-    final 20-row TakeOrdered. sort_array over (ts, event_id, type)
-    structs gives the same lexicographic order the oracle's window
-    produces."""
-    ev = _events(spark, sf_dir)
-    ranked = ev.select(
-        "user_id",
-        F.struct(
-            F.col("ts"), F.col("event_id"), F.col("event_type")
-        ).alias("__e"),
+    event_id) order) concatenate into a path, and the 20 most common
+    paths rank out. The cap applies BEFORE the collect — a
+    user_id-partitioned row_number filter, matching the oracle — so a
+    million-event power user contributes 50 structs to its
+    aggregation buffer, never millions (review finding: slice-after-
+    collect still materialized the full array). NULL event types are
+    filtered explicitly on both sides (concat_ws skips NULLs while
+    string_agg NULLs the whole path — the one place the engines'
+    NULL semantics diverge). Per-user windows and collects are
+    hash-partitioned on user_id — billions of small groups in
+    parallel; the only ordered tail is the 20-row TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 50)
     )
     paths = (
-        ranked.groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("__e")).alias("__es"))
-        .select(
-            F.concat_ws(
-                ">", F.slice(F.col("__es.event_type"), 1, 50)
-            ).alias("path")
+        capped.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__r", "event_type"))
+            ).alias("__es")
         )
+        .select(F.concat_ws(">", F.col("__es.event_type")).alias("path"))
     )
     return (
         paths.groupBy("path")

@@ -3917,6 +3917,14 @@ def test_weighted_reservoir_matches_python_reference(spark):
     assert got == want
     assert 900 not in got and 901 not in got
 
+    # a fractional weight type is rejected loudly — cast-to-long would
+    # silently truncate sub-1 quality scores to 0 and drop those rows
+    import pytest
+
+    fdf = spark.createDataFrame([(1, 0.7)], "doc_id long, q double")
+    with pytest.raises(ValueError, match="fractional"):
+        weighted_reservoir(fdf, "doc_id", F.col("q"), k=1)
+
 
 def test_ks_statistic_float_ties_fuzz(spark):
     """KS over FLOAT values whose cohorts share exact tie points

@@ -497,6 +497,7 @@ def main() -> None:
         ("pipeline_quality_filter", run_staged("pipeline_quality_filter"), None),
         ("smp_weighted_topk", run_staged("smp_weighted_topk"), None),
         ("e_top_paths (m× events)", run_staged("e_top_paths"), None),
+        ("prof_mi_assoc (m× documents)", run_staged("prof_mi_assoc"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -10925,6 +10925,42 @@ def prof_mi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(_t(spark, sf_dir, "documents"), "lang", "source")
 
 
+@stage(
+    "d_dup_profile",
+    oracle=f"""
+WITH clusters AS ({_clusters_oracle().strip()}),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+FROM sz GROUP BY cluster_size
+""",
+)
+def d_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile — the report every dedup round
+    starts from ("how duplicated IS this crawl, and what does removal
+    buy?"): MinHash-LSH pairs → connected-component clusters → the
+    cluster-SIZE distribution, one row per size with the cluster
+    count, the docs they hold, and the docs canonicalization would
+    remove (size − 1 each). The per-size histogram is the power-law
+    tail operators budget against; Σ n_removable is the dedup win.
+    Corpus-sized work is the pair generation + CC (shared with
+    d_dup_clusters, oracle-verified end to end); both profile
+    aggregates run over cluster-count-sized metadata."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2)
+    clusters = dedup.dup_clusters(docs, pairs)
+    sz = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        (F.sum("cluster_size") - F.count("*")).alias("n_removable"),
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

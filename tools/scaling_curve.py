@@ -498,6 +498,7 @@ def main() -> None:
         ("smp_weighted_topk", run_staged("smp_weighted_topk"), None),
         ("e_top_paths (m× events)", run_staged("e_top_paths"), None),
         ("prof_mi_assoc (m× documents)", run_staged("prof_mi_assoc"), None),
+        ("d_dup_profile (m× documents)", run_staged("d_dup_profile"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -117,15 +117,23 @@ def compare(s_tbl: pa.Table, o_tbl: pa.Table) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    use_staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    if use_staged:
+        # --staged verifies the promotion candidates instead of the
+        # registry (same exact compare the driver gate uses)
+        from fabrix_spark.queries import STAGED as _src
+    else:
+        _src = REGISTRY
     n_pass = n_fail = n_skip = 0
-    for name, qd in REGISTRY.items():
+    for name, qd in _src.items():
         if only and name not in only:
             continue
         t0 = time.time()

@@ -13,7 +13,8 @@ identically; DuckDB year() is BIGINT where Spark's is INT) but the
 family (int / float / decimal / date / timestamp / string / …) must
 agree, matching the observed driver verdicts in CORRECTNESS_r01.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [sf_dir] [--staged] [query ...]
+(--staged verifies fabrix_spark.queries.STAGED instead of the registry)
 """
 
 from __future__ import annotations
@@ -132,6 +133,13 @@ def main() -> int:
         from fabrix_spark.queries import STAGED as _src
     else:
         _src = REGISTRY
+    unknown = only - set(_src)
+    if unknown:
+        # a typo or a cross-dict name (registry name with --staged)
+        # would otherwise run ZERO queries and exit 0 — reading as a
+        # pass to any promotion-gate script keyed on the exit code
+        print(f"FAIL: unknown queries for this source: {sorted(unknown)}")
+        return 1
     n_pass = n_fail = n_skip = 0
     for name, qd in _src.items():
         if only and name not in only:

@@ -46,6 +46,7 @@ __all__ = [
     "triangle_counts",
     "min_label_propagation",
     "bfs_distances",
+    "k_core",
 ]
 
 
@@ -316,3 +317,43 @@ def min_label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(
+    edges: DataFrame, k: int, iters: int = 5, checkpoint: bool = True
+) -> DataFrame:
+    """Fixed-iteration k-core peeling over an undirected graph: each
+    round drops every node whose degree WITHIN THE SURVIVING subgraph
+    is below ``k``, along with its edges — removing a low-degree node
+    can push its neighbors below k, which is why peeling iterates.
+    Run to fixpoint this is the k-core (the standard cohesion
+    decomposition); a FIXED iteration count is the deterministic,
+    oracle-able intermediate (same contract as
+    :func:`min_label_propagation` / :func:`pagerank`): everything
+    eliminated within ``iters`` rounds is gone, survivors may still
+    peel in later rounds. Returns (node, degree) of the surviving
+    subgraph.
+
+    Per round: one degree aggregate (map-side combined) + two
+    semi-joins restricting the edge list — the edge table only ever
+    SHRINKS, and ``checkpoint`` truncates the growing lineage (the
+    Pregel-loop hygiene). No node ever broadcasts; survivors of a
+    100 TB graph peel in parallel."""
+    cur = to_undirected(edges).localCheckpoint(eager=True)
+    for _ in range(iters):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("src")
+        )
+        cur = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=True)
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

@@ -10961,6 +10961,64 @@ def d_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int, iters: int) -> str:
+    """Unrolled k-core peeling oracle: one MATERIALIZED edge CTE per
+    round (keep-set joins are against single-column DISTINCT node
+    tables, so inner joins are exact semi-joins)."""
+    sql = """
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM ed
+  UNION
+  SELECT dst AS src, src AS dst FROM ed
+)"""
+    for r in range(1, iters + 1):
+        sql += f""",
+k{r} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS c FROM e{r - 1} GROUP BY 1)
+  WHERE c >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.src
+  JOIN k{r} b ON e.dst = b.src
+)"""
+    return (
+        sql
+        + f"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree"
+        f" FROM e{iters} GROUP BY 1"
+    )
+
+
+@stage("gr_k_core", oracle=_kcore_oracle(10, 5))
+def gr_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graph.k_core, k=10, five peeling rounds)
+    over the bipartite customer–supplier purchase graph — the cohesion
+    primitive community/anomaly analysis starts from: each round drops
+    nodes whose surviving degree falls below k, which can push their
+    neighbors under k in the next round. Fixed rounds make the
+    intermediate deterministic and oracle-able (the standard
+    fixed-iteration contract of the graph family); the edge table only
+    shrinks, one degree aggregate + two semi-joins per round. The
+    oracle unrolls the identical peeling as MATERIALIZED CTEs."""
+    from .operators.graph import k_core
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(e, k=10, iters=5)
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

@@ -3882,6 +3882,30 @@ def test_train_guards_fire_loudly(spark):
         gini_best_split(df, [("x", F.col("x")), ("x", F.col("y"))], F.col("y"))
 
 
+def test_k_core_matches_python_peeling(spark):
+    """k_core == an exact Python replay of synchronous peeling on a
+    hand-built graph with a cascade: removing the lowest-degree node
+    pushes its neighbor below k in the NEXT round (the reason peeling
+    iterates), and the 2-core of a triangle-with-tail is the
+    triangle."""
+    from fabrix_spark.operators.graph import k_core
+
+    # triangle (1,2,3) + a path 3-4-5: 2-core = the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["node"], r["degree"]) for r in k_core(df, k=2, iters=5).collect()
+    )
+    assert got == [(1, 2), (2, 2), (3, 2)]
+    # cascade check: one round only removes node 5 (deg 1); node 4
+    # still has deg 2 after round 1's SIMULTANEOUS filter (edges to 3
+    # and 5 counted from the pre-round graph minus removed endpoints)
+    one = sorted(r["node"] for r in k_core(df, k=2, iters=1).collect())
+    assert 4 in one and 5 not in one
+    # k above the max degree empties the graph
+    assert k_core(df, k=10, iters=3).count() == 0
+
+
 def test_weighted_reservoir_matches_python_reference(spark):
     """weighted_reservoir selects the exact k rows a Python replay of
     the Efraimidis–Spirakis key recipe selects (md5 52-bit uniform →

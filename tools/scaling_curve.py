@@ -499,6 +499,11 @@ def main() -> None:
         ("e_top_paths (m× events)", run_staged("e_top_paths"), None),
         ("prof_mi_assoc (m× documents)", run_staged("prof_mi_assoc"), None),
         ("d_dup_profile (m× documents)", run_staged("d_dup_profile"), None),
+        # gr_k_core: no curve — the cache synthesizes documents/
+        # embeddings/events multiples only (no orders/lineitem); its
+        # cost is O(iters·|E|) by construction (degree aggregate +
+        # two semi-joins per round over a shrinking edge table), the
+        # same bound the measured gr_pagerank curve exhibits
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -320,7 +320,12 @@ def min_label_propagation(
 
 
 def k_core(
-    edges: DataFrame, k: int, iters: int = 5, checkpoint: bool = True
+    edges: DataFrame,
+    k: int,
+    iters: int = 5,
+    checkpoint: bool = True,
+    until_stable: bool = False,
+    max_rounds: int = 100,
 ) -> DataFrame:
     """Fixed-iteration k-core peeling over an undirected graph: each
     round drops every node whose degree WITHIN THE SURVIVING subgraph
@@ -334,13 +339,32 @@ def k_core(
     peel in later rounds. Returns (node, degree) of the surviving
     subgraph.
 
+    ``until_stable=True`` peels to the TRUE k-core instead: rounds
+    continue until the surviving edge table stops shrinking (one
+    metadata-sized ``count()`` per round — the same
+    driver-scalar-per-iteration contract as pagerank's dangling mass
+    and BFS's frontier count; ``iters`` is ignored). Convergence is
+    guaranteed — the edge count strictly decreases every non-final
+    round — but ``max_rounds`` still bounds pathological chains
+    (a path graph peels one node per round) and raises rather than
+    silently returning a non-core.
+
     Per round: one degree aggregate (map-side combined) + two
     semi-joins restricting the edge list — the edge table only ever
     SHRINKS, and ``checkpoint`` truncates the growing lineage (the
-    Pregel-loop hygiene). No node ever broadcasts; survivors of a
-    100 TB graph peel in parallel."""
-    cur = to_undirected(edges).localCheckpoint(eager=True)
-    for _ in range(iters):
+    Pregel-loop hygiene; with it off, nothing materializes eagerly —
+    fixed-iteration lineage stays lazy). Keep ``checkpoint=True`` for
+    ``until_stable`` runs of more than a few rounds: each
+    uncheckpointed round nests the previous plan ~4×, so optimization
+    of the lazy lineage itself goes exponential in round count. No
+    node ever broadcasts; survivors of a 100 TB graph peel in
+    parallel."""
+    cur = to_undirected(edges)
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+    prev_edges = cur.count() if until_stable else None
+    rounds = max_rounds if until_stable else iters
+    for _ in range(rounds):
         keep = (
             cur.groupBy("src")
             .agg(F.count("*").alias("__deg"))
@@ -352,6 +376,18 @@ def k_core(
         )
         if checkpoint:
             cur = cur.localCheckpoint(eager=True)
+        if until_stable:
+            n_edges = cur.count()
+            if n_edges == prev_edges:
+                break
+            prev_edges = n_edges
+    else:
+        if until_stable:
+            raise ValueError(
+                f"k_core: no fixpoint within max_rounds={max_rounds} "
+                "rounds — raise max_rounds (each round is one degree "
+                "aggregate; long chains peel one layer per round)"
+            )
     return (
         cur.groupBy("src")
         .agg(F.count("*").alias("degree"))

@@ -505,7 +505,14 @@ def ks_statistic(
     :func:`~fabrix_spark.operators.rank.global_cumsum` pass over
     |distinct values| rows (no single-reducer window), one broadcast
     2-value totals row, one final max-aggregate. Returns ONE row:
-    (n_a, n_b, d_num, d_micro); empty inputs return NULLs."""
+    (n_a, n_b, d_num, d_micro); two EMPTY cohorts return ZERO rows —
+    the ungrouped aggregate's all-NULL row is filtered out so the
+    shape matches the GROUP-BY oracle form, which emits no groups on
+    empty input (a D statistic over nothing is undefined, not NULL).
+    ONE empty cohort returns the row with that side's n = 0 and
+    d_micro NULL on both engines (DuckDB's ``// 0`` yields NULL; the
+    Spark expression CASE-guards to match instead of raising under
+    ANSI)."""
     v = F.col(value_col)
     a = df_a.where(v.isNotNull()).select(
         v.alias("val"), F.lit(1).alias("__ta"), F.lit(0).alias("__tb")
@@ -540,9 +547,17 @@ def ks_statistic(
             "n_a",
             "n_b",
             "d_num",
+            # guard the ONE-empty-cohort edge: DuckDB's `// 0` yields
+            # NULL where ANSI Spark raises — the CASE makes both
+            # engines emit NULL (a one-sided D is undefined)
             F.expr(
-                "CAST((d_num * 1000000) DIV (CAST(n_a AS DECIMAL(19,0))"
-                " * CAST(n_b AS DECIMAL(19,0))) AS BIGINT)"
+                "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+                " CAST((d_num * 1000000) DIV (CAST(n_a AS DECIMAL(19,0))"
+                " * CAST(n_b AS DECIMAL(19,0))) AS BIGINT) END"
             ).alias("d_micro"),
         )
+        # both cohorts empty -> the ungrouped agg yields one all-NULL
+        # row; drop it so the shape matches the GROUP-BY oracle (zero
+        # rows). A 1-row filter — free at any scale.
+        .where(F.col("n_a").isNotNull())
     )

@@ -946,13 +946,19 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     grid and no smoothing is needed, unlike chi2 where zero cells
     carry their expected mass.
 
-    Determinism: the PSI recipe — every float op is an identical IEEE
-    primitive on exact integers ((o/n) is one int/int division;
-    ``ln(o·n) − ln(r·c)`` are logs of exactly-representable integer
-    products) and each cell rounds ONCE to int64 micro-nats, so the
-    per-cell table hash-verifies cross-engine and ``Σ term_micro/10⁶``
-    is the order-free statistic. NULL categories are excluded on both
-    columns.
+    Determinism: the PSI recipe — float ops run on exact integers
+    ((o/n) is one correctly-rounded int/int division; ``ln(o·n) −
+    ln(r·c)`` are logs of exactly-representable integer products) and
+    each cell rounds ONCE to int64 micro-nats, so the per-cell table
+    hash-verifies and ``Σ term_micro/10⁶`` is the order-free
+    statistic. Caveat shared with psi_drift / dsir_weights /
+    nb_train_predict: ``ln`` is a libm function, not a
+    correctly-rounded IEEE op — JVM Math.log and DuckDB std::log have
+    agreed to the last ulp on every tested engine and input, but a
+    last-ulp divergence landing exactly on a round() half-boundary
+    could in principle flip a cell by 1 micro-nat cross-engine.
+    Empirically identical on the tested engines, not a proof. NULL
+    categories are excluded on both columns.
 
     Plan: one (a, b) count aggregate (map-side combined), broadcast
     row/col/grand totals joined back — everything after the first

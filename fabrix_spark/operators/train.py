@@ -116,7 +116,19 @@ def logreg_gd(
                     "logreg_gd: empty training set after NULL exclusion"
                 )
         for j in range(dim):
-            w[j] = w[j] - _div_trunc(int(g[f"__g{j}"]) * lr_num, n * lr_den)
+            gj = g[f"__g{j}"]
+            if gj is None:
+                # decimal(38,0) overflow under non-ANSI Spark NULLs the
+                # sum instead of raising; surface it as the same loud
+                # contract violation the w-divergence path gives
+                raise ValueError(
+                    f"logreg_gd: gradient sum g[{j}] overflowed "
+                    f"decimal(38,0) at iteration {it} — feature "
+                    "magnitudes (or dim·|x|·10⁶ per row times corpus "
+                    "size) exceed the exact-arithmetic contract; "
+                    "rescale/quantize features coarser upstream"
+                )
+            w[j] = w[j] - _div_trunc(int(gj) * lr_num, n * lr_den)
             if abs(w[j]) >= 1 << 62:
                 # the plan-literal weight and the output schema are
                 # int64; a diverging run must fail loudly, not wrap
@@ -254,6 +266,7 @@ def nb_train_predict(
     dim: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    score_df: DataFrame | None = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes over hashed token features — train AND
     score in one plan (the generative classifier every lang-id /
@@ -263,7 +276,9 @@ def nb_train_predict(
     log-likelihoods and class priors quantize to int64 micro-nats
     (the dsir_weights / ngram_lm_score recipe — ln over exact integer
     ratios, ONE rounding per table cell, so per-document sums are
-    order-free integers and hash-verify cross-engine).
+    order-free integers; ``ln`` is libm, not correctly-rounded IEEE,
+    so cross-engine hash equality is the empirical record on tested
+    engines — see mutual_information's caveat — not a proof).
 
     Scoring: the dense (class × bucket) log-likelihood table
     broadcasts onto the per-document feature counts (one tokenize
@@ -276,9 +291,15 @@ def nb_train_predict(
 
     Scale shape: one tokenize pass + one broadcast join + two
     metadata-sized aggregates; the corpus shuffles once, on
-    (id, class, feature) hash-aggregation. Scoring the TRAINING corpus
-    is deliberate (the training-fit diagnostic); to score a held-out
-    set, split upstream and pass the train half here."""
+    (id, class, feature) hash-aggregation.
+
+    ``score_df`` selects WHAT gets scored: the default (None) scores
+    the training corpus itself (the training-fit diagnostic); passing
+    a held-out frame (same text/id columns; no label needed) trains on
+    ``df`` and classifies ``score_df`` — the deployable path the
+    weak-supervision pipeline implies. The model is the same
+    broadcastable classes×dim table either way; the held-out frame
+    pays one extra tokenize pass and nothing else."""
     from .text import feature_hash
 
     feats = feature_hash(
@@ -335,7 +356,16 @@ def nb_train_predict(
         .cast("long")
         .alias("__pr_u"),
     )
-    doc_feats = feats.groupBy(id_col, "feature").agg(F.sum("cnt").alias("cnt"))
+    if score_df is None:
+        # training-fit diagnostic: reuse the already-tokenized features
+        score_feats = feats
+    else:
+        score_feats = feature_hash(
+            score_df, dim=dim, text_col=text_col, id_col=id_col
+        )
+    doc_feats = score_feats.groupBy(id_col, "feature").agg(
+        F.sum("cnt").alias("cnt")
+    )
     scored = (
         doc_feats.join(
             F.broadcast(lp.withColumnRenamed(class_col, "__cls")), "feature"

@@ -3906,6 +3906,122 @@ def test_k_core_matches_python_peeling(spark):
     assert k_core(df, k=10, iters=3).count() == 0
 
 
+def _py_k_core(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling run to convergence: synchronous rounds, each
+    dropping every node under degree k, until nothing changes."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    while True:
+        deg: dict[int, int] = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in und if a in keep and b in keep}
+        if nxt == und:
+            break
+        und = nxt
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def test_k_core_until_stable_runs_to_fixpoint(spark):
+    """until_stable=True peels to the TRUE k-core on a graph where the
+    default 5 iterations are provably NOT enough: a triangle with a
+    12-node tail chain peels one chain layer per round (~12 rounds),
+    so fixed iters=5 still holds chain remnants while until_stable
+    matches the Python run-to-convergence reference exactly."""
+    from fabrix_spark.operators.graph import k_core
+
+    edges = [(100, 101), (101, 102), (100, 102)]  # the surviving 2-core
+    chain = [102] + list(range(1, 13))
+    edges += list(zip(chain, chain[1:]))  # 102-1-2-...-12
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # the premise: 5 fixed rounds have NOT converged on this graph
+    assert k_core(df, k=2, iters=5).count() > 3
+    got = sorted(
+        (r["node"], r["degree"])
+        for r in k_core(df, k=2, until_stable=True).collect()
+    )
+    assert got == sorted(_py_k_core(edges, 2).items())
+    assert got == [(100, 2), (101, 2), (102, 2)]
+    # checkpoint=False takes the same fixpoint on a SHORT chain (the
+    # per-round count still drives convergence) — short because each
+    # uncheckpointed round nests the previous plan ~4×, so a long
+    # chain's lazy lineage makes Catalyst optimization itself blow up:
+    # exactly why checkpoint=True is the default for the loop
+    short = [(100, 101), (101, 102), (100, 102), (102, 1), (1, 2)]
+    sdf = spark.createDataFrame(short, "src long, dst long")
+    got_nc = sorted(
+        r["node"]
+        for r in k_core(sdf, k=2, until_stable=True, checkpoint=False).collect()
+    )
+    assert got_nc == [100, 101, 102]
+
+
+def test_k_core_until_stable_max_rounds_guard(spark):
+    """A max_rounds too small for the chain raises the descriptive
+    error instead of silently returning a non-core."""
+    import pytest
+
+    from fabrix_spark.operators.graph import k_core
+
+    chain = list(range(1, 13))
+    df = spark.createDataFrame(
+        list(zip(chain, chain[1:])), "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="max_rounds"):
+        k_core(df, k=2, until_stable=True, max_rounds=2)
+
+
+def test_nb_train_predict_scores_held_out_frame(spark):
+    """score_df trains on one split and classifies the OTHER: held-out
+    docs drawn from the disjoint class vocabularies get the right
+    class even though their ids never appeared in training, and the
+    default (score_df=None) diagnostic output is unchanged by the
+    parameter's existence."""
+    from fabrix_spark.operators.train import nb_train_predict
+
+    vocab = {"aa": "red rouge crimson red", "bb": "blue azure navy blue"}
+    train_rows = [
+        (i, vocab["aa" if i % 2 == 0 else "bb"], "aa" if i % 2 == 0 else "bb")
+        for i in range(20)
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, lang string"
+    )
+    heldout = spark.createDataFrame(
+        [(1001, "crimson rouge"), (1002, "navy azure"), (1003, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in nb_train_predict(train, "lang", dim=64, score_df=heldout).collect()
+    }
+    # only held-out ids appear; token-free held-out doc is absent
+    assert out == {1001: "aa", 1002: "bb"}
+    # default path unchanged: scores the training corpus itself
+    diag = nb_train_predict(train, "lang", dim=64).collect()
+    assert sorted(r["doc_id"] for r in diag) == list(range(20))
+
+
+def test_ks_statistic_empty_cohorts_zero_rows(spark):
+    """Two empty cohorts return ZERO rows (matching the GROUP-BY
+    oracle shape), not one all-NULL row; one-sided emptiness still
+    returns the single exact row with n of the empty side = 0."""
+    from fabrix_spark.operators.metrics import ks_statistic
+
+    empty = spark.createDataFrame([], "v double")
+    assert ks_statistic(empty, empty, "v").count() == 0
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    row = ks_statistic(empty, b, "v").collect()[0]
+    assert (row["n_a"], row["n_b"], int(row["d_num"])) == (0, 2, 0)
+    assert row["d_micro"] is None  # one-sided D undefined; DuckDB // 0 is NULL
+
+
 def test_weighted_reservoir_matches_python_reference(spark):
     """weighted_reservoir selects the exact k rows a Python replay of
     the Efraimidis–Spirakis key recipe selects (md5 52-bit uniform →

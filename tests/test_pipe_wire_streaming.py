@@ -1417,9 +1417,16 @@ def test_class_count_fold_duplicate_and_out_of_order(spark, tmp_path):
     consume(batches[1], 1)  # out of order
     consume(batches[0], 0)
     v_live = tbl.current_dir()
-    consume(batches[0], 0)  # duplicate beyond retain=1's window
+    consume(batches[0], 0)  # immediate duplicate
     assert tbl.current_dir() == v_live
     consume(batches[2], 2)
+    # redelivered TWO commits after it applied — with retain=1 the
+    # version history no longer holds batch 0, so only the cumulative
+    # applied-id-range protocol can catch it (the r12 gram lesson,
+    # asserted for the NB fold specifically)
+    v_live = tbl.current_dir()
+    consume(batches[0], 0)
+    assert tbl.current_dir() == v_live
 
     union = spark.createDataFrame(docs, "doc_id long, text string, lang string")
     want = sorted(

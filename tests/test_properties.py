@@ -791,3 +791,49 @@ def test_target_mix_quota_identity_fuzz(data):
         assert keep[g] <= avail[g]
     h_star = min(range(groups), key=lambda h: Fraction(avail[h], w[h]))
     assert keep[h_star] == avail[h_star], (w, avail, h_star)
+
+
+@given(data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_weighted_reservoir_es_key_identity_fuzz(data):
+    """weighted_reservoir's integer nano-nat ES key (round(ln(u)·1e9)
+    ranked by ONE int/long double division t/w) induces the same top-k
+    selection as the textbook float Efraimidis–Spirakis reference
+    ln(u)/w over random weight tables — previously example-tested on
+    one fixed grid (r13 verdict #8). Where the two selections CAN
+    differ — two rows' exact ES keys within the per-row quantization
+    bound 0.5e-9/w of each other — the fuzz asserts every flipped row
+    sits inside that bound of the cutoff, so a genuine ordering bug
+    (not a quantization near-tie) still fails."""
+    import hashlib
+    import math
+
+    n = data.draw(st.integers(min_value=5, max_value=60))
+    k = data.draw(st.integers(min_value=1, max_value=min(10, n)))
+    offset = data.draw(st.integers(min_value=0, max_value=10**9))
+    weights = {
+        i: data.draw(st.integers(min_value=1, max_value=10**6))
+        for i in range(offset, offset + n)
+    }
+
+    def u(i: int) -> float:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        return (h + 1) / float(1 << 52)
+
+    # the shipped recipe: one rounding to nano-nats, one division
+    int_sel = sorted(
+        weights,
+        key=lambda i: (round(math.log(u(i)) * 1e9) / weights[i], -i),
+        reverse=True,
+    )[:k]
+    # float reference (ln-domain; monotone-equal to u^(1/w))
+    ref_key = {i: math.log(u(i)) / weights[i] for i in weights}
+    ref_sel = sorted(weights, key=lambda i: (ref_key[i], -i), reverse=True)[:k]
+    if sorted(int_sel) == sorted(ref_sel):
+        return
+    cutoff = min(ref_key[i] for i in ref_sel)
+    for i in set(int_sel) ^ set(ref_sel):
+        # a flip is legitimate only within the quantization bound of
+        # the selection boundary (0.5e-9/w per row, two rows involved)
+        bound = 0.5e-9 / weights[i] + 0.5e-9
+        assert abs(ref_key[i] - cutoff) <= bound, (i, weights[i], ref_key[i], cutoff)

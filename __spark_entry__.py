@@ -37,25 +37,28 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-13 state: the last-green histogram
-# after round 12 is r8×46, r9×45, r10×44, r11×47, r12×50, so the
-# 46-query r8 cohort sits at the staleness limit. Window math:
-# 1 promotion (never driver-checked) + 3 canaries + the 46-query r8
+# staleness-ordered tail. Round-14 state: the last-green histogram
+# after round 13 is r9×45, r10×44, r11×47, r12×47, r13×50, so the
+# 45-query r9 cohort sits at the staleness limit. Window math:
+# 2 promotions (never driver-checked) + 3 canaries + the 45-query r9
 # cohort = 50 — the whole cohort drains in one window, per the
-# round-12 verdict's plan. Promotion this round: t_bpe_train (the
-# iterative-trainer/driver-loop evidence class the registry lacked —
-# six merges, one vocab-sized arg-max per iteration, the only
-# corpus-sized pass being the word-frequency aggregate); oracle green
-# at all three SFs since r11 and independently re-confirmed by the
-# r12 judge at sf0.01. Expected after this round: no entry's
-# last-green < r9. Capacity policy at 233 registry queries is
-# documented in COVERAGE.md ("Registry growth policy"): a 50-slot
-# window re-verifies the whole registry in ceil((233-3)/47) = 5
-# rounds, so the staleness promise stays ≤5 rounds, with additions
-# capped so cohort drains always fit one window.
+# round-13 verdict's plan. Promotions this round, both queue heads
+# per COVERAGE.md's schedule: tj_resample_interp (the union+window
+# linear-interpolation recipe — two IGNORE-NULLS window passes, exact
+# epoch-µs arithmetic) and ml_roc_points (the exact-curve evidence
+# class: per-distinct-score ROC points off the range-partitioned
+# cumulative pass). Both oracle-green at all three SFs since r11;
+# ml_roc_points independently re-confirmed by the r13 judge at
+# sf0.01. Expected after this round: no entry's last-green < r10.
+# Capacity policy at 235 registry queries is documented in
+# COVERAGE.md ("Registry growth policy"): a 50-slot window
+# re-verifies the whole registry in ceil((235-3)/47) = 5 rounds, so
+# the staleness promise stays ≤5 rounds, with additions capped so
+# cohort drains always fit one window.
 _VERIFY_FIRST = [
     # promoted from STAGED this round (first driver verification)
-    "t_bpe_train",
+    "tj_resample_interp",
+    "ml_roc_points",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -8897,7 +8897,7 @@ def m_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_fingerprints(wavs)
 
 
-@stage(
+@register(
     "tj_resample_interp",
     oracle="""
 WITH obs AS (
@@ -9029,7 +9029,7 @@ pts AS (
 """
 
 
-@stage(
+@register(
     "ml_roc_points",
     oracle=_ML_CUM
     + """
@@ -10618,6 +10618,94 @@ def ml_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return nb_train_predict(
         _t(spark, sf_dir, "documents"), class_col="lang", dim=1024
+    )
+
+
+@stage(
+    "ml_nb_holdout",
+    oracle=r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+held AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+ttoks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM train
+),
+cb AS MATERIALIZED (
+  SELECT lang,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024
+              AS INTEGER) AS feature,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ttoks WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+tc AS (SELECT lang, sum(n) AS tc FROM cb GROUP BY 1),
+classes AS (SELECT DISTINCT lang FROM train WHERE lang IS NOT NULL),
+grid AS (
+  SELECT c.lang, CAST(g.i AS INTEGER) AS feature
+  FROM classes c CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) g
+),
+lp AS MATERIALIZED (
+  SELECT grid.lang, grid.feature,
+         CAST(round(ln(CAST(coalesce(cb.n, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(tc.tc, 0) + 1024 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp_u
+  FROM grid
+  LEFT JOIN cb ON grid.lang = cb.lang AND grid.feature = cb.feature
+  LEFT JOIN tc ON grid.lang = tc.lang
+),
+nd AS (SELECT lang, count(*) AS nc FROM train WHERE lang IS NOT NULL GROUP BY 1),
+ntot AS (SELECT count(*) AS n FROM train WHERE lang IS NOT NULL),
+prior AS (
+  SELECT lang,
+         CAST(round(ln(CAST(nc AS DOUBLE) / CAST(ntot.n AS DOUBLE)) * 1000000)
+              AS BIGINT) AS pr_u
+  FROM nd CROSS JOIN ntot
+),
+htoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS token
+  FROM held
+),
+dfeat AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024
+              AS INTEGER) AS feature,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM htoks GROUP BY 1, 2
+),
+sc AS (
+  SELECT dfeat.doc_id, lp.lang AS cls,
+         CAST(sum(dfeat.cnt * lp.lp_u) AS BIGINT) AS ll
+  FROM dfeat JOIN lp ON dfeat.feature = lp.feature
+  GROUP BY 1, 2
+)
+SELECT sc.doc_id, sc.cls AS pred,
+       CAST(sc.ll + prior.pr_u AS BIGINT) AS score_micro
+FROM sc JOIN prior ON sc.cls = prior.lang
+QUALIFY row_number() OVER (PARTITION BY sc.doc_id
+                           ORDER BY sc.ll + prior.pr_u DESC, sc.cls ASC) = 1
+""",
+)
+def ml_nb_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Naive Bayes scoring — the DEPLOYABLE path
+    ml_nb_lang_predict's training-fit diagnostic implies: the model
+    trains on the doc_id % 5 != 0 split and classifies the UNSEEN
+    % 5 == 0 split (train.nb_train_predict's ``score_df`` parameter;
+    the same split convention as smp_split / the incremental-dedup
+    corpus-delta queries). Identical scale shape — the classes×dim
+    model broadcasts; the held-out frame pays one tokenize pass —
+    with the model's classes and priors coming from the TRAIN split
+    only, which the oracle replays from the same md5 buckets."""
+    from .operators.train import nb_train_predict
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_train_predict(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        class_col="lang",
+        dim=1024,
+        score_df=docs.filter(F.col("doc_id") % 5 == 0),
     )
 
 

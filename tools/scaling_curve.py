@@ -250,42 +250,60 @@ def main() -> None:
             )
         return admitted.read().df.count()
 
-    def op_pagerank(sf_dir, m):
+    def _synth_edges(sf_dir):
         # m isomorphic per-copy graphs (3 deterministic out-edges per
         # doc, targets stay inside the copy's id block): edge count ∝ m
-        # while per-node degree stays constant — the iterative
-        # join+aggregate path measured at growing |E|
+        # while per-node degree stays constant — the edge-table
+        # multiplier the graph-family curves run on (derived from the
+        # documents multiplier, so the cache needs no fourth table)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        base = F.floor(F.col("doc_id") / F.lit(STRIDE)) * F.lit(STRIDE)
+        local = F.col("doc_id") % F.lit(STRIDE)
+        edges = None
+        for a, b in ((37, 11), (101, 3), (7919, 1)):
+            part = docs.select(
+                F.col("doc_id").alias("src"),
+                (base + (local * a + b) % F.lit(5000)).alias("dst"),
+            )
+            edges = part if edges is None else edges.unionByName(part)
+        return edges
+
+    def op_pagerank(sf_dir, m):
+        # the iterative join+aggregate path measured at growing |E|
         from fabrix_spark.operators.graph import pagerank
 
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        base = F.floor(F.col("doc_id") / F.lit(STRIDE)) * F.lit(STRIDE)
-        local = F.col("doc_id") % F.lit(STRIDE)
-        edges = None
-        for a, b in ((37, 11), (101, 3), (7919, 1)):
-            part = docs.select(
-                F.col("doc_id").alias("src"),
-                (base + (local * a + b) % F.lit(5000)).alias("dst"),
-            )
-            edges = part if edges is None else edges.unionByName(part)
-        return pagerank(edges, iters=3, redistribute=True, checkpoint=True).count()
+        return pagerank(
+            _synth_edges(sf_dir), iters=3, redistribute=True, checkpoint=True
+        ).count()
 
     def op_label_prop(sf_dir, m):
-        # same m-isomorphic-copies graph as op_pagerank: |E| ∝ m,
-        # per-node degree constant — measures the per-round
-        # join+min-aggregate of the Pregel-style min-label loop
+        # measures the per-round join+min-aggregate of the
+        # Pregel-style min-label loop on the same |E| ∝ m graph
         from fabrix_spark.operators.graph import min_label_propagation
 
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        base = F.floor(F.col("doc_id") / F.lit(STRIDE)) * F.lit(STRIDE)
-        local = F.col("doc_id") % F.lit(STRIDE)
-        edges = None
-        for a, b in ((37, 11), (101, 3), (7919, 1)):
-            part = docs.select(
-                F.col("doc_id").alias("src"),
-                (base + (local * a + b) % F.lit(5000)).alias("dst"),
-            )
-            edges = part if edges is None else edges.unionByName(part)
-        return min_label_propagation(edges, iters=3).count()
+        return min_label_propagation(_synth_edges(sf_dir), iters=3).count()
+
+    def op_k_core(sf_dir, m):
+        # r14: the k_core curve the r13 verdict asked for — same
+        # |E| ∝ m synthetic graph. k=4 makes round 1 peel every
+        # 3-out-degree source whose id is not a hot target, so later
+        # rounds run on the shrunken hot-target subgraph: the curve
+        # measures the per-round degree aggregate + two semi-joins at
+        # growing |E| (the operator's only corpus-sized work)
+        from fabrix_spark.operators.graph import k_core
+
+        return k_core(_synth_edges(sf_dir), k=4, iters=3).count()
+
+    def op_k_core_stable(sf_dir, m):
+        # the until_stable variant: adds one metadata count() per
+        # round; rounds-to-fixpoint is a property of the (fixed)
+        # per-copy graph shape, so round count stays constant in m and
+        # the curve isolates the same per-round |E| term
+        from fabrix_spark.operators.graph import k_core
+
+        return k_core(
+            _synth_edges(sf_dir), k=4, until_stable=True, max_rounds=30
+        ).count()
 
     def op_asof(sf_dir, m):
         # union + one (by, time) sort-window as-of at m× events; user
@@ -410,6 +428,8 @@ def main() -> None:
         ("stream_admission (3 batches)", op_stream_admission, None),
         ("gr_pagerank (|E|=3m·docs)", op_pagerank, None),
         ("gr_label_prop (|E|=3m·docs)", op_label_prop, None),
+        ("gr_k_core (|E|=3m·docs)", op_k_core, None),
+        ("gr_k_core_stable (|E|=3m·docs)", op_k_core_stable, None),
         ("tj_asof (m× events)", op_asof, None),
         # r8 late additions: bigram LM scoring (two count shuffles +
         # gram join) and MG heavy hitters (map-only candidates +
@@ -499,11 +519,11 @@ def main() -> None:
         ("e_top_paths (m× events)", run_staged("e_top_paths"), None),
         ("prof_mi_assoc (m× documents)", run_staged("prof_mi_assoc"), None),
         ("d_dup_profile (m× documents)", run_staged("d_dup_profile"), None),
-        # gr_k_core: no curve — the cache synthesizes documents/
-        # embeddings/events multiples only (no orders/lineitem); its
-        # cost is O(iters·|E|) by construction (degree aggregate +
-        # two semi-joins per round over a shrinking edge table), the
-        # same bound the measured gr_pagerank curve exhibits
+        # gr_k_core: measured above on the |E| ∝ m synthetic edge
+        # table (derived from the documents multiplier) — the staged
+        # QUERY runs on the fixed-size purchase graph, but the
+        # OPERATOR's curve is what the 100 TB claim rests on
+        ("ml_nb_holdout", run_staged("ml_nb_holdout"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -47,6 +47,7 @@ __all__ = [
     "keep_canonical",
     "keep_canonical_by",
     "overlap_pairs",
+    "fuzzy_pairs",
 ]
 
 # prime just above 2^32 for the (a*h + b) % P permutation family
@@ -1699,4 +1700,89 @@ def decontaminate_semantic(
             F.coalesce("max_benchmark_cosine", F.lit(-1.0)).alias("max_benchmark_cosine"),
             F.col("max_benchmark_cosine").isNotNull().alias("contaminated"),
         )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    key_len: int = 16,
+    block_cap: int = 64,
+    pct_threshold: int = 30,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs via blocking + verification —
+    the classic entity-resolution recipe (blocking keys bound the
+    candidate set; Levenshtein verifies candidates only), covering the
+    character-level near-dup class the token-set detectors miss: a
+    single-character typo shifts every overlapping shingle, so MinHash
+    / Jaccard under-score it, while its edit distance is exactly 1.
+
+    Two blocking generators per document — the first ``key_len`` chars
+    and the last ``key_len`` chars of the trimmed text (each
+    optionally scoped by ``block_col``, e.g. language) — so a
+    near-dup pair is a candidate when the edit diverges away from
+    either end; this is standard multi-pass blocking (recall is
+    bounded by the generators BY DESIGN: a pair edited at both ends
+    within ``key_len`` chars is missed, the documented blocking
+    tradeoff). Blocks larger than ``block_cap`` are purged (Papadakis
+    -style block purging): a stock opening shared by H docs would
+    otherwise yield H^2 candidates — the same hot-key guard as
+    jaccard's ``max_df``. Candidates from both generators are
+    dedup'd, then verified with ONE full-text ``levenshtein`` per
+    pair; a pair survives when ``100*dist <= pct_threshold*max_len``
+    (exact integer arithmetic — no float ratio).
+
+    Scale shape: two window counts + two self equi-joins on the block
+    keys (each self-join reuses the window's hash partitioning — no
+    extra exchange), a pair-level distinct, and two id-joins back to
+    the slim (id, text) table. The corpus never cross-joins; per-pair
+    verify cost is bounded by the text-length contract of the corpus
+    (chunked docs), and the candidate count is duplicate-density
+    bounded plus the purge cap. Returns (doc_a, doc_b, dist, max_len).
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull())
+    if block_col is not None:
+        base = base.filter(F.col(block_col).isNotNull())
+    scope = [block_col] if block_col is not None else []
+    k = spread(base).select(
+        F.col(id_col).alias("__id"),
+        *scope,
+        norm.alias("__norm"),
+        F.substring(norm, 1, key_len).alias("__pre"),
+        F.substring(norm, -key_len, key_len).alias("__suf"),
+    )
+
+    def _cands(key: str) -> DataFrame:
+        w = Window.partitionBy(*scope, key)
+        kk = (
+            k.withColumn("__n", F.count("*").over(w))
+            .filter((F.col("__n") >= 2) & (F.col("__n") <= block_cap))
+            .select("__id", *scope, key)
+        )
+        a = kk.select(F.col("__id").alias("doc_a"), *scope, key)
+        b = kk.select(F.col("__id").alias("doc_b"), *scope, key)
+        return a.join(b, on=[*scope, key]).filter(
+            F.col("doc_a") < F.col("doc_b")
+        ).select("doc_a", "doc_b")
+
+    cand = _cands("__pre").unionByName(_cands("__suf")).distinct()
+    slim = k.select("__id", "__norm", F.length("__norm").alias("__len"))
+    pairs = (
+        cand.join(slim.withColumnRenamed("__id", "doc_a"), "doc_a")
+        .withColumnsRenamed({"__norm": "__na", "__len": "__la"})
+        .join(slim.withColumnRenamed("__id", "doc_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__na", "__norm").cast("long").alias("dist"),
+            F.greatest("__la", "__len").cast("long").alias("max_len"),
+        )
+    )
+    return pairs.filter(
+        F.lit(100) * F.col("dist") <= F.lit(pct_threshold) * F.col("max_len")
     )

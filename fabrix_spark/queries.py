@@ -10710,6 +10710,71 @@ def ml_nb_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "d_fuzzy_pairs",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang, trim(text) AS norm FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+k AS (
+  SELECT doc_id, lang, norm,
+         substr(norm, 1, 16) AS pre,
+         substr(norm, length(norm) - 15, 16) AS suf
+  FROM d
+),
+blocked AS (
+  SELECT *, count(*) OVER (PARTITION BY lang, pre) AS n_pre,
+            count(*) OVER (PARTITION BY lang, suf) AS n_suf
+  FROM k
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.pre = b.pre AND a.doc_id < b.doc_id
+  WHERE a.n_pre BETWEEN 2 AND 64
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.suf = b.suf AND a.doc_id < b.doc_id
+  WHERE a.n_suf BETWEEN 2 AND 64
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS dist,
+       CAST(greatest(length(da.norm), length(db.norm)) AS BIGINT) AS max_len
+FROM cand c
+JOIN k da ON c.doc_a = da.doc_id
+JOIN k db ON c.doc_b = db.doc_id
+WHERE 100 * levenshtein(da.norm, db.norm)
+      <= 30 * greatest(length(da.norm), length(db.norm))
+""",
+)
+def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs (dedup.fuzzy_pairs) — the
+    character-level fuzzy-matching evidence class the dedup family
+    lacked: blocking + Levenshtein verification, the classic entity-
+    resolution shape (Christen 2012; Papadakis et al. blocking
+    surveys — a "beyond the reference" training-data pipeline op,
+    like the rest of the d_* family). Candidates come from
+    two equality-join blocking generators (language-scoped 16-char
+    text prefix and suffix) with Papadakis-style block purging at 64
+    (a hot stock opening would otherwise go quadratic); each distinct
+    candidate pays exactly one full-text ``levenshtein``, and a pair
+    survives at ``100*dist <= 30*max_len`` in exact integer
+    arithmetic. Both engines run character-level Levenshtein on the
+    ASCII corpus, so the distances hash-match exactly. The corpus
+    never cross-joins; the self-joins reuse the purge-count window's
+    hash partitioning."""
+    from .operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "documents"),
+        key_len=16,
+        block_cap=64,
+        pct_threshold=30,
+    )
+
+
+@stage(
     "stream_nb_replay",
     oracle=r"""
 WITH toks AS (

@@ -1705,6 +1705,75 @@ def test_overlap_pairs_hot_boundary_guard(spark):
     assert len(open_) == 10  # every hot doc pairs into 100
 
 
+def test_fuzzy_pairs_model(spark):
+    """Edit-distance blocking + verification semantics: a prefix-shared
+    near-dup and a suffix-shared near-dup are both found with their
+    exact Levenshtein distances; a pair edited away at BOTH ends is
+    missed (the documented blocking recall contract); a pair over the
+    percent threshold is verified but rejected."""
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("delta", "delt0"), "en"),    # 1 edit, shares prefix+suffix
+        (3, "XXXXX" + base[5:], "en"),                # shares suffix only
+        (4, base[:-4] + "QQQQ", "en"),                # shares prefix only
+        # both ends rewritten beyond key_len chars: never a candidate
+        (5, "ZZZZZZZZZZZZZZZZ" + base[16:-16] + "YYYYYYYYYYYYYYYY", "en"),
+        (6, "totally different words here entirely", "en"),
+        (7, base, "fr"),                               # other language scope
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["dist"], r["max_len"])
+        for r in fuzzy_pairs(df, key_len=8, pct_threshold=30).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)][0] == 1
+    assert (1, 3) in got and got[(1, 3)][0] == 5
+    assert (1, 4) in got and got[(1, 4)][0] == 4
+    assert (2, 3) in got  # transitively near via 1: 6 edits, still <=30%
+    assert all(5 not in pair and 6 not in pair and 7 not in pair for pair in got)
+    # tighten the threshold: only the single-edit pair survives the verify
+    tight = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_pairs(df, key_len=8, pct_threshold=5).collect()
+    }
+    assert tight == {(1, 2)}
+
+
+def test_fuzzy_pairs_block_purge(spark):
+    """Blocks larger than block_cap are purged entirely (hot stock
+    opening — quadratic-pair protection), and purging one generator
+    does not disable the other."""
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    # 5 docs share the hot prefix; two of them also share a distinct
+    # suffix block, so the pair survives via the suffix generator.
+    rows = [
+        (i, "common opening here " + f"unique tail {i} " * 3 + f"end{i}", "en")
+        for i in range(5)
+    ]
+    # doc 1 = doc 0 with ONE mid-string substitution: identical 20-char
+    # prefix (inside the hot block) AND identical 20-char suffix
+    rows[1] = (
+        1,
+        "common opening here " + "unique tDil 0 " + "unique tail 0 " * 2 + "end0",
+        "en",
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    purged = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_pairs(df, key_len=20, block_cap=4, pct_threshold=30).collect()
+    }
+    assert purged == {(0, 1)}  # prefix block (5 > 4) purged; suffix pair found
+    open_ = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_pairs(df, key_len=20, block_cap=64, pct_threshold=30).collect()
+    }
+    assert (0, 1) in open_ and len(open_) >= 1
+
+
 def test_mmr_rerank_matches_python_model(spark):
     """Independent check of the greedy MMR trajectory: a pure-Python
     reference (exact int dots, decimal-rounded cosines, same

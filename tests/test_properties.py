@@ -837,3 +837,72 @@ def test_weighted_reservoir_es_key_identity_fuzz(data):
         # the selection boundary (0.5e-9/w per row, two rows involved)
         bound = 0.5e-9 / weights[i] + 0.5e-9
         assert abs(ref_key[i] - cutoff) <= bound, (i, weights[i], ref_key[i], cutoff)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    key_len=st.integers(2, 4),
+    block_cap=st.integers(2, 4),
+    pct=st.sampled_from([20, 40, 60, 100]),
+)
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_pairs_fuzz_matches_bruteforce(spark, docs, key_len, block_cap, pct):
+    """fuzzy_pairs == a pure-Python replay of the whole recipe (trim,
+    prefix/suffix blocking with purge, pair dedup, Wagner-Fischer
+    Levenshtein, integer percent threshold) over arbitrary tiny
+    low-alphabet corpora — short-text edge cases (text shorter than
+    key_len, empty text, whole corpus one block) included."""
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    rows = [(i, "".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["dist"], r["max_len"])
+        for r in fuzzy_pairs(
+            df,
+            block_col=None,
+            key_len=key_len,
+            block_cap=block_cap,
+            pct_threshold=pct,
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    norm = {i: t.strip() for i, t in rows}
+    from collections import defaultdict
+
+    blocks = defaultdict(set)
+    for i, t in norm.items():
+        # Spark substring(-k, k): the LAST k chars (shorter text → the
+        # whole text when len < k, matching substring's negative-pos
+        # clamp only for len >= 1; empty suffix key still groups)
+        blocks[("p", t[:key_len])].add(i)
+        blocks[("s", t[-key_len:] if t else "")].add(i)
+    cand = set()
+    for members in blocks.values():
+        if 2 <= len(members) <= block_cap:
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    cand.add((ms[x], ms[y]))
+    want = {}
+    for a, b in cand:
+        d = lev(norm[a], norm[b])
+        ml = max(len(norm[a]), len(norm[b]))
+        if 100 * d <= pct * ml:
+            want[(a, b)] = (d, ml)
+    assert got == want

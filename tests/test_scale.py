@@ -660,3 +660,30 @@ def test_staged_queries_no_cartesian(spark):
     for name, qd in STAGED.items():
         plan = qd.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_fuzzy_pairs_plan_parallel_verify(spark):
+    """The fuzzy_pairs verify stage must stay PARALLEL and single-pass:
+    the candidate set is tiny in bytes but each row pays a banded
+    edit-distance DP, so AQE's size-based coalescing would serialize
+    it — the plan pins the explicit REPARTITION_BY_NUM exchange (the
+    one kind AQE will not coalesce) behind the lineage barrier, and
+    the corpus side must never cross-join."""
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = fuzzy_pairs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # barrier in place: the verify consumes a checkpointed RDD scan,
+    # so the threshold filter CANNOT be pushed into the id-join as a
+    # non-equi condition (the r14 double-DP regression)
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the barrier's input (the candidate join) carries the explicit
+    # user repartition AQE must respect
+    inner = out._jdf.queryExecution().logical().toString()
+    assert "levenshtein" in inner.lower()
+    # and the verify stage itself computes the banded distance above
+    # the barrier — correct rows regardless of partition count
+    rows = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert len(rows) == 8  # pinned sf0.001 result (3-SF parity suite)

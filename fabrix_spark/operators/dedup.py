@@ -1711,6 +1711,7 @@ def fuzzy_pairs(
     key_len: int = 16,
     block_cap: int = 64,
     pct_threshold: int = 30,
+    barrier: bool = True,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs via blocking + verification —
     the classic entity-resolution recipe (blocking keys bound the
@@ -1789,13 +1790,19 @@ def fuzzy_pairs(
     # twice and runs 78 s where this one runs ~10 s at the 4.5M-doc
     # synthetic). Materializing here is safe by the same contract that
     # makes the set joinable at all: candidates, never the corpus.
+    # ``barrier=False`` keeps the plan fully lazy (no checkpoint) —
+    # for plan auditing (tools/plan_report.py reads the whole lineage
+    # the barrier would hide) and for callers composing fuzzy_pairs
+    # into a larger plan who manage their own materialization.
+    # Executing it directly re-exposes both defects above.
     verify_in = (
         cand.join(slim.withColumnRenamed("__id", "doc_a"), "doc_a")
         .withColumnsRenamed({"__norm": "__na", "__len": "__la"})
         .join(slim.withColumnRenamed("__id", "doc_b"), "doc_b")
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
     )
+    if barrier:
+        verify_in = verify_in.localCheckpoint(eager=False)
     # Banded Levenshtein: the per-pair threshold floor(pct·max_len/100)
     # caps the DP at O(k·min_len) instead of O(len²) (Spark returns -1
     # when the distance exceeds it, and the returned distance is EXACT

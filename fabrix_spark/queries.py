@@ -10749,12 +10749,15 @@ WHERE 100 * levenshtein(da.norm, db.norm)
 """,
 )
 def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-duplicate pairs (dedup.fuzzy_pairs) — the
-    character-level fuzzy-matching evidence class the dedup family
-    lacked: blocking + Levenshtein verification, the classic entity-
-    resolution shape (Christen 2012; Papadakis et al. blocking
-    surveys — a "beyond the reference" training-data pipeline op,
-    like the rest of the d_* family). Candidates come from
+    """Edit-distance near-duplicate pairs over DOCUMENTS
+    (dedup.fuzzy_pairs): the content-blocked sibling of
+    d_fuzzy_name_pairs — that query blocks short identifiers on an
+    ATTRIBUTE (nation) with a length pre-filter, while this one
+    derives its blocking keys from the text itself (prefix/suffix),
+    purges hot blocks, and bands the DP, which is what long free-text
+    needs (Christen 2012; Papadakis et al. blocking surveys — a
+    "beyond the reference" training-data pipeline op, like the rest
+    of the d_* family). Candidates come from
     two equality-join blocking generators (language-scoped 16-char
     text prefix and suffix) with Papadakis-style block purging at 64
     (a hot stock opening would otherwise go quadratic); each distinct

@@ -550,10 +550,14 @@ def edit_distance_pairs(
     Scale: one shuffle on the block key; cost is Σ block² × distance,
     so choose blocks the way LSH bands are chosen — small and many.
     Levenshtein is a JVM built-in on both engines with identical
-    semantics, so the pair set is fully oracled. (At very large block
-    sizes Spark >= 3.5's threshold'd ``levenshtein(l, r, k)`` early-
-    exits the DP; it returns -1 above k, which DuckDB can't mirror, so
-    this oracle-checked form keeps the two-argument version.)
+    semantics, so the pair set is fully oracled. The verify uses the
+    BANDED form ``levenshtein(l, r, max_dist)`` — O(k·min_len) per
+    pair instead of O(len²), early-exiting wildly-different pairs.
+    DuckDB has no threshold argument, but parity is unaffected (the
+    r14 fuzzy_pairs lesson superseding the r6 note here): within the
+    band the returned distance is EXACT, and every emitted row is
+    within the band by the ``<= max_dist`` contract, so the -1
+    over-band sentinel only ever marks rows both engines drop.
 
     Returns (a_id, b_id, edit_distance) with a_id < b_id."""
     blk = F.col(block) if isinstance(block, str) else block
@@ -575,9 +579,14 @@ def edit_distance_pairs(
         .select(
             "a_id",
             "b_id",
-            F.levenshtein("__a", "__b").alias("edit_distance"),
+            F.expr(f"levenshtein(__a, __b, {int(max_dist)})").alias(
+                "edit_distance"
+            ),
         )
-        .filter(F.col("edit_distance") <= F.lit(max_dist))
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") <= F.lit(max_dist))
+        )
     )
 
 

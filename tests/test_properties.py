@@ -906,3 +906,53 @@ def test_fuzzy_pairs_fuzz_matches_bruteforce(spark, docs, key_len, block_cap, pc
         if 100 * d <= pct * ml:
             want[(a, b)] = (d, ml)
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abC1"), min_size=0, max_size=8),
+            st.integers(0, 2),  # block id
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    max_dist=st.integers(0, 3),
+)
+@settings(max_examples=15, deadline=None)
+def test_edit_distance_pairs_fuzz_matches_bruteforce(spark, names, max_dist):
+    """edit_distance_pairs (banded verify since r14) == a Python replay
+    of block + length-prefilter + Wagner-Fischer over arbitrary tiny
+    identifier tables — pins that the banded levenshtein emits the
+    same pairs AND the same exact distances as the full DP."""
+    from fabrix_spark.operators.text import edit_distance_pairs
+
+    rows = [(i, "".join(t), b) for i, (t, b) in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string, blk int")
+    got = {
+        (r["a_id"], r["b_id"]): r["edit_distance"]
+        for r in edit_distance_pairs(
+            df, col="name", id_col="id", block="blk", max_dist=max_dist
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for x in range(len(rows)):
+        for y in range(x + 1, len(rows)):
+            ia, sa, ba = rows[x]
+            ib, sb, bb = rows[y]
+            if ba != bb or abs(len(sa) - len(sb)) > max_dist:
+                continue
+            d = lev(sa, sb)
+            if d <= max_dist:
+                want[(ia, ib)] = d
+    assert got == want

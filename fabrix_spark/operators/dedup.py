@@ -48,6 +48,7 @@ __all__ = [
     "keep_canonical_by",
     "overlap_pairs",
     "fuzzy_pairs",
+    "fuzzy_join",
 ]
 
 # prime just above 2^32 for the (a*h + b) % P permutation family
@@ -1821,6 +1822,108 @@ def fuzzy_pairs(
     )
     # dist >= 0 drops the over-band sentinel; the percent predicate is
     # then implied by the band but kept as the declared contract
+    return pairs.filter(
+        (F.col("dist") >= 0)
+        & (F.lit(100) * F.col("dist") <= F.lit(pct_threshold) * F.col("max_len"))
+    )
+
+
+def fuzzy_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    ref_id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    key_len: int = 16,
+    block_cap: int = 64,
+    pct_threshold: int = 30,
+    barrier: bool = True,
+) -> DataFrame:
+    """Two-table fuzzy match — :func:`fuzzy_pairs`' JOIN form, the
+    deployable entity-resolution step: match incoming ``probe`` rows
+    against near-duplicates in a ``ref`` (master/already-ingested)
+    table by edit distance, e.g. "is this new document a lightly
+    edited copy of anything we already kept?". Same recipe as the
+    self-dedup: prefix/suffix blocking generators scoped by
+    ``block_col``, block purging, one banded Levenshtein per distinct
+    candidate, pairs kept at ``100*dist <= pct_threshold*max_len``.
+
+    Differences from the self-join form, by design:
+
+    - the purge count is over the REF side only (a hot stock opening
+      in the master would fan every matching probe out to H
+      candidates; probe-side repetition costs probe×cap, linear in
+      the probe). Singleton ref blocks stay (a probe row matching ONE
+      master row is the point — the self-dedup's ``n >= 2`` floor
+      does not apply).
+    - no id ordering or self-pair exclusion: the two id spaces are
+      independent (same contract as decontaminate_semantic). A row
+      present in both tables will match itself at dist 0.
+
+    Candidate count is bounded by probe_rows × 2 generators ×
+    ``block_cap``; the verify stage repartitions explicitly behind
+    the same lazy localCheckpoint barrier as fuzzy_pairs (AQE's
+    size-based coalescing would serialize the CPU-bound DP; Catalyst
+    would push the threshold filter into the id-joins). Returns
+    (probe_id, ref_id, dist, max_len)."""
+    from pyspark.sql import Window
+
+    def _keys(df: DataFrame, id_col: str):
+        norm = F.trim(F.col(text_col))
+        base = df.filter(F.col(text_col).isNotNull())
+        if block_col is not None:
+            base = base.filter(F.col(block_col).isNotNull())
+        scope = [block_col] if block_col is not None else []
+        return scope, spread(base).select(
+            F.col(id_col).alias("__id"),
+            *scope,
+            norm.alias("__norm"),
+            F.substring(norm, 1, key_len).alias("__pre"),
+            F.substring(norm, -key_len, key_len).alias("__suf"),
+        )
+
+    scope, kp = _keys(probe, probe_id_col)
+    _, kr = _keys(ref, ref_id_col)
+
+    def _cands(key: str) -> DataFrame:
+        w = Window.partitionBy(*scope, key)
+        r = (
+            kr.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= block_cap)
+            .select(F.col("__id").alias("ref_id"), *scope, key)
+        )
+        p = kp.select(F.col("__id").alias("probe_id"), *scope, key)
+        return p.join(r, on=[*scope, key]).select("probe_id", "ref_id")
+
+    cand = _cands("__pre").unionByName(_cands("__suf")).distinct()
+    slim_p = kp.select(
+        F.col("__id").alias("probe_id"),
+        F.col("__norm").alias("__np"),
+        F.length("__norm").alias("__lp"),
+    )
+    slim_r = kr.select(
+        F.col("__id").alias("ref_id"),
+        F.col("__norm").alias("__nr"),
+        F.length("__norm").alias("__lr"),
+    )
+    verify_in = (
+        cand.join(slim_p, "probe_id")
+        .join(slim_r, "ref_id")
+        .repartition(probe.sparkSession.sparkContext.defaultParallelism)
+    )
+    if barrier:
+        verify_in = verify_in.localCheckpoint(eager=False)
+    band = (
+        f"levenshtein(__np, __nr, "
+        f"cast(({int(pct_threshold)} * greatest(__lp, __lr)) div 100 as int))"
+    )
+    pairs = verify_in.select(
+        "probe_id",
+        "ref_id",
+        F.expr(band).cast("long").alias("dist"),
+        F.greatest("__lp", "__lr").cast("long").alias("max_len"),
+    )
     return pairs.filter(
         (F.col("dist") >= 0)
         & (F.lit(100) * F.col("dist") <= F.lit(pct_threshold) * F.col("max_len"))

@@ -4594,3 +4594,63 @@ def test_calibration_bins_by_group_matches_per_slice(spark):
         for k, v in alone.items():
             assert got[k] == v, k
     assert len(got) == 5  # b's NULL-score row excluded, not a 6th bin
+
+
+def test_fuzzy_join_model(spark):
+    """Two-table fuzzy match semantics: a probe row finds its lightly
+    edited master twin (prefix OR suffix route); an identical row in
+    both tables matches at dist 0; a hot master opening is purged on
+    the REF side only; singleton ref blocks match (no n>=2 floor)."""
+    from fabrix_spark.operators.dedup import fuzzy_join
+
+    master = [
+        (100, "alpha beta gamma delta epsilon zeta", "en"),
+        (101, "one two three four five six seven", "en"),
+        (102, "unrelated content entirely here now", "en"),
+    ]
+    probes = [
+        (1, "alpha beta gamma delt0 epsilon zeta", "en"),   # 1 edit off 100
+        (2, "one two three four five six seven", "en"),     # exact copy of 101
+        (3, "ZZZZZZZZZZZZ completely different YYYYYYYYYYYY", "en"),
+        (4, "alpha beta gamma delta epsilon zeta", "fr"),   # wrong scope
+    ]
+    got = {
+        (r["probe_id"], r["ref_id"]): r["dist"]
+        for r in fuzzy_join(
+            spark.createDataFrame(probes, "doc_id long, text string, lang string"),
+            spark.createDataFrame(master, "doc_id long, text string, lang string"),
+            key_len=8,
+            pct_threshold=30,
+        ).collect()
+    }
+    assert got[(1, 100)] == 1
+    assert got[(2, 101)] == 0
+    assert all(p != 3 and p != 4 for p, _ in got)
+
+    # hot master opening: 5 master rows share the 8-char prefix; with
+    # block_cap=4 the prefix block purges, but row 200's distinct
+    # suffix still routes the probe to it
+    hot = [(200 + i, f"common opening unique tail {i}", "en") for i in range(5)]
+    probe2 = [(9, "common opening unique tail 0x", "en")]
+    got2 = {
+        (r["probe_id"], r["ref_id"])
+        for r in fuzzy_join(
+            spark.createDataFrame(probe2, "doc_id long, text string, lang string"),
+            spark.createDataFrame(hot, "doc_id long, text string, lang string"),
+            key_len=8,
+            block_cap=4,
+            pct_threshold=30,
+        ).collect()
+    }
+    assert got2 == set()  # prefix purged AND suffixes all differ
+    got3 = {
+        (r["probe_id"], r["ref_id"])
+        for r in fuzzy_join(
+            spark.createDataFrame(probe2, "doc_id long, text string, lang string"),
+            spark.createDataFrame(hot, "doc_id long, text string, lang string"),
+            key_len=8,
+            block_cap=64,
+            pct_threshold=30,
+        ).collect()
+    }
+    assert (9, 200) in got3  # unpurged prefix block routes to the near-dup

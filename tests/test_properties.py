@@ -956,3 +956,72 @@ def test_edit_distance_pairs_fuzz_matches_bruteforce(spark, names, max_dist):
             if d <= max_dist:
                 want[(ia, ib)] = d
     assert got == want
+
+
+@given(
+    probe=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    key_len=st.integers(2, 4),
+    block_cap=st.integers(1, 4),
+    pct=st.sampled_from([20, 50, 100]),
+)
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_join_fuzz_matches_bruteforce(spark, probe, ref, key_len, block_cap, pct):
+    """fuzzy_join == a pure-Python replay (ref-side-only purge, no
+    pair-count floor, no id ordering) over arbitrary tiny low-alphabet
+    tables — including id collisions across the two independent id
+    spaces and texts shorter than the blocking key."""
+    from fabrix_spark.operators.dedup import fuzzy_join
+
+    prows = [(i, "".join(t)) for i, t in enumerate(probe)]
+    rrows = [(i, "".join(t)) for i, t in enumerate(ref)]
+    got = {
+        (r["probe_id"], r["ref_id"]): (r["dist"], r["max_len"])
+        for r in fuzzy_join(
+            spark.createDataFrame(prows, "doc_id long, text string"),
+            spark.createDataFrame(rrows, "doc_id long, text string"),
+            block_col=None,
+            key_len=key_len,
+            block_cap=block_cap,
+            pct_threshold=pct,
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    np_ = {i: t.strip() for i, t in prows}
+    nr_ = {i: t.strip() for i, t in rrows}
+    from collections import defaultdict
+
+    rblocks = defaultdict(set)
+    for i, t in nr_.items():
+        rblocks[("p", t[:key_len])].add(i)
+        rblocks[("s", t[-key_len:] if t else "")].add(i)
+    cand = set()
+    for pid, t in np_.items():
+        for key in (("p", t[:key_len]), ("s", t[-key_len:] if t else "")):
+            if key in rblocks and len(rblocks[key]) <= block_cap:
+                for rid in rblocks[key]:
+                    cand.add((pid, rid))
+    want = {}
+    for pid, rid in cand:
+        d = lev(np_[pid], nr_[rid])
+        ml = max(len(np_[pid]), len(nr_[rid]))
+        if 100 * d <= pct * ml:
+            want[(pid, rid)] = (d, ml)
+    assert got == want

@@ -269,6 +269,124 @@ def stream_dedup_against_store(
     )
 
 
+def admit_batch_fuzzy(
+    batch: DataFrame,
+    admitted,
+    pct_threshold: int = 30,
+    key_len: int = 16,
+    block_cap: int = 64,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    intra_batch: bool = False,
+) -> DataFrame:
+    """One round of EDIT-DISTANCE admission — :func:`admit_batch`'s
+    character-level sibling (that one gates on MinHash/Jaccard; this
+    one on banded Levenshtein via ``dedup.fuzzy_join``), the
+    per-micro-batch body of :func:`stream_fuzzy_admission` exposed
+    for batch pipelines and deterministic replay harnesses.
+
+    Steps: (1) exact within-batch id dedup; (2) optionally
+    (``intra_batch=True``) within-batch fuzzy dedup — ``fuzzy_pairs``
+    clusters resolve to their minimum-id representative; (3) probe
+    the ``admitted`` master with ``fuzzy_join`` and drop batch docs
+    with a near-copy already kept — SELF-id matches are excluded, so
+    a doc re-sent under its own id (same or edited text) is an UPDATE
+    and re-admits rather than being rejected by its own previous
+    version; (4) key-upsert survivors into ``admitted``. Replay-safe
+    under at-least-once delivery: re-processing a batch re-runs the
+    same probes against a master that already contains the batch's
+    survivors, the self-exclusion keeps them admissible, and the
+    upsert is a no-op.
+
+    Scale: only the BATCH is new work; the master side is a map-only
+    blocking-key extraction over the admitted scan (no signatures to
+    maintain — the price of edit distance vs the MinHash store is
+    re-deriving cheap substring keys per batch; cluster the admitted
+    table by block key if the master scan becomes the bottleneck).
+    Returns the admitted survivors."""
+    from ..operators import dedup as _dedup
+    from ..sources.sql import SaveStrategy
+
+    batch = batch.dropDuplicates([id_col])
+    if intra_batch:
+        pairs = _dedup.fuzzy_pairs(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            block_col=block_col,
+            key_len=key_len,
+            block_cap=block_cap,
+            pct_threshold=pct_threshold,
+        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        clusters = _dedup.dup_clusters(batch, pairs, id_col=id_col)
+        batch = _dedup.keep_canonical(batch, clusters, id_col=id_col)
+    if admitted.exists():
+        hits = _dedup.fuzzy_join(
+            batch,
+            admitted.read().df,
+            text_col=text_col,
+            probe_id_col=id_col,
+            ref_id_col=id_col,
+            block_col=block_col,
+            key_len=key_len,
+            block_cap=block_cap,
+            pct_threshold=pct_threshold,
+        ).filter(F.col("probe_id") != F.col("ref_id"))
+        dup_ids = hits.select(F.col("probe_id").alias(id_col)).distinct()
+        keep = batch.join(dup_ids, id_col, "left_anti")
+    else:
+        keep = batch
+    keep = keep.localCheckpoint(eager=True)
+    admitted.save(keep, SaveStrategy.UPSERT)
+    return keep
+
+
+def stream_fuzzy_admission(
+    stream: DataFrame,
+    admitted,
+    checkpoint: str,
+    pct_threshold: int = 30,
+    key_len: int = 16,
+    block_cap: int = 64,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    intra_batch: bool = False,
+) -> StreamingQuery:
+    """Continuous edit-distance admission at ingest —
+    :func:`stream_dedup_against_store`'s character-level sibling:
+    every micro-batch is fuzzy-probed (``dedup.fuzzy_join``) against
+    the growing ``admitted`` master and only non-near-copies are
+    key-upserted, so later batches reject near-copies of earlier
+    admissions. See :func:`admit_batch_fuzzy` for the per-batch plan
+    and the replay-safety argument. ``admitted`` must be a
+    ``LakeTable`` with ``index=id_col`` (``buckets=N`` keeps each
+    upsert O(delta))."""
+    if admitted.index is None:
+        raise ValueError("stream_fuzzy_admission requires a LakeTable with an index")
+
+    def _consume(batch: DataFrame, _bid: int) -> None:
+        admit_batch_fuzzy(
+            batch,
+            admitted,
+            pct_threshold=pct_threshold,
+            key_len=key_len,
+            block_cap=block_cap,
+            block_col=block_col,
+            text_col=text_col,
+            id_col=id_col,
+            intra_batch=intra_batch,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_apply_changes(
     stream: DataFrame,
     table,

@@ -1698,3 +1698,105 @@ def test_stream_asof_enrich_includes_late_arrival(spark, tmp_path):
         ev, rates, on="ts", by=["typ"], right_cols=["rate"]
     ).select("event_id", "rate").collect()))
     assert got == want
+
+
+def test_admit_batch_fuzzy_sequence(spark, tmp_path):
+    """Sequential edit-distance admission: batch 2's near-copy of a
+    batch-1 admission is rejected; a doc re-sent under its OWN id with
+    edited text is an update (self-match excluded), and novel content
+    passes. intra_batch=True admits only a within-batch cluster's
+    minimum id."""
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch_fuzzy
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "spark shuffles partitions across the cluster during wide transformations"
+    near_t1 = "the quick brown fox jumps over the lazy dog again and again tonite"
+    novel = "completely unrelated fresh content about entirely different topics now"
+
+    admitted = LakeTable(spark, str(tmp_path / "adm"), index="doc_id")
+    b1 = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    got1 = sorted(
+        r["doc_id"]
+        for r in admit_batch_fuzzy(b1, admitted, block_col=None).collect()
+    )
+    assert got1 == [1, 2]
+
+    # near-copy under a NEW id rejected; novel admitted; doc 2 edited
+    # under its OWN id re-admitted (update, not rejection)
+    t2_edit = t2.replace("wide", "wIde")
+    b2 = spark.createDataFrame(
+        [(3, near_t1), (4, novel), (2, t2_edit)], "doc_id long, text string"
+    )
+    got2 = sorted(
+        r["doc_id"]
+        for r in admit_batch_fuzzy(b2, admitted, block_col=None).collect()
+    )
+    assert got2 == [2, 4]
+    final = {r["doc_id"]: r["text"] for r in admitted.read().df.collect()}
+    assert sorted(final) == [1, 2, 4]
+    assert final[2] == t2_edit  # the upsert carried the edit
+
+    # replay batch 2 verbatim: survivors re-admit (self-excluded),
+    # rejects stay rejected — the admitted table is unchanged
+    admit_batch_fuzzy(b2, admitted, block_col=None).collect()
+    again = {r["doc_id"]: r["text"] for r in admitted.read().df.collect()}
+    assert again == final
+
+    # intra-batch: two near-copies arriving together — only min id
+    admitted2 = LakeTable(spark, str(tmp_path / "adm2"), index="doc_id")
+    b = spark.createDataFrame(
+        [(7, t1), (8, t1.replace("today", "tonite")), (9, novel)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in admit_batch_fuzzy(
+            b, admitted2, block_col=None, intra_batch=True
+        ).collect()
+    )
+    assert got == [7, 9]
+
+
+def test_stream_fuzzy_admission_replay(spark, tmp_path):
+    """stream_fuzzy_admission == the sequential admit_batch_fuzzy
+    replay: batch 2's near-copy of a batch-1 admission is rejected by
+    probing the growing master, novel docs pass."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import read_stream_json, stream_fuzzy_admission
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "spark shuffles partitions across the cluster during wide transformations"
+    near_t1 = "the quick brown fox jumps over the lazy dog again and again tonite"
+    novel = "completely unrelated fresh content about entirely different topics now"
+
+    src = tmp_path / "fuzzy_src"
+    src.mkdir()
+    (src / "part-0.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in [(1, t1), (2, t2)])
+    )
+    (src / "part-1.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in [(3, near_t1), (4, novel)])
+    )
+    now = _time.time()
+    _os.utime(src / "part-0.json", (now - 60, now - 60))
+    _os.utime(src / "part-1.json", (now, now))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema, max_files_per_trigger=1)
+    admitted = LakeTable(spark, str(tmp_path / "fadm"), index="doc_id")
+    q = stream_fuzzy_admission(
+        stream, admitted, checkpoint=str(tmp_path / "fckpt"), block_col=None
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in admitted.read().df.collect())
+    assert got == [1, 2, 4]  # 3 rejected as a near-copy of 1

@@ -250,6 +250,19 @@ def main() -> None:
             )
         return admitted.read().df.count()
 
+    def op_fuzzy_join(sf_dir, m):
+        # the admission-probe shape: the doc_id % 5 == 0 delta fuzzy-
+        # probed against the % 5 != 0 corpus (the stride-preserving
+        # split every incremental query uses) — linear total means the
+        # per-probe work stayed bounded by blocking + banded verify
+        from fabrix_spark.operators.dedup import fuzzy_join
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return fuzzy_join(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+        ).count()
+
     def _synth_edges(sf_dir):
         # m isomorphic per-copy graphs (3 deterministic out-edges per
         # doc, targets stay inside the copy's id block): edge count ∝ m
@@ -528,6 +541,7 @@ def main() -> None:
         # so blocking-candidate density) constant per copy — the
         # property the blocking+verify cost scales on
         ("d_fuzzy_pairs (m× documents)", run_staged("d_fuzzy_pairs"), None),
+        ("fuzzy_join (delta vs corpus)", op_fuzzy_join, None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

@@ -1704,6 +1704,33 @@ def decontaminate_semantic(
     )
 
 
+def _fuzzy_block_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None,
+    key_len: int,
+) -> tuple[list[str], DataFrame]:
+    """Shared blocking projection for :func:`fuzzy_pairs` /
+    :func:`fuzzy_join`: (scope columns, frame with __id / __norm /
+    __pre / __suf). One definition so the two consumers can never
+    drift on the null filters or the substring semantics (negative-pos
+    ``substring`` clamps like Python slicing for texts shorter than
+    ``key_len`` — the property the brute-force fuzz pins)."""
+    norm = F.trim(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull())
+    if block_col is not None:
+        base = base.filter(F.col(block_col).isNotNull())
+    scope = [block_col] if block_col is not None else []
+    return scope, spread(base).select(
+        F.col(id_col).alias("__id"),
+        *scope,
+        norm.alias("__norm"),
+        F.substring(norm, 1, key_len).alias("__pre"),
+        F.substring(norm, -key_len, key_len).alias("__suf"),
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1746,18 +1773,7 @@ def fuzzy_pairs(
     """
     from pyspark.sql import Window
 
-    norm = F.trim(F.col(text_col))
-    base = df.filter(F.col(text_col).isNotNull())
-    if block_col is not None:
-        base = base.filter(F.col(block_col).isNotNull())
-    scope = [block_col] if block_col is not None else []
-    k = spread(base).select(
-        F.col(id_col).alias("__id"),
-        *scope,
-        norm.alias("__norm"),
-        F.substring(norm, 1, key_len).alias("__pre"),
-        F.substring(norm, -key_len, key_len).alias("__suf"),
-    )
+    scope, k = _fuzzy_block_keys(df, text_col, id_col, block_col, key_len)
 
     def _cands(key: str) -> DataFrame:
         w = Window.partitionBy(*scope, key)
@@ -1869,22 +1885,8 @@ def fuzzy_join(
     (probe_id, ref_id, dist, max_len)."""
     from pyspark.sql import Window
 
-    def _keys(df: DataFrame, id_col: str):
-        norm = F.trim(F.col(text_col))
-        base = df.filter(F.col(text_col).isNotNull())
-        if block_col is not None:
-            base = base.filter(F.col(block_col).isNotNull())
-        scope = [block_col] if block_col is not None else []
-        return scope, spread(base).select(
-            F.col(id_col).alias("__id"),
-            *scope,
-            norm.alias("__norm"),
-            F.substring(norm, 1, key_len).alias("__pre"),
-            F.substring(norm, -key_len, key_len).alias("__suf"),
-        )
-
-    scope, kp = _keys(probe, probe_id_col)
-    _, kr = _keys(ref, ref_id_col)
+    scope, kp = _fuzzy_block_keys(probe, text_col, probe_id_col, block_col, key_len)
+    _, kr = _fuzzy_block_keys(ref, text_col, ref_id_col, block_col, key_len)
 
     def _cands(key: str) -> DataFrame:
         w = Window.partitionBy(*scope, key)

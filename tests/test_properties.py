@@ -1025,3 +1025,75 @@ def test_fuzzy_join_fuzz_matches_bruteforce(spark, probe, ref, key_len, block_ca
         if 100 * d <= pct * ml:
             want[(pid, rid)] = (d, ml)
     assert got == want
+
+
+@given(
+    probe=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=8),
+            st.one_of(st.none(), st.integers(0, 1)),  # block scope, incl. NULL
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    ref=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=8),
+            st.one_of(st.none(), st.integers(0, 1)),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    key_len=st.integers(2, 3),
+    block_cap=st.integers(1, 3),
+)
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_join_scoped_fuzz_matches_bruteforce(spark, probe, ref, key_len, block_cap):
+    """The SCOPED fuzzy_join path (block_col set): candidates must
+    share the scope value, NULL-scope rows drop on BOTH sides, and the
+    ref-side purge counts within (scope, key) — all replayed by a
+    pure-Python model."""
+    from fabrix_spark.operators.dedup import fuzzy_join
+
+    prows = [(i, "".join(t), b) for i, (t, b) in enumerate(probe)]
+    rrows = [(i, "".join(t), b) for i, (t, b) in enumerate(ref)]
+    schema = "doc_id long, text string, lang int"
+    got = {
+        (r["probe_id"], r["ref_id"]): r["dist"]
+        for r in fuzzy_join(
+            spark.createDataFrame(prows, schema),
+            spark.createDataFrame(rrows, schema),
+            block_col="lang",
+            key_len=key_len,
+            block_cap=block_cap,
+            pct_threshold=50,
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from collections import defaultdict
+
+    nr_ = {i: (t.strip(), b) for i, t, b in rrows if b is not None}
+    np_ = {i: (t.strip(), b) for i, t, b in prows if b is not None}
+    rblocks = defaultdict(set)
+    for i, (t, b) in nr_.items():
+        rblocks[(b, "p", t[:key_len])].add(i)
+        rblocks[(b, "s", t[-key_len:] if t else "")].add(i)
+    want = {}
+    for pid, (t, b) in np_.items():
+        for key in ((b, "p", t[:key_len]), (b, "s", t[-key_len:] if t else "")):
+            if key in rblocks and len(rblocks[key]) <= block_cap:
+                for rid in rblocks[key]:
+                    d = lev(t, nr_[rid][0])
+                    ml = max(len(t), len(nr_[rid][0]))
+                    if 100 * d <= 50 * ml:
+                        want[(pid, rid)] = d
+    assert got == want

@@ -37,28 +37,32 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-14 state: the last-green histogram
-# after round 13 is r9×45, r10×44, r11×47, r12×47, r13×50, so the
-# 45-query r9 cohort sits at the staleness limit. Window math:
-# 2 promotions (never driver-checked) + 3 canaries + the 45-query r9
+# staleness-ordered tail. Round-15 state: the last-green histogram
+# after round 14 is r10×44, r11×47, r12×47, r13×47, r14×50, so the
+# 44-query r10 cohort sits at the staleness limit. Window math:
+# 3 promotions (never driver-checked) + 3 canaries + the 44-query r10
 # cohort = 50 — the whole cohort drains in one window, per the
-# round-13 verdict's plan. Promotions this round, both queue heads
-# per COVERAGE.md's schedule: tj_resample_interp (the union+window
-# linear-interpolation recipe — two IGNORE-NULLS window passes, exact
-# epoch-µs arithmetic) and ml_roc_points (the exact-curve evidence
-# class: per-distinct-score ROC points off the range-partitioned
-# cumulative pass). Both oracle-green at all three SFs since r11;
-# ml_roc_points independently re-confirmed by the r13 judge at
-# sf0.01. Expected after this round: no entry's last-green < r10.
-# Capacity policy at 235 registry queries is documented in
+# round-14 verdict's plan. Promotions this round, queue heads #1-3
+# per COVERAGE.md's schedule — the rest of the exact-curve metrics
+# family ml_roc_points opened in r14: ml_average_precision (every
+# per-threshold precision term quantized to integer 1e-12 units by
+# split decimal division, summed exactly), ml_pr_points (precision/
+# recall per distinct score off the shared cumulative pass), and
+# ml_calibration (reliability-diagram bins, integer-quantized mean
+# sums). All three oracle-green at all three SFs since r11 and
+# pre-re-verified in r14, so promotion is a decorator swap.
+# Expected after this round: no entry's last-green < r11.
+# Capacity policy at 238 registry queries is documented in
 # COVERAGE.md ("Registry growth policy"): a 50-slot window
-# re-verifies the whole registry in ceil((235-3)/47) = 5 rounds, so
+# re-verifies the whole registry in ceil((238-3)/47) = 5 rounds, so
 # the staleness promise stays ≤5 rounds, with additions capped so
-# cohort drains always fit one window.
+# cohort drains always fit one window. Note: r16 promotion capacity
+# is 0 — the 47-query r11 cohort plus canaries fills that window.
 _VERIFY_FIRST = [
     # promoted from STAGED this round (first driver verification)
-    "tj_resample_interp",
-    "ml_roc_points",
+    "ml_average_precision",
+    "ml_pr_points",
+    "ml_calibration",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -8966,7 +8966,7 @@ FROM embeddings
 """
 
 
-@stage(
+@register(
     "ml_calibration",
     oracle=f"""
 WITH sc AS ({_ML_SCORED}),
@@ -9054,7 +9054,7 @@ def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_points(e, "score", F.col("label") == 0)
 
 
-@stage(
+@register(
     "ml_pr_points",
     oracle=_ML_CUM
     + """
@@ -9077,7 +9077,7 @@ def ml_pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_points(e, "score", F.col("label") == 0)
 
 
-@stage(
+@register(
     "ml_average_precision",
     oracle=_ML_CUM
     + """

@@ -1759,9 +1759,11 @@ def fuzzy_pairs(
     -style block purging): a stock opening shared by H docs would
     otherwise yield H^2 candidates — the same hot-key guard as
     jaccard's ``max_df``. Candidates from both generators are
-    dedup'd, then verified with ONE full-text ``levenshtein`` per
-    pair; a pair survives when ``100*dist <= pct_threshold*max_len``
-    (exact integer arithmetic — no float ratio).
+    dedup'd, then verified with one BANDED ``levenshtein`` per pair
+    (threshold-capped DP, exact within the band — see the verify
+    stage below); a pair survives when
+    ``100*dist <= pct_threshold*max_len`` (exact integer arithmetic —
+    no float ratio).
 
     Scale shape: two window counts + two self equi-joins on the block
     keys (each self-join reuses the window's hash partitioning — no

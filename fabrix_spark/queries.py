@@ -16,6 +16,7 @@ executable parity).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Callable
@@ -61,9 +62,18 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # functools.wraps + **kwargs pass-through: a query fn may
+        # declare extra keyword-only knobs beyond the (spark, sf_dir)
+        # driver contract — e.g. ``barrier=False`` on queries whose
+        # executing plan hides a subtree behind a lazy localCheckpoint
+        # lineage barrier. tools/plan_report.py probes the (wraps-
+        # preserved) signature for ``barrier`` and audits the
+        # un-barriered twin automatically, so no per-query override
+        # table exists to forget.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             tune_session(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         # silent overwrite would shadow an existing query (and its
         # driver CORRECTNESS history) — refuse loudly
@@ -8829,9 +8839,12 @@ def stage(name: str, oracle: str | None = None, headline: bool = False):
     unique across BOTH dicts so a promotion can never shadow."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # same **kwargs pass-through as :func:`register` (plan_report's
+        # barrier-twin probe works on staged entries too)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             tune_session(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         if name in REGISTRY or name in STAGED:
             raise ValueError(f"duplicate query registration: {name!r}")
@@ -10748,7 +10761,9 @@ WHERE 100 * levenshtein(da.norm, db.norm)
       <= 30 * greatest(length(da.norm), length(db.norm))
 """,
 )
-def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_fuzzy_pairs(
+    spark: SparkSession, sf_dir: str, barrier: bool = True
+) -> DataFrame:
     """Edit-distance near-duplicate pairs over DOCUMENTS
     (dedup.fuzzy_pairs): the content-blocked sibling of
     d_fuzzy_name_pairs — that query blocks short identifiers on an
@@ -10761,7 +10776,8 @@ def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two equality-join blocking generators (language-scoped 16-char
     text prefix and suffix) with Papadakis-style block purging at 64
     (a hot stock opening would otherwise go quadratic); each distinct
-    candidate pays exactly one full-text ``levenshtein``, and a pair
+    candidate pays exactly one banded ``levenshtein`` (exact within
+    the band, so surviving pairs carry true distances), and a pair
     survives at ``100*dist <= 30*max_len`` in exact integer
     arithmetic. Both engines run character-level Levenshtein on the
     ASCII corpus, so the distances hash-match exactly. The corpus
@@ -10774,6 +10790,78 @@ def d_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_len=16,
         block_cap=64,
         pct_threshold=30,
+        barrier=barrier,
+    )
+
+
+@stage(
+    "d_fuzzy_join",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang, trim(text) AS norm FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+k AS (
+  SELECT doc_id, lang, norm,
+         substr(norm, 1, 16) AS pre,
+         substr(norm, length(norm) - 15, 16) AS suf
+  FROM d
+),
+p AS (SELECT * FROM k WHERE doc_id % 3 = 0),
+r AS (SELECT * FROM k WHERE doc_id % 3 <> 0),
+rb AS (
+  SELECT *, count(*) OVER (PARTITION BY lang, pre) AS n_pre,
+            count(*) OVER (PARTITION BY lang, suf) AS n_suf
+  FROM r
+),
+cand AS (
+  SELECT p.doc_id AS probe_id, rb.doc_id AS ref_id
+  FROM p JOIN rb ON p.lang = rb.lang AND p.pre = rb.pre
+  WHERE rb.n_pre <= 64
+  UNION
+  SELECT p.doc_id, rb.doc_id
+  FROM p JOIN rb ON p.lang = rb.lang AND p.suf = rb.suf
+  WHERE rb.n_suf <= 64
+)
+SELECT c.probe_id, c.ref_id,
+       CAST(levenshtein(dp.norm, dr.norm) AS BIGINT) AS dist,
+       CAST(greatest(length(dp.norm), length(dr.norm)) AS BIGINT) AS max_len
+FROM cand c
+JOIN p dp ON c.probe_id = dp.doc_id
+JOIN r dr ON c.ref_id = dr.doc_id
+WHERE 100 * levenshtein(dp.norm, dr.norm)
+      <= 30 * greatest(length(dp.norm), length(dr.norm))
+""",
+)
+def d_fuzzy_join(
+    spark: SparkSession, sf_dir: str, barrier: bool = True
+) -> DataFrame:
+    """Probe-vs-master fuzzy match over DOCUMENTS (dedup.fuzzy_join) —
+    d_fuzzy_pairs' two-table JOIN form and the deployable admission
+    primitive: every third document (doc_id % 3 == 0) plays the
+    incoming probe batch, the other two thirds the already-ingested
+    master, and the query answers "is this new document a lightly
+    edited copy of anything we already kept?" per probe row. Same
+    blocking recipe (language-scoped 16-char prefix/suffix
+    generators), but the Papadakis purge count runs over the REF side
+    only — a hot stock opening in the master fans every matching
+    probe out to H candidates, while probe-side repetition is linear
+    in the probe — and singleton ref blocks are KEPT (a probe
+    matching exactly one master row is the point; the self-dedup's
+    n >= 2 floor does not apply). One banded ``levenshtein`` per
+    distinct candidate; pairs survive at ``100*dist <= 30*max_len``
+    in exact integer arithmetic, and surviving distances are exact
+    within the band so both engines hash-match."""
+    from .operators.dedup import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_join(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        key_len=16,
+        block_cap=64,
+        pct_threshold=30,
+        barrier=barrier,
     )
 
 

@@ -1774,6 +1774,104 @@ def test_fuzzy_pairs_block_purge(spark):
     assert (0, 1) in open_ and len(open_) >= 1
 
 
+def test_fuzzy_pairs_short_text_cross_engine_parity(spark):
+    """Pin the SHORT-TEXT blocking-key semantics across BOTH engines
+    (the r14 verdict's open edge): Spark derives the suffix key with
+    ``substring(norm, -key_len, key_len)`` whose negative-position
+    clamping for texts shorter than ``key_len`` was fuzz-pinned only
+    against Python, while the DuckDB oracle pattern writes
+    ``substr(norm, length(norm)-15, 16)`` — a DIFFERENT engine's
+    negative-start clamping rule. Both resolve to the WHOLE text for
+    short inputs (verified here), so a corpus with short documents
+    cannot silently diverge the oracle from the operator. The fixture
+    covers: below/at/above the 16-char key boundary, a 1-char text,
+    an exact short duplicate, a short near-dup (which BOTH engines
+    identically miss — for texts shorter than ``key_len`` the prefix
+    and suffix keys are the whole text, so only exact-equal short
+    texts block together: the recall contract at its sharpest), and a
+    short-vs-long prefix collision."""
+    import duckdb
+
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "tiny doc!", "en"),                # len 9  < key_len
+        (2, "tiny doc!", "en"),                # exact short duplicate
+        (3, "x", "en"),                        # 1-char text
+        (4, "0123456789abcde", "en"),          # len 15 (boundary - 1)
+        (5, "0123456789abcdef", "en"),         # len 16 (exactly key_len)
+        (6, "0123456789abcdefg", "en"),        # len 17 (boundary + 1)
+        # long doc sharing the short docs' prefix: the SHORT doc's
+        # whole-text key must NOT collide with the long doc's 16-char
+        # prefix key unless they are actually equal
+        (7, "tiny doc! plus a much longer continuation of text", "en"),
+        (8, "tiny doc!", "fr"),                # scope: other language
+        (9, "tiny doc?", "en"),                # near-dup of 1: MISSED
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["dist"], r["max_len"])
+        for r in fuzzy_pairs(
+            df, key_len=16, block_cap=64, pct_threshold=30
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""
+WITH d AS (
+  SELECT doc_id, lang, trim(text) AS norm FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+k AS (
+  SELECT doc_id, lang, norm,
+         substr(norm, 1, 16) AS pre,
+         substr(norm, length(norm) - 15, 16) AS suf
+  FROM d
+),
+blocked AS (
+  SELECT *, count(*) OVER (PARTITION BY lang, pre) AS n_pre,
+            count(*) OVER (PARTITION BY lang, suf) AS n_suf
+  FROM k
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.pre = b.pre AND a.doc_id < b.doc_id
+  WHERE a.n_pre BETWEEN 2 AND 64
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.suf = b.suf AND a.doc_id < b.doc_id
+  WHERE a.n_suf BETWEEN 2 AND 64
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS dist,
+       CAST(greatest(length(da.norm), length(db.norm)) AS BIGINT) AS max_len
+FROM cand c
+JOIN k da ON c.doc_a = da.doc_id
+JOIN k db ON c.doc_b = db.doc_id
+WHERE 100 * levenshtein(da.norm, db.norm)
+      <= 30 * greatest(length(da.norm), length(db.norm))
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # pairs are actually FOUND by both engines (the parity above would
+    # also hold on two empty results): the exact short duplicate and
+    # the at-boundary 16/17-char prefix pair
+    assert (1, 2, 0, 9) in got
+    assert (5, 6, 1, 17) in got
+    # and the short NEAR-dup is identically missed on both engines —
+    # whole-text blocking keys admit only exact short duplicates
+    assert not any(9 in (a, b) for a, b, _, _ in got)
+
+
 def test_mmr_rerank_matches_python_model(spark):
     """Independent check of the greedy MMR trajectory: a pure-Python
     reference (exact int dots, decimal-rounded cosines, same

@@ -64,11 +64,22 @@ def main() -> None:
     # window longer than that means the box genuinely isn't going
     # quiet. If it never does, proceed but record the waiver in the
     # JSON so the artifact is self-explaining instead of needing
-    # forensics.
+    # forensics. The gate is on max(1-min, 5-min) loadavg (r15, per
+    # the r14 verdict): BENCH_r14 passed on a 1-min average of 1.84
+    # while the 5-min average was still 3.07 — a load spike that just
+    # ended leaves the box's caches/cgroups warm with co-tenant work
+    # and four headliners read +20-53% against unchanged code. The
+    # 5-min average decaying under the threshold is the actual
+    # "recently quiet" signal.
     quiet_threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
     quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+
+    def _gate_load() -> float:
+        one, five, _ = os.getloadavg()
+        return max(one, five)
+
     waited = 0.0
-    while os.getloadavg()[0] >= quiet_threshold and waited < quiet_budget:
+    while _gate_load() >= quiet_threshold and waited < quiet_budget:
         time.sleep(5.0)
         waited += 5.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -76,11 +87,13 @@ def main() -> None:
     quiet_gate = {
         "threshold": quiet_threshold,
         "waited_sec": round(waited, 1),
-        "passed": load_before[0] < quiet_threshold,
+        "gate_on": "max(1min,5min)",
+        "passed": max(load_before[0], load_before[1]) < quiet_threshold,
     }
     if not quiet_gate["passed"]:
         print(
-            f"# WAIVER: box never went quiet (load {load_before[0]:.2f} >= "
+            f"# WAIVER: box never went quiet (max(1m,5m) load "
+            f"{max(load_before[0], load_before[1]):.2f} >= "
             f"{quiet_threshold} after {waited:.0f}s) — timings include "
             "ambient load; compare medians with caution",
             file=sys.stderr,

@@ -293,11 +293,28 @@ def admit_batch_fuzzy(
     with a near-copy already kept — SELF-id matches are excluded, so
     a doc re-sent under its own id (same or edited text) is an UPDATE
     and re-admits rather than being rejected by its own previous
-    version; (4) key-upsert survivors into ``admitted``. Replay-safe
-    under at-least-once delivery: re-processing a batch re-runs the
-    same probes against a master that already contains the batch's
-    survivors, the self-exclusion keeps them admissible, and the
-    upsert is a no-op.
+    version; (3b) a rejected update is TOMBSTONED: when a doc re-sent
+    under its own id with EDITED text is rejected because the new
+    text near-matches a DIFFERENT admitted doc, the stale previous
+    version of that id is deleted from ``admitted`` (the producer
+    replaced that content, and its replacement is represented by the
+    other doc — retaining the old row would keep content the feed
+    says no longer exists). The tombstone fires only when the
+    admitted text actually DIFFERS from the rejected text: a VERBATIM
+    redelivery of a doc that happens to cross-match another admitted
+    near-copy (possible when ``intra_batch=False`` let two same-batch
+    near-copies both pass) must be a no-op, or at-least-once replay
+    would mutate the table. Consequence to know: after a tombstone,
+    the id's OLD content class loses its representative, so a later
+    doc repeating that old content is admissible again — correct
+    under the "feed describes current content" reading, but worth
+    knowing if the master doubles as a history; (4) key-upsert
+    survivors into ``admitted``. Replay-safe under at-least-once
+    delivery: re-processing a batch re-runs the same probes against a
+    master that already contains the batch's survivors, the
+    self-exclusion keeps them admissible, the text-differs guard
+    makes the tombstone a no-op (the stale row is already gone), and
+    the upsert is a no-op.
 
     Scale: only the BATCH is new work; the master side is a map-only
     blocking-key extraction over the admitted scan (no signatures to
@@ -321,10 +338,12 @@ def admit_batch_fuzzy(
         ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         clusters = _dedup.dup_clusters(batch, pairs, id_col=id_col)
         batch = _dedup.keep_canonical(batch, clusters, id_col=id_col)
+    stale_ids: list = []
     if admitted.exists():
+        ref_df = admitted.read().df
         hits = _dedup.fuzzy_join(
             batch,
-            admitted.read().df,
+            ref_df,
             text_col=text_col,
             probe_id_col=id_col,
             ref_id_col=id_col,
@@ -333,11 +352,41 @@ def admit_batch_fuzzy(
             block_cap=block_cap,
             pct_threshold=pct_threshold,
         ).filter(F.col("probe_id") != F.col("ref_id"))
-        dup_ids = hits.select(F.col("probe_id").alias(id_col)).distinct()
+        # materialize the (batch-bounded) rejected-id set once: both
+        # the survivor anti-join and the tombstone scan read it, and
+        # without the checkpoint each action would re-run the verify
+        # projection over the fuzzy_join candidates
+        dup_ids = (
+            hits.select(F.col("probe_id").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         keep = batch.join(dup_ids, id_col, "left_anti")
+        # tombstone scan (step 3b): rejected ids whose admitted text
+        # DIFFERS from the rejected new text — i.e. genuine edited
+        # updates, not verbatim redeliveries. Batch-bounded driver
+        # list by construction (⊆ the batch's rejected ids).
+        stale_ids = [
+            r[0]
+            for r in (
+                batch.join(dup_ids, id_col, "left_semi")
+                .select(F.col(id_col), F.col(text_col).alias("__new_text"))
+                .join(
+                    ref_df.select(
+                        F.col(id_col), F.col(text_col).alias("__ref_text")
+                    ),
+                    id_col,
+                )
+                .filter(~F.col("__ref_text").eqNullSafe(F.col("__new_text")))
+                .select(id_col)
+                .collect()
+            )
+        ]
     else:
         keep = batch
     keep = keep.localCheckpoint(eager=True)
+    if stale_ids:
+        admitted.delete_where(F.col(id_col).isin(stale_ids))
     admitted.save(keep, SaveStrategy.UPSERT)
     return keep
 

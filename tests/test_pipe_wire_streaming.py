@@ -1442,6 +1442,52 @@ def test_class_count_fold_duplicate_and_out_of_order(spark, tmp_path):
     assert got == want
 
 
+def test_class_count_fold_redelivery_beyond_retention_window(spark, tmp_path):
+    """The NB class-count fold's twin of
+    test_gram_fold_redelivery_beyond_retention_window (the fifth
+    mergeable fold gets the same standalone replay-guarantee test as
+    the other four): a batch redelivered after MORE than ``retain``
+    newer commits is still skipped, because the dedup guard reads the
+    cumulative applied-batch-id ranges off the live commit, not the
+    retained version history."""
+    from pyspark.sql import functions as F
+
+    from fabrix_spark.operators.text import feature_hash
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import class_count_fold_consumer
+
+    docs = [
+        (i, ["alpha beta", "gamma delta", "beta beta epsilon"][i % 3],
+         ["aa", "bb"][i % 2])
+        for i in range(40)
+    ]
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        docs[lo:hi], "doc_id long, text string, lang string"
+    )
+    batches = [mk(i * 10, (i + 1) * 10) for i in range(4)]
+    tbl = LakeTable(spark, str(tmp_path / "cc"), index="feature", retain=1)
+    consume = class_count_fold_consumer(tbl, class_col="lang", dim=16)
+    for bid, b in enumerate(batches):
+        consume(b, bid)
+    v_live = tbl.current_dir()
+    consume(batches[0], 0)  # redelivered 3 commits late — outside retain=1
+    assert tbl.current_dir() == v_live
+    union = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    want = sorted(
+        (r["lang"], r["feature"], int(r["n"]))
+        for r in feature_hash(union, dim=16, carry=["lang"])
+        .groupBy("lang", "feature")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    got = sorted(
+        (r["lang"], r["feature"], int(r["n"])) for r in tbl.read().df.collect()
+    )
+    assert got == want
+    live = [h for h in tbl.history() if h.get("live")][0]
+    assert live["applied_batch_ids"] == [[0, 3]]  # compressed to one range
+
+
 def test_stream_asof_enrich_batch_parity_and_replay(spark, tmp_path):
     """Streaming as-of enrichment equals the batch as-of over the
     union (an as-of row depends only on itself and the static
@@ -1756,6 +1802,72 @@ def test_admit_batch_fuzzy_sequence(spark, tmp_path):
         ).collect()
     )
     assert got == [7, 9]
+
+
+def test_admit_batch_fuzzy_cross_id_rejected_update_tombstones(spark, tmp_path):
+    """The r14 ADVICE edge, fixed by tombstoning: a doc re-sent under
+    its own id with EDITED text that near-matches a DIFFERENT admitted
+    doc is rejected AND its stale previous version is deleted — the
+    feed replaced that content and its replacement is represented by
+    the other doc, so retaining the old row would keep content the
+    feed says no longer exists. Replaying the edit batch is a fixpoint
+    (the stale row is already gone). A VERBATIM redelivery of a doc
+    that cross-matches another admitted near-copy (two same-batch
+    near-copies both passed under intra_batch=False) must NOT
+    tombstone — the text-differs guard keeps at-least-once replay
+    from mutating the table."""
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch_fuzzy
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "spark shuffles partitions across the cluster during wide transformations"
+    near_t2 = "spark shuffles partitions across the cluster during wIde transformations"
+
+    admitted = LakeTable(spark, str(tmp_path / "adm"), index="doc_id")
+    b1 = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    assert sorted(
+        r["doc_id"]
+        for r in admit_batch_fuzzy(b1, admitted, block_col=None).collect()
+    ) == [1, 2]
+
+    # doc 1 edited into a near-copy of doc 2's content: rejected
+    # (cross-id match) and doc 1's stale t1 row tombstoned
+    b2 = spark.createDataFrame([(1, near_t2)], "doc_id long, text string")
+    assert admit_batch_fuzzy(b2, admitted, block_col=None).collect() == []
+    final = {r["doc_id"]: r["text"] for r in admitted.read().df.collect()}
+    assert final == {2: t2}
+
+    # replay of the edit batch: fixpoint (no stale row to delete, no
+    # survivor to upsert)
+    admit_batch_fuzzy(b2, admitted, block_col=None).collect()
+    assert {
+        r["doc_id"]: r["text"] for r in admitted.read().df.collect()
+    } == {2: t2}
+
+    # after the tombstone, t1's content class has no representative —
+    # a later doc repeating it is admissible again (documented
+    # consequence of the "feed describes current content" reading)
+    b3 = spark.createDataFrame([(5, t1)], "doc_id long, text string")
+    assert [
+        r["doc_id"] for r in admit_batch_fuzzy(b3, admitted, block_col=None).collect()
+    ] == [5]
+
+    # verbatim-redelivery safety: seed a master where two near-copies
+    # both passed (same batch, intra_batch=False probes the master
+    # only), then redeliver one VERBATIM — it cross-matches the other,
+    # is rejected, but must NOT be tombstoned (text unchanged)
+    admitted2 = LakeTable(spark, str(tmp_path / "adm2"), index="doc_id")
+    near_t1 = t1.replace("today", "tonite")
+    b = spark.createDataFrame([(7, t1), (8, near_t1)], "doc_id long, text string")
+    assert sorted(
+        r["doc_id"]
+        for r in admit_batch_fuzzy(b, admitted2, block_col=None).collect()
+    ) == [7, 8]
+    redeliver = spark.createDataFrame([(7, t1)], "doc_id long, text string")
+    admit_batch_fuzzy(redeliver, admitted2, block_col=None).collect()
+    assert sorted(
+        r["doc_id"] for r in admitted2.read().df.collect()
+    ) == [7, 8]
 
 
 def test_stream_fuzzy_admission_replay(spark, tmp_path):

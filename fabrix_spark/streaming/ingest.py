@@ -293,28 +293,36 @@ def admit_batch_fuzzy(
     with a near-copy already kept — SELF-id matches are excluded, so
     a doc re-sent under its own id (same or edited text) is an UPDATE
     and re-admits rather than being rejected by its own previous
-    version; (3b) a rejected update is TOMBSTONED: when a doc re-sent
+    version, and OUTGOING rows (admitted rows whose id this batch
+    re-sends with EDITED text) are excluded from the ref side
+    entirely: content the feed is replacing in this very batch cannot
+    reject OTHER batch docs either — rejections are computed against
+    the post-update master, which is what makes redelivery a fixpoint
+    (found by the replay-identity property fuzz: rejecting doc X
+    against a row this batch then tombstones would admit X on
+    replay); (3b) a rejected update is TOMBSTONED: when a doc re-sent
     under its own id with EDITED text is rejected because the new
     text near-matches a DIFFERENT admitted doc, the stale previous
     version of that id is deleted from ``admitted`` (the producer
     replaced that content, and its replacement is represented by the
     other doc — retaining the old row would keep content the feed
-    says no longer exists). The tombstone fires only when the
-    admitted text actually DIFFERS from the rejected text: a VERBATIM
+    says no longer exists). Outgoing/tombstone fire only when the
+    admitted text actually DIFFERS from the incoming text: a VERBATIM
     redelivery of a doc that happens to cross-match another admitted
     near-copy (possible when ``intra_batch=False`` let two same-batch
-    near-copies both pass) must be a no-op, or at-least-once replay
-    would mutate the table. Consequence to know: after a tombstone,
-    the id's OLD content class loses its representative, so a later
-    doc repeating that old content is admissible again — correct
-    under the "feed describes current content" reading, but worth
-    knowing if the master doubles as a history; (4) key-upsert
+    near-copies both pass) must be a strict no-op, or at-least-once
+    replay would mutate the table. Consequence to know: after a
+    tombstone, the id's OLD content class loses its representative,
+    so a later doc repeating that old content is admissible again —
+    correct under the "feed describes current content" reading, but
+    worth knowing if the master doubles as a history; (4) key-upsert
     survivors into ``admitted``. Replay-safe under at-least-once
     delivery: re-processing a batch re-runs the same probes against a
     master that already contains the batch's survivors, the
     self-exclusion keeps them admissible, the text-differs guard
-    makes the tombstone a no-op (the stale row is already gone), and
-    the upsert is a no-op.
+    empties the outgoing set (so the tombstone is a no-op and the
+    rejection frontier is unchanged), and the upsert is a no-op —
+    property-fuzzed in test_admit_batch_fuzzy_replay_fixpoint.
 
     Scale: only the BATCH is new work; the master side is a map-only
     blocking-key extraction over the admitted scan (no signatures to
@@ -341,9 +349,32 @@ def admit_batch_fuzzy(
     stale_ids: list = []
     if admitted.exists():
         ref_df = admitted.read().df
+        # OUTGOING rows — batch ids whose admitted text DIFFERS from
+        # the incoming text, i.e. genuine edited updates (verbatim
+        # redeliveries compare equal and are NOT outgoing). The feed
+        # replaced their content, so their admitted rows are excluded
+        # from the probe's ref side: old content must neither reject
+        # its own id (the self-exclusion below already covers that)
+        # nor reject OTHER batch docs. Without the exclusion the batch
+        # would compute rejections against the pre-batch master while
+        # the tombstone removes the rejector — a state that is NOT a
+        # fixpoint under at-least-once redelivery (replaying the batch
+        # would admit the previously rejected doc; found by the
+        # replay-identity property fuzz). Batch-bounded set, eagerly
+        # checkpointed because three consumers read it.
+        outgoing = (
+            batch.select(F.col(id_col), F.col(text_col).alias("__new_text"))
+            .join(
+                ref_df.select(F.col(id_col), F.col(text_col).alias("__ref_text")),
+                id_col,
+            )
+            .filter(~F.col("__ref_text").eqNullSafe(F.col("__new_text")))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
         hits = _dedup.fuzzy_join(
             batch,
-            ref_df,
+            ref_df.join(outgoing, id_col, "left_anti"),
             text_col=text_col,
             probe_id_col=id_col,
             ref_id_col=id_col,
@@ -362,25 +393,13 @@ def admit_batch_fuzzy(
             .localCheckpoint(eager=True)
         )
         keep = batch.join(dup_ids, id_col, "left_anti")
-        # tombstone scan (step 3b): rejected ids whose admitted text
-        # DIFFERS from the rejected new text — i.e. genuine edited
-        # updates, not verbatim redeliveries. Batch-bounded driver
-        # list by construction (⊆ the batch's rejected ids).
+        # tombstone scan (step 3b): outgoing ids whose NEW version was
+        # rejected — the upsert will not replace their stale row, so
+        # delete it (an outgoing id whose update survives is simply
+        # overwritten by the upsert). Batch-bounded driver list.
         stale_ids = [
             r[0]
-            for r in (
-                batch.join(dup_ids, id_col, "left_semi")
-                .select(F.col(id_col), F.col(text_col).alias("__new_text"))
-                .join(
-                    ref_df.select(
-                        F.col(id_col), F.col(text_col).alias("__ref_text")
-                    ),
-                    id_col,
-                )
-                .filter(~F.col("__ref_text").eqNullSafe(F.col("__new_text")))
-                .select(id_col)
-                .collect()
-            )
+            for r in outgoing.join(dup_ids, id_col, "left_semi").collect()
         ]
     else:
         keep = batch

@@ -1097,3 +1097,73 @@ def test_fuzzy_join_scoped_fuzz_matches_bruteforce(spark, probe, ref, key_len, b
                     if 100 * d <= 50 * ml:
                         want[(pid, rid)] = d
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab "), min_size=0, max_size=14),
+        min_size=2,
+        max_size=10,
+    ),
+    n_updates=st.integers(0, 3),
+    data=st.data(),
+)
+@settings(max_examples=8, deadline=None)
+def test_admit_batch_fuzzy_replay_fixpoint(spark, texts, n_updates, data):
+    """At-least-once replay identity for the fuzzy admission gate,
+    property-fuzzed (the r14 verdict's optional hardening beyond the
+    example tests): deliver arbitrary tiny low-alphabet batches —
+    batch 2 may re-send batch-1 ids with arbitrary (same or edited)
+    text, hitting the self-exclusion update path, the cross-id
+    rejection path, and the r15 tombstone path — then RE-process each
+    batch immediately after it lands (foreachBatch's live-tail
+    redelivery model). The admitted table must be a fixpoint under
+    every redelivery: identical (id, text) rows before and after."""
+    import shutil
+    import tempfile
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch_fuzzy
+
+    docs = [(i, "".join(t)) for i, t in enumerate(texts)]
+    cut = len(docs) // 2
+    b1_rows, b2_rows = docs[:cut], docs[cut:]
+    # batch-2 re-sends of batch-1 ids with fuzz-chosen replacement text
+    for _ in range(min(n_updates, len(b1_rows))):
+        rid = data.draw(st.integers(0, len(b1_rows) - 1))
+        new_text = "".join(
+            data.draw(st.lists(st.sampled_from("ab "), min_size=0, max_size=14))
+        )
+        b2_rows = b2_rows + [(b1_rows[rid][0], new_text)]
+    tmp = tempfile.mkdtemp(prefix="fuzzy_replay_")
+    try:
+        admitted = LakeTable(spark, f"{tmp}/adm", index="doc_id")
+        for rows in (b1_rows, b2_rows):
+            if not rows:
+                continue
+            # last-write-wins within a batch, like dropDuplicates but
+            # deterministic for the model
+            batch = spark.createDataFrame(rows, "doc_id long, text string")
+            admit_batch_fuzzy(
+                batch, admitted, block_col=None, key_len=3, block_cap=4
+            ).collect()
+            state = sorted(
+                (r["doc_id"], r["text"]) for r in admitted.read().df.collect()
+            )
+            # live-tail redelivery: the exact batch again — fixpoint
+            admit_batch_fuzzy(
+                batch, admitted, block_col=None, key_len=3, block_cap=4
+            ).collect()
+            replayed = sorted(
+                (r["doc_id"], r["text"]) for r in admitted.read().df.collect()
+            )
+            assert replayed == state
+        # keys unique, every admitted row's text was delivered for its id
+        final = sorted(
+            (r["doc_id"], r["text"]) for r in admitted.read().df.collect()
+        )
+        assert len({k for k, _ in final}) == len(final)
+        delivered = set(b1_rows) | set(b2_rows)
+        assert set(final) <= delivered
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1704,31 +1704,68 @@ def decontaminate_semantic(
     )
 
 
+#: blocking generator name → projected key column. "prefix"/"suffix"
+#: are the default pair (an edit must diverge away from one END to be
+#: caught); "sorted_prefix" is the opt-in stopword-robust third pass —
+#: the first ``key_len`` chars of the token-SORTED text, invariant to
+#: token reordering and to edits anywhere that leave the
+#: lexicographically-smallest tokens intact (standard sorted-
+#: neighborhood-style key, Christen 2012 §4.2), catching the
+#: both-ends-edited pairs the positional generators miss by design.
+FUZZY_GENERATORS = {
+    "prefix": "__pre",
+    "suffix": "__suf",
+    "sorted_prefix": "__srt",
+}
+
+
 def _fuzzy_block_keys(
     df: DataFrame,
     text_col: str,
     id_col: str,
     block_col: str | None,
     key_len: int,
-) -> tuple[list[str], DataFrame]:
+    generators: tuple[str, ...] = ("prefix", "suffix"),
+) -> tuple[list[str], DataFrame, list[str]]:
     """Shared blocking projection for :func:`fuzzy_pairs` /
     :func:`fuzzy_join`: (scope columns, frame with __id / __norm /
-    __pre / __suf). One definition so the two consumers can never
-    drift on the null filters or the substring semantics (negative-pos
-    ``substring`` clamps like Python slicing for texts shorter than
-    ``key_len`` — the property the brute-force fuzz pins)."""
+    one column per generator, generator key columns). One definition
+    so the two consumers can never drift on the null filters or the
+    substring semantics (negative-pos ``substring`` clamps like
+    Python slicing for texts shorter than ``key_len`` — the property
+    the brute-force fuzz pins)."""
+    unknown = [g for g in generators if g not in FUZZY_GENERATORS]
+    if unknown:
+        raise ValueError(
+            f"unknown blocking generators {unknown!r}; "
+            f"choose from {sorted(FUZZY_GENERATORS)}"
+        )
     norm = F.trim(F.col(text_col))
     base = df.filter(F.col(text_col).isNotNull())
     if block_col is not None:
         base = base.filter(F.col(block_col).isNotNull())
     scope = [block_col] if block_col is not None else []
+    exprs = []
+    for g in generators:
+        if g == "prefix":
+            exprs.append(F.substring(norm, 1, key_len).alias("__pre"))
+        elif g == "suffix":
+            exprs.append(F.substring(norm, -key_len, key_len).alias("__suf"))
+        else:  # sorted_prefix
+            exprs.append(
+                F.substring(
+                    F.array_join(F.array_sort(F.split(norm, r"\s+")), " "),
+                    1,
+                    key_len,
+                ).alias("__srt")
+            )
+    keys = [FUZZY_GENERATORS[g] for g in generators]
     return scope, spread(base).select(
         F.col(id_col).alias("__id"),
         *scope,
         norm.alias("__norm"),
-        F.substring(norm, 1, key_len).alias("__pre"),
-        F.substring(norm, -key_len, key_len).alias("__suf"),
-    )
+        *exprs,
+    ), keys
 
 
 def fuzzy_pairs(
@@ -1740,6 +1777,7 @@ def fuzzy_pairs(
     block_cap: int = 64,
     pct_threshold: int = 30,
     barrier: bool = True,
+    generators: tuple[str, ...] = ("prefix", "suffix"),
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs via blocking + verification —
     the classic entity-resolution recipe (blocking keys bound the
@@ -1755,7 +1793,11 @@ def fuzzy_pairs(
     either end; this is standard multi-pass blocking (recall is
     bounded by the generators BY DESIGN: a pair edited at both ends
     within ``key_len`` chars is missed, the documented blocking
-    tradeoff). Blocks larger than ``block_cap`` are purged (Papadakis
+    tradeoff — opt in to ``generators=("prefix", "suffix",
+    "sorted_prefix")`` to add a token-sorted third pass that is
+    invariant to token reordering and catches both-ends edits, at the
+    cost of one more window+self-join and whatever candidates the
+    extra blocks contribute; see :data:`FUZZY_GENERATORS`). Blocks larger than ``block_cap`` are purged (Papadakis
     -style block purging): a stock opening shared by H docs would
     otherwise yield H^2 candidates — the same hot-key guard as
     jaccard's ``max_df``. Candidates from both generators are
@@ -1775,7 +1817,9 @@ def fuzzy_pairs(
     """
     from pyspark.sql import Window
 
-    scope, k = _fuzzy_block_keys(df, text_col, id_col, block_col, key_len)
+    scope, k, keys = _fuzzy_block_keys(
+        df, text_col, id_col, block_col, key_len, generators
+    )
 
     def _cands(key: str) -> DataFrame:
         w = Window.partitionBy(*scope, key)
@@ -1790,7 +1834,10 @@ def fuzzy_pairs(
             F.col("doc_a") < F.col("doc_b")
         ).select("doc_a", "doc_b")
 
-    cand = _cands("__pre").unionByName(_cands("__suf")).distinct()
+    cand = _cands(keys[0])
+    for key in keys[1:]:
+        cand = cand.unionByName(_cands(key))
+    cand = cand.distinct()
     slim = k.select("__id", "__norm", F.length("__norm").alias("__len"))
     # The verify stage is CPU-bound, not byte-bound: candidate rows are
     # a few hundred bytes but each pays an O(threshold·len) edit-
@@ -1857,6 +1904,7 @@ def fuzzy_join(
     block_cap: int = 64,
     pct_threshold: int = 30,
     barrier: bool = True,
+    generators: tuple[str, ...] = ("prefix", "suffix"),
 ) -> DataFrame:
     """Two-table fuzzy match — :func:`fuzzy_pairs`' JOIN form, the
     deployable entity-resolution step: match incoming ``probe`` rows
@@ -1887,8 +1935,12 @@ def fuzzy_join(
     (probe_id, ref_id, dist, max_len)."""
     from pyspark.sql import Window
 
-    scope, kp = _fuzzy_block_keys(probe, text_col, probe_id_col, block_col, key_len)
-    _, kr = _fuzzy_block_keys(ref, text_col, ref_id_col, block_col, key_len)
+    scope, kp, keys = _fuzzy_block_keys(
+        probe, text_col, probe_id_col, block_col, key_len, generators
+    )
+    _, kr, _ = _fuzzy_block_keys(
+        ref, text_col, ref_id_col, block_col, key_len, generators
+    )
 
     def _cands(key: str) -> DataFrame:
         w = Window.partitionBy(*scope, key)
@@ -1900,7 +1952,10 @@ def fuzzy_join(
         p = kp.select(F.col("__id").alias("probe_id"), *scope, key)
         return p.join(r, on=[*scope, key]).select("probe_id", "ref_id")
 
-    cand = _cands("__pre").unionByName(_cands("__suf")).distinct()
+    cand = _cands(keys[0])
+    for key in keys[1:]:
+        cand = cand.unionByName(_cands(key))
+    cand = cand.distinct()
     slim_p = kp.select(
         F.col("__id").alias("probe_id"),
         F.col("__norm").alias("__np"),

@@ -1742,6 +1742,43 @@ def test_fuzzy_pairs_model(spark):
     assert tight == {(1, 2)}
 
 
+def test_fuzzy_pairs_sorted_prefix_generator(spark):
+    """The opt-in token-sorted blocking generator catches the
+    both-ends-edited pairs the positional prefix/suffix generators
+    miss by design: a doc whose FIRST and LAST tokens both changed
+    (beyond key_len chars of divergence) shares no positional key,
+    but its token-sorted prefix is unchanged as long as the
+    lexicographically-smallest tokens survive the edit. The default
+    generator pair must keep missing it (oracle semantics pinned),
+    and an unknown generator name refuses loudly."""
+    import pytest as _pytest
+
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    a = "omega beta gamma delta epsilon zeta"
+    b = "sigma beta gamma delta epsilon tau"  # both ends edited
+    rows = [(1, a, "en"), (2, b, "en"),
+            (3, "totally different words here entirely", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    missed = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_pairs(df, key_len=8, pct_threshold=30).collect()
+    }
+    assert missed == set()  # positional generators: recall bound
+    found = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_pairs(
+            df,
+            key_len=8,
+            pct_threshold=30,
+            generators=("prefix", "suffix", "sorted_prefix"),
+        ).collect()
+    }
+    assert (1, 2) in found and found[(1, 2)] == 7
+    with _pytest.raises(ValueError, match="unknown blocking generators"):
+        fuzzy_pairs(df, generators=("prefix", "md5"))
+
+
 def test_fuzzy_pairs_block_purge(spark):
     """Blocks larger than block_cap are purged entirely (hot stock
     opening — quadratic-pair protection), and purging one generator

@@ -841,21 +841,31 @@ def test_weighted_reservoir_es_key_identity_fuzz(data):
 
 @given(
     docs=st.lists(
-        st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+        st.lists(st.sampled_from("abc "), min_size=0, max_size=12),
         min_size=2,
         max_size=8,
     ),
     key_len=st.integers(2, 4),
     block_cap=st.integers(2, 4),
     pct=st.sampled_from([20, 40, 60, 100]),
+    generators=st.sampled_from(
+        [
+            ("prefix", "suffix"),
+            ("prefix", "suffix", "sorted_prefix"),
+            ("sorted_prefix",),
+        ]
+    ),
 )
 @settings(max_examples=15, deadline=None)
-def test_fuzzy_pairs_fuzz_matches_bruteforce(spark, docs, key_len, block_cap, pct):
+def test_fuzzy_pairs_fuzz_matches_bruteforce(
+    spark, docs, key_len, block_cap, pct, generators
+):
     """fuzzy_pairs == a pure-Python replay of the whole recipe (trim,
-    prefix/suffix blocking with purge, pair dedup, Wagner-Fischer
-    Levenshtein, integer percent threshold) over arbitrary tiny
-    low-alphabet corpora — short-text edge cases (text shorter than
-    key_len, empty text, whole corpus one block) included."""
+    prefix/suffix/token-sorted blocking with purge, pair dedup,
+    Wagner-Fischer Levenshtein, integer percent threshold) over
+    arbitrary tiny low-alphabet corpora — short-text edge cases (text
+    shorter than key_len, empty text, whitespace-only text, whole
+    corpus one block) included, for every generator combination."""
     from fabrix_spark.operators.dedup import fuzzy_pairs
 
     rows = [(i, "".join(toks)) for i, toks in enumerate(docs)]
@@ -868,6 +878,7 @@ def test_fuzzy_pairs_fuzz_matches_bruteforce(spark, docs, key_len, block_cap, pc
             key_len=key_len,
             block_cap=block_cap,
             pct_threshold=pct,
+            generators=generators,
         ).collect()
     }
 
@@ -890,8 +901,16 @@ def test_fuzzy_pairs_fuzz_matches_bruteforce(spark, docs, key_len, block_cap, pc
         # Spark substring(-k, k): the LAST k chars (shorter text → the
         # whole text when len < k, matching substring's negative-pos
         # clamp only for len >= 1; empty suffix key still groups)
-        blocks[("p", t[:key_len])].add(i)
-        blocks[("s", t[-key_len:] if t else "")].add(i)
+        if "prefix" in generators:
+            blocks[("p", t[:key_len])].add(i)
+        if "suffix" in generators:
+            blocks[("s", t[-key_len:] if t else "")].add(i)
+        if "sorted_prefix" in generators:
+            # Spark: split(trimmed, '\s+') → array_sort → ' '-join →
+            # first key_len chars. Python str.split() matches on
+            # trimmed input (both collapse whitespace runs; the empty
+            # string yields an empty join in both).
+            blocks[("t", " ".join(sorted(t.split()))[:key_len])].add(i)
     cand = set()
     for members in blocks.values():
         if 2 <= len(members) <= block_cap:

@@ -10865,6 +10865,89 @@ def d_fuzzy_join(
     )
 
 
+def _fuzzy_admission_oracle(batches: int = 3) -> str:
+    """Staged SQL replay of sequential EDIT-DISTANCE admission —
+    :func:`_admission_oracle`'s fuzzy sibling: batch k (docs with
+    doc_id % batches = k) is admitted unless a blocked candidate
+    against the union of previously admitted batches verifies at
+    100·levenshtein ≤ 30·max_len — the same decision sequence
+    ``streaming.ingest.admit_batch_fuzzy`` makes batch over batch
+    (ids are disjoint across the % batches split, so the self-
+    exclusion / outgoing-update / tombstone paths are all vacuous
+    here and the decision is pure probe-vs-master). Every per-batch
+    CTE is AS MATERIALIZED — DuckDB inlines CTEs by default and the
+    adm chain is referenced repeatedly. Docs with NULL text or lang
+    never probe and never serve as refs (the blocking projection
+    filters them) but are still ADMITTED, exactly like the operator's
+    keep-set."""
+    ctes = [
+        """k AS MATERIALIZED (
+  SELECT doc_id, lang, trim(text) AS norm,
+         substr(trim(text), 1, 16) AS pre,
+         substr(trim(text), length(trim(text)) - 15, 16) AS suf
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)""",
+        f"adm0 AS (SELECT doc_id FROM documents WHERE doc_id % {batches} = 0)",
+    ]
+    for b in range(1, batches):
+        ctes.append(
+            f"""rb{b} AS MATERIALIZED (
+  SELECT k.*, count(*) OVER (PARTITION BY lang, pre) AS n_pre,
+              count(*) OVER (PARTITION BY lang, suf) AS n_suf
+  FROM k JOIN adm{b - 1} USING (doc_id))"""
+        )
+        ctes.append(
+            f"""rej{b} AS MATERIALIZED (
+  SELECT DISTINCT c.doc_id FROM (
+    SELECT p.doc_id, p.norm, r.norm AS rnorm
+    FROM k p JOIN rb{b} r ON p.lang = r.lang AND p.pre = r.pre
+    WHERE p.doc_id % {batches} = {b} AND r.n_pre <= 64
+    UNION
+    SELECT p.doc_id, p.norm, r.norm
+    FROM k p JOIN rb{b} r ON p.lang = r.lang AND p.suf = r.suf
+    WHERE p.doc_id % {batches} = {b} AND r.n_suf <= 64) c
+  WHERE 100 * levenshtein(c.norm, c.rnorm)
+        <= 30 * greatest(length(c.norm), length(c.rnorm)))"""
+        )
+        ctes.append(
+            f"adm{b} AS (SELECT doc_id FROM adm{b - 1} UNION ALL "
+            f"SELECT doc_id FROM documents WHERE doc_id % {batches} = {b} "
+            f"AND doc_id NOT IN (SELECT doc_id FROM rej{b}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id FROM adm{batches - 1}"
+    )
+
+
+@stage("stream_fuzzy_replay", oracle=_fuzzy_admission_oracle())
+def stream_fuzzy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous edit-distance admission loop, replayed
+    deterministically in batch mode — stream_admission_replay's fuzzy
+    sibling: documents arrive in 3 batches (doc_id % 3), each batch
+    admitted through the EXACT per-micro-batch body of
+    ``stream_fuzzy_admission`` (``streaming.ingest.admit_batch_fuzzy``)
+    — fuzzy-probe the growing admitted master, reject banded-verified
+    edit-distance near-copies of already-admitted docs, upsert
+    survivors. Returns the final admitted id set; the oracle
+    re-derives the same sequential decisions as staged SQL, giving
+    the fuzzy admission path oracle-grade evidence (the batch ids are
+    disjoint here, so the update/tombstone paths — covered by the
+    replay-fixpoint property fuzz — stay out of the oracle's way)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.lake import LakeTable
+    from .streaming.ingest import admit_batch_fuzzy
+
+    root = tempfile.mkdtemp(prefix="fabrix_fuzzy_admission_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    admitted = LakeTable(spark, root + "/admitted", index="doc_id", buckets=8)
+    docs = _t(spark, sf_dir, "documents")
+    for b in range(3):
+        admit_batch_fuzzy(docs.filter(F.col("doc_id") % 3 == b), admitted)
+    return admitted.read().df.select("doc_id")
+
+
 @stage(
     "stream_nb_replay",
     oracle=r"""

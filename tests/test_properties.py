@@ -979,25 +979,32 @@ def test_edit_distance_pairs_fuzz_matches_bruteforce(spark, names, max_dist):
 
 @given(
     probe=st.lists(
-        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        st.lists(st.sampled_from("abc "), min_size=0, max_size=10),
         min_size=1,
         max_size=6,
     ),
     ref=st.lists(
-        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        st.lists(st.sampled_from("abc "), min_size=0, max_size=10),
         min_size=1,
         max_size=6,
     ),
     key_len=st.integers(2, 4),
     block_cap=st.integers(1, 4),
     pct=st.sampled_from([20, 50, 100]),
+    generators=st.sampled_from(
+        [("prefix", "suffix"), ("prefix", "suffix", "sorted_prefix")]
+    ),
 )
 @settings(max_examples=15, deadline=None)
-def test_fuzzy_join_fuzz_matches_bruteforce(spark, probe, ref, key_len, block_cap, pct):
+def test_fuzzy_join_fuzz_matches_bruteforce(
+    spark, probe, ref, key_len, block_cap, pct, generators
+):
     """fuzzy_join == a pure-Python replay (ref-side-only purge, no
     pair-count floor, no id ordering) over arbitrary tiny low-alphabet
     tables — including id collisions across the two independent id
-    spaces and texts shorter than the blocking key."""
+    spaces, texts shorter than the blocking key, and the opt-in
+    token-sorted generator (its join path unions candidates through a
+    different loop than fuzzy_pairs')."""
     from fabrix_spark.operators.dedup import fuzzy_join
 
     prows = [(i, "".join(t)) for i, t in enumerate(probe)]
@@ -1011,6 +1018,7 @@ def test_fuzzy_join_fuzz_matches_bruteforce(spark, probe, ref, key_len, block_ca
             key_len=key_len,
             block_cap=block_cap,
             pct_threshold=pct,
+            generators=generators,
         ).collect()
     }
 
@@ -1027,13 +1035,23 @@ def test_fuzzy_join_fuzz_matches_bruteforce(spark, probe, ref, key_len, block_ca
     nr_ = {i: t.strip() for i, t in rrows}
     from collections import defaultdict
 
+    def keys_of(t):
+        out = []
+        if "prefix" in generators:
+            out.append(("p", t[:key_len]))
+        if "suffix" in generators:
+            out.append(("s", t[-key_len:] if t else ""))
+        if "sorted_prefix" in generators:
+            out.append(("t", " ".join(sorted(t.split()))[:key_len]))
+        return out
+
     rblocks = defaultdict(set)
     for i, t in nr_.items():
-        rblocks[("p", t[:key_len])].add(i)
-        rblocks[("s", t[-key_len:] if t else "")].add(i)
+        for key in keys_of(t):
+            rblocks[key].add(i)
     cand = set()
     for pid, t in np_.items():
-        for key in (("p", t[:key_len]), ("s", t[-key_len:] if t else "")):
+        for key in keys_of(t):
             if key in rblocks and len(rblocks[key]) <= block_cap:
                 for rid in rblocks[key]:
                     cand.add((pid, rid))

@@ -346,7 +346,6 @@ def admit_batch_fuzzy(
         ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         clusters = _dedup.dup_clusters(batch, pairs, id_col=id_col)
         batch = _dedup.keep_canonical(batch, clusters, id_col=id_col)
-    stale_ids: list = []
     if admitted.exists():
         ref_df = admitted.read().df
         # OUTGOING rows — batch ids whose admitted text DIFFERS from
@@ -393,19 +392,26 @@ def admit_batch_fuzzy(
             .localCheckpoint(eager=True)
         )
         keep = batch.join(dup_ids, id_col, "left_anti")
-        # tombstone scan (step 3b): outgoing ids whose NEW version was
+        # tombstone set (step 3b): outgoing ids whose NEW version was
         # rejected — the upsert will not replace their stale row, so
         # delete it (an outgoing id whose update survives is simply
-        # overwritten by the upsert). Batch-bounded driver list.
-        stale_ids = [
-            r[0]
-            for r in outgoing.join(dup_ids, id_col, "left_semi").collect()
-        ]
+        # overwritten by the upsert). Stays a DataFrame end to end —
+        # the delete ships through apply_changes as a distributed CDC
+        # merge, never a driver-collected id list baked into a plan.
+        stale = outgoing.join(dup_ids, id_col, "left_semi")
     else:
         keep = batch
+        stale = None
     keep = keep.localCheckpoint(eager=True)
-    if stale_ids:
-        admitted.delete_where(F.col(id_col).isin(stale_ids))
+    if stale is not None and not stale.isEmpty():
+        # delete-only CDC batch: carries the full batch columns so the
+        # (empty) upsert side of the merge stays schema-aligned
+        admitted.apply_changes(
+            batch.join(stale, id_col, "left_semi").withColumn(
+                "__change", F.lit("delete")
+            ),
+            change_col="__change",
+        )
     admitted.save(keep, SaveStrategy.UPSERT)
     return keep
 

@@ -170,7 +170,22 @@ def admit_batch(
     the banded candidates of the batch's fresh signatures and drop
     docs with an exact-verified near-dup already in the corpus;
     (4) key-upsert survivors into ``admitted`` and fold their
-    signatures into the store. Returns the admitted survivors."""
+    signatures into the store. Returns the admitted survivors.
+
+    Update semantics vs :func:`admit_batch_fuzzy` (documented
+    divergence): a doc re-sent under its own id is excluded from
+    candidates as a self-pair, so an ACCEPTED update overwrites both
+    its admitted row and its store signatures. But when the edited
+    text is rejected for near-matching a DIFFERENT admitted doc, the
+    stale previous version (row AND signatures) is retained — this
+    gate does NOT tombstone, because the signature store would need a
+    coordinated key-delete to stay consistent with the admitted
+    table, and a half-applied tombstone (row gone, signatures still
+    rejecting) would be worse than the stale row. The fuzzy gate has
+    no persisted derived state, so it does tombstone; route feeds
+    whose update-then-reject path matters through
+    :func:`admit_batch_fuzzy`, or compact the master through a batch
+    re-dedup when stale mass accumulates."""
     from ..operators import dedup as _dedup
     from ..sources.sql import SaveStrategy
 

@@ -1852,6 +1852,18 @@ def test_admit_batch_fuzzy_cross_id_rejected_update_tombstones(spark, tmp_path):
         r["doc_id"] for r in admit_batch_fuzzy(b3, admitted, block_col=None).collect()
     ] == [5]
 
+    # the tombstone ships through apply_changes — exercise it on a
+    # BUCKETED admitted table too (the layout stream_fuzzy_admission
+    # recommends for O(delta) upserts): same reject + delete outcome
+    admitted_b = LakeTable(
+        spark, str(tmp_path / "admb"), index="doc_id", buckets=4
+    )
+    admit_batch_fuzzy(b1, admitted_b, block_col=None).collect()
+    assert admit_batch_fuzzy(b2, admitted_b, block_col=None).collect() == []
+    assert {
+        r["doc_id"]: r["text"] for r in admitted_b.read().df.collect()
+    } == {2: t2}
+
     # verbatim-redelivery safety: seed a master where two near-copies
     # both passed (same batch, intra_batch=False probes the master
     # only), then redeliver one VERBATIM — it cross-matches the other,

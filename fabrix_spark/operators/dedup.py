@@ -1740,6 +1740,11 @@ def _fuzzy_block_keys(
             f"unknown blocking generators {unknown!r}; "
             f"choose from {sorted(FUZZY_GENERATORS)}"
         )
+    if len(set(generators)) != len(generators):
+        # a duplicate would project the same __key column twice and
+        # die much later as an ambiguous-reference AnalysisException —
+        # refuse loudly here like the unknown-name case
+        raise ValueError(f"duplicate blocking generators: {generators!r}")
     norm = F.trim(F.col(text_col))
     base = df.filter(F.col(text_col).isNotNull())
     if block_col is not None:
@@ -1752,11 +1757,15 @@ def _fuzzy_block_keys(
         elif g == "suffix":
             exprs.append(F.substring(norm, -key_len, key_len).alias("__suf"))
         else:  # sorted_prefix
+            # trim strips SPACES only, so a leading/trailing tab or
+            # newline survives into norm and split(\s+) would emit an
+            # empty edge token that sorts first and shifts the whole
+            # key — drop empty tokens (Python str.split() semantics,
+            # what the brute-force model replays)
+            toks = F.filter(F.split(norm, r"\s+"), lambda x: x != "")
             exprs.append(
                 F.substring(
-                    F.array_join(F.array_sort(F.split(norm, r"\s+")), " "),
-                    1,
-                    key_len,
+                    F.array_join(F.array_sort(toks), " "), 1, key_len
                 ).alias("__srt")
             )
     keys = [FUZZY_GENERATORS[g] for g in generators]
@@ -1905,6 +1914,7 @@ def fuzzy_join(
     pct_threshold: int = 30,
     barrier: bool = True,
     generators: tuple[str, ...] = ("prefix", "suffix"),
+    count_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Two-table fuzzy match — :func:`fuzzy_pairs`' JOIN form, the
     deployable entity-resolution step: match incoming ``probe`` rows
@@ -1932,7 +1942,19 @@ def fuzzy_join(
     the same lazy localCheckpoint barrier as fuzzy_pairs (AQE's
     size-based coalescing would serialize the CPU-bound DP; Catalyst
     would push the threshold filter into the id-joins). Returns
-    (probe_id, ref_id, dist, max_len)."""
+    (probe_id, ref_id, dist, max_len).
+
+    ``count_ref`` decouples the purge-count BASIS from the probe ref:
+    when set, per-block counts come from a group-by over ``count_ref``
+    (left-joined back onto the ref's block keys; a ref block absent
+    from the basis counts 0 and is kept) instead of a window over
+    ``ref`` itself. The streaming admission gate needs this for its
+    redelivery fixpoint — counting over the master MINUS the current
+    batch's ids gives a basis that the batch's own commits cannot
+    change, so a replayed batch sees the same purge decisions as the
+    first delivery (a survivor joining a block at exactly
+    ``block_cap`` would otherwise purge it on replay and admit a doc
+    the first pass rejected)."""
     from pyspark.sql import Window
 
     scope, kp, keys = _fuzzy_block_keys(
@@ -1941,14 +1963,28 @@ def fuzzy_join(
     _, kr, _ = _fuzzy_block_keys(
         ref, text_col, ref_id_col, block_col, key_len, generators
     )
+    kc = None
+    if count_ref is not None:
+        _, kc, _ = _fuzzy_block_keys(
+            count_ref, text_col, ref_id_col, block_col, key_len, generators
+        )
 
     def _cands(key: str) -> DataFrame:
-        w = Window.partitionBy(*scope, key)
-        r = (
-            kr.withColumn("__n", F.count("*").over(w))
-            .filter(F.col("__n") <= block_cap)
-            .select(F.col("__id").alias("ref_id"), *scope, key)
-        )
+        if kc is None:
+            w = Window.partitionBy(*scope, key)
+            r = (
+                kr.withColumn("__n", F.count("*").over(w))
+                .filter(F.col("__n") <= block_cap)
+                .select(F.col("__id").alias("ref_id"), *scope, key)
+            )
+        else:
+            counts = kc.groupBy(*scope, key).agg(F.count("*").alias("__n"))
+            r = (
+                kr.select(F.col("__id").alias("ref_id"), *scope, key)
+                .join(counts, on=[*scope, key], how="left")
+                .filter(F.coalesce(F.col("__n"), F.lit(0)) <= block_cap)
+                .select("ref_id", *scope, key)
+            )
         p = kp.select(F.col("__id").alias("probe_id"), *scope, key)
         return p.join(r, on=[*scope, key]).select("probe_id", "ref_id")
 

@@ -315,7 +315,12 @@ def admit_batch_fuzzy(
     the post-update master, which is what makes redelivery a fixpoint
     (found by the replay-identity property fuzz: rejecting doc X
     against a row this batch then tombstones would admit X on
-    replay); (3b) a rejected update is TOMBSTONED: when a doc re-sent
+    replay). For the same reason the ref-side block-purge counts are
+    computed over the master MINUS ALL batch ids (``fuzzy_join``'s
+    ``count_ref``) — a basis the batch's own commits cannot change —
+    so a survivor joining a block at exactly ``block_cap`` cannot
+    flip it to purged on replay and admit a doc the first pass
+    rejected; (3b) a rejected update is TOMBSTONED: when a doc re-sent
     under its own id with EDITED text is rejected because the new
     text near-matches a DIFFERENT admitted doc, the stale previous
     version of that id is deleted from ``admitted`` (the producer
@@ -386,6 +391,16 @@ def admit_batch_fuzzy(
             .select(id_col)
             .localCheckpoint(eager=True)
         )
+        # purge counts are computed over the master MINUS ALL batch
+        # ids (count_ref): every admitted-table delta this batch makes
+        # — survivors upserted, stale rows tombstoned — is keyed by a
+        # batch id, so this basis is IDENTICAL between the first
+        # delivery and any redelivery. Counting over the probe ref
+        # itself would drift: a survivor joining a block at exactly
+        # block_cap would purge it on replay and admit a doc the
+        # first pass rejected (found by code review of the fixpoint
+        # argument; pinned by
+        # test_admit_batch_fuzzy_replay_purge_boundary).
         hits = _dedup.fuzzy_join(
             batch,
             ref_df.join(outgoing, id_col, "left_anti"),
@@ -396,6 +411,7 @@ def admit_batch_fuzzy(
             key_len=key_len,
             block_cap=block_cap,
             pct_threshold=pct_threshold,
+            count_ref=ref_df.join(batch.select(id_col), id_col, "left_anti"),
         ).filter(F.col("probe_id") != F.col("ref_id"))
         # materialize the (batch-bounded) rejected-id set once: both
         # the survivor anti-join and the tombstone scan read it, and

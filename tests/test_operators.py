@@ -1777,6 +1777,22 @@ def test_fuzzy_pairs_sorted_prefix_generator(spark):
     assert (1, 2) in found and found[(1, 2)] == 7
     with _pytest.raises(ValueError, match="unknown blocking generators"):
         fuzzy_pairs(df, generators=("prefix", "md5"))
+    with _pytest.raises(ValueError, match="duplicate blocking generators"):
+        fuzzy_pairs(df, generators=("prefix", "prefix"))
+
+    # edge-whitespace robustness: trim strips spaces only, so a
+    # leading tab survives into norm — the sorted key must drop the
+    # empty edge token split() produces, or the tabbed twin's key
+    # gains a phantom leading space and never blocks with its pair
+    rows2 = [(1, "\t" + a, "en"), (2, a, "en")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, lang string")
+    tabbed = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_pairs(
+            df2, key_len=8, pct_threshold=30, generators=("sorted_prefix",)
+        ).collect()
+    }
+    assert tabbed == {(1, 2)}
 
 
 def test_fuzzy_pairs_block_purge(spark):

@@ -1882,6 +1882,55 @@ def test_admit_batch_fuzzy_cross_id_rejected_update_tombstones(spark, tmp_path):
     ) == [7, 8]
 
 
+def test_admit_batch_fuzzy_replay_purge_boundary(spark, tmp_path):
+    """Redelivery fixpoint ACROSS the block-purge cap boundary (found
+    by code review of the fixpoint argument): the master holds exactly
+    block_cap docs sharing a prefix block; the batch carries X (a
+    near-dup of member m1, diverging at the tail so only the prefix
+    key matches) and Z (same prefix, novel content). First delivery:
+    the block counts cap, X is verified against m1 and rejected, Z is
+    admitted — pushing the block to cap+1 members. If purge counts
+    were taken over the probe ref, redelivering the batch would see
+    the block purged, give X no candidates, and ADMIT the near-dup.
+    The count basis is the master minus the batch's ids — invariant
+    across deliveries — so the replay must reject X again and leave
+    the table bit-identical."""
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch_fuzzy
+
+    cap = 4
+    masters = [
+        (i, "PREFIXAA shared opening " + f"body variant {i} " * 4 + f"end{i}")
+        for i in range(cap)
+    ]
+    x_near = masters[0][1][:-12] + "TAIL-EDITED!"  # near m1, suffix differs
+    z_novel = "PREFIXAA shared opening " + "completely novel unrelated words now"
+    b0 = spark.createDataFrame(masters, "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(100, x_near), (101, z_novel)], "doc_id long, text string"
+    )
+    admitted = LakeTable(spark, str(tmp_path / "adm"), index="doc_id")
+    admit_batch_fuzzy(
+        b0, admitted, block_col=None, key_len=8, block_cap=cap
+    ).collect()
+    got1 = sorted(
+        r["doc_id"]
+        for r in admit_batch_fuzzy(
+            b1, admitted, block_col=None, key_len=8, block_cap=cap
+        ).collect()
+    )
+    assert got1 == [101]  # X rejected against m1; Z admitted
+    state = sorted(r["doc_id"] for r in admitted.read().df.collect())
+    assert state == [0, 1, 2, 3, 101]
+    # redeliver the batch: the prefix block now has cap+1 members in
+    # the master, but the count basis excludes batch ids — X must be
+    # rejected again and the table unchanged
+    admit_batch_fuzzy(
+        b1, admitted, block_col=None, key_len=8, block_cap=cap
+    ).collect()
+    assert sorted(r["doc_id"] for r in admitted.read().df.collect()) == state
+
+
 def test_stream_fuzzy_admission_replay(spark, tmp_path):
     """stream_fuzzy_admission == the sequential admit_batch_fuzzy
     replay: batch 2's near-copy of a batch-1 admission is rejected by

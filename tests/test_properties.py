@@ -1165,9 +1165,16 @@ def test_admit_batch_fuzzy_replay_fixpoint(spark, texts, n_updates, data):
     docs = [(i, "".join(t)) for i, t in enumerate(texts)]
     cut = len(docs) // 2
     b1_rows, b2_rows = docs[:cut], docs[cut:]
-    # batch-2 re-sends of batch-1 ids with fuzz-chosen replacement text
+    # batch-2 re-sends of batch-1 ids with fuzz-chosen replacement
+    # text — at most ONE change per id (apply_changes' own contract;
+    # a duplicate id in the batch would make dropDuplicates pick an
+    # arbitrary winner and the model nondeterministic)
+    resend_ids: set = set()
     for _ in range(min(n_updates, len(b1_rows))):
         rid = data.draw(st.integers(0, len(b1_rows) - 1))
+        if b1_rows[rid][0] in resend_ids:
+            continue
+        resend_ids.add(b1_rows[rid][0])
         new_text = "".join(
             data.draw(st.lists(st.sampled_from("ab "), min_size=0, max_size=14))
         )
@@ -1178,8 +1185,6 @@ def test_admit_batch_fuzzy_replay_fixpoint(spark, texts, n_updates, data):
         for rows in (b1_rows, b2_rows):
             if not rows:
                 continue
-            # last-write-wins within a batch, like dropDuplicates but
-            # deterministic for the model
             batch = spark.createDataFrame(rows, "doc_id long, text string")
             admit_batch_fuzzy(
                 batch, admitted, block_col=None, key_len=3, block_cap=4

@@ -349,7 +349,11 @@ def admit_batch_fuzzy(
     maintain — the price of edit distance vs the MinHash store is
     re-deriving cheap substring keys per batch; cluster the admitted
     table by block key if the master scan becomes the bottleneck).
-    Returns the admitted survivors."""
+    The delivery-invariant purge basis adds a second pass over the
+    master per batch (a map-side-combined per-block count) — a
+    constant factor on the already-documented master-scan cost, and
+    the map-only key projection means both passes prune to (id, text,
+    block) columns. Returns the admitted survivors."""
     from ..operators import dedup as _dedup
     from ..sources.sql import SaveStrategy
 

@@ -37,32 +37,21 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-15 state: the last-green histogram
-# after round 14 is r10×44, r11×47, r12×47, r13×47, r14×50, so the
-# 44-query r10 cohort sits at the staleness limit. Window math:
-# 3 promotions (never driver-checked) + 3 canaries + the 44-query r10
-# cohort = 50 — the whole cohort drains in one window, per the
-# round-14 verdict's plan. Promotions this round, queue heads #1-3
-# per COVERAGE.md's schedule — the rest of the exact-curve metrics
-# family ml_roc_points opened in r14: ml_average_precision (every
-# per-threshold precision term quantized to integer 1e-12 units by
-# split decimal division, summed exactly), ml_pr_points (precision/
-# recall per distinct score off the shared cumulative pass), and
-# ml_calibration (reliability-diagram bins, integer-quantized mean
-# sums). All three oracle-green at all three SFs since r11 and
-# pre-re-verified in r14, so promotion is a decorator swap.
-# Expected after this round: no entry's last-green < r11.
-# Capacity policy at 238 registry queries is documented in
-# COVERAGE.md ("Registry growth policy"): a 50-slot window
-# re-verifies the whole registry in ceil((238-3)/47) = 5 rounds, so
-# the staleness promise stays ≤5 rounds, with additions capped so
-# cohort drains always fit one window. Note: r16 promotion capacity
-# is 0 — the 47-query r11 cohort plus canaries fills that window.
+# staleness-ordered tail. Round-16 state: the last-green histogram
+# after round 15 is r11×47, r12×47, r13×47, r14×47, r15×50. Window
+# math: 3 canaries + the 47-query r11 cohort = 50 EXACTLY, so this
+# round promotes NOTHING (the r15 verdict's #1: drain the whole r11
+# cohort; promotion capacity is structurally 0 at 238 registry
+# queries — see COVERAGE.md "Registry growth policy" for why that
+# zero is permanent, not transient). The round's one new query
+# (stream_fuzzy_update_replay — the update-path fuzzy-admission
+# oracle, spending the banked r15 staged unit) lands in
+# queries.STAGED and never enters this window. No registry query's
+# RESULTS changed this round (the admit_batch_fuzzy atomic-CDC
+# rework is commit-granularity only, verified result-identical by
+# the staged parity tests), so the head is just the canaries.
+# Expected after this round: no entry's last-green < r12.
 _VERIFY_FIRST = [
-    # promoted from STAGED this round (first driver verification)
-    "ml_average_precision",
-    "ml_pr_points",
-    "ml_calibration",
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",
     "adt_groupby_agg",

@@ -10908,10 +10908,14 @@ def _fuzzy_admission_oracle(batches: int = 3) -> str:
   WHERE 100 * levenshtein(c.norm, c.rnorm)
         <= 30 * greatest(length(c.norm), length(c.rnorm)))"""
         )
+        # NOT EXISTS, not NOT IN: the rejected-id set is non-null by
+        # construction today, but NOT IN returns zero rows the moment
+        # a NULL enters the subquery — NOT EXISTS is null-robust the
+        # same way the operator's left_anti joins are (r15 ADVICE)
         ctes.append(
-            f"adm{b} AS (SELECT doc_id FROM adm{b - 1} UNION ALL "
-            f"SELECT doc_id FROM documents WHERE doc_id % {batches} = {b} "
-            f"AND doc_id NOT IN (SELECT doc_id FROM rej{b}))"
+            f"adm{b} AS (SELECT d.doc_id FROM adm{b - 1} d UNION ALL "
+            f"SELECT d.doc_id FROM documents d WHERE d.doc_id % {batches} = {b} "
+            f"AND NOT EXISTS (SELECT 1 FROM rej{b} r WHERE r.doc_id = d.doc_id))"
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id FROM adm{batches - 1}"

@@ -1954,7 +1954,12 @@ def fuzzy_join(
     change, so a replayed batch sees the same purge decisions as the
     first delivery (a survivor joining a block at exactly
     ``block_cap`` would otherwise purge it on replay and admit a doc
-    the first pass rejected)."""
+    the first pass rejected). The trade is a soft cap: rows present
+    in ``ref`` but absent from ``count_ref`` (e.g. redelivered or
+    updated batch rows padding a ref block) don't count toward the
+    purge, so the effective per-block candidate bound is
+    ``block_cap`` plus the excluded rows in that block — hot-block
+    protection degrades gracefully rather than strictly."""
     from pyspark.sql import Window
 
     scope, kp, keys = _fuzzy_block_keys(

@@ -1379,16 +1379,32 @@ class LakeTable:
             self._commit_version(self._write_version(merged), op="upsert")
 
     def _upsert_bucketed(self, new: DataFrame, key: str) -> str | None:
-        new = self._with_bucket(new)
+        return self._merge_bucketed(new, new.select(key), key)
+
+    def _merge_bucketed(
+        self, ups: DataFrame, touched_keys: DataFrame, key: str
+    ) -> str | None:
+        """Bucket-pruned merge, the shared O(delta) write path: every
+        row whose key is in ``touched_keys`` leaves, every ``ups`` row
+        enters, and only the bucket partitions the touched keys hash
+        into are read and rewritten — all other bucket directories
+        hard-link into the new version untouched. :meth:`upsert` is
+        the special case ``touched_keys == ups' keys``;
+        :meth:`apply_changes` additionally lists delete-marked keys
+        that have no replacement row in ``ups``. Returns None on an
+        empty delta (a no-op, not an empty rewrite)."""
+        touched_keys = self._with_bucket(touched_keys)
         # the delta's distinct buckets — bounded by `buckets`, tiny
-        touched = [r[0] for r in new.select(_BUCKET_COL).distinct().collect()]
-        if not touched:  # empty delta: a no-op, not an empty rewrite
+        touched = [r[0] for r in touched_keys.select(_BUCKET_COL).distinct().collect()]
+        if not touched:
             return None
         current = self._read_raw()
         kept = current.filter(F.col(_BUCKET_COL).isin(touched)).join(
-            new.select(key), on=key, how="left_anti"
+            touched_keys.select(key), on=key, how="left_anti"
         )
-        merged = kept.unionByName(new, allowMissingColumns=self.merge_schema)
+        merged = kept.unionByName(
+            self._with_bucket(ups), allowMissingColumns=self.merge_schema
+        )
         ver = self._write_version(merged)
         dst = os.path.join(self.path, ver)
         cur = self.current_dir()
@@ -1474,6 +1490,14 @@ class LakeTable:
                 self._commit_version(self._write_version(ups), op="apply_changes")
                 return
             self._check_bucket_layout()
+            if self.buckets:
+                # same O(delta) bucket-pruned merge as upsert — a CDC
+                # batch against a 100 TB bucketed table rewrites only
+                # the buckets its keys hash into, never the table
+                ver = self._merge_bucketed(ups, touched_keys, key)
+                if ver is not None:
+                    self._commit_version(ver, op="apply_changes")
+                return
             current = self._read_raw()
             kept = current.join(touched_keys, on=key, how="left_anti")
             merged = kept.unionByName(

@@ -320,7 +320,11 @@ def admit_batch_fuzzy(
     ``count_ref``) — a basis the batch's own commits cannot change —
     so a survivor joining a block at exactly ``block_cap`` cannot
     flip it to purged on replay and admit a doc the first pass
-    rejected; (3b) a rejected update is TOMBSTONED: when a doc re-sent
+    rejected (the trade: the batch's own rows padding a ref block are
+    excluded from the count, so the effective per-block candidate
+    bound is ``block_cap`` plus the batch's rows in that block —
+    hot-block protection degrades gracefully rather than strictly);
+    (3b) a rejected update is TOMBSTONED: when a doc re-sent
     under its own id with EDITED text is rejected because the new
     text near-matches a DIFFERENT admitted doc, the stale previous
     version of that id is deleted from ``admitted`` (the producer
@@ -438,16 +442,27 @@ def admit_batch_fuzzy(
         keep = batch
         stale = None
     keep = keep.localCheckpoint(eager=True)
-    if stale is not None and not stale.isEmpty():
-        # delete-only CDC batch: carries the full batch columns so the
-        # (empty) upsert side of the merge stays schema-aligned
-        admitted.apply_changes(
+    if stale is not None:
+        # ONE CDC batch per micro-batch (r15 ADVICE): the tombstone
+        # deletes ride WITH the survivor upserts through a single
+        # apply_changes merge — one atomic pointer commit, so there is
+        # no crash window (and no concurrent-reader state) where the
+        # stale row is gone but the batch's survivors are not yet in.
+        # Keys are disjoint by construction (stale ⊆ rejected ids,
+        # keep = batch MINUS rejected ids), so the batch carries at
+        # most one change per key — apply_changes' contract without a
+        # seq_col. An all-empty batch is a no-op on bucketed tables
+        # (the merge prunes to zero touched buckets and skips the
+        # commit), which also retires the per-batch isEmpty() driver
+        # action the two-commit shape needed.
+        changes = keep.withColumn("__change", F.lit("update")).unionByName(
             batch.join(stale, id_col, "left_semi").withColumn(
                 "__change", F.lit("delete")
-            ),
-            change_col="__change",
+            )
         )
-    admitted.save(keep, SaveStrategy.UPSERT)
+        admitted.apply_changes(changes, change_col="__change")
+    else:
+        admitted.save(keep, SaveStrategy.UPSERT)
     return keep
 
 

@@ -155,6 +155,7 @@ def admit_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     intra_batch: bool = False,
+    stale_log: "object | None" = None,
 ) -> DataFrame:
     """One round of incremental dedup admission — the per-micro-batch
     body of :func:`stream_dedup_against_store`, exposed so a batch
@@ -184,8 +185,13 @@ def admit_batch(
     rejecting) would be worse than the stale row. The fuzzy gate has
     no persisted derived state, so it does tombstone; route feeds
     whose update-then-reject path matters through
-    :func:`admit_batch_fuzzy`, or compact the master through a batch
-    re-dedup when stale mass accumulates."""
+    :func:`admit_batch_fuzzy`, or pass a ``stale_log`` (a keyed
+    ``LakeTable``, ``index=id_col``) and run :func:`compact_admitted`
+    when stale mass accumulates: with the log set, every rejected
+    update records ``(id, xxhash64 of the stale admitted text)`` via
+    a key-upsert (idempotent under redelivery), which is exactly the
+    evidence the offline compaction needs to delete the stale row AND
+    its signatures in a coordinated, restartable pass."""
     from ..operators import dedup as _dedup
     from ..sources.sql import SaveStrategy
 
@@ -203,16 +209,43 @@ def admit_batch(
         clusters = _dedup.dup_clusters(batch, pairs, id_col=id_col)
         batch = _dedup.keep_canonical(batch, clusters, id_col=id_col)
     if store.exists() and admitted.exists():
+        corpus = admitted.read().df
         pairs = _dedup.incremental_dedup_pairs(
             batch,
             store,
-            admitted.read().df,
+            corpus,
             threshold=threshold,
             bands=bands,
             text_col=text_col,
             id_col=id_col,
         )
         dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        if stale_log is not None:
+            if stale_log.index != id_col:
+                raise ValueError(
+                    f"stale_log must be a LakeTable keyed by {id_col!r}"
+                )
+            # rejected UPDATES: batch ids already admitted whose text
+            # differs from the admitted row — this gate retains their
+            # stale row and signatures (see docstring), so record the
+            # stale version's identity (id + xxhash64 of the admitted
+            # text) for compact_admitted(). Key-upsert: redelivering
+            # the batch re-writes the same entry; a later ACCEPTED
+            # update changes the row's hash, which is how compaction
+            # knows the entry was superseded. Batch-bounded set; the
+            # checkpoint keeps the probe plan from running twice (the
+            # log write and the survivor anti-join both read dup_ids).
+            dup_ids = dup_ids.localCheckpoint(eager=True)
+            entries = (
+                batch.select(id_col, F.col(text_col).alias("__new"))
+                .join(corpus.select(id_col, F.col(text_col).alias("__old")), id_col)
+                .filter(~F.col("__old").eqNullSafe(F.col("__new")))
+                .join(dup_ids, id_col, "left_semi")
+                .select(
+                    F.col(id_col), F.xxhash64(F.col("__old")).alias("stale_hash")
+                )
+            )
+            stale_log.save(entries, SaveStrategy.UPSERT)
         keep = batch.join(dup_ids, id_col, "left_anti")
     else:
         keep = batch
@@ -237,6 +270,7 @@ def stream_dedup_against_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     intra_batch: bool = False,
+    stale_log: "object | None" = None,
 ) -> StreamingQuery:
     """Continuous incremental near-dedup at ingest: every micro-batch
     of documents is deduped against the persisted corpus
@@ -274,6 +308,7 @@ def stream_dedup_against_store(
             text_col=text_col,
             id_col=id_col,
             intra_batch=intra_batch,
+            stale_log=stale_log,
         )
 
     return (
@@ -282,6 +317,90 @@ def stream_dedup_against_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_admitted(
+    store,
+    admitted,
+    stale_log,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Offline compaction of :func:`admit_batch`'s documented
+    stale-update mass: every ``stale_log`` entry whose ``(id,
+    stale_hash)`` still matches the live admitted row identifies a
+    version the feed replaced but the gate could not tombstone
+    in-stream (a coordinated in-stream delete across the admitted
+    table AND the signature store risks the half-applied state the
+    gate's docstring warns about) — this pass deletes the stale row
+    and its store signatures together, then drains the resolved log
+    entries. Returns the number of stale rows removed.
+
+    Consistency contract: the two deletes are two table commits, so
+    cross-table atomicity is replaced by IDEMPOTENT RESTARTABILITY —
+    rerun after any crash and the pass completes. Ordering makes every
+    intermediate state safe:
+
+    1. signatures first — a crash here leaves rows whose signatures
+       are gone, so a near-copy of condemned content could be admitted
+       before the rerun (the lenient direction; the reverse order
+       could leave signatures REJECTING content whose row is gone,
+       silently losing novel docs forever);
+    2. admitted rows second — the target id set is derived from
+       log ⨝ admitted BEFORE any delete, so a rerun after a crash
+       between 1 and 2 re-finds the same ids (their rows still match)
+       and step 1 degenerates to a no-op;
+    3. log drain last — every entry whose hash no longer matches a
+       live row is resolved: deleted above, deleted by an interrupted
+       earlier run, or SUPERSEDED by a later accepted update (the
+       upsert re-wrote row + signatures, so nothing to compact; the
+       hash guard is what keeps this pass from deleting the fresh
+       version). An id whose accepted replacement collides with the
+       stale version's xxhash64 would be wrongly deleted — 2^-64 per
+       entry, accepted.
+
+    Scale shape: one admitted scan and one store scan (both pruned to
+    the log's key-semi-join on bucketed tables via apply_changes'
+    bucket-pruned merge), everything else keyed by the log — a
+    maintenance op whose cost is O(log + touched buckets), run at
+    whatever cadence stale mass warrants."""
+    if not (stale_log.exists() and admitted.exists() and store.exists()):
+        return 0
+    log = stale_log.read().df
+    adm = admitted.read().df
+    ids = (
+        adm.select(id_col, F.xxhash64(F.col(text_col)).alias("__h"))
+        .join(log, id_col)
+        .filter(F.col("__h").eqNullSafe(F.col("stale_hash")))
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    removed = ids.count()
+    if removed:
+        store.table.apply_changes(
+            store.read()
+            .join(ids, id_col, "left_semi")
+            .withColumn("__change", F.lit("delete")),
+            change_col="__change",
+        )
+        admitted.apply_changes(
+            adm.join(ids, id_col, "left_semi").withColumn(
+                "__change", F.lit("delete")
+            ),
+            change_col="__change",
+        )
+    live = admitted.read().df.select(
+        id_col, F.xxhash64(F.col(text_col)).alias("__h")
+    )
+    resolved = (
+        log.join(live, id_col, "left")
+        .filter(~F.col("__h").eqNullSafe(F.col("stale_hash")))
+        .select(id_col, "stale_hash")
+    )
+    stale_log.apply_changes(
+        resolved.withColumn("__change", F.lit("delete")), change_col="__change"
+    )
+    return removed
 
 
 def admit_batch_fuzzy(

@@ -1925,6 +1925,115 @@ WHERE 100 * levenshtein(da.norm, db.norm)
     assert not any(9 in (a, b) for a, b, _, _ in got)
 
 
+def test_fuzzy_pairs_sorted_prefix_cross_engine_parity(spark):
+    """Oracle story for the OPT-IN sorted_prefix generator (the r15
+    verdict's optional #8: have the cross-engine recipe ready the day
+    someone stages it): fuzzy_pairs with generators=("prefix",
+    "suffix", "sorted_prefix") must match a DuckDB rendering where the
+    third key is the first 16 chars of the token-SORTED text
+    (list_sort over \\s+-split tokens with empty edge tokens dropped —
+    the exact empty-token rule the operator documents for
+    leading-tab/newline texts, exercised here by a leading-tab row).
+    The fixture's both-ends-edited pair is caught ONLY by the sorted
+    key (its lexicographically-smallest tokens are intact) and is
+    verified MISSED by the default two-generator recipe — the recall
+    case the opt-in exists for."""
+    import duckdb
+
+    from fabrix_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        # both ends edited within key_len: prefix AND suffix keys
+        # diverge, the sorted key ("apple common her…") is stable
+        (1, "zebra apple common middle words here okay", "en"),
+        (2, "zebrA apple common middle words here okaY", "en"),
+        # plain prefix pair — the default passes still fire alongside
+        (3, "0123456789abcdefgh shared prefix pair one", "en"),
+        (4, "0123456789abcdefgh shared prefix pair onE", "en"),
+        # leading tab survives trim (spaces only) and must NOT shift
+        # the sorted key (the empty edge token is dropped) — this pair
+        # is also both-ends-edited, caught only via sorted_prefix
+        (5, "\tzulu banana shared core tokens fine today", "en"),
+        (6, "zulU banana shared core tokens fine todaY", "en"),
+        (7, "completely different unrelated content entirely", "en"),
+    ]
+    gens = ("prefix", "suffix", "sorted_prefix")
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["dist"], r["max_len"])
+        for r in fuzzy_pairs(
+            df, key_len=16, block_cap=64, pct_threshold=30, generators=gens
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""
+WITH d AS (
+  SELECT doc_id, lang, trim(text) AS norm FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+k AS (
+  SELECT doc_id, lang, norm,
+         substr(norm, 1, 16) AS pre,
+         substr(norm, length(norm) - 15, 16) AS suf,
+         substr(array_to_string(list_sort(list_filter(
+             string_split_regex(norm, '\s+'), t -> t <> '')), ' '),
+           1, 16) AS srt
+  FROM d
+),
+blocked AS (
+  SELECT *, count(*) OVER (PARTITION BY lang, pre) AS n_pre,
+            count(*) OVER (PARTITION BY lang, suf) AS n_suf,
+            count(*) OVER (PARTITION BY lang, srt) AS n_srt
+  FROM k
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.pre = b.pre AND a.doc_id < b.doc_id
+  WHERE a.n_pre BETWEEN 2 AND 64
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.suf = b.suf AND a.doc_id < b.doc_id
+  WHERE a.n_suf BETWEEN 2 AND 64
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.srt = b.srt AND a.doc_id < b.doc_id
+  WHERE a.n_srt BETWEEN 2 AND 64
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS dist,
+       CAST(greatest(length(da.norm), length(db.norm)) AS BIGINT) AS max_len
+FROM cand c
+JOIN k da ON c.doc_a = da.doc_id
+JOIN k db ON c.doc_b = db.doc_id
+WHERE 100 * levenshtein(da.norm, db.norm)
+      <= 30 * greatest(length(da.norm), length(db.norm))
+"""
+        ).fetchall()
+    )
+    assert got == want
+    pairs = {(a, b) for a, b, _, _ in got}
+    assert (1, 2) in pairs and (5, 6) in pairs and (3, 4) in pairs
+    # the default two-generator recipe misses both both-ends pairs —
+    # the documented blocking tradeoff sorted_prefix exists to close
+    base = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_pairs(
+            df, key_len=16, block_cap=64, pct_threshold=30
+        ).collect()
+    }
+    assert (1, 2) not in base and (5, 6) not in base and (3, 4) in base
+
+
 def test_mmr_rerank_matches_python_model(spark):
     """Independent check of the greedy MMR trajectory: a pure-Python
     reference (exact int dots, decimal-rounded cosines, same
@@ -3664,6 +3773,83 @@ def test_staged_queries_oracle_parity(spark, sf_dir):
         err = vl.compare(s_tbl, o_tbl)
         assert err is None, f"{name}: {err}"
         assert s_tbl.num_rows > 0, f"{name}: empty result"
+
+
+def test_fuzzy_update_replay_mutation_sensitivity(spark, tmp_path):
+    """stream_fuzzy_update_replay's oracle is SENSITIVE to each of the
+    three update semantics it exists to pin (the r15 verdict's staged
+    unit): on a constructed corpus where every path fires, the Spark
+    operator matches the true oracle exactly, and disabling any ONE
+    semantic in the oracle builder (outgoing exclusion / tombstone /
+    the delivery-invariant count basis) changes the admitted set — in
+    a distinct row each, so a regression in any path cannot hide.
+    The real documents corpus exercises the tombstone path densely
+    (63 tombstones at sf0.01, covered by the 3-SF staged parity) but
+    leaves the other two mutations invisible there, which is exactly
+    what this fixture closes."""
+    import collections
+
+    import duckdb
+
+    from fabrix_spark.queries import STAGED, _fuzzy_update_oracle
+
+    AA = "OUTGOING-SCENARIO "  # 16+ chars shared by TA and Q
+    TA = AA + "original content of doc eight with plenty of distinctive words"
+    TB = "REPLACEMENT-TARGET content that doc eight now duplicates in second version"
+    q_text = TA[:-10] + "Q-TAIL-ED!"  # near TA (prefix block), tail edit
+
+    PRE = "CAP-BLOCK-SHARED opening segment "
+    tx2 = PRE + "x-two body with its own long unique tail of words here"
+    members = [(202, tx2)]
+    i = 204
+    while len(members) < 64:  # 202 + 63 others
+        if i % 8 != 0:
+            members.append((i, PRE + f"member {i} " + f"filler-{i} " * 4))
+        i += 2
+    x_text = tx2 + " v2"  # doc 200's CURRENT text == its incoming update
+    p_text = members[1][1][:-12] + "P-TAIL-EDIT!"  # near member, tail edit
+
+    rows = (
+        [(8, TA, "aa"), (10, TB, "aa"), (3, q_text, "aa")]
+        + [(200, x_text, "bb"), (301, p_text, "bb")]
+        + [(i, t, "bb") for i, t in members]
+    )
+    fixture = str(tmp_path / "fx")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").coalesce(
+        1
+    ).write.parquet(fixture + "/documents.parquet")
+
+    # 'bb' prefix block: 65 rows in b0 (63 members + 202 + 200), the
+    # count basis excludes batch ids (200) -> 64 = cap -> kept; the
+    # probe ref keeps all 65 (200's update is verbatim, not outgoing)
+    got = collections.Counter(
+        map(tuple, STAGED["stream_fuzzy_update_replay"].fn(spark, fixture).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fixture}/documents.parquet/*.parquet'"
+    )
+    true = collections.Counter(con.execute(_fuzzy_update_oracle()).fetchall())
+    assert got == true
+
+    # the decisions the fixture is built to force: Q admitted (its
+    # rejector is outgoing), 8 tombstoned, P rejected (block at cap)
+    ids = {d for d, _ in true}
+    assert 3 in ids and 8 not in ids and 301 not in ids
+
+    muts = {
+        "no_outgoing": _fuzzy_update_oracle(outgoing_exclusion=False),
+        "no_tombstone": _fuzzy_update_oracle(tombstone=False),
+        "count_over_ref": _fuzzy_update_oracle(count_basis="ref"),
+    }
+    flipped = {}
+    for name, sql in muts.items():
+        mut = collections.Counter(con.execute(sql).fetchall())
+        assert mut != true, f"{name}: mutated oracle did not change the admitted set"
+        flipped[name] = {d for d, _ in (mut - true) | (true - mut)}
+    assert flipped["no_outgoing"] == {3}  # Q rejected by the outgoing row
+    assert flipped["no_tombstone"] == {8}  # stale row retained
+    assert flipped["count_over_ref"] == {301}  # block purged, P admitted
 
 
 def test_dsir_weights_matches_python_reference(spark):

@@ -1209,3 +1209,80 @@ def test_admit_batch_fuzzy_replay_fixpoint(spark, texts, n_updates, data):
         assert set(final) <= delivered
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab "), min_size=0, max_size=14),
+        min_size=3,
+        max_size=12,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_admit_batch_fuzzy_multi_batch_replay_fixpoint(spark, texts, data):
+    """The fixpoint fuzz extended to SEQUENCES (the r15 verdict's
+    optional hardening): 3-4 batches where each batch may re-send ids
+    from ANY earlier batch with arbitrary replacement text — so update
+    CHAINS occur (an id edited in batch 2 re-edited in batch 3;
+    tombstoned-then-resent and overwritten-then-resent both arise) —
+    and every batch is redelivered live-tail style one or two times.
+    Redelivery stays tail-only by design: that is foreachBatch's
+    checkpointed at-least-once model, and the gate's contract
+    (redelivering an ANCIENT batch after later updates is out of
+    contract — its stale texts would legitimately re-admit as new
+    updates). The admitted table must be bit-identical after every
+    redelivery, keys unique, and every admitted (id, text) actually
+    delivered."""
+    import shutil
+    import tempfile
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch_fuzzy
+
+    docs = [(i, "".join(t)) for i, t in enumerate(texts)]
+    n_batches = data.draw(st.integers(3, 4))
+    groups = [docs[k::n_batches] for k in range(n_batches)]
+    kw = dict(block_col=None, key_len=3, block_cap=4)
+    delivered: set = set()
+    seen_ids: list = []
+    tmp = tempfile.mkdtemp(prefix="fuzzy_replay_multi_")
+    try:
+        admitted = LakeTable(spark, f"{tmp}/adm", index="doc_id")
+        for k in range(n_batches):
+            rows = list(groups[k])
+            if seen_ids:
+                # at most one re-send per id per batch (apply_changes'
+                # one-change-per-key contract via dropDuplicates)
+                for _ in range(data.draw(st.integers(0, 2))):
+                    rid = data.draw(st.sampled_from(seen_ids))
+                    if rid in {i for i, _ in rows}:
+                        continue
+                    new_text = "".join(
+                        data.draw(
+                            st.lists(st.sampled_from("ab "), min_size=0, max_size=14)
+                        )
+                    )
+                    rows.append((rid, new_text))
+            if not rows:
+                continue
+            batch = spark.createDataFrame(rows, "doc_id long, text string")
+            admit_batch_fuzzy(batch, admitted, **kw).collect()
+            state = sorted(
+                (r["doc_id"], r["text"]) for r in admitted.read().df.collect()
+            )
+            for _ in range(data.draw(st.integers(1, 2))):
+                admit_batch_fuzzy(batch, admitted, **kw).collect()
+                replayed = sorted(
+                    (r["doc_id"], r["text"]) for r in admitted.read().df.collect()
+                )
+                assert replayed == state
+            delivered |= set(rows)
+            seen_ids = sorted({i for i, _ in delivered})
+        final = sorted(
+            (r["doc_id"], r["text"]) for r in admitted.read().df.collect()
+        )
+        assert len({i for i, _ in final}) == len(final)
+        assert set(final) <= delivered
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -230,28 +230,55 @@ def admit_batch(
             # stale row and signatures (see docstring), so record the
             # stale version's identity (id + xxhash64 of the admitted
             # text) for compact_admitted(). Key-upsert: redelivering
-            # the batch re-writes the same entry; a later ACCEPTED
-            # update changes the row's hash, which is how compaction
-            # knows the entry was superseded. Batch-bounded set; the
-            # checkpoint keeps the probe plan from running twice (the
-            # log write and the survivor anti-join both read dup_ids).
+            # the batch re-writes the same entry. Cost guard: in the
+            # common zero-rejections batch, dup_ids is empty (a cheap
+            # driver probe on the checkpointed set) and the log pays
+            # neither the batch×corpus join nor a commit.
             dup_ids = dup_ids.localCheckpoint(eager=True)
-            entries = (
-                batch.select(id_col, F.col(text_col).alias("__new"))
-                .join(corpus.select(id_col, F.col(text_col).alias("__old")), id_col)
-                .filter(~F.col("__old").eqNullSafe(F.col("__new")))
-                .join(dup_ids, id_col, "left_semi")
-                .select(
-                    F.col(id_col), F.xxhash64(F.col("__old")).alias("stale_hash")
+            if not dup_ids.isEmpty():
+                entries = (
+                    batch.select(id_col, F.col(text_col).alias("__new"))
+                    .join(
+                        corpus.select(id_col, F.col(text_col).alias("__old")),
+                        id_col,
+                    )
+                    .filter(~F.col("__old").eqNullSafe(F.col("__new")))
+                    .join(dup_ids, id_col, "left_semi")
+                    .select(
+                        F.col(id_col),
+                        F.xxhash64(F.col("__old")).alias("stale_hash"),
+                    )
                 )
-            )
-            stale_log.save(entries, SaveStrategy.UPSERT)
+                stale_log.save(entries, SaveStrategy.UPSERT)
         keep = batch.join(dup_ids, id_col, "left_anti")
     else:
         keep = batch
     # two sinks read `keep` — materialize once instead of running
     # the probe plan twice
     keep = keep.localCheckpoint(eager=True)
+    if stale_log is not None and stale_log.exists():
+        # REVERT drain (found by round-16 self-review): an ACCEPTED
+        # batch id just re-asserted its content, so any pending stale
+        # entry for it is obsolete — and the hash guard alone cannot
+        # see one case: a producer REVERT re-sends exactly the logged
+        # stale text, is accepted as a verbatim no-op upsert, and
+        # leaves the entry hash-MATCHING the live row; compaction
+        # would then delete the feed's current content. Draining
+        # entries for accepted ids here closes that hole. Ordering:
+        # drain BEFORE the admitted upsert — a crash in between leaks
+        # at worst one uncompacted stale row (lenient direction) and
+        # the batch's at-least-once redelivery completes the upsert;
+        # the reverse order would leave a live-row-matching entry for
+        # compaction to act on. The semi-join is log×batch sized; the
+        # isEmpty probes are batch/log-bounded driver actions.
+        drained = stale_log.read().df.join(
+            keep.select(id_col), id_col, "left_semi"
+        )
+        if not drained.isEmpty():
+            stale_log.apply_changes(
+                drained.withColumn("__change", F.lit("delete")),
+                change_col="__change",
+            )
     admitted.save(keep, SaveStrategy.UPSERT)
     if store.exists():
         store.ingest(keep, text_col)
@@ -355,9 +382,22 @@ def compact_admitted(
        earlier run, or SUPERSEDED by a later accepted update (the
        upsert re-wrote row + signatures, so nothing to compact; the
        hash guard is what keeps this pass from deleting the fresh
-       version). An id whose accepted replacement collides with the
-       stale version's xxhash64 would be wrongly deleted — 2^-64 per
-       entry, accepted.
+       version). Accepted updates normally drain their entry
+       IN-STREAM (:func:`admit_batch`'s revert drain — required,
+       because a producer REVERT to the exact logged text would
+       hash-MATCH the live row and the guard alone would delete
+       current content); the guard here is the backstop for entries
+       surviving an interrupted batch. An id whose accepted
+       replacement collides with the stale version's xxhash64 would
+       be wrongly deleted — 2^-64 per entry, accepted.
+
+    Concurrency contract: the condemned-id set is snapshotted before
+    the deletes, so this pass must NOT run concurrently with the
+    admission stream on the same tables — an update accepted between
+    the snapshot and the deletes would be lost (and the store left
+    rejecting content whose row is gone). Run it between availableNow
+    drains or during a maintenance pause; the lake's advisory writer
+    lock serializes individual commits, not this read-then-delete.
 
     Scale shape: one admitted scan and one store scan (both pruned to
     the log's key-semi-join on bucketed tables via apply_changes'

@@ -344,6 +344,59 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert "fx_bucket" not in t.read().df.columns  # layout column hidden
 
 
+def test_bucketed_apply_changes_rewrites_only_touched_buckets(spark, tmp_path):
+    """apply_changes on a bucketed table takes the same O(delta)
+    merge path as upsert (r16: _merge_bucketed, the atomic-CDC write
+    the fuzzy admission gate ships tombstones + survivors through):
+    a mixed delete+update batch rewrites only the buckets its keys
+    hash into — untouched bucket files keep their inodes — and an
+    EMPTY CDC batch is a no-op, not an empty commit."""
+    import glob
+    import os
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=8)
+    base = spark.range(64).withColumn("v", F.col("id").cast("double"))
+    t.save(base, SaveStrategy.REPLACE)
+    cur1 = t.current_dir()
+    inode_before = {
+        os.path.relpath(f, cur1): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(cur1, "**", "*.parquet"), recursive=True)
+    }
+    changes = spark.createDataFrame(
+        [(3, 99.0, "update"), (7, 0.0, "delete"), (1000, 1.0, "insert")],
+        "id long, v double, change string",
+    )
+    touched = {
+        r[0]
+        for r in changes.select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8)).cast("int")
+        ).collect()
+    }
+    t.apply_changes(changes)
+    cur2 = t.current_dir()
+    assert cur2 != cur1
+    inode_after = {
+        os.path.relpath(f, cur2): os.stat(f).st_ino
+        for f in glob.glob(os.path.join(cur2, "**", "*.parquet"), recursive=True)
+    }
+    for rel, ino in inode_before.items():
+        bucket = int(rel.split("=", 1)[1].split("/", 1)[0])
+        if bucket not in touched:
+            assert inode_after[rel] == ino  # untouched bucket: linked
+        else:
+            assert rel not in inode_after  # touched bucket: rewritten
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    expect = {i: float(i) for i in range(64)}
+    expect[3] = 99.0
+    del expect[7]
+    expect[1000] = 1.0
+    assert rows == expect
+    # empty CDC batch: no new version committed
+    t.apply_changes(changes.filter(F.col("id") < 0))
+    assert t.current_dir() == cur2
+
+
 def test_time_travel_read_of_retained_version(spark, fx, tmp_path):
     """retain + versions() + read(version=...) = bounded time travel:
     a retained superseded snapshot stays readable by name; GC'd and

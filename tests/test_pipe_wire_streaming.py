@@ -2005,6 +2005,24 @@ def test_compact_admitted_removes_stale_rows_and_signatures(spark, tmp_path):
     assert sorted(map(tuple, store.read().collect())) == fresh_build()
     assert log.read().df.count() == 0
 
+    # PRODUCER REVERT (found by the r16 self-review): doc 3's edit is
+    # rejected and logged, then the producer re-sends the EXACT prior
+    # text — accepted as a verbatim no-op, which must DRAIN the log
+    # entry in-stream: the entry's hash matches the live row again,
+    # so the compaction hash guard alone would delete the feed's
+    # CURRENT content
+    assert admit_batch(docs([(3, t2 + " more")]), store, admitted, stale_log=log).collect() == []
+    assert [r["doc_id"] for r in log.read().df.collect()] == [3]
+    got = admit_batch(docs([(3, novel)]), store, admitted, stale_log=log).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    assert log.read().df.count() == 0  # drained by the accepted revert
+    assert compact_admitted(store, admitted, log) == 0
+    assert {r["doc_id"]: r["text"] for r in admitted.read().df.collect()} == {
+        2: t2,
+        3: novel,
+    }
+    assert sorted(map(tuple, store.read().collect())) == fresh_build()
+
 
 def test_stream_fuzzy_admission_replay(spark, tmp_path):
     """stream_fuzzy_admission == the sequential admit_batch_fuzzy

@@ -759,7 +759,15 @@ class LakeTable:
                     pass  # bloom is an optimization, never a gate
         tmp = os.path.join(vdir, f"_manifest_tmp_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            json.dump({"version": 1, "files": files}, f)
+            # "buckets" records the writer's bucket COUNT: the layout
+            # sniff in _check_bucket_layout can see bucketed-vs-flat
+            # from directory names but never N, and a second writer
+            # opened with a different N would silently route keys to
+            # the wrong bucket (missed CDC deletes, duplicate keys on
+            # upsert) — found by the round-16 lake review
+            json.dump(
+                {"version": 1, "buckets": self.buckets or 0, "files": files}, f
+            )
         os.replace(tmp, os.path.join(vdir, _MANIFEST))
 
     def _write_commit_info(self, ver: str, op: str, extra: dict | None = None) -> None:
@@ -1071,6 +1079,21 @@ class LakeTable:
                 f"lake table {self.path!r} on disk is {have} but this writer is "
                 f"{want}; open it with matching `buckets` or rewrite with REPLACE"
             )
+        # bucket COUNT check (directory sniffing can only see
+        # bucketed-vs-flat): a writer opened with a different N than
+        # the table was written with computes pmod(hash, N) into the
+        # wrong partition — CDC deletes would silently miss rows whose
+        # bucket dir is classified "untouched" and upserts would leave
+        # duplicate keys across buckets. Manifests older than this
+        # field (or legacy trees) record nothing and skip the check.
+        recorded = self._load_manifest(cur).get("buckets")
+        if recorded and self.buckets and recorded != self.buckets:
+            raise ValueError(
+                f"lake table {self.path!r} was written with buckets="
+                f"{recorded} but this writer was opened with buckets="
+                f"{self.buckets}; open it with the recorded count or "
+                f"rewrite with REPLACE"
+            )
 
     def _part_cols(self) -> list[str]:
         # bucket OUTERMOST so an untouched bucket is one wholesale
@@ -1189,6 +1212,32 @@ class LakeTable:
             w = w.partitionBy(*self._part_cols())
         vdir = os.path.join(self.path, ver)
         w.parquet(vdir)
+        if self._part_cols() and not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(vdir)
+            for f in fs
+        ):
+            # Spark writes NO data files for an empty PARTITIONED
+            # frame (SPARK-23271 covers only unpartitioned writes), so
+            # a CDC delete draining the whole table (or an empty
+            # REPLACE) would commit a fileless tree that fails the
+            # readability probe. Represent the empty bucketed table as
+            # one empty bucket directory holding a 0-row
+            # schema-carrying file: reads, layout checks, and later
+            # bucket merges all see a normal bucketed tree (found by
+            # the round-16 lake review; loud-and-unrepresentable
+            # before). With user partition columns there is no valid
+            # directory value to invent — refuse with a clear error
+            # instead of the cryptic unreadable-version one.
+            if self.partition_by:
+                raise ValueError(
+                    f"cannot write an empty version of {self.path!r}: a "
+                    f"partition_by table has no representation for zero "
+                    f"rows (drop the table instead of emptying it)"
+                )
+            self._to_physical_df(df).drop(_BUCKET_COL).limit(0).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(vdir, f"{_BUCKET_COL}=0"))
         mapping = self._schema_map() if self.exists() else {}
         if mapping:
             with open(os.path.join(vdir, self._SCHEMA), "w") as f:
@@ -1393,7 +1442,16 @@ class LakeTable:
         :meth:`apply_changes` additionally lists delete-marked keys
         that have no replacement row in ``ups``. Returns None on an
         empty delta (a no-op, not an empty rewrite)."""
-        touched_keys = self._with_bucket(touched_keys)
+        # force-recompute bucket values (r16 lake review): a caller
+        # frame still carrying the physical bucket column (e.g.
+        # derived from _read_raw) would short-circuit _with_bucket and
+        # write rows into STALE bucket dirs — dirs the fresh
+        # touched-set then classifies untouched and hard-links
+        # wholesale, leaving the old row alive beside the new one.
+        # The bucket is a pure function of the key; recomputing is
+        # always correct.
+        ups = ups.drop(_BUCKET_COL)
+        touched_keys = self._with_bucket(touched_keys.drop(_BUCKET_COL))
         # the delta's distinct buckets — bounded by `buckets`, tiny
         touched = [r[0] for r in touched_keys.select(_BUCKET_COL).distinct().collect()]
         if not touched:
@@ -1408,14 +1466,20 @@ class LakeTable:
         ver = self._write_version(merged)
         dst = os.path.join(self.path, ver)
         cur = self.current_dir()
-        if cur != self.path:
-            untouched = [
-                n
-                for n in os.listdir(cur)
-                if n.startswith(_BUCKET_COL + "=")
-                and int(n.split("=", 1)[1]) not in set(touched)
-            ]
-            self._link_tree(cur, dst, names=untouched)
+        # link untouched bucket dirs from wherever the live tree is —
+        # INCLUDING a legacy pointerless layout, where current_dir()
+        # is the table root (r16 lake review: the old `cur != path`
+        # guard skipped linking there, and _commit_version's legacy GC
+        # then deleted the originals — one merge destroyed every
+        # untouched bucket of an adopted flat-bucketed tree; the
+        # name filter keeps version dirs and metadata out of the link)
+        untouched = [
+            n
+            for n in os.listdir(cur)
+            if n.startswith(_BUCKET_COL + "=")
+            and int(n.split("=", 1)[1]) not in set(touched)
+        ]
+        self._link_tree(cur, dst, names=untouched)
         return ver
 
     def diff(self, from_version: str, to_version: str | None = None) -> DataFrame:

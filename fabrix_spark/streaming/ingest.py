@@ -605,6 +605,15 @@ def admit_batch_fuzzy(
     from ..operators import dedup as _dedup
     from ..sources.sql import SaveStrategy
 
+    if "__change" in batch.columns:
+        # the CDC merge marks rows with a __change column; silently
+        # overwriting (and then dropping) a same-named batch column —
+        # e.g. an upstream feed's own CDC marker — would lose user
+        # data on every survivor. Refuse loudly (r16 self-review).
+        raise ValueError(
+            "admit_batch_fuzzy: batch carries a reserved '__change' "
+            "column; rename it before admission"
+        )
     batch = batch.dropDuplicates([id_col])
     if intra_batch:
         pairs = _dedup.fuzzy_pairs(

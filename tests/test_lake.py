@@ -397,6 +397,101 @@ def test_bucketed_apply_changes_rewrites_only_touched_buckets(spark, tmp_path):
     assert t.current_dir() == cur2
 
 
+def test_bucketed_merge_preserves_legacy_pointerless_tree(spark, tmp_path):
+    """Adopted flat-bucketed layout (bucket dirs directly under the
+    table root, no _current pointer — e.g. a version tree restored as
+    the table root): a bucket-pruned merge must hard-link the
+    untouched bucket dirs out of the ROOT before the commit's legacy
+    GC deletes them (r16 lake review: the old `cur != path` guard
+    skipped legacy linking, so ONE upsert destroyed every untouched
+    bucket)."""
+    import os
+    import shutil
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=8)
+    base = spark.range(64).withColumn("v", F.col("id").cast("double"))
+    t.save(base, SaveStrategy.REPLACE)
+    # strip the pointer-commit structure down to a legacy flat layout
+    ver = t.current_dir()
+    for n in os.listdir(ver):
+        if n.startswith("fx_bucket="):
+            shutil.move(os.path.join(ver, n), os.path.join(p, n))
+    shutil.rmtree(ver)
+    for n in list(os.listdir(p)):
+        if n.startswith("_"):
+            os.remove(os.path.join(p, n))
+    t2 = LakeTable(spark, p, index="id", buckets=8)
+    assert t2.exists() and t2.current_dir() == p  # legacy adoption
+    t2.upsert(spark.createDataFrame([(3, 99.0)], "id long, v double"))
+    rows = {r["id"]: r["v"] for r in t2.read().collect()}
+    expect = {i: float(i) for i in range(64)}
+    expect[3] = 99.0
+    assert rows == expect  # every untouched bucket survived adoption
+
+
+def test_bucket_count_mismatch_refused(spark, tmp_path):
+    """The manifest records the writer's bucket COUNT and incremental
+    writes refuse a mismatched writer (r16 lake review: a buckets=16
+    writer over a buckets=8 table would route keys to the wrong
+    partition — silently missed CDC deletes, duplicate keys)."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=8)
+    t.save(spark.range(16).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    wrong = LakeTable(spark, p, index="id", buckets=16)
+    delta = spark.createDataFrame([(3, 99)], "id long, v long")
+    with pytest.raises(ValueError, match="buckets=8"):
+        wrong.upsert(delta)
+    with pytest.raises(ValueError, match="buckets=8"):
+        wrong.apply_changes(delta.withColumn("change", F.lit("delete")))
+    # REPLACE remains the sanctioned way to change layouts
+    wrong.save(spark.range(4).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    assert LakeTable(spark, p, index="id", buckets=16).read().height == 4
+
+
+def test_bucketed_table_can_be_emptied_and_refilled(spark, tmp_path):
+    """A CDC batch deleting EVERY key of a bucketed table commits a
+    readable zero-row version (r16 lake review: Spark writes no files
+    for an empty partitioned frame, so this previously crashed the
+    commit's readability probe) and the table accepts later upserts."""
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=4)
+    t.save(spark.range(8).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    t.apply_changes(
+        spark.range(8).withColumn("v", F.col("id")).withColumn("change", F.lit("delete"))
+    )
+    assert t.read().height == 0
+    assert "fx_bucket" not in t.read().df.columns
+    t.upsert(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [(1, 10), (2, 20)]
+    # empty REPLACE of a bucketed table is also representable now
+    t.save(spark.range(0).withColumn("v", F.col("id")), SaveStrategy.REPLACE)
+    assert t.read().height == 0
+
+
+def test_bucketed_upsert_recomputes_stale_bucket_column(spark, tmp_path):
+    """A caller frame still carrying a (wrong) physical fx_bucket
+    column must not steer rows into stale bucket dirs (r16 lake
+    review: _with_bucket short-circuits on a pre-existing column, and
+    a stale value outside the touched set left the OLD row alive
+    beside the new one via the untouched-bucket hard-link)."""
+    p = str(tmp_path / "t")
+    t = LakeTable(spark, p, index="id", buckets=8)
+    t.save(spark.range(64).withColumn("v", F.col("id").cast("double")), SaveStrategy.REPLACE)
+    poisoned = spark.createDataFrame([(3, 99.0)], "id long, v double").withColumn(
+        "fx_bucket", F.lit(0)
+    )
+    t.upsert(poisoned)
+    rows = sorted(
+        (r["id"], r["v"])
+        for r in t.read().df.filter(F.col("id") == 3).collect()
+    )
+    assert rows == [(3, 99.0)]  # exactly one live row for the key
+    assert t.read().height == 64
+
+
 def test_time_travel_read_of_retained_version(spark, fx, tmp_path):
     """retain + versions() + read(version=...) = bounded time travel:
     a retained superseded snapshot stays readable by name; GC'd and

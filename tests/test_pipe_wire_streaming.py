@@ -1882,6 +1882,25 @@ def test_admit_batch_fuzzy_cross_id_rejected_update_tombstones(spark, tmp_path):
     ) == [7, 8]
 
 
+def test_admit_batch_fuzzy_rejects_reserved_change_column(spark, tmp_path):
+    """A batch carrying its own __change column (e.g. an upstream CDC
+    marker) must be refused loudly — the gate's CDC merge would
+    otherwise overwrite and then drop it, silently losing user data
+    on every survivor (r16 self-review)."""
+    import pytest
+
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch_fuzzy
+
+    admitted = LakeTable(spark, str(tmp_path / "adm"), index="doc_id")
+    b = spark.createDataFrame(
+        [(1, "some document text", "insert")],
+        "doc_id long, text string, __change string",
+    )
+    with pytest.raises(ValueError, match="__change"):
+        admit_batch_fuzzy(b, admitted, block_col=None)
+
+
 def test_admit_batch_fuzzy_replay_purge_boundary(spark, tmp_path):
     """Redelivery fixpoint ACROSS the block-purge cap boundary (found
     by code review of the fixpoint argument): the master holds exactly

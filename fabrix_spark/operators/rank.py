@@ -66,6 +66,12 @@ def _offset_expr_or_join(
     in the partition count. This is the SINGLE policy site —
     :func:`global_rank` (one column) and :func:`global_cumsum` (many)
     both route through it, so the threshold cannot drift."""
+    if mode not in ("auto", "map", "join"):
+        # a typo ('Map', 'inline', …) would otherwise silently take
+        # the join path — values identical, but the caller's requested
+        # plan shape ignored (same guard metrics.auc_by_group has for
+        # its `via`)
+        raise ValueError(f"offsets_via must be 'auto'|'map'|'join', got {mode!r}")
     if mode == "auto":
         mode = "join" if len(offsets) > OFFSET_JOIN_THRESHOLD else "map"
     if not offsets:
@@ -230,6 +236,11 @@ def _iceil(r: Column, m: int) -> Column:
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """ANSI NTILE(k) bucket for 1-based global ``rank`` over ``n``
     rows: the first ``n mod k`` buckets hold ``n div k + 1`` rows."""
+    if k < 1:
+        # k=0 would die as a bare ZeroDivisionError below; a negative
+        # k would sail through divmod's floor semantics into silently
+        # wrong bucket ids
+        raise ValueError(f"ntile bucket count must be >= 1, got {k}")
     q, rem = divmod(n, k)
     pivot = rem * (q + 1)
     if q == 0:  # fewer rows than buckets: bucket i gets row i

@@ -393,11 +393,18 @@ def rolling_zscore(
         .orderBy(*order)
         .rowsBetween(-window_rows, -1)
     )
+    # q*q in decimal(38,0), not int64: |q| past ~3.04e9 (|value| past
+    # ~3037 at the default quantize) squares beyond int64 — ANSI mode
+    # would fail the job, non-ANSI would silently wrap — while the
+    # streaming twin's Python-int moments stay exact. The decimal
+    # product is exact for any int64 q, so in-range values are
+    # bit-identical to before (r16 self-review).
+    qd = F.col("__q").cast("decimal(19,0)")
     with_m = (
         df.withColumn("__q", q)
         .withColumn("__n", F.count("__q").over(w))
         .withColumn("__s", F.sum("__q").over(w))
-        .withColumn("__ss", F.sum(F.col("__q") * F.col("__q")).over(w))
+        .withColumn("__ss", F.sum(qd * qd).over(w))
     )
     n = F.col("__n").cast("double")
     s = F.col("__s").cast("double")

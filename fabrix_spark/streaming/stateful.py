@@ -46,7 +46,7 @@ def running_totals(
     every key seen in each batch (output mode: update)."""
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
             T.StructField("n_events", T.LongType()),
             T.StructField("total_value", T.DoubleType()),
         ]
@@ -90,10 +90,28 @@ def stateful_sessionize(
     explicit filter a late event would merge into (or, worse, reopen
     after flush as a phantom fragment of) a session the watermark
     already promised was final. Pinned by
-    ``test_stateful_sessionize_drops_event_older_than_watermark``."""
+    ``test_stateful_sessionize_drops_event_older_than_watermark``.
+
+    OUT-OF-ORDER CONTRACT (r16 rewrite, found by self-review): events
+    newer than the watermark may arrive in ANY order across
+    micro-batches, so per-key state is a LIST of open sessions, not a
+    single (start, last) pair — an in-watermark straggler can extend a
+    session BACKWARD, open an earlier separate session, or BRIDGE two
+    open sessions into one (the previous single-session fold silently
+    folded such events forward, corrupting session_start or losing a
+    session). Each batch interval-merges (session ∪ event) items
+    sorted by start; a session is emitted — exactly once — only when
+    ``watermark > session_end + gap``, i.e. when no admissible future
+    event (t ≥ watermark) can still merge with it (merge window is
+    [start − gap, end + gap]); the old inline gap-close emitted as
+    soon as a LATER event arrived in the same batch, which finalized
+    sessions the watermark had not yet sealed. Open sessions per key
+    are bounded by watermark_delay / gap + 1 (they are > gap apart and
+    all end after watermark − gap), so state stays small."""
+    gap_ms = gap_seconds * 1000
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
             T.StructField("session_start", T.TimestampType()),
             T.StructField("session_end", T.TimestampType()),
             T.StructField("n_events", T.LongType()),
@@ -101,67 +119,64 @@ def stateful_sessionize(
     )
     state_schema = T.StructType(
         [
-            T.StructField("start_ms", T.LongType()),
-            T.StructField("last_ms", T.LongType()),
-            T.StructField("n", T.LongType()),
+            T.StructField("starts", T.ArrayType(T.LongType())),
+            T.StructField("lasts", T.ArrayType(T.LongType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
         ]
     )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            start_ms, last_ms, n = state.get
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [[s, e, c] for s, e, c in zip(starts, lasts, ns)]
+        else:
+            sessions = []
+        if not state.hasTimedOut:
+            # row order within a micro-batch group is arbitrary — and
+            # rows older than the watermark are dropped here (late-data
+            # contract above); the engine does not pre-filter them
+            ts_ms = sorted(
+                t
+                for pdf in pdfs
+                for t in (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+                if t >= wm_ms
+            )
+            items = sorted(sessions + [[t, t, 1] for t in ts_ms])
+            sessions = []
+            for s, e, c in items:
+                if sessions and s - sessions[-1][1] <= gap_ms:
+                    sessions[-1][1] = max(sessions[-1][1], e)
+                    sessions[-1][2] += c
+                else:
+                    sessions.append([s, e, c])
+        closed = [x for x in sessions if x[1] + gap_ms < wm_ms]
+        live = [x for x in sessions if x[1] + gap_ms >= wm_ms]
+        if live:
+            state.update(
+                (
+                    [s for s, _, _ in live],
+                    [e for _, e, _ in live],
+                    [c for _, _, c in live],
+                )
+            )
+            # fire when the earliest live session becomes sealable
+            # (wm > end + gap); Spark rejects a timeout at-or-before
+            # the current watermark, hence the clamp
+            state.setTimeoutTimestamp(
+                max(min(e for _, e, _ in live) + gap_ms + 1, wm_ms + 1)
+            )
+        elif state.exists:
             state.remove()
+        if closed:
             yield pd.DataFrame(
                 {
-                    key_col: [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                    "n_events": [n],
+                    key_col: [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
                 }
             )
-            return
-        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
-        # row order within a micro-batch group is arbitrary — gap
-        # detection is only meaningful over time-sorted events. Rows
-        # older than the watermark are dropped here (late-data
-        # contract above); the engine does not pre-filter them.
-        wm_ms = state.getCurrentWatermarkMs()
-        ts_ms = sorted(
-            t
-            for pdf in pdfs
-            for t in (pdf[ts_col].astype("int64") // 1_000_000).tolist()
-            if t >= wm_ms
-        )
-        if not ts_ms:
-            if state.exists:
-                # keep the existing session armed; nothing to fold in
-                state.setTimeoutTimestamp(
-                    max(last_ms + gap_seconds * 1000, wm_ms + 1)
-                )
-            return
-        for t in ts_ms:
-            if last_ms is not None and t - last_ms > gap_seconds * 1000:
-                # gap inside the batch: close the old session inline
-                yield pd.DataFrame(
-                    {
-                        key_col: [key[0]],
-                        "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                        "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                        "n_events": [n],
-                    }
-                )
-                start_ms, n = t, 0
-            if start_ms is None:
-                start_ms = t
-            last_ms = max(t, last_ms or t)
-            n += 1
-        state.update((start_ms, last_ms, n))
-        # a timeout at-or-before the current watermark is rejected by
-        # Spark; if this key's events already trail the watermark the
-        # session is expired as-of now — fire on the next trigger
-        state.setTimeoutTimestamp(
-            max(last_ms + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
-        )
 
     return (
         stream.withWatermark(ts_col, watermark)
@@ -177,6 +192,7 @@ def stateful_rolling_zscore(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_tiebreak: str | None = None,
     window_rows: int = 10,
     quantize: int = 1_000_000,
     threshold: float = 3.0,
@@ -189,12 +205,28 @@ def stateful_rolling_zscore(
     for in-order delivery a replayed stream emits byte-identical
     anomalies to the batch pass — pinned by test). Emits only rows
     beyond ``threshold`` sigma (append mode). State is ``window_rows``
-    longs per key — bounded regardless of stream length."""
+    longs per key — bounded regardless of stream length.
+
+    Twin-parity details (r16 hardening, found by self-review):
+
+    - NULL/NaN values occupy a window SLOT but contribute nothing to
+      the moments — exactly the batch twin's ROWS frame over null
+      ``__q`` (count/sum skip nulls, the row still fills a frame
+      position). Previously a null crashed the executor inside the
+      Decimal quantizer.
+    - ``order_tiebreak`` mirrors the batch twin's tie column, and the
+      batch sort is STABLE (mergesort), so equal-timestamp replays are
+      deterministic given deterministic arrival order.
+    - moments are maintained INCREMENTALLY in exact Python ints (one
+      O(window) pass to seed per batch, then O(1) per event — the old
+      fold re-summed the buffer per event); Python ints never
+      overflow, matching the batch twin's decimal(38,0) sum-of-squares
+      accumulator."""
     import math
 
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
             T.StructField(ts_col, T.TimestampType()),
             T.StructField(value_col, T.DoubleType()),
             T.StructField("n", T.LongType()),
@@ -202,31 +234,39 @@ def stateful_rolling_zscore(
         ]
     )
     state_schema = T.StructType([T.StructField("buf", T.ArrayType(T.LongType()))])
+    sort_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         buf = list(state.get[0]) if state.exists else []
+        cnt = sum(1 for x in buf if x is not None)
+        s = sum(x for x in buf if x is not None)
+        ss = sum(x * x for x in buf if x is not None)
         ks, tss, vs, ns, zs = [], [], [], [], []
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
-        for _, row in rows.iterrows():
-            v = float(row[value_col])
-            q = _quantize_half_up(v, quantize)
-            n = len(buf)
-            if n > 1:
-                s = float(sum(buf))
-                ss = float(sum(x * x for x in buf))
-                var = (ss - s * s / n) / n
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            sort_cols, kind="mergesort"
+        )
+        for ts_v, v in zip(rows[ts_col].tolist(), rows[value_col].tolist()):
+            null = v is None or (isinstance(v, float) and math.isnan(v))
+            q = None if null else _quantize_half_up(float(v), quantize)
+            if q is not None and cnt > 1:
+                sf, nf = float(s), float(cnt)
+                var = (float(ss) - sf * sf / nf) / nf
                 if var > 0:
-                    z = (float(q) - s / n) / math.sqrt(var)
+                    z = (float(q) - sf / nf) / math.sqrt(var)
                     if abs(z) > threshold:
-                        ks.append(key[0]), tss.append(row[ts_col])
-                        vs.append(v), ns.append(n), zs.append(z)
+                        ks.append(key[0]), tss.append(ts_v)
+                        vs.append(float(v)), ns.append(cnt), zs.append(z)
             buf.append(q)
+            if q is not None:
+                cnt, s, ss = cnt + 1, s + q, ss + q * q
             if len(buf) > window_rows:
-                buf = buf[-window_rows:]
+                old = buf.pop(0)
+                if old is not None:
+                    cnt, s, ss = cnt - 1, s - old, ss - old * old
         state.update((buf,))
         yield pd.DataFrame(
             {
-                key_col: pd.Series(ks, dtype="int64"),
+                key_col: pd.Series(ks),
                 ts_col: pd.Series(tss, dtype="datetime64[us]"),
                 value_col: pd.Series(vs, dtype="float64"),
                 "n": pd.Series(ns, dtype="int64"),

@@ -1622,6 +1622,131 @@ def test_stateful_sessionize_unsorted_batch(spark, tmp_path):
     assert rows == {("10:00", 3), ("12:00", 2)}
 
 
+def test_stateful_sessionize_out_of_order_above_watermark(spark, tmp_path):
+    """session_window parity for in-watermark stragglers (the r16
+    self-review's finding — the old single-session fold silently
+    corrupted these): an event newer than the watermark but older than
+    the open session must (a) extend the session BACKWARD, (b) open a
+    separate EARLIER session when it is more than gap before it, and
+    (c) BRIDGE two open sessions into one. Sessions seal only when the
+    watermark passes end + gap, so an early gap inside one batch must
+    NOT finalize a session a later straggler can still join."""
+    import json as _json
+    import os
+
+    from fabrix_spark.streaming import stateful_sessionize
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def put(name, rows, mtime):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": f"2024-01-0{d}T{t}:00.000Z"})
+                for u, d, t in rows
+            )
+        )
+        os.utime(src / name, (mtime, mtime))
+
+    # user 1: 10:00, then straggler 9:45 (backward extension), then
+    # 8:00 (separate earlier session). user 2: 10:00 and 11:00 (two
+    # open sessions, 2*gap apart), then 10:30 bridges them.
+    put("b0.json", [(1, 1, "10:00"), (2, 1, "10:00")], 1_700_000_000)
+    put("b1.json", [(1, 1, "09:45"), (2, 1, "11:00")], 1_700_000_060)
+    put("b2.json", [(1, 1, "08:00"), (2, 1, "10:30")], 1_700_000_120)
+    # far-future sentinels seal everything (two so the watermark —
+    # computed from the PREVIOUS batch — passes every timeout)
+    put("b3.json", [(99, 2, "00:00")], 1_700_000_180)
+    put("b4.json", [(99, 2, "12:00")], 1_700_000_240)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # watermark delay 4 h keeps every straggler above the watermark
+    sess = stateful_sessionize(stream, gap_seconds=1800, watermark="4 hours")
+    q = run_available_now(
+        sess, str(tmp_path / "ckpt_ooo"), memory_table="ooo_sessions",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+
+    def sessions_of(uid):
+        return sorted(
+            (r["session_start"].strftime("%H:%M"),
+             r["session_end"].strftime("%H:%M"), r["n_events"])
+            for r in spark.sql(
+                f"SELECT * FROM ooo_sessions WHERE user_id = {uid}"
+            ).collect()
+        )
+
+    assert sessions_of(1) == [("08:00", "08:00", 1), ("09:45", "10:00", 2)]
+    assert sessions_of(2) == [("10:00", "11:00", 3)]
+
+
+def test_stateful_rolling_zscore_null_value_matches_batch(spark, tmp_path):
+    """NULL values must not crash the streaming fold and must occupy a
+    window SLOT without contributing to the moments — exactly the
+    batch twin's ROWS frame over a null quantized value (r16
+    self-review: the old fold crashed in the Decimal quantizer on the
+    first null). Anomaly parity with the batch operator is asserted on
+    data where the null displaces a baseline row."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fabrix_spark.operators.temporal import rolling_zscore
+    from fabrix_spark.streaming import stateful_rolling_zscore
+    from fabrix_spark.streaming.ingest import read_stream_json, run_available_now
+
+    rows = (
+        [{"user_id": 1, "ts": f"2024-01-01 00:{m:02d}:00", "value": 10.0 + (m % 2)}
+         for m in range(6)]
+        + [{"user_id": 1, "ts": "2024-01-01 00:06:00", "value": None}]
+        + [{"user_id": 1, "ts": "2024-01-01 00:07:00", "value": 10.0},
+           {"user_id": 1, "ts": "2024-01-01 00:08:00", "value": 250.0},
+           {"user_id": 1, "ts": "2024-01-01 00:09:00", "value": 11.0}]
+    )
+    src = tmp_path / "znsrc"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows[:7]))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows[7:]))
+    now = _time.time()
+    _os.utime(src / "b1.json", (now - 60, now - 60))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = read_stream_json(spark, str(src), schema=schema, max_files_per_trigger=1)
+    out = stateful_rolling_zscore(stream, window_rows=4, threshold=3.0)
+    q = run_available_now(
+        out, str(tmp_path / "znckpt"), memory_table="null_anoms", output_mode="append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["ts"])): r["z"]
+        for r in spark.sql("SELECT * FROM null_anoms").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["value"]) for r in rows],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    want = {
+        (r["user_id"], str(r["ts"])): r["z"]
+        for r in rolling_zscore(batch_df, window_rows=4).collect()
+        if r["z"] is not None and abs(r["z"]) > 3.0
+    }
+    assert got == want and want  # parity, and the case is non-vacuous
+
+
 def test_stateful_sessionize_drops_event_older_than_watermark(spark, tmp_path):
     """Late-data contract of the sessionizer: an event whose time is
     OLDER than the current watermark arrives mid-stream and is DROPPED

@@ -34,6 +34,7 @@ __all__ = [
     "token_budget_sample",
     "cluster_balanced_sample",
     "target_mix_sample",
+    "weighted_reservoir",
 ]
 
 _BUCKETS = 10_000
@@ -47,6 +48,24 @@ def hash_bucket(key: Column, buckets: int = _BUCKETS, salt: str = "") -> Column:
     return (h.cast("long") % buckets).cast("int")
 
 
+def _rank_hash(key: Column, salt: str = "", digits: int = 15) -> Column:
+    """The module's shared md5 RANK hash: first ``digits`` hex chars of
+    md5(key || salt) as a long — the single definition of the recipe
+    every exactly-k/per-group-capped operator ranks by (previously
+    copy-pasted five times; one drift would silently fork their
+    determinism contracts). 15 digits = 60 bits (tie-free for distinct
+    keys); weighted_reservoir uses 13 (exactly a double's mantissa)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            digits,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def deterministic_sample(
     df: DataFrame, key: str, fraction: float, salt: str = ""
 ) -> DataFrame:
@@ -58,10 +77,17 @@ def deterministic_sample(
 
 def hash_split(df: DataFrame, key: str, weights: dict[str, float], salt: str = "") -> DataFrame:
     """Assign each row to a named split (e.g. train/val/test) by key
-    hash; weights must sum to ~1. Adds a ``split`` column."""
+    hash; weights must sum to ~1. Adds a ``split`` column.
+
+    NULL keys are EXCLUDED (same contract as the filter-style samplers,
+    where a NULL bucket fails every comparison and drops — without the
+    explicit filter here, the when-chain's ``otherwise`` would silently
+    dump every unknown-identity row into the LAST-NAMED split,
+    contaminating exactly the eval cohort; r16 self-review)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"weights must sum to 1, got {total}")
+    df = df.filter(F.col(key).isNotNull())
     bucket = hash_bucket(F.col(key), _BUCKETS, salt)
     expr = None
     acc = 0.0
@@ -116,9 +142,10 @@ def cap_per_group(df: DataFrame, key: str, group_col: str, n: int, salt: str = "
     """Keep at most ``n`` rows per group, chosen by key-hash order —
     the per-source/per-domain cap every corpus mix applies, stable
     across reruns (unlike rand()-ranked sampling). One shuffle on the
-    group column."""
-    from pyspark.sql.window import Window
-
+    group column. NULL keys are excluded (fixed_size_sample's
+    contract: a NULL hash sorts first AND ties, so null-key rows would
+    preferentially fill the n slots in partition-dependent order)."""
+    df = df.filter(F.col(key).isNotNull())
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(F.col(key), salt=salt).asc(), F.col(key).asc()
     )
@@ -163,8 +190,6 @@ def pack_sequences(
     index), and pack_offset (token offset of this document within its
     shard's concatenated stream) — everything a loader needs to cut
     physical training rows. One shuffle (the per-shard window sort)."""
-    from pyspark.sql.window import Window
-
     shard = (hash_bucket(F.col(key), _BUCKETS, salt) % shards).cast("int")
     order = hash_bucket(F.col(key), _BUCKETS, salt + "order")
     w = (
@@ -281,7 +306,18 @@ def interleave_sources(
 
     Returns (id_col, source_col, rn, mix_order): rn = the row's rank
     within its source's shuffle, mix_order = its global feed position.
-    """
+
+    Weights must be POSITIVE: a zero weight would make every row of
+    that source NULL-positioned (nulls-first — the "excluded" source
+    would LEAD the schedule) or fail under ANSI division; to drop a
+    source, filter it out instead (r16 self-review)."""
+    bad = {n: w for n, w in (weights or {}).items() if not w > 0}
+    if bad or not default_weight > 0:
+        raise ValueError(
+            f"interleave_sources weights must be > 0 "
+            f"(default_weight={default_weight}, bad={bad}); "
+            f"filter a source out to exclude it"
+        )
     w_src = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string").cast("binary")).asc(), F.col(id_col).asc()
     )
@@ -373,9 +409,16 @@ def bootstrap_metrics(
     Returns (rep, n_rows, n_samples, sum_scaled, mean_value):
     n_samples = Σk, sum_scaled = Σ k·round(value·value_scale) exact
     int64, mean_value = sum_scaled / (n_samples·value_scale) as an
-    UNROUNDED double (identical IEEE division on any engine)."""
+    UNROUNDED double (identical IEEE division on any engine).
+
+    NULL ids are EXCLUDED: a NULL id hashes to NULL, every threshold
+    comparison is then NULL, and the when-chain's ``otherwise`` would
+    assign multiplicity ``max_k`` to the row in EVERY replicate —
+    a deterministic 10× weight that no replicate variance reveals
+    (r16 self-review)."""
     thresholds = poisson_cdf_thresholds(max_k)
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep")
+    df = df.filter(F.col(id_col).isNotNull())
     base = df.select(
         F.col(id_col).cast("string").alias("__id"),
         F.round(F.col(value_col).cast("double") * value_scale)
@@ -412,9 +455,13 @@ def bootstrap_metrics(
             "n_rows",
             "n_samples",
             "sum_scaled",
-            (
+            # a replicate can draw multiplicity 0 for EVERY row (small
+            # inputs); its mean is undefined — NULL, not a
+            # divide-by-zero job failure under ANSI (r16 self-review)
+            F.when(
+                F.col("n_samples") > 0,
                 F.col("sum_scaled").cast("double")
-                / (F.col("n_samples").cast("double") * value_scale)
+                / (F.col("n_samples").cast("double") * value_scale),
             ).alias("mean_value"),
         )
     )
@@ -439,13 +486,7 @@ def fixed_size_sample(df: DataFrame, key: str, n: int, salt: str = "") -> DataFr
     Plan: one narrow hash projection + global top-n
     (TakeOrderedAndProject — per-partition heaps then a merge of n·P
     rows, never a full sort of the corpus)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _rank_hash(F.col(key), salt)
     return (
         df.filter(F.col(key).isNotNull())
         .withColumn("__rank_h", h)
@@ -471,18 +512,13 @@ def negative_pairs(df: DataFrame, key: str, salt: str = "") -> DataFrame:
     metadata offsets — no single-reducer window) + one equi-join of
     the ranked table with its shifted self on the rank key. NULL keys
     are excluded (same contract as fixed_size_sample). Returns
-    (anchor_id, negative_id), one row per input row."""
+    (anchor_id, negative_id) — one row per DISTINCT non-null key (the
+    pairing is over identities, so duplicate and null-key input rows
+    do not each get a pair; size the negatives batch by distinct
+    keys)."""
     from .rank import global_rank
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _rank_hash(F.col(key), salt)
     base = (
         df.select(key)
         .filter(F.col(key).isNotNull())
@@ -520,17 +556,20 @@ def waterfill_caps(group_tokens: DataFrame, budget: int, group_col: str = "grp")
     construction — so the single-partition sort is bounded, not a
     corpus sort. Returns (group, tokens, cap) with cap = min(tokens,
     c); caps sum to ≤ budget, within one token·G of it."""
-    from pyspark.sql.window import Window
-
     t = group_tokens.select(F.col(group_col).alias("grp"), F.col("tokens").cast("long"))
     w = Window.orderBy(F.col("tokens").asc(), F.col("grp").asc())
+    # materialize the ranked group table once: the count, the
+    # feasibility probe, and the returned plan all read it, and the
+    # INPUT is typically a corpus-wide aggregate
+    # (token_budget_sample's groupBy) that would otherwise re-execute
+    # its scan+shuffle per action. Group-table sized by contract.
     ranked = (
         t.withColumn("__i", F.row_number().over(w))
         .withColumn("__prefix", F.sum("tokens").over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ))
-    )
-    g_total = t.count()
+    ).localCheckpoint(eager=True)
+    g_total = ranked.count()
     # feasible rows: groups small enough to keep whole at their level
     feas = ranked.filter(
         F.col("__prefix") + (F.lit(g_total) - F.col("__i")) * F.col("tokens")
@@ -568,13 +607,16 @@ def token_budget_sample(
 
     Plan: one group aggregate, the tiny solver, one broadcast of the
     caps, one per-group window (partitioned — scalable) for the
-    running sum. Returns the kept rows + ``grp_cap``."""
+    running sum. Returns the kept rows + ``grp_cap``. NULL keys are
+    excluded — before the totals too, so the water level is solved
+    over exactly the selectable rows (a NULL hash would otherwise
+    sort first AND tie, filling the cap in partition-dependent
+    order)."""
+    df = df.filter(F.col(key).isNotNull())
     totals = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.sum(length_col).alias("tokens")
     )
     caps = waterfill_caps(totals, budget)
-    from pyspark.sql.window import Window
-
     w = (
         Window.partitionBy(group_col)
         .orderBy(hash_bucket(F.col(key), salt=salt).asc(), F.col(key).asc())
@@ -622,15 +664,7 @@ def cluster_balanced_sample(
     from .similarity import ivf_assign
 
     a = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)).cast("binary")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _rank_hash(F.col(id_col), salt)
     w = Window.partitionBy("centroid_id")
     wr = w.orderBy(h.asc(), F.col(id_col).asc())
     return (
@@ -689,15 +723,7 @@ def target_mix_sample(
         )
         for g in groups
     }
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _rank_hash(F.col(key), salt)
     ranked, _ = global_rank(
         src.withColumn("__rank_h", h),
         [F.col(group_col).asc(), F.col("__rank_h").asc(), F.col(key).asc()],
@@ -759,15 +785,7 @@ def weighted_reservoir(
             "drop those rows"
         )
     w = weight.cast("long")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)).cast("binary")),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _rank_hash(F.col(key), salt, digits=13)
     t_nano = F.round(
         F.log((h + 1).cast("double") / F.lit(float(1 << 52))) * 1_000_000_000
     ).cast("long")

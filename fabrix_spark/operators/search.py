@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .util import spread
 
-__all__ = ["build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores", "bm25_scores_fused", "positional_index", "search_phrase"]
+__all__ = ["tokens_expr", "build_token_index", "search_all_terms", "search_any_terms", "doc_token_counts", "bm25_scores", "bm25_scores_fused", "positional_index", "search_phrase"]
 
 
 def tokens_expr(text_col: str):

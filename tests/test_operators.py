@@ -1538,6 +1538,57 @@ def test_pq_fast_trainer_and_encoder_match_dataframe_path(spark, sf_dir):
     assert fast == slow and len(fast) > 0
 
 
+def test_sampling_null_key_contract(spark):
+    """Uniform NULL-key contract across the hashing samplers (r16
+    self-review): a NULL key cannot be deterministically attributed,
+    so it is EXCLUDED — previously hash_split dumped every null-key
+    row into the LAST-NAMED split (contaminating the eval cohort),
+    bootstrap_metrics gave null-id rows multiplicity max_k in every
+    replicate, and cap_per_group/token_budget_sample ranked null keys
+    first in partition-dependent order. Also: interleave_sources
+    refuses non-positive weights (a zero weight would FRONT-load the
+    'excluded' source via null positions)."""
+    import pytest
+
+    from fabrix_spark.operators.sampling import (
+        bootstrap_metrics,
+        cap_per_group,
+        hash_split,
+        interleave_sources,
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "g", 5.0), (1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0)],
+        "id long, grp string, value double",
+    )
+    split = hash_split(df, "id", {"train": 0.5, "test": 0.5}).collect()
+    assert len(split) == 3 and all(r["id"] is not None for r in split)
+
+    reps = bootstrap_metrics(df, "id", "value", replicates=50).collect()
+    # null id excluded: every replicate sees 3 rows, and no replicate's
+    # n_samples carries the deterministic max_k=10 poisoning
+    assert all(r["n_rows"] == 3 for r in reps)
+    assert all(r["n_samples"] <= 3 * 10 and r["n_samples"] >= 0 for r in reps)
+    total = sum(r["n_samples"] for r in reps)
+    assert 0 < total < 50 * 10  # Poisson(1) mass, not max_k stuffing
+
+    capped = cap_per_group(df, "id", "grp", n=2).collect()
+    assert len(capped) == 2 and all(r["id"] is not None for r in capped)
+
+    kept = token_budget_sample(
+        df.withColumn("toks", F.lit(10)), "id", "grp", "toks", budget=20
+    ).collect()
+    assert all(r["id"] is not None for r in kept) and len(kept) == 2
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        interleave_sources(
+            df.withColumn("source", F.col("grp")),
+            id_col="id",
+            weights={"g": 0.0},
+        )
+
+
 def test_bootstrap_metrics_properties(spark):
     """Poisson-bootstrap invariants: partitioning-independent
     (deterministic hash draws), n_samples ≈ n_rows per replicate

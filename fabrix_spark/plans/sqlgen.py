@@ -19,6 +19,7 @@ different dialects can never leak quoting into each other.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from typing import Any, Callable, Sequence
 
 from .adt import (
@@ -101,6 +102,10 @@ def render_value(v: Any) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, _decimal.Decimal):
+        # plain numeric literal — exact lexical value, no quotes (a
+        # DECIMAL index key must render in the upsert probe's IN list)
+        return str(v)
     if isinstance(v, _dt.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
@@ -230,6 +235,12 @@ def _render_cond(
     if op == "le":
         return f"{col} <= {render_value(c.value)}"
     if op == "in":
+        if not c.value:
+            # `IN ()` is a syntax error on DuckDB/Postgres/MySQL while
+            # the Spark compiler's isin([]) is simply FALSE — render
+            # the same constant so the two backends agree (NOT-wrapped
+            # it becomes TRUE, matching ~isin([]))
+            return "1 = 0"
         vals = ", ".join(render_value(v) for v in c.value)
         return f"{col} IN ({vals})"
     if op == "between":
@@ -332,6 +343,24 @@ def render_select(sel: Select, dialect: str = "ansi", _extra_where: Sequence[str
     for j in sel.joins:
         how = {"join": "JOIN", "inner": "INNER JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
                "full": "FULL JOIN", "cross": "CROSS JOIN", "semi": "SEMI JOIN", "anti": "ANTI JOIN"}[j.how]
+        if j.how in ("semi", "anti") and dialect != "duckdb":
+            # SEMI/ANTI JOIN is DuckDB syntax only; sqlite would parse
+            # SEMI as a table alias and fail later with a misleading
+            # no-such-column error, Postgres/MySQL with a syntax error
+            # (verified live, r16 self-review). The Spark compiler
+            # supports these join types on every backend; in SQL use
+            # EXISTS/IN-subquery filters instead.
+            raise ValueError(
+                f"{j.how} join renders only on duckdb (got {dialect!r}); "
+                f"express it as an Exists/in_select filter for other dialects"
+            )
+        if j.how == "cross":
+            if j.on:
+                raise ValueError("cross join cannot carry on-conditions")
+            # a dangling `ON ` after CROSS JOIN is a syntax error on
+            # every dialect
+            sql += f" {how} {quote(j.right)}"
+            continue
         on = " AND ".join(
             f"{quote(base)}.{quote(l)} = {quote(j.right)}.{quote(r)}"
             for l, r in j.on
@@ -379,11 +408,15 @@ def render_compound(cp, dialect: str = "ansi") -> str:
     there, so its operands render unwrapped."""
     quote = _quoter(dialect)
     kw = _COMPOUND_SQL[cp.op]
-    if dialect == "derby":
+    if dialect in ("derby", "sqlite"):
+        # neither accepts parenthesized set-op operands (sqlite:
+        # near "(": syntax error — verified live, r16 self-review),
+        # and both forbid ORDER BY / row limits inside them — bare
+        # chaining is unambiguous there, so operands render unwrapped
         for s in cp.selects:
             if s.order or s.limit is not None or s.offset is not None:
                 raise ValueError(
-                    "derby compound operands cannot carry order/limit/offset"
+                    f"{dialect} compound operands cannot carry order/limit/offset"
                 )
         sql = f" {kw} ".join(render_select(s, dialect) for s in cp.selects)
     else:

@@ -29,6 +29,7 @@ per-key UPDATE the matched ones — wrapped in one transaction.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from dataclasses import dataclass
 from typing import Any, Iterable
 
@@ -89,9 +90,13 @@ _SQL_TYPES: dict[ValueType, str] = {
 
 
 def _adapt(v: Any) -> Any:
-    """Python value -> DB-API parameter (sqlite has no native ts/date)."""
+    """Python value -> DB-API parameter (sqlite has no native ts/date,
+    and sqlite3 refuses to bind decimal.Decimal — render it lexically;
+    engines with a real DECIMAL type cast the string back exactly)."""
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
     return v
 
 
@@ -412,17 +417,31 @@ class SqlExecutor:
             raise
 
     def _begin(self) -> None:
-        """Open an explicit transaction where the driver autocommits
-        per statement (DuckDB); sqlite3 auto-begins on DML."""
+        """Open an explicit transaction where the driver would
+        otherwise autocommit statements that must be atomic together:
+        DuckDB autocommits per statement, and Python's sqlite3
+        auto-begins on DML but runs DDL in autocommit — so a REPLACE
+        (drop + create + insert) would commit the DROP immediately and
+        a failed insert could not restore the old table (r16
+        self-review; sqlite DDL IS transactional once a transaction is
+        explicitly open, and sqlite3 skips its implicit BEGIN when one
+        is)."""
         if self.dialect == "duckdb":
             self._conn.execute("BEGIN TRANSACTION")
+        elif self.dialect == "sqlite" and not self._conn.in_transaction:
+            self._conn.execute("BEGIN")
 
     def _commit(self) -> None:
         try:
             self._conn.commit()
-        except Exception:
-            # autocommit drivers with no open transaction
-            pass
+        except Exception as e:
+            # tolerate ONLY the no-open-transaction no-op of
+            # autocommit drivers; a genuine commit failure (locked
+            # database, I/O error) must propagate — swallowing it
+            # reported success for data that was never persisted
+            # (r16 self-review)
+            if "no transaction" not in str(e).lower():
+                raise
 
     def _rollback(self) -> None:
         try:
@@ -455,6 +474,13 @@ class SqlExecutor:
             if fx.index_tag is None:
                 raise ValueError("upsert requires an index tag")
             idx = fx.index_tag.name
+            if fx.index_has_null():
+                # a NULL key matches nothing in the probe and falls
+                # out of BOTH popup_rows halves — the row would
+                # silently vanish from the upsert (r16 self-review)
+                raise ValueError(
+                    f"upsert index {idx!r} contains NULLs; key every row"
+                )
             # stream the key column in bounded batches — the probe is
             # batched IN lists like the reference (query_dml.rs:14-28)
             # without ever materializing the full id list on the driver
@@ -544,7 +570,14 @@ def upsert_jdbc(
     The driver-side connection comes from ``java.sql.DriverManager``
     on the JVM Spark already runs — no extra Python DB driver needed.
     The staged data never flows through the driver; only the three
-    DML strings do."""
+    DML strings do.
+
+    ``table`` (and the derived staging name) is passed VERBATIM both
+    to Spark's JDBC writer and into the DML — Spark treats ``dbtable``
+    literally, so quoting it here while the writer created it unquoted
+    would break case folding. For a mixed-case or reserved-word table,
+    pass the name pre-quoted (e.g. ``table='\"Events\"'``);
+    column/key identifiers ARE quoted with ``quote``."""
     staging = staging_table or f"{table}__stg"
     write_jdbc(df, url, staging, mode="overwrite", **options)
 
@@ -554,7 +587,16 @@ def upsert_jdbc(
         jvm.java.lang.Class.forName(options["driver"])
     q = lambda ident: f"{quote}{ident}{quote}" if quote else ident  # noqa: E731
     cols = ", ".join(q(c) for c in df.columns)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    if "user" in options or "password" in options:
+        # the staging write authenticated through the datasource
+        # options; the finalize connection must carry the same
+        # credentials or it fails AFTER the staging table was written
+        # (r16 self-review)
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, options.get("user", ""), options.get("password", "")
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()

@@ -281,6 +281,102 @@ def test_existing_ids_probe(ex, fx):
     assert sorted(ex.select_existing_ids("t", "id", [2, 3, 99])) == [2, 3]
 
 
+def test_save_replace_atomic_on_failure(spark, ex, fx):
+    """REPLACE must be transactional on sqlite too (r16 self-review:
+    Python's sqlite3 runs DDL in autocommit, so the DROP committed
+    immediately and a failed insert left an EMPTY table where the
+    original data had been). A mid-insert PK violation now rolls the
+    whole drop+create+insert back to the pre-call table."""
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    bad = FxFrame.from_series(
+        spark,
+        {"id": [10, 10], "name": ["x", "y"], "val": [1.0, 2.0]},  # dup PK
+        index="id",
+    )
+    with pytest.raises(Exception):
+        ex.save("t", bad, SaveStrategy.REPLACE)
+    rows = ex.raw_select("SELECT id, name FROM t ORDER BY id").data()
+    assert [(r[0], r[1]) for r in rows] == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_save_upsert_refuses_null_index(spark, ex, fx):
+    """A NULL upsert key matches nothing in the probe and falls out of
+    BOTH popup_rows halves — the row would silently vanish (r16
+    self-review). Refused loudly instead."""
+    ex.save("t", fx, SaveStrategy.UPSERT)
+    withnull = FxFrame.from_series(
+        spark,
+        {"id": [5, None], "name": ["e", "ghost"], "val": [5.0, 6.0]},
+        index="id",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ex.save("t", withnull, SaveStrategy.UPSERT)
+
+
+def test_compound_and_empty_in_on_sqlite(ex, fx):
+    """Dialect edges verified live on sqlite (r16 self-review):
+    (a) sqlite rejects parenthesized compound operands — the renderer
+    now chains them bare, so Compound works on all three live
+    backends; (b) an empty IN list renders the Spark-equivalent
+    constant FALSE instead of the syntax error `IN ()`."""
+    from fabrix_spark.plans.adt import Compound
+
+    ex.save("t", fx, SaveStrategy.REPLACE)
+    a = Select(table="t", columns=[Col("id")], filter=[Cond("id", "le", 2)])
+    b = Select(table="t", columns=[Col("id")], filter=[Cond("id", "ge", 4)])
+    got = sorted(r[0] for r in ex.select(Compound("union", [a, b])).data())
+    assert got == [1, 2, 4]
+    empty_in = Select(table="t", columns=[Col("id")], filter=[Cond("id", "in", [])])
+    assert ex.select(empty_in).data() == []
+
+
+def test_decimal_values_bind_and_render(spark, ex):
+    """decimal.Decimal survives both write paths (r16 self-review):
+    sqlite3 refuses to bind Decimal parameters (_adapt now renders it
+    lexically) and render_value needs it for the upsert probe's IN
+    list over a DECIMAL index key."""
+    import decimal
+
+    from fabrix_spark.plans.sqlgen import render_value
+
+    assert render_value(decimal.Decimal("12.340")) == "12.340"
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("2.50")), (2, decimal.Decimal("3.75"))],
+        "id long, amount decimal(10,2)",
+    )
+    fxd = FxFrame(df, index="id")
+    ex.save("d", fxd, SaveStrategy.REPLACE)
+    got = sorted(ex.raw_select("SELECT id, amount FROM d").data())
+    assert [(r[0], float(r[1])) for r in got] == [(1, 2.5), (2, 3.75)]
+
+
+def test_semi_join_and_cross_join_rendering():
+    """semi/anti SQL renders only on duckdb (elsewhere the string is
+    silently mis-parsed — refuse loudly); cross join renders WITHOUT
+    the dangling ON clause (r16 self-review)."""
+    from fabrix_spark.plans.adt import Join
+    from fabrix_spark.plans.sqlgen import render_select
+
+    semi = Select(
+        table="t", columns=[Col("a", tbl="t")],
+        joins=[Join("u", [("a", "b")], "semi")],
+    )
+    assert "SEMI JOIN" in render_select(semi, "duckdb")
+    with pytest.raises(ValueError, match="semi"):
+        render_select(semi, "sqlite")
+    cross = Select(
+        table="t", columns=[Col("a", tbl="t")], joins=[Join("u", [], "cross")]
+    )
+    sql = render_select(cross, "sqlite")
+    assert sql.endswith('CROSS JOIN "u"') and " ON" not in sql
+    with pytest.raises(ValueError, match="cross"):
+        render_select(
+            Select(table="t", columns=[Col("a", tbl="t")],
+                   joins=[Join("u", [("a", "b")], "cross")]),
+            "sqlite",
+        )
+
+
 def test_row_count_option(spark, fx, tmp_path):
     p = str(tmp_path / "pq_rc")
     write_parquet(fx, p)

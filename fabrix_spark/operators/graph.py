@@ -99,7 +99,17 @@ def pagerank(
     previous iteration's derivation — the right shape beyond 2-3
     iterations or when the edge list is itself a derived plan. Results
     are bit-identical either way (integer arithmetic)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # NULL-endpoint edges are EXCLUDED (the sampling operators' null
+    # contract): a NULL src never equi-joins the out-degree table so
+    # the edge propagates nothing, yet NULL would still enter the node
+    # set via the union, receive base rank every iteration, and count
+    # as dangling mass under redistribute — a spurious (NULL, rank)
+    # row silently skewing every real node's mass (r16 self-review).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -111,6 +121,8 @@ def pagerank(
     if checkpoint:
         nodes = nodes.localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank requires a non-empty edge list")
     if seeds is not None:
         if redistribute:
             raise ValueError(
@@ -260,7 +272,9 @@ def bfs_distances(
     the graph still report dist 0 (reachability is defined on the seed
     set, not the edge list).
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    e = edges.select("src", "dst")
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
     dist = seeds.select("node").distinct().withColumn("dist", F.lit(0))
     if checkpoint:
         dist = dist.localCheckpoint(eager=True)
@@ -297,7 +311,9 @@ def min_label_propagation(
     stable, and ``checkpoint`` truncates the growing lineage each
     round (the iterative-algorithm hygiene every Pregel-style loop on
     Spark needs). Returns (node, label)."""
-    sym = to_undirected(edges).localCheckpoint(eager=True)
+    sym = to_undirected(edges)
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

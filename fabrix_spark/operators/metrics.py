@@ -50,24 +50,33 @@ def auc_one_vs_rest(
     Numerators are summed as DECIMAL(38,0) so 100 TB-scale
     ``count × count`` products cannot overflow int64.
     """
+    if not classes:
+        raise ValueError("auc_one_vs_rest requires at least one class")
     s = F.col(score_col)
+    # internal aliases are INDEX-based, never the class value: the
+    # class only appears as the stack's output literal. Embedding the
+    # value in alias names broke F.expr for negative labels — the
+    # common ±1 binary labeling made stack(2, -1, __p-1, __u-1, …),
+    # which the SQL parser reads as __p MINUS 1 (r16 self-review).
     g = df.where(s.isNotNull()).groupBy(s.alias("__score")).agg(
         F.count("*").alias("__tot"),
         *[
-            F.sum((F.col(label_col) == F.lit(c)).cast("long")).alias(f"__c{c}")
-            for c in classes
+            F.sum((F.col(label_col) == F.lit(c)).cast("long")).alias(f"__c{i}")
+            for i, c in enumerate(classes)
         ],
     )
     cum = global_cumsum(
-        g, [F.col("__score").asc()], ["__tot"] + [f"__c{c}" for c in classes]
+        g,
+        [F.col("__score").asc()],
+        ["__tot"] + [f"__c{i}" for i in range(len(classes))],
     )
     # per-score contribution to the doubled U statistic of each class
     contribs = []
-    for c in classes:
-        pos_at = F.col(f"__c{c}")
+    for i in range(len(classes)):
+        pos_at = F.col(f"__c{i}")
         neg_at = F.col("__tot") - pos_at
         neg_below = (F.col("cum___tot") - F.col("__tot")) - (
-            F.col(f"cum___c{c}") - pos_at
+            F.col(f"cum___c{i}") - pos_at
         )
         # Cast BEFORE the multiply: pos_at and the 2*neg_below+neg_at
         # factor are both int64 counts, so on tie-heavy scores at
@@ -79,16 +88,18 @@ def auc_one_vs_rest(
                 * (F.lit(2) * neg_below + neg_at).cast("decimal(38,0)")
             )
             .cast("decimal(38,0)")
-            .alias(f"__u2_{c}")
+            .alias(f"__u2_{i}")
         )
-    per_score = cum.select("__tot", *[f"__c{c}" for c in classes], *contribs)
+    per_score = cum.select(
+        "__tot", *[f"__c{i}" for i in range(len(classes))], *contribs
+    )
     agg = per_score.agg(
         F.sum("__tot").alias("__n"),
-        *[F.sum(f"__c{c}").alias(f"__p{c}") for c in classes],
-        *[F.sum(f"__u2_{c}").alias(f"__u{c}") for c in classes],
+        *[F.sum(f"__c{i}").alias(f"__p{i}") for i in range(len(classes))],
+        *[F.sum(f"__u2_{i}").alias(f"__u{i}") for i in range(len(classes))],
     )
     stack_args = ", ".join(
-        f"{c}, __p{c}, __u{c}" for c in classes
+        f"{int(c)}, __p{i}, __u{i}" for i, c in enumerate(classes)
     )
     stacked = agg.select(
         "__n",
@@ -252,10 +263,14 @@ def calibration_bins(
     (``round(score·quantize)`` summed as DECIMAL(38,0) — float
     summation order varies by engine/partitioning, exact integers
     don't), so the two final divisions are the only float ops and the
-    result hash-verifies. NULL scores are EXCLUDED — without the
-    filter, Spark's least/greatest SKIP null arguments, so an unscored
-    row would silently land in the TOP bin and corrupt its mean and
-    positive rate. With ``by``, bins are computed per group — the
+    result hash-verifies. NULL and NaN scores are EXCLUDED — without
+    the filter, Spark's least/greatest SKIP null arguments, so an
+    unscored row would silently land in the TOP bin and corrupt its
+    mean and positive rate; a NaN (a real 0/0 model output) passes
+    isNotNull, floors to bin 0 under non-ANSI casting (ANSI: fails the
+    whole job) yet drops out of the quantized score sum, deflating
+    bin 0's mean_score (r16 self-review). With ``by``, bins are
+    computed per group — the
     sliced reliability check that pairs with :func:`auc_by_group`
     (still ONE aggregate; the shuffle key just widens to
     (group..., bin)). Returns one row per non-empty bin:
@@ -266,7 +281,7 @@ def calibration_bins(
         F.lit(0), F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
     )
     out = (
-        df.where(s.isNotNull())
+        df.where(s.isNotNull() & ~F.isnan(s))
         .groupBy(*by, b.alias("bin"))
         .agg(
             F.count("*").alias("n"),
@@ -436,8 +451,17 @@ def threshold_metrics(
     docstring): without the filter an unscored row would count into
     ``__n``/``__pos`` and land in tn/fn as an implicit
     predicted-negative, which is a labeling decision this function has
-    no business making silently.
+    no business making silently. A NULL ``positive`` predicate is a
+    NEGATIVE — the same reading the curve family (roc/pr/ap) applies
+    (their fp = all-minus-positives arithmetic counts predicate-NULL
+    rows as negatives); previously such a row scoring above the
+    threshold fell out of BOTH tp and fp and was absorbed into tn,
+    silently disagreeing with roc_points on identical data (r16
+    self-review).
     """
+    if not thresholds:
+        raise ValueError("threshold_metrics requires at least one threshold")
+    positive = F.coalesce(positive, F.lit(False))
     s = F.col(score_col)
     df = df.where(s.isNotNull())
     aggs = [F.sum(positive.cast("long")).alias("__pos"), F.count("*").alias("__n")]

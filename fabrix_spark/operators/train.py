@@ -106,6 +106,14 @@ def logreg_gd(
             F.sum(F.col(f"__x{j}").cast("decimal(38,0)") * r).alias(f"__g{j}")
             for j in range(dim)
         ]
+        # count the rows that actually ENTERED the sums: a PER-ROW
+        # decimal(38,0) overflow of __z (or __z·500000) NULLs that
+        # row's __p under non-ANSI Spark, F.sum silently skips it, and
+        # the g[j]-is-None check below never fires (it only sees SUM
+        # overflow) — the update would divide a partial gradient by
+        # the full n, silently corrupting the weights (r16
+        # self-review)
+        aggs.append(F.count("__p").alias("__np"))
         if it == 1:
             aggs.append(F.count("*").alias("__n"))
         g = scored.agg(*aggs).collect()[0]
@@ -115,6 +123,14 @@ def logreg_gd(
                 raise ValueError(
                     "logreg_gd: empty training set after NULL exclusion"
                 )
+        if int(g["__np"]) != n:
+            raise ValueError(
+                f"logreg_gd: {n - int(g['__np'])} row(s) overflowed the "
+                f"decimal(38,0) logit at iteration {it} and dropped out "
+                "of the gradient — feature magnitudes times the current "
+                "weights exceed the exact-arithmetic contract; rescale/"
+                "quantize features coarser upstream"
+            )
         for j in range(dim):
             gj = g[f"__g{j}"]
             if gj is None:

@@ -1538,6 +1538,77 @@ def test_pq_fast_trainer_and_encoder_match_dataframe_path(spark, sf_dir):
     assert fast == slow and len(fast) > 0
 
 
+def test_metrics_and_graph_edge_contracts(spark):
+    """r16 self-review pins for the metrics/graph families:
+    (a) auc_one_vs_rest works for NEGATIVE class labels (the common
+    ±1 labeling previously died in F.expr — stack parsed the
+    value-embedded alias __p-1 as __p minus 1);
+    (b) threshold_metrics treats a NULL positive predicate as a
+    NEGATIVE, agreeing with the curve family (the row previously
+    vanished from tp AND fp and was absorbed into tn);
+    (c) calibration_bins excludes NaN scores (previously bin 0 counted
+    them in n while their quantized sum dropped out);
+    (d) empty thresholds/classes raise ValueError, not a stack() parse
+    error; (e) pagerank excludes NULL-endpoint edges and refuses an
+    empty edge list."""
+    import math
+
+    import pytest
+
+    from fabrix_spark.operators.graph import pagerank
+    from fabrix_spark.operators.metrics import (
+        auc_one_vs_rest,
+        calibration_bins,
+        threshold_metrics,
+    )
+
+    # (a) ±1 labels == the same data relabeled to {0, 1}
+    rows = [(0.9, 1), (0.8, -1), (0.7, 1), (0.4, -1), (0.2, 1), (0.1, -1)]
+    df_pm = spark.createDataFrame(rows, "score double, label int")
+    df_01 = spark.createDataFrame(
+        [(s, 1 if l == 1 else 0) for s, l in rows], "score double, label int"
+    )
+    got = {r["cls"]: r["auc"] for r in auc_one_vs_rest(df_pm, "score", "label", [-1, 1]).collect()}
+    want = {r["cls"]: r["auc"] for r in auc_one_vs_rest(df_01, "score", "label", [0, 1]).collect()}
+    assert got[1] == want[1] and got[-1] == want[0]
+
+    # (b) NULL predicate row scoring above threshold counts in fp
+    dfn = spark.createDataFrame(
+        [(0.9, 1), (0.8, None), (0.3, 0)], "score double, label int"
+    )
+    m = threshold_metrics(dfn, "score", F.col("label") == 1, [0.5]).collect()[0]
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (1, 1, 1, 0)
+
+    # (c) NaN scores excluded from calibration bins
+    dfnan = spark.createDataFrame(
+        [(0.05, 1), (float("nan"), 1), (0.95, 0)], "score double, label int"
+    )
+    bins = {r["bin"]: r for r in calibration_bins(dfnan, "score", F.col("label") == 1).collect()}
+    assert bins[0]["n"] == 1 and not math.isnan(bins[0]["mean_score"])
+    assert sum(r["n"] for r in bins.values()) == 2
+
+    # (d) loud validation instead of stack(0, ) parse errors
+    with pytest.raises(ValueError, match="threshold"):
+        threshold_metrics(dfn, "score", F.col("label") == 1, [])
+    with pytest.raises(ValueError, match="class"):
+        auc_one_vs_rest(df_pm, "score", "label", [])
+
+    # (e) pagerank: NULL-endpoint edge excluded; empty graph refused
+    e = spark.createDataFrame(
+        [(None, "b"), ("a", "b")], "src string, dst string"
+    )
+    got_pr = sorted(
+        (r["node"], r["rank"]) for r in pagerank(e, iters=2).collect()
+    )
+    want_pr = sorted(
+        (r["node"], r["rank"])
+        for r in pagerank(e.filter(F.col("src").isNotNull()), iters=2).collect()
+    )
+    assert got_pr == want_pr and all(n is not None for n, _ in got_pr)
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(spark.createDataFrame([], "src string, dst string"))
+
+
 def test_sampling_null_key_contract(spark):
     """Uniform NULL-key contract across the hashing samplers (r16
     self-review): a NULL key cannot be deterministically attributed,

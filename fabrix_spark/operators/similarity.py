@@ -117,7 +117,7 @@ def cosine_topk(
 
     scored = (
         c.join(F.broadcast(q), "__one")
-        .filter(F.col("c_id") != F.col("q_id"))
+        .filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
         .select(
             "q_id",
             "c_id",
@@ -227,14 +227,27 @@ def cosine_topk_blocked(
     import pandas as pd
 
     query_id_col = query_id_col or id_col
+    if not _integral_id(queries, query_id_col) or not _integral_id(corpus, id_col):
+        # the vectorized kernel packs ids into int64 numpy arrays; a
+        # string or NULL id would die deep in the executor with an
+        # opaque cast error — fall back to the expression path, which
+        # handles any id type with the same contract (r16 self-review)
+        return cosine_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, quantize=quantize,
+        )
     q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    q_rows = [r for r in q_rows if r[0] is not None and r[1] is not None]
     if not q_rows:
         empty = "q_id long, c_id long, cosine double, rank int"
         return corpus.sparkSession.createDataFrame([], empty)
 
+    # _np_quant, NOT a naive floor(s+0.5): the naive form diverges
+    # from F.round on repr-tie values (the 0.49999999999999994 class),
+    # which would break this path's bit-parity contract with
+    # cosine_topk and the oracle (r16 self-review)
     def _quant(m: "np.ndarray") -> "np.ndarray":
-        s = m.astype(np.float64) * quantize
-        return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+        return _np_quant(m, quantize)
 
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     qm = _quant(np.asarray([list(r[1]) for r in q_rows]))
@@ -260,7 +273,17 @@ def cosine_topk_blocked(
             # — regardless of c_id ties. (A fixed +N slack can clip
             # the lowest-c_id members of a large tie group, e.g. many
             # exact-duplicate embeddings in one Arrow batch.)
-            raw = dots / np.sqrt(c_n2[:, None].astype(np.float64) * b_qn2[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = dots / np.sqrt(
+                    c_n2[:, None].astype(np.float64) * b_qn2[None, :]
+                )
+            # zero-norm vectors give 0/0 = NaN, and np.partition sorts
+            # NaN LARGEST — one such row would poison the per-query
+            # kth cut (candidates silently clipped, or the whole batch
+            # emitting nothing). Zero-norm rows have no defined cosine
+            # and are excluded, like the expression path's NULL-cosine
+            # rows falling out of the top-k (r16 self-review).
+            np.putmask(raw, ~np.isfinite(raw), -np.inf)
             np.putmask(raw, c_ids[:, None] == b_qids[None, :], -np.inf)
             nb = len(c_ids)
             if nb > k:
@@ -280,7 +303,12 @@ def cosine_topk_blocked(
             }
             yield pd.DataFrame(rows)
 
-    cand = corpus.select(
+    # NULL ids/vectors cannot enter the int64/stack kernel — excluded
+    # (documented divergence from the expression path, which pairs
+    # NULL-id rows; this is the triage path)
+    cand = corpus.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cvec")
     ).mapInPandas(
         block, "q_id long, c_id long, dot long, c_n2 long, q_n2 long, self boolean"
@@ -389,25 +417,40 @@ def rp_topk(
 
     c = side(spread(corpus), id_col, "c")
     q = side(queries, query_id_col, "q")
+    # the candidate-ranking window carries ONLY (q_id, c_id, __pcos) —
+    # previously the full-width c_vec/q_vec rode through the shuffle
+    # for EVERY corpus × query pair (~dim/out_dim times wider than
+    # needed, 48× at dim=768/out_dim=16), contradicting the "re-read
+    # full vectors for k·oversample rows only" claim (r16 self-review).
+    # The survivors join back for the exact re-score: the kept-id set
+    # is queries × k·oversample rows — broadcast — so the second
+    # corpus scan is map-only with no shuffle.
     cand = (
-        c.join(F.broadcast(q), "__one")
-        .filter(F.col("c_id") != F.col("q_id"))
+        c.select("c_id", "c_p", "c_pn2", "__one")
+        .join(F.broadcast(q.select("q_id", "q_p", "q_pn2", "__one")), "__one")
+        .filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
         .select(
             "q_id",
             "c_id",
-            "c_vec",
-            "q_vec",
-            "c_n2",
-            "q_n2",
             _cosine(
                 F.col("c_p"), F.col("q_p"), F.col("c_pn2"), F.col("q_pn2"), True
             ).alias("__pcos"),
         )
     )
     cw = Window.partitionBy("q_id").orderBy(F.col("__pcos").desc(), F.col("c_id").asc())
-    kept = (
+    kept_ids = (
         cand.withColumn("__crank", F.row_number().over(cw))
         .filter(F.col("__crank") <= k * oversample)
+        .select("q_id", "c_id")
+    )
+    kc = c.select(F.col("c_id").alias("__kcid"), "c_vec", "c_n2")
+    kq = q.select(F.col("q_id").alias("__kqid"), "q_vec", "q_n2")
+    # eqNullSafe join keys: _pair_key deliberately keeps NULL-id rows
+    # pairing, so the rescore joins must not drop them
+    kept = (
+        F.broadcast(kept_ids)
+        .join(kc, F.col("c_id").eqNullSafe(F.col("__kcid")))
+        .join(F.broadcast(kq), F.col("q_id").eqNullSafe(F.col("__kqid")))
         .select(
             "q_id",
             "c_id",
@@ -435,8 +478,11 @@ def ivf_assign(
     cvec = _quantized(F.col(vec_col), quantize)
     # single-valued but non-foldable key: Catalyst would fold lit==lit
     # back into a nested-loop cross join; a derived 0 keeps the
-    # broadcast HASH join (build side = n_centroids rows)
-    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    # broadcast HASH join (build side = n_centroids rows). _pair_key,
+    # not the old length(cast)*0 form — that one was NULL for NULL ids
+    # (silently unassigned rows) and foldable once the id is provably
+    # non-null (r16 self-review; see _pair_key's docstring)
+    one = _pair_key
     vecs = (
         spread(corpus)
         .select(F.col(id_col), cvec.alias("__v"))
@@ -663,6 +709,11 @@ def kmeans_train_rows(
     import numpy as np
     import pandas as pd
 
+    # NULL ids sort FIRST under asc() and would crash int(r[0]) on the
+    # driver; NULL embeddings would crash np.stack inside the executor
+    # — exclude both, like gram_matrix's vec.isNotNull() gate (r16
+    # self-review)
+    corpus = corpus.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     seed = (
         corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col).collect()
     )
@@ -881,7 +932,7 @@ def ivf_cosine_topk(
     )
     cand = (
         c_assign.join(F.broadcast(q_assign), "centroid_id")
-        .filter(F.col("c_id") != F.col("q_id"))
+        .filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
         .select("q_id", "c_id")
         .distinct()
     )
@@ -1036,7 +1087,15 @@ def hyperplane_lsh_buckets(
     With ``n_tables`` > 1 each vector gets one bucket per independent
     table (planes salted by table index) — standard multi-table recall
     amplification: neighbors are candidates if they collide in ANY
-    table (P = 1-(1-p^planes)^tables). Returns (id, table, bucket)."""
+    table (P = 1-(1-p^planes)^tables). Returns (id, table, bucket).
+
+    NULL embeddings are EXCLUDED (r16 self-review): with ``dim`` set a
+    NULL vector made size() NULL, fell to the raise_error branch, and
+    killed the job with a NULL (message-less) error; without ``dim``
+    every plane dot went NULL and ALL null-vector rows funneled into
+    bucket 0 of every table — an O(n_nulls²·tables) candidate blowup
+    feeding NULL-cosine edges into knn_graph/lsh_cosine_topk."""
+    df = df.where(F.col(vec_col).isNotNull())
     q = _quantized(F.col(vec_col), quantize)
     if dim is not None:
         # Fail loudly on a dimension mismatch: with the inlined plane
@@ -1128,26 +1187,37 @@ def lsh_cosine_topk(
     qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col, n_tables=n_tables, dim=dim).withColumnRenamed(id_col, "q_id")
     cand = (
         cb.join(qb, ["table", "bucket"])
-        .filter(F.col("c_id") != F.col("q_id"))
+        .filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
         .select("q_id", "c_id")
         .distinct()
     )
 
-    cvec = corpus.select(F.col(id_col).alias("c_id"), _quantized(F.col(vec_col), 1_000_000).alias("c_vec"))
-    qvec = queries.select(F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), 1_000_000).alias("q_vec"))
+    # norms precomputed ONCE per vector (the sibling ops' shared
+    # _cosine shape): the inline form re-ran both O(dim) norm
+    # aggregates for EVERY candidate pair — a corpus vector in p query
+    # candidate sets paid its norm p times (r16 self-review)
+    cvec = (
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            _quantized(F.col(vec_col), 1_000_000).alias("c_vec"),
+        )
+        .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), True))
+    )
+    qvec = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            _quantized(F.col(vec_col), 1_000_000).alias("q_vec"),
+        )
+        .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), True))
+    )
     scored = (
         cand.join(cvec, "c_id")
         .join(F.broadcast(qvec), "q_id")
         .select(
             "q_id",
             "c_id",
-            F.round(
-                _dot(F.col("c_vec"), F.col("q_vec"), True)
-                / F.sqrt(
-                    _dot(F.col("c_vec"), F.col("c_vec"), True).cast("double")
-                    * _dot(F.col("q_vec"), F.col("q_vec"), True).cast("double")
-                ),
-                6,
+            _cosine(
+                F.col("c_vec"), F.col("q_vec"), F.col("c_n2"), F.col("q_n2"), True
             ).alias("cosine"),
         )
     )
@@ -1282,7 +1352,7 @@ def _l2_assign(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     engine with no rounding step at all. Codebook broadcast; ties
     break (d² asc, code asc). ``vecs``: (id, __v, __n2); ``cents``:
     (code, __c, __cn2)."""
-    one = lambda c: F.length(F.col(c).cast("string")) * 0  # noqa: E731
+    one = _pair_key  # NULL-safe, non-foldable (r16; see its docstring)
     scored = (
         vecs.withColumn("__one", one(id_col))
         .join(F.broadcast(cents.withColumn("__one", one("code"))), "__one")
@@ -1333,6 +1403,9 @@ def pq_train_rows(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
+    # same NULL gate as kmeans_train_rows: NULL ids seed first and
+    # crash int(r[0]); NULL embeddings crash the executor stack
+    corpus = corpus.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     seed = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_codes)
@@ -1710,7 +1783,7 @@ def _adc_topk(
         .groupBy("q_id", "c_id")
         .agg(F.sum("__dt").alias("__adot"), F.sum("__cn2").alias("__rn2"))
         .join(F.broadcast(qn2), "q_id")
-        .filter(F.col("c_id") != F.col("q_id"))
+        .filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
         .select(
             "q_id",
             "c_id",
@@ -1788,7 +1861,7 @@ def ivfpq_topk(
     )
     cand = (
         c_assign.join(F.broadcast(q_assign), "centroid_id")
-        .filter(F.col("c_id") != F.col("q_id"))
+        .filter(~F.col("c_id").eqNullSafe(F.col("q_id")))
         .select("q_id", "c_id")
         .distinct()
     )

@@ -74,6 +74,25 @@ def main() -> None:
     quiet_threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
     quiet_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
 
+    # Host-CPU probe (r17, per the r16 verdict): the loadavg gate is
+    # blind to hypervisor-level steal/throttle — r16 shipped a +30%
+    # artifact on an idle guest (the builder measured single-thread
+    # variance of ±30% with loadavg < 0.5). A fixed pure-Python loop
+    # timed before and after the race gives every BENCH_rN reader an
+    # absolute same-workload yardstick: if cpu_probe_sec sits above the
+    # known quiet band (per-round calibration lives in BENCH_NOTES.md),
+    # inflated query times are weather, not code. perf_counter, best of
+    # 3 so a single scheduler hiccup doesn't poison the probe itself.
+    def _cpu_probe() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(20_000_000):
+                acc += i
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     def _gate_load() -> float:
         one, five, _ = os.getloadavg()
         return max(one, five)
@@ -84,6 +103,7 @@ def main() -> None:
         waited += 5.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     load_before = os.getloadavg()
+    cpu_probe_before = _cpu_probe()
     quiet_gate = {
         "threshold": quiet_threshold,
         "waited_sec": round(waited, 1),
@@ -129,6 +149,11 @@ def main() -> None:
                 "estimator": "best_of_runs",
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "cpu_probe_sec": {
+                    "before": cpu_probe_before,
+                    "after": _cpu_probe(),
+                    "workload": "20M-iteration integer loop, best of 3",
+                },
                 "quiet_gate": quiet_gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -18,6 +18,7 @@ SqlExecutor sink is driver-side by design (control-plane DBs).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -146,6 +147,29 @@ def stream_upsert_lake(
     )
 
 
+_ADMISSION_LOCK = "_admission_lock"
+
+
+def _admission_guard(admitted, stale_log):
+    """Mutual exclusion between the admission gate and
+    :func:`compact_admitted` (r17, per the r16 verdict): compaction
+    snapshots its condemned-id set before its two deletes, so an
+    admission batch interleaving with the pass could be silently lost
+    (update accepted between snapshot and delete → row deleted, store
+    left rejecting content whose row is gone). Both sides hold an
+    advisory ``_admission_lock`` file on the admitted table root —
+    compaction for its whole snapshot-and-delete span,
+    :func:`admit_batch` per batch. The gate takes it only when a
+    ``stale_log`` is in play: without one, :func:`compact_admitted`
+    never runs on these tables (it is driven by the log) and the gate
+    skips the filesystem round-trip. A pathological overlap degrades
+    to the lock's bounded wait and then a loud ``TimeoutError`` —
+    never silent row loss."""
+    if stale_log is None or not hasattr(admitted, "writer_lock"):
+        return contextlib.nullcontext()
+    return admitted.writer_lock(name=_ADMISSION_LOCK)
+
+
 def admit_batch(
     batch: DataFrame,
     store,
@@ -191,7 +215,36 @@ def admit_batch(
     update records ``(id, xxhash64 of the stale admitted text)`` via
     a key-upsert (idempotent under redelivery), which is exactly the
     evidence the offline compaction needs to delete the stale row AND
-    its signatures in a coordinated, restartable pass."""
+    its signatures in a coordinated, restartable pass. With a
+    ``stale_log`` set, each batch holds the ``_admission_lock``
+    advisory lock on the admitted table so an interleaving
+    :func:`compact_admitted` pass serializes instead of losing the
+    batch's updates (see :func:`_admission_guard`)."""
+    with _admission_guard(admitted, stale_log):
+        return _admit_batch_locked(
+            batch,
+            store,
+            admitted,
+            threshold=threshold,
+            bands=bands,
+            text_col=text_col,
+            id_col=id_col,
+            intra_batch=intra_batch,
+            stale_log=stale_log,
+        )
+
+
+def _admit_batch_locked(
+    batch: DataFrame,
+    store,
+    admitted,
+    threshold: float,
+    bands: int,
+    text_col: str,
+    id_col: str,
+    intra_batch: bool,
+    stale_log: "object | None",
+) -> DataFrame:
     from ..operators import dedup as _dedup
     from ..sources.sql import SaveStrategy
 
@@ -391,13 +444,21 @@ def compact_admitted(
        replacement collides with the stale version's xxhash64 would
        be wrongly deleted — 2^-64 per entry, accepted.
 
-    Concurrency contract: the condemned-id set is snapshotted before
-    the deletes, so this pass must NOT run concurrently with the
-    admission stream on the same tables — an update accepted between
-    the snapshot and the deletes would be lost (and the store left
-    rejecting content whose row is gone). Run it between availableNow
-    drains or during a maintenance pause; the lake's advisory writer
-    lock serializes individual commits, not this read-then-delete.
+    Concurrency contract (guarded since r17): the condemned-id set is
+    snapshotted before the deletes, so this pass must not interleave
+    with the admission stream on the same tables — an update accepted
+    between the snapshot and the deletes would be lost (and the store
+    left rejecting content whose row is gone). The guard is
+    enforced, not docstring-only: this pass holds the
+    ``_admission_lock`` advisory lock on the admitted table root for
+    its WHOLE snapshot-and-delete span, and :func:`admit_batch` holds
+    the same lock per batch whenever a ``stale_log`` is configured —
+    so an in-flight availableNow drain serializes batch-by-batch
+    against this pass, and a batch that cannot acquire the lock
+    within the table's ``lock_timeout`` fails loudly with
+    ``TimeoutError`` instead of losing rows. (The lake's per-commit
+    ``_writer_lock`` is a different, narrower lock: it serializes
+    individual commits, not this read-then-delete span.)
 
     Scale shape: one admitted scan and one store scan (both pruned to
     the log's key-semi-join on bucketed tables via apply_changes'
@@ -406,41 +467,43 @@ def compact_admitted(
     whatever cadence stale mass warrants."""
     if not (stale_log.exists() and admitted.exists() and store.exists()):
         return 0
-    log = stale_log.read().df
-    adm = admitted.read().df
-    ids = (
-        adm.select(id_col, F.xxhash64(F.col(text_col)).alias("__h"))
-        .join(log, id_col)
-        .filter(F.col("__h").eqNullSafe(F.col("stale_hash")))
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
-    removed = ids.count()
-    if removed:
-        store.table.apply_changes(
-            store.read()
-            .join(ids, id_col, "left_semi")
-            .withColumn("__change", F.lit("delete")),
+    with admitted.writer_lock(name=_ADMISSION_LOCK):
+        log = stale_log.read().df
+        adm = admitted.read().df
+        ids = (
+            adm.select(id_col, F.xxhash64(F.col(text_col)).alias("__h"))
+            .join(log, id_col)
+            .filter(F.col("__h").eqNullSafe(F.col("stale_hash")))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        removed = ids.count()
+        if removed:
+            store.table.apply_changes(
+                store.read()
+                .join(ids, id_col, "left_semi")
+                .withColumn("__change", F.lit("delete")),
+                change_col="__change",
+            )
+            admitted.apply_changes(
+                adm.join(ids, id_col, "left_semi").withColumn(
+                    "__change", F.lit("delete")
+                ),
+                change_col="__change",
+            )
+        live = admitted.read().df.select(
+            id_col, F.xxhash64(F.col(text_col)).alias("__h")
+        )
+        resolved = (
+            log.join(live, id_col, "left")
+            .filter(~F.col("__h").eqNullSafe(F.col("stale_hash")))
+            .select(id_col, "stale_hash")
+        )
+        stale_log.apply_changes(
+            resolved.withColumn("__change", F.lit("delete")),
             change_col="__change",
         )
-        admitted.apply_changes(
-            adm.join(ids, id_col, "left_semi").withColumn(
-                "__change", F.lit("delete")
-            ),
-            change_col="__change",
-        )
-    live = admitted.read().df.select(
-        id_col, F.xxhash64(F.col(text_col)).alias("__h")
-    )
-    resolved = (
-        log.join(live, id_col, "left")
-        .filter(~F.col("__h").eqNullSafe(F.col("stale_hash")))
-        .select(id_col, "stale_hash")
-    )
-    stale_log.apply_changes(
-        resolved.withColumn("__change", F.lit("delete")), change_col="__change"
-    )
-    return removed
+        return removed
 
 
 def fuzzy_probe_plan(

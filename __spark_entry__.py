@@ -37,20 +37,22 @@ from fabrix_spark import queries as _q  # noqa: E402
 
 # Queries with no driver CORRECTNESS row yet (or whose BEHAVIOR changed
 # this round) come first, then three long-green canaries, then the
-# staleness-ordered tail. Round-16 state: the last-green histogram
-# after round 15 is r11×47, r12×47, r13×47, r14×47, r15×50. Window
-# math: 3 canaries + the 47-query r11 cohort = 50 EXACTLY, so this
-# round promotes NOTHING (the r15 verdict's #1: drain the whole r11
+# staleness-ordered tail. Round-17 state: the last-green histogram
+# after round 16 is r12×47, r13×47, r14×47, r15×47, r16×50. Window
+# math: 3 canaries + the 47-query r12 cohort = 50 EXACTLY, so this
+# round promotes NOTHING (the r16 verdict's #1: drain the whole r12
 # cohort; promotion capacity is structurally 0 at 238 registry
-# queries — see COVERAGE.md "Registry growth policy" for why that
-# zero is permanent, not transient). The round's one new query
-# (stream_fuzzy_update_replay — the update-path fuzzy-admission
-# oracle, spending the banked r15 staged unit) lands in
-# queries.STAGED and never enters this window. No registry query's
-# RESULTS changed this round (the admit_batch_fuzzy atomic-CDC
-# rework is commit-granularity only, verified result-identical by
-# the staged parity tests), so the head is just the canaries.
-# Expected after this round: no entry's last-green < r12.
+# queries — permanently: 235 non-canary = 5 × 47, see COVERAGE.md
+# "Registry growth policy"). The round's one new query
+# (stream_session_ooo_replay — the out-of-order sessionization
+# oracle, staged under a documented one-unit capacity exception)
+# lands in queries.STAGED and never enters this window. No registry
+# query's RESULTS changed this round (the stateful_sessionize
+# grouping refactor that hosts the _mutate knob is result-identical —
+# stream_session_replay re-verified against its oracle at sf0.01 on
+# landing, and every sessionize pytest pin is unchanged), so the head
+# is just the canaries. Expected after this round: no entry's
+# last-green < r13.
 _VERIFY_FIRST = [
     # canaries (driver-green every round since r01)
     "q1_pricing_summary",

@@ -11571,6 +11571,132 @@ def gr_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(e, k=10, iters=5)
 
 
+@stage(
+    "stream_session_ooo_replay",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+g AS (
+  SELECT user_id, tms,
+         CASE WHEN lag(tms) OVER w IS NULL
+                   OR tms - lag(tms) OVER w > 7200000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+),
+s AS (
+  SELECT user_id, tms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       make_timestamp(min(tms) * 1000) AS session_start,
+       make_timestamp(max(tms) * 1000) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def stream_session_ooo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER streaming sessionization (the r16 verdict's What's
+    wrong #1): stream_session_replay's ordered quartile batches leave
+    the r16 sessionizer rewrite's hardest semantics — backward session
+    extension, earlier-session creation, watermark-delay ≫ gap sealed
+    emission — structurally unexercised, so this sibling scrambles the
+    delivery order while keeping every event admissible. Schedule:
+    events slice into 8-day windows; each window splits into two
+    HASH-assigned sub-batches (pmod(xxhash64(event_id), 2)) delivered
+    in sequence — so within every window, half the events arrive a
+    full micro-batch after neighbors that may be up to 8 days newer.
+    With watermark delay = window + 1 h, NOTHING is ever late: for
+    batch (window m, sub s), the watermark is at most
+    lo + m·window − 1 h < every event in window m (sub 0 sees only
+    windows < m; sub 1 additionally sees window m itself, still ≤
+    lo + (m+1)·window, and the delay covers the full window width).
+    The oracle therefore reconstructs sessions from the FULL event
+    set — any drop, fragment, phantom, or misplaced start the
+    out-of-order fold produces is a hash mismatch. Mid-stream sealing
+    still happens (each new window moves the watermark 8 days), and
+    two far-future sentinels flush the tail exactly as in the ordered
+    replay. gap = 2 h (≫ the registry query's 30 min) so multi-event
+    sessions are dense (1393 of 8326 at sf0.01) and window-boundary
+    sessions force cross-batch backward merges at data scale; the
+    three semantics are additionally pinned one-by-one by the
+    mutation test (test_sessionize_ooo_mutation_sensitivity) via
+    stateful_sessionize's ``_mutate`` knob. ms-integer time on both
+    sides, as in stream_session_replay."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+    from datetime import timedelta
+
+    from .streaming.ingest import read_stream_parquet, run_available_now
+    from .streaming.stateful import stateful_sessionize
+
+    gap_s = 7200
+    window_s = 8 * 86400
+    delay_s = window_s + 3600
+    root = tempfile.mkdtemp(prefix="fabrix_ssess_ooo_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    # lo as an engine-side epoch (NOT datetime.timestamp(), which
+    # reads a naive datetime in the PYTHON process tz) so the window
+    # offsets subtract two casts from the same engine; NTZ has no
+    # direct long cast — route through timestamp (UTC session)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    lo_s, hi = e.agg(F.min(ts_s), F.max("ts")).head()
+    assigned = e.select(
+        "user_id",
+        "ts",
+        F.floor((ts_s - F.lit(lo_s)) / window_s).alias("__w"),
+        F.pmod(F.xxhash64("event_id"), F.lit(2)).alias("__s"),
+    )
+    n_windows = assigned.agg(F.max("__w")).head()[0] + 1
+    schema = "user_id long, ts timestamp_ntz"
+    sent1 = hi + timedelta(seconds=delay_s + gap_s + 300)
+    sent2 = sent1 + timedelta(seconds=3600)
+    batches = [
+        assigned.filter((F.col("__w") == m) & (F.col("__s") == s)).select(
+            "user_id", "ts"
+        )
+        for m in range(int(n_windows))
+        for s in (0, 1)
+    ]
+    batches.append(spark.createDataFrame([(-1, sent1)], schema))
+    batches.append(spark.createDataFrame([(-1, sent2)], schema))
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        # FileStreamSource orders by modification time — pin the
+        # arrival order explicitly so bucket i IS micro-batch i
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    sess = stateful_sessionize(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        gap_seconds=gap_s,
+        watermark=f"{delay_s} seconds",
+    )
+    name = f"sess_ooo_{_uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        sess, os.path.join(root, "ckpt"), memory_table=name, output_mode="append"
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 # ===========================================================================
 # registry accessors (driver contract)
 # ===========================================================================

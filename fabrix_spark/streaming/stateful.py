@@ -74,6 +74,7 @@ def stateful_sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     watermark: str = "30 minutes",
+    _mutate: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization with explicit state: a session closes
     when the event-time watermark passes last_seen + gap, then the
@@ -107,7 +108,18 @@ def stateful_sessionize(
     soon as a LATER event arrived in the same batch, which finalized
     sessions the watermark had not yet sealed. Open sessions per key
     are bounded by watermark_delay / gap + 1 (they are > gap apart and
-    all end after watermark − gap), so state stays small."""
+    all end after watermark − gap), so state stays small.
+
+    ``_mutate`` is MUTATION-EVIDENCE plumbing, not API (same device as
+    queries._fuzzy_update_oracle's parameterization): each value
+    disables exactly one of the r16 out-of-order semantics so the
+    staged oracle's sensitivity test can assert the output flips per
+    semantic — ``"no_backward"`` (a straggler never moves an existing
+    session's start earlier), ``"no_bridge"`` (two open sessions never
+    merge, even when a straggler lands between them), ``"eager_seal"``
+    (every session but the newest is emitted as soon as the batch
+    folds, the pre-r16 inline gap-close, instead of waiting for
+    watermark > end + gap). Production callers leave it ``None``."""
     gap_ms = gap_seconds * 1000
     out_schema = T.StructType(
         [
@@ -132,6 +144,7 @@ def stateful_sessionize(
             sessions = [[s, e, c] for s, e, c in zip(starts, lasts, ns)]
         else:
             sessions = []
+        had_events = False
         if not state.hasTimedOut:
             # row order within a micro-batch group is arbitrary — and
             # rows older than the watermark are dropped here (late-data
@@ -142,16 +155,43 @@ def stateful_sessionize(
                 for t in (pdf[ts_col].astype("int64") // 1_000_000).tolist()
                 if t >= wm_ms
             )
-            items = sorted(sessions + [[t, t, 1] for t in ts_ms])
-            sessions = []
-            for s, e, c in items:
-                if sessions and s - sessions[-1][1] <= gap_ms:
-                    sessions[-1][1] = max(sessions[-1][1], e)
-                    sessions[-1][2] += c
+            had_events = bool(ts_ms)
+            # flag 0 = pre-existing open session, 1 = new event — only
+            # the _mutate paths read it; the unmutated grouping is the
+            # same interval merge as before (group start = first sorted
+            # member's start, end = running max, counts sum)
+            items = sorted(
+                [[s, e, c, 0] for s, e, c in sessions]
+                + [[t, t, 1, 1] for t in ts_ms]
+            )
+            groups: list[list[list[int]]] = []
+            end = -1
+            for it in items:
+                bridge_block = (
+                    _mutate == "no_bridge"
+                    and it[3] == 0
+                    and groups
+                    and any(m[3] == 0 for m in groups[-1])
+                )
+                if groups and it[0] - end <= gap_ms and not bridge_block:
+                    groups[-1].append(it)
+                    end = max(end, it[1])
                 else:
-                    sessions.append([s, e, c])
-        closed = [x for x in sessions if x[1] + gap_ms < wm_ms]
-        live = [x for x in sessions if x[1] + gap_ms >= wm_ms]
+                    groups.append([it])
+                    end = it[1]
+            sessions = []
+            for g in groups:
+                s = g[0][0]
+                if _mutate == "no_backward" and any(m[3] == 0 for m in g):
+                    s = min(m[0] for m in g if m[3] == 0)
+                sessions.append(
+                    [s, max(m[1] for m in g), sum(m[2] for m in g)]
+                )
+        if _mutate == "eager_seal" and had_events:
+            closed, live = sessions[:-1], sessions[-1:]
+        else:
+            closed = [x for x in sessions if x[1] + gap_ms < wm_ms]
+            live = [x for x in sessions if x[1] + gap_ms >= wm_ms]
         if live:
             state.update(
                 (

@@ -1685,6 +1685,105 @@ def test_stateful_sessionize_out_of_order_above_watermark(spark, tmp_path):
     assert sessions_of(2) == [("10:00", "11:00", 3)]
 
 
+def test_sessionize_ooo_mutation_sensitivity(spark, tmp_path):
+    """stream_session_ooo_replay's evidence is SENSITIVE to each of
+    the three r16 out-of-order semantics it exists to pin (the same
+    device as test_fuzzy_update_replay_mutation_sensitivity): on a
+    constructed delivery schedule where every path fires, the
+    unmutated sessionizer produces the full-event-set reconstruction
+    exactly, and disabling any ONE semantic via the ``_mutate`` knob
+    (backward extension / open-session bridging / watermark-sealed
+    emission) flips its designated rows — so a regression in any path
+    cannot hide behind the other two.
+
+    Fixture (seconds offsets, gap=100, watermark delay=2500; every
+    straggler stays above the watermark, so the oracle is the plain
+    ordered reconstruction): batch 0 delivers 1050,1120 / 1500 / 1700
+    / 2000 / 3000; batch 1 delivers straggler 1000 (extends
+    [1050,1120] BACKWARD), 1600 (BRIDGES open [1500] and [1700]) and
+    2200; batch 2 delivers 2150 (backward onto [2200] — under
+    eager_seal, [2200] was already emitted, so this opens a phantom
+    fragment instead). Two sentinels flush."""
+    import json as _json
+    import os as _os
+    from datetime import datetime, timedelta
+
+    from fabrix_spark.streaming import stateful_sessionize
+    from fabrix_spark.streaming.ingest import run_available_now
+
+    base = datetime(2024, 1, 1)
+    base_epoch = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+    def put(src, name, rows, mtime):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "user_id": u,
+                        "ts": (base + timedelta(seconds=t)).strftime(
+                            "%Y-%m-%dT%H:%M:%S.000Z"
+                        ),
+                    }
+                )
+                for u, t in rows
+            )
+        )
+        _os.utime(src / name, (mtime, mtime))
+
+    def run(tag, mutate):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        put(src, "b0.json", [(1, t) for t in (1050, 1120, 1500, 1700, 2000, 3000)], 1_700_000_000)
+        put(src, "b1.json", [(1, t) for t in (1000, 1600, 2200)], 1_700_000_060)
+        put(src, "b2.json", [(1, 2150)], 1_700_000_120)
+        put(src, "b3.json", [(99, 5700)], 1_700_000_180)
+        put(src, "b4.json", [(99, 5800)], 1_700_000_240)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        sess = stateful_sessionize(
+            stream, gap_seconds=100, watermark="2500 seconds", _mutate=mutate
+        )
+        q = run_available_now(
+            sess,
+            str(tmp_path / f"ckpt_{tag}"),
+            memory_table=f"mut_{tag}",
+            output_mode="append",
+        )
+        q.awaitTermination(120)
+        return {
+            (r["s"] - base_epoch, r["e"] - base_epoch, r["n_events"])
+            for r in spark.sql(
+                f"SELECT cast(session_start AS long) s, cast(session_end AS long) e,"
+                f" n_events FROM mut_{tag} WHERE user_id = 1"
+            ).collect()
+        }
+
+    true = {(1000, 1120, 3), (1500, 1700, 3), (2000, 2000, 1), (2150, 2200, 2), (3000, 3000, 1)}
+    assert run("none", None) == true
+    # backward extension disabled: straggler counts but start stays at
+    # the first-seen session start — flips the two backward rows
+    assert run("noback", "no_backward") == {
+        (1050, 1120, 3), (1500, 1700, 3), (2000, 2000, 1), (2200, 2200, 2), (3000, 3000, 1),
+    }
+    # bridging disabled: the 1600 straggler joins [1500] but [1700]
+    # stays a separate session — one merged row becomes two
+    assert run("nobridge", "no_bridge") == {
+        (1000, 1120, 3), (1500, 1600, 2), (1700, 1700, 1), (2000, 2000, 1),
+        (2150, 2200, 2), (3000, 3000, 1),
+    }
+    # watermark-sealed emission disabled (pre-r16 inline gap-close):
+    # everything but the newest session is emitted per batch, so each
+    # later straggler opens a phantom fragment instead of merging
+    assert run("eager", "eager_seal") == {
+        (1050, 1120, 2), (1500, 1500, 1), (1700, 1700, 1), (2000, 2000, 1),
+        (1000, 1000, 1), (1600, 1600, 1), (2200, 2200, 1), (2150, 2150, 1),
+        (3000, 3000, 1),
+    }
+
+
 def test_stateful_rolling_zscore_null_value_matches_batch(spark, tmp_path):
     """NULL values must not crash the streaming fold and must occupy a
     window SLOT without contributing to the moments — exactly the

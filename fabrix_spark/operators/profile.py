@@ -51,18 +51,25 @@ def histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
     """Equal-width histogram: two passes (min/max, then one
     aggregation on the bin index). Bin edges derive from exact min/max
     so the result is deterministic — no sampling, no rdd.histogram.
-    Returns (bin, lo, hi, n) sorted by bin."""
-    stats = df.agg(
-        F.min(col).cast("double").alias("__lo"), F.max(col).cast("double").alias("__hi")
+    Returns (bin, lo, hi, n) sorted by bin.
+
+    Edge contracts (r17 self-review): NULL and NaN values are EXCLUDED
+    — ``least(n_bins-1, NULL)`` skips the NULL, so every NULL value
+    was silently counted into the TOP bin (and NaN, greatest in
+    Spark's total order, landed there too); and a constant column
+    (min == max) puts every row in bin 0 instead of dividing by a
+    zero width (a task-killing DIVIDE_BY_ZERO under ANSI mode)."""
+    x = F.col(col).cast("double")
+    clean = df.select(x.alias("__x")).filter(
+        F.col("__x").isNotNull() & ~F.isnan("__x")
     )
-    binned = df.select(F.col(col).cast("double").alias("__x")).crossJoin(
-        F.broadcast(stats)
-    )
+    stats = clean.agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+    binned = clean.crossJoin(F.broadcast(stats))
     width = (F.col("__hi") - F.col("__lo")) / n_bins
-    idx = F.least(
+    idx = F.when(F.col("__hi") > F.col("__lo"), F.least(
         F.lit(n_bins - 1),
         F.floor((F.col("__x") - F.col("__lo")) / width).cast("int"),
-    )
+    )).otherwise(F.lit(0))
     return (
         binned.withColumn("bin", idx)
         .groupBy("bin", "__lo", "__hi")
@@ -365,8 +372,10 @@ def hist_sketch(
     once per partition/day, merge forever)."""
     q = F.round(F.col(col).cast("double") * scale).cast("long")
     b = F.floor(q.cast("double") / F.lit(float(width))).cast("long")
+    # NaN excluded like NULL (r17 self-review): round(NaN) is NaN and
+    # the ANSI long cast makes one NaN kill the whole pass
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
         .groupBy(b.alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -381,7 +390,7 @@ def hist_sketch_grouped(
     q = F.round(F.col(col).cast("double") * scale).cast("long")
     b = F.floor(q.cast("double") / F.lit(float(width))).cast("long")
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
         .groupBy(F.col(by), b.alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -488,7 +497,11 @@ def mad_outliers(
     (by, n_rows, n_outliers, med, mad) with med/mad in quantized
     units rounded to 6 dp."""
     gcols = [by] if by else []
-    q = df.filter(F.col(col).isNotNull()).select(
+    # NaN excluded like NULL (r17 self-review): the ANSI long cast
+    # makes one NaN kill the whole pass, and NaN has no rank anyway
+    q = df.filter(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    ).select(
         *gcols, F.round(F.col(col).cast("double") * scale).cast("long").alias("__c")
     )
     med = q.groupBy(*gcols).agg(F.expr("percentile(__c, 0.5)").alias("__med"))
@@ -582,11 +595,22 @@ def correlation(
 
     One hash aggregate (map-side partials); emits UNROUNDED doubles —
     the repo's rank-ratio lesson: a single deterministic expression
-    over identical ints needs no rounding to agree."""
+    over identical ints needs no rounding to agree.
+
+    Incomplete pairs are EXCLUDED (r17 self-review): rows where either
+    value is NULL or NaN drop before the moments — previously a NULL
+    row was counted in ``n`` while the sums skipped it, silently
+    biasing r toward 0, and one NaN killed the pass at the ANSI long
+    cast. This is pairwise-complete observation, the standard
+    correlation contract."""
     by = by or []
-    qx = F.round(F.col(x_col).cast("double") * x_scale).cast("long")
-    qy = F.round(F.col(y_col).cast("double") * y_scale).cast("long")
-    base = df.select(*by, qx.alias("__x"), qy.alias("__y"))
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    qx = F.round(xd * x_scale).cast("long")
+    qy = F.round(yd * y_scale).cast("long")
+    base = df.filter(
+        xd.isNotNull() & yd.isNotNull() & ~F.isnan(xd) & ~F.isnan(yd)
+    ).select(*by, qx.alias("__x"), qy.alias("__y"))
     agg = base.groupBy(*[F.col(c) for c in by]).agg(
         F.count("*").alias("n"),
         F.sum("__x").alias("sx"),
@@ -822,10 +846,18 @@ def winsorize(
     The clamp itself is a narrow expression. NULLs are ignored for
     boundary ranks and pass through unclamped (explicitly —
     least/greatest SKIP nulls in every ANSI engine and would silently
-    clamp them).
+    clamp them). NaN likewise (r17 self-review): NaN is GREATEST in
+    Spark's total order, so NaNs in the upper tail became the 'hi'
+    boundary itself — ``least(NaN, x)`` then returned x and the upper
+    clamp silently vanished for every row; and once boundaries are
+    finite, an ungated NaN row would be clamped TO the boundary,
+    manufacturing a value from a non-value. NaN rows are excluded
+    from the ranks and pass through unclamped.
 
     Returns df + ``{col}_winsorized`` + ``was_clipped``."""
-    vals = df.select(col).filter(F.col(col).isNotNull())
+    vals = df.select(col).filter(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    )
     n = vals.count()
     if n == 0:
         return df.withColumn(f"{col}_winsorized", F.col(col)).withColumn(
@@ -854,12 +886,16 @@ def winsorize(
     else:
         raise ValueError(f"unknown winsorize method {method!r}")
     # least/greatest SKIP nulls (both here and in ANSI engines), which
-    # would silently clamp a NULL to a boundary — gate explicitly
+    # would silently clamp a NULL to a boundary — gate explicitly; NaN
+    # likewise passes through (it would otherwise clamp to 'hi', since
+    # NaN is greatest in Spark's total order)
+    valid = F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     clamp = F.when(
-        F.col(col).isNotNull(), F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col)))
-    )
+        valid, F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(col)))
+    ).otherwise(F.col(col))
     return df.withColumn(f"{col}_winsorized", clamp).withColumn(
-        "was_clipped", (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+        "was_clipped",
+        valid & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))),
     )
 
 

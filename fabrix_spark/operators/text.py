@@ -130,6 +130,14 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     Ratios are rounded to 6 dp so results are reproducible bit-for-bit
     across engines and partitionings.
+
+    Empty-document contract (r17 self-review): a zero-character
+    document emits NULL ratios instead of crashing the job —
+    ``punct_ratio`` divides by ``n_chars``, and under ANSI mode
+    (Spark 4's default) an unguarded 0/0 is a task-killing
+    DIVIDE_BY_ZERO, so one empty string in a 100 TB crawl took down
+    the whole pass. NULL text propagates NULL everywhere (size/length
+    of NULL are NULL under ANSI).
     """
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
@@ -142,9 +150,9 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_total"),
-        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
-        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(F.when(n_chars > 0, n_punct / n_chars), 6).alias("punct_ratio"),
+        F.round(F.when(n_tok > 0, n_stop / n_tok), 6).alias("stopword_ratio"),
+        F.round(F.when(n_tok > 0, mean_tok_len), 6).alias("mean_token_len"),
     )
 
 
@@ -295,7 +303,12 @@ def top_ngrams(
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-overlap language ID: score each language by marker-token
     hits; argmax with a fixed tiebreak order (dict order of
-    LANG_STOPWORDS). Pure expressions — no UDF, no shuffle."""
+    LANG_STOPWORDS). Pure expressions — no UDF, no shuffle.
+
+    NULL text predicts NULL (r17 self-review): with NULL scores every
+    ``>=`` comparison in the CASE chain is NULL, so every branch fell
+    through to the final ``otherwise`` and a NULL document was
+    confidently labeled as the LAST declared language ('fr')."""
     t = tokens(F.lower(F.col(text_col)))
 
     def _score(words: list[str]) -> Column:
@@ -318,7 +331,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     out = spread(df).select(
         F.col(id_col),
-        expr.alias("pred_lang"),
+        F.when(F.col(text_col).isNotNull(), expr).alias("pred_lang"),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
     )
     return out
@@ -462,11 +475,18 @@ def prune_rare_tokens(
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Collation fingerprint (sorted distinct lowercase tokens → md5) —
     the classic key-collision document fingerprint; two documents with
-    the same token multiset modulo order/duplicates collide."""
+    the same token multiset modulo order/duplicates collide.
+
+    NULL text fingerprints as NULL (r17 self-review): ``concat_ws``
+    renders a NULL array as the empty string, so NULL-text documents
+    silently collided with genuinely-empty documents under one dedup
+    key — a missing-content row is not evidence of duplication."""
     t = F.array_sort(F.array_distinct(tokens(F.lower(F.trim(F.col(text_col))))))
     return spread(df).select(
         F.col(id_col),
-        F.md5(F.concat_ws(" ", t).cast("binary")).alias("fingerprint"),
+        F.when(
+            F.col(text_col).isNotNull(), F.md5(F.concat_ws(" ", t).cast("binary"))
+        ).alias("fingerprint"),
     )
 
 
@@ -518,15 +538,28 @@ def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.max("__c").alias("__top"), F.count("*").alias("__distinct")
     )
 
+    # guards (r17 self-review): a zero-token document (empty text
+    # splits to one "" token, so __n > 0 holds for non-null text, but
+    # NULL text reaches here as __n NULL) and an all-empty-gram doc
+    # (__chars_all = 0 for empty text) must emit NULL, not crash the
+    # job under ANSI mode's DIVIDE_BY_ZERO
     return (
         tok_stats.join(bigram_stats, id_col)
         .select(
             id_col,
-            F.round(F.col("__top") / F.col("__n"), 6).alias("top_word_frac"),
-            F.round(1 - F.col("__distinct") / F.col("__n"), 6).alias("dup_word_frac"),
-            F.round(F.col("__chars_dup") / F.col("__chars_all"), 6).alias(
-                "dup_bigram_char_frac"
+            F.round(F.when(F.col("__n") > 0, F.col("__top") / F.col("__n")), 6).alias(
+                "top_word_frac"
             ),
+            F.round(
+                F.when(F.col("__n") > 0, 1 - F.col("__distinct") / F.col("__n")), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.when(
+                    F.col("__chars_all") > 0,
+                    F.col("__chars_dup") / F.col("__chars_all"),
+                ),
+                6,
+            ).alias("dup_bigram_char_frac"),
         )
     )
 

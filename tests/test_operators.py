@@ -72,6 +72,37 @@ def test_fingerprint_collates(spark):
     assert fp[1] == fp[2] != fp[3]
 
 
+def test_text_quality_empty_and_null_contract(spark):
+    """r17 self-review pins: empty/NULL documents must not crash the
+    job or produce confident nonsense. Under ANSI mode (Spark 4's
+    default) an empty document's punct_ratio divided 0/0 and KILLED
+    the whole pass in quality_score and repetition_scores; a NULL
+    document was labeled 'fr' by lang_id (NULL comparisons fell
+    through every CASE branch to the last otherwise) and collided
+    with genuinely-empty docs under fingerprint's dedup key
+    (concat_ws renders a NULL array as '')."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "hello world hello")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert q[1]["punct_ratio"] is None  # 0-char doc: NULL, not a crash
+    assert q[2]["punct_ratio"] is None and q[2]["n_tokens"] is None
+    assert q[4]["mean_token_len"] == 5.0
+
+    r = {x["doc_id"]: x for x in text.repetition_scores(df).collect()}
+    assert r[1]["dup_bigram_char_frac"] is None  # empty grams: NULL
+    assert r[4]["top_word_frac"] == 0.666667
+
+    lang = {x["doc_id"]: x["pred_lang"] for x in text.lang_id(df).collect()}
+    assert lang[2] is None  # NULL text predicts NULL, never 'fr'
+    assert lang[4] == "en"
+
+    fp = {x["doc_id"]: x["fingerprint"] for x in text.fingerprint(df).collect()}
+    assert fp[2] is None  # NULL text must not share empty text's key
+    assert fp[1] == fp[3] is not None  # genuinely-empty docs still collide
+
+
 # -- dedup ------------------------------------------------------------------
 
 
@@ -2760,6 +2791,62 @@ def test_winsorize_rank_boundaries(spark):
     assert got[100] == (96, True) and got[97] == (96, True) and got[96] == (96, False)
     assert got[50] == (50, False)
     assert got[None][0] is None  # null passes through unclamped
+
+
+def test_profile_nan_and_degenerate_contracts(spark):
+    """r17 self-review pins for the profiling family's NaN/degenerate
+    edges: (a) histogram excludes NULL/NaN values — least(n_bins-1,
+    NULL) skipped the NULL so every NULL value silently counted into
+    the TOP bin — and a constant column bins everything into bin 0
+    instead of dividing by a zero width; (b) winsorize's boundary
+    ranks exclude NaN (NaN is greatest in Spark's total order, so a
+    NaN upper tail BECAME the hi boundary and the upper clamp
+    silently vanished) and NaN rows pass through unclamped;
+    (c) hist_sketch / mad_outliers exclude NaN instead of dying at
+    the ANSI long cast; (d) correlation drops incomplete pairs — a
+    NULL row used to count in n while the sums skipped it, biasing r
+    toward 0 — and survives NaN."""
+    import math
+
+    from fabrix_spark.operators.profile import (
+        correlation,
+        hist_sketch,
+        histogram,
+        mad_outliers,
+        winsorize,
+    )
+
+    nulls = spark.createDataFrame([(1.0,), (2.0,), (None,), (None,)], "v double")
+    assert sorted(map(tuple, histogram(nulls, "v", n_bins=4).collect())) == [
+        (0, 1.0, 1.25, 1),
+        (3, 1.75, 2.0, 1),
+    ]
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    assert sorted(map(tuple, histogram(const, "v", n_bins=4).collect())) == [
+        (0, 5.0, 5.0, 2)
+    ]
+
+    nan = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (2.0,), (3.0,), (100.0,)], "v double"
+    )
+    w = {
+        str(r["v"]): (str(r["v_winsorized"]), r["was_clipped"])
+        for r in winsorize(nan, "v", lower_pct=30, upper_pct=30).collect()
+    }
+    # 4 valid values, k = ceil(4*0.3) = 2 -> lo=2, hi=3
+    assert w["1.0"] == ("2.0", True) and w["100.0"] == ("3.0", True)
+    assert w["nan"] == ("nan", False)  # NaN neither boundary nor clamped
+
+    assert sorted(map(tuple, hist_sketch(nan, "v").collect())) == [(0, 3), (10, 1)]
+    m = mad_outliers(nan, "v").collect()[0]
+    assert m["n_rows"] == 4 and m["n_outliers"] == 1
+
+    xy = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (float("nan"), 3.0), (None, 4.0)],
+        "x double, y double",
+    )
+    r = correlation(xy, "x", "y").collect()[0]
+    assert r["n"] == 3 and math.isclose(r["pearson_r"], 0.5)
 
 
 def test_winsorize_sketch_path_and_ewma_guard(spark):

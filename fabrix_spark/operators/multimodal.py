@@ -15,6 +15,12 @@ the exact line a pillow/soundfile/pyav call would slot into. The
 deterministic fake (``fake_decode=True``) exercises the distributed
 batch shapes for any payload.
 
+NULL payload rows are EXCLUDED by every decoder/hasher here (r17
+self-review): ``bytes(None)`` inside the Arrow worker otherwise dies
+with a cryptic TypeError mid-executor, and a missing blob has no
+features/signature to contribute (the text family's explode-drop
+semantics). Filter upstream if you need the gap rows accounted.
+
 At scale the ingest path is ``spark.read.format("binaryFile")`` (one
 row per object: path, modificationTime, length, content) with
 ``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
@@ -83,6 +89,11 @@ def decode_bmp(blob: bytes) -> tuple[int, int, float]:
     (compression,) = struct.unpack_from("<I", blob, 30)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only 24bpp uncompressed BMP (got bpp={bpp})")
+    # reject degenerate headers loudly (r17 self-review): a negative
+    # width makes the frombuffer count negative (numpy then reads the
+    # WHOLE buffer), and zero-area images would emit a silent NaN mean
+    if width <= 0 or height == 0:
+        raise ValueError(f"malformed BMP dimensions {width}x{height}")
     height = abs(height)
     stride = (width * 3 + 3) // 4 * 4
     px = np.frombuffer(blob, dtype=np.uint8, count=stride * height, offset=data_off)
@@ -153,7 +164,11 @@ def decode_image_features(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=_IMAGE_FEATURE_SCHEMA)
+    return (
+        df.filter(F.col(bin_col).isNotNull())
+        .select(id_col, bin_col)
+        .mapInPandas(run, schema=_IMAGE_FEATURE_SCHEMA)
+    )
 
 
 def sample_frames(
@@ -184,7 +199,11 @@ def sample_frames(
                     out_frames.append(bytes(ch))
             yield pd.DataFrame({"id": out_ids, "frame_idx": out_idx, "frame": out_frames})
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+    return (
+        df.filter(F.col(bin_col).isNotNull())
+        .select(id_col, bin_col)
+        .mapInPandas(run, schema=schema)
+    )
 
 
 _AUDIO_FEATURE_SCHEMA = "id long, n_bytes long, duration_s double, sample_rate int, rms double"
@@ -234,7 +253,11 @@ def decode_audio_features(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA)
+    return (
+        df.filter(F.col(bin_col).isNotNull())
+        .select(id_col, bin_col)
+        .mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA)
+    )
 
 
 def ahash_bmp(blob: bytes, grid: int = 8) -> int:
@@ -254,6 +277,8 @@ def ahash_bmp(blob: bytes, grid: int = 8) -> int:
     (compression,) = struct.unpack_from("<I", blob, 30)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only 24bpp uncompressed BMP (got bpp={bpp})")
+    if width <= 0 or height == 0:  # see decode_bmp: loud, not a NaN/overread
+        raise ValueError(f"malformed BMP dimensions {width}x{height}")
     flipped = height > 0  # positive height = bottom-up row order
     height = abs(height)
     stride = (width * 3 + 3) // 4 * 4
@@ -336,7 +361,11 @@ def image_ahash(
                 {"id": pd.Series(ids, dtype="int64"), "ahash": pd.Series(hs, dtype="int64")}
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema="id long, ahash long")
+    return (
+        df.filter(F.col(bin_col).isNotNull())
+        .select(id_col, bin_col)
+        .mapInPandas(run, schema="id long, ahash long")
+    )
 
 
 def audio_fingerprint_wav(blob: bytes, frames: int = 64) -> int:
@@ -416,7 +445,7 @@ def synthesize_wav(
                 {id_col: pd.Series(ids, dtype="int64"), "content": blobs}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.filter(F.col(payload_col).isNotNull()).select(id_col, payload_col).mapInPandas(
         run, schema=f"{id_col} long, content binary"
     )
 
@@ -443,4 +472,8 @@ def audio_fingerprints(
                 {"id": pd.Series(ids, dtype="int64"), "afp": pd.Series(hs, dtype="int64")}
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema="id long, afp long")
+    return (
+        df.filter(F.col(bin_col).isNotNull())
+        .select(id_col, bin_col)
+        .mapInPandas(run, schema="id long, afp long")
+    )

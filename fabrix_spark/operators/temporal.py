@@ -235,8 +235,14 @@ def resample_ffill(
         F.lit(None).cast("double").alias(value_col),
         F.lit(1).alias("__grid"),
     )
-    obs = df.select(key_col, ts_col, v.cast("double").alias(value_col)).withColumn(
-        "__grid", F.lit(0)
+    # NULL-timestamp rows are dropped (r17 self-review): they sort
+    # before every grid instant, so a phantom observation with no
+    # place on the time axis seeded the carry-forward chain and filled
+    # grid points BEFORE the key's first real observation
+    obs = (
+        df.filter(ts.isNotNull())
+        .select(key_col, ts_col, v.cast("double").alias(value_col))
+        .withColumn("__grid", F.lit(0))
     )
     w = (
         Window.partitionBy(key_col)
@@ -290,10 +296,18 @@ def resample_interpolate(
     Returns (key_col, grid_ts, value_col)."""
     k, ts = F.col(key_col), F.col(ts_col)
     ts_type = df.schema[ts_col].dataType
+    # NaN observations are dropped like NULL ones (r17 self-review):
+    # NaN is GREATEST in Spark's total order, so the coincident-
+    # observation max() silently preferred a NaN over a real value at
+    # the same instant — and there is nothing to interpolate through a
+    # NaN anyway. NULL-timestamp rows are likewise dropped: they sort
+    # before every grid instant and would seed the carry-forward chain
+    # with a value that has no place on the time axis.
+    vd = F.col(value_col).cast("double")
     obs = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(vd.isNotNull() & ~F.isnan(vd) & ts.isNotNull())
         .groupBy(key_col, ts_col)
-        .agg(F.max(F.col(value_col).cast("double")).alias(value_col))
+        .agg(F.max(vd).alias(value_col))
         .withColumn("__grid", F.lit(0))
     )
     bounds = df.groupBy(key_col).agg(
@@ -383,8 +397,15 @@ def rolling_zscore(
     One window pass, ordered by (ts, tiebreak) so frames are
     unambiguous. Rows with fewer than 2 baseline observations, or a
     zero-variance baseline, get z = NULL. Returns the input keys +
-    (n = baseline size, z)."""
-    q = F.round(F.col(value_col).cast("double") * quantize).cast("long")
+    (n = baseline size, z).
+
+    NaN values quantize to NULL (r17 self-review): they occupy a
+    window SLOT but contribute nothing to the moments — exactly the
+    streaming twin's contract (stateful_rolling_zscore treats NaN as
+    null), where the unguarded ANSI long cast of round(NaN) previously
+    killed the batch job on the first NaN and broke twin parity."""
+    vd = F.col(value_col).cast("double")
+    q = F.when(~F.isnan(vd), F.round(vd * quantize).cast("long"))
     order = [F.col(ts_col).asc()] + (
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
     )

@@ -1333,6 +1333,46 @@ def test_image_ahash_neardup(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_multimodal_null_payload_and_malformed_bmp(spark):
+    """r17 self-review pins: (a) NULL payload rows are excluded by the
+    mapInPandas decoders/hashers — bytes(None) previously died with a
+    cryptic TypeError inside the Arrow worker; (b) BMP headers with
+    nonpositive dimensions refuse loudly — a negative width made
+    numpy's frombuffer count negative (reading the WHOLE buffer), a
+    zero area emitted a silent NaN mean."""
+    import struct
+
+    import pytest as _pytest
+
+    from fabrix_spark.operators.multimodal import (
+        ahash_bmp,
+        audio_fingerprints,
+        decode_bmp,
+        image_ahash,
+        synthesize_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-bytes-here!!")), (2, None)],
+        "doc_id long, content binary",
+    )
+    assert [r["id"] for r in image_ahash(df, fake=True).collect()] == [1]
+    wav = synthesize_wav(
+        df.withColumnRenamed("content", "payload"), payload_col="payload"
+    )
+    assert wav.count() == 1
+    assert [r["id"] for r in audio_fingerprints(wav).collect()] == [1]
+
+    # 24bpp uncompressed header with width = -4
+    bad = bytearray(b"BM" + b"\x00" * 52)
+    struct.pack_into("<I", bad, 10, 54)
+    struct.pack_into("<ii", bad, 18, -4, 4)
+    struct.pack_into("<H", bad, 28, 24)
+    for fn in (decode_bmp, ahash_bmp):
+        with _pytest.raises(ValueError, match="malformed BMP"):
+            fn(bytes(bad))
+
+
 def test_ahash_bytes_locality_and_exactness():
     """ahash_bytes: locality (small local edit -> small Hamming;
     unrelated payload -> far), edge cases, and the exact-integer tie

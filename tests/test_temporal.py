@@ -173,3 +173,49 @@ def test_asof_nearest_tolerance(spark):
     right = spark.createDataFrame([(_ts(10, 0), 5.0)], "ts timestamp, v double")
     out = asof_join(left, right, on="ts", direction="nearest", tolerance_seconds=1800).collect()
     assert out[0]["v"] is None  # nearest row is 2h away > 30min
+
+
+def test_temporal_nan_and_null_ts_contracts(spark):
+    """r17 self-review pins: (a) rolling_zscore quantizes NaN to NULL
+    — a window slot with no moment contribution, the streaming twin's
+    exact contract — instead of dying at the ANSI long cast of
+    round(NaN); (b) resample_interpolate drops NaN observations (NaN
+    is greatest in Spark's total order, so the coincident-observation
+    max() silently preferred NaN over a real value at the same
+    instant); (c) both resamplers drop NULL-timestamp rows, which
+    sorted before every grid instant and filled grid points BEFORE
+    the key's first real observation."""
+    from datetime import datetime, timedelta
+
+    from fabrix_spark.operators.temporal import (
+        resample_ffill,
+        resample_interpolate,
+        rolling_zscore,
+    )
+
+    base = datetime(2024, 1, 1)
+    dt = lambda m: base + timedelta(minutes=m)  # noqa: E731
+
+    df = spark.createDataFrame(
+        [(1, dt(i), float(v)) for i, v in enumerate([10, 11, 10, 11, 10, 11])]
+        + [(1, dt(6), float("nan")), (1, dt(7), 999.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = rolling_zscore(df, window_rows=4).orderBy("ts").collect()
+    assert rows[-2]["z"] is None  # the NaN row itself scores NULL
+    # next row's baseline: slot occupied, moments from the 3 real values
+    assert rows[-1]["n"] == 3 and rows[-1]["z"] is not None
+
+    df2 = spark.createDataFrame(
+        [(1, dt(0), 1.0), (1, dt(60), 5.0), (1, dt(60), float("nan"))],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {str(r["grid_ts"]): r["value"] for r in resample_interpolate(df2).collect()}
+    assert got["2024-01-01 01:00:00"] == 5.0  # real value wins over NaN
+
+    df3 = spark.createDataFrame(
+        [(1, None, 42.0), (1, dt(90), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = [r["value"] for r in resample_ffill(df3).collect()]
+    assert got == [None]  # no phantom fill before the first real obs

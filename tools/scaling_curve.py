@@ -457,6 +457,11 @@ def main() -> None:
         # n_planes += log2(m) doubles buckets per corpus doubling, the
         # same contract as IVF nlist ∝ m.
         ("sim_knn_graph (planes=6+log2m)", op_knn_graph, None),
+        # r17: the reworked rp_topk (narrow (q_id, c_id, score) candidate
+        # shuffle instead of full-width vectors) — fixed 8-query probe
+        # set over an m× corpus, so the curve measures the corpus-side
+        # projection pass + the narrowed candidate ranking
+        ("sim_rp_topk", run_registry("sim_rp_topk"), None),
         ("t_bm25_search", run_registry("t_bm25_search"), None),
         ("t_phrase_search", run_registry("t_phrase_search"), None),
         ("w_global_rank", run_registry("w_global_rank"), None),

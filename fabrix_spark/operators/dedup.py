@@ -74,10 +74,18 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Duplicate-group summary: md5 content hash → group size +
-    representative (min id). One shuffle on the 128-bit hash."""
+    representative (min id). One shuffle on the 128-bit hash.
+
+    NULL-text rows are EXCLUDED (r17 self-review): md5(NULL) is NULL
+    and GROUP BY collects all NULLs into one group, so every
+    missing-content document was reported as one big duplicate group —
+    a dedup pipeline acting on that report deletes rows whose content
+    it never saw. Absence of content is not evidence of duplication
+    (the fingerprint operator's contract)."""
     h = F.md5(F.col(text_col).cast("binary"))
     return (
-        df.select(F.col(id_col), h.alias("content_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("representative"))
     )
@@ -108,10 +116,24 @@ def shingle_hash32(sh: Column) -> Column:
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle-set array) per doc — NARROW: ``shingles`` already
     yields the per-doc array, so no explode/regroup shuffle is ever
-    needed to obtain sets, sizes, or signatures."""
-    return spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("__set"),
+    needed to obtain sets, sizes, or signatures.
+
+    NULL-text rows are EXCLUDED here, at the one entry every
+    shingle-based family shares (r17 self-review): ``shingles(NULL)``
+    collapsed to the single shingle ``""`` — the same degenerate set an
+    EMPTY document produces — so every missing-content row paired with
+    every empty row at Jaccard 1.0 across jaccard/minhash/containment/
+    decontaminate and entered signature stores as a wildcard that
+    rejected empty docs at the admission gate. Empty documents keep
+    their ``""`` shingle and still dedupe AGAINST EACH OTHER (identical
+    content is a real duplicate); only the no-content rows drop."""
+    return (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("__set"),
+        )
     )
 
 
@@ -1133,14 +1155,19 @@ def embedding_dedup_pairs(
 
     ``method='exact'``: the brute-force O(n²) kernel — the recall
     oracle for tests and small corpora only.
+
+    NULL/NaN-component vectors are excluded (see ``_valid_vectors``).
     """
+    df = _valid_vectors(df, vec_col)
     q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * quantize).cast("long"))
     vecs = spread(df).select(F.col(id_col).alias("__id"), q.alias("__q"))
+    # zero-norm vectors excluded: cosine is undefined for them and the
+    # 0/0 double division in the verify is an ANSI DIVIDE_BY_ZERO
     norms = vecs.select(
         "__id",
         "__q",
         F.aggregate(F.zip_with("__q", "__q", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("__n2"),
-    )
+    ).filter(F.col("__n2") > 0)
     dot = F.aggregate(
         F.zip_with(F.col("a.__q"), F.col("b.__q"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -1320,6 +1347,20 @@ def remove_common_segments(
 # ---------------------------------------------------------------------------
 
 
+def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude NULL vectors and vectors with NULL/NaN components (r17
+    self-review, the similarity family's r16 contract applied to the
+    dedup-side embedding entries): a NULL embedding crashed the dim
+    derivation / np.stack, and one NaN component killed the whole pass
+    at the ANSI long cast inside the quantizer. A vector that cannot be
+    scored carries no duplication evidence — same rationale as the
+    shingle families' NULL-text exclusion."""
+    v = F.col(vec_col)
+    return df.filter(
+        v.isNotNull() & ~F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    )
+
+
 def _integral_id(df: DataFrame, col: str) -> bool:
     """The numpy fast paths coerce the id column to int64; anything
     else routes through the expression path."""
@@ -1359,7 +1400,9 @@ def semantic_dup_pairs(
     DuckDB oracle re-derives it exactly.
 
     Returns (centroid_id, a_id, b_id, cosine) with a_id < b_id.
+    NULL/NaN-component vectors are excluded (see ``_valid_vectors``).
     """
+    corpus = _valid_vectors(corpus, vec_col)
     from .similarity import (
         _cosine,
         _dot,
@@ -1503,7 +1546,9 @@ def semantic_prune(
     literal-centroid expression (no join, no checkpoint) recomputed on
     each side — recomputing a narrow projection is cheaper than
     materializing it between jobs.
+    NULL/NaN-component vectors are excluded (see ``_valid_vectors``).
     """
+    corpus = _valid_vectors(corpus, vec_col)
     from .similarity import ivf_assign, ivf_assign_blocked, ivf_assign_expr, kmeans_train_rows
 
     if centroids is None:
@@ -1682,9 +1727,14 @@ def decontaminate_semantic(
     self-joins and never shuffles on anything but its own id."""
     from .similarity import cosine_range_search
 
+    # probe only scoreable vectors (see _valid_vectors); the id SPINE
+    # stays the unfiltered corpus, so NULL/NaN-vector rows still report
+    # max_benchmark_cosine = -1 / contaminated = false instead of
+    # crashing the pass — a vector that cannot be scored cannot be
+    # declared contaminated
     hits = cosine_range_search(
-        corpus,
-        benchmark,
+        _valid_vectors(corpus, vec_col),
+        _valid_vectors(benchmark, vec_col),
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,

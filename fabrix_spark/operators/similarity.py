@@ -60,6 +60,22 @@ def _dot(a: Column, b: Column, integer: bool) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x)
 
 
+def _finite_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude NULL vectors and vectors with NULL/NaN components from
+    the expression-path scorers (r17 self-review, completing the r16
+    NaN hardening that covered the numpy paths): a NaN component dies
+    at the ANSI long cast inside the quantizer BEFORE any downstream
+    filter could drop the row, so one poisoned vector killed the whole
+    scan. Zero-NORM vectors are excluded separately by the ``n2 > 0``
+    filters at the call sites (cosine is undefined for the zero
+    vector, and the 0/0 double division is a task-killing
+    DIVIDE_BY_ZERO under ANSI mode)."""
+    v = F.col(vec_col)
+    return df.filter(
+        v.isNotNull() & ~F.exists(v, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    )
+
+
 def _pair_key(col: str) -> Column:
     """Single-valued non-foldable join key so corpus × broadcast-queries
     runs as a broadcast HASH join rather than a nested-loop node.
@@ -101,17 +117,22 @@ def cosine_topk(
 
     # single-valued non-foldable key (see ivf_assign): the corpus ×
     # broadcast-queries pairing runs as a broadcast HASH join rather
-    # than a nested-loop node
+    # than a nested-loop node. Both sides drop NULL/NaN vectors (see
+    # _finite_vectors) and zero-norm vectors (cosine undefined; the
+    # 0/0 double division is an ANSI DIVIDE_BY_ZERO task killer).
     one = _pair_key
     c = (
-        spread(corpus)
+        spread(_finite_vectors(corpus, vec_col))
         .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
         .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
+        .filter(F.col("c_n2") > 0)
         .withColumn("__one", one("c_id"))
     )
     q = (
-        queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
+        _finite_vectors(queries, vec_col)
+        .select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
         .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
+        .filter(F.col("q_n2") > 0)
         .withColumn("__one", one("q_id"))
     )
 
@@ -167,15 +188,19 @@ def cosine_range_search(
     else:
         cvec = _as_double(F.col(vec_col))
         integer = False
+    # NULL/NaN/zero-norm exclusion: same contract as cosine_topk
     c = (
-        spread(corpus)
+        spread(_finite_vectors(corpus, vec_col))
         .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
         .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
+        .filter(F.col("c_n2") > 0)
         .withColumn("__one", _pair_key("c_id"))
     )
     q = (
-        queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
+        _finite_vectors(queries, vec_col)
+        .select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
         .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
+        .filter(F.col("q_n2") > 0)
         .withColumn("__one", _pair_key("q_id"))
     )
     joined = c.join(F.broadcast(q), "__one")

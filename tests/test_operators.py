@@ -106,6 +106,57 @@ def test_text_quality_empty_and_null_contract(spark):
 # -- dedup ------------------------------------------------------------------
 
 
+def test_dedup_null_text_and_poisoned_vector_contracts(spark):
+    """r17 self-review pins for the dedup family's missing-content
+    edges: (a) NULL-text rows are excluded at the shared shingle entry
+    — shingles(NULL) collapsed to the single shingle '' (the same
+    degenerate set an EMPTY doc produces), so every missing-content
+    row paired with every empty row at Jaccard 1.0, and exact_dup_
+    groups reported all NULL-text docs as one duplicate group (md5 of
+    NULL groups together); empty docs still dedupe against each other
+    (identical content IS a duplicate); (b) the embedding entries
+    exclude NULL vectors, NaN-component vectors (ANSI long-cast death
+    inside the quantizer) and zero-NORM vectors (the 0/0 cosine is an
+    ANSI DIVIDE_BY_ZERO task killer), and decontaminate_semantic keeps
+    its unfiltered id spine so unscoreable rows report -1/false."""
+    t = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [(1, t), (2, t + " tail"), (3, None), (4, ""), (5, "   ")],
+        "doc_id long, text string",
+    )
+    groups = {r["representative"]: r["n_dups"] for r in dedup.exact_dup_groups(docs).collect()}
+    assert 3 not in groups and groups[4] == 1 and groups[5] == 1
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs == {(1, 2), (4, 5)}  # NULL doc gone; empty-vs-ws kept
+    mh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert mh == {(1, 2), (4, 5)}
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0] * 8),
+            (2, [1.0] * 7 + [0.9]),
+            (3, None),
+            (4, [float("nan")] * 8),
+            (5, [0.0] * 8),
+            (6, [1.0] * 7 + [None]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = dedup.embedding_dedup_pairs(emb, threshold=0.9, id_col="vec_id", method="exact").collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    dec = {r["vec_id"]: (r["max_benchmark_cosine"], r["contaminated"])
+           for r in dedup.decontaminate_semantic(emb, emb.filter("vec_id = 1"), threshold=0.9, id_col="vec_id").collect()}
+    assert dec[2] == (0.99944, True)
+    assert dec[3] == (-1.0, False) and dec[4] == (-1.0, False) and dec[5] == (-1.0, False)
+
+    from fabrix_spark.operators.similarity import cosine_range_search, cosine_topk
+
+    topk = cosine_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    assert [(r["q_id"], r["c_id"]) for r in topk] == [(1, 2)]
+    rng = cosine_range_search(emb, emb.filter("vec_id = 1"), threshold=0.5).collect()
+    assert [(r["q_id"], r["c_id"]) for r in rng] == [(1, 2)]
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string")
     assert dedup.exact_dedup(df, ["text"]).count() == 2

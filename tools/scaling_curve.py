@@ -547,6 +547,14 @@ def main() -> None:
         # property the blocking+verify cost scales on
         ("d_fuzzy_pairs (m× documents)", run_staged("d_fuzzy_pairs"), None),
         ("fuzzy_join (delta vs corpus)", op_fuzzy_join, None),
+        # r17: the out-of-order sessionizer replay over m× events —
+        # per-copy user spaces are disjoint (user_id shifted by the
+        # stride), so per-key event density stays constant and the
+        # curve measures the per-batch interval-merge fold + state
+        # store at m× keys; the batch COUNT is fixed (windows derive
+        # from the unchanged 30-day ts span), the per-batch volume
+        # grows m×
+        ("stream_session_ooo (m× events)", run_staged("stream_session_ooo_replay"), None),
     ]
     if args.ops:
         wanted = {w.strip() for w in args.ops.split(",")}

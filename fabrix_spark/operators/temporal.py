@@ -120,6 +120,12 @@ def asof_join(
     else:
         db = t_us - F.unix_micros(F.col("__rb.__rt_time").cast("timestamp"))
         df_ = F.unix_micros(F.col("__rf_fwd.__rt_time").cast("timestamp")) - t_us
+        # choose-nearest-then-tolerance-gate IS pandas merge_asof's
+        # candidates-within-tolerance semantics (checked r17): with one
+        # symmetric tolerance, "nearest out of tolerance but the other
+        # side within" is impossible — the farther distance being
+        # within implies the nearer one is too — so gating the chosen
+        # row below is equivalent to gating the candidate set here.
         chosen = (
             F.when(F.col("__rb").isNull(), F.col("__rf_fwd"))
             .when(F.col("__rf_fwd").isNull(), F.col("__rb"))

@@ -219,3 +219,28 @@ def test_temporal_nan_and_null_ts_contracts(spark):
     )
     got = [r["value"] for r in resample_ffill(df3).collect()]
     assert got == [None]  # no phantom fill before the first real obs
+
+
+def test_asof_nearest_tolerance_picks_in_tolerance_nearest(spark):
+    """nearest + tolerance (r17 sweep note): the chosen row is the
+    nearest candidate WITHIN tolerance — equivalent to pandas
+    merge_asof's candidate gating, because with one symmetric
+    tolerance the farther side being within implies the nearer side
+    is too (so choose-then-gate == gate-then-choose; verified while
+    hunting a suspected divergence that turned out unreachable)."""
+    from datetime import datetime
+
+    from fabrix_spark.operators.temporal import asof_join
+
+    _ts = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame([(1, _ts(12, 0))], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(_ts(11, 10), 1.0), (_ts(12, 40), 2.0)], "ts timestamp, px double"
+    )
+    # backward 50 min away, forward 40 min away
+    out = asof_join(left, right, on="ts", direction="nearest", tolerance_seconds=45 * 60).collect()
+    assert out[0]["px"] == 2.0  # forward: nearest and within 45 min
+    out = asof_join(left, right, on="ts", direction="nearest", tolerance_seconds=35 * 60).collect()
+    assert out[0]["px"] is None  # neither candidate within 35 min
+    out = asof_join(left, right, on="ts", direction="nearest").collect()
+    assert out[0]["px"] == 2.0  # no tolerance: nearest overall

@@ -53,8 +53,19 @@ __all__ = [
 def to_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Symmetrize a directed edge list (each edge also reversed),
     deduplicated — turns PageRank into undirected random-walk
-    centrality."""
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    centrality.
+
+    NULL-endpoint edges are EXCLUDED (r17 self-review, extending
+    pagerank's r16 contract to the whole family through this shared
+    entry): a NULL endpoint is not a node, and because every NULL-src
+    edge shares the SAME phantom NULL node, min-label propagation
+    would silently BRIDGE otherwise-disjoint clusters through it —
+    entity resolution merging unrelated entities because two pair rows
+    had missing ids — and k-core could keep a phantom node whose
+    "degree" is the corpus's missing-id count."""
+    fwd = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
 

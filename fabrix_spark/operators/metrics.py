@@ -58,7 +58,7 @@ def auc_one_vs_rest(
     # value in alias names broke F.expr for negative labels — the
     # common ±1 binary labeling made stack(2, -1, __p-1, __u-1, …),
     # which the SQL parser reads as __p MINUS 1 (r16 self-review).
-    g = df.where(s.isNotNull()).groupBy(s.alias("__score")).agg(
+    g = df.where(s.isNotNull() & ~F.isnan(s.cast("double"))).groupBy(s.alias("__score")).agg(
         F.count("*").alias("__tot"),
         *[
             F.sum((F.col(label_col) == F.lit(c)).cast("long")).alias(f"__c{i}")
@@ -164,7 +164,7 @@ def auc_by_group(
             "wide-segment workload the single-reducer window plan)"
         )
     s = F.col(score_col)
-    g = df.where(s.isNotNull()).groupBy(*group_cols, s.alias("__score")).agg(
+    g = df.where(s.isNotNull() & ~F.isnan(s.cast("double"))).groupBy(*group_cols, s.alias("__score")).agg(
         F.count("*").alias("__tot"),
         F.sum(positive.cast("long")).alias("__pos"),
     )
@@ -316,7 +316,7 @@ def _curve_counts(df: DataFrame, score_col: str, positive: Column) -> DataFrame:
     counts. One row per distinct score:
     (score, __pos, __tp, __fp, __n_all, __p_all)."""
     s = F.col(score_col)
-    scored = df.where(s.isNotNull())
+    scored = df.where(s.isNotNull() & ~F.isnan(s.cast("double")))
     g = scored.groupBy(s.alias("score")).agg(
         F.count("*").alias("__tot"),
         F.sum(positive.cast("long")).alias("__pos"),
@@ -463,7 +463,7 @@ def threshold_metrics(
         raise ValueError("threshold_metrics requires at least one threshold")
     positive = F.coalesce(positive, F.lit(False))
     s = F.col(score_col)
-    df = df.where(s.isNotNull())
+    df = df.where(s.isNotNull() & ~F.isnan(s.cast("double")))
     aggs = [F.sum(positive.cast("long")).alias("__pos"), F.count("*").alias("__n")]
     for i, t in enumerate(thresholds):
         pred = s >= F.lit(t)
@@ -538,10 +538,10 @@ def ks_statistic(
     Spark expression CASE-guards to match instead of raising under
     ANSI)."""
     v = F.col(value_col)
-    a = df_a.where(v.isNotNull()).select(
+    a = df_a.where(v.isNotNull() & ~F.isnan(v.cast("double"))).select(
         v.alias("val"), F.lit(1).alias("__ta"), F.lit(0).alias("__tb")
     )
-    b = df_b.where(v.isNotNull()).select(
+    b = df_b.where(v.isNotNull() & ~F.isnan(v.cast("double"))).select(
         v.alias("val"), F.lit(0).alias("__ta"), F.lit(1).alias("__tb")
     )
     g = a.unionByName(b).groupBy("val").agg(

@@ -106,6 +106,40 @@ def test_text_quality_empty_and_null_contract(spark):
 # -- dedup ------------------------------------------------------------------
 
 
+def test_graph_null_edges_and_metrics_nan_scores(spark):
+    """r17 self-review pins: (a) NULL-endpoint edges are excluded at
+    to_undirected, the graph family's shared entry — every NULL-src
+    edge shares the SAME phantom NULL node, so min-label propagation
+    silently BRIDGED otherwise-disjoint clusters through it and k-core
+    could retain a phantom node whose degree was the corpus's
+    missing-id count; (b) NaN scores are excluded across the metrics
+    family (auc/roc/pr/ap/threshold/ks), matching calibration_bins'
+    existing NaN exclusion — NaN is greatest in Spark's total order,
+    so a NaN-scored row silently became the TOP-ranked threshold."""
+    from fabrix_spark.operators import graph as gr
+    from fabrix_spark.operators import metrics as mt
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (None, 4), (4, None), (None, 9)],
+        "src long, dst long",
+    )
+    labels = {r["node"]: r["label"] for r in gr.min_label_propagation(edges, iters=3).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}  # no phantom NULL node or bridge
+    cores = {r["node"] for r in gr.k_core(edges, k=2, iters=3).collect()}
+    assert cores == {1, 2, 3}
+
+    ev = spark.createDataFrame(
+        [(1, 1.0, 0.9), (2, 0.0, 0.4), (3, 1.0, float("nan")), (4, 0.0, None), (5, 1.0, 0.7)],
+        "event_id long, label double, score double",
+    )
+    pos = F.col("label") == 1.0
+    roc = mt.roc_points(ev, "score", pos).collect()
+    assert all(not math.isnan(r["score"]) for r in roc)
+    assert max(r["tp"] + r["fp"] for r in roc) == 3  # NaN + NULL rows gone
+    ap = mt.average_precision(ev, "score", pos).collect()[0]
+    assert ap["n"] == 3 and ap["n_pos"] == 2
+
+
 def test_dedup_null_text_and_poisoned_vector_contracts(spark):
     """r17 self-review pins for the dedup family's missing-content
     edges: (a) NULL-text rows are excluded at the shared shingle entry

@@ -161,8 +161,15 @@ def weighted_sample(df: DataFrame, key: str, weight: Column, salt: str = "") -> 
     [0, 1] — e.g. a quality score), decided by stable key hash instead
     of an RNG: the same row keeps/drops identically on any engine,
     partitioning, or rerun. The quality-weighted corpus-sampling
-    primitive; narrow, shuffle-free."""
-    cut = F.round(weight * _BUCKETS).cast("long")
+    primitive; narrow, shuffle-free.
+
+    NULL and NaN weights DROP the row (r17 self-review): an
+    undecidable keep-probability keeps nothing — and the unguarded
+    ANSI long cast of round(NaN) previously killed the whole pass on
+    one poisoned score. Negative weights keep nothing, weights ≥ 1
+    keep everything (the natural clamp of the hash comparison)."""
+    wd = weight.cast("double")
+    cut = F.when(~F.isnan(wd), F.round(wd * _BUCKETS).cast("long"))
     return df.filter(hash_bucket(F.col(key), _BUCKETS, salt) < cut)
 
 
@@ -189,9 +196,25 @@ def pack_sequences(
     Output: the input columns plus shard, pack (per-shard pack
     index), and pack_offset (token offset of this document within its
     shard's concatenated stream) — everything a loader needs to cut
-    physical training rows. One shuffle (the per-shard window sort)."""
+    physical training rows. One shuffle (the per-shard window sort).
+
+    Lengths must be POSITIVE — a NULL or nonpositive ``length_col``
+    raises loudly per row (r17 self-review): the window sum skips
+    NULLs, so a NULL-length document silently landed in pack NULL, and
+    a negative length walked the running offset BACKWARD, corrupting
+    every later pack boundary in the shard. Pack layout assigns
+    training data; silently mislaying documents is worse than failing
+    the job (the gram_matrix overflow-refusal contract)."""
     shard = (hash_bucket(F.col(key), _BUCKETS, salt) % shards).cast("int")
     order = hash_bucket(F.col(key), _BUCKETS, salt + "order")
+    checked_len = F.when(F.col(length_col) > 0, F.col(length_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pack_sequences: {length_col} must be > 0, got "),
+                F.coalesce(F.col(length_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy(F.col("__ord").asc(), F.col(key).asc())
@@ -200,7 +223,7 @@ def pack_sequences(
     return (
         df.withColumn("shard", shard)
         .withColumn("__ord", order)
-        .withColumn("__cum", F.sum(length_col).over(w))
+        .withColumn("__cum", F.sum(checked_len).over(w))
         .withColumn("pack", ((F.col("__cum") - F.col(length_col)) / budget).cast("long"))
         .withColumn("pack_offset", F.col("__cum") - F.col(length_col))
         .drop("__ord", "__cum")
@@ -231,7 +254,10 @@ def temperature_mixture(
     so the DuckDB oracle reproduces the cut — and therefore the exact
     row set — bit-for-bit. Same scale shape as rebalance_groups:
     tiny-side cut derivation, one broadcast hash join, narrow filter;
-    the corpus never shuffles."""
+    the corpus never shuffles. NULL-group rows are excluded before the
+    count derivation (rebalance_groups' r17 contract: one missing-group
+    row otherwise poisons n_min and collapses every group's cut)."""
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     floor = counts.agg(F.min("__cnt").alias("__min"))
     ratio = F.col("__min") / F.col("__cnt")
@@ -262,7 +288,16 @@ def rebalance_groups(
     Scale shape: per-group keep-cuts are derived tiny-side (counts ×
     global min — the nested-loop join touches only the group table,
     never the corpus) and broadcast back as one hash join; the filter
-    is a narrow expression. The corpus never shuffles."""
+    is a narrow expression. The corpus never shuffles.
+
+    NULL-group rows are EXCLUDED before the count derivation (r17
+    self-review): GROUP BY collects NULLs into one group whose count
+    participates in the global MIN, so a single garbage row with a
+    missing group collapsed n_min to 1 and downsampled the ENTIRE
+    corpus to ~one row per group — the inner cuts join then dropped
+    the NULL rows anyway, so the poisoned floor was the only thing
+    they contributed."""
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     floor = counts.agg(F.min("__cnt").alias("__min"))
     # nested-loop here is n_groups × 1 rows — tiny-side only; the

@@ -1765,6 +1765,46 @@ def test_metrics_and_graph_edge_contracts(spark):
         pagerank(spark.createDataFrame([], "src string, dst string"))
 
 
+def test_sampling_poisoned_group_weight_and_length_contracts(spark):
+    """r17 self-review pins: (a) rebalance_groups / temperature_mixture
+    exclude NULL-group rows BEFORE deriving the min count — GROUP BY
+    collects NULLs into one group whose count joins the global MIN, so
+    a single missing-group row collapsed n_min to 1 and downsampled
+    the ENTIRE corpus (measured: zero rows survived); (b)
+    weighted_sample drops NULL/NaN weights instead of dying at the
+    ANSI long cast of round(NaN), keeps weight ≥ 1 rows and drops
+    negative ones; (c) pack_sequences REFUSES NULL/nonpositive lengths
+    loudly — a NULL length silently landed its document in pack NULL
+    and a negative one walked the running offset backward, corrupting
+    every later pack boundary in the shard."""
+    import pytest as _pytest
+
+    from fabrix_spark.operators import sampling as sp
+
+    rows = [(i, "a") for i in range(100)] + [(i + 100, "b") for i in range(50)] + [(999, None)]
+    tm = spark.createDataFrame(rows, "doc_id long, grp string")
+    clean = spark.createDataFrame(rows[:-1], "doc_id long, grp string")
+    got = sorted(map(tuple, sp.rebalance_groups(tm, "doc_id", "grp").collect()))
+    want = sorted(map(tuple, sp.rebalance_groups(clean, "doc_id", "grp").collect()))
+    assert got == want and len(got) > 0  # one NULL row must not change the sample
+    assert sorted(map(tuple, sp.temperature_mixture(tm, "doc_id", "grp").collect())) == sorted(
+        map(tuple, sp.temperature_mixture(clean, "doc_id", "grp").collect())
+    )
+
+    wdf = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, -0.5), (4, 2.0), (5, None)],
+        "doc_id long, p double",
+    )
+    kept = {r["doc_id"] for r in sp.weighted_sample(wdf, "doc_id", F.col("p")).collect()}
+    assert 4 in kept and not kept & {2, 3, 5}
+
+    pk = spark.createDataFrame([(1, 10), (2, None), (3, 20)], "doc_id long, n long")
+    with _pytest.raises(Exception, match="must be > 0"):
+        sp.pack_sequences(pk, "doc_id", "n", budget=16).collect()
+    good = sp.pack_sequences(pk.filter("n is not null"), "doc_id", "n", budget=16)
+    assert {r["doc_id"] for r in good.collect()} == {1, 3}
+
+
 def test_sampling_null_key_contract(spark):
     """Uniform NULL-key contract across the hashing samplers (r16
     self-review): a NULL key cannot be deterministically attributed,

@@ -93,6 +93,10 @@ class FxFrame:
         """Frame from named column lists (fabrix.rs:221-233), with
         first-non-null type inference per column (series.rs:588-647)."""
         names = list(series)
+        lengths = {n: len(vals) for n, vals in series.items()}
+        if len(set(lengths.values())) > 1:
+            # zip would silently truncate every column to the shortest
+            raise ValueError(f"ragged series lengths: {lengths}")
         vts = [infer_series_type(vals) for vals in series.values()]
         cols = [
             [normalize_value(v, vt) for v in vals]
@@ -115,7 +119,14 @@ class FxFrame:
         if not rows:
             raise ValueError("from_rows needs at least one row")
         width = len(rows[0])
+        bad = {i: len(r) for i, r in enumerate(rows) if len(r) != width}
+        if bad:
+            # a short row would IndexError mid-transpose; a long one
+            # would silently drop its extra values
+            raise ValueError(f"ragged rows (width {width}): {dict(list(bad.items())[:5])}")
         names = list(names) if names is not None else [str(i) for i in range(width)]
+        if len(names) != width:
+            raise ValueError(f"{len(names)} names for {width}-wide rows")
         cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
         return cls.from_series(spark, cols, index)
 
@@ -132,6 +143,8 @@ class FxFrame:
         (fabrix.rs:236-260)."""
         cols = [list(c) for c in columns]
         if has_header:
+            if any(not c for c in cols):
+                raise ValueError("has_header=True but an empty column has no header cell")
             names = [c[0] for c in cols]
             cols = [c[1:] for c in cols]
         elif names is None:
@@ -250,12 +263,28 @@ class FxFrame:
         if self._index is None:
             raise ValueError("operation requires an index tag on the frame")
 
+    def _key_match(self, values: Iterable[Any]) -> Column:
+        """TRUE iff the index-column value is in ``values`` — null-safe:
+        a ``None`` in ``values`` matches NULL-key rows (plain ``isin``
+        can never match NULL, and its three-valued negation silently
+        eats NULL-key rows), and the result is never NULL itself so it
+        can be negated."""
+        all_vals = list(values)
+        vals = [v for v in all_vals if v is not None]
+        want_null = len(vals) != len(all_vals)
+        key = F.col(self._index.name)
+        cond = F.coalesce(key.isin(vals), F.lit(False)) if vals else F.lit(False)
+        if want_null:
+            cond = cond | key.isNull()
+        return cond
+
     def take_rows(self, values: Iterable[Any]) -> "FxFrame":
-        """Rows whose index-column value is in ``values``. For large
-        value sets, pass a DataFrame to ``take_rows_by_frame`` (semi
-        join) instead of a literal IN list."""
+        """Rows whose index-column value is in ``values`` (``None``
+        matches NULL keys). For large value sets, pass a DataFrame to
+        ``take_rows_by_frame`` (semi join) instead of a literal IN
+        list."""
         self._require_index()
-        return self._with(self._df.filter(F.col(self._index.name).isin(list(values))))
+        return self._with(self._df.filter(self._key_match(list(values))))
 
     def take_rows_by_frame(self, keys: DataFrame) -> "FxFrame":
         self._require_index()
@@ -265,18 +294,24 @@ class FxFrame:
 
     def get_row(self, value: Any) -> Row | None:
         self._require_index()
-        return self._df.filter(F.col(self._index.name) == F.lit(value)).first()
+        return self._df.filter(F.col(self._index.name).eqNullSafe(F.lit(value))).first()
 
     def remove_rows(self, values: Iterable[Any]) -> "FxFrame":
+        """Drop rows whose key is in ``values`` — and ONLY those: the
+        match predicate is null-safe, so NULL-key rows survive (a plain
+        ``~isin`` is NULL for them, which silently deleted them)."""
         self._require_index()
-        return self._with(self._df.filter(~F.col(self._index.name).isin(list(values))))
+        return self._with(self._df.filter(~self._key_match(list(values))))
 
     def popup_rows(self, values: Iterable[Any]) -> tuple["FxFrame", "FxFrame"]:
         """(removed, remaining) — the reference's popup_rows
-        (fabrix.rs:574-613) used by the upsert split (ec.rs:518-538)."""
+        (fabrix.rs:574-613) used by the upsert split (ec.rs:518-538).
+        The two halves PARTITION the frame: the match predicate is
+        null-safe, so NULL-key rows land in ``remaining`` (under plain
+        ``isin`` both ``cond`` and ``~cond`` are NULL for them and the
+        rows vanished from BOTH halves)."""
         self._require_index()
-        vals = list(values)
-        cond = F.col(self._index.name).isin(vals)
+        cond = self._key_match(list(values))
         return self._with(self._df.filter(cond)), self._with(self._df.filter(~cond))
 
     # ------------------------------------------------------------------
@@ -336,14 +371,17 @@ class FxFrame:
 
     def contains(self, column: str, value: Any) -> bool:
         """Any row with column == value (series.rs:408-411) — a
-        pushdown-friendly filter + limit 1, not a full scan."""
-        return self._df.filter(F.col(column) == F.lit(value)).limit(1).count() > 0
+        pushdown-friendly filter + limit 1, not a full scan. Null-safe:
+        ``contains(col, None)`` asks "any NULL in this column?" (plain
+        ``==`` is NULL against NULL and answered False even when nulls
+        existed)."""
+        return self._df.filter(F.col(column).eqNullSafe(F.lit(value))).limit(1).count() > 0
 
     def find_indices(self, column: str, value: Any) -> list[int]:
-        """0-based positions where column == value
+        """0-based positions where column == value, null-safely
         (series.rs:413-428). Positional — driver-frame sized only."""
         d = self._with_rownum()
-        rows = d.filter(F.col(column) == F.lit(value)).select(_ROWNUM).collect()
+        rows = d.filter(F.col(column).eqNullSafe(F.lit(value))).select(_ROWNUM).collect()
         return sorted(r[0] - 1 for r in rows)
 
     def drop_nulls(self, subset: Sequence[str] | None = None) -> "FxFrame":

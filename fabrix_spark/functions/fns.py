@@ -70,7 +70,11 @@ FUNCTIONS: dict[str, Callable[..., Column]] = {
     "ln": F.log,
     "log10": F.log10,
     "pow": F.pow,
-    "mod": F.pmod,
+    # SQL MOD keeps the dividend's sign (mod(-7, 3) = -1); pmod is the
+    # always-positive variant (pmod(-7, 3) = 2) — they are different
+    # functions, and aliasing "mod" to pmod silently flips negatives
+    "mod": lambda a, b: a % b,
+    "pmod": F.pmod,
     "sign": F.signum,
     "greatest": F.greatest,
     "least": F.least,

@@ -79,13 +79,25 @@ def _enc(v: Any, vt: ValueType) -> Any:
     if vt is ValueType.DATETIME:
         if isinstance(v, _dt.datetime):
             # exact integer µs — float total_seconds() loses precision
-            # beyond ~2^53 µs (dates centuries from epoch)
-            delta = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # beyond ~2^53 µs (dates centuries from epoch). A tz-aware
+            # value must anchor at the UTC epoch: anchoring at
+            # 1970-01-01T00:00 *in v's own zone* cancels the offset and
+            # encodes wall-clock time as if it were UTC.
+            epoch = (
+                _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                if v.tzinfo is not None
+                else _dt.datetime(1970, 1, 1)
+            )
+            delta = v - epoch
             micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
             return micros * 1000
         return int(v)
     if vt is ValueType.DECIMAL:
         return str(v)
+    if vt is ValueType.U64:
+        # the DecimalType(20,0) carrier collects as decimal.Decimal,
+        # which json.dumps rejects; the wire scalar is a plain int
+        return int(v)
     if vt is ValueType.BYTES:
         return list(v)
     if vt is ValueType.UUID:
@@ -101,7 +113,10 @@ def _dec(v: Any, vt: ValueType) -> Any:
         return _EPOCH + _dt.timedelta(days=int(v))
     if vt is ValueType.DATETIME:
         return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v) // 1000)
-    if vt is ValueType.DECIMAL:
+    if vt in (ValueType.DECIMAL, ValueType.U64):
+        # U64 rides a DecimalType(20,0) column (types._TO_SPARK) and
+        # Spark's row verifier accepts ONLY decimal.Decimal there — a
+        # raw wire int would fail createDataFrame
         return _decimal.Decimal(v)
     if vt is ValueType.BYTES:
         return bytes(v)
@@ -165,6 +180,10 @@ def from_wire(spark: SparkSession, payload: dict, fmt: str = "column") -> FxFram
         series = payload["data"]
         names = [s["name"] for s in series]
         vts = [_parse_vt(s["datatype"]) for s in series]
+        lengths = {n: len(s["values"]) for n, s in zip(names, series)}
+        if len(set(lengths.values())) > 1:
+            # zip would silently truncate every column to the shortest
+            raise ValueError(f"ragged column payload lengths: {lengths}")
         cols = [[_dec(v, vt) for v in s["values"]] for s, vt in zip(series, vts)]
         rows = list(zip(*cols)) if cols else []
     elif fmt == "row":

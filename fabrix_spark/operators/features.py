@@ -87,8 +87,18 @@ def standardize(
         F.col("__n").cast("double") * F.col("__ss").cast("double")
         - F.col("__s").cast("double") * F.col("__s").cast("double")
     )
-    std = F.sqrt(var_num / (n_d * (n_d - F.lit(1.0))))
-    z = F.when(std > 0, (c.cast("double") - mean) / std)
+    # n == 1 makes the variance divisor 0, which under ANSI mode (the
+    # Spark 4 default) is TASK-KILLING even for doubles — and the
+    # division must sit INSIDE a when() branch gated on n > 1, not
+    # merely beside an n > 1 conjunct: subexpression elimination
+    # force-evaluates an expression shared between a condition and its
+    # branch, so a bare `std > 0` guard still divides by zero. For
+    # n <= 1 std is NULL and z stays the documented NULL. ~isnan
+    # guards the near-constant huge-value case where double rounding
+    # drives the exact-integer numerator slightly negative (sqrt →
+    # NaN, which compares GREATER than 0 in Spark's total order).
+    std = F.sqrt(F.when(F.col("__n") > 1, var_num / (n_d * (n_d - F.lit(1.0)))))
+    z = F.when((std > 0) & ~F.isnan(std), (c.cast("double") - mean) / std)
     rng = (F.col("__mx") - F.col("__mn")).cast("double")
     mm = F.when(
         F.col("__mx") > F.col("__mn"), (c - F.col("__mn")).cast("double") / rng
@@ -125,6 +135,10 @@ def quantile_bins(
     non-NULL values (absent from bounds) keep their rows with bin 1,
     exactly as the global path treats NULL values.
     """
+    if k < 1:
+        # k = 0 yields no boundaries and every row silently lands in
+        # bin 1 — an error, not a degenerate discretization
+        raise ValueError(f"quantile_bins bucket count must be >= 1, got {k}")
     if by:
         from pyspark.sql.window import Window
 
@@ -199,12 +213,23 @@ def target_encode_loo(
     only float op. One hash aggregate + one join of the category-sized
     aggregate back to the rows (AQE broadcasts it when small) — the
     canonical two-pass shape at any scale.
+
+    Edge contract: the stats join is NULL-SAFE on the category (a
+    plain ``on=cat_col`` equi-join silently DELETED every NULL-category
+    row — NULL forms its own encoding group here, matching the
+    aggregate's null group); the count is of NON-NULL targets, so
+    NULL-target rows neither contribute a phantom 0 to their
+    category's mean nor inflate its denominator (their own ``loo_enc``
+    is NULL via the sum arithmetic). The registry oracle corpus
+    (orders) has no NULL categories or targets, so both engines agree
+    there; DuckDB's ``JOIN USING`` is not null-safe, which is why the
+    oracle mirrors the NULL-free corpus rather than this edge.
     """
     with_y = df.withColumn("__y", target)
     agg = with_y.groupBy(cat_col).agg(
-        F.sum("__y").alias("__cat_sum"), F.count("*").alias("__cat_cnt")
+        F.sum("__y").alias("__cat_sum"), F.count("__y").alias("__cat_cnt")
     )
-    joined = with_y.join(agg, on=cat_col)
+    joined = _join_null_safe(with_y, agg, [cat_col])
     enc = F.when(
         F.col("__cat_cnt") > 1,
         (F.col("__cat_sum") - F.col("__y")).cast("double")

@@ -625,7 +625,15 @@ def correlation(
         (d("n") * d("sxx") - d("sx") * d("sx"))
         * (d("n") * d("syy") - d("sy") * d("sy"))
     )
-    return agg.select(*by, "n", (num / den).alias("pearson_r"))
+    # a constant x or y (within a group) makes den = 0 — Pearson r is
+    # undefined there and under ANSI mode the bare division is
+    # TASK-KILLING, not NaN; ~isnan additionally covers a
+    # rounding-negative variance product (sqrt → NaN, which compares
+    # GREATER than 0). The division sits in the when() BRANCH, so the
+    # shared subexpression the optimizer may force-evaluate is just
+    # `den`, which is always safe to compute.
+    r = F.when((den > 0) & ~F.isnan(den), num / den)
+    return agg.select(*by, "n", r.alias("pearson_r"))
 
 
 def psi_drift(df_a: DataFrame, df_b: DataFrame, bin_col: str) -> DataFrame:

@@ -65,10 +65,17 @@ def iter_batches(
     if options.is_column_wise:
         cols = [list(r) for r in it]
         if options.has_header:
+            if any(not c for c in cols):
+                raise ValueError("column-wise sheet with has_header=True has a headerless empty row")
             names = [str(c[0]) for c in cols]
             cols = [c[1:] for c in cols]
         else:
             names = [f"col_{i}" for i in range(len(cols))]
+        # sparse sheets yield ragged columns; pad to the longest like
+        # the row-wise path pads short rows (zip alone would silently
+        # TRUNCATE every column to the shortest)
+        depth = max((len(c) for c in cols), default=0)
+        cols = [c + [None] * (depth - len(c)) for c in cols]
         chunk = [list(t) for t in zip(*cols)]
         yield names, chunk
         return
@@ -104,6 +111,9 @@ def read_excel_batches(
     o = options or XlReadOptions()
     rows = _open_workbook_rows(source, o.sheet_name) if isinstance(source, str) else source
     for names, chunk in iter_batches(rows, o):
+        if not chunk:
+            # header-only column-wise sheet: no rows to type-infer from
+            continue
         yield FxFrame.from_rows(spark, chunk, names=names, index=o.index)
 
 

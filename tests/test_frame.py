@@ -141,3 +141,42 @@ def test_typed_parquet_roundtrip(spark, tmp_path):
     assert bytes(rows[1]["blob"]) == b"\x00\x01\xff"
     assert rows[1]["seen"] == dt.datetime(2024, 2, 29, 23, 59, 59, 123456)
     assert rows[2]["money"] is None and rows[2]["uid"] is None
+
+
+def test_frame_null_key_rows_survive_key_ops(spark):
+    """NULL-key rows must never vanish silently: ~isin is NULL (not
+    False) for them, so the pre-fix remove_rows deleted them and
+    popup_rows dropped them from BOTH halves of the upsert split."""
+    fx = FxFrame.from_series(
+        spark,
+        {"k": [1, 2, None, 4], "v": ["a", "b", "c", "d"]},
+        index="k",
+    )
+    kept = fx.remove_rows([1, 4])
+    assert sorted(r["v"] for r in kept.collect()) == ["b", "c"]
+
+    removed, remaining = fx.popup_rows([2])
+    assert sorted(r["v"] for r in removed.collect()) == ["b"]
+    # the two halves partition the frame — the NULL-key row is in remaining
+    assert sorted(r["v"] for r in remaining.collect()) == ["a", "c", "d"]
+
+    # None in the value list explicitly targets NULL keys
+    assert sorted(r["v"] for r in fx.take_rows([None, 1]).collect()) == ["a", "c"]
+    assert fx.get_row(None)["v"] == "c"
+    assert fx.contains("k", None) is True
+    assert fx.remove_rows([None]).df.filter("k IS NULL").count() == 0
+
+
+def test_frame_ragged_inputs_refused(spark):
+    """Ragged construction inputs previously truncated silently via
+    zip (from_series) or IndexError'd mid-transpose (from_rows)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged series"):
+        FxFrame.from_series(spark, {"a": [1, 2, 3], "b": [1]})
+    with pytest.raises(ValueError, match="ragged rows"):
+        FxFrame.from_rows(spark, [[1, 2], [3]], names=["a", "b"])
+    with pytest.raises(ValueError, match="names"):
+        FxFrame.from_rows(spark, [[1, 2]], names=["a"])
+    with pytest.raises(ValueError, match="header"):
+        FxFrame.from_column_values(spark, [[1, 2], []], has_header=True)

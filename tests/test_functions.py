@@ -68,3 +68,17 @@ def test_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall collapsed: {recall}"
+
+
+def test_mod_keeps_dividend_sign_pmod_is_positive(spark):
+    """SQL MOD(-7, 3) = -1 (dividend's sign); pmod(-7, 3) = 2. The
+    registry aliased "mod" to pmod, silently flipping negatives."""
+    df = spark.range(1)
+    r = df.select(
+        apply_fn("mod", F.lit(-7), F.lit(3)).alias("m"),
+        apply_fn("pmod", F.lit(-7), F.lit(3)).alias("p"),
+        apply_fn("mod", F.lit(7), F.lit(3)).alias("mp"),
+    ).first()
+    assert r["m"] == -1
+    assert r["p"] == 2
+    assert r["mp"] == 1

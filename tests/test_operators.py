@@ -5365,3 +5365,70 @@ def test_fuzzy_join_model(spark):
         ).collect()
     }
     assert (9, 200) in got3  # unpurged prefix block routes to the near-dup
+
+
+def test_features_null_category_and_singleton_group_contracts(spark):
+    """standardize: a singleton group's variance is 0/0 = NaN and NaN
+    compares > 0 in Spark, so pre-fix z was NaN instead of the
+    documented NULL. target_encode_loo: the stats join must be
+    null-safe (pre-fix NULL-category rows were silently DELETED by the
+    inner equi-join) and the denominator counts non-NULL targets only
+    (pre-fix a NULL-target row inflated its category's divisor while
+    contributing nothing to the sum)."""
+    import math
+
+    import pytest
+
+    from fabrix_spark.operators.features import (
+        quantile_bins,
+        standardize,
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 7), (None, 5), (None, 9)],
+        "g string, x long",
+    )
+    z = {
+        (r["g"], r["x"]): r["z"]
+        for r in standardize(df, "x", by=["g"]).collect()
+    }
+    assert z[("b", 7)] is None  # singleton group: NULL, never NaN
+    assert all(v is None or not math.isnan(v) for v in z.values())
+    assert z[("a", 10)] is not None  # real groups still standardized
+
+    enc_df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", None), (None, 4), (None, 8)],
+        "cat string, y long",
+    )
+    out = {
+        (r["cat"], r["y"]): r["loo_enc"]
+        for r in target_encode_loo(enc_df, "cat", F.col("y")).collect()
+    }
+    assert len(out) == 5  # NULL-category rows survive
+    # category "a": two real targets; each row's LOO mean is the OTHER
+    # real value — the NULL-target row must not inflate the divisor
+    assert out[("a", 10)] == 20.0
+    assert out[("a", 20)] == 10.0
+    assert out[("a", None)] is None
+    # the NULL category is its own group
+    assert out[(None, 4)] == 8.0
+    assert out[(None, 8)] == 4.0
+
+    with pytest.raises(ValueError, match="bucket count"):
+        quantile_bins(df, "x", 0)
+
+
+def test_correlation_constant_column_yields_null_not_crash(spark):
+    """Pearson r of a constant column is undefined: den = 0, and under
+    ANSI mode the pre-fix bare division was TASK-KILLING (DIVIDE_BY_
+    ZERO), not NaN."""
+    from fabrix_spark.operators.profile import correlation
+
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 5, 2), ("a", 5, 3), ("b", 1, 1), ("b", 2, 2)],
+        "g string, x long, y long",
+    )
+    out = {r["g"]: r["pearson_r"] for r in correlation(df, "x", "y", by=["g"]).collect()}
+    assert out["a"] is None  # constant x: undefined, NULL
+    assert abs(out["b"] - 1.0) < 1e-12  # perfectly correlated group unaffected

@@ -2399,3 +2399,51 @@ def test_stream_fuzzy_admission_replay(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in admitted.read().df.collect())
     assert got == [1, 2, 4]  # 3 rejected as a near-copy of 1
+
+
+def test_wire_u64_decimal_carrier_and_tz_datetime(spark):
+    """U64 wire columns ride DecimalType(20,0): Spark's row verifier
+    accepts only decimal.Decimal there, so raw wire ints must be
+    converted on decode (pre-fix: createDataFrame TypeError) and the
+    Decimal carrier must re-encode as a plain int (pre-fix: json.dumps
+    TypeError). Tz-aware datetimes must anchor at the UTC epoch —
+    anchoring at 1970-01-01 in the value's own zone cancels the offset."""
+    import datetime as dt
+    import decimal
+
+    from fabrix_spark.io.wire import _enc, from_wire, to_json
+    from fabrix_spark.types import ValueType
+
+    payload = {
+        "data": [
+            {"name": "id", "datatype": "I64", "values": [1, 2]},
+            # 2^63 <= v < 2^64: exactly the range only U64 can carry
+            {"name": "big", "datatype": "U64", "values": [2**63 + 7, 18446744073709551615]},
+        ],
+        "index_tag": {"loc": 0, "name": "id", "data_type": "I64"},
+    }
+    fx = from_wire(spark, payload)
+    rows = {r["id"]: r for r in fx.collect()}
+    assert int(rows[1]["big"]) == 2**63 + 7
+    assert int(rows[2]["big"]) == 18446744073709551615
+    # the Decimal carrier must survive JSON re-serialization
+    assert '"18446744073709551615"' in to_json(fx) or "18446744073709551615" in to_json(fx)
+
+    plus5 = dt.timezone(dt.timedelta(hours=5))
+    aware = dt.datetime(1970, 1, 1, 0, 0, 0, tzinfo=plus5)
+    # 1970-01-01T00:00+05:00 is 5h BEFORE the epoch
+    assert _enc(aware, ValueType.DATETIME) == -5 * 3600 * 1_000_000_000
+    naive = dt.datetime(1970, 1, 1, 1, 0, 0)
+    assert _enc(naive, ValueType.DATETIME) == 3600 * 1_000_000_000
+
+    import pytest as _pytest
+
+    ragged = {
+        "data": [
+            {"name": "a", "datatype": "I64", "values": [1, 2]},
+            {"name": "b", "datatype": "I64", "values": [1]},
+        ],
+        "index_tag": None,
+    }
+    with _pytest.raises(ValueError, match="ragged column payload"):
+        from_wire(spark, ragged)

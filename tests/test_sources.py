@@ -734,3 +734,27 @@ def test_jdbc_adt_pushdown_derby_matrix(spark, tmp_path):
     )
     with pytest.raises(Py4JJavaError):
         push(render_select(rep, "derby")).collect()
+
+
+def test_iter_batches_column_wise_ragged_pads_and_empty_refused():
+    """Sparse transposed sheets yield ragged columns: zip alone
+    TRUNCATED every column to the shortest (silent row loss); they now
+    pad with None like the row-wise path pads short rows. A headerless
+    empty row under has_header=True is an error, and a header-only
+    column-wise sheet yields no batches (nothing to type-infer)."""
+    ragged = [["id", 1, 2, 3], ["name", "a"]]
+    [(names, chunk)] = list(iter_batches(iter(ragged), XlReadOptions(is_column_wise=True)))
+    assert names == ["id", "name"]
+    assert chunk == [[1, "a"], [2, None], [3, None]]
+
+    with pytest.raises(ValueError, match="headerless"):
+        list(iter_batches(iter([["id", 1], []]), XlReadOptions(is_column_wise=True)))
+
+
+def test_read_excel_batches_header_only_column_wise(spark):
+    from fabrix_spark.sources.excel import read_excel_batches
+
+    out = list(
+        read_excel_batches(spark, iter([["id"], ["name"]]), XlReadOptions(is_column_wise=True))
+    )
+    assert out == []

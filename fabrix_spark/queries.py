@@ -3628,13 +3628,28 @@ def d_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _admission_oracle(
-    batches: int = 3, n_hashes: int = 16, bands: int = 4, threshold: float = 0.2
+    batches: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    scope: str = "admitted",
+    verify: bool = True,
 ) -> str:
     """Staged SQL replay of sequential admission: batch k (docs with
     doc_id % batches = k) is admitted unless a banded-candidate match
     against the UNION of previously admitted batches verifies at
     jaccard ≥ threshold — the same decision sequence
-    ``streaming.ingest.admit_batch`` makes batch over batch."""
+    ``streaming.ingest.admit_batch`` makes batch over batch.
+
+    ``scope`` and ``verify`` are MUTATION KNOBS for
+    test_admission_replay_mutation_sensitivity (production callers use
+    the defaults): ``scope="all"`` bans candidates against every
+    PRIOR document instead of only previously ADMITTED ones (a
+    rejected near-dup would then act as a blocker — the store must
+    fold survivors only), and ``verify=False`` rejects on banded
+    candidacy alone (a band collision below the jaccard threshold
+    would then reject a legitimate document — banding is a candidate
+    generator, never a decision)."""
     from .operators.dedup import _hash_params
 
     rows = n_hashes // bands
@@ -3656,17 +3671,26 @@ def _admission_oracle(
         "sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id)",
         f"adm0 AS (SELECT doc_id FROM documents WHERE doc_id % {batches} = 0)",
     ]
+    if scope not in ("admitted", "all"):
+        raise ValueError(f"scope must be 'admitted'|'all', got {scope!r}")
     for k in range(1, batches):
+        ref_clause = (
+            f"JOIN adm{k - 1} ON adm{k - 1}.doc_id = c.doc_id"
+            if scope == "admitted"
+            else f"JOIN (SELECT doc_id FROM documents WHERE doc_id % {batches} < {k}) "
+            f"prior{k} ON prior{k}.doc_id = c.doc_id"
+        )
         ctes.append(
             f"""c{k} AS (
   SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
   FROM banded n
   JOIN banded c ON n.band = c.band AND n.key = c.key AND n.doc_id <> c.doc_id
-  JOIN adm{k - 1} ON adm{k - 1}.doc_id = c.doc_id
+  {ref_clause}
   WHERE n.doc_id % {batches} = {k})"""
         )
-        ctes.append(
-            f"""v{k} AS (
+        if verify:
+            ctes.append(
+                f"""v{k} AS (
   SELECT DISTINCT x.new_id FROM (
     SELECT cd.new_id, cd.corpus_id, count(*) AS cc
     FROM c{k} cd
@@ -3676,7 +3700,9 @@ def _admission_oracle(
   JOIN sizes sa ON sa.doc_id = x.new_id
   JOIN sizes sb ON sb.doc_id = x.corpus_id
   WHERE round(x.cc / (sa.sz + sb.sz - x.cc), 6) >= {threshold})"""
-        )
+            )
+        else:
+            ctes.append(f"v{k} AS (SELECT DISTINCT new_id FROM c{k})")
         ctes.append(
             f"adm{k} AS (SELECT doc_id FROM adm{k - 1} UNION ALL "
             f"SELECT doc_id FROM documents WHERE doc_id % {batches} = {k} "

@@ -5432,3 +5432,70 @@ def test_correlation_constant_column_yields_null_not_crash(spark):
     out = {r["g"]: r["pearson_r"] for r in correlation(df, "x", "y", by=["g"]).collect()}
     assert out["a"] is None  # constant x: undefined, NULL
     assert abs(out["b"] - 1.0) < 1e-12  # perfectly correlated group unaffected
+
+
+def test_admission_replay_mutation_sensitivity(spark, tmp_path):
+    """stream_admission_replay's staged-SQL oracle is SENSITIVE to each
+    of the two semantics that make sequential MinHash admission what it
+    is: (1) candidates ban only against previously ADMITTED documents
+    — the store folds survivors, so a rejected near-dup never blocks;
+    (2) banded candidacy is a CANDIDATE GENERATOR — rejection requires
+    the exact-jaccard verify. The real corpus exercises neither edge
+    (no rejected-doc chains, no sub-threshold band collisions that
+    would change a decision), which is exactly what this constructed
+    fixture closes: the production admit_batch loop matches the true
+    oracle on it, and disabling either semantic in the oracle builder
+    flips a distinct designed row.
+
+    The texts are search-constructed against the production hash family
+    ((2i+1)·h + b mod 4294967311 over md5-32 shingle hashes, 16 hashes
+    / 4 bands): its small odd multipliers correlate the per-position
+    minimizers with h magnitude, so band collisions only happen when
+    one document PRESERVES the exact token spans carrying the other's
+    band-minimizer shingles — R keeps B0's band-0 spans (collide,
+    j=0.47 ≥ 0.2 → rejected), C copies the contiguous block carrying
+    R's unique-shingle band (collide, j(C,R)=0.24, j(C,B0)=0 — admitted
+    truly because R was never admitted), and D copies E's band-0 spans
+    plus 18 unique tokens (collide at j=0.13 < 0.2 — admitted truly
+    because the verify refutes the band hit)."""
+    import duckdb as _duckdb
+
+    from fabrix_spark.queries import REGISTRY, _admission_oracle
+
+    B0 = " ".join(f"alpha{i}" for i in range(30))
+    E = " ".join(f"echo{i}" for i in range(30))
+    R = " ".join(f"rq422m{i}" for i in range(10)) + " " + " ".join(
+        f"alpha{i}" for i in range(10, 30)
+    )
+    C = (
+        " ".join(f"rq422m{i}" for i in range(10))
+        + " alpha10 "
+        + " ".join(f"cf3t{i}" for i in range(10))
+    )
+    D = " ".join(f"echo{i}" for i in range(13, 21)) + " " + " ".join(
+        f"df0b0t{i}" for i in range(18)
+    )
+    # batches on doc_id % 3: batch0 = {3 (B0), 6 (E)}, batch1 = {1 (R),
+    # 4 (D)}, batch2 = {2 (C)}
+    rows = [(3, B0, "aa"), (6, E, "aa"), (1, R, "aa"), (4, D, "aa"), (2, C, "aa")]
+    fixture = str(tmp_path / "fx")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").coalesce(
+        1
+    ).write.parquet(fixture + "/documents.parquet")
+
+    got = {r["doc_id"] for r in REGISTRY["stream_admission_replay"].fn(spark, fixture).collect()}
+
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fixture}/documents.parquet/*.parquet'"
+    )
+    true = {r[0] for r in con.execute(_admission_oracle()).fetchall()}
+    assert got == true
+    # the decisions the fixture forces: R rejected (near-dup of B0),
+    # D and C admitted through the two guarded semantics
+    assert true == {3, 6, 4, 2}
+
+    m_scope = {r[0] for r in con.execute(_admission_oracle(scope="all")).fetchall()}
+    m_verify = {r[0] for r in con.execute(_admission_oracle(verify=False)).fetchall()}
+    assert true ^ m_scope == {2}  # C rejected by the never-admitted R
+    assert true ^ m_verify == {4}  # D rejected on the refuted band hit

@@ -351,8 +351,22 @@ def cosine_topk_blocked(
 
 
 def _cosine(a: Column, b: Column, a_n2: Column, b_n2: Column, integer: bool) -> Column:
-    return F.round(
-        _dot(a, b, integer) / F.sqrt(a_n2.cast("double") * b_n2.cast("double")), 6
+    """6-dp rounded cosine from precomputed squared norms — NULL when
+    either norm is 0 (or NULL): cosine is undefined there, and under
+    ANSI mode the bare 0/0 double division is TASK-KILLING, not NaN.
+    The division sits INSIDE the when() branch (a mere conjunct guard
+    beside a shared subexpression still divides — subexpression
+    elimination force-evaluates it; see features.standardize). Entry
+    points additionally EXCLUDE zero-norm rows where the family
+    contract says so; this guard is the backstop for scorers whose
+    norms are computed mid-plan (e.g. rp_topk's projected norms, which
+    can be 0 for a nonzero vector when the signed projection
+    cancels)."""
+    return F.when(
+        (a_n2 > 0) & (b_n2 > 0),
+        F.round(
+            _dot(a, b, integer) / F.sqrt(a_n2.cast("double") * b_n2.cast("double")), 6
+        ),
     )
 
 
@@ -428,15 +442,24 @@ def rp_topk(
     proj = signed_projection(F.col(vec_col), out_dim)
     full = _quantized(F.col(vec_col), quantize)
 
+    # NULL/NaN-component vectors excluded (NaN dies at the quantizer's
+    # ANSI long cast before any filter could drop it) and zero-NORM
+    # vectors excluded (cosine undefined) — the exact family's
+    # contract, uniform across the approximate ops (r17 self-review).
+    # A nonzero vector whose signed PROJECTION cancels to zero norm
+    # stays: its projected score is NULL (ranks last among candidates),
+    # and the exact rescore uses the real full-width cosine.
     def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
         return (
-            df.select(
+            _finite_vectors(df, vec_col)
+            .select(
                 F.col(idc).alias(f"{tag}_id"),
                 proj.alias(f"{tag}_p"),
                 full.alias(f"{tag}_vec"),
             )
             .withColumn(f"{tag}_pn2", _dot(F.col(f"{tag}_p"), F.col(f"{tag}_p"), True))
             .withColumn(f"{tag}_n2", _dot(F.col(f"{tag}_vec"), F.col(f"{tag}_vec"), True))
+            .filter(F.col(f"{tag}_n2") > 0)
             .withColumn("__one", _pair_key(f"{tag}_id"))
         )
 
@@ -508,15 +531,22 @@ def ivf_assign(
     # (silently unassigned rows) and foldable once the id is provably
     # non-null (r16 self-review; see _pair_key's docstring)
     one = _pair_key
+    # NULL/NaN/zero-norm vectors and centroids excluded — the family
+    # contract (r17 self-review): a NaN component killed the whole
+    # assignment at the quantizer's ANSI long cast, a zero-norm row
+    # the cosine division
     vecs = (
-        spread(corpus)
+        spread(_finite_vectors(corpus, vec_col))
         .select(F.col(id_col), cvec.alias("__v"))
         .withColumn("__v_n2", _dot(F.col("__v"), F.col("__v"), True))
+        .filter(F.col("__v_n2") > 0)
         .withColumn("__one", one(id_col))
     )
     cents = (
-        centroids.select(F.col(id_col).alias("centroid_id"), cvec.alias("__c"))
+        _finite_vectors(centroids, vec_col)
+        .select(F.col(id_col).alias("centroid_id"), cvec.alias("__c"))
         .withColumn("__c_n2", _dot(F.col("__c"), F.col("__c"), True))
+        .filter(F.col("__c_n2") > 0)
         .withColumn("__one", one("centroid_id"))
     )
 
@@ -665,9 +695,17 @@ def _centroid_argmax(
     interpreted per row × per centroid — the pre-quantized form keeps
     the per-row work to k integer dot products, the same arithmetic the
     broadcast-join path does per joined pair."""
+    import math as _math
+
     scored = []
     for cid, cvec in centroid_rows:
+        if cvec is None or any(x is None or not _math.isfinite(float(x)) for x in cvec):
+            # a NaN component would die in _round_half_up; exclusion
+            # matches ivf_assign's _finite_vectors contract
+            continue
         qc = [_round_half_up(float(x) * quantize) for x in cvec]
+        if not any(qc):
+            continue  # zero-norm centroid: no defined cosine to it
         c = F.array(*[F.lit(q).cast("long") for q in qc])
         cn2 = F.lit(sum(q * q for q in qc)).cast("long")
         scored.append(
@@ -677,6 +715,8 @@ def _centroid_argmax(
                 F.lit(int(cid)).cast("long").alias("cid"),
             )
         )
+    if not scored:
+        raise ValueError("no scoreable centroids (all NULL/NaN/zero-norm)")
     return F.array_max(F.array(*scored))["cid"]
 
 
@@ -702,9 +742,10 @@ def ivf_assign_expr(
     inline (k×dim beyond ~10⁴ entries) use :func:`ivf_assign`, whose
     broadcast join scales with the build side."""
     out = (
-        spread(corpus)
+        spread(_finite_vectors(corpus, vec_col))
         .select(F.col(id_col), _quantized(F.col(vec_col), quantize).alias("__v"))
         .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+        .filter(F.col("__n2") > 0)
     )
     return out.withColumn(
         "centroid_id",
@@ -735,10 +776,10 @@ def kmeans_train_rows(
     import pandas as pd
 
     # NULL ids sort FIRST under asc() and would crash int(r[0]) on the
-    # driver; NULL embeddings would crash np.stack inside the executor
-    # — exclude both, like gram_matrix's vec.isNotNull() gate (r16
-    # self-review)
-    corpus = corpus.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    # driver; NULL embeddings would crash np.stack inside the executor;
+    # a NaN component would silently train a garbage centroid via
+    # NaN.astype(int64) — exclude all three (r16/r17 self-review)
+    corpus = _finite_vectors(corpus, vec_col).where(F.col(id_col).isNotNull())
     seed = (
         corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col).collect()
     )
@@ -898,6 +939,9 @@ def _kmeans_train_df(
     """The all-DataFrame Lloyd loop (see :func:`kmeans_train`): the
     scale path for centroid tables too large to hold on the driver,
     and the parity reference the fast trainer is tested against."""
+    # same NULL/NaN exclusion as kmeans_train_rows (parity twins must
+    # see the same input rows)
+    corpus = _finite_vectors(corpus, vec_col).where(F.col(id_col).isNotNull())
     cents = corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col)
     for _ in range(iters):
         assign = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
@@ -947,6 +991,11 @@ def ivf_cosine_topk(
     corpus × queries. Fully deterministic, so it oracle-checks. Pass
     ``centroids`` (e.g. from :func:`kmeans_train`) to override the
     seed quantizer."""
+    # NULL/NaN/zero-norm exclusion at entry (family contract, r17
+    # self-review) — also keeps a poisoned corpus head out of the
+    # default centroid seed
+    corpus = _finite_vectors(corpus, vec_col)
+    queries = _finite_vectors(queries, vec_col)
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).withColumnRenamed(
@@ -1019,8 +1068,13 @@ def mmr_rerank(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, quantize=quantize,
     ).select("q_id", "c_id", "cosine", "rank")
-    # pool-member vectors once; pairwise sims within each query's pool
-    vecs = spread(corpus).select(
+    # pool-member vectors once; pairwise sims within each query's pool.
+    # _finite_vectors: pool members are clean (cosine_topk's contract),
+    # but the quantizer below evaluates on EVERY corpus row feeding the
+    # join — one NaN component anywhere in the corpus killed the rerank
+    # at the ANSI long cast even though that row was never in any pool
+    # (r17 self-review)
+    vecs = spread(_finite_vectors(corpus, vec_col)).select(
         F.col(id_col).alias("__id"), _quantized(F.col(vec_col), quantize).alias("__v")
     ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
     p = rel.join(vecs, rel.c_id == vecs.__id).select("q_id", "c_id", "__v", "__n2")
@@ -1119,8 +1173,11 @@ def hyperplane_lsh_buckets(
     killed the job with a NULL (message-less) error; without ``dim``
     every plane dot went NULL and ALL null-vector rows funneled into
     bucket 0 of every table — an O(n_nulls²·tables) candidate blowup
-    feeding NULL-cosine edges into knn_graph/lsh_cosine_topk."""
-    df = df.where(F.col(vec_col).isNotNull())
+    feeding NULL-cosine edges into knn_graph/lsh_cosine_topk.
+    NaN-component vectors are excluded too (r17 self-review): the
+    bucket quantizer's ANSI long cast killed the whole bucketing pass
+    on the first NaN."""
+    df = _finite_vectors(df, vec_col)
     q = _quantized(F.col(vec_col), quantize)
     if dim is not None:
         # Fail loudly on a dimension mismatch: with the inlined plane
@@ -1221,19 +1278,26 @@ def lsh_cosine_topk(
     # _cosine shape): the inline form re-ran both O(dim) norm
     # aggregates for EVERY candidate pair — a corpus vector in p query
     # candidate sets paid its norm p times (r16 self-review)
+    # _finite_vectors + n2 > 0: the family's exclusion contract (r17
+    # self-review) — NaN killed the quantizer cast, zero-norm the
+    # cosine division
     cvec = (
-        corpus.select(
+        _finite_vectors(corpus, vec_col)
+        .select(
             F.col(id_col).alias("c_id"),
             _quantized(F.col(vec_col), 1_000_000).alias("c_vec"),
         )
         .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), True))
+        .filter(F.col("c_n2") > 0)
     )
     qvec = (
-        queries.select(
+        _finite_vectors(queries, vec_col)
+        .select(
             F.col(id_col).alias("q_id"),
             _quantized(F.col(vec_col), 1_000_000).alias("q_vec"),
         )
         .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), True))
+        .filter(F.col("q_n2") > 0)
     )
     scored = (
         cand.join(cvec, "c_id")
@@ -1303,9 +1367,13 @@ def knn_graph(
         .select("src", "dst")
         .distinct()
     )
-    vec = corpus.select(
+    # _finite_vectors + n2 > 0 (r17 self-review): one NaN component
+    # anywhere in the corpus killed the scoring quantizer; a zero-norm
+    # vector that shared a bucket killed the cosine division — such
+    # nodes have no defined-cosine edges and drop from the graph
+    vec = _finite_vectors(corpus, vec_col).select(
         F.col(id_col).alias("__id"), _quantized(F.col(vec_col), quantize).alias("__v")
-    ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True)).filter(F.col("__n2") > 0)
     s = vec.select(
         F.col("__id").alias("src"), F.col("__v").alias("s_v"), F.col("__n2").alias("s_n2")
     )
@@ -1548,6 +1616,10 @@ def pq_train(
     the path for outsized codebooks."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    # NULL/NaN exclusion (r17 self-review): the expression path dies
+    # at the ANSI long cast; the numpy path silently trains garbage
+    # codewords from NaN.astype(int64)
+    corpus = _finite_vectors(corpus, vec_col)
     if m * n_codes * (dim // m) <= 1_000_000 and _integral_id(corpus, id_col):
         rows = pq_train_rows(
             corpus, dim, m, n_codes, iters, id_col, vec_col, quantize
@@ -1637,6 +1709,10 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
+    # NULL/NaN exclusion (r17 self-review): NULL vectors crash
+    # np.stack, a NaN component encodes to a garbage int64 code
+    # silently on the numpy path and kills the expression path's cast
+    corpus = _finite_vectors(corpus, vec_col)
     sub_dim = dim // m
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -1774,6 +1850,10 @@ def _adc_topk(
     :func:`pq_cosine_topk` (which trains then scores) and
     :class:`PQStore` (which scores against persisted state). ``corpus``
     is touched only when ``refine`` re-ranks the shortlist exactly."""
+    # NULL/NaN query vectors excluded (r17 self-review — the lookup
+    # tables' quantizer cast was the first bomb); zero-norm queries
+    # drop at the qn2 > 0 filter below
+    queries = _finite_vectors(queries, vec_col)
     sub_dim = dim // m
     qparts = []
     for s in range(m):
@@ -1801,7 +1881,7 @@ def _adc_topk(
             _quantized(F.col(vec_col), quantize),
             True,
         ).alias("__qn2"),
-    )
+    ).filter(F.col("__qn2") > 0)
     scored = (
         codes.withColumnRenamed(id_col, "c_id")
         .join(F.broadcast(qtab), ["subspace", "code"])
@@ -1812,10 +1892,16 @@ def _adc_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(
-                F.col("__adot")
-                / F.sqrt(F.col("__rn2").cast("double") * F.col("__qn2").cast("double")),
-                6,
+            # __rn2 = 0 (an all-zero reconstruction) has no defined
+            # cosine; NULL ranks last instead of a task-killing ANSI
+            # 0/0 — division stays INSIDE the when() branch
+            F.when(
+                F.col("__rn2") > 0,
+                F.round(
+                    F.col("__adot")
+                    / F.sqrt(F.col("__rn2").cast("double") * F.col("__qn2").cast("double")),
+                    6,
+                ),
             ).alias("cosine_pq"),
         )
     )
@@ -1828,12 +1914,12 @@ def _adc_topk(
         .filter(F.col("__r") <= refine)
         .select("q_id", "c_id")
     )
-    cvec = corpus.select(
+    cvec = _finite_vectors(corpus, vec_col).select(
         F.col(id_col).alias("c_id"), _quantized(F.col(vec_col), quantize).alias("c_vec")
-    ).withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), True))
+    ).withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), True)).filter(F.col("c_n2") > 0)
     qvec = queries.select(
         F.col(id_col).alias("q_id"), _quantized(F.col(vec_col), quantize).alias("q_vec")
-    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), True))
+    ).withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), True)).filter(F.col("q_n2") > 0)
     exact = (
         cand.join(cvec, "c_id")
         .join(F.broadcast(qvec), "q_id")
@@ -1877,6 +1963,9 @@ def ivfpq_topk(
     with the broadcast per-query lookup tables and sums the m terms in
     one (q_id, c_id) aggregate. Deterministic end to end → fully
     oracled (``sim_ivfpq_topk``)."""
+    # NULL/NaN exclusion at entry (family contract, r17 self-review)
+    corpus = _finite_vectors(corpus, vec_col)
+    queries = _finite_vectors(queries, vec_col)
     centroids = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col, quantize, n_probe=1).withColumnRenamed(
         id_col, "c_id"
@@ -1923,7 +2012,7 @@ def ivfpq_topk(
             _quantized(F.col(vec_col), quantize),
             True,
         ).alias("__qn2"),
-    )
+    ).filter(F.col("__qn2") > 0)
     scored = (
         codes.withColumnRenamed(id_col, "c_id")
         .join(cand, "c_id")  # restrict ADC to the probed lists
@@ -1934,10 +2023,14 @@ def ivfpq_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(
-                F.col("__adot")
-                / F.sqrt(F.col("__rn2").cast("double") * F.col("__qn2").cast("double")),
-                6,
+            # same zero-reconstruction guard as _adc_topk
+            F.when(
+                F.col("__rn2") > 0,
+                F.round(
+                    F.col("__adot")
+                    / F.sqrt(F.col("__rn2").cast("double") * F.col("__qn2").cast("double")),
+                    6,
+                ),
             ).alias("cosine_pq"),
         )
     )

@@ -5499,3 +5499,55 @@ def test_admission_replay_mutation_sensitivity(spark, tmp_path):
     m_verify = {r[0] for r in con.execute(_admission_oracle(verify=False)).fetchall()}
     assert true ^ m_scope == {2}  # C rejected by the never-admitted R
     assert true ^ m_verify == {4}  # D rejected on the refuted band hit
+
+
+def test_ann_family_excludes_poisoned_vectors(spark):
+    """The approximate-ANN entry points share the exact family's
+    exclusion contract (NULL vector / NaN component / zero norm):
+    pre-fix, ONE NaN component anywhere in the corpus killed every one
+    of these ops at the quantizer's ANSI long cast (the projection,
+    bucketing, lookup-table and scoring quantizers all evaluate on
+    every row feeding their joins — even rows no candidate set ever
+    keeps), and one zero-norm vector killed the cosine division."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 1.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),           # zero norm
+            (3, [1.0, float("nan"), 2.0, 1.0]),  # NaN component
+            (4, None),                            # NULL vector
+            (5, [2.0, 1.0, 1.0, 2.0]),
+            (7, [1.0, 1.0, 2.0, 0.5]),
+            (9, [0.5, 2.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.filter("vec_id = 1")
+    clean = {1, 5, 7, 9}
+
+    assign = similarity.ivf_assign(corpus, corpus.filter("vec_id in (1, 5)")).collect()
+    assert {r["vec_id"] for r in assign} == clean
+
+    expr_assign = similarity.ivf_assign_expr(
+        corpus, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0, 0.0])]
+    ).collect()
+    assert {r["vec_id"] for r in expr_assign} == clean
+
+    for out in (
+        similarity.rp_topk(corpus, q, k=3, out_dim=4),
+        similarity.ivf_cosine_topk(corpus, q, k=3, n_centroids=2, n_probe=2),
+        similarity.lsh_cosine_topk(corpus, q, k=3, dim=4),
+        similarity.mmr_rerank(corpus, q, k=2, pool=3),
+        similarity.pq_cosine_topk(corpus, q, dim=4, m=2, n_codes=2, k=3),
+        similarity.ivfpq_topk(corpus, q, dim=4, m=2, n_codes=2, k=3, n_centroids=2),
+    ):
+        rows = out.collect()
+        got = {r["c_id"] for r in rows}
+        assert got and got <= clean - {1}, rows
+
+    g = similarity.knn_graph(corpus, k=3, dim=4).collect()
+    assert g and {r["src"] for r in g} <= clean and {r["dst"] for r in g} <= clean
+
+    cents = similarity.kmeans_train_rows(corpus, k=2)
+    import math
+    assert len(cents) == 2
+    assert all(math.isfinite(x) for _, vec in cents for x in vec)

@@ -262,7 +262,18 @@ def cosine_topk_blocked(
             query_id_col=query_id_col, quantize=quantize,
         )
     q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
-    q_rows = [r for r in q_rows if r[0] is not None and r[1] is not None]
+    import math as _math
+
+    # driver-side twin of _finite_vectors: a NaN query component would
+    # quantize to a garbage int64 column of the broadcast matrix and
+    # silently mis-rank every candidate for that query
+    q_rows = [
+        r
+        for r in q_rows
+        if r[0] is not None
+        and r[1] is not None
+        and all(x is not None and _math.isfinite(float(x)) for x in r[1])
+    ]
     if not q_rows:
         empty = "q_id long, c_id long, cosine double, rank int"
         return corpus.sparkSession.createDataFrame([], empty)
@@ -328,11 +339,15 @@ def cosine_topk_blocked(
             }
             yield pd.DataFrame(rows)
 
-    # NULL ids/vectors cannot enter the int64/stack kernel — excluded
+    # NULL ids cannot enter the int64/stack kernel — excluded
     # (documented divergence from the expression path, which pairs
-    # NULL-id rows; this is the triage path)
-    cand = corpus.where(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    # NULL-id rows; this is the triage path). _finite_vectors, not a
+    # bare isNotNull: a NaN component casts to a garbage int64 INSIDE
+    # the kernel (before the isfinite mask, which only sees the
+    # already-cast values) and emitted silently wrong candidates —
+    # the exact twin EXCLUDES such rows (r17 self-review)
+    cand = _finite_vectors(corpus, vec_col).where(
+        F.col(id_col).isNotNull()
     ).select(
         F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cvec")
     ).mapInPandas(
@@ -1496,9 +1511,10 @@ def pq_train_rows(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
-    # same NULL gate as kmeans_train_rows: NULL ids seed first and
-    # crash int(r[0]); NULL embeddings crash the executor stack
-    corpus = corpus.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    # same NULL/NaN gate as kmeans_train_rows: NULL ids seed first and
+    # crash int(r[0]); NULL embeddings crash the executor stack; NaN
+    # components silently train garbage codewords via NaN.astype(int64)
+    corpus = _finite_vectors(corpus, vec_col).where(F.col(id_col).isNotNull())
     seed = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_codes)

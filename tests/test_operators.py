@@ -5509,6 +5509,8 @@ def test_ann_family_excludes_poisoned_vectors(spark):
     bucketing, lookup-table and scoring quantizers all evaluate on
     every row feeding their joins — even rows no candidate set ever
     keeps), and one zero-norm vector killed the cosine division."""
+    import math
+
     corpus = spark.createDataFrame(
         [
             (1, [1.0, 2.0, 3.0, 1.0]),
@@ -5547,7 +5549,17 @@ def test_ann_family_excludes_poisoned_vectors(spark):
     g = similarity.knn_graph(corpus, k=3, dim=4).collect()
     assert g and {r["src"] for r in g} <= clean and {r["dst"] for r in g} <= clean
 
+    # the numpy triage kernel: NaN components cast to garbage int64
+    # INSIDE the kernel (past the isfinite mask), so pre-fix the
+    # blocked path silently mis-ranked instead of crashing — it must
+    # match its exact twin row for row on the poisoned corpus
+    blocked = similarity.cosine_topk_blocked(corpus, q, k=3)
+    exact = similarity.cosine_topk(corpus, q, k=3)
+    assert sorted(map(tuple, blocked.collect())) == sorted(map(tuple, exact.collect()))
+
+    rows_cb = similarity.pq_train_rows(corpus, dim=4, m=2, n_codes=2)
+    assert all(math.isfinite(float(x)) for _, _, vec, _ in rows_cb for x in vec)
+
     cents = similarity.kmeans_train_rows(corpus, k=2)
-    import math
     assert len(cents) == 2
     assert all(math.isfinite(x) for _, vec in cents for x in vec)

@@ -1012,6 +1012,17 @@ def bpe_encode(
         )
         if (i + 1) % checkpoint_every == 0:
             syms = syms.localCheckpoint()
+    if len(merges) % checkpoint_every != 0:
+        # ALWAYS end the loop on a checkpoint, not only every
+        # checkpoint_every merges: the final posexplode(symbols) makes
+        # Catalyst infer `size(symbols) > 0 AND isnotnull(symbols)`,
+        # and because `word` is the vocab aggregate's grouping key the
+        # inferred filter is pushed BELOW the distinct — the whole
+        # k-merge fold was re-evaluated twice per CORPUS OCCURRENCE
+        # instead of once per distinct word (measured 24 s of the
+        # encode stage's 28 s task time at sf0.1; the checkpoint is a
+        # vocab-sized barrier the predicate cannot cross).
+        syms = syms.localCheckpoint()
     if broadcast_vocab:
         syms = F.broadcast(syms)
     return corpus.join(syms, "word").select(

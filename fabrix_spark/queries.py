@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .operators import dedup, multimodal, sampling, similarity, temporal, text
+from .operators.util import spread
 from .plans import (
     AND,
     Col,
@@ -5365,11 +5366,22 @@ SELECT doc_id, n_tokens, pred_lang FROM sampled
 
 @register("pipeline_llm_prep", oracle=_pipeline_oracle(), headline=True)
 def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus prep in one lazy plan: normalize → token/
-    quality gate → language ID → exact-dedup (keep min id per
-    normalized content) → deterministic 50% sample. One narrow scan,
-    one dedup aggregate, one semi join — Catalyst fuses the rest."""
-    docs = _t(spark, sf_dir, "documents")
+    """End-to-end corpus prep: normalize → token/quality gate →
+    language ID → exact-dedup (keep min id per normalized content) →
+    deterministic 50% sample.
+
+    Physical shape (r17): the corpus is ``spread()`` before the
+    normalize/score pass (the lang-score expression tree is CPU-bound
+    per-row work, and a single-row-group parquet input pinned it to
+    ONE task), and the gated rows are materialized ONCE as a narrow
+    (doc_id, n_tokens, pred_lang, own_h) checkpoint that both the
+    dedup aggregate and the semi join consume — previously the two
+    branches each re-scanned the corpus and re-evaluated the full
+    score tree (the plan's two Filter nodes were ~100 lines of
+    duplicated split/filter chains). This is the guide's decide-on-
+    small-rows shape: the text is read once, every downstream decision
+    runs on ~40 bytes/doc."""
+    docs = spread(_t(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     toks = F.split(norm, " ")
 
@@ -5400,12 +5412,16 @@ def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").between(5, 1000) & (F.col("pred_lang") == "en")
     )
     h = F.md5(F.col("norm").cast("binary"))
+    # one corpus pass: hash the normalized text here and drop it — the
+    # checkpoint carries only the per-doc decision columns
+    hashed = filtered.select(
+        "doc_id", "n_tokens", "pred_lang", h.alias("own_h")
+    ).localCheckpoint()
     reps = (
-        filtered.select(h.alias("rep_h"), "doc_id")
+        hashed.select(F.col("own_h").alias("rep_h"), "doc_id")
         .groupBy("rep_h")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    hashed = filtered.withColumn("own_h", h)
     kept = hashed.join(
         reps,
         (hashed.own_h == reps.rep_h) & (hashed.doc_id == reps.keep_id),

@@ -220,13 +220,20 @@ def bm25_scores_fused(
     ex = spread(docs).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
     )
+    # materialize the doc-count-sized aggregate once: per_doc feeds
+    # BOTH the stats row and the scoring join, and without a barrier
+    # each branch re-ran the whole corpus tokenize + aggregate (two
+    # 32-task explode stages per query at sf0.1, ~9s of duplicated
+    # task time). The checkpoint is |docs| narrow rows — exactly the
+    # "persist per-doc lengths next to the index" shape the 100 TB
+    # steady state wants (see bm25_scores' docstring).
     per_doc = ex.groupBy(id_col).agg(
         F.count("*").alias("__len"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"__tf_{i}")
             for i, t in enumerate(uniq)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count("*").alias("__n"),
         F.sum("__len").alias("__sumlen"),

@@ -393,17 +393,29 @@ def audio_fingerprint_wav(blob: bytes, frames: int = 64) -> int:
     dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
     if dtype is None:
         raise NotImplementedError(f"unsupported PCM sample width {width}")
-    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    energies = np.asarray(
-        [
-            float((chunk * chunk).sum())
-            for chunk in np.array_split(samples, frames)
-        ]
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    # per-window energies via ONE cumulative sum instead of a Python
+    # list comprehension over 64 array_split views (the 64 tiny numpy
+    # calls per row dominated the kernel — guide §4.2: hand the whole
+    # row to vectorized code once). Window boundaries replicate
+    # np.array_split exactly: r = n % frames leading windows of
+    # q+1 samples, the rest of q. Energies are exact int64 (squares
+    # ≤ 2^30, so any real clip is far from overflow — the old float64
+    # path was only exact below 2^53 total).
+    sq = samples * samples
+    cs = np.zeros(len(sq) + 1, dtype=np.int64)
+    np.cumsum(sq, out=cs[1:])
+    q, r = divmod(len(samples), frames)
+    sizes = np.full(frames, q, dtype=np.int64)
+    sizes[:r] += 1
+    bounds = np.zeros(frames + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    energies = cs[bounds[1:]] - cs[bounds[:-1]]
+    bits = (np.diff(energies) > 0).astype(np.uint8)
+    h = int.from_bytes(
+        np.packbits(np.pad(bits, (0, 64 - len(bits))), bitorder="little").tobytes(),
+        "little",
     )
-    bits = (np.diff(energies) > 0).astype(np.uint64)
-    h = 0
-    for i, b in enumerate(bits):
-        h |= int(b) << i
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
@@ -427,20 +439,32 @@ def synthesize_wav(
 
     df = spread(df)
 
+    # the canonical header is a fixed 44-byte RIFF preamble — build it
+    # with struct.pack instead of driving the wave-module state machine
+    # per row (byte-identical output, pinned by
+    # test_synthesize_wav_header_matches_wave_module; ~20× less Python
+    # per row — guide §4.2). Only the two length fields vary.
+    import struct
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
             for _id, b in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(b)
                 raw = raw[: len(raw) // 2 * 2]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(rate)
-                    w.writeframes(raw)
+                blob = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(raw))
+                    + b"WAVEfmt "
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(raw))
+                    + raw
+                )
                 ids.append(_id)
-                blobs.append(buf.getvalue())
+                blobs.append(blob)
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"), "content": blobs}
             )

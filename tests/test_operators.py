@@ -3603,6 +3603,79 @@ FROM bits WHERE k >= 0 GROUP BY id
     assert {i: v for i, v in twin} == got and len(got) == 3
 
 
+def test_synthesize_wav_header_matches_wave_module(spark):
+    """The struct-packed canonical header (r17 fast path) is
+    byte-identical to what the wave module wrote: RIFF size, fmt
+    chunk, data size — for empty, odd-length (truncated to even) and
+    ordinary payloads. Pin so a future header edit cannot silently
+    diverge from the `wave`-parsable canonical form the fingerprint
+    side (and the hex-SQL oracles) depend on."""
+    import io
+    import wave as wave_mod
+
+    from fabrix_spark.operators.multimodal import synthesize_wav
+
+    payloads = [(1, b""), (2, b"\x01"), (3, bytes(range(256)) * 3), (4, b"ab" * 139)]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: bytes(r["content"]) for r in synthesize_wav(df, rate=8000).collect()}
+    for i, p in payloads:
+        raw = p[: len(p) // 2 * 2]
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(raw)
+        assert got[i] == buf.getvalue(), f"doc {i} header diverged"
+        with wave_mod.open(io.BytesIO(got[i])) as w:
+            assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+
+
+def test_audio_fingerprint_kernel_matches_per_chunk_reference():
+    """The cumsum-windowed fingerprint kernel (r17 vectorization) is
+    bit-identical to the straightforward per-chunk reference (the
+    pre-r17 implementation: float64 per-chunk energy sums + a Python
+    bit loop) across ragged/even splits, tie-heavy energies, and the
+    frame-count extremes the operator accepts."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from fabrix_spark.operators.multimodal import audio_fingerprint_wav
+
+    def reference(blob: bytes, frames: int) -> int:
+        with wave_mod.open(io.BytesIO(blob)) as w:
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+        energies = np.asarray(
+            [float((c * c).sum()) for c in np.array_split(samples, frames)]
+        )
+        bits = (np.diff(energies) > 0).astype(np.uint64)
+        h = 0
+        for i, b in enumerate(bits):
+            h |= int(b) << i
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    rng = np.random.default_rng(11)
+    for trial in range(120):
+        n = int(rng.integers(64, 1500))
+        # small amplitude range makes equal-energy ties (the > vs >=
+        # boundary) actually occur
+        pcm = rng.integers(-4, 4, size=n, dtype=np.int16)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+        blob = buf.getvalue()
+        for frames in (2, 33, 64, 65):
+            assert audio_fingerprint_wav(blob, frames) == reference(blob, frames)
+
+
 def _bpe_twin_sql(n_merges: int, min_freq: int = 2) -> str:
     """Unrolled DuckDB twin of bpe_train (the r12 oracle recipe):
     per iteration, one pair-count + deterministic arg-max CTE and one

@@ -241,21 +241,35 @@ def triangle_counts(
     )
     ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
     kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    # materialize the oriented edge list ONCE (r17): it feeds THREE
+    # branches — both wedge sides and the closing join — so without a
+    # barrier the whole edge-construction subtree (the caller's
+    # upstream joins, the distinct, and the two degree joins) re-ran
+    # per branch. The checkpoint also carries computed stats, so the
+    # |E|-row closing side auto-broadcasts when it fits and the
+    # wedge stream (the O(|E|^1.5) middle of the job) reaches the
+    # closing join WITHOUT a shuffle; at scale, where |E| outgrows the
+    # broadcast threshold, the same code degrades to a shuffled join.
     oriented = withdeg.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(ka < kb, kb).otherwise(ka).alias("kv"),
-    )
+    ).localCheckpoint()
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("kv").alias("kx"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
-    wedges = o1.join(o2, "u").filter(F.col("kx") < F.col("ky"))
+    # project the orientation keys away BEFORE the closing join: the
+    # wedge stream is the biggest relation in the plan, and the two
+    # (degree, id) structs were riding every wedge row into the join
+    wedges = o1.join(o2, "u").filter(F.col("kx") < F.col("ky")).select("u", "x", "y")
     closer = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closer, ["x", "y"], "inner").select("u", "x", "y")
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("x").alias("node")))
-        .unionAll(tri.select(F.col("y").alias("node")))
-    )
+    # one corner row per triangle vertex via explode, NOT a 3-way
+    # unionAll of tri projections: union branches are independent
+    # subtrees, so the unionAll form re-ran the whole wedge
+    # enumeration + closing join THREE times (measured at sf0.1: the
+    # corners stage read 3 × ~1 GB of re-executed wedge shuffle; the
+    # explode emits the identical (node) multiset in ONE pass)
+    corners = tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 

@@ -96,16 +96,28 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward fill is "first non-null at-or-after" — but a
+    # (currentRow, unboundedFollowing) frame is QUADRATIC in Spark
+    # (UnboundedFollowingWindowFunctionFrame re-aggregates the whole
+    # tail for every row; measured 97-101 s vs the backward pass's
+    # ~2 s on the same data, r17). Running it as last(...) over the
+    # EXACTLY-REVERSED total order — (on DESC, side ASC) reverses
+    # (on ASC, side DESC) — keeps the frame at
+    # (unboundedPreceding, currentRow), which Spark evaluates
+    # incrementally in one pass. Same frame membership row-for-row,
+    # so results are identical wherever the (on, side) sort is unique
+    # per key (right rows are unique per (by, on) for every caller;
+    # exact ties were already resolved arbitrarily before).
     w_fwd = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(on).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fills = []
     if direction in ("backward", "nearest"):
         fills.append(F.last("__r", ignorenulls=True).over(w_back).alias("__rb"))
     if direction in ("forward", "nearest"):
-        fills.append(F.first("__r", ignorenulls=True).over(w_fwd).alias("__rf_fwd"))
+        fills.append(F.last("__r", ignorenulls=True).over(w_fwd).alias("__rf_fwd"))
     filled = u.select(
         *[c for c in cols if c not in ("__side", "__r")],
         F.col("__side"),
@@ -340,10 +352,19 @@ def resample_interpolate(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "__next" is first-non-null-at-or-after, evaluated as a RUNNING
+    # last() over the exactly-reversed sort order — (ts DESC,
+    # __grid DESC) reverses (ts ASC, __grid ASC) — because a
+    # (currentRow, unboundedFollowing) frame re-aggregates the whole
+    # tail per row in Spark (quadratic per key; see asof_join). The
+    # (key, ts, __grid) sort is unique (obs and grid are both grouped
+    # per (key, ts)), so the reversal is result-identical. Costs one
+    # extra Sort node over the union (the two fills no longer share an
+    # ordering) — linear, and the window pass itself becomes linear.
     w_next = (
         Window.partitionBy(key_col)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(ts.desc(), F.col("__grid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pair = F.when(
         F.col("__grid") == 0,
@@ -352,7 +373,7 @@ def resample_interpolate(
     both = (
         obs.unionByName(grid)
         .withColumn("__prev", F.last(pair, ignorenulls=True).over(w_prev))
-        .withColumn("__next", F.first(pair, ignorenulls=True).over(w_next))
+        .withColumn("__next", F.last(pair, ignorenulls=True).over(w_next))
     )
     t_us = F.unix_micros(ts)
     v0, t0_us = F.col("__prev.v"), F.col("__prev.t")

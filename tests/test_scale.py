@@ -687,3 +687,31 @@ def test_fuzzy_pairs_plan_parallel_verify(spark):
     # the barrier — correct rows regardless of partition count
     rows = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
     assert len(rows) == 8  # pinned sf0.001 result (3-SF parity suite)
+
+
+def test_temporal_windows_have_no_unbounded_following_frame(spark):
+    """asof_join's forward/nearest fill and resample_interpolate's
+    __next fill must run as RUNNING frames over the reversed sort
+    order: a (currentRow, unboundedFollowing) frame makes Spark
+    re-aggregate the whole partition tail per row
+    (UnboundedFollowingWindowFunctionFrame — quadratic per key;
+    measured 97-101 s vs ~1 s at sf0.1 on the as-of pair, r17)."""
+    from fabrix_spark.operators.temporal import asof_join, resample_interpolate
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    rates = e.groupBy("event_type").agg(F.max("ts").alias("ts"), F.count("*").alias("n"))
+    for direction in ("forward", "nearest"):
+        out = asof_join(
+            e, rates, on="ts", by=["event_type"], right_cols=["n"], direction=direction
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "unboundedfollowing" not in plan.lower(), direction
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id"), F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = resample_interpolate(ev, ts_col="ts", key_col="user_id", value_col="value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower()

@@ -1910,12 +1910,22 @@ def a_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass here; at 100 TB you'd keep only the sketches (the fully
     oracled KMV/histogram families are the mergeable alternatives)."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # the two metric families aggregate SEPARATELY and cross-join
+    # their 1-row results (r17): mixing the countDistinct rewrite's
+    # Expand with the value-buffering percentile aggregates forced
+    # everything through one expanded sort-aggregate path — measured
+    # 16.9 s for the combined agg vs <=2.6 s for the slowest family
+    # alone at sf0.1 (the two independent jobs also overlap under
+    # AQE). Same functions over the same rows — identical values.
+    cds = li.agg(
         F.approx_count_distinct("l_orderkey").alias("a_cd"),
         F.countDistinct("l_orderkey").alias("e_cd"),
+    )
+    meds = li.agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("a_med"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("e_med"),
     )
+    agg = cds.crossJoin(meds)
     pct = lambda a, e: F.abs(a - e) <= F.abs(e) * 0.10  # noqa: E731
     return agg.select(
         F.explode(

@@ -565,8 +565,12 @@ def test_metrics_curve_and_resample_plan_shapes(spark):
     per r12 ADVICE — it collided with the r12-staged pin below):
     calibration_bins is ONE map-side-combined aggregate exchange;
     resample_interpolate's forward and backward passes are TWO Window
-    nodes stacked over ONE sort (no second key shuffle, no self-join,
-    no range join); roc_points' only nested-loop is the 1-row totals
+    nodes over ONE key shuffle — two sorts since r17 (the forward
+    fill runs as a running frame over the REVERSED order; the old
+    shared-sort form used a currentRow..unboundedFollowing frame,
+    which Spark re-aggregates per row — quadratic per key), but
+    never a second Exchange, a self-join, or a range join;
+    roc_points' only nested-loop is the 1-row totals
     broadcast and its cumsum runs on the checkpointed range partitions
     (window partitioned by the partition id — never unpartitioned)."""
     import datetime as dt
@@ -592,7 +596,8 @@ def test_metrics_curve_and_resample_plan_shapes(spark):
     p = (
         resample_interpolate(ts)._jdf.queryExecution().executedPlan().toString()
     )
-    assert p.count("Window") == 2 and p.count("Sort ") == 1
+    assert p.count("Window") == 2 and p.count("Sort ") == 2
+    assert "unboundedfollowing" not in p.lower()
     assert "Join" not in p and "CartesianProduct" not in p
 
     p = (

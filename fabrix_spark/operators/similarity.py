@@ -1057,6 +1057,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     quantize: int = 1_000_000,
+    barrier: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
     per query, take the ``pool`` most-relevant candidates by cosine,
@@ -1079,19 +1080,35 @@ def mmr_rerank(
     ≤ queries × pool rows. Returns (q_id, c_id, cosine, step) with
     step = 1-based selection order."""
     query_id_col = query_id_col or id_col
-    rel = cosine_topk(
+    # lazy barrier (r17): rel feeds THREE consumer chains — the step-1
+    # seed, the per-iteration `remaining` anti-join chain, and the
+    # pool-vector join below. Without it every greedy step re-executed
+    # the whole corpus top-k scan (~5-6 full passes, measured 11 s vs
+    # 5 s at sf0.1); after it the top-k pass runs ONCE and every
+    # consumer reads the (queries x pool)-row checkpoint.
+    # ``barrier=False`` is the plan-audit twin (result-identical, fully
+    # lazy) — the repo-wide convention tools/plan_report.py probes for.
+    bar = (lambda df: df.localCheckpoint(eager=False)) if barrier else (lambda df: df)
+    rel = bar(cosine_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, quantize=quantize,
-    ).select("q_id", "c_id", "cosine", "rank")
+    ).select("q_id", "c_id", "cosine", "rank"))
     # pool-member vectors once; pairwise sims within each query's pool.
-    # _finite_vectors: pool members are clean (cosine_topk's contract),
-    # but the quantizer below evaluates on EVERY corpus row feeding the
-    # join — one NaN component anywhere in the corpus killed the rerank
-    # at the ANSI long cast even though that row was never in any pool
-    # (r17 self-review)
-    vecs = spread(_finite_vectors(corpus, vec_col)).select(
-        F.col(id_col).alias("__id"), _quantized(F.col(vec_col), quantize).alias("__v")
-    ).withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    # The pool-id semi join runs BEFORE the quantizer (r17): only the
+    # <= queries x pool distinct pool members pay the per-component
+    # quantize + dot, not the whole corpus (the ids broadcast off the
+    # checkpointed rel). _finite_vectors still guards the join input —
+    # pool members are clean by cosine_topk's contract, but the
+    # contract lives in one place (r17 self-review: one NaN component
+    # anywhere in a scanned row is an ANSI long-cast task killer).
+    pool_ids = rel.select(F.col("c_id").alias("__id")).distinct()
+    vecs = (
+        _finite_vectors(corpus, vec_col)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__raw"))
+        .join(F.broadcast(pool_ids), "__id")
+        .select("__id", _quantized(F.col("__raw"), quantize).alias("__v"))
+        .withColumn("__n2", _dot(F.col("__v"), F.col("__v"), True))
+    )
     p = rel.join(vecs, rel.c_id == vecs.__id).select("q_id", "c_id", "__v", "__n2")
     a = p.select("q_id", F.col("c_id").alias("a_id"), F.col("__v").alias("__av"), F.col("__n2").alias("__an2"))
     b = p.select("q_id", F.col("c_id").alias("b_id"), F.col("__v").alias("__bv"), F.col("__n2").alias("__bn2"))
@@ -1102,8 +1119,8 @@ def mmr_rerank(
             "q_id", "a_id", "b_id",
             _cosine(F.col("__av"), F.col("__bv"), F.col("__an2"), F.col("__bn2"), True).alias("sim"),
         )
-        .localCheckpoint(eager=False)
     )
+    sims = bar(sims)
     lam_c, div_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
     selected = rel.filter(F.col("rank") == 1).select(
         "q_id", "c_id", "cosine", F.lit(1).cast("long").alias("step")
@@ -1132,7 +1149,7 @@ def mmr_rerank(
             "q_id", F.col("__p.c_id").alias("c_id"), F.col("__p.cosine").alias("cosine"),
             F.lit(s).cast("long").alias("step"),
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        selected = bar(selected.unionByName(pick))
         remaining = remaining.join(
             pick.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
         )

@@ -7018,7 +7018,7 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("sim_mmr_rerank", oracle=_mmr_oracle())
-def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str, barrier: bool = True) -> DataFrame:
     """Maximal Marginal Relevance diversified retrieval: top-20 cosine
     pool per query, greedy 5-pick balancing relevance (0.7) against
     max similarity to already-picked passages (0.3) — the standard
@@ -7028,7 +7028,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the final set."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
-    return similarity.mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
+    return similarity.mmr_rerank(emb, queries, k=5, pool=20, lam=0.7, barrier=barrier)
 
 
 @register(

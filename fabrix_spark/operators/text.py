@@ -594,8 +594,19 @@ def edit_distance_pairs(
 
     Returns (a_id, b_id, edit_distance) with a_id < b_id."""
     blk = F.col(block) if isinstance(block, str) else block
-    sides = df.select(
-        F.col(id_col).alias("__id"), F.col(col).alias("__s"), blk.alias("__blk")
+    # spread (r17): a small parquet table is one input split, and the
+    # block self-join broadcasts one side — so the ENTIRE candidate
+    # verify (block² banded-levenshtein evaluations) ran as ONE task
+    # regardless of core count (measured 14.7 s single-task at sf0.1;
+    # the stage read "(0 + 1) / 1"). Scattering the narrow
+    # (id, string, block) projection fans the verify across every
+    # core; at real scale the input already has more splits than
+    # cores and spread is a no-op by construction (guide §2.5 input
+    # skew / §2.6 idle capacity).
+    sides = spread(
+        df.select(
+            F.col(id_col).alias("__id"), F.col(col).alias("__s"), blk.alias("__blk")
+        )
     )
     a = sides.select(
         F.col("__id").alias("a_id"), F.col("__s").alias("__a"), "__blk"
@@ -616,10 +627,13 @@ def edit_distance_pairs(
                 "edit_distance"
             ),
         )
-        .filter(
-            (F.col("edit_distance") >= 0)
-            & (F.col("edit_distance") <= F.lit(max_dist))
-        )
+        # banded levenshtein returns -1 past the band, so >= 0 alone
+        # implies <= max_dist; the second predicate was a redundant
+        # re-evaluation of the DP inside the join condition (r17 —
+        # the optimizer collapses this filter into the join, where
+        # each predicate is a separate levenshtein call per
+        # candidate pair)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 

@@ -250,17 +250,36 @@ def triangle_counts(
     # wedge stream (the O(|E|^1.5) middle of the job) reaches the
     # closing join WITHOUT a shuffle; at scale, where |E| outgrows the
     # broadcast threshold, the same code degrades to a shuffled join.
+    # the head's orientation key is carried as a PLAIN degree column,
+    # not a struct: the wedge filter below is pushed into the wedge
+    # join as a non-equi condition evaluated once per joined pair
+    # (2 × wedge count evaluations), and struct<d,i> comparison
+    # allocates and compares field-by-field per row where the
+    # two-column form is scalar codegen compares (r17 — interleaved
+    # A/B on the near-complete sf0.1 graph: 25.4-27.4 s -> 16.4-16.6 s
+    # for the whole query, ~38%)
     oriented = withdeg.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+        F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).localCheckpoint()
-    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("kv").alias("kx"))
-    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
     # project the orientation keys away BEFORE the closing join: the
     # wedge stream is the biggest relation in the plan, and the two
-    # (degree, id) structs were riding every wedge row into the join
-    wedges = o1.join(o2, "u").filter(F.col("kx") < F.col("ky")).select("u", "x", "y")
+    # orientation keys were riding every wedge row into the join
+    wedges = (
+        o1.join(o2, "u")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("u", "x", "y")
+    )
     closer = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closer, ["x", "y"], "inner").select("u", "x", "y")
     # one corner row per triangle vertex via explode, NOT a 3-way

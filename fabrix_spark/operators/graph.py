@@ -121,6 +121,13 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    # materialize the prepared edge set FIRST (r17): it feeds the node
+    # set, the out-degree aggregate, and e_deg's join — without a
+    # barrier the caller's edge-derivation subtree (typically a fact
+    # join + distinct) re-executes once for the nodes checkpoint and
+    # twice more through e_deg's two join sides
+    if checkpoint:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -991,12 +991,18 @@ def _cc_min_label(
                 "label",
             )
         )
+        # materialize the round ONCE, then derive BOTH the convergence
+        # check and the next labels from the materialized RDD (r17):
+        # counting `changed` straight off the lazy plan executed the
+        # round's join+aggregate for the count and AGAIN for the
+        # checkpoint — and the final round's labels left the function
+        # lazy, re-running that join per downstream consumer. The
+        # checkpoint also cuts the growing lineage (O(1) per round).
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-        # cut the growing lineage so iteration stays O(1) per round
-        labels = labels.localCheckpoint(eager=True)
     if changed != 0:
         # silently returning partial components would split clusters —
         # the worst dedup failure mode (duplicates survive). Long-

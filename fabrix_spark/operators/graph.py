@@ -226,6 +226,12 @@ def triangle_counts(
     the source, closing semi-join on the wedge endpoints). Returns
     (node, n_triangles) for nodes in at least one triangle; each
     triangle contributes 1 to each of its three corners."""
+    # materialize the canonical edge list ONCE (r17): it feeds `deg`
+    # TWICE (the unionAll's branches are independent subtrees) and
+    # `withdeg` once more, so without a barrier the caller's upstream
+    # edge derivation (typically a fact-table self-join + distinct)
+    # re-executed three times before a single wedge was enumerated —
+    # the same defect class as pagerank's prepared edge set.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -233,6 +239,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("n"))

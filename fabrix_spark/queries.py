@@ -6487,16 +6487,21 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
         .distinct()
     )
+    # canonicalize + materialize ONCE and feed BOTH the degree count
+    # and triangle_counts from the checkpointed edge list (r17):
+    # `pairs`' lineage is the lineitem self-join + distinct, and
+    # without the barrier it executed separately for the degree branch
+    # and again (three times, pre-fix) inside triangle_counts.
     e = pairs.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    tc = triangle_counts(pairs)
+    tc = triangle_counts(e.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     j = deg.join(tc, "node", "left").select(
         "node",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),

@@ -3014,6 +3014,36 @@ def test_profile_nan_and_degenerate_contracts(spark):
     assert r["n"] == 3 and math.isclose(r["pearson_r"], 0.5)
 
 
+def test_profile_per_column_aggregates_semantics_and_plan(spark):
+    """r17 optimization pin for profile(): the per-column single-
+    distinct rewrite (one union branch per column instead of one
+    multi-distinct agg) must keep the exact semantics — NULLs counted
+    in n_nulls but not n_distinct, typed min/max cast to string AFTER
+    aggregation, empty input = one row per column with count 0 and
+    NULL stats — and the plan must carry NO Expand node (the
+    multi-distinct rewrite's signature, which dragged every min/max
+    buffer through SortAggregates over an N+1-fold row blow-up)."""
+    from fabrix_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a"), (None, "a")], "k int, s string"
+    )
+    rows = {r["column"]: r for r in profile(df, ["k", "s"]).collect()}
+    k, s = rows["k"], rows["s"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 1, 2)
+    assert (k["min_value"], k["max_value"]) == ("1", "2")
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_value"], s["max_value"]) == ("a", "b")
+
+    empty = df.filter("k = 999")
+    erows = {r["column"]: r for r in profile(empty, ["k", "s"]).collect()}
+    assert erows["k"]["n_rows"] == 0 and erows["k"]["n_distinct"] == 0
+    assert erows["k"]["n_nulls"] is None and erows["k"]["min_value"] is None
+
+    plan = profile(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
 def test_winsorize_sketch_path_and_ewma_guard(spark):
     """winsorize(method='sketch') with unit buckets equals the exact
     path on an integer column; ewma_decayed refuses configurations

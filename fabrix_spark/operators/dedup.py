@@ -10,13 +10,21 @@ md5-derived and engine-independent, so results are deterministic and
 reproducible across engines and partitionings (no JVM hashCode, no
 seed-dependent ml.feature randomness).
 
-No Python UDFs anywhere — pure codegen'd expressions + joins.
+No row-at-a-time Python anywhere: the joins/bands/verification are
+codegen'd expressions, and the one CPU-dense full-corpus pass —
+tokenize → shingle → md5 → per-permutation min — runs as a single
+``mapInArrow`` batch kernel (guide §4.2: Spark distributes, numpy
+crunches), bit-identical to the expression pipeline it replaced
+(pinned by tests).
 """
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 from .util import spread
@@ -113,10 +121,113 @@ def shingle_hash32(sh: Column) -> Column:
     return F.conv(F.substring(F.md5(sh.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
-def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle-set array) per doc — NARROW: ``shingles`` already
-    yields the per-doc array, so no explode/regroup shuffle is ever
-    needed to obtain sets, sizes, or signatures.
+def _shingle_sets_expr(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Expression-pipeline twin of the :func:`_shingle_frame` kernel —
+    kept as the bit-equality reference the kernel is pinned against
+    (tests) and as the fallback shape auditors can diff plans with.
+    Same row contract as ``_shingle_sets`` (NULL-text exclusion)."""
+    return (
+        spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("__set"),
+        )
+    )
+
+
+# Spark's ``F.split(F.trim(text), r"\s+")`` semantics, replicated for
+# the Arrow kernel: Java regex \s is ASCII-only ([ \t\n\x0B\f\r] — it
+# does NOT match U+00A0 etc.), F.trim strips the space character 0x20
+# only, and F.split's default limit -1 KEEPS leading/trailing empty
+# tokens (a text starting with a tab tokenizes to ["", ...]). The
+# Python class below is that exact ASCII set; ``str.strip(" ")``
+# matches F.trim exactly. Pinned by the kernel-vs-expression equality
+# tests (corpus + adversarial whitespace).
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _shingle_sig_kernel(n: int, params: list[tuple[int, int]], with_set: bool):
+    """mapInArrow kernel body: per batch of (id, text) rows, emit the
+    distinct word-n-gram shingle set (first-occurrence order — the
+    ``array_distinct`` contract) and/or the MinHash signature mins.
+
+    Bit-exact twins of the expression path it replaces (guide §4.2 —
+    the per-shingle md5 + per-permutation affine-mod-min ran as
+    interpreted higher-order functions before; here the mins are one
+    numpy matrix op + segmented reduce per batch, and md5 is hashlib's
+    C implementation): h32 = first 4 md5 digest bytes big-endian ==
+    ``conv(substring(md5(s), 1, 8), 16, 10)``; mins are int64-exact
+    (a ≤ 2·n_hashes, so a·h + b < 2^48 ≪ 2^63)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        from hashlib import md5
+
+        sig_t = pa.int64()
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            flat: list[str] = []
+            offsets = [0]
+            for txt in texts:
+                toks = _JAVA_WS.split(txt.strip(" "))
+                if len(toks) >= n:
+                    flat.extend(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                        )
+                    )
+                else:
+                    flat.append(" ".join(toks))
+                offsets.append(len(flat))
+            arrays, names = [ids], ["__id"]
+            if with_set:
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()), pa.array(flat, pa.string())
+                    )
+                )
+                names.append("__set")
+            if params:
+                if flat:
+                    h = np.frombuffer(
+                        b"".join(md5(s.encode("utf-8")).digest()[:4] for s in flat),
+                        dtype=">u4",
+                    ).astype(np.int64)
+                    starts = np.asarray(offsets[:-1], dtype=np.int64)
+                    for j, (a, b) in enumerate(params):
+                        mins = np.minimum.reduceat((a * h + b) % _P, starts)
+                        arrays.append(pa.array(mins, sig_t))
+                        names.append(f"mh_{j}")
+                else:
+                    for j in range(len(params)):
+                        arrays.append(pa.array([], sig_t))
+                        names.append(f"mh_{j}")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return kernel
+
+
+def _shingle_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_hashes: int = 0,
+    with_set: bool = True,
+) -> DataFrame:
+    """One Arrow pass over the corpus producing ``(__id[, __set]
+    [, mh_0..mh_{k-1}])`` — the fused shingle-set + MinHash-signature
+    scan every fuzzy-dedup family starts from.
+
+    Shape (100 TB): project to (id, text) FIRST so the opaque Python
+    stage ships only the two columns it reads (guide §4.1) and the
+    NULL-text filter stays a JVM predicate that pushes to the scan;
+    ``spread`` only scatters when the input has fewer splits than
+    cores (no-op at real scale). The kernel itself is map-only — no
+    shuffle until a downstream band/pair aggregate.
 
     NULL-text rows are EXCLUDED here, at the one entry every
     shingle-based family shares (r17 self-review): ``shingles(NULL)``
@@ -127,14 +238,25 @@ def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     rejected empty docs at the admission gate. Empty documents keep
     their ``""`` shingle and still dedupe AGAINST EACH OTHER (identical
     content is a real duplicate); only the no-content rows drop."""
-    return (
-        spread(df)
-        .filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(shingles(F.col(text_col), n)).alias("__set"),
-        )
+    src = spread(
+        df.filter(F.col(text_col).isNotNull()).select(F.col(id_col), F.col(text_col))
     )
+    fields = [T.StructField("__id", src.schema[0].dataType, src.schema[0].nullable)]
+    if with_set:
+        fields.append(T.StructField("__set", T.ArrayType(T.StringType(), False), False))
+    fields.extend(
+        T.StructField(f"mh_{j}", T.LongType(), False) for j in range(n_hashes)
+    )
+    return src.mapInArrow(
+        _shingle_sig_kernel(n, _hash_params(n_hashes), with_set),
+        T.StructType(fields),
+    )
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle-set array) per doc — the Arrow kernel scan (see
+    :func:`_shingle_frame` for the row contract and scale shape)."""
+    return _shingle_frame(df, text_col, id_col, n, n_hashes=0, with_set=True)
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -238,11 +360,15 @@ def jaccard_pairs(
         # broadcasts of an O(N-docs) frame — the one shape that would
         # OOM the driver at 100 TB; now the plan has ONE shuffle and
         # zero driver-sized structures regardless of corpus size.)
+        # explode FIRST, hash the exploded column (r18): xxhash64 over
+        # a plain column is whole-stage codegen; the old
+        # transform(set, xxhash64) ran the hash inside an interpreted
+        # higher-order function. Same multiset of (id, sz, h) rows.
         ds_h = sh_sets.select(
             "__id",
             F.size("__set").alias("__sz"),
-            F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h"),
-        )
+            F.explode("__set").alias("__s"),
+        ).select("__id", "__sz", F.xxhash64("__s").alias("__h"))
         a = ds_h.alias("a")
         b = ds_h.alias("b")
         bound = (
@@ -287,11 +413,13 @@ def containment_pairs(
     sh_sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
     # sizes ride the exploded rows into the pair aggregate (see
     # jaccard_pairs — r9: no broadcast of a per-document side table)
+    # explode-then-hash: codegen'd xxhash64 instead of an interpreted
+    # transform(...) higher-order function (r18, same as jaccard_pairs)
     ds_h = sh_sets.select(
         "__id",
         F.size("__set").alias("__sz"),
-        F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h"),
-    )
+        F.explode("__set").alias("__s"),
+    ).select("__id", "__sz", F.xxhash64("__s").alias("__h"))
     a, b = ds_h.alias("a"), ds_h.alias("b")
     bound = (
         a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
@@ -319,17 +447,28 @@ def containment_pairs(
             F.size("__sb").alias("__szb"),
         )
     )
-    fwd = scored.select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_super"),
-        F.round(F.col("__c") / F.col("__sza"), 6).alias("containment"),
+    # both directions emitted from ONE pass over `scored` via explode
+    # (r18): the old fwd ∪ rev union's branches were independent
+    # subtrees, so the whole candidate join + pair aggregate + verify
+    # intersect executed TWICE. Identical (id_sub, id_super,
+    # containment) multiset.
+    directed = F.array(
+        F.struct(
+            F.col("id_a").alias("id_sub"),
+            F.col("id_b").alias("id_super"),
+            F.round(F.col("__c") / F.col("__sza"), 6).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("id_sub"),
+            F.col("id_a").alias("id_super"),
+            F.round(F.col("__c") / F.col("__szb"), 6).alias("containment"),
+        ),
     )
-    rev = scored.select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_super"),
-        F.round(F.col("__c") / F.col("__szb"), 6).alias("containment"),
+    return (
+        scored.select(F.explode(directed).alias("__d"))
+        .select("__d.id_sub", "__d.id_super", "__d.containment")
+        .filter(F.col("containment") >= threshold)
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def _prefix_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
@@ -349,8 +488,8 @@ def _prefix_candidates(sh_sets: DataFrame, threshold: float) -> DataFrame:
     ds_h = sh_sets.select(
         "__id",
         F.size("__set").alias("__sz"),
-        F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("__h"),
-    )
+        F.explode("__set").alias("__s"),
+    ).select("__id", "__sz", F.xxhash64("__s").alias("__h"))
     freq = ds_h.groupBy("__h").agg(F.count("*").alias("__df"))
     from pyspark.sql.window import Window
 
@@ -439,14 +578,19 @@ def minhash_signatures(
     ``(a_i * h32(shingle) + b_i) % P`` for each of ``n_hashes``
     deterministic permutations.
 
-    NARROW — pure array expressions over the per-doc shingle set (md5
-    computed once per shingle, then ``array_min`` per permutation); no
-    shuffle at all until someone aggregates downstream. At 100 TB the
-    signature stage is therefore a map-only scan. Pass a precomputed
-    (materialized) ``sets`` frame to share the shingling scan with the
-    verification joins downstream."""
+    NARROW — one map-only pass, no shuffle at all until someone
+    aggregates downstream; at 100 TB the signature stage is therefore
+    a map-only scan. Fresh inputs run the fused Arrow kernel
+    (:func:`_shingle_frame` — tokenize/shingle/md5/min in one numpy
+    batch pass, r18: replaces the interpreted per-permutation
+    ``transform``+``array_min`` chain, bit-identical by pin test).
+    Pass a precomputed (materialized) ``sets`` frame to derive
+    signatures from already-built shingle sets via the expression
+    path instead."""
     if sets is None:
-        sets = _shingle_sets(df, text_col, id_col, shingle_size)
+        return _shingle_frame(
+            df, text_col, id_col, shingle_size, n_hashes=n_hashes, with_set=False
+        ).withColumnRenamed("__id", id_col)
     hashed = sets.select(
         F.col("__id").alias(id_col),
         F.transform("__set", lambda s: shingle_hash32(s)).alias("__hs"),
@@ -553,14 +697,19 @@ def minhash_dedup_pairs(
     candidates → exact-Jaccard verification of candidates only.
     ``salt`` passes through to :func:`lsh_candidate_pairs` (hot-bucket
     hardening for near-identical corpora)."""
-    sets = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint(eager=True)
-    # materialize the (narrow) signature table too: the banded
-    # self-join otherwise recomputes the signature expressions on both
-    # sides — this is the persisted signature table of a real LSH
-    # pipeline
-    sigs = minhash_signatures(
-        df, n_hashes, shingle_size, text_col, id_col, sets=sets
+    # ONE fused Arrow pass produces both the shingle sets (verify
+    # input) and the signature columns, materialized together (r18 —
+    # previously two sequential eager checkpoints: sets, then a
+    # signature job re-deriving mins from the sets). The checkpoint is
+    # the persisted signature table of a real LSH pipeline; its
+    # computed stats keep the downstream size-joins broadcast.
+    frame = _shingle_frame(
+        df, text_col, id_col, shingle_size, n_hashes=n_hashes, with_set=True
     ).localCheckpoint(eager=True)
+    sets = frame.select("__id", "__set")
+    sigs = frame.select(
+        F.col("__id").alias(id_col), *[f"mh_{i}" for i in range(n_hashes)]
+    )
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, id_col, salt=salt)
     return _verify_jaccard(sets, cands, threshold)
 
@@ -697,10 +846,19 @@ class SignatureStore:
 
     def ingest(self, new_docs: DataFrame, text_col: str = "text") -> None:
         """Key-upsert the new docs' signatures into the store — called
-        after a dedup round admits its survivors."""
+        after a dedup round admits its survivors.
+
+        The delta signatures are materialized ONCE before the upsert
+        (r18, guide §2.4): the bucketed merge evaluates its input
+        three times (touched-bucket collect, anti-join probe side,
+        union write side), and handing it the lazy sign plan re-ran
+        the whole shingle/signature scan per evaluation — measured
+        ~3× the batch's entire probe cost in the admission replay.
+        The checkpoint is delta-sized (n_hashes longs per doc)."""
         from ..sources.sql import SaveStrategy
 
-        self.table.save(self.sign(new_docs, text_col), SaveStrategy.UPSERT)
+        sigs = self.sign(new_docs, text_col).localCheckpoint(eager=True)
+        self.table.save(sigs, SaveStrategy.UPSERT)
 
     def read(self) -> DataFrame:
         """The persisted signature frame (parquet scan, no recompute)."""
@@ -758,9 +916,15 @@ def incremental_dedup_pairs(
     re-using a corpus id compares its NEW text against the corpus
     text of any other candidate id it buckets with."""
     n_hashes, shingle_size = store.n_hashes, store.shingle_size
-    new_sets = _shingle_sets(new_docs, text_col, id_col, shingle_size).localCheckpoint(eager=True)
-    new_sigs = minhash_signatures(
-        new_docs, n_hashes, shingle_size, text_col, id_col, sets=new_sets
+    # one fused Arrow pass signs AND shingles the delta (r18): the
+    # sets feed verification, the signature columns feed the probe —
+    # previously a sets checkpoint plus a second signature derivation.
+    new_frame = _shingle_frame(
+        new_docs, text_col, id_col, shingle_size, n_hashes=n_hashes, with_set=True
+    ).localCheckpoint(eager=True)
+    new_sets = new_frame.select("__id", "__set")
+    new_sigs = new_frame.select(
+        F.col("__id").alias(id_col), *[f"mh_{i}" for i in range(n_hashes)]
     )
     cands = incremental_candidates(
         new_sigs, store.read(), n_hashes, bands, id_col
@@ -942,12 +1106,19 @@ def dup_clusters(
     chains (diameter ≫ 20) resolve where label propagation would need
     one round per hop. Same output contract, property-tested equal.
     """
+    # symmetrize in ONE explode pass, not pairs ∪ reversed(pairs)
+    # (r18): union branches are independent subtrees, so the union
+    # form executed the ENTIRE candidate-pair pipeline twice inside
+    # the checkpoint job below. Then materialize once — the pipeline
+    # must not re-execute every iteration either.
+    both = F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+    )
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.explode(both).alias("__e"))
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         .distinct()
-        # materialize once — the candidate-pair pipeline above must not
-        # re-execute every iteration
         .localCheckpoint(eager=True)
     )
     if strategy == "star":

@@ -66,7 +66,21 @@ def to_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
     fwd = edges.where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     ).select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # ONE explode pass instead of fwd ∪ reversed(fwd) (r18): union
+    # branches are independent subtrees, so the union form re-executed
+    # the caller's whole edge derivation (typically a fact-table
+    # self-join + distinct) TWICE before the symmetrized list existed —
+    # the same defect class as the r17 triangle/corners fix. The
+    # explode emits the identical (src, dst) multiset in one pass.
+    both = F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return (
+        fwd.select(F.explode(both).alias("__e"))
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
+        .distinct()
+    )
 
 
 def pagerank(
@@ -209,7 +223,11 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    prepared: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts (the clustering-coefficient /
     community-density primitive) via DEGREE-ORIENTED wedge closing —
@@ -225,22 +243,39 @@ def triangle_counts(
     Deterministic integers; 3 shuffles (degree agg, wedge self-join on
     the source, closing semi-join on the wedge endpoints). Returns
     (node, n_triangles) for nodes in at least one triangle; each
-    triangle contributes 1 to each of its three corners."""
-    # materialize the canonical edge list ONCE (r17): it feeds `deg`
-    # TWICE (the unionAll's branches are independent subtrees) and
-    # `withdeg` once more, so without a barrier the caller's upstream
-    # edge derivation (typically a fact-table self-join + distinct)
-    # re-executed three times before a single wedge was enumerated —
-    # the same defect class as pagerank's prepared edge set.
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    triangle contributes 1 to each of its three corners.
+
+    ``prepared=True`` (r18, advisor item) declares the input ALREADY
+    canonical — (src < dst), distinct, self-loop-free, and materialized
+    by the caller — and skips the least/greatest + distinct pass and
+    its checkpoint (a redundant full |E| shuffle + second
+    materialization when the caller just built exactly that edge
+    list, as gr_clustering_coefficient does). ``checkpoint=False``
+    (mirroring :func:`pagerank`) opts out of the eager
+    ``localCheckpoint`` barriers for small/ad-hoc inputs where
+    plan-build-time Spark jobs or executor-local unreplicated storage
+    are unwanted; the default stays True — without the barriers the
+    caller's edge subtree re-executes per branch."""
+    if prepared:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        # materialize the canonical edge list ONCE (r17): it feeds
+        # `deg` TWICE (the unionAll's branches are independent
+        # subtrees) and `withdeg` once more, so without a barrier the
+        # caller's upstream edge derivation (typically a fact-table
+        # self-join + distinct) re-executed three times before a
+        # single wedge was enumerated — the same defect class as
+        # pagerank's prepared edge set.
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+        if checkpoint:
+            e = e.localCheckpoint()
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -276,7 +311,9 @@ def triangle_counts(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint()
+    )
+    if checkpoint:
+        oriented = oriented.localCheckpoint()
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
     )

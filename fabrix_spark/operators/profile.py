@@ -18,10 +18,55 @@ from pyspark.sql import functions as F
 __all__ = ["profile", "histogram", "quantiles", "sampled_quantiles", "kmv_distinct", "kmv_distinct_grouped", "check_constraints", "row_constraints", "kmv_sketch", "kmv_merge_estimate", "correlation", "hist_sketch", "hist_merge", "hist_quantiles", "hist_sketch_grouped", "hist_quantiles_grouped", "heavy_hitters", "mad_outliers", "skew_report", "winsorize"]
 
 
+_SCAN_SHAPED_NODES = {
+    # logical nodes whose re-execution is a free column-pruned re-scan:
+    # re-running one of these per profiled column costs the same bytes
+    # as one wide scan (each branch prunes to its own column)
+    "Project",
+    "Filter",
+    "Relation",
+    "LogicalRelation",
+    "LogicalRDD",
+    "LocalRelation",
+    "SubqueryAlias",
+    "View",
+}
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True when df's optimized plan is a bare (possibly
+    projected/filtered) relation — the shape whose per-column
+    re-execution is cost-free. Joins/aggregates/windows/generators make
+    it DERIVED: re-executing that subtree once per profiled column
+    repeats real work N times (and a non-deterministic source would
+    profile N different snapshots), so the caller materializes first."""
+    import re as _re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        m = _re.match(r"^[\s:+-]*([A-Za-z]+)", line)
+        if m and m.group(1) not in _SCAN_SHAPED_NODES:
+            return False
+    return True
+
+
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Long-format profile: one row per column with
     (column, n_rows, n_nulls, n_distinct, min_value, max_value)."""
     cols = columns or df.columns
+    if not cols:
+        raise ValueError("profile() needs at least one column (got a zero-column DataFrame)")
+    # Derived inputs (join/aggregate results — anything beyond a
+    # projected/filtered scan) are materialized ONCE as the pruned
+    # projection (r18, advisor item): the per-column union below
+    # re-executes df's plan once per column, which is free only for a
+    # bare scan (each branch prunes to one column); for a derived
+    # frame it would repeat the whole upstream subtree N times and,
+    # for a non-deterministic source, profile N different snapshots.
+    # Bare scans skip this (checkpointing a 100 TB table to profile it
+    # would be the bug), keeping the r17 pruned-scan plan shape.
+    if not _is_scan_shaped(df):
+        df = df.select(*cols).localCheckpoint(eager=True)
     # ONE single-distinct aggregate per column, unioned (r17): packing
     # N count_distincts into one agg triggers the multi-distinct
     # rewrite — an N+1-way Expand whose re-keyed path drags every

@@ -55,6 +55,41 @@ def _quantized(vec: Column, scale: int) -> Column:
     return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
 
+def _quantized_guarded(vec: Column, scale: int) -> Column:
+    """Quantizer with the NaN/NULL-component guard FUSED into the same
+    array pass (r18, recovering the r17 ``_finite_vectors`` cost — the
+    separate ``exists()`` pre-filter was a second interpreted traversal
+    of every corpus vector): a NaN or NULL component maps to a NULL
+    element instead of dying at the ANSI long cast, the NULL then
+    propagates through the dot product to a NULL norm, and the
+    call-site ``n2 > 0`` filter excludes the row — the exact same rows
+    :func:`_finite_vectors` excluded, in zero extra passes. A NULL
+    vector likewise quantizes to NULL → NULL norm → excluded.
+    Components that are finite but un-castable (±Inf, > long range)
+    still die at the ANSI cast exactly as before — this fuses the
+    guard, it does not widen it."""
+    return F.transform(
+        vec,
+        lambda x: F.when(
+            ~(x.isNull() | F.isnan(x.cast("double"))),
+            F.round(x.cast("double") * scale).cast("long"),
+        ),
+    )
+
+
+def _as_double_guarded(vec: Column) -> Column:
+    """Unquantized twin of :func:`_quantized_guarded`: NaN and NULL
+    components both map to NULL (NaN would otherwise survive the cast
+    and ``NaN > 0`` is false for the norm filter anyway, but mapping it
+    to NULL keeps the two guarded casters' exclusion mechanics
+    identical: poisoned component → NULL element → NULL norm →
+    excluded by ``n2 > 0``)."""
+    return F.transform(
+        vec,
+        lambda x: F.when(~(x.isNull() | F.isnan(x.cast("double"))), x.cast("double")),
+    )
+
+
 def _dot(a: Column, b: Column, integer: bool) -> Column:
     zero = F.lit(0).cast("long") if integer else F.lit(0.0)
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x)
@@ -109,28 +144,31 @@ def cosine_topk(
     """
     query_id_col = query_id_col or id_col
     if quantize:
-        cvec = _quantized(F.col(vec_col), quantize)
+        cvec = _quantized_guarded(F.col(vec_col), quantize)
         integer = True
     else:
-        cvec = _as_double(F.col(vec_col))
+        cvec = _as_double_guarded(F.col(vec_col))
         integer = False
 
     # single-valued non-foldable key (see ivf_assign): the corpus ×
     # broadcast-queries pairing runs as a broadcast HASH join rather
-    # than a nested-loop node. Both sides drop NULL/NaN vectors (see
-    # _finite_vectors) and zero-norm vectors (cosine undefined; the
-    # 0/0 double division is an ANSI DIVIDE_BY_ZERO task killer).
+    # than a nested-loop node. Both sides drop NULL/NaN vectors and
+    # zero-norm vectors (cosine undefined; the 0/0 double division is
+    # an ANSI DIVIDE_BY_ZERO task killer) — the NaN/NULL guard is
+    # FUSED into the quantize pass (r18): a poisoned component becomes
+    # a NULL element, the norm goes NULL, and the n2 > 0 filter below
+    # drops the row, so the old standalone _finite_vectors exists()
+    # traversal no longer runs.
     one = _pair_key
     c = (
-        spread(_finite_vectors(corpus, vec_col))
+        spread(corpus)
         .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
         .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
         .filter(F.col("c_n2") > 0)
         .withColumn("__one", one("c_id"))
     )
     q = (
-        _finite_vectors(queries, vec_col)
-        .select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
+        queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
         .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
         .filter(F.col("q_n2") > 0)
         .withColumn("__one", one("q_id"))
@@ -183,22 +221,23 @@ def cosine_range_search(
     int64 so results reproduce bitwise on any engine."""
     query_id_col = query_id_col or id_col
     if quantize:
-        cvec = _quantized(F.col(vec_col), quantize)
+        cvec = _quantized_guarded(F.col(vec_col), quantize)
         integer = True
     else:
-        cvec = _as_double(F.col(vec_col))
+        cvec = _as_double_guarded(F.col(vec_col))
         integer = False
-    # NULL/NaN/zero-norm exclusion: same contract as cosine_topk
+    # NULL/NaN/zero-norm exclusion: same contract as cosine_topk — the
+    # guard is fused into the quantize pass (r18), poisoned components
+    # become NULL elements and the n2 > 0 filter excludes the row
     c = (
-        spread(_finite_vectors(corpus, vec_col))
+        spread(corpus)
         .select(F.col(id_col).alias("c_id"), cvec.alias("c_vec"))
         .withColumn("c_n2", _dot(F.col("c_vec"), F.col("c_vec"), integer))
         .filter(F.col("c_n2") > 0)
         .withColumn("__one", _pair_key("c_id"))
     )
     q = (
-        _finite_vectors(queries, vec_col)
-        .select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
+        queries.select(F.col(query_id_col).alias("q_id"), cvec.alias("q_vec"))
         .withColumn("q_n2", _dot(F.col("q_vec"), F.col("q_vec"), integer))
         .filter(F.col("q_n2") > 0)
         .withColumn("__one", _pair_key("q_id"))

@@ -6501,7 +6501,14 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    tc = triangle_counts(e.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    # prepared=True (r18): `e` is already canonical (a < b, distinct,
+    # self-loop-free via the src < dst filter) AND checkpointed, so
+    # triangle_counts skips its own least/greatest + distinct pass —
+    # previously a redundant full |E| shuffle and a SECOND
+    # materialization of the same edge list.
+    tc = triangle_counts(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")), prepared=True
+    )
     j = deg.join(tc, "node", "left").select(
         "node",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
@@ -8341,28 +8348,54 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = e.agg(F.min("ts"), F.max("ts")).head()
     # any disjoint ascending split is correct; quartiles balance batches
     splits = [lo + (hi - lo) * frac for frac in (0.25, 0.5, 0.75)]
-    edges = [None, *splits, None]
     schema = "user_id long, ts timestamp_ntz"
     sent1 = hi + timedelta(seconds=2 * gap_s + 60)
     sent2 = sent1 + timedelta(seconds=2 * gap_s)
-    batches = []
+    # ONE bucketed write replaces four sequential filter + coalesce(1)
+    # write jobs (r18 — the fixture construction was HALF the query's
+    # wall, 10.2 s of 23 s steady-state): the quartile bucket is a
+    # column, `repartition(4, "__b")` routes every bucket to exactly
+    # one task so each partition dir holds exactly ONE data file (the
+    # FileStreamSource one-file-per-micro-batch contract), and
+    # `partitionBy` keeps the bucket column out of the file. Row
+    # membership per bucket is identical to the old chained filters
+    # (same >/<= edges, no otherwise() branch — a NULL ts matches no
+    # bucket and is dropped exactly as it failed every filter before);
+    # row ORDER within a file may differ, which is immaterial: the
+    # sessionizer sorts within each group per micro-batch.
+    s1, s2, s3 = splits
+    bucket = (
+        F.when(F.col("ts") <= F.lit(s1), 0)
+        .when(F.col("ts") <= F.lit(s2), 1)
+        .when(F.col("ts") <= F.lit(s3), 2)
+        .when(F.col("ts") > F.lit(s3), 3)
+    )
+    wdir = os.path.join(root, "w")
+    (
+        e.withColumn("__b", bucket)
+        .filter(F.col("__b").isNotNull())
+        .repartition(4, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(wdir)
+    )
     for i in range(4):
-        b = e
-        if edges[i] is not None:
-            b = b.filter(F.col("ts") > F.lit(edges[i]))
-        if edges[i + 1] is not None:
-            b = b.filter(F.col("ts") <= F.lit(edges[i + 1]))
-        batches.append(b)
-    batches.append(spark.createDataFrame([(-1, sent1)], schema))
-    batches.append(spark.createDataFrame([(-1, sent2)], schema))
-    for i, b in enumerate(batches):
+        bdir = os.path.join(wdir, f"__b={i}")
+        parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"bucket {i}: expected one file, got {parts}"
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(bdir, parts[0]), dst)
+        # FileStreamSource orders by modification time — pin the
+        # arrival order explicitly so bucket i IS micro-batch i
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    for i, sent in ((4, sent1), (5, sent2)):
         tmp = os.path.join(root, f"w{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        spark.createDataFrame([(-1, sent)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         dst = os.path.join(src, f"b{i:03d}.parquet")
         shutil.move(os.path.join(tmp, part), dst)
-        # FileStreamSource orders by modification time — pin the
-        # arrival order explicitly so bucket i IS micro-batch i
         os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
     stream = read_stream_parquet(spark, src, schema, max_files_per_trigger=1)
     sess = stateful_sessionize(

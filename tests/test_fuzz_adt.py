@@ -336,6 +336,7 @@ def test_compound_compiler_and_sqlgen_agree(spark, duck, cp):
     assert spark_rows == duck_rows
 
 
+@pytest.mark.slow
 @given(sel=_selects())
 @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_compiler_and_sqlgen_agree(spark, duck, sel):
@@ -360,6 +361,7 @@ def duck_ex(spark):
     return SqlExecutor(spark, lambda: con, dialect="duckdb")
 
 
+@pytest.mark.slow
 @given(sel=_selects())
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_live_duckdb_executor_agrees_with_compiler(spark, duck_ex, sel):

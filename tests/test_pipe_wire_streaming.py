@@ -1577,6 +1577,7 @@ def test_stream_maintain_index_replay_noop_and_search_parity(spark, tmp_path):
     assert after == got and got
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_unsorted_batch(spark, tmp_path):
     """Rows inside one micro-batch arrive in arbitrary order — the
     update fn must time-sort before gap detection. One file holds two
@@ -1622,6 +1623,7 @@ def test_stateful_sessionize_unsorted_batch(spark, tmp_path):
     assert rows == {("10:00", 3), ("12:00", 2)}
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_out_of_order_above_watermark(spark, tmp_path):
     """session_window parity for in-watermark stragglers (the r16
     self-review's finding — the old single-session fold silently
@@ -1685,6 +1687,7 @@ def test_stateful_sessionize_out_of_order_above_watermark(spark, tmp_path):
     assert sessions_of(2) == [("10:00", "11:00", 3)]
 
 
+@pytest.mark.slow
 def test_sessionize_ooo_mutation_sensitivity(spark, tmp_path):
     """stream_session_ooo_replay's evidence is SENSITIVE to each of
     the three r16 out-of-order semantics it exists to pin (the same
@@ -1846,6 +1849,7 @@ def test_stateful_rolling_zscore_null_value_matches_batch(spark, tmp_path):
     assert got == want and want  # parity, and the case is non-vacuous
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_drops_event_older_than_watermark(spark, tmp_path):
     """Late-data contract of the sessionizer: an event whose time is
     OLDER than the current watermark arrives mid-stream and is DROPPED
@@ -1970,6 +1974,7 @@ def test_stream_asof_enrich_includes_late_arrival(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_admit_batch_fuzzy_sequence(spark, tmp_path):
     """Sequential edit-distance admission: batch 2's near-copy of a
     batch-1 admission is rejected; a doc re-sent under its OWN id with
@@ -2028,6 +2033,7 @@ def test_admit_batch_fuzzy_sequence(spark, tmp_path):
     assert got == [7, 9]
 
 
+@pytest.mark.slow
 def test_admit_batch_fuzzy_cross_id_rejected_update_tombstones(spark, tmp_path):
     """The r14 ADVICE edge, fixed by tombstoning: a doc re-sent under
     its own id with EDITED text that near-matches a DIFFERENT admitted
@@ -2174,6 +2180,7 @@ def test_admit_batch_fuzzy_replay_purge_boundary(spark, tmp_path):
     assert sorted(r["doc_id"] for r in admitted.read().df.collect()) == state
 
 
+@pytest.mark.slow
 def test_compact_admitted_removes_stale_rows_and_signatures(spark, tmp_path):
     """The MinHash gate's documented stale-update scenario, replayed
     end to end and then COMPACTED (r15 verdict's What's wrong #1): an
@@ -2267,6 +2274,7 @@ def test_compact_admitted_removes_stale_rows_and_signatures(spark, tmp_path):
     assert sorted(map(tuple, store.read().collect())) == fresh_build()
 
 
+@pytest.mark.slow
 def test_compact_admitted_serializes_against_admission(spark, tmp_path):
     """The r16 verdict's What's wrong #2: compact_admitted's
     must-not-interleave contract is now ENFORCED, not docstring-only.

@@ -8,6 +8,8 @@ import decimal
 import json
 import uuid
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -233,6 +235,7 @@ def test_np_quant_matches_decimal_round_on_float32_products():
             assert np_quant(v) == dec_round(v), v
 
 
+@pytest.mark.slow
 @given(
     vals=st.lists(st.integers(0, 9), min_size=1, max_size=60),
     k=st.integers(2, 7),
@@ -301,6 +304,7 @@ def test_phrase_search_fuzz_matches_bruteforce(spark, docs, phrase):
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     vals=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)), min_size=1, max_size=60),
     parts=st.integers(1, 5),
@@ -389,6 +393,7 @@ def test_global_rank_auto_threshold_switches(spark, monkeypatch):
     }
 
 
+@pytest.mark.slow
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=10),
@@ -415,6 +420,7 @@ def test_bm25_fused_fuzz_matches_index_path(spark, docs, terms):
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(
@@ -469,6 +475,7 @@ def test_auc_by_group_consistent_with_global(spark, rows):
             assert abs(by[seg] - alone) < 1e-12
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(
@@ -524,6 +531,7 @@ def test_roc_pr_ap_fuzz_brute_force(spark, rows):
         assert abs(got["ap"] - want) < 1e-9
 
 
+@pytest.mark.slow
 @given(
     scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
     host=st.sampled_from(["Ex.COM", "ex.com", "A.b.C", "ex.com:443", "ex.com:8080"]),
@@ -557,6 +565,7 @@ def test_canonical_url_idempotent_fuzz(spark, scheme, host, path, params, frag):
     assert "#" not in once and "utm_" not in once and "gclid" not in once
 
 
+@pytest.mark.slow
 @given(
     raw=st.one_of(
         st.text(
@@ -655,6 +664,7 @@ def test_bpe_apply_merge_chain_matches_greedy_scan(spark, words, merges):
         assert got[i] == want, (w, merges)
 
 
+@pytest.mark.slow
 @given(
     corpus=st.lists(
         st.lists(st.sampled_from(["cat", "dog", "run", "the", "fish", "sun"]),
@@ -839,6 +849,7 @@ def test_weighted_reservoir_es_key_identity_fuzz(data):
         assert abs(ref_key[i] - cutoff) <= bound, (i, weights[i], ref_key[i], cutoff)
 
 
+@pytest.mark.slow
 @given(
     docs=st.lists(
         st.lists(st.sampled_from("abc "), min_size=0, max_size=12),
@@ -977,6 +988,7 @@ def test_edit_distance_pairs_fuzz_matches_bruteforce(spark, names, max_dist):
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     probe=st.lists(
         st.lists(st.sampled_from("abc "), min_size=0, max_size=10),
@@ -1064,6 +1076,7 @@ def test_fuzzy_join_fuzz_matches_bruteforce(
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     probe=st.lists(
         st.tuples(
@@ -1136,6 +1149,7 @@ def test_fuzzy_join_scoped_fuzz_matches_bruteforce(spark, probe, ref, key_len, b
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     texts=st.lists(
         st.lists(st.sampled_from("ab "), min_size=0, max_size=14),
@@ -1211,6 +1225,7 @@ def test_admit_batch_fuzzy_replay_fixpoint(spark, texts, n_updates, data):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 @given(
     texts=st.lists(
         st.lists(st.sampled_from("ab "), min_size=0, max_size=14),

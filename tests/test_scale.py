@@ -410,6 +410,7 @@ def test_semantic_prune_plan_shape(spark):
     assert plan.count("Exchange") == 1              # the one required shuffle
 
 
+@pytest.mark.slow
 def test_lsh_salted_hot_bucket(spark):
     """r9 hot-bucket hardening: a near-identical corpus collapses into
     one LSH bucket per band, and AQE's skew-join cannot split it (a
@@ -655,6 +656,7 @@ def test_dsir_and_gram_plan_shapes(spark):
     assert p.count("Exchange") == 1 and "Join" not in p and "Window" not in p
 
 
+@pytest.mark.slow
 def test_staged_queries_no_cartesian(spark):
     """Blanket plan gate over every STAGED query: no CartesianProduct
     on data tables anywhere (the 1-row totals crossJoins compile to

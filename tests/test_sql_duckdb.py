@@ -55,6 +55,7 @@ def test_duckdb_ddl_surface(ex, fx):
     assert not ex.table_exists("t2")
 
 
+@pytest.mark.slow
 def test_duckdb_save_matrix(spark, ex, fx):
     # FailIfExists
     assert ex.save("t", fx, SaveStrategy.FAIL_IF_EXISTS) == 4
